@@ -1,0 +1,105 @@
+"""Table registry over a parquet directory — the engine's "database".
+
+The reference resolves 1/2/3-part table names against config defaults and
+queries external databases (dbqt/connections.py:17-34, :65-143). Here a
+"database" is a directory of parquet files; tables are lazily-read
+DataFrames registered as temp views so both the DataFrame API and
+``spark.sql`` can address them.
+
+Scale note: ``spark.read.parquet`` is a metadata-only operation until an
+action runs; registering all tables up front costs footer reads only.
+On a real cluster this maps 1:1 onto external catalog tables
+(``spark.table("db.schema.t")``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The testdata star schema (TESTDATA.md).
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read them
+    natively; detected from the footer (driver-side, metadata-only)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Lazy: only the parquet footer is touched until an
+    action runs, mirroring the reference's schema-only reads
+    (dbqt/tools/colcompare.py:246-251).
+
+    Nanosecond-timestamp columns (illegal for Spark's vectorized reader)
+    are read as long via ``spark.sql.legacy.parquet.nanosAsLong`` and cast
+    back to microsecond timestamps, so the logical schema matches what
+    DuckDB/pyarrow report."""
+    path = table_path(sf_dir, name)
+    nanos = _nanos_timestamp_cols(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(
+            c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    names = tables if tables is not None else discover_tables(sf_dir)
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def discover_tables(sf_dir: str) -> list[str]:
+    """List tables in a directory-database — the analog of the reference's
+    ``list_tables`` information_schema query (dbqt/connections.py:127-143).
+
+    Deterministic order: canonical star-schema order first, then any extras
+    alphabetically (stable output mirrors the reference's ORDER BY).
+    """
+    found = {
+        f[: -len(".parquet")]
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    }
+    ordered = [t for t in TPCH_TABLES if t in found]
+    ordered += sorted(found - set(TPCH_TABLES))
+    return ordered
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Register every table as a temp view for SQL access."""
+    dfs = load_tables(spark, sf_dir, tables)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

