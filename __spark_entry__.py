@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the smoke check; ``queries()``/``oracle_sql()`` expose
+every implemented operator from SURVEY.md §2 plus the north-star extension
+operators (see dbqt_spark/queries.py for the registry and the determinism
+rules that make Spark results hash-match the DuckDB oracles).
 """
 
 from __future__ import annotations
@@ -12,27 +11,43 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: data-quality summary of the sf0.001 star schema — per
+    table: row count, column count, all-NULL and low-distinct column
+    counts (dbstats + nullcheck in one result)."""
+    from dbqt_spark.catalog import TPCH_TABLES, load_tables
+    from dbqt_spark.operators.profile import profile_tables
+    from dbqt_spark.operators.rowcount import table_row_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    tables = load_tables(spark, sf_dir, TPCH_TABLES)
+    counts = table_row_counts(spark, sf_dir, TPCH_TABLES)
+    prof = (
+        profile_tables(tables)
+        .groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_columns"),
+            F.count(F.when(F.col("status") == "NULL column", 1)).alias(
+                "n_null_columns"
+            ),
+            F.count(F.when(F.col("status") == "Low distinct", 1)).alias(
+                "n_low_distinct_columns"
+            ),
+        )
+    )
+    return counts.join(prof, "table_name", "left").orderBy("table_name")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dbqt_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dbqt_spark.queries import ORACLES
+
+    return dict(ORACLES)

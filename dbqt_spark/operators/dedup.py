@@ -85,33 +85,33 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
-    universal hash (a_i*h + b_i mod 2^61-1) of xxhash64(shingle).
+    universal hash (a_i*h + b_i mod 2^31-1) of xxhash64(shingle).
 
-    No explode: per-row higher-order functions only, so signature
-    computation is a single narrow scan (no shuffle at all).
+    Shape: explode shingles -> one hash column -> groupBy(id) with
+    ``num_hashes`` MIN aggregates. The N mins are scalar codegen'd
+    aggregates with map-side partial aggregation (each partition combines
+    to one row per doc before the shuffle). The per-row nested
+    higher-order-function formulation (array_min over transform, xN)
+    falls out of whole-stage codegen into interpreted evaluation and was
+    measured ~50x slower.
     """
     import random
 
     rnd = random.Random(seed)
     params = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
 
-    sh = shingles_col(text_col, shingle_n)
-    # base hashes once per shingle; make non-negative for modular math
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    base,
-                    lambda h: F.pmod(
-                        h * F.lit(a) + F.lit(b), F.lit(_P)
-                    ),
-                )
-            )
-            for (a, b) in params
-        ]
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, shingle_n)).alias("shingle"),
+    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_P)))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"s_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = exploded.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"s_{i}") for i in range(num_hashes)]).alias("sig")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"), sh.alias("shingles"))
 
 
 def minhash_candidate_pairs(
@@ -175,10 +175,11 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
-    # cache: signatures feed both the banding join and the verification join
-    sigs = sigs.persist()
     pairs = minhash_candidate_pairs(sigs, bands, rows_per_band)
-    sh = sigs.select("id", "shingles")
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(text_col, shingle_n).alias("shingles"),
+    )
     verified = (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -200,24 +201,27 @@ def simhash_fingerprints(
     bits: int = 64,
 ) -> DataFrame:
     """64-bit SimHash per doc: sum ±1 per bit over token hashes, sign ->
-    bit. Pure array expressions per row — no explode, no shuffle."""
+    bit. Explode + ``bits`` SUM aggregates (codegen'd, map-side partial
+    agg) — same rationale as minhash_signatures."""
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_sums = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    exploded = df.select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{k}")
         for k in range(bits)
     ]
+    sums = exploded.groupBy(id_col).agg(*aggs)
     fp = None
-    for k, s in enumerate(bit_sums):
-        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for k in range(bits):
+        bit = F.when(F.col(f"b_{k}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, k)
         fp = term if fp is None else fp.bitwiseOR(term)
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
 def ngram_jaccard(

@@ -1,0 +1,859 @@
+"""Named queries + DuckDB oracle SQL — the driver contract surface.
+
+Every operator from SURVEY.md §2 (plus the north-star extensions) is
+exposed here as a named query: a Spark callable ``(spark, sf_dir) ->
+DataFrame`` in ``QUERIES`` and, where SQL-expressible, an equivalent
+DuckDB SQL string in ``ORACLES``. Column names/aliases match exactly on
+both sides (the driver hashes values after sorting columns by name).
+
+Determinism rules used throughout (so Spark's parallel execution hashes
+identically to DuckDB's sequential one):
+- Float SUM/AVG go through ``CAST(x AS DECIMAL(18,6))`` before SUM — an
+  exact, order-independent accumulation in both engines — then back to
+  DOUBLE. Plain double sums would differ in the last ulps by partition
+  order and can straddle a rounding boundary.
+- Timestamps are output as formatted strings (engine-independent).
+- Every top-k has a total order (score DESC, id) so LIMIT picks the same
+  set.
+- Shared vocab (column lists, stopwords, type groups) is defined once in
+  Python and interpolated into BOTH the Spark expressions and the SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import TPCH_TABLES, discover_tables, load_table, load_tables
+from .operators.dedup import (
+    minhash_near_duplicates,
+    normalize_text,
+    simhash_fingerprints,
+)
+from .operators.profile import profile_columns
+from .operators.rowcount import count_compare, table_row_counts
+from .operators.similarity import cosine_topk, lsh_bucketed_topk
+from .operators.textstats import STOPWORDS, language_id, quality_scores, token_stats
+from .operators.colcompare import compare_columns
+from .patterns import filter_excluded_tables
+from .schema_df import build_schema_df
+from .typecompat import DEFAULT_TYPE_MAPPINGS
+
+# Fixed testdata schema (TESTDATA.md) — interpolated into generated SQL.
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+_DEC = "DECIMAL(18,6)"  # exact accumulator for float sums
+
+
+def _ensure_utc(spark: SparkSession) -> None:
+    """Timestamp-to-string queries must render in UTC regardless of the
+    caller's session timezone (parquet naive timestamps are read as UTC
+    instants; DuckDB renders them naively)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _union_all(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dsum(col_sql: str) -> str:
+    """Order-independent double sum (DuckDB side)."""
+    return f"CAST(SUM(CAST({col_sql} AS {_DEC})) AS DOUBLE)"
+
+
+def _dsum_spark(col) -> F.Column:
+    """Order-independent double sum (Spark side)."""
+    return F.sum(col.cast(_DEC.lower())).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# A1: per-table row counts (dbstats rowcount mode)
+# ---------------------------------------------------------------------------
+
+
+def q_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_row_counts(spark, sf_dir, TPCH_TABLES).select(
+        "table_name", "row_count"
+    )
+
+
+SQL_ROWCOUNTS = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS row_count FROM {t}"
+    for t in TPCH_TABLES
+)
+
+# ---------------------------------------------------------------------------
+# F1/A1: filtered count (WHERE pushdown)
+# ---------------------------------------------------------------------------
+
+_FILTER = "l_shipdate >= TIMESTAMP '1995-06-01' AND l_quantity < 25"
+
+
+def q_rowcount_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem").filter(F.expr(_FILTER))
+    return df.groupBy().agg(F.count(F.lit(1)).alias("row_count"))
+
+
+SQL_ROWCOUNT_FILTERED = (
+    f"SELECT CAST(COUNT(*) AS BIGINT) AS row_count FROM lineitem WHERE {_FILTER}"
+)
+
+# ---------------------------------------------------------------------------
+# A5: dbstats source/target count compare (difference + percentage)
+# ---------------------------------------------------------------------------
+
+_PAIRS = [("orders", "lineitem"), ("customer", "supplier"), ("nation", "region")]
+
+
+def q_count_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    involved = sorted({t for pair in _PAIRS for t in pair})
+    counts = table_row_counts(spark, sf_dir, involved)
+    pairs_df = spark.createDataFrame(
+        [(f"{a}_vs_{b}", a, b) for a, b in _PAIRS],
+        ["pair", "source_table", "target_table"],
+    )
+    src = (
+        pairs_df.join(
+            counts, pairs_df.source_table == counts.table_name, "left"
+        )
+        .select("pair", "row_count", "notes")
+    )
+    tgt = (
+        pairs_df.join(
+            counts, pairs_df.target_table == counts.table_name, "left"
+        )
+        .select("pair", "row_count", "notes")
+    )
+    return count_compare(src, tgt, join_on="pair").select(
+        "pair",
+        "source_row_count",
+        "target_row_count",
+        "difference",
+        "percentage_difference",
+    )
+
+
+SQL_COUNT_COMPARE = " UNION ALL ".join(
+    f"""
+    SELECT '{a}_vs_{b}' AS pair,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {a}) AS source_row_count,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {b}) AS target_row_count,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {b}) - (SELECT CAST(COUNT(*) AS BIGINT) FROM {a}) AS difference,
+           CASE WHEN (SELECT COUNT(*) FROM {a}) <> 0
+                THEN round(((SELECT COUNT(*) FROM {b}) - (SELECT COUNT(*) FROM {a}))
+                           / CAST((SELECT COUNT(*) FROM {a}) AS DOUBLE) * 100, 2)
+                WHEN (SELECT COUNT(*) FROM {b}) = (SELECT COUNT(*) FROM {a}) THEN 0.0
+                ELSE NULL END AS percentage_difference
+    """
+    for a, b in _PAIRS
+)
+
+# ---------------------------------------------------------------------------
+# A2/A4: null/distinct profiler (nullcheck)
+# ---------------------------------------------------------------------------
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_columns(load_table(spark, sf_dir, "lineitem"), "lineitem")
+
+
+def _profile_sql(table: str, cols: list[str]) -> str:
+    parts = []
+    for i, c in enumerate(cols, start=1):
+        parts.append(
+            f"""
+            SELECT '{table}' AS table_name, '{c}' AS col_name,
+                   CAST({i} AS INTEGER) AS ordinal,
+                   CAST(COUNT(*) AS BIGINT) AS total_rows,
+                   CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS null_count,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS distinct_count,
+                   CASE WHEN COUNT(DISTINCT {c}) = 0 THEN 'NULL column'
+                        WHEN COUNT(DISTINCT {c}) <= 5 THEN 'Low distinct'
+                        ELSE 'OK' END AS status
+            FROM {table}
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_PROFILE_LINEITEM = _profile_sql("lineitem", LINEITEM_COLS)
+
+
+def q_low_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        profile_columns(load_table(spark, sf_dir, t), t)
+        for t in ("orders", "events")
+    ]
+    return (
+        _union_all(parts)
+        .filter(F.col("status") != "OK")
+        .select("table_name", "col_name", "distinct_count", "status")
+    )
+
+
+SQL_LOW_DISTINCT = f"""
+SELECT table_name, col_name, distinct_count, status FROM (
+  {_profile_sql("orders", ORDERS_COLS)}
+  UNION ALL
+  {_profile_sql("events", EVENTS_COLS)}
+) WHERE status <> 'OK'
+"""
+
+# ---------------------------------------------------------------------------
+# S6/S7: schema extraction (the 6-column IR) for all tables
+# ---------------------------------------------------------------------------
+
+_IR_OUT = [
+    ("SCH_TABLE", "sch_table"),
+    ("COL_NAME", "col_name"),
+    ("ORDINAL_POSITION", "ordinal_position"),
+    ("DATA_TYPE", "data_type"),
+    ("DATETIME_PRECISION", "datetime_precision"),
+    ("NUMERIC_PRECISION", "numeric_precision"),
+    ("NUMERIC_SCALE", "numeric_scale"),
+]
+
+
+def q_schema_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ir = build_schema_df(spark, load_tables(spark, sf_dir, TPCH_TABLES))
+    return ir.select(*[F.col(a).alias(b) for a, b in _IR_OUT])
+
+
+_TABLES_IN = ", ".join(f"'{t}'" for t in TPCH_TABLES)
+
+SQL_SCHEMA_ALL_TABLES = f"""
+SELECT UPPER(table_name) AS sch_table, UPPER(column_name) AS col_name,
+       CAST(ordinal_position AS INTEGER) AS ordinal_position,
+       data_type,
+       CAST(datetime_precision AS INTEGER) AS datetime_precision,
+       CAST(numeric_precision AS INTEGER) AS numeric_precision,
+       CAST(numeric_scale AS INTEGER) AS numeric_scale
+FROM information_schema.columns
+WHERE table_name IN ({_TABLES_IN})
+"""
+
+# ---------------------------------------------------------------------------
+# T1-T3: column comparison with simulated drift
+# (target = source minus l_tax, minus region, o_totalprice -> DECIMAL,
+#  c_custkey -> INTEGER)
+# ---------------------------------------------------------------------------
+
+
+def q_colcompare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ir = build_schema_df(spark, load_tables(spark, sf_dir, TPCH_TABLES))
+    tgt = (
+        ir.filter(
+            ~((F.col("SCH_TABLE") == "LINEITEM") & (F.col("COL_NAME") == "L_TAX"))
+        )
+        .filter(F.col("SCH_TABLE") != "REGION")
+        .withColumn(
+            "DATA_TYPE",
+            F.when(
+                (F.col("SCH_TABLE") == "ORDERS")
+                & (F.col("COL_NAME") == "O_TOTALPRICE"),
+                F.lit("DECIMAL(12,2)"),
+            )
+            .when(
+                (F.col("SCH_TABLE") == "CUSTOMER")
+                & (F.col("COL_NAME") == "C_CUSTKEY"),
+                F.lit("INTEGER"),
+            )
+            .otherwise(F.col("DATA_TYPE")),
+        )
+    )
+    return compare_columns(ir, tgt)
+
+
+def _groups_sql(expr: str) -> str:
+    """CASE mapping a canonical type name to its list of group names —
+    generated from the same dict the Spark expression uses."""
+    all_types = sorted({t for ts in DEFAULT_TYPE_MAPPINGS.values() for t in ts})
+    whens = []
+    for t in all_types:
+        groups = [g for g, ts in DEFAULT_TYPE_MAPPINGS.items() if t in ts]
+        lst = ", ".join(f"'{g}'" for g in groups)
+        whens.append(f"WHEN {expr} = '{t}' THEN [{lst}]")
+    return f"CASE {' '.join(whens)} ELSE CAST([] AS VARCHAR[]) END"
+
+
+def _compat_sql(a: str, b: str) -> str:
+    ca = f"trim(split_part({a}, '(', 1))"
+    cb = f"trim(split_part({b}, '(', 1))"
+    return (
+        f"({ca} = {cb}"
+        f" OR ({ca} LIKE 'TIMESTAMP%' AND {cb} LIKE 'TIMESTAMP%')"
+        f" OR list_has_any({_groups_sql(ca)}, {_groups_sql(cb)}))"
+    )
+
+
+SQL_COLCOMPARE = f"""
+WITH src AS (
+  SELECT UPPER(table_name) AS table_name, UPPER(column_name) AS col_name, data_type
+  FROM information_schema.columns WHERE table_name IN ({_TABLES_IN})
+), tgt AS (
+  SELECT table_name, col_name,
+         CASE WHEN table_name = 'ORDERS' AND col_name = 'O_TOTALPRICE' THEN 'DECIMAL(12,2)'
+              WHEN table_name = 'CUSTOMER' AND col_name = 'C_CUSTKEY' THEN 'INTEGER'
+              ELSE data_type END AS data_type
+  FROM src
+  WHERE NOT (table_name = 'LINEITEM' AND col_name = 'L_TAX')
+    AND table_name <> 'REGION'
+)
+SELECT COALESCE(s.table_name, t.table_name) AS table_name,
+       COALESCE(s.col_name, t.col_name) AS col_name,
+       s.data_type AS source_type,
+       t.data_type AS target_type,
+       CASE WHEN t.col_name IS NULL THEN 'Source Only'
+            WHEN s.col_name IS NULL THEN 'Target Only'
+            WHEN {_compat_sql("s.data_type", "t.data_type")} THEN 'Matching'
+            ELSE 'Different Types' END AS status
+FROM src s FULL OUTER JOIN tgt t
+  ON s.table_name = t.table_name AND s.col_name = t.col_name
+"""
+
+# ---------------------------------------------------------------------------
+# A3/A4: candidate-key checks (keyfinder's per-candidate queries)
+# ---------------------------------------------------------------------------
+
+_KEY_CANDIDATES: list[tuple[str, tuple[str, ...]]] = [
+    ("orders", ("o_orderkey",)),
+    ("orders", ("o_custkey",)),
+    ("orders", ("o_custkey", "o_orderdate")),
+    ("lineitem", ("l_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+]
+
+
+def q_key_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    by_table: dict[str, list[tuple[str, ...]]] = {}
+    for t, cand in _KEY_CANDIDATES:
+        by_table.setdefault(t, []).append(cand)
+    parts = []
+    for t, cands in by_table.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for i, cand in enumerate(cands):
+            any_null = None
+            for c in cand:
+                cond = F.col(c).isNull()
+                any_null = cond if any_null is None else (any_null | cond)
+            aggs.append(F.count(F.when(any_null, 1)).alias(f"__n_{i}"))
+            aggs.append(F.countDistinct(*[F.col(c) for c in cand]).alias(f"__d_{i}"))
+        one = df.groupBy().agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(t).alias("table_name"),
+                F.lit("+".join(cand)).alias("candidate"),
+                F.col("__total").cast("long").alias("total_rows"),
+                F.col(f"__n_{i}").cast("long").alias("null_rows"),
+                F.col(f"__d_{i}").cast("long").alias("distinct_rows"),
+            )
+            for i, cand in enumerate(cands)
+        ]
+        parts.append(one.select(F.inline(F.array(*structs))))
+    out = _union_all(parts)
+    return out.withColumn(
+        "is_key",
+        (F.col("null_rows") == 0) & (F.col("distinct_rows") == F.col("total_rows")),
+    )
+
+
+def _key_check_sql(table: str, cand: tuple[str, ...]) -> str:
+    null_pred = " OR ".join(f"{c} IS NULL" for c in cand)
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in cand)
+    cols = ", ".join(cand)
+    return f"""
+    SELECT '{table}' AS table_name, '{"+".join(cand)}' AS candidate,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS total_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {table} WHERE {null_pred}) AS null_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT {cols} FROM {table} WHERE {not_null}) x) AS distinct_rows,
+           ((SELECT COUNT(*) FROM {table} WHERE {null_pred}) = 0 AND
+            (SELECT COUNT(*) FROM (SELECT DISTINCT {cols} FROM {table} WHERE {not_null}) x)
+              = (SELECT COUNT(*) FROM {table})) AS is_key
+    """
+
+
+SQL_KEY_CHECKS = " UNION ALL ".join(
+    _key_check_sql(t, cand) for t, cand in _KEY_CANDIDATES
+)
+
+# ---------------------------------------------------------------------------
+# Dedup: exact fingerprints + group sizes
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select(
+            "doc_id", F.md5(normalize_text("text")).alias("fingerprint")
+        )
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("is_dup", F.col("group_size") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT doc_id, fingerprint,
+       CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+       (COUNT(*) OVER (PARTITION BY fingerprint)) > 1 AS is_dup
+FROM (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Text stats
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_word_tokens,
+       CASE WHEN len(toks) > 0
+            THEN round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / len(toks), 4)
+            ELSE 0.0 END AS avg_token_len
+FROM (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+_EN_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+# same class the Spark side uses, single-quote escaped for the SQL literal
+from .operators.textstats import PUNCT_CLASS as _PUNCT_CLASS  # noqa: E402
+
+_PUNCT_SQL = _PUNCT_CLASS.replace("'", "''")
+
+SQL_TEXT_QUALITY = rf"""
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.25
+             + alpha_ratio * 0.35
+             + (1 - least(punct_ratio * 5, 1.0)) * 0.2
+             + least(stop_ratio * 5, 1.0) * 0.2, 4) AS quality_score
+FROM (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_chars > 0 THEN punct_count / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN alpha_count / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_tokens > 0 THEN stop_count / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stop_ratio
+  FROM (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS punct_count,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_count,
+           len(list_filter(toks, x -> list_contains([{_EN_STOPS}], x))) AS stop_count
+    FROM (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+  )
+)
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        stops = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hit_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{stops}], x))) AS h_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    best = f"greatest({', '.join('h_' + lang for lang in langs)})"
+    # tie-break: lexicographically greatest lang (matches Spark's
+    # array_max over struct(hits, lang))
+    whens = " ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in reversed(langs)
+    )
+    return rf"""
+    SELECT doc_id, CASE {whens} END AS predicted_lang,
+           CAST({best} AS BIGINT) AS stopword_hits
+    FROM (
+      SELECT doc_id, {', '.join(hit_cols)}
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents
+      )
+    )
+    """
+
+
+SQL_LANGUAGE_ID = _langid_sql()
+
+# ---------------------------------------------------------------------------
+# Similarity: cosine top-k vs the vec_id=0 query vector
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    joined = emb.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "q_emb", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_e = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    norm_q = F.sqrt(
+        F.aggregate(
+            "q_emb",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    cos = dot / (norm_e * norm_q)
+    return (
+        joined.select("vec_id", cos.alias("__cos"))
+        .orderBy(F.desc("__cos"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("__cos", 4).alias("cosine"))
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qe),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+  FROM embeddings e, q
+)
+SELECT vec_id, round(c, 4) AS cosine
+FROM scored ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Events: hourly windowed aggregation (batch shape of the streaming check)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_format(
+        F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+    )
+    return ev.groupBy(
+        F.col("event_type"), hour.alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            _dsum_spark(F.col("value")) / F.count(F.lit(1)), 4
+        ).alias("avg_value"),
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round({_dsum("value")} / COUNT(*), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (bench headliners)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02'")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dsum_spark(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(_dsum_spark(F.col("l_extendedprice")), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(_dsum_spark(disc_price), 2).alias("sum_disc_price"),
+            F.round(_dsum_spark(F.col("l_quantity")) / n, 4).alias("avg_qty"),
+            F.round(_dsum_spark(F.col("l_extendedprice")) / n, 4).alias(
+                "avg_price"
+            ),
+            F.round(_dsum_spark(F.col("l_discount")) / n, 4).alias("avg_disc"),
+            n.cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       round({_dsum('l_quantity')}, 2) AS sum_qty,
+       round({_dsum('l_extendedprice')}, 2) AS sum_base_price,
+       round({_dsum('l_extendedprice * (1 - l_discount)')}, 2) AS sum_disc_price,
+       round({_dsum('l_quantity')} / COUNT(*), 4) AS avg_qty,
+       round({_dsum('l_extendedprice')} / COUNT(*), 4) AS avg_price,
+       round({_dsum('l_discount')} / COUNT(*), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, revenue per order,
+    top 10. customer is broadcast (small dim); lineitem-orders is the big
+    join keyed on orderkey."""
+    _ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1995-03-15'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1995-03-15'")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(_dsum_spark(revenue).alias("__rev"))
+        .orderBy(F.desc("__rev"), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "orderdate",
+            "o_orderpriority",
+            F.round("__rev", 2).alias("revenue"),
+        )
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = f"""
+SELECT l_orderkey, orderdate, o_orderpriority, round(rev, 2) AS revenue
+FROM (
+  SELECT l_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         o_orderpriority,
+         {_dsum('l_extendedprice * (1 - l_discount)')} AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY 1, 2, 3
+)
+ORDER BY rev DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join through the dimension chain; all dims
+    broadcast, the single shuffle is lineitem's aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(_dsum_spark(revenue), 2).alias("revenue"))
+    )
+
+
+SQL_REVENUE_BY_NATION = f"""
+SELECT n_name, round({_dsum('l_extendedprice * (1 - l_discount)')}, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+# ---------------------------------------------------------------------------
+# Dynamic queries (templated)
+# ---------------------------------------------------------------------------
+
+_DYN_VALUES = ["click", "error", "purchase"]
+_DYN_TEMPLATE = (
+    "SELECT '{var_from_csv}' AS event_type_value, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    f"round({_dsum('value')}, 4) AS sum_value "
+    "FROM events WHERE event_type = '{var_from_csv}'"
+)
+
+
+def q_dynamic_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    parts = [
+        spark.sql(_DYN_TEMPLATE.format(var_from_csv=v)) for v in _DYN_VALUES
+    ]
+    return _union_all(parts)
+
+
+SQL_DYNAMIC_QUERIES = " UNION ALL ".join(
+    _DYN_TEMPLATE.format(var_from_csv=v) for v in _DYN_VALUES
+)
+
+# ---------------------------------------------------------------------------
+# Table discovery + exclusion patterns (S8 + F4)
+# ---------------------------------------------------------------------------
+
+_EXCLUDE_PATTERNS = ["%N", "PART%"]  # drops region/nation and part
+
+
+def q_table_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = filter_excluded_tables(discover_tables(sf_dir), _EXCLUDE_PATTERNS)
+    return spark.createDataFrame([(n,) for n in names], ["table_name"])
+
+
+SQL_TABLE_DISCOVERY = f"""
+SELECT table_name FROM information_schema.tables
+WHERE table_name IN ({_TABLES_IN})
+  AND NOT regexp_matches(UPPER(table_name), '^.*N$')
+  AND NOT regexp_matches(UPPER(table_name), '^PART.*$')
+"""
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops (rows-only checks: no oracle entry)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    scored = lsh_bucketed_topk(emb, list(q), k=10, n_planes=8, probe_hamming=2)
+    return scored.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rowcounts": q_rowcounts,
+    "rowcount_filtered": q_rowcount_filtered,
+    "count_compare": q_count_compare,
+    "profile_lineitem": q_profile_lineitem,
+    "low_distinct": q_low_distinct,
+    "schema_all_tables": q_schema_all_tables,
+    "colcompare": q_colcompare,
+    "key_checks": q_key_checks,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "language_id": q_language_id,
+    "cosine_topk": q_cosine_topk,
+    "events_hourly": q_events_hourly,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "revenue_by_nation": q_revenue_by_nation,
+    "dynamic_queries": q_dynamic_queries,
+    "table_discovery": q_table_discovery,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash": q_simhash,
+    "lsh_topk": q_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "rowcounts": SQL_ROWCOUNTS,
+    "rowcount_filtered": SQL_ROWCOUNT_FILTERED,
+    "count_compare": SQL_COUNT_COMPARE,
+    "profile_lineitem": SQL_PROFILE_LINEITEM,
+    "low_distinct": SQL_LOW_DISTINCT,
+    "schema_all_tables": SQL_SCHEMA_ALL_TABLES,
+    "colcompare": SQL_COLCOMPARE,
+    "key_checks": SQL_KEY_CHECKS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "language_id": SQL_LANGUAGE_ID,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "dynamic_queries": SQL_DYNAMIC_QUERIES,
+    "table_discovery": SQL_TABLE_DISCOVERY,
+    # minhash_near_dups / simhash / lsh_topk: approximate & hash-seeded —
+    # not ANSI-SQL-expressible; rows-only checks.
+}

@@ -1,0 +1,84 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB over the same parquet
+tables, compare row count + column names + order-insensitive values.
+
+Run against sf0.01 (the driver's t2 scale) with
+DBQT_SPARK_TEST_SF_DIR=/root/testdata/sf0.01; defaults to sf0.001 for
+speed in the regular suite.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from dbqt_spark.catalog import TPCH_TABLES, table_path
+
+ORACLE_NAMES = sorted(entry_mod.oracle_sql())
+ALL_NAMES = sorted(entry_mod.queries())
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+        )
+    return con
+
+
+def _canon_value(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return f"{v:.10g}"
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_canon_value(r[i]) for i in order) for r in rows
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = entry_mod.queries()[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = [c.lower() for c in sdf.columns]
+
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    )
+    s_can = _canon_rows(scols, srows)
+    d_can = _canon_rows(dcols, drows)
+    if s_can != d_can:
+        diffs = [
+            (a, b) for a, b in zip(s_can, d_can) if a != b
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", [n for n in ALL_NAMES if n not in ORACLE_NAMES])
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = entry_mod.queries()[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == len(TPCH_TABLES)
+    assert all(r["row_count"] > 0 for r in rows)
