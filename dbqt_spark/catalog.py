@@ -50,6 +50,12 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+# (session_id, path) -> DataFrame. DataFrames are lazy plans; memoizing
+# them avoids re-running driver-side file listing + footer schema reads
+# for every query that touches the same table (bench runs dozens).
+_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Lazy: only the parquet footer is touched until an
     action runs, mirroring the reference's schema-only reads
@@ -60,6 +66,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     back to microsecond timestamps, so the logical schema matches what
     DuckDB/pyarrow report."""
     path = table_path(sf_dir, name)
+    key = (id(spark), path)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     nanos = _nanos_timestamp_cols(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -68,6 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
         )
+    _TABLE_CACHE[key] = df
     return df
 
 

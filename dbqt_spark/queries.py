@@ -607,6 +607,56 @@ FROM events GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# Structured Streaming: windowed event profile, drained with availableNow.
+# Deterministic (complete mode over a static source), so the batch SQL is
+# a valid oracle — demonstrating stream/batch equivalence.
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import table_path
+    from .streaming.checks import (
+        run_stream_once,
+        stream_events_from_parquet,
+        windowed_event_profile,
+    )
+
+    _ensure_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    stream = stream_events_from_parquet(spark, path, schema=raw_schema)
+
+    def transform(df: DataFrame) -> DataFrame:
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+        prof = windowed_event_profile(df, "1 hour", watermark="2 hours")
+        return prof.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "n_null_values",
+        )
+
+    rows = run_stream_once(stream, transform, output_mode="complete")
+    out = spark.createDataFrame(
+        rows, "window_start string, event_type string, n_events long, n_null_values long"
+    )
+    return out
+
+
+SQL_STREAMING_HOURLY_PROFILE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_null_values
+FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # TPC-H-style analytics (bench headliners)
 # ---------------------------------------------------------------------------
 
@@ -824,6 +874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "cosine_topk": q_cosine_topk,
     "events_hourly": q_events_hourly,
+    "streaming_hourly_profile": q_streaming_hourly_profile,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
@@ -849,6 +900,7 @@ ORACLES: dict[str, str] = {
     "language_id": SQL_LANGUAGE_ID,
     "cosine_topk": SQL_COSINE_TOPK,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "streaming_hourly_profile": SQL_STREAMING_HOURLY_PROFILE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
