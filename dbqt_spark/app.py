@@ -1,0 +1,315 @@
+"""CLI front door — mirrors the reference's tool surface.
+
+``python -m dbqt_spark <tool> [args]`` with the reference's tool names
+and aliases (dbqt/app.py:7-21, dbqt/tools/__init__.py:6-11): a user of
+``dbqt dbstats --config c.yaml`` runs ``python -m dbqt_spark dbstats
+--config c.yaml`` against Spark-readable sources instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s: %(message)s"
+)
+logger = logging.getLogger("dbqt_spark")
+
+TOOL_ALIASES = {
+    "compare": "colcompare",
+    "rowcount": "dbstats",
+    "stats": "dbstats",
+    "findkey": "keyfinder",
+}
+
+TOOLS = [
+    "dbstats",
+    "colcompare",
+    "nullcheck",
+    "keyfinder",
+    "combine",
+    "parquetizer",
+    "dynamic-query",
+]
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark(app_name="dbqt_spark_cli")
+
+
+def _results_path(name: str, ext: str = "html") -> str:
+    os.makedirs("results", exist_ok=True)
+    return os.path.join("results", f"{name}_{int(time.time())}.{ext}")
+
+
+def _load_db(config_path: str):
+    from .config import EngineConfig
+    from .sources.database import connect
+
+    cfg = EngineConfig.load(config_path)
+    return cfg, connect(_spark(), cfg.connection)
+
+
+def _resolve_tables(cfg, db) -> list[str]:
+    from .config import read_tables_csv
+    from .patterns import filter_excluded_tables
+
+    if cfg.tables_file:
+        mode, rows = read_tables_csv(cfg.tables_file)
+        names = [
+            r.get("table_name") or r.get("source_table") for r in rows
+        ]
+        names = [n for n in names if n]
+    else:
+        names = db.list_tables()  # auto-discovery
+    return filter_excluded_tables(names, cfg.excluded_tables)
+
+
+def tool_dbstats(argv: list[str]) -> int:
+    from .operators.rowcount import count_compare, table_row_counts
+    from .report.html import HTMLReport
+
+    p = argparse.ArgumentParser(prog="dbstats")
+    p.add_argument("--config", required=True)
+    p.add_argument("--target-config")
+    p.add_argument(
+        "--mode", choices=["rowcount", "colcompare", "both"], default="rowcount"
+    )
+    p.add_argument("--output")
+    args = p.parse_args(argv)
+
+    cfg, db = _load_db(args.config)
+    spark = db.spark
+    names = _resolve_tables(cfg, db)
+    root = db._root()
+    counts = table_row_counts(spark, root, names)
+
+    report = HTMLReport("dbstats")
+    if args.target_config:
+        tcfg, tdb = _load_db(args.target_config)
+        tcounts = table_row_counts(tdb.spark, tdb._root(), _resolve_tables(tcfg, tdb))
+        result = count_compare(counts, tcounts)
+        report.add_dataframe_tab("Row Counts", result)
+    else:
+        result = counts
+        report.add_dataframe_tab("Row Counts", counts)
+
+    if args.mode in ("colcompare", "both") and args.target_config:
+        _append_colcompare_tabs(report, cfg, db, tcfg, tdb)
+
+    out = args.output or _results_path("dbstats")
+    report.save(out)
+    for row in result.collect():
+        logger.info("%s", tuple(row))
+    print(f"Report saved to {out}")
+    return 0
+
+
+def _append_colcompare_tabs(report, cfg, db, tcfg, tdb) -> None:
+    from .operators.colcompare import (
+        compare_columns,
+        compare_table_sets,
+        datatype_mismatches,
+    )
+    from .schema_df import build_schema_df
+
+    src_ir = build_schema_df(
+        db.spark, {n: db.load(n) for n in _resolve_tables(cfg, db)}
+    )
+    tgt_ir = build_schema_df(
+        tdb.spark, {n: tdb.load(n) for n in _resolve_tables(tcfg, tdb)}
+    )
+    excluded = list({*cfg.excluded_cols, *tcfg.excluded_cols})
+    cc = compare_columns(src_ir, tgt_ir, excluded_cols=excluded)
+    report.add_dataframe_tab("Table Comparison", compare_table_sets(src_ir, tgt_ir))
+    report.add_dataframe_tab("Column Comparison", cc)
+    report.add_dataframe_tab("Datatype Mismatches", datatype_mismatches(cc))
+
+
+def tool_colcompare(argv: list[str]) -> int:
+    from .report.html import HTMLReport
+
+    p = argparse.ArgumentParser(prog="colcompare")
+    p.add_argument("--source-config", required=True)
+    p.add_argument("--target-config", required=True)
+    p.add_argument("--output")
+    args = p.parse_args(argv)
+
+    cfg, db = _load_db(args.source_config)
+    tcfg, tdb = _load_db(args.target_config)
+    report = HTMLReport("colcompare")
+    _append_colcompare_tabs(report, cfg, db, tcfg, tdb)
+    out = args.output or _results_path("colcompare")
+    report.save(out)
+    print(f"Report saved to {out}")
+    return 0
+
+
+def tool_nullcheck(argv: list[str]) -> int:
+    from .operators.profile import profile_columns
+    from .report.markdown import write_nullcheck_report
+
+    p = argparse.ArgumentParser(prog="nullcheck")
+    p.add_argument("--config", required=True)
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+
+    cfg, db = _load_db(args.config)
+    names = _resolve_tables(cfg, db)
+    results: dict[str, dict[str, int]] = {}
+    for t in names:
+        try:
+            prof = profile_columns(db.load(t), t).collect()
+            results[t.upper()] = {
+                r["col_name"].upper(): r["distinct_count"] for r in prof
+            }
+        except Exception as exc:
+            logger.error("Error checking %s: %s", t, exc)
+            results[t.upper()] = {}
+    out = args.output or _results_path("nullcheck", "md")
+    write_nullcheck_report(out, results)
+    print(f"Report saved to {out}")
+    return 0
+
+
+def tool_keyfinder(argv: list[str]) -> int:
+    from .operators.keyfinder import find_composite_keys
+
+    p = argparse.ArgumentParser(prog="keyfinder")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--max-columns", type=int, default=20)
+    p.add_argument("--max-size", type=int, default=None)
+    p.add_argument("--include-only", nargs="*", default=None)
+    p.add_argument("--exclude", nargs="*", default=[])
+    p.add_argument("--force", action="store_true")
+    args = p.parse_args(argv)
+
+    _, db = _load_db(args.config)
+    df = db.load(args.table)
+    cols = args.include_only or [
+        c for c in df.columns if c not in set(args.exclude)
+    ]
+    keys = find_composite_keys(
+        df,
+        columns=cols,
+        max_size=args.max_size,
+        max_columns=args.max_columns,
+        force=args.force,
+    )
+    if keys:
+        print(f"Found {len(keys)} minimal key(s) for {args.table}:")
+        for k in keys:
+            print("  " + " + ".join(k))
+    else:
+        print(f"No unique key found for {args.table}")
+    return 0
+
+
+def tool_combine(argv: list[str]) -> int:
+    from .operators.combine import combine_parquet
+
+    p = argparse.ArgumentParser(prog="combine")
+    p.add_argument("--input-dir", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--single-file", action="store_true")
+    args = p.parse_args(argv)
+
+    paths = sorted(
+        os.path.join(args.input_dir, f)
+        for f in os.listdir(args.input_dir)
+        if not f.startswith(".")
+    )
+    result = combine_parquet(
+        _spark(), paths, args.output, single_file=args.single_file
+    )
+    print(
+        f"Combined {len(result.included)} file(s) -> {args.output}; "
+        f"skipped {len(result.skipped)}"
+    )
+    for path, reason in result.skipped:
+        print(f"  skipped {path}: {reason}")
+    return 0
+
+
+def tool_parquetizer(argv: list[str]) -> int:
+    from .operators.combine import add_parquet_extension
+
+    p = argparse.ArgumentParser(prog="parquetizer")
+    p.add_argument("--directory", required=True)
+    p.add_argument("--dry-run", action="store_true")
+    args = p.parse_args(argv)
+
+    renamed = add_parquet_extension(args.directory, dry_run=args.dry_run)
+    verb = "Would rename" if args.dry_run else "Renamed"
+    print(f"{verb} {len(renamed)} file(s)")
+    for r in renamed:
+        print(f"  {r}")
+    return 0
+
+
+def tool_dynamic_query(argv: list[str]) -> int:
+    from .config import read_csv_list
+    from .operators.dynamic_query import format_query_log, run_dynamic_queries
+    from .sources.database import connect
+
+    p = argparse.ArgumentParser(prog="dynamic-query")
+    p.add_argument("--config", required=True)
+    p.add_argument("--template", required=True, help="SQL with {var_from_csv}")
+    p.add_argument("--values-csv", required=True)
+    p.add_argument("--column", default="var_from_csv")
+    p.add_argument("--output")
+    args = p.parse_args(argv)
+
+    cfg, db = _load_db(args.config)
+    spark = db.spark
+    for t in db.list_tables():
+        db.load(t).createOrReplaceTempView(t)
+    values = read_csv_list(args.values_csv, args.column)
+    results = run_dynamic_queries(spark, args.template, values)
+    log = format_query_log(
+        [(v, [tuple(r) for r in df.collect()]) for v, df in results]
+    )
+    out = args.output or _results_path("dynamic_query", "txt")
+    with open(out, "w") as f:
+        f.write(log)
+    print(f"Results saved to {out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m dbqt_spark <tool> [args]")
+        print("tools: " + ", ".join(TOOLS))
+        print(
+            "aliases: "
+            + ", ".join(f"{a}->{t}" for a, t in TOOL_ALIASES.items())
+        )
+        return 0
+    tool, rest = argv[0], argv[1:]
+    tool = TOOL_ALIASES.get(tool, tool)
+    fn = {
+        "dbstats": tool_dbstats,
+        "colcompare": tool_colcompare,
+        "nullcheck": tool_nullcheck,
+        "keyfinder": tool_keyfinder,
+        "combine": tool_combine,
+        "parquetizer": tool_parquetizer,
+        "dynamic-query": tool_dynamic_query,
+    }.get(tool)
+    if fn is None:
+        print(f"unknown tool: {tool}", file=sys.stderr)
+        return 2
+    return fn(rest)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,149 @@
+"""Source registry — the Spark analog of the reference's 10 connectors.
+
+The reference's connectors (dbqt/connections.py:152-698) build SQL text
+and mail it to an external engine. Here a "database" is whatever Spark
+can read: every connection type resolves to ``spark.read`` with the right
+format/options, and all downstream operators receive plain DataFrames —
+computation happens in Spark, distributed, instead of in the remote
+engine.
+
+| reference type | Spark mapping |
+|---|---|
+| parquet / duckdb-file | directory of ``*.parquet`` (one table per file) or a single file |
+| csv | directory of ``*.csv``, header + schema inference (S1) |
+| s3parquet | ``s3a://bucket/key`` through Hadoop S3A — no manual download (S3) |
+| mysql/postgresql/sqlserver/oracle/snowflake | ``spark.read.format("jdbc")`` with the dialect's URL; Spark pushes filters and (where enabled) aggregates down (S4) |
+| athena | read the underlying S3 data directly, or JDBC (S5) |
+
+JDBC/S3 paths require the corresponding driver jars/filesystem on the
+cluster; in this container they raise a clear error when exercised, and
+everything else works on local files.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+logger = logging.getLogger(__name__)
+
+_JDBC_URLS = {
+    "mysql": "jdbc:mysql://{host}:{port}/{database}",
+    "postgresql": "jdbc:postgresql://{host}:{port}/{database}",
+    "sqlserver": "jdbc:sqlserver://{host}:{port};databaseName={database}",
+    "oracle": "jdbc:oracle:thin:@{host}:{port}/{database}",
+    "snowflake": "jdbc:snowflake://{account}.snowflakecomputing.com/",
+}
+
+_DEFAULT_PORTS = {
+    "mysql": 3306,
+    "postgresql": 5432,
+    "sqlserver": 1433,
+    "oracle": 1521,
+}
+
+
+class Database:
+    """A connection-config-driven table namespace backed by spark.read."""
+
+    def __init__(self, spark: SparkSession, connection: dict):
+        self.spark = spark
+        self.connection = connection or {}
+        self.kind = (self.connection.get("type") or "parquet").lower()
+
+    # -- file-backed kinds ---------------------------------------------------
+
+    def _root(self) -> str:
+        return (
+            self.connection.get("path")
+            or self.connection.get("database")
+            or "."
+        )
+
+    def _ext(self) -> str:
+        return {"csv": ".csv"}.get(self.kind, ".parquet")
+
+    def list_tables(self) -> list[str]:
+        """S8: table discovery."""
+        if self.kind in ("parquet", "csv", "duckdb"):
+            root = self._root()
+            if os.path.isfile(root):
+                return [os.path.splitext(os.path.basename(root))[0]]
+            ext = self._ext()
+            return sorted(
+                f[: -len(ext)] for f in os.listdir(root) if f.endswith(ext)
+            )
+        if self.kind in _JDBC_URLS:
+            q = (
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_schema = '{schema}'"
+            ).format(schema=self.connection.get("schema", "public"))
+            return [r[0] for r in self._jdbc_query(q).collect()]
+        raise ValueError(f"unsupported connection type: {self.kind}")
+
+    def load(self, table: str) -> DataFrame:
+        """Load one table as a DataFrame (lazy)."""
+        if self.kind in ("parquet", "duckdb", "s3parquet"):
+            path = self._table_path(table, ".parquet")
+            # reuse the nanos-timestamp-safe loader for local paths
+            if not path.startswith("s3"):
+                from ..catalog import load_table
+
+                return load_table(
+                    self.spark, os.path.dirname(path),
+                    os.path.splitext(os.path.basename(path))[0],
+                )
+            return self.spark.read.parquet(path)
+        if self.kind == "csv":
+            return (
+                self.spark.read.option("header", True)
+                .option("inferSchema", True)
+                .csv(self._table_path(table, ".csv"))
+            )
+        if self.kind in _JDBC_URLS:
+            return self._jdbc_table(table)
+        raise ValueError(f"unsupported connection type: {self.kind}")
+
+    def _table_path(self, table: str, ext: str) -> str:
+        root = self._root()
+        if self.kind == "s3parquet":
+            bucket = self.connection.get("bucket")
+            key = self.connection.get("key", table)
+            return f"s3a://{bucket}/{key}"
+        if os.path.isfile(root):
+            return root
+        return os.path.join(root, f"{table}{ext}")
+
+    # -- JDBC ---------------------------------------------------------------
+
+    def _jdbc_options(self) -> dict:
+        c = self.connection
+        url = _JDBC_URLS[self.kind].format(
+            host=c.get("host", "localhost"),
+            port=c.get("port", _DEFAULT_PORTS.get(self.kind, 0)),
+            database=c.get("database", ""),
+            account=c.get("account", ""),
+        )
+        opts = {"url": url}
+        for k in ("user", "password", "driver"):
+            if c.get(k):
+                opts[k] = str(c[k])
+        return opts
+
+    def _jdbc_table(self, table: str) -> DataFrame:
+        reader = self.spark.read.format("jdbc")
+        for k, v in self._jdbc_options().items():
+            reader = reader.option(k, v)
+        return reader.option("dbtable", table).load()
+
+    def _jdbc_query(self, query: str) -> DataFrame:
+        reader = self.spark.read.format("jdbc")
+        for k, v in self._jdbc_options().items():
+            reader = reader.option(k, v)
+        return reader.option("query", query).load()
+
+
+def connect(spark: SparkSession, connection: dict) -> Database:
+    return Database(spark, connection)

@@ -1,0 +1,244 @@
+"""Operator semantics tests on synthetic frames (reference contracts:
+null-rejection, guard rails, dedup true-positives, combine gating)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# -- keyfinder ---------------------------------------------------------------
+
+
+def test_keyfinder_null_rejection(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], ["k", "v"]
+    )
+    from dbqt_spark.operators.keyfinder import find_composite_keys
+
+    # v has a NULL -> rejected even though distinct; k is the only key
+    keys = find_composite_keys(df, approx_prefilter=False)
+    assert keys == [("k",)]
+
+
+def test_keyfinder_minimal_only(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "x"), (2, 1, "y")], ["a", "b", "c"]
+    )
+    from dbqt_spark.operators.keyfinder import find_composite_keys
+
+    keys = find_composite_keys(df, approx_prefilter=False)
+    # no single column unique; (a,b) is the designed pair; supersets pruned
+    assert ("a", "b") in keys
+    assert all(len(k) == 2 for k in keys)
+
+
+def test_keyfinder_guard():
+    from dbqt_spark.operators.keyfinder import calculate_total_combinations
+
+    assert calculate_total_combinations(3) == 7
+    assert calculate_total_combinations(5, 2) == 15
+
+
+def test_keyfinder_guard_raises(spark):
+    from dbqt_spark.operators.keyfinder import find_composite_keys
+
+    df = spark.range(5).select(
+        *[(F.col("id") + i).alias(f"c{i}") for i in range(17)]
+    )
+    with pytest.raises(ValueError, match="combinations"):
+        find_composite_keys(df, max_combinations=1000)
+
+
+def test_id_prioritization():
+    from dbqt_spark.operators.keyfinder import prioritize_id_columns
+
+    assert prioritize_id_columns(["name", "user_id", "id", "x"]) == [
+        "user_id",
+        "id",
+        "name",
+        "x",
+    ]
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_synthetic(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "THE  QUICK   brown FOX"),  # same after normalization
+        (3, "something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from dbqt_spark.operators.dedup import dedup_exact, exact_duplicate_groups
+
+    groups = exact_duplicate_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2
+    assert groups[0]["keep_id"] == 1
+
+    kept = sorted(r["doc_id"] for r in dedup_exact(df).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    perturbed = base.replace("gamma", "GAMMA2", 1)
+    rows = [(1, base), (2, perturbed), (3, "totally unrelated words here xyzzy " * 6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from dbqt_spark.operators.dedup import minhash_near_duplicates
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base),
+        (2, base.replace("kappa", "kappax", 1)),
+        (3, "completely different content " * 10),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from dbqt_spark.operators.dedup import simhash_fingerprints
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(fp[1], fp[2]) < hamming(fp[1], fp[3])
+
+
+# -- combine / parquetizer ---------------------------------------------------
+
+
+def test_combine_schema_gating(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p1, p2, p3 = (str(tmp_path / f"f{i}.parquet") for i in range(3))
+    pq.write_table(pa.table({"a": [1, 2]}), p1)
+    pq.write_table(pa.table({"a": [3]}), p2)
+    pq.write_table(pa.table({"b": ["x"]}), p3)
+    bad = str(tmp_path / "bad.parquet")
+    with open(bad, "w") as f:
+        f.write("not parquet")
+
+    from dbqt_spark.operators.combine import combine_parquet
+
+    res = combine_parquet(spark, [p1, p2, p3, bad])
+    assert len(res.included) == 2
+    assert {r for _, r in res.skipped} == {"schema mismatch", "not a parquet file"}
+    assert sorted(r["a"] for r in res.combined.collect()) == [1, 2, 3]
+
+
+def test_parquetizer(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    noext = str(tmp_path / "datafile")
+    pq.write_table(pa.table({"a": [1]}), noext)
+    with open(tmp_path / "textfile", "w") as f:
+        f.write("hello world")
+
+    from dbqt_spark.operators.combine import add_parquet_extension, is_parquet_file
+
+    assert is_parquet_file(noext)
+    assert not is_parquet_file(str(tmp_path / "textfile"))
+    renamed = add_parquet_extension(str(tmp_path))
+    assert renamed == [noext + ".parquet"]
+    assert os.path.exists(noext + ".parquet")
+
+
+# -- config / report ---------------------------------------------------------
+
+
+def test_read_tables_csv(tmp_path):
+    from dbqt_spark.config import read_tables_csv
+
+    single = tmp_path / "single.csv"
+    single.write_text("table_name\nlineitem\norders\n")
+    mode, rows = read_tables_csv(str(single))
+    assert mode == "single"
+    assert [r["table_name"] for r in rows] == ["lineitem", "orders"]
+
+    dual = tmp_path / "dual.csv"
+    dual.write_text("source_table,target_table\norders,orders\nlineitem,li2\n")
+    mode, rows = read_tables_csv(str(dual))
+    assert mode == "dual"
+    assert rows[1]["target_table"] == "li2"
+
+
+def test_discover_common_tables():
+    from dbqt_spark.config import discover_common_tables
+
+    out = discover_common_tables(
+        ["ORDERS", "LINEITEM", "SRC_ONLY"], ["orders", "lineitem", "TGT_ONLY"]
+    )
+    by_status = {}
+    for r in out:
+        by_status.setdefault(r["_discovery_status"], []).append(r)
+    assert len(by_status["common"]) == 2
+    assert by_status["source_only"][0]["source_table"] == "SRC_ONLY"
+    assert by_status["target_only"][0]["target_table"] == "TGT_ONLY"
+
+
+def test_nullcheck_markdown_golden():
+    from dbqt_spark.report.markdown import format_nullcheck_report
+
+    results = {
+        "T1": {"A": 0, "B": 3, "C": 100},
+        "T2": {},
+    }
+    md = format_nullcheck_report(results)
+    assert "## T1" in md
+    assert "NULL columns (1): A" in md
+    assert "Low distinct counts: {'B': 3}" in md
+    assert "ERROR: No columns found" in md
+    assert "Total NULL columns: 1" in md
+    assert "NULL columns: T1.A" in md
+
+
+def test_html_report(spark, tmp_path):
+    from dbqt_spark.report.html import HTMLReport
+
+    df = spark.createDataFrame([(1, "a", float("nan"))], ["n", "s", "f"])
+    rep = HTMLReport("t")
+    rep.add_dataframe_tab("Tab1", df)
+    out = rep.save(str(tmp_path / "r.html"))
+    html = open(out).read()
+    assert "Tabulator" in html and "Tab1" in html
+    assert "NaN" not in html  # NaN sanitized to null
+
+
+# -- multimodal plumbing -----------------------------------------------------
+
+
+def test_multimodal_features(spark):
+    rows = [(1, b"hello world"), (2, b"\x00\x01\x02" * 100), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    from dbqt_spark.operators.multimodal import extract_features, sample_frames
+
+    feats = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert feats[1]["size_bytes"] == 11
+    assert len(feats[1]["features"]) == 8
+    assert abs(sum(feats[1]["features"]) - 1.0) < 1e-6
+    assert feats[3]["features"] is None
+
+    frames = sample_frames(df, every_n_bytes=100).collect()
+    assert sum(1 for r in frames if r["media_id"] == 2) == 3
+
+
+def test_multimodal_stub_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
+    from dbqt_spark.operators.multimodal import extract_features
+
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(df, decode_stub=False).collect()
