@@ -578,6 +578,61 @@ FROM scored ORDER BY c DESC, vec_id LIMIT 10
 """
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: exact nearest neighbor within each label
+# block. Spark side: applyInPandas per label -> numpy matmul (Arrow
+# batches, vectorized) — the blocked-matmul design that scales: at 100 TB
+# you block by LSH bucket or IVF cell instead of label, same operator
+# shape. Oracle: the equivalent pairwise SQL.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+    def nn_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        C = (M @ M.T) / np.outer(norms, norms)
+        np.fill_diagonal(C, -np.inf)
+        out = []
+        for i in range(len(ids)):
+            m = C[i].max()
+            # tie-break: smallest nn_id among maxima (matches ORDER BY c
+            # DESC, nn_id in the oracle)
+            cand = ids[C[i] == m]
+            out.append((int(ids[i]), int(cand.min()), float(m)))
+        return pd.DataFrame(out, columns=["vec_id", "nn_id", "cosine"])
+
+    result = emb.groupBy("label").applyInPandas(
+        nn_block, "vec_id long, nn_id long, cosine double"
+    )
+    return result.select("vec_id", "nn_id", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_EMBEDDING_NN = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, nn_id, round(c, 4) AS cosine FROM (
+  SELECT vec_id, nn_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nn_id) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
 # Events: hourly windowed aggregation (batch shape of the streaming check)
 # ---------------------------------------------------------------------------
 
@@ -855,6 +910,36 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_keyfinder_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full driver-side search (§2.9) surfaced as a result table."""
+    from .operators.keyfinder import find_composite_keys
+
+    keys = find_composite_keys(load_table(spark, sf_dir, "orders"))
+    return spark.createDataFrame(
+        [("orders", "+".join(k), len(k)) for k in keys],
+        "table_name string, key_columns string, key_size int",
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline plumbing: treat document text bytes as an
+    opaque media payload, extract deterministic stub features via
+    mapInPandas (Arrow-batched)."""
+    from .operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = extract_features(docs)
+    return feats.select(
+        "media_id",
+        "size_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -873,6 +958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "language_id": q_language_id,
     "cosine_topk": q_cosine_topk,
+    "embedding_nn": q_embedding_nn,
     "events_hourly": q_events_hourly,
     "streaming_hourly_profile": q_streaming_hourly_profile,
     "pricing_summary": q_pricing_summary,
@@ -883,6 +969,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash": q_simhash,
     "lsh_topk": q_lsh_topk,
+    "keyfinder_search": q_keyfinder_search,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -899,6 +987,7 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "language_id": SQL_LANGUAGE_ID,
     "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_nn": SQL_EMBEDDING_NN,
     "events_hourly": SQL_EVENTS_HOURLY,
     "streaming_hourly_profile": SQL_STREAMING_HOURLY_PROFILE,
     "pricing_summary": SQL_PRICING_SUMMARY,
