@@ -133,19 +133,49 @@ def _append_colcompare_tabs(report, cfg, db, tcfg, tdb) -> None:
     report.add_dataframe_tab("Datatype Mismatches", datatype_mismatches(cc))
 
 
+def _schema_df_from_file(spark, path: str):
+    from .schema_df import schema_df_from_csv, schema_df_from_parquet_file
+
+    if path.endswith(".csv"):
+        return schema_df_from_csv(spark, path)
+    return schema_df_from_parquet_file(spark, path)
+
+
 def tool_colcompare(argv: list[str]) -> int:
     from .report.html import HTMLReport
 
     p = argparse.ArgumentParser(prog="colcompare")
-    p.add_argument("--source-config", required=True)
-    p.add_argument("--target-config", required=True)
+    p.add_argument("--source-config")
+    p.add_argument("--target-config")
+    p.add_argument("--source-file", help="schema-dump CSV or parquet file")
+    p.add_argument("--target-file")
     p.add_argument("--output")
     args = p.parse_args(argv)
 
-    cfg, db = _load_db(args.source_config)
-    tcfg, tdb = _load_db(args.target_config)
     report = HTMLReport("colcompare")
-    _append_colcompare_tabs(report, cfg, db, tcfg, tdb)
+    if args.source_file and args.target_file:
+        # file mode (reference colcompare.py:621-714): two schema dumps
+        from .operators.colcompare import (
+            compare_columns,
+            compare_table_sets,
+            datatype_mismatches,
+        )
+
+        spark = _spark()
+        src_ir = _schema_df_from_file(spark, args.source_file)
+        tgt_ir = _schema_df_from_file(spark, args.target_file)
+        cc = compare_columns(src_ir, tgt_ir)
+        report.add_dataframe_tab(
+            "Table Comparison", compare_table_sets(src_ir, tgt_ir)
+        )
+        report.add_dataframe_tab("Column Comparison", cc)
+        report.add_dataframe_tab("Datatype Mismatches", datatype_mismatches(cc))
+    elif args.source_config and args.target_config:
+        cfg, db = _load_db(args.source_config)
+        tcfg, tdb = _load_db(args.target_config)
+        _append_colcompare_tabs(report, cfg, db, tcfg, tdb)
+    else:
+        p.error("need --source-config/--target-config or --source-file/--target-file")
     out = args.output or _results_path("colcompare")
     report.save(out)
     print(f"Report saved to {out}")

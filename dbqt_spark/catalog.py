@@ -38,6 +38,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_table_path(
+    table_name: str, default_db: str | None = None, default_schema: str | None = None
+) -> tuple[str | None, str | None, str]:
+    """Resolve a 1/2/3-part table name against config defaults —
+    reference: dbqt/connections.py:17-29. Returns (db, schema, table)."""
+    parts = table_name.split(".")
+    if len(parts) == 3:
+        return parts[0], parts[1], parts[2]
+    if len(parts) == 2:
+        return default_db, parts[0], parts[1]
+    return default_db, default_schema, parts[0]
+
+
+def build_qualified_table_name(
+    table_name: str, default_db: str | None = None, default_schema: str | None = None
+) -> str:
+    """Fully-qualified dotted name (reference: dbqt/connections.py:32-34)."""
+    db, schema, table = normalize_table_path(table_name, default_db, default_schema)
+    return ".".join(p for p in (db, schema, table) if p)
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read them
     natively; detected from the footer (driver-side, metadata-only)."""

@@ -62,6 +62,24 @@ def run_dynamic_queries_unioned(
     return out
 
 
+def generate_table_from_query(
+    spark: SparkSession,
+    table_name: str,
+    query: str,
+    output_path: str | None = None,
+) -> DataFrame:
+    """K5: ``DROP TABLE IF EXISTS t; CREATE TABLE t AS <query>``
+    (reference: dbqt/connections.py:145-149). In the file-backed engine
+    this registers the result as a replaceable temp view and, when
+    ``output_path`` is given, materializes it as parquet (the CTAS of a
+    lakehouse)."""
+    df = spark.sql(query)
+    df.createOrReplaceTempView(table_name)
+    if output_path:
+        df.write.mode("overwrite").parquet(output_path)
+    return df
+
+
 def format_query_log(results: list[tuple[str, list]]) -> str:
     """The text log sink (dynamic_query.py:30-62): ``-- Query for: <value>``
     headers followed by result rows."""

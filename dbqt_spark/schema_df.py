@@ -147,6 +147,50 @@ def schema_rows(
     return rows
 
 
+def schema_df_from_csv(
+    spark: SparkSession, path: str, default_data_type: str = "N/A"
+) -> DataFrame:
+    """Schema-dump CSV (FIXTURES.md F-3; reference colcompare.py:259-284):
+    required TABLE_NAME/COL_NAME, optional SCH (concatenated into
+    SCH_TABLE with '.') and DATA_TYPE (defaults 'N/A'). Driver-side read —
+    schema dumps are small."""
+    import csv
+
+    with open(path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    out = []
+    for i, r in enumerate(rows, start=1):
+        r = {k.upper(): (v or "").strip() for k, v in r.items()}
+        table = r.get("TABLE_NAME", "")
+        sch = r.get("SCH", "")
+        sch_table = f"{sch}.{table}" if sch else table
+        out.append(
+            (
+                sch_table.upper(),
+                r.get("COL_NAME", "").upper(),
+                i,
+                (r.get("DATA_TYPE") or default_data_type).upper(),
+                None,
+                None,
+                None,
+            )
+        )
+    return spark.createDataFrame(out, schema=_SCHEMA_IR_SPARK_SCHEMA)
+
+
+def schema_df_from_parquet_file(
+    spark: SparkSession, path: str, label: str | None = None
+) -> DataFrame:
+    """Footer-only schema read of one parquet file, nested types flattened
+    (reference colcompare.py:246-251 + §2.8)."""
+    import os
+
+    name = label or os.path.splitext(os.path.basename(path))[0]
+    schema = spark.read.parquet(path).schema
+    rows = schema_rows(name, schema, flatten=True)
+    return spark.createDataFrame(rows, schema=_SCHEMA_IR_SPARK_SCHEMA)
+
+
 def build_schema_df(
     spark: SparkSession,
     tables: dict[str, DataFrame],

@@ -1,0 +1,120 @@
+"""CSV source, schema-dump file modes, qualified names, CTAS."""
+
+from pyspark.sql import functions as F
+
+
+def test_qualified_names():
+    from dbqt_spark.catalog import build_qualified_table_name, normalize_table_path
+
+    assert normalize_table_path("t") == (None, None, "t")
+    assert normalize_table_path("s.t") == (None, "s", "t")
+    assert normalize_table_path("d.s.t") == ("d", "s", "t")
+    assert normalize_table_path("t", "db", "sch") == ("db", "sch", "t")
+    assert build_qualified_table_name("t", "db", "sch") == "db.sch.t"
+    assert build_qualified_table_name("s.t", "db") == "db.s.t"
+    assert build_qualified_table_name("t") == "t"
+
+
+def test_csv_database_source(spark, tmp_path):
+    (tmp_path / "people.csv").write_text("id,name,score\n1,ann,2.5\n2,bo,3.5\n")
+    (tmp_path / "pets.csv").write_text("pet_id,kind\n1,cat\n")
+    from dbqt_spark.sources.database import connect
+
+    db = connect(spark, {"type": "csv", "path": str(tmp_path)})
+    assert db.list_tables() == ["people", "pets"]
+    df = db.load("people")
+    assert df.count() == 2
+    # S1 contract: types inferred
+    kinds = dict(df.dtypes)
+    assert kinds["id"] in ("int", "bigint")
+    assert kinds["score"] == "double"
+
+
+def test_colcompare_file_mode_csv(spark, tmp_path):
+    src = tmp_path / "src.csv"
+    tgt = tmp_path / "tgt.csv"
+    src.write_text(
+        "SCH,TABLE_NAME,COL_NAME,DATA_TYPE\n"
+        "MAIN,ORDERS,O_ORDERKEY,INT\n"
+        "MAIN,ORDERS,O_TOTALPRICE,DECIMAL\n"
+        "MAIN,ORDERS,O_COMMENT,VARCHAR\n"
+        "MAIN,ONLY_SRC,X,INT\n"
+    )
+    tgt.write_text(
+        "SCH,TABLE_NAME,COL_NAME,DATA_TYPE\n"
+        "MAIN,ORDERS,O_ORDERKEY,BIGINT\n"
+        "MAIN,ORDERS,O_TOTALPRICE,FLOAT\n"
+    )
+    from dbqt_spark.operators.colcompare import compare_columns
+    from dbqt_spark.schema_df import schema_df_from_csv
+
+    cc = compare_columns(
+        schema_df_from_csv(spark, str(src)), schema_df_from_csv(spark, str(tgt))
+    )
+    status = {(r["table_name"], r["col_name"]): r["status"] for r in cc.collect()}
+    assert status[("MAIN.ORDERS", "O_ORDERKEY")] == "Matching"  # INT~BIGINT
+    assert status[("MAIN.ORDERS", "O_TOTALPRICE")] == "Different Types"
+    assert status[("MAIN.ORDERS", "O_COMMENT")] == "Source Only"
+    assert status[("MAIN.ONLY_SRC", "X")] == "Source Only"
+
+
+def test_schema_df_from_parquet_nested(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "id": [1],
+            "profile": [{"name": "a", "age": 3}],
+            "tags": [["x", "y"]],
+        }
+    )
+    path = str(tmp_path / "nested.parquet")
+    pq.write_table(t, path)
+    from dbqt_spark.schema_df import schema_df_from_parquet_file
+
+    ir = schema_df_from_parquet_file(spark, path)
+    cols = {r["COL_NAME"]: r["DATA_TYPE"] for r in ir.collect()}
+    assert cols["PROFILE__NAME"] == "VARCHAR"
+    assert cols["PROFILE__AGE"] == "BIGINT"
+    assert cols["TAGS"] == "VARCHAR[]"
+
+
+def test_ctas(spark, sf_dir, tmp_path):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.dynamic_query import generate_table_from_query
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    out = str(tmp_path / "statuses.parquet")
+    df = generate_table_from_query(
+        spark,
+        "order_statuses",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1",
+        output_path=out,
+    )
+    assert spark.table("order_statuses").count() == df.count()
+    assert spark.read.parquet(out).count() == df.count()
+
+
+def test_profile_approx_mode(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["col_name"]: r for r in profile_columns(li, "lineitem").collect()
+    }
+    approx = {
+        r["col_name"]: r
+        for r in profile_columns(li, "lineitem", exact=False).collect()
+    }
+    for c, e in exact.items():
+        a = approx[c]
+        assert a["null_count"] == e["null_count"]
+        # HLL is exact at low cardinality -> status flags agree
+        if e["distinct_count"] <= 5:
+            assert a["distinct_count"] == e["distinct_count"]
+        else:
+            assert abs(a["distinct_count"] - e["distinct_count"]) <= max(
+                3, 0.05 * e["distinct_count"]
+            )
