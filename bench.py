@@ -18,6 +18,7 @@ def main() -> None:
     from dbqt_spark.session import get_spark
 
     spark = get_spark(app_name="dbqt_spark_bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
 
     # Oracle-backed queries are the comparable benchmark surface; the
     # approximate ops (minhash/simhash/lsh) are benched separately below.

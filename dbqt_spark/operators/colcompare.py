@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..typecompat import compat_condition
+from ..typecompat import (
+    DEFAULT_TYPE_MAPPINGS,
+    are_types_compatible,
+    canonicalize_col,
+)
 
 STATUS_SOURCE_ONLY = "Source Only"
 STATUS_TARGET_ONLY = "Target Only"
@@ -74,8 +78,37 @@ def compare_columns(
     t = prep(tgt_schema, "target")
     joined = s.join(t, on=["table_name", "col_name"], how="full_outer")
 
-    compatible = compat_condition(
-        F.col("source_type"), F.col("target_type"), type_mappings
+    # Type compatibility via a broadcast join against the precomputed
+    # compatible-pairs table (a few hundred rows from the group config).
+    # A generated CASE expression over the whole vocabulary works too but
+    # its codegen compile time dominates on small inputs and its size
+    # grows with the vocabulary; the join is O(1) per row and scales to
+    # any mapping size. Equality and the ^TIMESTAMP rule stay as cheap
+    # expressions to also cover types outside the vocabulary.
+    mappings = type_mappings or DEFAULT_TYPE_MAPPINGS
+    spark = joined.sparkSession
+    vocab = sorted({t2 for group in mappings.values() for t2 in group})
+    pairs = [
+        (a, b)
+        for a in vocab
+        for b in vocab
+        if a != b and are_types_compatible(a, b, mappings)
+    ]
+    pairs_df = spark.createDataFrame(pairs, ["__ta", "__tb"]).withColumn(
+        "__compat", F.lit(True)
+    )
+    cs = canonicalize_col(F.col("source_type"))
+    ct = canonicalize_col(F.col("target_type"))
+    joined = joined.withColumn("__cs", cs).withColumn("__ct", ct)
+    joined = joined.join(
+        F.broadcast(pairs_df),
+        (joined["__cs"] == pairs_df["__ta"]) & (joined["__ct"] == pairs_df["__tb"]),
+        "left",
+    )
+    compatible = (
+        (F.col("__cs") == F.col("__ct"))
+        | (F.col("__cs").rlike("^TIMESTAMP") & F.col("__ct").rlike("^TIMESTAMP"))
+        | F.col("__compat").isNotNull()
     )
     status = (
         F.when(F.col("target_type").isNull(), STATUS_SOURCE_ONLY)
