@@ -63,7 +63,11 @@ def dedup_exact(
 
 
 def shingles_col(text_col: str, n: int = 3) -> "F.Column":
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct word n-gram shingles of the normalized text, as an array.
+
+    NOTE: per-row higher-order functions (transform/slice/concat) run
+    interpreted — fine for small row counts, but the hot paths use
+    ``shingle_rows`` (codegen'd) instead."""
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
     k = F.size(toks) - (n - 1)
     grams = F.when(
@@ -74,6 +78,39 @@ def shingles_col(text_col: str, n: int = 3) -> "F.Column":
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))  # short doc -> one shingle
     return F.array_distinct(grams)
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — same shingles as ``shingles_col`` but built
+    with posexplode + window ``lead``, which stays inside whole-stage
+    codegen (the array formulation was measured ~6 s per evaluation on
+    5k docs; this is sub-second). Duplicates are NOT removed here; use
+    collect_set downstream when set semantics matter."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("__ntok"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    with_sh = exploded.select(
+        "id",
+        "__ntok",
+        "pos",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        parts[-1].isNotNull().alias("__full"),
+    )
+    # full n-grams for docs with >= n tokens; one whole-doc shingle for
+    # shorter docs (the pos==0 concat of everything available)
+    return with_sh.filter(
+        (F.col("__full") & (F.col("__ntok") >= n))
+        | ((F.col("__ntok") < n) & (F.col("pos") == 0))
+    ).select("id", "shingle")
 
 
 def minhash_signatures(
@@ -100,10 +137,9 @@ def minhash_signatures(
     rnd = random.Random(seed)
     params = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
 
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_col(text_col, shingle_n)).alias("shingle"),
-    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_P)))
+    exploded = shingle_rows(df, text_col, id_col, shingle_n).withColumn(
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    )
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"s_{i}")
         for i, (a, b) in enumerate(params)
@@ -176,13 +212,25 @@ def minhash_near_duplicates(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
     pairs = minhash_candidate_pairs(sigs, bands, rows_per_band)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles_col(text_col, shingle_n).alias("shingles"),
+
+    # Exact-Jaccard verification, fully relational: shingle sets are built
+    # ONLY for docs that appear in candidate pairs (semi-join pushes the
+    # candidate filter into the shingle scan), then intersect/union on
+    # those few rows.
+    sr = shingle_rows(df, text_col, id_col, shingle_n)
+    involved = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = (
+        sr.join(F.broadcast(involved), "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("shingles"))
     )
     verified = (
-        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        pairs.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
