@@ -117,7 +117,7 @@ def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 128,
+    num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
@@ -151,7 +151,7 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 8
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding: hash each band of the signature, self-join on
     (band_id, band_hash), emit (id_a < id_b) candidate pairs.
@@ -201,7 +201,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    num_hashes: int = 128,
+    num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:

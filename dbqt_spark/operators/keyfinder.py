@@ -125,6 +125,14 @@ def find_composite_keys(
             "pass force=True to override (reference: keyfinder.py:247-254)"
         )
 
+    try:
+        # spread single-row-group inputs across the cluster before caching
+        # (the distinct-count scans otherwise serialize on one task)
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, parallelism // 4):
+            df = df.repartition(parallelism)
+    except Exception:
+        pass
     if cache:
         df = df.cache()
     try:

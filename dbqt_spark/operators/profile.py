@@ -35,6 +35,16 @@ def profile_columns(
     (table_name, col_name, ordinal, total_rows, null_count, distinct_count,
     status) where status in ('NULL column', 'Low distinct', 'OK')."""
     cols = columns or df.columns
+    # A single-row-group parquet file scans as one task, serializing the
+    # expensive partial aggregation (multi-distinct Expand). Spread it
+    # when the input has fewer partitions than the cluster has slots —
+    # a no-op at real scale where files split into many row groups.
+    try:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if exact and df.rdd.getNumPartitions() < max(2, parallelism // 4):
+            df = df.repartition(parallelism)
+    except Exception:
+        pass
     cd = (
         (lambda c: F.countDistinct(F.col(c)))
         if exact
