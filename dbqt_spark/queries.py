@@ -846,6 +846,121 @@ GROUP BY n_name
 """
 
 # ---------------------------------------------------------------------------
+# SQL-surface breadth: JSON extraction, window functions, rollup, pivot
+# (operators the reference lacks but Spark supplies "for free" —
+# SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured: extract props.k (JSON string column) and
+    aggregate it per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(k).alias("n_with_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.round(F.sum(k).cast("double") / F.count(k), 4).alias("avg_k"),
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       round(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS avg_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: rank orders per customer by price, keep top 2,
+    with a running total over the customer's ranked orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rnk"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(_DEC.lower()))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"),
+            2,
+        ).alias("running_total"),
+    )
+    return ranked.filter(F.col("rnk") <= 2).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "rnk",
+        "running_total",
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = f"""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk, running_total
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         round(CAST(SUM(CAST(o_totalprice AS {_DEC})) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+  FROM orders
+) WHERE rnk <= 2
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(_dsum_spark(F.col("l_quantity")), 2).alias("sum_qty"),
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       round({_dsum('l_quantity')}, 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+_STATUSES = ["F", "O", "P"]
+
+
+def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority x status."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.col(s).cast("long").alias(f"status_{s}") for s in _STATUSES],
+    )
+
+
+SQL_PIVOT_ORDER_STATUS = f"""
+SELECT o_orderpriority,
+       {', '.join(f"CAST(COUNT(CASE WHEN o_orderstatus = '{s}' THEN 1 END) AS BIGINT) AS status_{s}" for s in _STATUSES)}
+FROM orders GROUP BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
 # Dynamic queries (templated)
 # ---------------------------------------------------------------------------
 
@@ -964,6 +1079,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
+    "events_json": q_events_json,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_order_status": q_pivot_order_status,
     "dynamic_queries": q_dynamic_queries,
     "table_discovery": q_table_discovery,
     "minhash_near_dups": q_minhash_near_dups,
@@ -993,6 +1112,10 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "events_json": SQL_EVENTS_JSON,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "pivot_order_status": SQL_PIVOT_ORDER_STATUS,
     "dynamic_queries": SQL_DYNAMIC_QUERIES,
     "table_discovery": SQL_TABLE_DISCOVERY,
     # minhash_near_dups / simhash / lsh_topk: approximate & hash-seeded —
