@@ -1,0 +1,77 @@
+"""Plan-regression tests: the physical plans we rely on for scale must
+not silently degrade. These assert Catalyst behaviors (pushdown, column
+pruning, broadcast joins, partial aggregation) rather than results."""
+
+from pyspark.sql import functions as F
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    from dbqt_spark.queries import q_rowcount_filtered
+
+    plan = _formatted_plan(q_rowcount_filtered(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # column pruning: scan must read only the two referenced columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema and "l_shipdate" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_join_queries_broadcast_dimensions(spark, sf_dir):
+    from dbqt_spark.queries import q_revenue_by_nation, q_top_revenue_orders
+
+    for q in (q_top_revenue_orders, q_revenue_by_nation):
+        plan = _formatted_plan(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        # the fact table must not be exchanged before its joins
+        assert "SortMergeJoin" not in plan
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """The profiler must plan ONE scan of the table (multi-distinct via
+    Expand), not one scan per column."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.profile import profile_columns
+
+    import re
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _formatted_plan(profile_columns(li, "lineitem"))
+    # formatted explain lists each node once in the detail section
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_approx_profile_no_expand(spark, sf_dir):
+    """HLL mode must avoid the Expand row multiplication entirely."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _formatted_plan(profile_columns(li, "lineitem", exact=False))
+    assert "Expand" not in plan
+
+
+def test_schema_ir_no_data_scan(spark, sf_dir):
+    """Schema extraction must not plan any parquet data scan (footer-only
+    on the driver)."""
+    from dbqt_spark.catalog import load_tables
+    from dbqt_spark.schema_df import build_schema_df
+
+    ir = build_schema_df(spark, load_tables(spark, sf_dir, ["lineitem", "orders"]))
+    assert "Scan parquet" not in _formatted_plan(ir)
+
+
+def test_compat_join_is_broadcast(spark, sf_dir):
+    from dbqt_spark.queries import q_colcompare
+
+    plan = _formatted_plan(q_colcompare(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
