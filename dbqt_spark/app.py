@@ -72,7 +72,33 @@ def _resolve_tables(cfg, db) -> list[str]:
     return filter_excluded_tables(names, cfg.excluded_tables)
 
 
+def _dual_pairs(cfg, db, tcfg, tdb) -> list[dict]:
+    """Resolve (source_table, target_table, _discovery_status) pairs:
+    explicit dual CSV, or auto-discovery with case-insensitive
+    intersection (FIXTURES.md F-12; reference utils.py:264-317)."""
+    from .config import discover_common_tables, read_tables_csv
+    from .patterns import filter_excluded_tables
+
+    if cfg.tables_file:
+        mode, rows = read_tables_csv(cfg.tables_file)
+        if mode == "dual":
+            return [dict(r, _discovery_status="common") for r in rows]
+        return [
+            {
+                "source_table": r["table_name"],
+                "target_table": r["table_name"],
+                "_discovery_status": "common",
+            }
+            for r in rows
+        ]
+    src_names = filter_excluded_tables(db.list_tables(), cfg.excluded_tables)
+    tgt_names = filter_excluded_tables(tdb.list_tables(), tcfg.excluded_tables)
+    return discover_common_tables(src_names, tgt_names)
+
+
 def tool_dbstats(argv: list[str]) -> int:
+    from pyspark.sql import functions as F
+
     from .operators.rowcount import count_compare, table_row_counts
     from .report.html import HTMLReport
 
@@ -87,19 +113,52 @@ def tool_dbstats(argv: list[str]) -> int:
 
     cfg, db = _load_db(args.config)
     spark = db.spark
-    names = _resolve_tables(cfg, db)
-    root = db._root()
-    counts = table_row_counts(spark, root, names)
-
     report = HTMLReport("dbstats")
+
     if args.target_config:
         tcfg, tdb = _load_db(args.target_config)
-        tcounts = table_row_counts(tdb.spark, tdb._root(), _resolve_tables(tcfg, tdb))
-        result = count_compare(counts, tcounts)
+        pairs = _dual_pairs(cfg, db, tcfg, tdb)
+        # one-sided tables are skipped with a note, never counted
+        # (reference dbstats.py:113-134)
+        common = [p_ for p_ in pairs if p_["_discovery_status"] == "common"]
+        src_counts = table_row_counts(
+            spark, db._root(), [p_["source_table"] for p_ in common]
+        ).withColumnRenamed("table_name", "source_table")
+        tgt_counts = table_row_counts(
+            tdb.spark, tdb._root(), [p_["target_table"] for p_ in common]
+        ).withColumnRenamed("table_name", "source_table")  # join key reuse
+        # align target counts back onto the pair's source name
+        name_map = {p_["target_table"]: p_["source_table"] for p_ in common}
+        mapping = F.create_map(
+            *[F.lit(x) for kv in name_map.items() for x in kv]
+        ) if name_map else None
+        if mapping is not None:
+            tgt_counts = tgt_counts.withColumn(
+                "source_table", mapping[F.col("source_table")]
+            )
+        result = count_compare(
+            src_counts, tgt_counts, join_on="source_table"
+        )
+        skipped = [
+            (
+                p_["source_table"] or p_["target_table"],
+                f"Only in {'source' if p_['_discovery_status'] == 'source_only' else 'target'},"
+                " row count skipped",
+            )
+            for p_ in pairs
+            if p_["_discovery_status"] != "common"
+        ]
+        if skipped:
+            skipped_df = spark.createDataFrame(
+                [(n, None, None, None, None, note, note) for n, note in skipped],
+                result.schema,
+            )
+            result = result.unionByName(skipped_df)
         report.add_dataframe_tab("Row Counts", result)
     else:
-        result = counts
-        report.add_dataframe_tab("Row Counts", counts)
+        names = _resolve_tables(cfg, db)
+        result = table_row_counts(spark, db._root(), names)
+        report.add_dataframe_tab("Row Counts", result)
 
     if args.mode in ("colcompare", "both") and args.target_config:
         _append_colcompare_tabs(report, cfg, db, tcfg, tdb)
