@@ -96,9 +96,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
-        df = df.withColumn(
-            c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
-        )
+        # integer div, not `/1000` via double: ~1e18 nanos exceeds double's
+        # 53-bit mantissa and rounds the last microsecond
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     _TABLE_CACHE[key] = df
     return df
 

@@ -683,9 +683,7 @@ def q_streaming_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events_from_parquet(spark, path, schema=raw_schema)
 
     def transform(df: DataFrame) -> DataFrame:
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         prof = windowed_event_profile(df, "1 hour", watermark="2 hours")
         return prof.select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -843,6 +841,52 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based) — batch twin of the stateful streaming
+# operator (streaming/sessions.py); the window-function formulation is
+# SQL-expressible, so it gets a full oracle.
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.sessions import sessionize_batch
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize_batch(ev, gap_minutes=30)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, session_no,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 30*60*1000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM (
+      SELECT user_id, ts,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      FROM events
+    )
+  )
+)
+GROUP BY user_id, session_no
 """
 
 # ---------------------------------------------------------------------------
@@ -1079,6 +1123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
+    "sessionize": q_sessionize,
     "events_json": q_events_json,
     "top_orders_per_customer": q_top_orders_per_customer,
     "rollup_revenue": q_rollup_revenue,
@@ -1112,6 +1157,7 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "sessionize": SQL_SESSIONIZE,
     "events_json": SQL_EVENTS_JSON,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "rollup_revenue": SQL_ROLLUP_REVENUE,

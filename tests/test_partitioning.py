@@ -3,12 +3,7 @@ import re
 from pyspark.sql import functions as F
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+from dbqt_spark.plans import formatted_plan as _plan
 
 
 def test_salted_agg_matches_plain(spark, sf_dir):

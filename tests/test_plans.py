@@ -5,12 +5,7 @@ pruning, broadcast joins, partial aggregation) rather than results."""
 from pyspark.sql import functions as F
 
 
-def _formatted_plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+from dbqt_spark.plans import formatted_plan as _formatted_plan
 
 
 def test_filter_pushdown_and_pruning(spark, sf_dir):
