@@ -119,6 +119,69 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_build(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF index: KMeans the vectors into cells, return the
+    cell-assigned table and the centroid list.
+
+    At 100 TB the assigned table is written ``partitionBy("cell")`` so a
+    probe query scans only the probed cells' files (partition pruning);
+    here it stays a DataFrame. Training samples the input (KMeans on a
+    bounded sample is standard IVF practice)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__v")
+    model = km.fit(vecs.select("__v"))
+    assigned = (
+        model.transform(vecs)
+        .withColumnRenamed(model.getPredictionCol(), "cell")
+        .drop("__v")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probes: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``n_probes`` cells whose centroids are closest to the
+    query (cosine), then exact-score only those cells' vectors."""
+    qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
+
+    def cos_to_query(c: list[float]) -> float:
+        dot = sum(a * b for a, b in zip(c, query))
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return dot / (cn * qnorm)
+
+    probe_cells = [
+        cell
+        for cell, _ in sorted(
+            enumerate(cos_to_query(c) for c in centroids),
+            key=lambda t: -t[1],
+        )[:n_probes]
+    ]
+    pruned = assigned.filter(F.col("cell").isin(probe_cells))
+    return (
+        cosine_scores(pruned, query, vec_col, id_col)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join_brute(
     left: DataFrame,
     right: DataFrame,

@@ -1069,6 +1069,18 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans cells + 4-probe search for the vec_id=0 query.
+    Approximate (probe subset) -> rows-only check."""
+    from .operators.similarity import ivf_build, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    assigned, centroids = ivf_build(emb, n_cells=8)
+    out = ivf_search(assigned, centroids, list(q), k=10, n_probes=4)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_keyfinder_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full driver-side search (§2.9) surfaced as a result table."""
     from .operators.keyfinder import find_composite_keys
@@ -1133,6 +1145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash": q_simhash,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "keyfinder_search": q_keyfinder_search,
     "multimodal_features": q_multimodal_features,
 }
