@@ -1,0 +1,87 @@
+"""CLI regression tests — app.main() driven in-process (reuses the test
+SparkSession via getOrCreate)."""
+
+import os
+
+from dbqt_spark.app import main
+
+
+def _write(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+    return str(path)
+
+
+def test_help_lists_tools(capsys):
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    assert "dbstats" in out and "colcompare" in out and "findkey->keyfinder" in out
+
+
+def test_unknown_tool():
+    assert main(["nosuch"]) == 2
+
+
+def test_rowcount_and_nullcheck(spark, sf_dir, tmp_path, capsys):
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n"
+        "excluded_tables:\n  - 'e%'\n",
+    )
+    out_html = str(tmp_path / "r.html")
+    assert main(["rowcount", "--config", cfg, "--output", out_html]) == 0
+    assert os.path.exists(out_html)
+
+    out_md = str(tmp_path / "n.md")
+    assert main(["nullcheck", "--config", cfg, "--output", out_md]) == 0
+    md = open(out_md).read()
+    assert "# Null Column Check Results" in md
+    assert "## LINEITEM" in md
+    assert "EVENTS" not in md  # excluded by pattern
+    assert "EMBEDDINGS" not in md
+
+
+def test_dbstats_dual_with_pair_csv(spark, sf_dir, tmp_path):
+    src = _write(
+        tmp_path / "s.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n"
+        f"tables_file: {tmp_path / 'pairs.csv'}\n",
+    )
+    tgt = _write(
+        tmp_path / "t.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n",
+    )
+    _write(
+        tmp_path / "pairs.csv",
+        "source_table,target_table\norders,orders\nlineitem,lineitem\n",
+    )
+    out_html = str(tmp_path / "d.html")
+    assert (
+        main(
+            [
+                "dbstats",
+                "--config",
+                src,
+                "--target-config",
+                tgt,
+                "--output",
+                out_html,
+            ]
+        )
+        == 0
+    )
+    html = open(out_html).read()
+    assert '"difference": 0' in html
+
+
+def test_keyfinder_cli(spark, sf_dir, capsys):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        cfg = _write(
+            os.path.join(d, "c.yaml"),
+            f"connection:\n  type: parquet\n  path: {sf_dir}\n",
+        )
+        assert main(["findkey", "--config", cfg, "--table", "orders"]) == 0
+        out = capsys.readouterr().out
+        assert "o_orderkey" in out
