@@ -211,7 +211,9 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
-    pairs = minhash_candidate_pairs(sigs, bands, rows_per_band)
+    # pairs feeds two consumers (the involved-ids semi-join and the verify
+    # join) — persist so the signature+banding pipeline runs once
+    pairs = minhash_candidate_pairs(sigs, bands, rows_per_band).persist()
 
     # Exact-Jaccard verification, fully relational: shingle sets are built
     # ONLY for docs that appear in candidate pairs (semi-join pushes the
