@@ -1069,6 +1069,52 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators/partitioning.salted_agg)
+    — must produce exactly the plain groupBy result, so it carries a full
+    oracle."""
+    from .operators.partitioning import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__rev_dec", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            _DEC.lower()
+        )
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": ("l_quantity", "count"),
+            "revenue_dec": ("__rev_dec", "sum"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round(F.col("revenue_dec").cast("double"), 2).alias("revenue"),
+        F.round("max_qty", 2).alias("max_qty"),
+    )
+
+
+SQL_SALTED_REVENUE = f"""
+SELECT l_returnflag,
+       CAST(COUNT(l_quantity) AS BIGINT) AS n_items,
+       round({_dsum('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
+       round(MAX(l_quantity), 2) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL profile of lineitem — the 100 TB scale path (single pass, no
+    Expand). Approximate -> rows-only check."""
+    return profile_columns(
+        load_table(spark, sf_dir, "lineitem"), "lineitem", exact=False
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + 4-probe search for the vec_id=0 query.
     Approximate (probe subset) -> rows-only check."""
@@ -1136,6 +1182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
     "sessionize": q_sessionize,
+    "salted_revenue": q_salted_revenue,
+    "profile_approx": q_profile_approx,
     "events_json": q_events_json,
     "top_orders_per_customer": q_top_orders_per_customer,
     "rollup_revenue": q_rollup_revenue,
@@ -1171,6 +1219,7 @@ ORACLES: dict[str, str] = {
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "sessionize": SQL_SESSIONIZE,
+    "salted_revenue": SQL_SALTED_REVENUE,
     "events_json": SQL_EVENTS_JSON,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
