@@ -9,7 +9,6 @@ and aliases (dbqt/app.py:7-21, dbqt/tools/__init__.py:6-11): a user of
 from __future__ import annotations
 
 import argparse
-import json
 import logging
 import os
 import sys

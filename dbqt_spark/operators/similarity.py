@@ -135,7 +135,7 @@ def ivf_build(
     here it stays a DataFrame. Training samples the input (KMeans on a
     bounded sample is standard IVF practice)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__v")
