@@ -34,6 +34,7 @@ TOOLS = [
     "combine",
     "parquetizer",
     "dynamic-query",
+    "checks",
 ]
 
 
@@ -372,6 +373,45 @@ def tool_dynamic_query(argv: list[str]) -> int:
     return 0
 
 
+def tool_checks(argv: list[str]) -> int:
+    from .operators.checks import load_check_suite, run_checks
+    from .report.html import HTMLReport
+
+    p = argparse.ArgumentParser(prog="checks")
+    p.add_argument("--config", required=True)
+    p.add_argument("--suite", required=True, help="YAML check-suite file")
+    p.add_argument("--output")
+    args = p.parse_args(argv)
+
+    cfg, db = _load_db(args.config)
+    checks = load_check_suite(args.suite)
+    needed = {c.table for c in checks} | {
+        c.params.get("ref_table")
+        for c in checks
+        if c.kind == "ref_integrity"
+    }
+    tables = {}
+    for t in needed:
+        if not t:
+            continue
+        try:
+            tables[t] = db.load(t)
+        except Exception as exc:
+            logger.error("cannot load %s: %s", t, exc)
+    result = run_checks(db.spark, tables, checks)
+    report = HTMLReport("dq checks")
+    report.add_dataframe_tab("Check Results", result)
+    out = args.output or _results_path("checks")
+    report.save(out)
+    rows = result.collect()
+    failed = [r for r in rows if not r["passed"]]
+    for r in rows:
+        logger.info("%s", tuple(r))
+    print(f"{len(rows) - len(failed)}/{len(rows)} checks passed")
+    print(f"Report saved to {out}")
+    return 1 if failed else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -392,6 +432,7 @@ def main(argv: list[str] | None = None) -> int:
         "combine": tool_combine,
         "parquetizer": tool_parquetizer,
         "dynamic-query": tool_dynamic_query,
+        "checks": tool_checks,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

@@ -1069,6 +1069,90 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+# ---------------------------------------------------------------------------
+# Declarative DQ check suite (the reference's planned check framework,
+# README.md:360-367, implemented Spark-first in operators/checks.py).
+# All single-table checks fuse into one scan per table.
+# ---------------------------------------------------------------------------
+
+_CHECK_SUITE = [
+    {"name": "orders_pk_not_null", "table": "orders", "kind": "not_null", "column": "o_orderkey"},
+    {"name": "orders_pk_unique", "table": "orders", "kind": "unique", "column": "o_orderkey"},
+    {"name": "orders_status_valid", "table": "orders", "kind": "in_set", "column": "o_orderstatus", "params": {"values": ["O", "F", "P"]}},
+    {"name": "orders_price_positive", "table": "orders", "kind": "range", "column": "o_totalprice", "params": {"min": 0}},
+    {"name": "orders_priority_format", "table": "orders", "kind": "regex", "column": "o_orderpriority", "params": {"pattern": "^[1-5]-[A-Z ]+$"}},
+    {"name": "li_discount_bounds", "table": "lineitem", "kind": "range", "column": "l_discount", "params": {"min": 0, "max": 1}},
+    {"name": "li_orderkey_unique", "table": "lineitem", "kind": "unique", "column": "l_orderkey"},
+    {"name": "li_qty_mean_sane", "table": "lineitem", "kind": "stats_range", "column": "l_quantity", "params": {"stat": "avg", "min": 20, "max": 30}},
+    {"name": "li_fk_orders", "table": "lineitem", "kind": "ref_integrity", "column": "l_orderkey", "params": {"ref_table": "orders", "ref_column": "o_orderkey"}},
+]
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.checks import Check, run_checks
+
+    checks = [Check.from_dict(d) for d in _CHECK_SUITE]
+    tables = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    return run_checks(spark, tables, checks).drop("detail")
+
+
+def _check_oracle_sql(d: dict) -> str:
+    t, col, kind = d["table"], d.get("column"), d["kind"]
+    p = d.get("params", {})
+    total = f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {t})"
+    if kind == "not_null":
+        viol = f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {t} WHERE {col} IS NULL)"
+    elif kind == "unique":
+        viol = f"(SELECT CAST(COUNT({col}) - COUNT(DISTINCT {col}) AS BIGINT) FROM {t})"
+    elif kind == "regex":
+        viol = (
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {t} WHERE {col} IS NOT NULL "
+            f"AND NOT regexp_matches({col}, '{p['pattern']}'))"
+        )
+    elif kind == "range":
+        conds = []
+        if "min" in p:
+            conds.append(f"{col} < {p['min']}")
+        if "max" in p:
+            conds.append(f"{col} > {p['max']}")
+        viol = (
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {t} WHERE {col} IS NOT NULL "
+            f"AND ({' OR '.join(conds)}))"
+        )
+    elif kind == "in_set":
+        vals = ", ".join(f"'{v}'" for v in p["values"])
+        viol = (
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {t} WHERE {col} IS NOT NULL "
+            f"AND {col} NOT IN ({vals}))"
+        )
+    elif kind == "stats_range":
+        stat = p.get("stat", "avg")
+        conds = []
+        if "min" in p:
+            conds.append(f"{stat}({col}) < {p['min']}")
+        if "max" in p:
+            conds.append(f"{stat}({col}) > {p['max']}")
+        viol = (
+            f"(SELECT CAST(CASE WHEN {' OR '.join(conds)} THEN 1 ELSE 0 END AS BIGINT) FROM {t})"
+        )
+    elif kind == "ref_integrity":
+        rt, rc = p["ref_table"], p["ref_column"]
+        viol = (
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {t} WHERE {col} IS NOT NULL "
+            f"AND NOT EXISTS (SELECT 1 FROM {rt} WHERE {rc} = {t}.{col}))"
+        )
+    else:
+        raise ValueError(kind)
+    return (
+        f"SELECT '{d['name']}' AS check_name, '{t}' AS table_name, "
+        f"'{col}' AS column_name, '{kind}' AS kind, {total} AS total_rows, "
+        f"{viol} AS violations, {viol} = 0 AS passed"
+    )
+
+
+SQL_DQ_CHECKS = " UNION ALL ".join(_check_oracle_sql(d) for d in _CHECK_SUITE)
+
+
 def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (operators/partitioning.salted_agg)
     — must produce exactly the plain groupBy result, so it carries a full
@@ -1182,6 +1266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
     "sessionize": q_sessionize,
+    "dq_checks": q_dq_checks,
     "salted_revenue": q_salted_revenue,
     "profile_approx": q_profile_approx,
     "events_json": q_events_json,
@@ -1219,6 +1304,7 @@ ORACLES: dict[str, str] = {
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "sessionize": SQL_SESSIONIZE,
+    "dq_checks": SQL_DQ_CHECKS,
     "salted_revenue": SQL_SALTED_REVENUE,
     "events_json": SQL_EVENTS_JSON,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
