@@ -41,7 +41,7 @@ def profile_columns(
     # a no-op at real scale where files split into many row groups.
     try:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
-        if exact and df.rdd.getNumPartitions() < max(2, parallelism // 4):
+        if df.rdd.getNumPartitions() < max(2, parallelism // 4):
             df = df.repartition(parallelism)
     except Exception:
         pass
