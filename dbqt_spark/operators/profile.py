@@ -29,19 +29,28 @@ def profile_columns(
     table_name: str,
     columns: list[str] | None = None,
     exact: bool = True,
-    approx_rsd: float = 0.01,
+    approx_rsd: float = 0.05,
 ) -> DataFrame:
     """Per-column profile rows:
     (table_name, col_name, ordinal, total_rows, null_count, distinct_count,
-    status) where status in ('NULL column', 'Low distinct', 'OK')."""
+    status) where status in ('NULL column', 'Low distinct', 'OK').
+
+    ``approx_rsd`` only bounds the error of large distinct counts; the
+    status classification stays exact because HLL++ is exact (sparse mode)
+    far beyond the <=5 threshold. Tighter rsd inflates the per-row sketch
+    update cost dramatically (rsd 0.01 measured ~8x slower than 0.05 at
+    sf0.1) for precision the profile doesn't need.
+    """
     cols = columns or df.columns
     # A single-row-group parquet file scans as one task, serializing the
     # expensive partial aggregation (multi-distinct Expand). Spread it
     # when the input has fewer partitions than the cluster has slots —
-    # a no-op at real scale where files split into many row groups.
+    # a no-op at real scale where files split into many row groups. Only
+    # the exact path benefits: HLL partials are cheap to compute but
+    # costly to merge, so extra partitions hurt approx mode.
     try:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, parallelism // 4):
+        if exact and df.rdd.getNumPartitions() < max(2, parallelism // 4):
             df = df.repartition(parallelism)
     except Exception:
         pass

@@ -11,6 +11,7 @@ engine.
 |---|---|
 | parquet / duckdb-file | directory of ``*.parquet`` (one table per file) or a single file |
 | csv | directory of ``*.csv``, header + schema inference (S1) |
+| json / orc | directory of ``*.json`` (JSON Lines) / ``*.orc`` — Spark-native readers the reference lacks |
 | s3parquet | ``s3a://bucket/key`` through Hadoop S3A — no manual download (S3) |
 | mysql/postgresql/sqlserver/oracle/snowflake | ``spark.read.format("jdbc")`` with the dialect's URL; Spark pushes filters and (where enabled) aggregates down (S4) |
 | athena | read the underlying S3 data directly, or JDBC (S5) |
@@ -63,11 +64,13 @@ class Database:
         )
 
     def _ext(self) -> str:
-        return {"csv": ".csv"}.get(self.kind, ".parquet")
+        return {"csv": ".csv", "json": ".json", "orc": ".orc"}.get(
+            self.kind, ".parquet"
+        )
 
     def list_tables(self) -> list[str]:
         """S8: table discovery."""
-        if self.kind in ("parquet", "csv", "duckdb"):
+        if self.kind in ("parquet", "csv", "duckdb", "json", "orc"):
             root = self._root()
             if os.path.isfile(root):
                 return [os.path.splitext(os.path.basename(root))[0]]
@@ -102,6 +105,11 @@ class Database:
                 .option("inferSchema", True)
                 .csv(self._table_path(table, ".csv"))
             )
+        if self.kind == "json":
+            # JSON Lines; Spark infers the schema with a sampling pass.
+            return self.spark.read.json(self._table_path(table, ".json"))
+        if self.kind == "orc":
+            return self.spark.read.orc(self._table_path(table, ".orc"))
         if self.kind in _JDBC_URLS:
             return self._jdbc_table(table)
         raise ValueError(f"unsupported connection type: {self.kind}")

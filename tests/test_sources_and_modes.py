@@ -118,3 +118,28 @@ def test_profile_approx_mode(spark, sf_dir):
             assert abs(a["distinct_count"] - e["distinct_count"]) <= max(
                 3, 0.05 * e["distinct_count"]
             )
+
+
+def test_json_database_source(spark, tmp_path):
+    (tmp_path / "people.json").write_text(
+        '{"id": 1, "name": "ann", "score": 2.5}\n'
+        '{"id": 2, "name": "bo", "score": 3.5}\n'
+    )
+    from dbqt_spark.sources.database import connect
+
+    db = connect(spark, {"type": "json", "path": str(tmp_path)})
+    assert db.list_tables() == ["people"]
+    df = db.load("people")
+    assert df.count() == 2
+    assert dict(df.dtypes)["score"] == "double"
+
+
+def test_orc_database_source(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, "ann"), (2, "bo")], "id bigint, name string"
+    ).write.orc(str(tmp_path / "people.orc"))
+    from dbqt_spark.sources.database import connect
+
+    db = connect(spark, {"type": "orc", "path": str(tmp_path)})
+    assert db.list_tables() == ["people"]
+    assert db.load("people").count() == 2
