@@ -120,6 +120,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
     universal hash (a_i*h + b_i mod 2^31-1) of xxhash64(shingle).
@@ -137,7 +138,9 @@ def minhash_signatures(
     rnd = random.Random(seed)
     params = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
 
-    exploded = shingle_rows(df, text_col, id_col, shingle_n).withColumn(
+    if shingles is None:
+        shingles = shingle_rows(df, text_col, id_col, shingle_n)
+    exploded = shingles.withColumn(
         "h", F.pmod(F.xxhash64("shingle"), F.lit(_P))
     )
     aggs = [
@@ -208,18 +211,23 @@ def minhash_near_duplicates(
     """Full pipeline: candidates from LSH, verified with exact Jaccard on
     the shingle sets. Returns (id_a, id_b, jaccard >= threshold)."""
     rows_per_band = num_hashes // bands
+    # shingle rows feed both the signature pipeline and the exact-Jaccard
+    # verification — persist so the tokenize + window pass runs once
+    # (MEMORY_AND_DISK; at corpus scale where the shingle set dwarfs
+    # cluster memory, spill keeps this correct and recompute is the only
+    # alternative — both beat re-tokenizing twice)
+    sr = shingle_rows(df, text_col, id_col, shingle_n).persist()
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
+        shingles=sr,
     )
     # pairs feeds two consumers (the involved-ids semi-join and the verify
     # join) — persist so the signature+banding pipeline runs once
     pairs = minhash_candidate_pairs(sigs, bands, rows_per_band).persist()
 
     # Exact-Jaccard verification, fully relational: shingle sets are built
-    # ONLY for docs that appear in candidate pairs (semi-join pushes the
-    # candidate filter into the shingle scan), then intersect/union on
-    # those few rows.
-    sr = shingle_rows(df, text_col, id_col, shingle_n)
+    # ONLY for docs that appear in candidate pairs (semi-join filters the
+    # cached shingle rows), then intersect/union on those few rows.
     involved = (
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))
