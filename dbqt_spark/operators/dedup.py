@@ -90,27 +90,33 @@ def shingle_rows(
     collect_set downstream when set semantics matter."""
     from pyspark.sql import Window
 
-    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    # Split on \s+ directly (one regex pass) — same tokens as
+    # normalize_text + split-on-space, since the empty edge tokens a
+    # leading/trailing blank would produce are filtered out anyway.
+    # The tokens expression is referenced exactly once (posexplode): a
+    # second reference (e.g. a size() column) makes Catalyst inline and
+    # evaluate the whole tokenize twice per row — measured ~2x the
+    # shingle cost at sf0.1.
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.size(toks).alias("__ntok"),
-        F.posexplode(toks).alias("pos", "tok"),
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
     )
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
     with_sh = exploded.select(
         "id",
-        "__ntok",
         "pos",
         F.concat_ws(" ", *parts).alias("shingle"),
         parts[-1].isNotNull().alias("__full"),
     )
-    # full n-grams for docs with >= n tokens; one whole-doc shingle for
-    # shorter docs (the pos==0 concat of everything available)
-    return with_sh.filter(
-        (F.col("__full") & (F.col("__ntok") >= n))
-        | ((F.col("__ntok") < n) & (F.col("pos") == 0))
-    ).select("id", "shingle")
+    # __full rows are complete n-grams (implies the doc has >= n tokens);
+    # for shorter docs only pos==0 survives, and its concat_ws of the
+    # non-null leads is exactly the whole-doc shingle.
+    return with_sh.filter(F.col("__full") | (F.col("pos") == 0)).select(
+        "id", "shingle"
+    )
 
 
 def minhash_signatures(
