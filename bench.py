@@ -59,6 +59,7 @@ def main() -> None:
     heavy = [
         "minhash_near_dups",
         "keyfinder_search",
+        "simhash_near_dups",
         "profile_lineitem",
         "ivf_topk",
         "streaming_hourly_profile",

@@ -288,6 +288,66 @@ def simhash_fingerprints(
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs whose 64-bit SimHash fingerprints are
+    within ``max_hamming`` bits.
+
+    Pigeonhole banding (Manku/Jain/Sarma, WWW'07 "Detecting Near-Duplicates
+    for Web Crawling"): split the fingerprint into ``bands`` equal chunks —
+    any pair at distance <= bands-1 agrees exactly on at least one chunk, so
+    candidates come from ``bands`` exact-match hash buckets (one shuffle
+    join), never a cross join. Requires ``max_hamming < bands``. Exact
+    Hamming distance then filters candidates via bit_count(xor), all
+    JVM-side."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    fp = simhash_fingerprints(df, text_col, id_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     id_a: int,

@@ -31,6 +31,7 @@ from .operators.dedup import (
     minhash_near_duplicates,
     normalize_text,
     simhash_fingerprints,
+    simhash_near_duplicates,
 )
 from .operators.profile import profile_columns
 from .operators.rowcount import count_compare, table_row_counts
@@ -1062,6 +1063,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming-distance pair search over the SimHash fingerprints
+    (Manku et al. pigeonhole LSH). Approximate op family -> rows-only
+    check (the banding join + bit_count have no tractable ANSI-SQL twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -1277,6 +1288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_discovery": q_table_discovery,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash": q_simhash,
+    "simhash_near_dups": q_simhash_near_dups,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "keyfinder_search": q_keyfinder_search,

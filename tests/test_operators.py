@@ -116,6 +116,48 @@ def test_simhash_similar_docs_close(spark):
     assert hamming(fp[1], fp[2]) < hamming(fp[1], fp[3])
 
 
+def test_simhash_near_duplicates_banded(spark):
+    import pytest
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base),
+        (2, base.replace("kappa", "kappax", 1)),
+        (3, "completely different content words here " * 10),
+        (4, base),  # identical to 1 -> hamming 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from dbqt_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+
+    # ground truth from the fingerprints themselves
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    k = 3
+    expected = {
+        (a, b)
+        for a in fp
+        for b in fp
+        if a < b and hamming(fp[a], fp[b]) <= k
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(df, max_hamming=k).collect()
+    }
+    # banding with bands > max_hamming guarantees NO false negatives and
+    # the explicit hamming filter removes false positives -> exact set
+    assert got == expected
+    assert (1, 4) in got  # identical docs always within any threshold
+
+    with pytest.raises(ValueError):
+        simhash_near_duplicates(df, max_hamming=4, bands=4)
+
+
 # -- combine / parquetizer ---------------------------------------------------
 
 

@@ -115,8 +115,9 @@ def test_profile_approx_mode(spark, sf_dir):
         if e["distinct_count"] <= 5:
             assert a["distinct_count"] == e["distinct_count"]
         else:
+            # default approx_rsd=0.05 is ONE standard deviation; allow 3
             assert abs(a["distinct_count"] - e["distinct_count"]) <= max(
-                3, 0.05 * e["distinct_count"]
+                3, 0.15 * e["distinct_count"]
             )
 
 
