@@ -43,6 +43,10 @@ def get_spark(
         # Parquet: keep predicate pushdown + vectorized reader explicit
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # FAIR round-robins cores across concurrently submitted jobs, so
+        # short queries aren't starved behind a long pipeline when callers
+        # (bench.py, multi-tool CLIs, notebook users) share the session
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
