@@ -70,3 +70,15 @@ def test_compat_join_is_broadcast(spark, sf_dir):
 
     plan = _formatted_plan(q_colcompare(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_banding_is_equi_join(spark, sf_dir):
+    """The simhash pair search must plan the band-bucket match as a hash
+    equi-join on (band, chunk) — never a cartesian/nested-loop product,
+    which would be O(n^2) at corpus scale."""
+    from dbqt_spark.queries import q_simhash_near_dups
+
+    plan = _formatted_plan(q_simhash_near_dups(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
