@@ -890,6 +890,46 @@ FROM (
 GROUP BY user_id, session_no
 """
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom time-series operator, operators/asof.py): every
+    purchase event paired with the same user's most recent click at or
+    before it. Oracle: DuckDB's native ASOF JOIN — an independent
+    implementation of the same point-in-time semantics."""
+    from .operators.asof import asof_join
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(purchases, clicks, ts_col="ts", by="user_id", right_prefix="click_")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.round("value", 4).alias("purchase_value"),
+        F.col("click_event_id").alias("click_id"),
+        F.date_format("click_ts", fmt).alias("click_ts"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       round(p.value, 4) AS purchase_value,
+       c.event_id AS click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # SQL-surface breadth: JSON extraction, window functions, rollup, pivot
 # (operators the reference lacks but Spark supplies "for free" —
@@ -1281,6 +1321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_revenue": q_salted_revenue,
     "profile_approx": q_profile_approx,
     "events_json": q_events_json,
+    "events_asof": q_events_asof,
     "top_orders_per_customer": q_top_orders_per_customer,
     "rollup_revenue": q_rollup_revenue,
     "pivot_order_status": q_pivot_order_status,
@@ -1319,6 +1360,7 @@ ORACLES: dict[str, str] = {
     "dq_checks": SQL_DQ_CHECKS,
     "salted_revenue": SQL_SALTED_REVENUE,
     "events_json": SQL_EVENTS_JSON,
+    "events_asof": SQL_EVENTS_ASOF,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "pivot_order_status": SQL_PIVOT_ORDER_STATUS,

@@ -284,3 +284,49 @@ def test_multimodal_stub_raises(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_features(df, decode_stub=False).collect()
+
+
+# -- as-of join --------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    from dbqt_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3"), (3, 10, "p4")],
+        ["user_id", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "c1"), (1, 150, "c2"), (2, 60, "c3")],
+        ["user_id", "ts", "name"],
+    )
+    out = {
+        r["tag"]: (r["right_name"], r["right_ts"])
+        for r in asof_join(left, right, ts_col="ts", by="user_id").collect()
+    }
+    assert out["p1"] == ("c1", 100)  # tie: right at exactly left.ts matches
+    assert out["p2"] == ("c2", 150)  # latest of several earlier rights
+    assert out["p3"] == (None, None)  # right exists but only AFTER left
+    assert out["p4"] == (None, None)  # key has no right rows at all
+    # left columns survive untouched
+    rows = asof_join(left, right, ts_col="ts", by="user_id").columns
+    assert set(rows) == {"user_id", "ts", "tag", "right_ts", "right_name"}
+
+
+def test_asof_join_composite_key(spark):
+    from dbqt_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 1, 100), ("b", 1, 100)], ["region", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 90, 7.0)], ["region", "user_id", "ts", "score"]
+    )
+    got = {
+        (r["region"], r["user_id"]): r["right_score"]
+        for r in asof_join(
+            left, right, ts_col="ts", by=["region", "user_id"]
+        ).collect()
+    }
+    assert got[("a", 1)] == 7.0
+    assert got[("b", 1)] is None  # same user_id, different region -> no match
