@@ -917,6 +917,48 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via bin conversion (operators/rangejoin.py):
+    classify lineitem rows into quantity tiers given as [lo, hi] intervals,
+    then aggregate revenue per tier. Oracle: plain BETWEEN join — DuckDB
+    plans the tiny dim as IEJoin; the Spark side proves the equi-join
+    conversion gives identical semantics."""
+    from .operators.rangejoin import range_join_binned
+
+    tiers = spark.createDataFrame(
+        [("low", 1.0, 10.0), ("mid", 11.0, 25.0), ("high", 26.0, 50.0)],
+        ["tier", "lo", "hi"],
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = range_join_binned(
+        li, "l_quantity", tiers, "lo", "hi", bin_width=5.0
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(_dsum_spark(rev), 2).alias("revenue"),
+        )
+        .orderBy("tier")
+    )
+
+
+SQL_QUANTITY_TIERS = f"""
+SELECT t.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round({_dsum('l_extendedprice * (1 - l_discount)')}, 2) AS revenue
+FROM lineitem l
+JOIN (VALUES ('low', 1.0, 10.0), ('mid', 11.0, 25.0), ('high', 26.0, 50.0))
+     AS t(tier, lo, hi)
+  ON l.l_quantity BETWEEN t.lo AND t.hi
+GROUP BY t.tier
+ORDER BY t.tier
+"""
+
+
 SQL_EVENTS_ASOF = """
 SELECT p.user_id,
        p.event_id AS purchase_id,
@@ -1322,6 +1364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_approx": q_profile_approx,
     "events_json": q_events_json,
     "events_asof": q_events_asof,
+    "quantity_tiers": q_quantity_tiers,
     "top_orders_per_customer": q_top_orders_per_customer,
     "rollup_revenue": q_rollup_revenue,
     "pivot_order_status": q_pivot_order_status,
@@ -1361,6 +1404,7 @@ ORACLES: dict[str, str] = {
     "salted_revenue": SQL_SALTED_REVENUE,
     "events_json": SQL_EVENTS_JSON,
     "events_asof": SQL_EVENTS_ASOF,
+    "quantity_tiers": SQL_QUANTITY_TIERS,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "pivot_order_status": SQL_PIVOT_ORDER_STATUS,

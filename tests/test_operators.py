@@ -330,3 +330,33 @@ def test_asof_join_composite_key(spark):
     }
     assert got[("a", 1)] == 7.0
     assert got[("b", 1)] is None  # same user_id, different region -> no match
+
+
+def test_range_join_binned(spark):
+    from dbqt_spark.operators.rangejoin import range_join_binned
+
+    fact = spark.createDataFrame(
+        [(1, 0.5), (2, 10.0), (3, 15.0), (4, 99.0), (5, -3.0)],
+        ["fid", "v"],
+    )
+    ivl = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", -5.0, -1.0)],
+        ["name", "lo", "hi"],
+    )
+    got = {
+        (r["fid"], r["name"])
+        for r in range_join_binned(fact, "v", ivl, bin_width=4.0).collect()
+    }
+    # v=10.0 is on the shared inclusive boundary -> matches BOTH intervals
+    assert got == {(1, "a"), (2, "a"), (2, "b"), (3, "b"), (5, "c")}
+
+    left = range_join_binned(fact, "v", ivl, bin_width=4.0, how="left")
+    rows = {r["fid"]: r for r in left.collect() if r["name"] is None}
+    assert set(rows) == {4}  # unmatched fact row kept with NULL interval
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_join_binned(fact, "v", ivl, bin_width=0)
+    with pytest.raises(ValueError):
+        range_join_binned(fact, "v", ivl, how="full")
