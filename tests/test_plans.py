@@ -82,3 +82,29 @@ def test_simhash_banding_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
+    """The as-of join must be ONE hash exchange + sort + window — never a
+    nested-loop range join (quadratic per key at scale)."""
+    from dbqt_spark.queries import q_events_asof
+
+    plan = _formatted_plan(q_events_asof(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # exactly one data exchange (the per-key hash partition for the window)
+    import re
+
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The binned range join must plan as a hash equi-join on the bin id
+    with the interval side exploded — no nested-loop product."""
+    from dbqt_spark.queries import q_quantity_tiers
+
+    plan = _formatted_plan(q_quantity_tiers(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # Broadcast- or ShuffledHashJoin on __bin
