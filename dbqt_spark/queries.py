@@ -616,6 +616,59 @@ def q_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("vec_id", "nn_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-by-embedding
+    entry): every within-label pair with cosine >= 0.35 (the synthetic
+    embeddings are near-orthogonal, max within-label cosine ~0.47 — the
+    threshold exercises real matches without a degenerate full cross
+    product). Same blocked-matmul applyInPandas shape as q_embedding_nn;
+    at corpus scale the block key becomes an LSH bucket or IVF cell."""
+    import numpy as np
+    import pandas as pd
+
+    thr = 0.35
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+    def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        C = (M @ M.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = np.round(C[iu, ju], 4) >= thr
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "id_a": lo.astype("int64"),
+                "id_b": hi.astype("int64"),
+                "cosine": np.round(C[iu, ju][keep], 4),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        pair_block, "id_a long, id_b long, cosine double"
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT id_a, id_b, c AS cosine FROM (
+  SELECT least(a.vec_id, b.vec_id) AS id_a,
+         greatest(a.vec_id, b.vec_id) AS id_b,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS c
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+WHERE c >= 0.35
+"""
+
+
 SQL_EMBEDDING_NN = """
 WITH pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
@@ -1365,6 +1418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": q_events_json,
     "events_asof": q_events_asof,
     "quantity_tiers": q_quantity_tiers,
+    "embedding_near_dups": q_embedding_near_dups,
     "top_orders_per_customer": q_top_orders_per_customer,
     "rollup_revenue": q_rollup_revenue,
     "pivot_order_status": q_pivot_order_status,
@@ -1405,6 +1459,7 @@ ORACLES: dict[str, str] = {
     "events_json": SQL_EVENTS_JSON,
     "events_asof": SQL_EVENTS_ASOF,
     "quantity_tiers": SQL_QUANTITY_TIERS,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "pivot_order_status": SQL_PIVOT_ORDER_STATUS,
