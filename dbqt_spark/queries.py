@@ -707,6 +707,37 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: hour, day, and
+    grand-total buckets of the events stream in ONE pass via ROLLUP
+    (Catalyst's Expand produces all three grouping levels from a single
+    scan — the batch shape of a multi-resolution materialized rollup)."""
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    hour = F.date_format(
+        F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+    )
+    return (
+        ev.rollup(day.alias("day"), hour.alias("hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(_dsum_spark(F.col("value")), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_MULTIRES_ROLLUP = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round({_dsum("value")}, 2) AS total_value
+FROM events
+GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'))
+"""
+
+
 SQL_EVENTS_HOURLY = f"""
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
@@ -1419,6 +1450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "quantity_tiers": q_quantity_tiers,
     "embedding_near_dups": q_embedding_near_dups,
+    "events_multires_rollup": q_events_multires_rollup,
     "top_orders_per_customer": q_top_orders_per_customer,
     "rollup_revenue": q_rollup_revenue,
     "pivot_order_status": q_pivot_order_status,
@@ -1460,6 +1492,7 @@ ORACLES: dict[str, str] = {
     "events_asof": SQL_EVENTS_ASOF,
     "quantity_tiers": SQL_QUANTITY_TIERS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "events_multires_rollup": SQL_EVENTS_MULTIRES_ROLLUP,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "pivot_order_status": SQL_PIVOT_ORDER_STATUS,
