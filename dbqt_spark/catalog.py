@@ -71,10 +71,17 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
-# (session_id, path) -> DataFrame. DataFrames are lazy plans; memoizing
-# them avoids re-running driver-side file listing + footer schema reads
-# for every query that touches the same table (bench runs dozens).
-_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# SparkSession (weak) -> {path -> DataFrame}. DataFrames are lazy plans;
+# memoizing them avoids re-running driver-side file listing + footer schema
+# reads for every query that touches the same table (bench runs dozens).
+# Weakly keyed by the session OBJECT (not id()): a stopped-and-collected
+# session's entries vanish with it, so a new session that happens to reuse
+# the same id() can never be served plans bound to the dead session.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -87,8 +94,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     back to microsecond timestamps, so the logical schema matches what
     DuckDB/pyarrow report."""
     path = table_path(sf_dir, name)
-    key = (id(spark), path)
-    cached = _TABLE_CACHE.get(key)
+    try:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weakref-able (mocks) — skip memoization
+        per_session = {}
+    cached = per_session.get(path)
     if cached is not None:
         return cached
     nanos = _nanos_timestamp_cols(path)
@@ -99,7 +109,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div, not `/1000` via double: ~1e18 nanos exceeds double's
         # 53-bit mantissa and rounds the last microsecond
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    _TABLE_CACHE[key] = df
+    per_session[path] = df
     return df
 
 

@@ -159,16 +159,40 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop rows belonging to LSH buckets with more than ``max_bucket_size``
+    members, BEFORE the pair-generating self-join.
+
+    A hot bucket (boilerplate/empty docs whose band chunks all collide) makes
+    the self-join quadratic — the classic LSH blowup at corpus scale. Capping
+    is the standard guard: members of an over-full bucket are so densely
+    similar that exact dedup (or a cheaper fingerprint pass) should own them;
+    near-dup banding is for the sparse tail. The aggregated size table has
+    one row per OVERSIZED bucket only, so the filter is a broadcast anti-join
+    (no extra shuffle of the banded rows beyond the groupBy partials).
+    """
+    oversized = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(oversized), keys, "left_anti")
+
+
 def minhash_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature, self-join on
     (band_id, band_hash), emit (id_a < id_b) candidate pairs.
 
     Shuffle profile: one explode (narrow) + one shuffle on band_hash. Skew
-    guard: buckets larger than 1k ids would blow up the self-join
-    quadratically — at corpus scale cap bucket size (salting or drop) before
-    pairing; here buckets are tiny.
+    guard: buckets larger than ``max_bucket_size`` ids would blow up the
+    self-join quadratically, so they are dropped (``_cap_buckets``) before
+    pairing; pass ``None`` to disable.
     """
     banded = sigs.select(
         "id",
@@ -191,6 +215,8 @@ def minhash_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, ["band_id", "band_hash"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -213,6 +239,7 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Full pipeline: candidates from LSH, verified with exact Jaccard on
     the shingle sets. Returns (id_a, id_b, jaccard >= threshold)."""
@@ -229,7 +256,9 @@ def minhash_near_duplicates(
     )
     # pairs feeds two consumers (the involved-ids semi-join and the verify
     # join) — persist so the signature+banding pipeline runs once
-    pairs = minhash_candidate_pairs(sigs, bands, rows_per_band).persist()
+    pairs = minhash_candidate_pairs(
+        sigs, bands, rows_per_band, max_bucket_size=max_bucket_size
+    ).persist()
 
     # Exact-Jaccard verification, fully relational: shingle sets are built
     # ONLY for docs that appear in candidate pairs (semi-join filters the
@@ -294,6 +323,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs whose 64-bit SimHash fingerprints are
     within ``max_hamming`` bits.
@@ -327,6 +357,8 @@ def simhash_near_duplicates(
             )
         ).alias("band", "chunk"),
     )
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, ["band", "chunk"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

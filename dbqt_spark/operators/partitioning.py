@@ -37,6 +37,13 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def _content_salt(df: DataFrame, salt_buckets: int) -> "F.Column":
+    """Deterministic per-row salt: hash of every column, mod buckets.
+    Retry-safe as a shuffle key (same row always re-hashes to the same
+    salt), unlike monotonically_increasing_id-derived salts."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -55,7 +62,13 @@ def salted_agg(
         if fn not in _MERGEABLE:
             raise ValueError(f"non-mergeable aggregate: {fn}")
 
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    # Deterministic salt from ROW CONTENT, never monotonically_increasing_id:
+    # a non-deterministic salt used as a shuffle key re-salts rows when a map
+    # task is recomputed after a fetch failure (SPARK-23207-class), silently
+    # double-counting/dropping rows in the partial aggregation. Content
+    # hashing makes recomputation idempotent; duplicate rows hashing to the
+    # same salt is fine (the partial agg merges them correctly).
+    salt = _content_salt(df, salt_buckets)
     stage1_aggs = []
     for name, (col, fn) in aggs.items():
         partial = (
@@ -85,10 +98,7 @@ def salted_join(
     across all salt values, join on (key, salt). Use when one key holds
     a disproportionate share of the big side and broadcast isn't
     possible."""
-    big_s = big.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
-    )
+    big_s = big.withColumn("__salt", _content_salt(big, salt_buckets))
     small_s = small.crossJoin(
         F.broadcast(
             big.sparkSession.range(salt_buckets).select(

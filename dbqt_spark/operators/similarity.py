@@ -126,20 +126,33 @@ def ivf_build(
     id_col: str = "vec_id",
     seed: int = 42,
     max_iter: int = 10,
+    max_train_rows: int = 10_000,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Build an IVF index: KMeans the vectors into cells, return the
     cell-assigned table and the centroid list.
 
     At 100 TB the assigned table is written ``partitionBy("cell")`` so a
     probe query scans only the probed cells' files (partition pruning);
-    here it stays a DataFrame. Training samples the input (KMeans on a
-    bounded sample is standard IVF practice)."""
+    here it stays a DataFrame. Training fits KMeans on a BOUNDED sample
+    (standard IVF practice — faiss trains on ~max(10k, 39*n_cells)
+    points): centroid quality saturates long before the corpus size, and
+    an unbounded fit makes index build the scale bottleneck. The count
+    used to size the fraction is a cheap parquet-metadata count; the
+    assignment pass over the full data is unavoidable and linear."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__v")
-    model = km.fit(vecs.select("__v"))
+    n = df.count()
+    train = vecs.select("__v")
+    if n > max_train_rows:
+        # over-sample slightly so the materialized sample stays >= the
+        # target with high probability; exactness is irrelevant to KMeans
+        train = train.sample(
+            fraction=min(1.0, 1.1 * max_train_rows / n), seed=seed
+        )
+    model = km.fit(train)
     assigned = (
         model.transform(vecs)
         .withColumnRenamed(model.getPredictionCol(), "cell")
