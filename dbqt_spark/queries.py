@@ -35,7 +35,12 @@ from .operators.dedup import (
 )
 from .operators.profile import profile_columns
 from .operators.rowcount import count_compare, table_row_counts
-from .operators.similarity import cosine_topk, lsh_bucketed_topk
+from .operators.similarity import (
+    cosine_topk,
+    embedding_blocked_nn,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
 from .operators.textstats import STOPWORDS, language_id, quality_scores, token_stats
 from .operators.colcompare import compare_columns
 from .patterns import filter_excluded_tables
@@ -579,41 +584,27 @@ FROM scored ORDER BY c DESC, vec_id LIMIT 10
 """
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup: exact nearest neighbor within each label
-# block. Spark side: applyInPandas per label -> numpy matmul (Arrow
-# batches, vectorized) — the blocked-matmul design that scales: at 100 TB
-# you block by LSH bucket or IVF cell instead of label, same operator
-# shape. Oracle: the equivalent pairwise SQL.
+# Embedding-cosine near-dup / exact-NN, blocked by LSH buckets (NOT by the
+# label column): every vector lands in 64 bands x 2-bit random-hyperplane
+# buckets; each (label, band, bucket) block runs an exact numpy matmul via
+# applyInPandas and the bands are unioned. `label` stays in the block key
+# purely as the SEMANTIC filter (the contract is within-label pairs) — a
+# hot label no longer means one executor-sized block, because the bucket
+# granularity (bits_per_band) caps expected block size at n/2^bits
+# independent of the data. Recall at 64x2: miss <= (1-p_band)^64 with
+# p_band = (1-theta/pi)^2 — < 1e-7 even for cosine-0 pairs, empirically
+# exact vs the brute-force oracle. Operators: operators/similarity.py.
 # ---------------------------------------------------------------------------
 
 
 def q_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-
-    def nn_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        norms = np.sqrt((M * M).sum(axis=1))
-        C = (M @ M.T) / np.outer(norms, norms)
-        np.fill_diagonal(C, -np.inf)
-        out = []
-        for i in range(len(ids)):
-            m = C[i].max()
-            # tie-break: smallest nn_id among maxima (matches ORDER BY c
-            # DESC, nn_id in the oracle)
-            cand = ids[C[i] == m]
-            out.append((int(ids[i]), int(cand.min()), float(m)))
-        return pd.DataFrame(out, columns=["vec_id", "nn_id", "cosine"])
-
-    result = emb.groupBy("label").applyInPandas(
-        nn_block, "vec_id long, nn_id long, cosine double"
+    nn = embedding_blocked_nn(
+        emb, key_cols=["label"], bands=64, bits_per_band=2, seed=42
     )
-    return result.select("vec_id", "nn_id", F.round("cosine", 4).alias("cosine"))
+    return nn.select("vec_id", "nn_id", F.round("cosine", 4).alias("cosine"))
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,35 +612,12 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry): every within-label pair with cosine >= 0.35 (the synthetic
     embeddings are near-orthogonal, max within-label cosine ~0.47 — the
     threshold exercises real matches without a degenerate full cross
-    product). Same blocked-matmul applyInPandas shape as q_embedding_nn;
-    at corpus scale the block key becomes an LSH bucket or IVF cell."""
-    import numpy as np
-    import pandas as pd
-
-    thr = 0.35
+    product), computed via LSH-bucket blocking (see module comment)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-
-    def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        norms = np.sqrt((M * M).sum(axis=1))
-        C = (M @ M.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = np.round(C[iu, ju], 4) >= thr
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame(
-            {
-                "id_a": lo.astype("int64"),
-                "id_b": hi.astype("int64"),
-                "cosine": np.round(C[iu, ju][keep], 4),
-            }
-        )
-
-    return emb.groupBy("label").applyInPandas(
-        pair_block, "id_a long, id_b long, cosine double"
+    return embedding_near_dup_pairs(
+        emb, 0.35, key_cols=["label"], bands=64, bits_per_band=2, seed=42
     )
 
 

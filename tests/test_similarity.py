@@ -47,3 +47,91 @@ def test_lsh_probe_contains_query_vector(spark, sf_dir):
     q = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
     got = lsh_bucketed_topk(emb, list(q), k=5, n_planes=8, probe_hamming=2).collect()
     assert got and got[0]["vec_id"] == 0
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucket blocking for embedding near-dup pairs / NN: a single hot
+# label must NOT become one giant block (the label is only a semantic
+# filter; the execution blocks are (label, band, bucket)).
+# ---------------------------------------------------------------------------
+
+
+def _hot_label_df(spark, n=300, dim=16, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    M = rng.standard_normal((n, dim))
+    M[1] = M[0] + 0.05 * rng.standard_normal(dim)  # planted near-dup
+    rows = [(i, "hot", [float(x) for x in M[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    return df, M
+
+
+def _brute_pairs(M, thr):
+    import numpy as np
+
+    norms = np.sqrt((M * M).sum(axis=1))
+    C = (M @ M.T) / np.outer(norms, norms)
+    iu, ju = np.triu_indices(len(M), k=1)
+    keep = np.round(C[iu, ju], 4) >= thr
+    return {
+        (int(a), int(b), float(c))
+        for a, b, c in zip(iu[keep], ju[keep], np.round(C[iu, ju][keep], 4))
+    }
+
+
+def test_embedding_blocked_pairs_hot_label(spark):
+    """One 300-row label: label-blocking would be a single quadratic
+    block; LSH-bucket blocking keeps every block far smaller AND still
+    finds exactly the brute-force pair set."""
+    from dbqt_spark.operators.similarity import (
+        _banded_rows,
+        embedding_near_dup_pairs,
+    )
+
+    df, M = _hot_label_df(spark)
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs(
+            df, 0.8, key_cols=["label"], bands=32, bits_per_band=4, seed=1
+        ).collect()
+    }
+    want = _brute_pairs(M, 0.8)
+    assert (1, 0) not in {(a, b) for a, b, _ in got}  # ordered lo < hi
+    assert got == want and (0, 1) in {(a, b) for a, b, _ in got}
+
+    # block-size bound: the hot label (300 rows) splits into 2^4 buckets
+    # per band — no block comes near the label size
+    sizes = (
+        _banded_rows(df, ["label"], 32, 4, 1, "embedding", "vec_id")
+        .groupBy("label", "__band", "__bval")
+        .count()
+        .agg({"count": "max"})
+        .collect()[0][0]
+    )
+    assert sizes <= 100, f"hot-label block not split: max block {sizes}"
+
+
+def test_embedding_blocked_nn_hot_label(spark):
+    """Blocked NN over one hot label equals brute-force exact NN."""
+    import numpy as np
+
+    from dbqt_spark.operators.similarity import embedding_blocked_nn
+
+    df, M = _hot_label_df(spark)
+    norms = np.sqrt((M * M).sum(axis=1))
+    C = (M @ M.T) / np.outer(norms, norms)
+    np.fill_diagonal(C, -np.inf)
+    want = {
+        i: (int(np.flatnonzero(C[i] == C[i].max()).min()), round(float(C[i].max()), 6))
+        for i in range(len(M))
+    }
+    got = {
+        r["vec_id"]: (r["nn_id"], round(r["cosine"], 6))
+        for r in embedding_blocked_nn(
+            df, key_cols=["label"], bands=48, bits_per_band=2, seed=1
+        ).collect()
+    }
+    assert got == want
