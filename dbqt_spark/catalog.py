@@ -74,14 +74,24 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 # SparkSession (weak) -> {path -> DataFrame}. DataFrames are lazy plans;
 # memoizing them avoids re-running driver-side file listing + footer schema
 # reads for every query that touches the same table (bench runs dozens).
-# Weakly keyed by the session OBJECT (not id()): a stopped-and-collected
-# session's entries vanish with it, so a new session that happens to reuse
-# the same id() can never be served plans bound to the dead session.
+# Weakly keyed by the session OBJECT (not id()) so a new session that
+# happens to reuse a dead session's id() can never be served its plans.
+# NOTE the weak keying alone cannot COLLECT stale entries: the cached
+# DataFrames strongly reference their session, so the value pins the key
+# alive (the documented WeakKeyDictionary caveat) — load_table therefore
+# explicitly evicts entries whose session has been stopped.
 import weakref
 
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _session_stopped(session: SparkSession) -> bool:
+    try:
+        return session._sc._jsc is None  # SparkContext.stop() nulls _jsc
+    except Exception:
+        return False  # connect-mode/mock sessions: never treated as stopped
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -94,6 +104,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     back to microsecond timestamps, so the logical schema matches what
     DuckDB/pyarrow report."""
     path = table_path(sf_dir, name)
+    for stale in [s for s in list(_TABLE_CACHE) if _session_stopped(s)]:
+        _TABLE_CACHE.pop(stale, None)
     try:
         per_session = _TABLE_CACHE.setdefault(spark, {})
     except TypeError:  # session not weakref-able (mocks) — skip memoization

@@ -123,7 +123,7 @@ def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
     shingles: DataFrame | None = None,
@@ -159,40 +159,76 @@ def minhash_signatures(
     )
 
 
-def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
-    """Drop rows belonging to LSH buckets with more than ``max_bucket_size``
-    members, BEFORE the pair-generating self-join.
+def _split_oversized(
+    banded: DataFrame, keys: list[str], max_bucket_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """(capped_rows, oversized_buckets): rows whose LSH bucket has at most
+    ``max_bucket_size`` members, plus one row per DROPPED bucket with its
+    member count (``__n``) for drop accounting.
 
     A hot bucket (boilerplate/empty docs whose band chunks all collide) makes
-    the self-join quadratic — the classic LSH blowup at corpus scale. Capping
-    is the standard guard: members of an over-full bucket are so densely
-    similar that exact dedup (or a cheaper fingerprint pass) should own them;
-    near-dup banding is for the sparse tail. The aggregated size table has
-    one row per OVERSIZED bucket only, so the filter is a broadcast anti-join
-    (no extra shuffle of the banded rows beyond the groupBy partials).
+    the pair-generating self-join quadratic — the classic LSH blowup at
+    corpus scale. Capping is the standard guard: members of an over-full
+    bucket are so densely similar that exact dedup (or a cheaper fingerprint
+    pass) should own them; near-dup banding is for the sparse tail. The
+    aggregated size table has one row per OVERSIZED bucket only, so the
+    filter is a broadcast anti-join (no extra shuffle of the banded rows
+    beyond the groupBy partials). Callers should persist ``banded`` first:
+    the size aggregate AND the anti-join probe AND the downstream self-join
+    all consume it.
     """
     oversized = (
         banded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > max_bucket_size)
-        .select(*keys)
     )
-    return banded.join(F.broadcast(oversized), keys, "left_anti")
+    capped = banded.join(
+        F.broadcast(oversized.select(*keys)), keys, "left_anti"
+    )
+    return capped, oversized
+
+
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop rows in oversized LSH buckets (see ``_split_oversized``)."""
+    return _split_oversized(banded, keys, max_bucket_size)[0]
+
+
+def _record_drop_stats(oversized: DataFrame, drop_stats: dict | None) -> None:
+    """Eagerly fill ``drop_stats`` with n_dropped_buckets / n_dropped_rows.
+
+    Silently skipping the densest clusters is a correctness trap in a
+    production dedup — the counts make it observable. Runs one small job
+    (cheap: the banded frame is persisted by the callers)."""
+    if drop_stats is None:
+        return
+    row = oversized.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("r"),
+    ).collect()[0]
+    drop_stats["n_dropped_buckets"] = int(row["b"])
+    drop_stats["n_dropped_rows"] = int(row["r"])
 
 
 def minhash_candidate_pairs(
     sigs: DataFrame,
     bands: int = 16,
-    rows_per_band: int = 4,
+    rows_per_band: int = 2,
     max_bucket_size: int | None = 1000,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature, self-join on
     (band_id, band_hash), emit (id_a < id_b) candidate pairs.
 
     Shuffle profile: one explode (narrow) + one shuffle on band_hash. Skew
     guard: buckets larger than ``max_bucket_size`` ids would blow up the
-    self-join quadratically, so they are dropped (``_cap_buckets``) before
-    pairing; pass ``None`` to disable.
+    self-join quadratically, so they are dropped (``_split_oversized``)
+    before pairing; pass ``None`` to disable, pass a ``drop_stats`` dict to
+    receive n_dropped_buckets / n_dropped_rows (computed eagerly).
+
+    The banded frame is persisted when the cap is on: the size aggregate,
+    the anti-join probe, and both sides of the pair self-join consume it —
+    unpersisted, the signature pipeline would re-run up to 4x (it is
+    O(n_docs x bands) narrow rows, LRU-evictable).
     """
     banded = sigs.select(
         "id",
@@ -216,7 +252,11 @@ def minhash_candidate_pairs(
         ).alias("band_id", "band_hash"),
     )
     if max_bucket_size is not None:
-        banded = _cap_buckets(banded, ["band_id", "band_hash"], max_bucket_size)
+        banded = banded.persist()
+        banded, oversized = _split_oversized(
+            banded, ["band_id", "band_hash"], max_bucket_size
+        )
+        _record_drop_stats(oversized, drop_stats)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -236,13 +276,23 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Full pipeline: candidates from LSH, verified with exact Jaccard on
-    the shingle sets. Returns (id_a, id_b, jaccard >= threshold)."""
+    the shingle sets. Returns (id_a, id_b, jaccard >= threshold).
+
+    Banding default is 32 hashes x 16 bands x 2 rows/band: halving the MIN
+    aggregates vs 64x16x4 nearly halves signature cost (the wall-clock
+    floor of the family), while 2-row bands RAISE recall — a pair at
+    Jaccard j collides per band with j^2 instead of j^4, so
+    miss <= (1 - j^2)^16 (~1e-11 at j = 0.89, the lowest true near-dup in
+    the synthetic corpus; the brute-force oracle check is exact). The cost
+    is a looser candidate filter (band false-positive rate j^2), which the
+    exact-Jaccard verification absorbs."""
     rows_per_band = num_hashes // bands
     # shingle rows feed both the signature pipeline and the exact-Jaccard
     # verification — persist so the tokenize + window pass runs once
@@ -257,7 +307,8 @@ def minhash_near_duplicates(
     # pairs feeds two consumers (the involved-ids semi-join and the verify
     # join) — persist so the signature+banding pipeline runs once
     pairs = minhash_candidate_pairs(
-        sigs, bands, rows_per_band, max_bucket_size=max_bucket_size
+        sigs, bands, rows_per_band, max_bucket_size=max_bucket_size,
+        drop_stats=drop_stats,
     ).persist()
 
     # Exact-Jaccard verification, fully relational: shingle sets are built
@@ -287,19 +338,39 @@ def minhash_near_duplicates(
     return verified
 
 
+PORTABLE_HASH_BITS = 60
+
+
+def portable_token_hash(tok_col) -> "F.Column":
+    """First 60 bits of md5(token) as a non-negative bigint — the
+    engine-portable token hash: md5 is identical everywhere, 15 hex chars
+    (< 2^60) dodge signed-overflow differences, so a DuckDB/Trino/etc
+    oracle can reproduce SimHash fingerprints bit-for-bit
+    (``('0x' || substr(md5(tok), 1, 15))::UBIGINT`` on the DuckDB side).
+    xxhash64 stays the default hot path (one JVM op, no hex round-trip)."""
+    return F.conv(F.substring(F.md5(tok_col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per doc: sum ±1 per bit over token hashes, sign ->
     bit. Explode + ``bits`` SUM aggregates (codegen'd, map-side partial
-    agg) — same rationale as minhash_signatures."""
+    agg) — same rationale as minhash_signatures.
+
+    ``portable=True`` swaps xxhash64 for ``portable_token_hash`` (60-bit
+    md5 prefix): bits 60-63 of the fingerprint are then constant 0, and an
+    external SQL engine can verify fingerprints and Hamming pairs exactly.
+    """
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    token_hash = portable_token_hash(F.col("tok")) if portable else F.xxhash64("tok")
     exploded = df.select(
         F.col(id_col), F.explode(toks).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash)
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -324,6 +395,8 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int | None = 1000,
+    portable: bool = False,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs whose 64-bit SimHash fingerprints are
     within ``max_hamming`` bits.
@@ -334,13 +407,16 @@ def simhash_near_duplicates(
     candidates come from ``bands`` exact-match hash buckets (one shuffle
     join), never a cross join. Requires ``max_hamming < bands``. Exact
     Hamming distance then filters candidates via bit_count(xor), all
-    JVM-side."""
+    JVM-side. Banding is EXHAUSTIVE (pigeonhole, not probabilistic), so
+    with the cap disabled the result equals brute force — which is what
+    the ``portable=True`` + DuckDB-oracle pairing verifies. ``drop_stats``
+    receives n_dropped_buckets / n_dropped_rows when the cap fires."""
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole banding needs max_hamming < bands "
             f"({max_hamming} >= {bands})"
         )
-    fp = simhash_fingerprints(df, text_col, id_col)
+    fp = simhash_fingerprints(df, text_col, id_col, portable=portable)
     width = 64 // bands
     mask = (1 << width) - 1
     banded = fp.select(
@@ -358,7 +434,13 @@ def simhash_near_duplicates(
         ).alias("band", "chunk"),
     )
     if max_bucket_size is not None:
-        banded = _cap_buckets(banded, ["band", "chunk"], max_bucket_size)
+        # persist: size aggregate + anti-join probe + both self-join sides
+        # all consume the banded frame (same rationale as the minhash cap)
+        banded = banded.persist()
+        banded, oversized = _split_oversized(
+            banded, ["band", "chunk"], max_bucket_size
+        )
+        _record_drop_stats(oversized, drop_stats)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

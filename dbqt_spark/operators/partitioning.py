@@ -97,7 +97,15 @@ def salted_join(
     """Skew-safe equi-join: salt the big side, replicate the small side
     across all salt values, join on (key, salt). Use when one key holds
     a disproportionate share of the big side and broadcast isn't
-    possible."""
+    possible.
+
+    Limitation of the content-hash salt: FULLY identical duplicate rows
+    all hash to one salt value, so a hot key made of exact-duplicate rows
+    is not spread (correctness is unaffected — one task just stays hot).
+    For that shape, pre-aggregate the exact duplicates to (row, count)
+    before the join and expand after, or run ``dedup_exact`` upstream;
+    for distinct-row skew (the common case) the salt spreads fine, and
+    AQE's skew-join split is the runtime backstop."""
     big_s = big.withColumn("__salt", _content_salt(big, salt_buckets))
     small_s = small.crossJoin(
         F.broadcast(

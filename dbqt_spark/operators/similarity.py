@@ -138,22 +138,24 @@ def ivf_build(
     here it stays a DataFrame. Training fits KMeans on a BOUNDED sample
     (standard IVF practice — faiss trains on ~max(10k, 39*n_cells)
     points): centroid quality saturates long before the corpus size, and
-    an unbounded fit makes index build the scale bottleneck. The count
-    used to size the fraction is a cheap parquet-metadata count; the
-    assignment pass over the full data is unavoidable and linear."""
+    an unbounded fit makes index build the scale bottleneck. Size
+    detection is a ``limit(max_train_rows + 1).count()`` — LocalLimit
+    short-circuits the scan after max_train_rows + 1 rows, so derived
+    (filtered/joined) inputs don't pay a full extra pass the way an
+    unconditional ``df.count()`` would. The assignment pass over the full
+    data is unavoidable and linear."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__v")
-    n = df.count()
     train = vecs.select("__v")
-    if n > max_train_rows:
-        # over-sample slightly so the materialized sample stays >= the
-        # target with high probability; exactness is irrelevant to KMeans
-        train = train.sample(
-            fraction=min(1.0, 1.1 * max_train_rows / n), seed=seed
-        )
+    if df.limit(max_train_rows + 1).count() > max_train_rows:
+        # single-pass bounded sample: per-partition top-K by a seeded
+        # random key (planned as TakeOrdered — no full sort/shuffle, no
+        # full count). rand(seed) is partition-position seeded, which is
+        # fine here: the sample only steers centroid quality.
+        train = train.orderBy(F.rand(seed)).limit(max_train_rows)
     model = km.fit(train)
     assigned = (
         model.transform(vecs)

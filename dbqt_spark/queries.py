@@ -1184,7 +1184,14 @@ WHERE table_name IN ({_TABLES_IN})
 """
 
 # ---------------------------------------------------------------------------
-# Non-SQL-expressible ops (rows-only checks: no oracle entry)
+# MinHash / SimHash near-dup pair searches — ORACLED against brute force.
+# The Spark side is the LSH/banded pipeline; the DuckDB side is the exact
+# all-pairs computation (tractable at oracle scale: 500 docs = 125k
+# pairs). They agree because (a) minhash verification is exact Jaccard and
+# the 16x2 banding's miss probability at the corpus' lowest true pair
+# (j=0.89) is ~1e-11, and (b) simhash pigeonhole banding is exhaustive by
+# construction; the portable (md5-prefix) token hash makes the
+# fingerprints bit-reproducible in any SQL engine.
 # ---------------------------------------------------------------------------
 
 
@@ -1193,18 +1200,88 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
+_SQL_SHINGLES = """
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+              ELSE [array_to_string(ts, ' ')] END AS s
+  FROM toks WHERE len(ts) > 0
+)"""
+
+SQL_MINHASH_NEAR_DUPS = f"""
+WITH {_SQL_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    """SimHash fingerprints with the engine-portable (md5-prefix) token
+    hash, so DuckDB reproduces every 64-bit fingerprint exactly."""
+    return simhash_fingerprints(
+        load_table(spark, sf_dir, "documents"), portable=True
+    )
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Hamming-distance pair search over the SimHash fingerprints
-    (Manku et al. pigeonhole LSH). Approximate op family -> rows-only
-    check (the banding join + bit_count have no tractable ANSI-SQL twin)."""
+    (Manku et al. pigeonhole LSH — exhaustive for max_hamming < bands, so
+    the brute-force oracle is an exact twin)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=3).orderBy(
+    return simhash_near_duplicates(docs, max_hamming=3, portable=True).orderBy(
         "id_a", "id_b"
     )
+
+
+# DuckDB twin of operators/dedup.simhash_fingerprints(portable=True):
+# 60-bit md5-prefix token hash, one SUM per bit, sign -> bit. Generated
+# programmatically (60 aggregates) — same vocabulary-sharing rule as the
+# other oracles.
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{k}"
+    for k in range(60)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN b_{k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for k in range(60)
+)
+_SQL_SIMHASH_FP = f"""
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM toks
+),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM sums)"""
+
+SQL_SIMHASH = f"WITH {_SQL_SIMHASH_FP} SELECT doc_id, simhash FROM fp"
+
+SQL_SIMHASH_NEAR_DUPS = f"""
+WITH {_SQL_SIMHASH_FP}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops (rows-only checks: no oracle entry)
+# ---------------------------------------------------------------------------
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1466,6 +1543,12 @@ ORACLES: dict[str, str] = {
     "pivot_order_status": SQL_PIVOT_ORDER_STATUS,
     "dynamic_queries": SQL_DYNAMIC_QUERIES,
     "table_discovery": SQL_TABLE_DISCOVERY,
-    # minhash_near_dups / simhash / lsh_topk: approximate & hash-seeded —
-    # not ANSI-SQL-expressible; rows-only checks.
+    "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+    "simhash": SQL_SIMHASH,
+    "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+    # Remaining rows-only checks, each for a structural reason:
+    # profile_approx (HLL sketch — approximate by definition), lsh_topk /
+    # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL
+    # twin), keyfinder_search (iterative driver-side search loop),
+    # multimodal_features (mapInPandas binary decode).
 }

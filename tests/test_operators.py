@@ -360,3 +360,71 @@ def test_range_join_binned(spark):
         range_join_binned(fact, "v", ivl, bin_width=0)
     with pytest.raises(ValueError):
         range_join_binned(fact, "v", ivl, how="full")
+
+
+# -- LSH bucket cap: pathological hot buckets --------------------------------
+
+
+def _hot_bucket_docs(spark, n_hot=2000):
+    """2000 identical docs (every LSH bucket they touch goes hot) plus one
+    planted near-dup pair of distinct docs."""
+    blob = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 4
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [(i, blob) for i in range(n_hot)]
+    rows += [(10_000, base), (10_001, base.replace("gamma", "GAMMA2", 1))]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_bucket_cap_drops_hot_bucket(spark):
+    """The bucket-size cap must (a) fire on a hot bucket, (b) report what
+    it dropped, and (c) keep the pair join sub-quadratic while still
+    finding the planted near-dup pair."""
+    from dbqt_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_near_duplicates,
+        minhash_signatures,
+    )
+
+    df = _hot_bucket_docs(spark)
+    stats = {}
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            df, threshold=0.5, max_bucket_size=100, drop_stats=stats
+        ).collect()
+    }
+    # identical docs form one hot bucket per band: all 16 dropped
+    assert stats["n_dropped_buckets"] == 16
+    assert stats["n_dropped_rows"] == 2000 * 16
+    # the hot cluster is excluded (exact dedup's job), the sparse tail kept
+    assert pairs == {(10_000, 10_001)}
+
+    # sub-quadratic: without the cap the candidate join would emit
+    # 2000*1999/2 pairs per band; with it, only the planted pair survives
+    sigs = minhash_signatures(df)
+    n_cand = minhash_candidate_pairs(sigs, max_bucket_size=100).count()
+    assert n_cand == 1
+
+
+def test_simhash_bucket_cap_drops_hot_bucket(spark):
+    from dbqt_spark.operators.dedup import simhash_near_duplicates
+
+    df = _hot_bucket_docs(spark, n_hot=1500)
+    stats = {}
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(
+            df, max_hamming=3, max_bucket_size=100, drop_stats=stats
+        ).collect()
+    }
+    # identical fingerprints: one hot (band, chunk) bucket per band
+    assert stats["n_dropped_buckets"] == 4
+    assert stats["n_dropped_rows"] == 1500 * 4
+    assert (0, 1) not in pairs  # hot cluster excluded
+    # cap off -> hot cluster pairs come back and stats stay zeroed
+    stats2 = {}
+    all_pairs = simhash_near_duplicates(
+        df.limit(50), max_hamming=3, max_bucket_size=None, drop_stats=stats2
+    ).count()
+    assert all_pairs == 50 * 49 / 2
+    assert stats2 == {}

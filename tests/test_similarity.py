@@ -135,3 +135,21 @@ def test_embedding_blocked_nn_hot_label(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ivf_sampled_fit_recall(spark, sf_dir):
+    """Force the bounded-sample training branch (max_train_rows below the
+    dataset size): centroids come from a 100-row sample, yet probing ALL
+    cells must still equal brute force (assignment is exact regardless of
+    centroid quality)."""
+    from dbqt_spark.operators.similarity import ivf_build, ivf_search
+
+    emb, q, truth = _truth_topk(spark, sf_dir)
+    assert emb.count() > 100
+    assigned, centroids = ivf_build(emb, n_cells=8, max_train_rows=100)
+    assert len(centroids) == 8
+    got = [
+        r["vec_id"]
+        for r in ivf_search(assigned, centroids, q, k=10, n_probes=8).collect()
+    ]
+    assert got == truth
