@@ -96,10 +96,26 @@ def _dual_pairs(cfg, db, tcfg, tdb) -> list[dict]:
     return discover_common_tables(src_names, tgt_names)
 
 
+def _db_row_counts(spark, db, named: list[tuple[str, str]]):
+    """Count rows for (out_name, table) pairs THROUGH the connection kind:
+    tables resolve via ``db.load`` (csv/json/orc/JDBC included), not by
+    assuming ``<root>/<table>.parquet``. ``out_name`` lets dual mode key
+    counts by an explicit pair id so duplicate table names can't collide."""
+    from .operators.rowcount import df_row_counts
+
+    dfs, errors = {}, []
+    for out_name, table in named:
+        try:
+            dfs[out_name] = db.load(table)
+        except Exception as exc:  # unreadable table -> note row
+            errors.append((out_name, f"ERROR: {exc}"))
+    return df_row_counts(db.spark, dfs, errors=errors)
+
+
 def tool_dbstats(argv: list[str]) -> int:
     from pyspark.sql import functions as F
 
-    from .operators.rowcount import count_compare, table_row_counts
+    from .operators.rowcount import count_compare
     from .report.html import HTMLReport
 
     p = argparse.ArgumentParser(prog="dbstats")
@@ -121,23 +137,30 @@ def tool_dbstats(argv: list[str]) -> int:
         # one-sided tables are skipped with a note, never counted
         # (reference dbstats.py:113-134)
         common = [p_ for p_ in pairs if p_["_discovery_status"] == "common"]
-        src_counts = table_row_counts(
-            spark, db._root(), [p_["source_table"] for p_ in common]
-        ).withColumnRenamed("table_name", "source_table")
-        tgt_counts = table_row_counts(
-            tdb.spark, tdb._root(), [p_["target_table"] for p_ in common]
-        ).withColumnRenamed("table_name", "source_table")  # join key reuse
-        # align target counts back onto the pair's source name
-        name_map = {p_["target_table"]: p_["source_table"] for p_ in common}
-        mapping = F.create_map(
-            *[F.lit(x) for kv in name_map.items() for x in kv]
-        ) if name_map else None
-        if mapping is not None:
-            tgt_counts = tgt_counts.withColumn(
-                "source_table", mapping[F.col("source_table")]
+        # counts are keyed by an explicit pair id, NOT the table name: one
+        # target table may pair with several source names (and vice versa)
+        src_counts = _db_row_counts(
+            spark, db,
+            [(f"p{i}", p_["source_table"]) for i, p_ in enumerate(common)],
+        ).withColumnRenamed("table_name", "pair_id")
+        tgt_counts = _db_row_counts(
+            tdb.spark, tdb,
+            [(f"p{i}", p_["target_table"]) for i, p_ in enumerate(common)],
+        ).withColumnRenamed("table_name", "pair_id")
+        compared = count_compare(src_counts, tgt_counts, join_on="pair_id")
+        id_names = spark.createDataFrame(
+            [(f"p{i}", p_["source_table"]) for i, p_ in enumerate(common)]
+            or [("__none__", None)],
+            "pair_id string, source_table string",
+        )
+        result = (
+            compared.join(F.broadcast(id_names), "pair_id")
+            .drop("pair_id")
+            .select(
+                "source_table", "source_row_count", "target_row_count",
+                "difference", "percentage_difference", "source_notes",
+                "target_notes",
             )
-        result = count_compare(
-            src_counts, tgt_counts, join_on="source_table"
         )
         skipped = [
             (
@@ -157,7 +180,7 @@ def tool_dbstats(argv: list[str]) -> int:
         report.add_dataframe_tab("Row Counts", result)
     else:
         names = _resolve_tables(cfg, db)
-        result = table_row_counts(spark, db._root(), names)
+        result = _db_row_counts(spark, db, [(n, n) for n in names])
         report.add_dataframe_tab("Row Counts", result)
 
     if args.mode in ("colcompare", "both") and args.target_config:

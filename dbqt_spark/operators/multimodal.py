@@ -74,27 +74,119 @@ def _fake_decode_features(payload: bytes) -> list[float]:
     return [round(x / total, 6) for x in buckets]
 
 
+def _decode_image_features(payload: bytes) -> list[float]:
+    """Real image decode (pillow): per-RGB-channel mean/std + dimensions,
+    folded to _FEATURE_DIM values."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    arr = np.asarray(img, dtype=np.float64) / 255.0
+    feats = [float(arr[..., c].mean()) for c in range(3)]
+    feats += [float(arr[..., c].std()) for c in range(3)]
+    feats += [float(arr.shape[1]), float(arr.shape[0])]  # width, height
+    return [round(x, 6) for x in feats[:_FEATURE_DIM]]
+
+
+def _decode_wav_features(payload: bytes) -> list[float]:
+    """Real audio decode for WAV payloads via the stdlib ``wave`` module
+    (no external deps): amplitude stats + stream shape, _FEATURE_DIM
+    values. PCM width 1/2/4 bytes; multi-channel is mean-mixed."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n, ch, width = w.getnframes(), w.getnchannels(), w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(n)
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+    arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    x = arr / float(2 ** (8 * width - 1))
+    feats = [
+        float(x.mean()) if len(x) else 0.0,
+        float(x.std()) if len(x) else 0.0,
+        float(np.abs(x).mean()) if len(x) else 0.0,
+        float(x.max()) if len(x) else 0.0,
+        float(x.min()) if len(x) else 0.0,
+        float(len(x)),
+        float(ch),
+        float(rate),
+    ]
+    return [round(f, 6) for f in feats[:_FEATURE_DIM]]
+
+
+def resolve_decoder(media_type: str = "image"):
+    """Pick the best available REAL decoder for ``media_type`` — pillow
+    for images, soundfile then stdlib-wave for audio — or raise
+    NotImplementedError (on the DRIVER, before any job runs) when no
+    capable library is importable."""
+    if media_type == "image":
+        try:
+            import PIL  # noqa: F401
+
+            return _decode_image_features
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image decode requires pillow; install it or use "
+                "decode_stub=True"
+            ) from exc
+    if media_type == "audio":
+        try:
+            import soundfile as sf
+
+            def _sf_features(payload: bytes) -> list[float]:
+                import io
+
+                import numpy as np
+
+                data, rate = sf.read(io.BytesIO(payload), dtype="float64")
+                x = data.mean(axis=1) if data.ndim > 1 else data
+                ch = data.shape[1] if data.ndim > 1 else 1
+                feats = [
+                    float(x.mean()), float(x.std()),
+                    float(np.abs(x).mean()), float(x.max()), float(x.min()),
+                    float(len(x)), float(ch), float(rate),
+                ]
+                return [round(f, 6) for f in feats[:_FEATURE_DIM]]
+
+            return _sf_features
+        except ImportError:
+            return _decode_wav_features  # stdlib fallback: WAV only
+    raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+
+
 def extract_features(
     df: DataFrame,
     id_col: str = "media_id",
     content_col: str = "content",
     decode_stub: bool = True,
+    decoder=None,
+    media_type: str = "image",
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Real pipeline shape: mapInPandas consumes column-pruned batches of
-    (id, content) and emits fixed-dim feature vectors. Swap
-    ``_fake_decode_features`` for a real decoder (PIL/torchvision/ffmpeg)
-    when available.
+    Pipeline shape: mapInPandas consumes column-pruned batches of
+    (id, content) and emits fixed-dim feature vectors. The decode step is
+    pluggable: pass ``decoder`` (bytes -> list[float]) directly, or set
+    ``decode_stub=False`` to resolve a real one (pillow for images,
+    soundfile/stdlib-wave for audio) via ``resolve_decoder`` — missing
+    libraries fail fast on the driver with NotImplementedError. The
+    default stub keeps the full Spark plumbing exercised where no media
+    library exists.
     """
+    if decoder is None:
+        decoder = (
+            _fake_decode_features if decode_stub else resolve_decoder(media_type)
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires image/audio libs not present "
-                    "in this container; use decode_stub=True"
-                )
             payloads = pdf[content_col]
             yield pd.DataFrame(
                 {
@@ -103,9 +195,7 @@ def extract_features(
                         lambda p: len(p) if p is not None else None
                     ),
                     "features": payloads.map(
-                        lambda p: _fake_decode_features(p)
-                        if p is not None
-                        else None
+                        lambda p: decoder(p) if p is not None else None
                     ),
                 }
             )

@@ -40,32 +40,52 @@ def _count_one(df: DataFrame, name: str, where: str | None) -> DataFrame:
     ).select("table_name", "row_count", "notes")
 
 
-def table_row_counts(
+def df_row_counts(
     spark: SparkSession,
-    sf_dir: str,
-    tables: list[str],
+    dfs: dict[str, DataFrame],
     where: dict[str, str] | None = None,
+    errors: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
-    """(table_name, row_count, notes) for every table; unreadable tables get
-    a note row with NULL count (error-as-data, dbqt/tools/dbstats.py:60-63).
-    """
+    """(table_name, row_count, notes) from pre-loaded DataFrames — the
+    connection-kind-agnostic core: callers resolve names through whatever
+    source (parquet dir, csv/json/orc, JDBC) and pass the frames; load
+    failures arrive via ``errors`` as (name, message) and become note rows
+    with NULL count (error-as-data, dbqt/tools/dbstats.py:60-63)."""
     where = where or {}
-    parts: list[DataFrame] = []
-    errors: list[tuple] = []
-    for name in tables:
-        try:
-            df = load_table(spark, sf_dir, name)
-            parts.append(_count_one(df, name, where.get(name)))
-        except Exception as exc:  # unreadable/missing table -> note row
-            errors.append((name, None, f"ERROR: {exc}"))
+    parts: list[DataFrame] = [
+        _count_one(df, name, where.get(name)) for name, df in dfs.items()
+    ]
     if errors:
-        parts.append(spark.createDataFrame(errors, schema=_COUNTS_SCHEMA))
+        parts.append(
+            spark.createDataFrame(
+                [(n, None, msg) for n, msg in errors], schema=_COUNTS_SCHEMA
+            )
+        )
     if not parts:
         return spark.createDataFrame([], schema=_COUNTS_SCHEMA)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def table_row_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str],
+    where: dict[str, str] | None = None,
+) -> DataFrame:
+    """(table_name, row_count, notes) for every parquet table under
+    ``sf_dir``; unreadable tables get a note row (see ``df_row_counts``).
+    """
+    dfs: dict[str, DataFrame] = {}
+    errors: list[tuple[str, str]] = []
+    for name in tables:
+        try:
+            dfs[name] = load_table(spark, sf_dir, name)
+        except Exception as exc:  # unreadable/missing table -> note row
+            errors.append((name, f"ERROR: {exc}"))
+    return df_row_counts(spark, dfs, where, errors)
 
 
 def count_compare(

@@ -36,6 +36,9 @@ _JDBC_URLS = {
     "sqlserver": "jdbc:sqlserver://{host}:{port};databaseName={database}",
     "oracle": "jdbc:oracle:thin:@{host}:{port}/{database}",
     "snowflake": "jdbc:snowflake://{account}.snowflakecomputing.com/",
+    # Athena speaks JDBC too (Simba driver); direct-S3 is the preferred
+    # path when the table location is known (see Database.load)
+    "athena": "jdbc:awsathena://athena.{region}.amazonaws.com:443",
 }
 
 _DEFAULT_PORTS = {
@@ -79,10 +82,13 @@ class Database:
                 f[: -len(ext)] for f in os.listdir(root) if f.endswith(ext)
             )
         if self.kind in _JDBC_URLS:
+            default_schema = "public" if self.kind != "athena" else (
+                self.connection.get("database", "default")
+            )
             q = (
                 "SELECT table_name FROM information_schema.tables "
                 "WHERE table_schema = '{schema}'"
-            ).format(schema=self.connection.get("schema", "public"))
+            ).format(schema=self.connection.get("schema", default_schema))
             return [r[0] for r in self._jdbc_query(q).collect()]
         raise ValueError(f"unsupported connection type: {self.kind}")
 
@@ -98,7 +104,19 @@ class Database:
                     self.spark, os.path.dirname(path),
                     os.path.splitext(os.path.basename(path))[0],
                 )
+            # an S3 prefix reads all objects under it — this subsumes the
+            # reference's prefix auto-select (connections.py:343-376,
+            # "one object under the prefix -> use that file") and
+            # generalizes it to the multi-file layout Spark prefers
             return self.spark.read.parquet(path)
+        if self.kind == "athena":
+            # Athena tables ARE files in S3: when the config carries the
+            # table location root, read it directly (scales: Spark scans
+            # S3 in parallel, no Athena query quota / result staging).
+            # Otherwise fall back to the Athena JDBC driver.
+            if self.connection.get("s3_location"):
+                return self.spark.read.parquet(self._athena_table_path(table))
+            return self._jdbc_table(table)
         if self.kind == "csv":
             return (
                 self.spark.read.option("header", True)
@@ -114,6 +132,14 @@ class Database:
             return self._jdbc_table(table)
         raise ValueError(f"unsupported connection type: {self.kind}")
 
+    def _athena_table_path(self, table: str) -> str:
+        """<s3_location>/<table>/ through Hadoop's s3a connector (the s3://
+        scheme Athena configs carry has no Hadoop filesystem)."""
+        loc = self.connection["s3_location"].rstrip("/")
+        if loc.startswith("s3://"):
+            loc = "s3a://" + loc[len("s3://"):]
+        return f"{loc}/{table}/"
+
     def _table_path(self, table: str, ext: str) -> str:
         root = self._root()
         if self.kind == "s3parquet":
@@ -122,7 +148,15 @@ class Database:
             return f"s3a://{bucket}/{key}"
         if os.path.isfile(root):
             return root
-        return os.path.join(root, f"{table}{ext}")
+        named = os.path.join(root, f"{table}{ext}")
+        if not os.path.exists(named) and os.path.isdir(root):
+            # reference's prefix auto-select (connections.py:343-376):
+            # pointing at a location with exactly ONE data file means that
+            # file, whatever it is named
+            only = [f for f in os.listdir(root) if f.endswith(ext)]
+            if len(only) == 1:
+                return os.path.join(root, only[0])
+        return named
 
     # -- JDBC ---------------------------------------------------------------
 
@@ -133,8 +167,20 @@ class Database:
             port=c.get("port", _DEFAULT_PORTS.get(self.kind, 0)),
             database=c.get("database", ""),
             account=c.get("account", ""),
+            region=c.get("aws_region", "us-east-1"),
         )
         opts = {"url": url}
+        if self.kind == "athena":
+            # reference config surface (connections.py:608-698): workgroup
+            # default "primary", catalog "AwsDataCatalog", optional
+            # database; staging dir is where Athena writes result sets
+            opts["driver"] = "com.simba.athena.jdbc.Driver"
+            opts["Workgroup"] = str(c.get("workgroup", "primary"))
+            opts["Catalog"] = str(c.get("catalog", "AwsDataCatalog"))
+            if c.get("s3_staging_dir"):
+                opts["S3OutputLocation"] = str(c["s3_staging_dir"])
+            if c.get("database"):
+                opts["Schema"] = str(c["database"])
         for k in ("user", "password", "driver"):
             if c.get(k):
                 opts[k] = str(c[k])

@@ -85,3 +85,50 @@ def test_keyfinder_cli(spark, sf_dir, capsys):
         assert main(["findkey", "--config", cfg, "--table", "orders"]) == 0
         out = capsys.readouterr().out
         assert "o_orderkey" in out
+
+
+def test_dbstats_honors_csv_connection_kind(spark, tmp_path, capsys):
+    """A csv-kind config must produce REAL counts through Database.load,
+    not ERROR notes from assuming <root>/<table>.parquet."""
+    (tmp_path / "people.csv").write_text("id,name\n1,ann\n2,bo\n3,cy\n")
+    (tmp_path / "pets.csv").write_text("pet_id,kind\n1,cat\n")
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: csv\n  path: {tmp_path}\n",
+    )
+    out_html = str(tmp_path / "s.html")
+    assert main(["dbstats", "--config", cfg, "--output", out_html]) == 0
+    html = open(out_html).read()
+    assert '"row_count": 3' in html and '"row_count": 1' in html
+    assert "ERROR" not in html
+
+
+def test_dbstats_dual_two_sources_one_target(spark, sf_dir, tmp_path):
+    """Two source tables paired with the SAME target table: counts must
+    join on the pair id, not the (colliding) table name."""
+    src = _write(
+        tmp_path / "s.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n"
+        f"tables_file: {tmp_path / 'pairs.csv'}\n",
+    )
+    tgt = _write(
+        tmp_path / "t.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n",
+    )
+    _write(
+        tmp_path / "pairs.csv",
+        "source_table,target_table\norders,orders\nlineitem,orders\n",
+    )
+    out_html = str(tmp_path / "d.html")
+    assert (
+        main(
+            ["dbstats", "--config", src, "--target-config", tgt,
+             "--output", out_html]
+        )
+        == 0
+    )
+    html = open(out_html).read()
+    # orders vs orders -> difference 0; lineitem vs orders -> nonzero
+    assert '"difference": 0' in html
+    assert '"source_table": "lineitem"' in html
+    assert html.count('"source_table"') >= 2

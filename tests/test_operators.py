@@ -278,12 +278,77 @@ def test_multimodal_features(spark):
     assert sum(1 for r in frames if r["media_id"] == 2) == 3
 
 
-def test_multimodal_stub_raises(spark):
+def test_multimodal_real_image_decode_needs_pillow(spark):
+    """decode_stub=False resolves a REAL decoder; with pillow absent the
+    failure is immediate and driver-side (no job launched)."""
     df = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
     from dbqt_spark.operators.multimodal import extract_features
 
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        extract_features(df, decode_stub=False).collect()
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        pytest.skip("pillow available: real image decode path active")
+    with pytest.raises(NotImplementedError, match="pillow"):
+        extract_features(df, decode_stub=False, media_type="image")
+
+
+def test_multimodal_custom_decoder(spark):
+    """The decode step is pluggable: a user decoder runs inside the
+    mapInPandas batches."""
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, b"defg")], "media_id long, content binary"
+    )
+    from dbqt_spark.operators.multimodal import extract_features
+
+    got = {
+        r["media_id"]: r["features"]
+        for r in extract_features(
+            df, decoder=lambda p: [float(len(p))] * 2
+        ).collect()
+    }
+    assert got == {1: [3.0, 3.0], 2: [4.0, 4.0]}
+
+
+def test_multimodal_real_wav_decode(spark):
+    """Real audio decode end-to-end: generate WAV bytes (stdlib), decode
+    through the resolved audio decoder inside Spark, check the stats."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    rate, n = 8000, 800
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = [
+            int(10_000 * math.sin(2 * math.pi * 440 * i / rate))
+            for i in range(n)
+        ]
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(7, payload)], "media_id long, content binary"
+    )
+    from dbqt_spark.operators.multimodal import extract_features
+
+    row = extract_features(
+        df, decode_stub=False, media_type="audio"
+    ).collect()[0]
+    f = row["features"]
+    assert len(f) == 8
+    mean, std, mean_abs, fmax, fmin, length, ch, frate = f
+    assert abs(mean) < 0.01          # sine wave: zero mean
+    assert 0.15 < std < 0.35         # amplitude 10000/32768 ~ 0.305 rms/sqrt2
+    assert fmax > 0.25 and fmin < -0.25
+    assert (length, ch, frate) == (800.0, 1.0, 8000.0)
 
 
 # -- as-of join --------------------------------------------------------------
