@@ -34,9 +34,11 @@ def main() -> None:
     # times under that contention; "value" is the end-to-end wall time.
     from concurrent.futures import ThreadPoolExecutor
 
-    # 12 measured best on local[32]: wall time converges to the longest
-    # single query (minhash_near_dups); fewer workers leave cores idle.
-    workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "12"))
+    # 13 measured best on local[32]: the pool is now throughput-bound
+    # (total ~= sum_query_sec / workers, ~180s/13), not tail-bound; 16+
+    # workers thrash (sum inflates to ~320s), <=12 leaves the packing
+    # bound above the minhash tail.
+    workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "13"))
 
     timings: dict[str, float] = {}
 

@@ -29,6 +29,24 @@ def normalize_text(text_col: str = "text") -> "F.Column":
     return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input has
+    fewer partitions — a SMALL-INPUT fix, not a scale behavior.
+
+    The tokenize/explode stages below run inside the scan tasks; a table
+    stored as one parquet row group (this repo's testdata) means ONE task
+    regexes and explodes every document. At corpus scale inputs arrive in
+    >= cores splits (maxPartitionBytes) and this is a no-op; locally it
+    turns a single-threaded 5 s tokenize into 32-way parallelism for the
+    price of shuffling the raw (small) docs."""
+    try:
+        n = df.rdd.getNumPartitions()
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    return df.repartition(target) if n < target else df
+
+
 def exact_duplicate_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -100,7 +118,7 @@ def shingle_rows(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
     )
     w = Window.partitionBy("id").orderBy("pos")
@@ -314,19 +332,22 @@ def minhash_near_duplicates(
     # Exact-Jaccard verification, fully relational: shingle sets are built
     # ONLY for docs that appear in candidate pairs (semi-join filters the
     # cached shingle rows), then intersect/union on those few rows.
-    involved = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
+    # no distinct: the semi-join tolerates duplicate probe ids, and the
+    # candidate set is already bucket-capped small — a distinct would add
+    # a shuffle just to shrink an already-small broadcast
+    involved = pairs.select(F.col("id_a").alias("id")).union(
+        pairs.select(F.col("id_b").alias("id"))
     )
     sets = (
         sr.join(F.broadcast(involved), "id", "left_semi")
         .groupBy("id")
         .agg(F.collect_set("shingle").alias("shingles"))
     )
+    # sets is one row per involved doc (candidates only) — broadcast both
+    # verify joins instead of shuffling the pairs
     verified = (
-        pairs.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        pairs.join(F.broadcast(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a")), "id_a")
+        .join(F.broadcast(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b")), "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
@@ -368,7 +389,7 @@ def simhash_fingerprints(
     """
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
     token_hash = portable_token_hash(F.col("tok")) if portable else F.xxhash64("tok")
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col), F.explode(toks).alias("tok")
     ).withColumn("h", token_hash)
     aggs = [

@@ -601,8 +601,11 @@ def q_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
+    # 48 bands x 2 bits: miss <= (1-p_band)^48 ~ 5e-8 per vector at the
+    # corpus' lowest NN cosine (0.134) — exact in practice (oracle-gated),
+    # 25% cheaper than 64 bands
     nn = embedding_blocked_nn(
-        emb, key_cols=["label"], bands=64, bits_per_band=2, seed=42
+        emb, key_cols=["label"], bands=48, bits_per_band=2, seed=42
     )
     return nn.select("vec_id", "nn_id", F.round("cosine", 4).alias("cosine"))
 
