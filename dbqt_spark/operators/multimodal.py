@@ -66,12 +66,15 @@ FEATURES_SCHEMA = T.StructType(
 
 def _fake_decode_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for decode→feature-extract: byte histogram
-    folded to _FEATURE_DIM buckets, L1-normalized."""
+    folded to _FEATURE_DIM buckets, L1-normalized. Unrounded on purpose:
+    integer-count / integer-length is the same IEEE division any SQL
+    engine performs, so the stub is exactly reproducible outside Python
+    (it carries a DuckDB oracle)."""
     buckets = [0] * _FEATURE_DIM
     for b in payload:
         buckets[b % _FEATURE_DIM] += 1
     total = sum(buckets) or 1
-    return [round(x / total, 6) for x in buckets]
+    return [x / total for x in buckets]
 
 
 def _decode_image_features(payload: bytes) -> list[float]:

@@ -1450,7 +1450,9 @@ def q_keyfinder_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline plumbing: treat document text bytes as an
     opaque media payload, extract deterministic stub features via
-    mapInPandas (Arrow-batched)."""
+    mapInPandas (Arrow-batched). Fully oracled: the stub's bucket-count /
+    byte-length division is plain IEEE arithmetic on integers, so DuckDB
+    reproduces f0/f7 bit-for-bit (no rounding on either side)."""
     from .operators.multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1461,14 +1463,64 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         "size_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 8), 6).alias("f7"),
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 8).alias("f7"),
     )
 
 
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+
+# Multimodal stub features, byte-exact in SQL: documents.text is ASCII in
+# this corpus (verified: octet_length(encode(text)) == length(text) at every
+# SF), so ord() over character positions IS the utf-8 byte stream the Spark
+# query feeds the stub. Counts and lengths are integers; one IEEE division
+# on each side -> bit-identical doubles, no rounding needed.
+SQL_MULTIMODAL_FEATURES = """
+WITH pos AS (
+    SELECT doc_id,
+           length(text) AS size_bytes,
+           text,
+           unnest(generate_series(1, length(text))) AS i
+    FROM documents
+),
+bk AS (
+    SELECT doc_id, size_bytes, ord(substr(text, i, 1)) % 8 AS bucket
+    FROM pos
+)
+SELECT doc_id AS media_id,
+       CAST(size_bytes AS BIGINT) AS size_bytes,
+       count(*) FILTER (bucket = 0) / CAST(size_bytes AS DOUBLE) AS f0,
+       count(*) FILTER (bucket = 7) / CAST(size_bytes AS DOUBLE) AS f7
+FROM bk
+GROUP BY doc_id, size_bytes
+"""
+
+# Keyfinder search oracle. The driver-side loop reports minimal keys only —
+# it stops at the first candidate size that yields any key (reference:
+# keyfinder.py:179-182). orders has a size-1 key at every SF (o_orderkey),
+# so the oracle enumerates exactly the size-1 pass the search performs:
+# ID-named columns first is an ORDERING detail (rows compare order-
+# insensitively), and a column qualifies iff it has no NULLs and its
+# distinct count equals the row count.
+_ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+SQL_KEYFINDER_SEARCH = (
+    "WITH n AS (SELECT count(*) AS total FROM orders),\ncand AS (\n"
+    + "\n    UNION ALL\n".join(
+        f"    SELECT '{c}' AS key_columns,"
+        f" count(DISTINCT {c}) AS d,"
+        f" count(*) FILTER ({c} IS NULL) AS nulls FROM orders"
+        for c in _ORDERS_COLS
+    )
+    + "\n)\n"
+    "SELECT 'orders' AS table_name, key_columns, 1 AS key_size\n"
+    "FROM cand, n WHERE nulls = 0 AND d = total"
+)
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
@@ -1549,9 +1601,9 @@ ORACLES: dict[str, str] = {
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
     "simhash": SQL_SIMHASH,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "keyfinder_search": SQL_KEYFINDER_SEARCH,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
-    # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL
-    # twin), keyfinder_search (iterative driver-side search loop),
-    # multimodal_features (mapInPandas binary decode).
+    # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).
 }
