@@ -765,6 +765,37 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2
 """
 
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: drain the event stream through a
+    first-occurrence filter on (user_id, event_type, props) — the exact
+    front gate of a training-data pipeline (the corpus has a ~6.5%
+    duplicate rate on that key). Exact/global mode here (bounded
+    backfill); the watermark-bounded state variant is unit-tested in
+    tests/test_streaming.py."""
+    from .catalog import table_path
+    from .streaming.checks import run_stream_once, stream_events_from_parquet
+    from .streaming.dedup import dedup_keys
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    stream = stream_events_from_parquet(spark, path, schema=raw_schema)
+
+    rows = run_stream_once(
+        stream,
+        lambda df: dedup_keys(df, ["user_id", "event_type", "props"]),
+        output_mode="append",
+    )
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, props string"
+    )
+
+
+SQL_STREAMING_DEDUP = """
+SELECT DISTINCT user_id, event_type, props FROM events
+"""
+
 # ---------------------------------------------------------------------------
 # TPC-H-style analytics (bench headliners)
 # ---------------------------------------------------------------------------
@@ -1539,6 +1570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_nn": q_embedding_nn,
     "events_hourly": q_events_hourly,
     "streaming_hourly_profile": q_streaming_hourly_profile,
+    "streaming_dedup": q_streaming_dedup,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1582,6 +1614,7 @@ ORACLES: dict[str, str] = {
     "embedding_nn": SQL_EMBEDDING_NN,
     "events_hourly": SQL_EVENTS_HOURLY,
     "streaming_hourly_profile": SQL_STREAMING_HOURLY_PROFILE,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -1,0 +1,83 @@
+"""Streaming ingest deduplication — skip already-seen records.
+
+No reference analog (dbqt has no streaming surface — SURVEY.md §1.4).
+This is the training-data ingest shape: a document/event stream where
+only first occurrences of a content key should pass downstream, exactly
+the front gate of an LLM-corpus pipeline (exact dedup before the heavier
+MinHash/SimHash near-dup stages in ``operators/dedup.py``).
+
+Two modes, one transform:
+
+- **Exact (global) dedup** — ``dropDuplicates(keys)``: state holds every
+  key ever seen. Correct for bounded backfills (availableNow) and for
+  batch frames; unbounded state on an endless stream.
+- **Watermark-bounded dedup** — ``dropDuplicatesWithinWatermark(keys)``:
+  state evicts keys older than the event-time watermark, so memory is
+  bounded by (arrival rate x watermark horizon) regardless of total
+  volume — the 100 TB/day mode. Duplicates arriving within the horizon
+  are still dropped; a duplicate arriving later than the horizon is a
+  documented miss (the same contract Kafka-to-Delta ingest pipelines
+  use).
+
+The transform is shared by batch and streaming callers (the standard
+one-logical-plan / two-execution-modes pattern used across
+``streaming/``), which is what makes the streaming path oracle-checkable
+through its batch twin (``SELECT DISTINCT`` in any SQL engine).
+
+Scale notes: dedup state shuffles on the key columns; at scale use the
+RocksDB state store and a composite key that is already a fingerprint
+(hash the payload before the shuffle so state rows stay small — see
+``first_seen`` which keys on a 128-bit md5 rather than raw text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_keys(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """First-occurrence filter on ``key_cols``; returns the distinct key
+    tuples (the columns every arrival agrees on — projecting away the
+    non-key columns is what makes streaming output deterministic and
+    batch-twin comparable; ``dropDuplicates`` keeps an *arbitrary* full
+    row per key).
+
+    On a streaming frame with ``watermark`` set, state is bounded via
+    ``dropDuplicatesWithinWatermark``; without it, global exact dedup.
+    On a batch frame this degenerates to ``SELECT DISTINCT``.
+    """
+    if df.isStreaming and watermark:
+        return (
+            df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols)
+            .select(*key_cols)
+        )
+    return df.dropDuplicates(key_cols).select(*key_cols)
+
+
+def first_seen(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Content-fingerprint variant: dedup on md5(content) so the state
+    row is a fixed 32-byte key instead of an arbitrarily long document —
+    the shuffle and the state store both carry the fingerprint only.
+    Emits (fingerprint, id, ts) of each first occurrence."""
+    keyed = df.withColumn("fingerprint", F.md5(F.col(content_col)))
+    if keyed.isStreaming and watermark:
+        keyed = keyed.withWatermark(ts_col, watermark)
+        return keyed.dropDuplicatesWithinWatermark(["fingerprint"]).select(
+            "fingerprint", id_col, ts_col
+        )
+    return keyed.dropDuplicates(["fingerprint"]).select(
+        "fingerprint", id_col, ts_col
+    )

@@ -20,6 +20,78 @@ def test_windowed_profile_batch(spark, sf_dir):
         assert r["last_event"] < r["window_end"]
 
 
+def test_streaming_dedup_equals_batch(spark, sf_dir):
+    """Streaming first-occurrence filter == batch SELECT DISTINCT on the
+    same key (the dedup correctness contract)."""
+    from dbqt_spark.queries import q_streaming_dedup
+    from dbqt_spark.streaming.dedup import dedup_keys
+
+    streamed = {
+        (r["user_id"], r["event_type"], r["props"])
+        for r in q_streaming_dedup(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["user_id"], r["event_type"], r["props"])
+        for r in dedup_keys(ev, ["user_id", "event_type", "props"]).collect()
+    }
+    assert streamed == batch
+    # the corpus genuinely exercises the filter: duplicates exist
+    assert len(streamed) < ev.count()
+
+
+def test_streaming_dedup_watermark_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: a duplicate arriving within
+    the watermark horizon is dropped; state is evicted past the horizon
+    (the 100 TB mode). Two files -> two availableNow micro-batches."""
+    import pandas as pd
+
+    from dbqt_spark.streaming.checks import (
+        run_stream_once,
+        stream_events_from_parquet,
+    )
+    from dbqt_spark.streaming.dedup import dedup_keys
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def write(path, ks, tss):
+        # pandas defaults to TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects — coerce to microseconds
+        pdf = pd.DataFrame({"k": ks, "ts": pd.Series(tss).astype("datetime64[us]")})
+        pdf.to_parquet(path)
+
+    # batch 1: key A at t0, key B at t0+1min (advances watermark to ~t0)
+    write(d / "part-000.parquet", ["A", "B"], [t0, t0 + pd.Timedelta(minutes=1)])
+    # batch 2: duplicate of A inside the 10-minute horizon -> dropped
+    write(d / "part-001.parquet", ["A", "C"], [t0 + pd.Timedelta(minutes=2)] * 2)
+
+    stream = stream_events_from_parquet(spark, str(d))
+    rows = run_stream_once(
+        stream,
+        # parquet yields TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        lambda df: dedup_keys(
+            df.withColumn("ts", F.col("ts").cast("timestamp")),
+            ["k"], ts_col="ts", watermark="10 minutes",
+        ),
+        output_mode="append",
+    )
+    assert sorted(r["k"] for r in rows) == ["A", "B", "C"]
+
+
+def test_first_seen_fingerprint_batch(spark, sf_dir):
+    """Content-fingerprint dedup keys state on md5, not raw text; one
+    row per distinct document text."""
+    from dbqt_spark.streaming.dedup import first_seen
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = first_seen(docs.withColumn("ts", F.current_timestamp()),
+                     "text", "doc_id").collect()
+    assert len(out) == docs.select("text").distinct().count()
+    assert all(len(r["fingerprint"]) == 32 for r in out[:5])
+
+
 def test_streaming_equals_batch(spark, sf_dir):
     from dbqt_spark.queries import q_streaming_hourly_profile
 
