@@ -16,6 +16,10 @@
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -177,6 +181,79 @@ def minhash_signatures(
     )
 
 
+def _md5_hash60(s: str) -> int:
+    """First 60 bits of md5(s) — deterministic across executors/engines
+    (unlike the salted builtin ``hash``), same construction as
+    ``portable_token_hash``."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def minhash_band_hashes(
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> "F.Column":
+    """array<long> of length ``bands`` — the LSH band hashes of the text's
+    MinHash signature, computed in ONE Arrow ``pandas_udf`` pass (null for
+    zero-token docs, mirroring the explode path that drops them).
+
+    This is the vectorized replacement for the relational pipeline
+    (shingle explode -> window lead -> xxhash64 -> groupBy with
+    ``num_hashes`` MIN aggregates): a narrow map with NO shuffle, no
+    window sort, and no rows x shingles blowup. Per batch, each doc is
+    tokenized (lower + whitespace split, same tokens as
+    ``normalize_text``), its word n-gram shingles are hashed (md5-prefix,
+    engine-stable), and the full signature + band fold happen as numpy
+    array ops. Same pattern as ``similarity.random_band_values``. The
+    hash family differs from the relational path (md5 vs xxhash64) —
+    irrelevant to the contract, since banding only steers RECALL and the
+    near-dup output is verified with exact Jaccard on the shingle strings.
+
+    Band fold: with 31-bit signature values, a 2-row band packs exactly
+    into ``sig[0] * P + sig[1] < 2^62`` (collision-free); wider bands fold
+    with wraparound uint64 polynomial accumulation.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    A = np.array(
+        [rnd.randrange(1, _P) for _ in range(num_hashes)], dtype=np.int64
+    )
+    B = np.array(
+        [rnd.randrange(0, _P) for _ in range(num_hashes)], dtype=np.int64
+    )
+    rows_per_band = num_hashes // bands
+
+    @F.pandas_udf("array<long>")
+    def bandhashes(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = (text or "").lower().split()
+            if not toks:
+                out.append(None)
+                continue
+            if len(toks) >= shingle_n:
+                sh = [
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                ]
+            else:
+                sh = [" ".join(toks)]
+            hs = np.array([_md5_hash60(s) for s in sh], dtype=np.int64) % _P
+            sig = ((A[:, None] * hs[None, :] + B[:, None]) % _P).min(axis=1)
+            # fold rows b*rpb .. b*rpb+rpb-1 into one value per band
+            sig_b = sig.reshape(bands, rows_per_band).astype(np.uint64)
+            folded = np.zeros(bands, dtype=np.uint64)
+            for r in range(rows_per_band):
+                folded = folded * np.uint64(_P) + sig_b[:, r]
+            out.append(folded.astype(np.int64).tolist())
+        return pd.Series(out, dtype=object)
+
+    return bandhashes(F.col(text_col))
+
+
 def _split_oversized(
     banded: DataFrame, keys: list[str], max_bucket_size: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -243,10 +320,11 @@ def minhash_candidate_pairs(
     before pairing; pass ``None`` to disable, pass a ``drop_stats`` dict to
     receive n_dropped_buckets / n_dropped_rows (computed eagerly).
 
-    The banded frame is persisted when the cap is on: the size aggregate,
-    the anti-join probe, and both sides of the pair self-join consume it —
-    unpersisted, the signature pipeline would re-run up to 4x (it is
-    O(n_docs x bands) narrow rows, LRU-evictable).
+    The banded frame is persisted for the duration of the (eager) pair
+    materialization — the size aggregate, the anti-join probe, and both
+    self-join sides consume it; unpersisted, the signature pipeline would
+    re-run up to 4x — then released. The returned pair frame is small
+    (bucket-capped) and persisted (see ``_eager_pairs_from_banded``).
     """
     banded = sigs.select(
         "id",
@@ -269,24 +347,64 @@ def minhash_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    if max_bucket_size is not None:
-        banded = banded.persist()
-        banded, oversized = _split_oversized(
-            banded, ["band_id", "band_hash"], max_bucket_size
-        )
-        _record_drop_stats(oversized, drop_stats)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    pairs, _ = _eager_pairs_from_banded(
+        banded,
+        ["band_id", "band_hash"],
+        lambda a, b: [
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        ],
+        max_bucket_size,
+        drop_stats,
     )
+    return pairs
+
+
+def _eager_pairs_from_banded(
+    banded: DataFrame,
+    keys: list[str],
+    select_pair,
+    max_bucket_size: int | None,
+    drop_stats: dict | None,
+    pair_filter: "F.Column | None" = None,
+) -> tuple[DataFrame, int]:
+    """Candidate pairs from a (id, *keys) banded frame: cap hot buckets,
+    self-join on the bucket keys, dedup across bands — MATERIALIZED
+    eagerly (persist + count) so the big banded frame can be unpersisted
+    before returning. Returns (persisted_pairs, n_pairs).
+
+    The eager materialization is deliberate: the banded frame feeds the
+    size aggregate, the anti-join probe, and both self-join sides; holding
+    it cached across the caller's (arbitrarily late) terminal action leaks
+    O(n_docs x bands) cached blocks per invocation. Counting the
+    (bucket-capped, small) pair set here bounds the leak to the pair frame
+    and gives callers a measured row count to gate broadcasts on.
+    ``select_pair(a, b)`` builds the output columns from the two aliased
+    join sides."""
+    banded = banded.persist()
+    capped = banded
+    if max_bucket_size is not None:
+        capped, oversized = _split_oversized(banded, keys, max_bucket_size)
+        _record_drop_stats(oversized, drop_stats)
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    joined = a.join(b, cond)
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
+    pairs = joined.select(*select_pair(a, b)).distinct().persist()
+    n_pairs = pairs.count()
+    banded.unpersist()
+    return pairs, n_pairs
+
+
+# Above this many candidate pairs the verify-side broadcasts fall back to
+# shuffle joins: the broadcast of the involved docs' shingle sets is a
+# driver/executor memory bet that only pays while the candidate set is
+# small (ADVICE r3: forced broadcasts must be gated, not assumed).
+BROADCAST_PAIR_LIMIT = 100_000
 
 
 def minhash_near_duplicates(
@@ -303,56 +421,82 @@ def minhash_near_duplicates(
     """Full pipeline: candidates from LSH, verified with exact Jaccard on
     the shingle sets. Returns (id_a, id_b, jaccard >= threshold).
 
-    Banding default is 32 hashes x 16 bands x 2 rows/band: halving the MIN
-    aggregates vs 64x16x4 nearly halves signature cost (the wall-clock
-    floor of the family), while 2-row bands RAISE recall — a pair at
-    Jaccard j collides per band with j^2 instead of j^4, so
+    Vectorized shape (r4): ONE Arrow ``pandas_udf`` computes each doc's
+    band hashes directly from the text (``minhash_band_hashes`` — numpy
+    signature + band fold, no shingle explode, no window sort, no 32-MIN
+    shuffle), a posexplode lands each doc in its ``bands`` buckets, and
+    the capped self-join emits candidates. Exact-Jaccard verification
+    builds string shingle sets ONLY for docs appearing in candidate pairs
+    (semi-join + ``shingles_col`` on that small subset), so the full
+    corpus is never shingle-exploded at all.
+
+    Banding default is 32 hashes x 16 bands x 2 rows/band: 2-row bands
+    RAISE recall — a pair at Jaccard j collides per band with j^2, so
     miss <= (1 - j^2)^16 (~1e-11 at j = 0.89, the lowest true near-dup in
     the synthetic corpus; the brute-force oracle check is exact). The cost
     is a looser candidate filter (band false-positive rate j^2), which the
-    exact-Jaccard verification absorbs."""
-    rows_per_band = num_hashes // bands
-    # shingle rows feed both the signature pipeline and the exact-Jaccard
-    # verification — persist so the tokenize + window pass runs once
-    # (MEMORY_AND_DISK; at corpus scale where the shingle set dwarfs
-    # cluster memory, spill keeps this correct and recompute is the only
-    # alternative — both beat re-tokenizing twice)
-    sr = shingle_rows(df, text_col, id_col, shingle_n).persist()
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
-        shingles=sr,
-    )
-    # pairs feeds two consumers (the involved-ids semi-join and the verify
-    # join) — persist so the signature+banding pipeline runs once
-    pairs = minhash_candidate_pairs(
-        sigs, bands, rows_per_band, max_bucket_size=max_bucket_size,
-        drop_stats=drop_stats,
-    ).persist()
+    exact-Jaccard verification absorbs.
 
-    # Exact-Jaccard verification, fully relational: shingle sets are built
-    # ONLY for docs that appear in candidate pairs (semi-join filters the
-    # cached shingle rows), then intersect/union on those few rows.
-    # no distinct: the semi-join tolerates duplicate probe ids, and the
-    # candidate set is already bucket-capped small — a distinct would add
-    # a shuffle just to shrink an already-small broadcast
-    involved = pairs.select(F.col("id_a").alias("id")).union(
-        pairs.select(F.col("id_b").alias("id"))
+    Runs two small jobs eagerly (drop stats + candidate materialization);
+    the returned frame holds only the persisted pair set (the banded frame
+    is unpersisted before returning)."""
+    banded = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            minhash_band_hashes(text_col, num_hashes, bands, shingle_n)
+        ).alias("band_id", "band_hash"),
     )
-    sets = (
-        sr.join(F.broadcast(involved), "id", "left_semi")
-        .groupBy("id")
-        .agg(F.collect_set("shingle").alias("shingles"))
+    pairs, n_pairs = _eager_pairs_from_banded(
+        banded,
+        ["band_id", "band_hash"],
+        lambda a, b: [
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        ],
+        max_bucket_size,
+        drop_stats,
     )
-    # sets is one row per involved doc (candidates only) — broadcast both
-    # verify joins instead of shuffling the pairs
+
+    # Exact-Jaccard verification: attach both texts to each candidate pair
+    # (two joins against the raw docs — the pair side is broadcast while
+    # small, gated on the measured count; an uncapped run degrades to
+    # shuffle joins, not OOM), then one Arrow pandas_udf computes
+    # |A∩B| / |A∪B| over the distinct shingle SETS of the two texts. Only
+    # candidate-involved docs ever reach the UDF; the full corpus is never
+    # shingle-exploded. Set semantics mirror the brute-force oracle
+    # (lower + whitespace split, distinct word n-grams, whole-doc shingle
+    # for short docs); the division is one IEEE op on two small ints, so
+    # engines agree bit-for-bit, and rounding stays JVM-side (F.round,
+    # HALF_UP like the oracle's round()).
+    bcast = F.broadcast if n_pairs <= BROADCAST_PAIR_LIMIT else (lambda d: d)
+
+    @F.pandas_udf("double")
+    def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def sh_set(text: str) -> set:
+            toks = (text or "").lower().split()
+            if len(toks) >= shingle_n:
+                return {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+            return {" ".join(toks)}
+
+        out = []
+        for a_txt, b_txt in zip(ta, tb):
+            sa, sb = sh_set(a_txt), sh_set(b_txt)
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    with_a = docs.join(
+        bcast(pairs), docs["__id"] == pairs["id_a"]
+    ).select("id_a", "id_b", F.col("__t").alias("__ta"))
+    with_ab = docs.join(
+        bcast(with_a), docs["__id"] == with_a["id_b"]
+    ).select("id_a", "id_b", "__ta", F.col("__t").alias("__tb"))
     verified = (
-        pairs.join(F.broadcast(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a")), "id_a")
-        .join(F.broadcast(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
+        with_ab.withColumn("jaccard", jaccard_udf("__ta", "__tb"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -380,33 +524,52 @@ def simhash_fingerprints(
     portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per doc: sum ±1 per bit over token hashes, sign ->
-    bit. Explode + ``bits`` SUM aggregates (codegen'd, map-side partial
-    agg) — same rationale as minhash_signatures.
+    bit. ONE Arrow ``pandas_udf`` pass (r4): per doc the token hashes and
+    the bits x tokens ±1 matrix are numpy ops — a narrow map with no
+    explode, no shuffle, and no ``bits``-SUM aggregate (the relational
+    formulation was the #2 wall-clock cost of the dedup family).
 
-    ``portable=True`` swaps xxhash64 for ``portable_token_hash`` (60-bit
-    md5 prefix): bits 60-63 of the fingerprint are then constant 0, and an
-    external SQL engine can verify fingerprints and Hamming pairs exactly.
-    """
-    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    token_hash = portable_token_hash(F.col("tok")) if portable else F.xxhash64("tok")
-    exploded = _spread(df).select(
-        F.col(id_col), F.explode(toks).alias("tok")
-    ).withColumn("h", token_hash)
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b_{k}")
-        for k in range(bits)
-    ]
-    sums = exploded.groupBy(id_col).agg(*aggs)
-    fp = None
-    for k in range(bits):
-        bit = F.when(F.col(f"b_{k}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, k)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return sums.select(F.col(id_col), fp.alias("simhash"))
+    Token hash is an md5 prefix (engine-stable, executor-deterministic —
+    the salted builtin ``hash`` would break cross-partition bucketing):
+    ``portable=True`` keeps 60 bits (15 hex chars), the exact
+    ``portable_token_hash`` construction, so an external SQL engine
+    reproduces every fingerprint bit-for-bit (bits 60-63 constant 0);
+    ``portable=False`` uses the full 64-bit prefix. Zero-token docs yield
+    no fingerprint (null, filtered), mirroring the explode semantics and
+    the DuckDB oracle's unnest."""
+    hex_chars = 15 if portable else 16
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = (text or "").lower().split()
+            if not toks:
+                out.append(None)
+                continue
+            hs = np.array(
+                [
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:hex_chars], 16)
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
+            # bit k of the fingerprint: sign of sum over tokens of
+            # (+1 if hash bit k set else -1)
+            bit_set = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            sums = (2 * bit_set - 1).sum(axis=0)
+            fp = 0
+            for k in np.nonzero(sums > 0)[0]:
+                fp |= 1 << int(k)
+            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+        return pd.Series(out, dtype=object)
+
+    return _spread(df).select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
 
 
 def simhash_near_duplicates(
@@ -454,33 +617,22 @@ def simhash_near_duplicates(
             )
         ).alias("band", "chunk"),
     )
-    if max_bucket_size is not None:
-        # persist: size aggregate + anti-join probe + both self-join sides
-        # all consume the banded frame (same rationale as the minhash cap)
-        banded = banded.persist()
-        banded, oversized = _split_oversized(
-            banded, ["band", "chunk"], max_bucket_size
-        )
-        _record_drop_stats(oversized, drop_stats)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    pairs, _ = _eager_pairs_from_banded(
+        banded,
+        ["band", "chunk"],
+        lambda a, b: [
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+            hamming.alias("hamming"),
+        ],
+        max_bucket_size,
+        drop_stats,
+        pair_filter=hamming <= max_hamming,
     )
+    return pairs
 
 
 def ngram_jaccard(
