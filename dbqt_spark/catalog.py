@@ -102,7 +102,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Nanosecond-timestamp columns (illegal for Spark's vectorized reader)
     are read as long via ``spark.sql.legacy.parquet.nanosAsLong`` and cast
     back to microsecond timestamps, so the logical schema matches what
-    DuckDB/pyarrow report."""
+    DuckDB/pyarrow report.
+
+    TIMESTAMP_NTZ columns (parquet micros without isAdjustedToUTC, the
+    shape the driver's generator emits) are cast to TIMESTAMP so the
+    engine's time ops (unix_micros, watermarks, windows) accept them —
+    ``get_spark`` also disables NTZ inference session-wide, but the cast
+    here covers externally-built sessions (the driver's harness). With a
+    UTC session timezone the cast is value-identical."""
     path = table_path(sf_dir, name)
     for stale in [s for s in list(_TABLE_CACHE) if _session_stopped(s)]:
         _TABLE_CACHE.pop(stale, None)
@@ -121,6 +128,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div, not `/1000` via double: ~1e18 nanos exceeds double's
         # 53-bit mantissa and rounds the last microsecond
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     per_session[path] = df
     return df
 

@@ -3,20 +3,29 @@
 
 - Exact: hash-groupBy on a normalized fingerprint — one shuffle on the
   hash, map-side partial aggregation.
-- MinHash + LSH: shingle -> per-shingle xxhash64 -> H permuted min-hashes
-  -> band hashes -> candidate pairs via a self-join on (band, band_hash)
-  -> exact Jaccard verification. Every step is built-in higher-order
-  array functions (JVM codegen); the only shuffles are the band-bucket
-  join and the final pair dedup. This is the standard scalable near-dup
-  pipeline (shingle/minhash/band from Broder's resemblance work, as used
-  by web-scale corpora dedup).
-- SimHash: 64-bit token-hash sign-aggregation per doc; near-dups are
-  pairs within Hamming distance k (verified on banded buckets).
+- MinHash + LSH: ONE Arrow ``pandas_udf`` computes each doc's band hashes
+  straight from the text (numpy signature + band fold — a narrow map, no
+  shingle explode, no window sort, no 32-MIN shuffle), candidate pairs
+  come from a self-join on (band, band_hash) over capped buckets, and
+  exact Jaccard on the candidates' shingle sets verifies. The only
+  shuffles are the band-bucket join and the final pair dedup. This is the
+  standard scalable near-dup pipeline (shingle/minhash/band from Broder's
+  resemblance work, as used by web-scale corpora dedup).
+- SimHash: 64-bit token-hash sign-aggregation per doc (one Arrow
+  ``pandas_udf`` pass); near-dups are pairs within Hamming distance k
+  (verified on banded buckets).
+
+Tokenization note: every Python-side tokenizer here splits on ASCII
+whitespace (``_ascii_tokens``) to match the Java/RE2 ``\\s+`` semantics of
+``normalize_text``/``shingle_rows`` and the DuckDB oracles — Python's
+``str.split()`` would also split on Unicode whitespace (\\xa0, \\u2028,
+\\x85, ...) and silently diverge on non-ASCII input.
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -27,6 +36,16 @@ from pyspark.sql import functions as F
 # hash domain, a*h+b < 2^62 stays inside int64 (Spark ANSI mode forbids
 # silent overflow; 128-bit modular math isn't available JVM-side).
 _P = (1 << 31) - 1
+
+# Java/RE2 \s — ASCII whitespace only. See module docstring.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _ascii_tokens(text: str | None) -> list[str]:
+    """lower + ASCII-whitespace split — the Python twin of
+    ``normalize_text`` + split-on-space (same tokens, since empty edge
+    tokens are dropped)."""
+    return [t for t in _ASCII_WS.split((text or "").lower()) if t]
 
 
 def normalize_text(text_col: str = "text") -> "F.Column":
@@ -217,6 +236,11 @@ def minhash_band_hashes(
     """
     import random
 
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of bands "
+            f"({bands}) — the signature is folded into equal-width bands"
+        )
     rnd = random.Random(seed)
     A = np.array(
         [rnd.randrange(1, _P) for _ in range(num_hashes)], dtype=np.int64
@@ -230,7 +254,7 @@ def minhash_band_hashes(
     def bandhashes(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            toks = (text or "").lower().split()
+            toks = _ascii_tokens(text)
             if not toks:
                 out.append(None)
                 continue
@@ -379,6 +403,10 @@ def _eager_pairs_from_banded(
     O(n_docs x bands) cached blocks per invocation. Counting the
     (bucket-capped, small) pair set here bounds the leak to the pair frame
     and gives callers a measured row count to gate broadcasts on.
+    The RETURNED frame is the persisted pair frame itself — callers that
+    are done with it (``minhash_candidate_pairs`` /
+    ``simhash_near_duplicates`` return it directly) can release the
+    cached blocks with ``result.unpersist()``.
     ``select_pair(a, b)`` builds the output columns from the two aliased
     join sides."""
     banded = banded.persist()
@@ -425,10 +453,11 @@ def minhash_near_duplicates(
     band hashes directly from the text (``minhash_band_hashes`` — numpy
     signature + band fold, no shingle explode, no window sort, no 32-MIN
     shuffle), a posexplode lands each doc in its ``bands`` buckets, and
-    the capped self-join emits candidates. Exact-Jaccard verification
-    builds string shingle sets ONLY for docs appearing in candidate pairs
-    (semi-join + ``shingles_col`` on that small subset), so the full
-    corpus is never shingle-exploded at all.
+    the capped self-join emits candidates. Verification attaches both
+    texts to each candidate pair (ids-only pair frame broadcast, texts
+    shuffled) and computes exact Jaccard over the two shingle sets in one
+    Arrow ``pandas_udf``, so the full corpus is never shingle-exploded at
+    all — only candidate-involved docs are tokenized twice.
 
     Banding default is 32 hashes x 16 bands x 2 rows/band: 2-row bands
     RAISE recall — a pair at Jaccard j collides per band with j^2, so
@@ -457,23 +486,28 @@ def minhash_near_duplicates(
         drop_stats,
     )
 
-    # Exact-Jaccard verification: attach both texts to each candidate pair
-    # (two joins against the raw docs — the pair side is broadcast while
-    # small, gated on the measured count; an uncapped run degrades to
-    # shuffle joins, not OOM), then one Arrow pandas_udf computes
-    # |A∩B| / |A∪B| over the distinct shingle SETS of the two texts. Only
-    # candidate-involved docs ever reach the UDF; the full corpus is never
-    # shingle-exploded. Set semantics mirror the brute-force oracle
-    # (lower + whitespace split, distinct word n-grams, whole-doc shingle
-    # for short docs); the division is one IEEE op on two small ints, so
-    # engines agree bit-for-bit, and rounding stays JVM-side (F.round,
-    # HALF_UP like the oracle's round()).
+    # Exact-Jaccard verification: attach each side's text to the candidate
+    # pairs with two joins against the raw docs, then one Arrow pandas_udf
+    # computes |A∩B| / |A∪B| over the distinct shingle SETS of the two
+    # texts. ONLY the ids-only ``pairs`` frame is ever broadcast (gated on
+    # the measured count — an uncapped run degrades to shuffle joins, not
+    # OOM); the text-carrying intermediates are joined by shuffle, which
+    # moves just 2 x n_pairs text rows. Broadcasting a text-carrying frame
+    # would turn 100k pairs of multi-KB docs into a driver/executor memory
+    # bet — the gate counts pairs, not bytes, so texts must stay off the
+    # broadcast path (ADVICE r4). Only candidate-involved docs ever reach
+    # the UDF; the full corpus is never shingle-exploded. Set semantics
+    # mirror the brute-force oracle (lower + ASCII-whitespace split,
+    # distinct word n-grams, whole-doc shingle for short docs); the
+    # division is one IEEE op on two small ints, so engines agree
+    # bit-for-bit, and rounding stays JVM-side (F.round, HALF_UP like the
+    # oracle's round()).
     bcast = F.broadcast if n_pairs <= BROADCAST_PAIR_LIMIT else (lambda d: d)
 
     @F.pandas_udf("double")
     def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
         def sh_set(text: str) -> set:
-            toks = (text or "").lower().split()
+            toks = _ascii_tokens(text)
             if len(toks) >= shingle_n:
                 return {
                     " ".join(toks[i : i + shingle_n])
@@ -492,9 +526,17 @@ def minhash_near_duplicates(
     with_a = docs.join(
         bcast(pairs), docs["__id"] == pairs["id_a"]
     ).select("id_a", "id_b", F.col("__t").alias("__ta"))
-    with_ab = docs.join(
-        bcast(with_a), docs["__id"] == with_a["id_b"]
-    ).select("id_a", "id_b", "__ta", F.col("__t").alias("__tb"))
+    with_b = docs.join(
+        bcast(pairs), docs["__id"] == pairs["id_b"]
+    ).select(
+        F.col("id_a").alias("__pa"),
+        F.col("id_b").alias("__pb"),
+        F.col("__t").alias("__tb"),
+    )
+    with_ab = with_a.join(
+        with_b,
+        (with_a["id_a"] == with_b["__pa"]) & (with_a["id_b"] == with_b["__pb"]),
+    ).select("id_a", "id_b", "__ta", "__tb")
     verified = (
         with_ab.withColumn("jaccard", jaccard_udf("__ta", "__tb"))
         .filter(F.col("jaccard") >= threshold)
@@ -512,7 +554,8 @@ def portable_token_hash(tok_col) -> "F.Column":
     (< 2^60) dodge signed-overflow differences, so a DuckDB/Trino/etc
     oracle can reproduce SimHash fingerprints bit-for-bit
     (``('0x' || substr(md5(tok), 1, 15))::UBIGINT`` on the DuckDB side).
-    xxhash64 stays the default hot path (one JVM op, no hex round-trip)."""
+    ``simhash_fingerprints`` uses the same md5-prefix family (60 bits
+    portable, 64 bits otherwise) inside its vectorized UDF."""
     return F.conv(F.substring(F.md5(tok_col), 1, 15), 16, 10).cast("long")
 
 
@@ -536,7 +579,12 @@ def simhash_fingerprints(
     reproduces every fingerprint bit-for-bit (bits 60-63 constant 0);
     ``portable=False`` uses the full 64-bit prefix. Zero-token docs yield
     no fingerprint (null, filtered), mirroring the explode semantics and
-    the DuckDB oracle's unnest."""
+    the DuckDB oracle's unnest.
+
+    COMPAT (r4): ``portable=False`` fingerprints changed hash family from
+    xxhash64 to the 64-bit md5 prefix when this moved into the vectorized
+    UDF — fingerprints persisted from pre-r4 runs do NOT match r4+ values
+    and must be recomputed. ``portable=True`` values are unchanged."""
     hex_chars = 15 if portable else 16
     shifts = np.arange(bits, dtype=np.uint64)
 
@@ -544,7 +592,7 @@ def simhash_fingerprints(
     def simhash64(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            toks = (text or "").lower().split()
+            toks = _ascii_tokens(text)
             if not toks:
                 out.append(None)
                 continue

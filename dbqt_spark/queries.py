@@ -727,6 +727,7 @@ FROM events GROUP BY 1, 2
 def q_streaming_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import table_path
     from .streaming.checks import (
+        normalize_event_ts,
         run_stream_once,
         stream_events_from_parquet,
         windowed_event_profile,
@@ -735,11 +736,11 @@ def q_streaming_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    raw_schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    raw_schema = spark.read.parquet(path).schema  # long (nanos) or (N)TZ
     stream = stream_events_from_parquet(spark, path, schema=raw_schema)
 
     def transform(df: DataFrame) -> DataFrame:
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
         prof = windowed_event_profile(df, "1 hour", watermark="2 hours")
         return prof.select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(

@@ -43,6 +43,11 @@ def get_spark(
         # Parquet: keep predicate pushdown + vectorized reader explicit
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # Parquet timestamps without isAdjustedToUTC read as TIMESTAMP
+        # (session tz, UTC above), not TIMESTAMP_NTZ: the engine's time
+        # ops (unix_micros, watermarks, windows) take TIMESTAMP, and with
+        # a UTC session the two types have identical values anyway.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # FAIR round-robins cores across concurrently submitted jobs, so
         # short queries aren't starved behind a long pipeline when callers
         # (bench.py, multi-tool CLIs, notebook users) share the session

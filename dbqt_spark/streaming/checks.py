@@ -57,6 +57,25 @@ def windowed_event_profile(
     )
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Coerce an event-time column to TIMESTAMP whatever shape it arrived
+    in: parquet TIMESTAMP(NANOS) read as long (nanosAsLong), parquet
+    micros without isAdjustedToUTC read as TIMESTAMP_NTZ, or already
+    TIMESTAMP. Watermarks/windows/unix_micros all require TIMESTAMP; with
+    a UTC session timezone every branch is value-identical."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    t = next(f.dataType for f in df.schema.fields if f.name == ts_col)
+    if isinstance(t, LongType):
+        # integer div: ~1e18 nanos exceeds double's 53-bit mantissa
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+        )
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def stream_events_from_parquet(
     spark: SparkSession, path: str, schema=None
 ) -> DataFrame:

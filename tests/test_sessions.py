@@ -34,14 +34,17 @@ def test_sessionize_stream_closes_past_sessions(spark, sf_dir, tmp_path):
     import uuid
 
     from dbqt_spark.catalog import load_table, table_path
-    from dbqt_spark.streaming.checks import stream_events_from_parquet
+    from dbqt_spark.streaming.checks import (
+        normalize_event_ts,
+        stream_events_from_parquet,
+    )
     from dbqt_spark.streaming.sessions import sessionize_batch, sessionize_stream
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
     raw_schema = spark.read.parquet(path).schema
     stream = stream_events_from_parquet(spark, path, schema=raw_schema)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
 
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     q = (
