@@ -604,8 +604,12 @@ def q_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 48 bands x 2 bits: miss <= (1-p_band)^48 ~ 5e-8 per vector at the
     # corpus' lowest NN cosine (0.134) — exact in practice (oracle-gated),
     # 25% cheaper than 64 bands
+    # max_block_size: generous last-resort quadratic guard (never fires at
+    # test scale — expected block ~n_label/4; at corpus scale it bounds a
+    # hot bucket to one executor-sized matmul and the drop is observable)
     nn = embedding_blocked_nn(
-        emb, key_cols=["label"], bands=48, bits_per_band=2, seed=42
+        emb, key_cols=["label"], bands=48, bits_per_band=2, seed=42,
+        max_block_size=10_000,
     )
     return nn.select("vec_id", "nn_id", F.round("cosine", 4).alias("cosine"))
 
@@ -620,7 +624,8 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding"
     )
     return embedding_near_dup_pairs(
-        emb, 0.35, key_cols=["label"], bands=64, bits_per_band=2, seed=42
+        emb, 0.35, key_cols=["label"], bands=64, bits_per_band=2, seed=42,
+        max_block_size=10_000,
     )
 
 

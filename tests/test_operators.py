@@ -493,3 +493,50 @@ def test_simhash_bucket_cap_drops_hot_bucket(spark):
     ).count()
     assert all_pairs == 50 * 49 / 2
     assert stats2 == {}
+
+
+def test_minhash_jaccard_ascii_whitespace_matches_relational(spark):
+    """Non-ASCII whitespace (\\xa0) must NOT split tokens in the
+    pandas-UDF paths: the vectorized Jaccard has to agree with the
+    relational shingles_col/ngram_jaccard (Java \\s+ semantics) and the
+    SQL oracles (ADVICE r4)."""
+    from dbqt_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "w1 w2 " + base),   # \xa0 glues w1+w2 into ONE token
+        (2, "w1 w2 " + base),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_near_duplicates(df, threshold=0.1, max_bucket_size=None)
+    [(a, b, j)] = [(r["id_a"], r["id_b"], r["jaccard"]) for r in got.collect()]
+    want = round(ngram_jaccard(df, 1, 2), 4)
+    assert (a, b) == (1, 2)
+    assert abs(j - want) < 1e-9, f"UDF jaccard {j} != relational {want}"
+    # sanity: Unicode-splitting tokenizers would see identical docs (j=1.0)
+    assert j < 1.0
+
+
+def test_simhash_ascii_whitespace_tokens(spark):
+    """portable simhash fingerprints: \\xa0-glued tokens hash as one
+    token, bit-identical to what the DuckDB oracle's ASCII regexp split
+    would produce (doc pair differs, so fingerprints differ)."""
+    from dbqt_spark.operators.dedup import simhash_fingerprints
+
+    rows = [(1, "aa bb cc"), (2, "aa bb cc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in
+          simhash_fingerprints(df, portable=True).collect()}
+    assert fp[1] != fp[2]
+
+
+def test_minhash_band_width_validation():
+    from dbqt_spark.operators.dedup import minhash_band_hashes
+
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_band_hashes("text", num_hashes=33, bands=16)

@@ -153,3 +153,63 @@ def test_ivf_sampled_fit_recall(spark, sf_dir):
         for r in ivf_search(assigned, centroids, q, k=10, n_probes=8).collect()
     ]
     assert got == truth
+
+
+def test_auto_bits_per_band():
+    """Bucket width caps EXPECTED block size at the target per band."""
+    from dbqt_spark.operators.similarity import auto_bits_per_band
+
+    assert auto_bits_per_band(1000, 1000) == 1          # floor
+    assert auto_bits_per_band(4000, 1000) == 2          # n/2^2 == target
+    assert auto_bits_per_band(1_000_000, 1000) == 10    # n/2^10 ~ target
+    assert auto_bits_per_band(0, 1000) == 1             # degenerate
+
+
+def test_embedding_nn_block_cap_drops_and_accounts(spark):
+    """Identical vectors collide in EVERY bucket of every band; with a
+    cap below the corpus size all blocks are dropped, no NN rows emerge,
+    and the drop counts are recorded (observability contract)."""
+    from dbqt_spark.operators.similarity import embedding_blocked_nn
+
+    rows = [(i, "x", [1.0, 2.0, 3.0, 4.0]) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    stats: dict = {}
+    out = embedding_blocked_nn(
+        df, key_cols=["label"], bands=8, bits_per_band=2, seed=1,
+        max_block_size=10, drop_stats=stats,
+    )
+    assert out.count() == 0
+    assert stats["n_dropped_buckets"] == 8      # one hot bucket per band
+    assert stats["n_dropped_rows"] == 8 * 40
+
+    # generous cap: guard must not change the result, stats report zero
+    stats2: dict = {}
+    df2, M = _hot_label_df(spark, n=60)
+    guarded = embedding_blocked_nn(
+        df2, key_cols=["label"], bands=48, bits_per_band=2, seed=1,
+        max_block_size=10_000, drop_stats=stats2,
+    )
+    bare = embedding_blocked_nn(
+        df2, key_cols=["label"], bands=48, bits_per_band=2, seed=1
+    )
+    assert stats2 == {"n_dropped_buckets": 0, "n_dropped_rows": 0}
+    key = lambda r: (r["vec_id"], r["nn_id"], round(r["cosine"], 6))
+    assert sorted(map(key, guarded.collect())) == sorted(map(key, bare.collect()))
+
+
+def test_embedding_auto_bits_resolves_from_corpus(spark):
+    """bits_per_band=None derives the bucket width from df.count()."""
+    from dbqt_spark.operators.similarity import embedding_near_dup_pairs
+
+    df, M = _hot_label_df(spark, n=64)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, 0.8, key_cols=["label"], bands=32, bits_per_band=None,
+            seed=1,
+        ).collect()
+    }
+    want = {(a, b) for a, b, _ in _brute_pairs(M, 0.8)}
+    assert got == want and (0, 1) in got
