@@ -121,6 +121,53 @@ def lsh_bucketed_topk(
     )
 
 
+def _sq_dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """n x k squared Euclidean distances via the dot trick (one matmul)."""
+    return (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
+def _kmeans_fit(
+    X: "np.ndarray", k: int, seed: int, max_iter: int
+) -> "np.ndarray":
+    """Deterministic Lloyd's k-means with k-means++ init, pure numpy.
+
+    Runs on the DRIVER over the bounded training sample (<= max_train_rows
+    x dim doubles — megabytes). Replaces the MLlib fit, which launches
+    dozens of tiny Spark jobs per iteration: for a sample this size the
+    numpy fit is milliseconds of driver CPU and zero cluster scheduling,
+    which is exactly the faiss IVF train shape. Empty clusters re-seed at
+    the point farthest from its current center."""
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        total = d2.sum()
+        if total <= 0:  # all points identical / fewer points than cells
+            centers[j] = X[rng.randint(n)]
+            continue
+        centers[j] = X[rng.choice(n, p=d2 / total)]
+        d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        lab = _sq_dists(X, centers).argmin(axis=1)
+        new = centers.copy()
+        for j in range(k):
+            members = lab == j
+            if members.any():
+                new[j] = X[members].mean(axis=0)
+            else:
+                new[j] = X[((X - centers[lab]) ** 2).sum(axis=1).argmax()]
+        if np.allclose(new, centers):
+            return new
+        centers = new
+    return centers
+
+
 def ivf_build(
     df: DataFrame,
     n_cells: int = 16,
@@ -135,35 +182,32 @@ def ivf_build(
 
     At 100 TB the assigned table is written ``partitionBy("cell")`` so a
     probe query scans only the probed cells' files (partition pruning);
-    here it stays a DataFrame. Training fits KMeans on a BOUNDED sample
+    here it stays a DataFrame. Training fits on a BOUNDED sample
     (standard IVF practice — faiss trains on ~max(10k, 39*n_cells)
     points): centroid quality saturates long before the corpus size, and
-    an unbounded fit makes index build the scale bottleneck. Size
-    detection is a ``limit(max_train_rows + 1).count()`` — LocalLimit
-    short-circuits the scan after max_train_rows + 1 rows, so derived
-    (filtered/joined) inputs don't pay a full extra pass the way an
-    unconditional ``df.count()`` would. The assignment pass over the full
-    data is unavoidable and linear."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    an unbounded fit makes index build the scale bottleneck. The sample
+    is one TakeOrdered pass (per-partition top-K by a seeded random key —
+    no shuffle, no extra count; rand(seed) is partition-position seeded,
+    fine since the sample only steers centroid quality), the fit is
+    driver-side numpy (``_kmeans_fit`` — the MLlib fit's per-iteration
+    job storm was the whole cost of this operator on a busy scheduler),
+    and the single full-data assignment pass is one Arrow ``pandas_udf``
+    (centroids ship in the task closure — k x dim doubles, kilobytes)."""
+    sample = df.select(F.col(vec_col).cast("array<double>")).orderBy(
+        F.rand(seed)
+    ).limit(max_train_rows).collect()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    C = _kmeans_fit(X, n_cells, seed, max_iter)
 
-    vecs = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__v")
-    train = vecs.select("__v")
-    if df.limit(max_train_rows + 1).count() > max_train_rows:
-        # single-pass bounded sample: per-partition top-K by a seeded
-        # random key (planned as TakeOrdered — no full sort/shuffle, no
-        # full count). rand(seed) is partition-position seeded, which is
-        # fine here: the sample only steers centroid quality.
-        train = train.orderBy(F.rand(seed)).limit(max_train_rows)
-    model = km.fit(train)
-    assigned = (
-        model.transform(vecs)
-        .withColumnRenamed(model.getPredictionCol(), "cell")
-        .drop("__v")
-    )
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    return assigned, centroids
+    @F.pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.array(embs.tolist(), dtype=np.float64)
+        return pd.Series(_sq_dists(M, C).argmin(axis=1).astype(np.int32))
+
+    assigned = df.withColumn("cell", cell_of(F.col(vec_col)))
+    return assigned, [list(map(float, c)) for c in C]
 
 
 def ivf_search(
