@@ -22,23 +22,24 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Reference defaults (dbqt/tools/colcompare.py:29-39). NUMBER appears in
-# both INTEGER and DECIMAL groups; ENUM in VARCHAR; membership is "share at
-# least one group".
+# Reference defaults, mirrored VERBATIM (dbqt/tools/colcompare.py:29-39).
+# NUMBER appears in both INTEGER and DECIMAL groups; ENUM in VARCHAR;
+# membership is "share at least one group". Notable reference semantics
+# preserved here: the DATE group also contains the TIMESTAMP variants, so
+# DATE <-> TIMESTAMP classifies as *Matching* (a date column compared to a
+# timestamp column is reported compatible); the DATETIME and ENUM groups
+# exist but are redundant under the shared-group rule (their members
+# already co-occur in TIMESTAMP / VARCHAR groups).
 DEFAULT_TYPE_MAPPINGS: dict[str, list[str]] = {
-    "integer_types": ["INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "NUMBER"],
-    "varchar_types": ["VARCHAR", "TEXT", "CHAR", "STRING", "NVARCHAR", "VARCHAR2", "ENUM"],
-    "decimal_types": ["DECIMAL", "NUMERIC", "NUMBER"],
-    "float_types": ["FLOAT", "REAL", "DOUBLE", "DOUBLE PRECISION"],
-    "timestamp_types": [
-        "TIMESTAMP",
-        "DATETIME",
-        "TIMESTAMP_NTZ",
-        "TIMESTAMP_LTZ",
-        "TIMESTAMP_TZ",
-    ],
-    "date_types": ["DATE"],
-    "boolean_types": ["BOOLEAN", "BOOL", "BIT"],
+    "INTEGER": ["INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "NUMBER"],
+    "VARCHAR": ["VARCHAR", "TEXT", "CHAR", "STRING", "NVARCHAR", "VARCHAR2", "ENUM"],
+    "DECIMAL": ["DECIMAL", "NUMERIC", "NUMBER"],
+    "FLOAT": ["FLOAT", "REAL", "DOUBLE", "DOUBLE PRECISION"],
+    "TIMESTAMP": ["TIMESTAMP", "DATETIME", "TIMESTAMP_NTZ", "TIMESTAMP_LTZ"],
+    "DATE": ["DATE", "TIMESTAMP", "TIMESTAMP_NTZ", "TIMESTAMP_LTZ"],
+    "DATETIME": ["TIMESTAMP", "TIMESTAMP_NTZ", "TIMESTAMP_LTZ"],
+    "BOOLEAN": ["BOOLEAN", "BOOL", "BIT"],
+    "ENUM": ["TEXT"],
 }
 
 

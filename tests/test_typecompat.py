@@ -31,7 +31,66 @@ def test_must_fail_pairs():
 
 def test_timestamp_regex_rule():
     assert are_types_compatible("TIMESTAMP_WEIRD", "TIMESTAMPTZ")
-    assert not are_types_compatible("TIMESTAMP", "DATE")
+
+
+def test_date_timestamp_group():
+    """Reference semantics (dbqt/tools/colcompare.py:35-37): the DATE group
+    contains the TIMESTAMP variants, so DATE vs TIMESTAMP is *Matching*."""
+    assert are_types_compatible("DATE", "TIMESTAMP")
+    assert are_types_compatible("TIMESTAMP_NTZ", "DATE")
+    assert are_types_compatible("DATE", "TIMESTAMP_LTZ(9)")
+    # DATETIME is absent from the reference's DATE group, so DATE vs
+    # DATETIME stays incompatible even though both reach TIMESTAMP
+    assert not are_types_compatible("DATE", "DATETIME")
+
+
+# -- exhaustive sweep vs an independent port of the reference function -----
+
+_REF_MAPPINGS = {
+    "INTEGER": ["INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "NUMBER"],
+    "VARCHAR": ["VARCHAR", "TEXT", "CHAR", "STRING", "NVARCHAR", "VARCHAR2", "ENUM"],
+    "DECIMAL": ["DECIMAL", "NUMERIC", "NUMBER"],
+    "FLOAT": ["FLOAT", "REAL", "DOUBLE", "DOUBLE PRECISION"],
+    "TIMESTAMP": ["TIMESTAMP", "DATETIME", "TIMESTAMP_NTZ", "TIMESTAMP_LTZ"],
+    "DATE": ["DATE", "TIMESTAMP", "TIMESTAMP_NTZ", "TIMESTAMP_LTZ"],
+    "DATETIME": ["TIMESTAMP", "TIMESTAMP_NTZ", "TIMESTAMP_LTZ"],
+    "BOOLEAN": ["BOOLEAN", "BOOL", "BIT"],
+    "ENUM": ["TEXT"],
+}
+
+
+def _ref_compatible(type1: str, type2: str) -> bool:
+    """Line-for-line port of the reference's are_types_compatible
+    (dbqt/tools/colcompare.py:134-153) — the independent oracle for the
+    sweep below."""
+    import re as _re
+
+    type1, type2 = type1.upper(), type2.upper()
+    type1 = type1.split("(")[0].strip()
+    type2 = type2.split("(")[0].strip()
+    if type1 == type2:
+        return True
+    if _re.match(r"^TIMESTAMP.*", type1) and _re.match(r"^TIMESTAMP.*", type2):
+        return True
+    for group in _REF_MAPPINGS.values():
+        if type1 in group and type2 in group:
+            return True
+    return False
+
+
+def test_sweep_all_reference_pairs():
+    vocab = sorted({t for ts in _REF_MAPPINGS.values() for t in ts}) + [
+        "UUID",
+        "BLOB",
+        "TIMESTAMPTZ",
+    ]
+    mismatches = [
+        (a, b)
+        for a in vocab
+        for b in vocab
+        if are_types_compatible(a, b) != _ref_compatible(a, b)
+    ]
+    assert mismatches == []
 
 
 def test_spark_expression_variant(spark):
