@@ -466,9 +466,11 @@ def minhash_near_duplicates(
     is a looser candidate filter (band false-positive rate j^2), which the
     exact-Jaccard verification absorbs.
 
-    Runs two small jobs eagerly (drop stats + candidate materialization);
-    the returned frame holds only the persisted pair set (the banded frame
-    is unpersisted before returning)."""
+    Runs eagerly (drop stats, candidate materialization, verification).
+    The RETURNED frame is the persisted verified pair set — the caller
+    releases it with ``.unpersist()`` or ``operators.cache.released``;
+    every intermediate cache (banded rows, candidate pairs) is released
+    before returning."""
     banded = _spread(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -541,7 +543,15 @@ def minhash_near_duplicates(
         with_ab.withColumn("jaccard", jaccard_udf("__ta", "__tb"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .persist()
     )
+    # materialize so the candidate-pair cache (consumed by BOTH text
+    # joins above) can be released here — previously the persisted pairs
+    # frame outlived the call with no handle for the caller to free it
+    # (VERDICT r5 ask #8). The returned frame is persisted; release it
+    # with .unpersist() or operators.cache.released when done.
+    verified.count()
+    pairs.unpersist()
     return verified
 
 
@@ -642,7 +652,11 @@ def simhash_near_duplicates(
     JVM-side. Banding is EXHAUSTIVE (pigeonhole, not probabilistic), so
     with the cap disabled the result equals brute force — which is what
     the ``portable=True`` + DuckDB-oracle pairing verifies. ``drop_stats``
-    receives n_dropped_buckets / n_dropped_rows when the cap fires."""
+    receives n_dropped_buckets / n_dropped_rows when the cap fires.
+
+    The RETURNED frame is persisted (eagerly materialized, intermediates
+    released) — release it with ``.unpersist()`` or
+    ``operators.cache.released`` when done."""
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole banding needs max_hamming < bands "

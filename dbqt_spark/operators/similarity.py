@@ -307,28 +307,39 @@ def _resolve_bits(df: DataFrame, bits_per_band: int | None) -> int:
     return auto_bits_per_band(df.count())
 
 
-def _cap_blocks(
+def _eager_capped_result(
     banded: DataFrame,
     keys: list[str],
-    max_block_size: int,
+    max_block_size: int | None,
     drop_stats: dict | None,
+    build_result,
 ) -> DataFrame:
-    """Drop rows in oversized (key, band, bucket) blocks before the exact
-    matmul — the last-resort quadratic guard (same shape as the MinHash
-    bucket cap, see dedup._split_oversized). With ``drop_stats`` the
-    banded frame is persisted for the eager stats job and released
-    immediately after (the main job then recomputes the banding — one
-    extra narrow scan+UDF pass, no cached-block leak); drop counts land
-    as n_dropped_buckets / n_dropped_rows."""
+    """Run ``build_result(capped_banded)`` with the oversized-block guard.
+
+    Without ``max_block_size`` this is a pass-through (fully lazy, no
+    persist). With it, the banded frame feeds THREE consumers — the
+    block-size aggregate, the anti-join probe, and the main matmul — so
+    it is persisted for the duration and the result is materialized
+    EAGERLY (persist + count, mirroring ``dedup._eager_pairs_from_banded``)
+    before the banded blocks are released; unpersisted, the banding
+    ``pandas_udf`` pipeline would re-run ~3x per query (VERDICT r5 #2:
+    embedding_near_dups 3.4 -> 5.6 s). Drop counts land in ``drop_stats``
+    (n_dropped_buckets / n_dropped_rows) when the caller passes a dict.
+
+    The RETURNED frame is persisted — callers that are done with it
+    release the cached blocks with ``result.unpersist()`` (or the
+    ``released`` context manager in ``operators.cache``)."""
     from .dedup import _record_drop_stats, _split_oversized
 
-    if drop_stats is not None:
-        banded = banded.persist()
+    if max_block_size is None:
+        return build_result(banded)
+    banded = banded.persist()
     capped, oversized = _split_oversized(banded, keys, max_block_size)
-    if drop_stats is not None:
-        _record_drop_stats(oversized, drop_stats)
-        banded.unpersist()
-    return capped
+    _record_drop_stats(oversized, drop_stats)
+    result = build_result(capped).persist()
+    result.count()
+    banded.unpersist()
+    return result
 
 
 def embedding_near_dup_pairs(
@@ -363,21 +374,19 @@ def embedding_near_dup_pairs(
     don't concentrate (same guidance as the MinHash bucket cap).
 
     ``max_block_size`` drops oversized (key, band, bucket) blocks before
-    the matmul (broadcast anti-join, see ``_cap_blocks``) as a last-resort
-    quadratic guard; pass ``drop_stats`` to receive
-    n_dropped_buckets / n_dropped_rows (eager). ``bits_per_band=None``
-    auto-derives the bucket width from the corpus size
-    (``auto_bits_per_band``).
+    the matmul (broadcast anti-join) as a last-resort quadratic guard;
+    pass ``drop_stats`` to receive n_dropped_buckets / n_dropped_rows.
+    With the cap enabled the result is materialized EAGERLY and returned
+    persisted (release with ``.unpersist()`` / ``operators.cache.released``
+    — see ``_eager_capped_result``); without it the plan stays fully
+    lazy. ``bits_per_band=None`` auto-derives the bucket width from the
+    corpus size (``auto_bits_per_band``).
     """
     key_cols = list(key_cols or [])
     bits_per_band = _resolve_bits(df, bits_per_band)
     banded = _banded_rows(
         df, key_cols, bands, bits_per_band, seed, vec_col, id_col
     )
-    if max_block_size is not None:
-        banded = _cap_blocks(
-            banded, [*key_cols, "__band", "__bval"], max_block_size, drop_stats
-        )
 
     def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -410,13 +419,18 @@ def embedding_near_dup_pairs(
             }
         )
 
-    pairs = banded.groupBy(*key_cols, "__band", "__bval").applyInPandas(
-        pair_block, "id_a long, id_b long, cosine double"
+    def build(capped: DataFrame) -> DataFrame:
+        pairs = capped.groupBy(*key_cols, "__band", "__bval").applyInPandas(
+            pair_block, "id_a long, id_b long, cosine double"
+        )
+        # the same pair surfaces from every band it collides in, with a
+        # bit-identical cosine (same two vectors, deterministic numpy) —
+        # distinct() dedupes across bands
+        return pairs.distinct()
+
+    return _eager_capped_result(
+        banded, [*key_cols, "__band", "__bval"], max_block_size, drop_stats, build
     )
-    # the same pair surfaces from every band it collides in, with a
-    # bit-identical cosine (same two vectors, deterministic numpy) —
-    # distinct() dedupes across bands
-    return pairs.distinct()
 
 
 def embedding_blocked_nn(
@@ -441,20 +455,18 @@ def embedding_blocked_nn(
     and the ivf/lsh_topk operators are the sublinear alternative.
 
     ``max_block_size`` / ``drop_stats`` are the same quadratic guard as
-    ``embedding_near_dup_pairs`` (members of a dropped block can still
+    ``embedding_near_dup_pairs`` — with the cap enabled the result is
+    eagerly materialized and returned persisted (see
+    ``_eager_capped_result``); members of a dropped block can still
     find their NN through their other ``bands - 1`` buckets; a vector
     dropped from ALL its blocks yields no NN row — the drop counts make
-    that observable). ``bits_per_band=None`` auto-derives the bucket
+    that observable. ``bits_per_band=None`` auto-derives the bucket
     width from the corpus size."""
     key_cols = list(key_cols or [])
     bits_per_band = _resolve_bits(df, bits_per_band)
     banded = _banded_rows(
         df, key_cols, bands, bits_per_band, seed, vec_col, id_col
     )
-    if max_block_size is not None:
-        banded = _cap_blocks(
-            banded, [*key_cols, "__band", "__bval"], max_block_size, drop_stats
-        )
 
     def nn_block(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -480,14 +492,21 @@ def embedding_blocked_nn(
 
     from pyspark.sql import Window
 
-    cands = banded.groupBy(*key_cols, "__band", "__bval").applyInPandas(
-        nn_block, "vec_id long, nn_id long, cosine double"
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.col("nn_id"))
-    return (
-        cands.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    def build(capped: DataFrame) -> DataFrame:
+        cands = capped.groupBy(*key_cols, "__band", "__bval").applyInPandas(
+            nn_block, "vec_id long, nn_id long, cosine double"
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cosine"), F.col("nn_id")
+        )
+        return (
+            cands.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    return _eager_capped_result(
+        banded, [*key_cols, "__band", "__bval"], max_block_size, drop_stats, build
     )
 
 

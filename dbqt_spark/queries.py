@@ -597,6 +597,21 @@ FROM scored ORDER BY c DESC, vec_id LIMIT 10
 # ---------------------------------------------------------------------------
 
 
+def _warn_on_drops(name: str, stats: dict) -> None:
+    """The block cap drops rows OBSERVABLY (ADVICE r5): surface nonzero
+    drop counts from the shipped queries instead of swallowing them."""
+    if stats.get("n_dropped_rows"):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: block-size guard dropped %d rows across %d oversized "
+            "buckets — results exclude those blocks",
+            name,
+            stats["n_dropped_rows"],
+            stats["n_dropped_buckets"],
+        )
+
+
 def q_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
@@ -606,11 +621,14 @@ def q_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 25% cheaper than 64 bands
     # max_block_size: generous last-resort quadratic guard (never fires at
     # test scale — expected block ~n_label/4; at corpus scale it bounds a
-    # hot bucket to one executor-sized matmul and the drop is observable)
+    # hot bucket to one executor-sized matmul and the drop is observable:
+    # drop_stats is filled eagerly and logged when nonzero)
+    stats: dict = {}
     nn = embedding_blocked_nn(
         emb, key_cols=["label"], bands=48, bits_per_band=2, seed=42,
-        max_block_size=10_000,
+        max_block_size=10_000, drop_stats=stats,
     )
+    _warn_on_drops("embedding_nn", stats)
     return nn.select("vec_id", "nn_id", F.round("cosine", 4).alias("cosine"))
 
 
@@ -623,10 +641,13 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    return embedding_near_dup_pairs(
+    stats: dict = {}
+    pairs = embedding_near_dup_pairs(
         emb, 0.35, key_cols=["label"], bands=64, bits_per_band=2, seed=42,
-        max_block_size=10_000,
+        max_block_size=10_000, drop_stats=stats,
     )
+    _warn_on_drops("embedding_near_dups", stats)
+    return pairs
 
 
 SQL_EMBEDDING_NEAR_DUPS = """

@@ -540,3 +540,41 @@ def test_minhash_band_width_validation():
 
     with pytest.raises(ValueError, match="multiple of bands"):
         minhash_band_hashes("text", num_hashes=33, bands=16)
+
+
+def test_near_dup_cache_contract(spark):
+    """minhash/simhash near-dup frames come back persisted with all
+    intermediate caches released; `released` frees the result's blocks
+    (VERDICT r5 ask #8: no cached blocks outlive the contract)."""
+    from dbqt_spark.operators.cache import released
+    from dbqt_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+
+    def cached_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base),
+        (2, base.replace("gamma", "GAMMA2", 1)),
+        (3, "totally unrelated words here xyzzy " * 6),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for op in (
+        lambda d: minhash_near_duplicates(d, threshold=0.5),
+        lambda d: simhash_near_duplicates(d, max_hamming=6, bands=8),
+    ):
+        before = cached_ids()
+        out = op(df)
+        assert out.is_cached
+        assert len(cached_ids() - before) == 1  # only the result is cached
+        with released(out) as out:
+            assert out.count() >= 1
+        assert not out.is_cached
+        assert cached_ids() - before == set()

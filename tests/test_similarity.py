@@ -213,3 +213,50 @@ def test_embedding_auto_bits_resolves_from_corpus(spark):
     }
     want = {(a, b) for a, b, _ in _brute_pairs(M, 0.8)}
     assert got == want and (0, 1) in got
+
+
+def _cached_rdd_ids(spark):
+    return {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def test_embedding_cap_persists_result_releases_banded(spark):
+    """With max_block_size set the operator materializes eagerly: the
+    result comes back persisted with drop_stats already filled (no action
+    needed), the banded intermediate's cached blocks are released before
+    return (the r5 regression was the banding UDF re-running ~3x), and
+    the `released` context manager drops the result's blocks on exit."""
+    from dbqt_spark.operators.cache import released
+    from dbqt_spark.operators.similarity import embedding_near_dup_pairs
+
+    df, M = _hot_label_df(spark, n=60)
+    before = _cached_rdd_ids(spark)
+    stats: dict = {}
+    pairs = embedding_near_dup_pairs(
+        df, 0.8, key_cols=["label"], bands=16, bits_per_band=2, seed=1,
+        max_block_size=10_000, drop_stats=stats,
+    )
+    # eager: stats available and result pinned before any caller action
+    assert stats == {"n_dropped_buckets": 0, "n_dropped_rows": 0}
+    assert pairs.is_cached
+    # exactly one new cached RDD (the result) — the banded frame is gone
+    new = _cached_rdd_ids(spark) - before
+    assert len(new) == 1
+    with released(pairs) as pairs:
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert not pairs.is_cached
+    assert _cached_rdd_ids(spark) - before == set()
+    assert got == {(a, b) for a, b, _ in _brute_pairs(M, 0.8)}
+
+
+def test_embedding_no_cap_stays_lazy(spark):
+    """Without max_block_size nothing is persisted — the plan is lazy."""
+    from dbqt_spark.operators.similarity import embedding_near_dup_pairs
+
+    df, _ = _hot_label_df(spark, n=20)
+    pairs = embedding_near_dup_pairs(
+        df, 0.8, key_cols=["label"], bands=8, bits_per_band=2, seed=1
+    )
+    assert not pairs.is_cached
