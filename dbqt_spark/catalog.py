@@ -130,9 +130,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     from pyspark.sql.types import TimestampNTZType
 
-    for f in df.schema.fields:
-        if isinstance(f.dataType, TimestampNTZType):
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    ntz = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, TimestampNTZType)
+    ]
+    if ntz or nanos:
+        # the NTZ->TIMESTAMP (and nanos-long) rebase is value-identical
+        # ONLY under a UTC session zone — enforce it rather than assume it
+        # for externally built sessions (ADVICE r5)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     per_session[path] = df
     return df
 

@@ -196,8 +196,14 @@ def ivf_build(
     sample = df.select(F.col(vec_col).cast("array<double>")).orderBy(
         F.rand(seed)
     ).limit(max_train_rows).collect()
+    if not sample:
+        raise ValueError(
+            "cannot build IVF index on empty input (no training vectors)"
+        )
     X = np.array([r[0] for r in sample], dtype=np.float64)
-    C = _kmeans_fit(X, n_cells, seed, max_iter)
+    # fewer distinct points than requested cells degenerates k-means++
+    # (zero total mass); clamp k to the sample size
+    C = _kmeans_fit(X, min(n_cells, len(X)), seed, max_iter)
 
     @F.pandas_udf("int")
     def cell_of(embs: pd.Series) -> pd.Series:

@@ -61,8 +61,9 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Coerce an event-time column to TIMESTAMP whatever shape it arrived
     in: parquet TIMESTAMP(NANOS) read as long (nanosAsLong), parquet
     micros without isAdjustedToUTC read as TIMESTAMP_NTZ, or already
-    TIMESTAMP. Watermarks/windows/unix_micros all require TIMESTAMP; with
-    a UTC session timezone every branch is value-identical."""
+    TIMESTAMP. Watermarks/windows/unix_micros all require TIMESTAMP; the
+    NTZ cast is value-identical only under a UTC session timezone, so it
+    is enforced here rather than assumed (ADVICE r5)."""
     from pyspark.sql.types import LongType, TimestampNTZType
 
     t = next(f.dataType for f in df.schema.fields if f.name == ts_col)
@@ -72,6 +73,7 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
     if isinstance(t, TimestampNTZType):
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 

@@ -260,3 +260,25 @@ def test_embedding_no_cap_stays_lazy(spark):
         df, 0.8, key_cols=["label"], bands=8, bits_per_band=2, seed=1
     )
     assert not pairs.is_cached
+
+
+def test_ivf_build_empty_and_tiny_input(spark):
+    """Empty input raises a clear error instead of a numpy IndexError
+    deep in _kmeans_fit; fewer points than cells clamps k (ADVICE r5)."""
+    import pytest as _pytest
+
+    from dbqt_spark.operators.similarity import ivf_build
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="empty input"):
+        ivf_build(empty, n_cells=4)
+
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, centroids = ivf_build(tiny, n_cells=8, max_iter=2)
+    assert len(centroids) == 2
+    assert assigned.count() == 2
