@@ -200,13 +200,6 @@ def minhash_signatures(
     )
 
 
-def _md5_hash60(s: str) -> int:
-    """First 60 bits of md5(s) — deterministic across executors/engines
-    (unlike the salted builtin ``hash``), same construction as
-    ``portable_token_hash``."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-
-
 def minhash_band_hashes(
     text_col: str,
     num_hashes: int = 32,
@@ -223,10 +216,12 @@ def minhash_band_hashes(
     ``num_hashes`` MIN aggregates): a narrow map with NO shuffle, no
     window sort, and no rows x shingles blowup. Per batch, each doc is
     tokenized (lower + whitespace split, same tokens as
-    ``normalize_text``), its word n-gram shingles are hashed (md5-prefix,
-    engine-stable), and the full signature + band fold happen as numpy
-    array ops. Same pattern as ``similarity.random_band_values``. The
-    hash family differs from the relational path (md5 vs xxhash64) —
+    ``normalize_text``); the batch's shingles are hashed in ONE
+    vectorized pass (pandas' keyed siphash — fixed key, deterministic
+    across executors/retries) and the signature mins + band fold happen
+    as whole-batch numpy array ops (``np.minimum.reduceat`` over doc
+    boundaries). Same pattern as ``similarity.random_band_values``. The
+    hash family differs from the relational path (siphash vs xxhash64) —
     irrelevant to the contract, since banding only steers RECALL and the
     near-dup output is verified with exact Jaccard on the shingle strings.
 
@@ -252,12 +247,23 @@ def minhash_band_hashes(
 
     @F.pandas_udf("array<long>")
     def bandhashes(texts: pd.Series) -> pd.Series:
-        out = []
+        # Flatten every doc's shingles into ONE array so the whole batch
+        # is hashed in a single vectorized pass (pandas' keyed siphash —
+        # deterministic across executors/retries, unlike builtin hash();
+        # replaces the per-shingle hashlib.md5 loop that dominated this
+        # UDF: ~1.5M Python-level digest calls per sf0.1 run) and the
+        # per-doc signature mins come from np.minimum.reduceat instead of
+        # one tiny matmul per doc. Hash-family choice steers only recall:
+        # the near-dup output is verified with exact Jaccard downstream.
+        shingles: list[str] = []
+        counts: list[int] = []  # shingles per non-empty doc
+        empties: list[bool] = []
         for text in texts:
             toks = _ascii_tokens(text)
             if not toks:
-                out.append(None)
+                empties.append(True)
                 continue
+            empties.append(False)
             if len(toks) >= shingle_n:
                 sh = [
                     " ".join(toks[i : i + shingle_n])
@@ -265,14 +271,47 @@ def minhash_band_hashes(
                 ]
             else:
                 sh = [" ".join(toks)]
-            hs = np.array([_md5_hash60(s) for s in sh], dtype=np.int64) % _P
-            sig = ((A[:, None] * hs[None, :] + B[:, None]) % _P).min(axis=1)
-            # fold rows b*rpb .. b*rpb+rpb-1 into one value per band
-            sig_b = sig.reshape(bands, rows_per_band).astype(np.uint64)
-            folded = np.zeros(bands, dtype=np.uint64)
-            for r in range(rows_per_band):
-                folded = folded * np.uint64(_P) + sig_b[:, r]
-            out.append(folded.astype(np.int64).tolist())
+            shingles.extend(sh)
+            counts.append(len(sh))
+        if not shingles:
+            return pd.Series([None] * len(texts), dtype=object)
+
+        hs = (
+            pd.util.hash_array(np.array(shingles, dtype=object)) % np.uint64(_P)
+        ).astype(np.int64)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        n_docs = len(counts)
+        sig = np.empty((num_hashes, n_docs), dtype=np.int64)
+        # chunk the (num_hashes x n_shingles) permutation matrix so a big
+        # batch stays ~tens of MB of transient numpy, not O(batch) x 32
+        budget = 1 << 19  # shingle-columns per chunk
+        doc_edges = np.concatenate([starts, [len(hs)]])
+        d0 = 0
+        while d0 < n_docs:
+            d1 = d0 + 1
+            while d1 < n_docs and doc_edges[d1 + 1] - doc_edges[d0] < budget:
+                d1 += 1
+            seg = hs[doc_edges[d0] : doc_edges[d1]]
+            perm = (A[:, None] * seg[None, :] + B[:, None]) % _P
+            sig[:, d0:d1] = np.minimum.reduceat(
+                perm, doc_edges[d0:d1] - doc_edges[d0], axis=1
+            )
+            d0 = d1
+        # fold rows b*rpb .. b*rpb+rpb-1 into one value per band
+        sig_b = sig.reshape(bands, rows_per_band, n_docs).astype(np.uint64)
+        folded = np.zeros((bands, n_docs), dtype=np.uint64)
+        for r in range(rows_per_band):
+            folded = folded * np.uint64(_P) + sig_b[:, r, :]
+        folded_cols = folded.astype(np.int64).T  # n_docs x bands
+        out: list = []
+        j = 0
+        for is_empty in empties:
+            if is_empty:
+                out.append(None)
+            else:
+                out.append(folded_cols[j].tolist())
+                j += 1
         return pd.Series(out, dtype=object)
 
     return bandhashes(F.col(text_col))
@@ -348,7 +387,9 @@ def minhash_candidate_pairs(
     materialization — the size aggregate, the anti-join probe, and both
     self-join sides consume it; unpersisted, the signature pipeline would
     re-run up to 4x — then released. The returned pair frame is small
-    (bucket-capped) and persisted (see ``_eager_pairs_from_banded``).
+    (bucket-capped): a LocalRelation when it fits the broadcast limit
+    (no cached blocks survive), else persisted — see
+    ``_eager_pairs_from_banded``.
     """
     banded = sigs.select(
         "id",
@@ -394,26 +435,30 @@ def _eager_pairs_from_banded(
 ) -> tuple[DataFrame, int]:
     """Candidate pairs from a (id, *keys) banded frame: cap hot buckets,
     self-join on the bucket keys, dedup across bands — MATERIALIZED
-    eagerly (persist + count) so the big banded frame can be unpersisted
-    before returning. Returns (persisted_pairs, n_pairs).
+    eagerly so the big banded frame can be released before returning.
+    Returns (pairs, n_pairs).
 
     The eager materialization is deliberate: the banded frame feeds the
     size aggregate, the anti-join probe, and both self-join sides; holding
     it cached across the caller's (arbitrarily late) terminal action leaks
-    O(n_docs x bands) cached blocks per invocation. Counting the
-    (bucket-capped, small) pair set here bounds the leak to the pair frame
-    and gives callers a measured row count to gate broadcasts on.
-    The RETURNED frame is the persisted pair frame itself — callers that
-    are done with it (``minhash_candidate_pairs`` /
-    ``simhash_near_duplicates`` return it directly) can release the
-    cached blocks with ``result.unpersist()``.
+    O(n_docs x bands) cached blocks per invocation.
+
+    Pair sets up to ``BROADCAST_PAIR_LIMIT`` (ids only — 16 bytes/row,
+    <2 MB at the limit) are COLLECTED and rebuilt as a LocalRelation:
+    zero cached blocks survive the call, downstream joins broadcast the
+    local frame without an extra exchange job, and the whole candidate
+    phase is ONE Spark job (the r5 bench's minhash tail was the
+    sequential persist -> count -> verify-count job chain queueing behind
+    12 concurrent queries). Bigger candidate sets (pathological corpora)
+    fall back to a persisted cluster-side frame — callers release that
+    one with ``.unpersist()`` / ``operators.cache.released``.
     ``select_pair(a, b)`` builds the output columns from the two aliased
     join sides."""
     banded = banded.persist()
     capped = banded
+    oversized = None
     if max_bucket_size is not None:
         capped, oversized = _split_oversized(banded, keys, max_bucket_size)
-        _record_drop_stats(oversized, drop_stats)
     a = capped.alias("a")
     b = capped.alias("b")
     cond = (F.col("a.id") < F.col("b.id"))
@@ -422,10 +467,22 @@ def _eager_pairs_from_banded(
     joined = a.join(b, cond)
     if pair_filter is not None:
         joined = joined.filter(pair_filter)
-    pairs = joined.select(*select_pair(a, b)).distinct().persist()
-    n_pairs = pairs.count()
+    pairs_plan = joined.select(*select_pair(a, b)).distinct()
+    rows = pairs_plan.limit(BROADCAST_PAIR_LIMIT + 1).collect()
+    if len(rows) > BROADCAST_PAIR_LIMIT:
+        # huge candidate set: stay cluster-side (persisted), don't pull
+        # it through the driver
+        pairs = pairs_plan.persist()
+        n_pairs = pairs.count()
+        if oversized is not None:
+            _record_drop_stats(oversized, drop_stats)
+        banded.unpersist()
+        return pairs, n_pairs
+    if oversized is not None:
+        _record_drop_stats(oversized, drop_stats)
     banded.unpersist()
-    return pairs, n_pairs
+    pairs = banded.sparkSession.createDataFrame(rows, schema=pairs_plan.schema)
+    return pairs, len(rows)
 
 
 # Above this many candidate pairs the verify-side broadcasts fall back to
@@ -466,11 +523,13 @@ def minhash_near_duplicates(
     is a looser candidate filter (band false-positive rate j^2), which the
     exact-Jaccard verification absorbs.
 
-    Runs eagerly (drop stats, candidate materialization, verification).
-    The RETURNED frame is the persisted verified pair set — the caller
-    releases it with ``.unpersist()`` or ``operators.cache.released``;
-    every intermediate cache (banded rows, candidate pairs) is released
-    before returning."""
+    The candidate phase runs eagerly (one job; drop stats on request);
+    no intermediate cache outlives the call. On the common path the
+    candidate set localizes (``_eager_pairs_from_banded``) and the
+    returned verification frame is LAZY with zero cached blocks; only
+    when the candidate set exceeds ``BROADCAST_PAIR_LIMIT`` does the
+    result come back persisted — release that with ``.unpersist()`` or
+    ``operators.cache.released``."""
     banded = _spread(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -543,15 +602,15 @@ def minhash_near_duplicates(
         with_ab.withColumn("jaccard", jaccard_udf("__ta", "__tb"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-        .persist()
     )
-    # materialize so the candidate-pair cache (consumed by BOTH text
-    # joins above) can be released here — previously the persisted pairs
-    # frame outlived the call with no handle for the caller to free it
-    # (VERDICT r5 ask #8). The returned frame is persisted; release it
-    # with .unpersist() or operators.cache.released when done.
-    verified.count()
-    pairs.unpersist()
+    if pairs.is_cached:
+        # fallback path (candidate set too big to localize): materialize
+        # the verified set so the candidate-pair cache — consumed by BOTH
+        # text joins above — can be released here; the returned frame is
+        # persisted and the caller releases it (VERDICT r5 ask #8)
+        verified = verified.persist()
+        verified.count()
+        pairs.unpersist()
     return verified
 
 
@@ -654,9 +713,10 @@ def simhash_near_duplicates(
     the ``portable=True`` + DuckDB-oracle pairing verifies. ``drop_stats``
     receives n_dropped_buckets / n_dropped_rows when the cap fires.
 
-    The RETURNED frame is persisted (eagerly materialized, intermediates
-    released) — release it with ``.unpersist()`` or
-    ``operators.cache.released`` when done."""
+    Eagerly materialized with intermediates released: the returned pair
+    frame is a LocalRelation on the common path (nothing cached), or a
+    persisted frame when the candidate set exceeds the broadcast limit —
+    release that with ``.unpersist()`` / ``operators.cache.released``."""
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole banding needs max_hamming < bands "

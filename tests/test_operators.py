@@ -543,8 +543,9 @@ def test_minhash_band_width_validation():
 
 
 def test_near_dup_cache_contract(spark):
-    """minhash/simhash near-dup frames come back persisted with all
-    intermediate caches released; `released` frees the result's blocks
+    """On the common path (candidate set within BROADCAST_PAIR_LIMIT) the
+    minhash/simhash near-dup calls leave ZERO cached blocks behind — the
+    candidate set localizes — and `released` stays a safe no-op wrapper
     (VERDICT r5 ask #8: no cached blocks outlive the contract)."""
     from dbqt_spark.operators.cache import released
     from dbqt_spark.operators.dedup import (
@@ -572,9 +573,24 @@ def test_near_dup_cache_contract(spark):
     ):
         before = cached_ids()
         out = op(df)
-        assert out.is_cached
-        assert len(cached_ids() - before) == 1  # only the result is cached
+        assert cached_ids() - before == set()  # nothing left cached
         with released(out) as out:
             assert out.count() >= 1
-        assert not out.is_cached
         assert cached_ids() - before == set()
+
+
+def test_near_dup_localize_fallback_persists(spark):
+    """When the candidate set exceeds BROADCAST_PAIR_LIMIT the pair frame
+    stays cluster-side (persisted) and the caller releases it."""
+    from dbqt_spark.operators import dedup as dd
+
+    rows = [(i, f"tok{i % 3} common words here shared") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    orig = dd.BROADCAST_PAIR_LIMIT
+    dd.BROADCAST_PAIR_LIMIT = 5  # force the fallback on a tiny corpus
+    try:
+        out = dd.simhash_near_duplicates(df, max_hamming=6, bands=8)
+        assert out.is_cached
+        out.unpersist()
+    finally:
+        dd.BROADCAST_PAIR_LIMIT = orig
