@@ -88,6 +88,13 @@ def main() -> None:
 
     def run_one(name: str) -> None:
         fn = QUERIES[name]
+        # Long sequential-chain queries run in the higher-weight `heavy`
+        # FAIR pool (dbqt_spark/fairscheduler.xml): the bench wall
+        # converges to their chain latency, while the short queries have
+        # slack — weighting the tail up shortens the whole run.
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "heavy" if name in heavy else "default"
+        )
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

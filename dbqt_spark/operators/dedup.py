@@ -425,6 +425,27 @@ def minhash_candidate_pairs(
     return pairs
 
 
+def _candidate_pair_plan(
+    capped: DataFrame,
+    keys: list[str],
+    select_pair,
+    pair_filter: "F.Column | None" = None,
+) -> DataFrame:
+    """The LAZY candidate-pair plan: equi-self-join on the bucket keys
+    (never a cartesian product), pair columns, cross-band distinct.
+    Split out so plan tests can assert the join shape that
+    ``_eager_pairs_from_banded`` executes."""
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    joined = a.join(b, cond)
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
+    return joined.select(*select_pair(a, b)).distinct()
+
+
 def _eager_pairs_from_banded(
     banded: DataFrame,
     keys: list[str],
@@ -459,15 +480,7 @@ def _eager_pairs_from_banded(
     oversized = None
     if max_bucket_size is not None:
         capped, oversized = _split_oversized(banded, keys, max_bucket_size)
-    a = capped.alias("a")
-    b = capped.alias("b")
-    cond = (F.col("a.id") < F.col("b.id"))
-    for k in keys:
-        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    joined = a.join(b, cond)
-    if pair_filter is not None:
-        joined = joined.filter(pair_filter)
-    pairs_plan = joined.select(*select_pair(a, b)).distinct()
+    pairs_plan = _candidate_pair_plan(capped, keys, select_pair, pair_filter)
     rows = pairs_plan.limit(BROADCAST_PAIR_LIMIT + 1).collect()
     if len(rows) > BROADCAST_PAIR_LIMIT:
         # huge candidate set: stay cluster-side (persisted), don't pull

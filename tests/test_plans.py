@@ -75,10 +75,45 @@ def test_compat_join_is_broadcast(spark, sf_dir):
 def test_simhash_banding_is_equi_join(spark, sf_dir):
     """The simhash pair search must plan the band-bucket match as a hash
     equi-join on (band, chunk) — never a cartesian/nested-loop product,
-    which would be O(n^2) at corpus scale."""
-    from dbqt_spark.queries import q_simhash_near_dups
+    which would be O(n^2) at corpus scale. The shipped operator executes
+    this plan eagerly (and returns a localized result), so the assertion
+    runs on the lazy pair plan it builds internally."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.dedup import (
+        _candidate_pair_plan,
+        simhash_fingerprints,
+    )
 
-    plan = _formatted_plan(q_simhash_near_dups(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, portable=True)
+    width = 64 // 4
+    mask = (1 << width) - 1
+    banded = fp.select(
+        F.col("doc_id").alias("id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    pairs_plan = _candidate_pair_plan(
+        banded,
+        ["band", "chunk"],
+        lambda a, b: [
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        ],
+        pair_filter=hamming <= 3,
+    )
+    plan = _formatted_plan(pairs_plan)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
