@@ -232,7 +232,28 @@ def tool_colcompare(argv: list[str]) -> int:
     p.add_argument("--source-file", help="schema-dump CSV or parquet file")
     p.add_argument("--target-file")
     p.add_argument("--output")
+    p.add_argument(
+        "--generate-config",
+        nargs="?",
+        const="colcompare_config.yaml",
+        default=None,
+        metavar="PATH",
+        help="write the default type-mapping YAML and exit "
+        "(reference colcompare.py:98)",
+    )
     args = p.parse_args(argv)
+
+    if args.generate_config:
+        from .typecompat import generate_config_file
+
+        if generate_config_file(args.generate_config):
+            print(f"Default configuration saved to: {args.generate_config}")
+            return 0
+        print(
+            f"Config file already exists at {args.generate_config}; "
+            "delete it first to regenerate"
+        )
+        return 1
 
     report = HTMLReport("colcompare")
     if args.source_file and args.target_file:

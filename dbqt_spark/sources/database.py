@@ -15,6 +15,7 @@ engine.
 | s3parquet | ``s3a://bucket/key`` through Hadoop S3A — no manual download (S3) |
 | mysql/postgresql/sqlserver/oracle/snowflake | ``spark.read.format("jdbc")`` with the dialect's URL; Spark pushes filters and (where enabled) aggregates down (S4) |
 | athena | read the underlying S3 data directly, or JDBC (S5) |
+| jdbc (generic) | verbatim ``url`` + ``driver`` from the config — any engine with a JDBC jar; live-tested against embedded Derby |
 
 JDBC/S3 paths require the corresponding driver jars/filesystem on the
 cluster; in this container they raise a clear error when exercised, and
@@ -39,6 +40,11 @@ _JDBC_URLS = {
     # Athena speaks JDBC too (Simba driver); direct-S3 is the preferred
     # path when the table location is known (see Database.load)
     "athena": "jdbc:awsathena://athena.{region}.amazonaws.com:443",
+    # generic escape hatch: `url` is taken verbatim from the config, for
+    # any engine with a JDBC driver on the classpath (also what the live
+    # end-to-end test drives against embedded Derby — the one dialect
+    # whose driver ships inside Spark itself)
+    "jdbc": "{url}",
 }
 
 _DEFAULT_PORTS = {
@@ -168,6 +174,7 @@ class Database:
             database=c.get("database", ""),
             account=c.get("account", ""),
             region=c.get("aws_region", "us-east-1"),
+            url=c.get("url", ""),
         )
         opts = {"url": url}
         if self.kind == "athena":

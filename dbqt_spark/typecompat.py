@@ -59,6 +59,38 @@ def load_type_mappings(path: str | None) -> dict[str, list[str]]:
     return out or DEFAULT_TYPE_MAPPINGS
 
 
+def generate_config_file(output_path: str = "colcompare_config.yaml") -> bool:
+    """Write the default type-mapping YAML a user can edit and pass back
+    via ``--config`` (reference: dbqt/tools/colcompare.py:98-131). Returns
+    False (and writes nothing) if the file already exists — the CLI is
+    non-interactive, so "overwrite?" is answered by deleting the file."""
+    import os
+
+    import yaml
+
+    if os.path.exists(output_path):
+        return False
+    with open(output_path, "w") as f:
+        f.write(
+            "# Column comparison type mappings configuration.\n"
+            "# Each key represents a type group, and the list contains"
+            " equivalent types.\n"
+        )
+        yaml.dump(
+            {"type_mappings": DEFAULT_TYPE_MAPPINGS},
+            f,
+            default_flow_style=False,
+            sort_keys=False,
+        )
+        f.write(
+            "\n# Column names to exclude from comparison (case-insensitive)\n"
+            "excluded_cols:\n"
+            "  # - CREATED_AT\n"
+            "  # - UPDATED_AT\n"
+        )
+    return True
+
+
 def canonicalize(type_name: str) -> str:
     """UPPER + strip parenthesized parameters + trim
     (dbqt/tools/colcompare.py:139-141)."""

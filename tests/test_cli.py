@@ -132,3 +132,18 @@ def test_dbstats_dual_two_sources_one_target(spark, sf_dir, tmp_path):
     assert '"difference": 0' in html
     assert '"source_table": "lineitem"' in html
     assert html.count('"source_table"') >= 2
+
+
+def test_colcompare_generate_config_roundtrip(tmp_path, capsys):
+    """--generate-config writes the default type-mapping YAML; loading it
+    back yields exactly the default groups (reference colcompare.py:98),
+    and an existing file is refused rather than overwritten."""
+    from dbqt_spark.typecompat import DEFAULT_TYPE_MAPPINGS, load_type_mappings
+
+    out = str(tmp_path / "cc.yaml")
+    assert main(["colcompare", "--generate-config", out]) == 0
+    assert load_type_mappings(out) == DEFAULT_TYPE_MAPPINGS
+    # second run refuses to clobber a user-edited file
+    assert main(["colcompare", "--generate-config", out]) == 1
+    text = (tmp_path / "cc.yaml").read_text()
+    assert "excluded_cols" in text and "type_mappings" in text
