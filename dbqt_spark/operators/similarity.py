@@ -319,6 +319,7 @@ def _eager_capped_result(
     max_block_size: int | None,
     drop_stats: dict | None,
     build_result,
+    localize_limit: int | None = None,
 ) -> DataFrame:
     """Run ``build_result(capped_banded)`` with the oversized-block guard.
 
@@ -326,24 +327,38 @@ def _eager_capped_result(
     persist). With it, the banded frame feeds THREE consumers — the
     block-size aggregate, the anti-join probe, and the main matmul — so
     it is persisted for the duration and the result is materialized
-    EAGERLY (persist + count, mirroring ``dedup._eager_pairs_from_banded``)
-    before the banded blocks are released; unpersisted, the banding
-    ``pandas_udf`` pipeline would re-run ~3x per query (VERDICT r5 #2:
-    embedding_near_dups 3.4 -> 5.6 s). Drop counts land in ``drop_stats``
-    (n_dropped_buckets / n_dropped_rows) when the caller passes a dict.
+    EAGERLY before the banded blocks are released; unpersisted, the
+    banding ``pandas_udf`` pipeline would re-run ~3x per query (VERDICT
+    r5 #2: embedding_near_dups 3.4 -> 5.6 s). Drop counts land in
+    ``drop_stats`` (n_dropped_buckets / n_dropped_rows) when the caller
+    passes a dict.
 
-    The RETURNED frame is persisted — callers that are done with it
-    release the cached blocks with ``result.unpersist()`` (or the
-    ``released`` context manager in ``operators.cache``)."""
+    With ``localize_limit`` (right for results bounded small by
+    construction, e.g. thresholded near-dup pairs) a result within the
+    limit is COLLECTED and rebuilt as a LocalRelation — zero cached
+    blocks survive the call (same shape as
+    ``dedup._eager_pairs_from_banded``). Otherwise — corpus-sized results
+    (``embedding_blocked_nn``) or an over-limit pair set — the RETURNED
+    frame is persisted and the caller releases it with ``.unpersist()``
+    (or ``operators.cache.released``)."""
     from .dedup import _record_drop_stats, _split_oversized
 
     if max_block_size is None:
         return build_result(banded)
     banded = banded.persist()
     capped, oversized = _split_oversized(banded, keys, max_block_size)
-    _record_drop_stats(oversized, drop_stats)
-    result = build_result(capped).persist()
+    result_plan = build_result(capped)
+    if localize_limit is not None:
+        rows = result_plan.limit(localize_limit + 1).collect()
+        if len(rows) <= localize_limit:
+            _record_drop_stats(oversized, drop_stats)
+            banded.unpersist()
+            return banded.sparkSession.createDataFrame(
+                rows, schema=result_plan.schema
+            )
+    result = result_plan.persist()
     result.count()
+    _record_drop_stats(oversized, drop_stats)
     banded.unpersist()
     return result
 
@@ -382,11 +397,13 @@ def embedding_near_dup_pairs(
     ``max_block_size`` drops oversized (key, band, bucket) blocks before
     the matmul (broadcast anti-join) as a last-resort quadratic guard;
     pass ``drop_stats`` to receive n_dropped_buckets / n_dropped_rows.
-    With the cap enabled the result is materialized EAGERLY and returned
-    persisted (release with ``.unpersist()`` / ``operators.cache.released``
-    — see ``_eager_capped_result``); without it the plan stays fully
-    lazy. ``bits_per_band=None`` auto-derives the bucket width from the
-    corpus size (``auto_bits_per_band``).
+    With the cap enabled the result is materialized EAGERLY: pair sets
+    within the broadcast limit come back as a LocalRelation (zero cached
+    blocks survive), bigger ones persisted (release with ``.unpersist()``
+    / ``operators.cache.released`` — see ``_eager_capped_result``);
+    without the cap the plan stays fully lazy. ``bits_per_band=None``
+    auto-derives the bucket width from the corpus size
+    (``auto_bits_per_band``).
     """
     key_cols = list(key_cols or [])
     bits_per_band = _resolve_bits(df, bits_per_band)
@@ -434,8 +451,15 @@ def embedding_near_dup_pairs(
         # distinct() dedupes across bands
         return pairs.distinct()
 
+    from .dedup import BROADCAST_PAIR_LIMIT
+
     return _eager_capped_result(
-        banded, [*key_cols, "__band", "__bval"], max_block_size, drop_stats, build
+        banded,
+        [*key_cols, "__band", "__bval"],
+        max_block_size,
+        drop_stats,
+        build,
+        localize_limit=BROADCAST_PAIR_LIMIT,
     )
 
 

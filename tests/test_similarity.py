@@ -222,12 +222,12 @@ def _cached_rdd_ids(spark):
     }
 
 
-def test_embedding_cap_persists_result_releases_banded(spark):
+def test_embedding_cap_localizes_result_releases_banded(spark):
     """With max_block_size set the operator materializes eagerly: the
-    result comes back persisted with drop_stats already filled (no action
-    needed), the banded intermediate's cached blocks are released before
-    return (the r5 regression was the banding UDF re-running ~3x), and
-    the `released` context manager drops the result's blocks on exit."""
+    (small) pair set localizes, drop_stats is already filled (no action
+    needed), and NO cached blocks survive the call — the r5 regression
+    was the banding UDF re-running ~3x without a persist, the r5 leak
+    was the persist without a release handle."""
     from dbqt_spark.operators.cache import released
     from dbqt_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -238,17 +238,33 @@ def test_embedding_cap_persists_result_releases_banded(spark):
         df, 0.8, key_cols=["label"], bands=16, bits_per_band=2, seed=1,
         max_block_size=10_000, drop_stats=stats,
     )
-    # eager: stats available and result pinned before any caller action
+    # eager: stats available before any caller action; nothing cached
     assert stats == {"n_dropped_buckets": 0, "n_dropped_rows": 0}
-    assert pairs.is_cached
-    # exactly one new cached RDD (the result) — the banded frame is gone
-    new = _cached_rdd_ids(spark) - before
-    assert len(new) == 1
+    assert _cached_rdd_ids(spark) - before == set()
     with released(pairs) as pairs:
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-    assert not pairs.is_cached
     assert _cached_rdd_ids(spark) - before == set()
     assert got == {(a, b) for a, b, _ in _brute_pairs(M, 0.8)}
+
+
+def test_embedding_nn_cap_persists_result(spark):
+    """embedding_blocked_nn's result is corpus-sized (one row per
+    vector), so the cap path returns it persisted with the banded
+    intermediate released — the caller frees it via released()."""
+    from dbqt_spark.operators.cache import released
+    from dbqt_spark.operators.similarity import embedding_blocked_nn
+
+    df, _ = _hot_label_df(spark, n=40)
+    before = _cached_rdd_ids(spark)
+    nn = embedding_blocked_nn(
+        df, key_cols=["label"], bands=16, bits_per_band=2, seed=1,
+        max_block_size=10_000,
+    )
+    assert nn.is_cached
+    assert len(_cached_rdd_ids(spark) - before) == 1
+    with released(nn) as nn:
+        assert nn.count() == 40
+    assert _cached_rdd_ids(spark) - before == set()
 
 
 def test_embedding_no_cap_stays_lazy(spark):
