@@ -785,3 +785,106 @@ def ngram_jaccard(
     rows = {r[0]: set(r[1]) for r in sh.collect()}
     a, b = rows.get(id_a, set()), rows.get(id_b, set())
     return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def ngram_jaccard_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_shingle_df: int | None = None,
+    drop_stats: dict | None = None,
+) -> DataFrame:
+    """EXACT word n-gram Jaccard near-duplicate pairs via an
+    inverted-index set-similarity join — the third dedup tier next to
+    MinHash (approximate candidates, exact verify) and SimHash
+    (Hamming): (id_a, id_b, jaccard >= threshold), no approximation
+    anywhere.
+
+    Shape: distinct (id, shingle) posting list -> self-equi-join on the
+    shingle (the inverted index: only docs SHARING a shingle ever meet —
+    never an all-pairs product) -> count shared shingles per pair ->
+    ``|A∩B| / (|A| + |B| - |A∩B|)`` from the exact set sizes. One
+    explode, one shuffle on shingle, one aggregation on the pair key.
+
+    Scale guard: a shingle appearing in ``d`` docs contributes d^2/2
+    join rows, so boilerplate text is quadratic — ``max_shingle_df``
+    drops shingles whose document frequency exceeds the cap (the
+    standard stopword-style guard in set-similarity joins; pass
+    ``drop_stats`` to receive n_dropped_shingles / n_dropped_postings).
+    NOTE unlike the MinHash bucket cap this changes the measured metric
+    (dropped shingles leave the similarity domain) — leave it None where
+    exactness matters and run exact dedup first so identical docs don't
+    concentrate.
+
+    Eager like the other near-dup ops: pair sets within
+    ``BROADCAST_PAIR_LIMIT`` localize (zero cached blocks survive),
+    bigger ones come back persisted (release via ``.unpersist()`` /
+    ``operators.cache.released``)."""
+    sh = (
+        shingle_rows(df, text_col, id_col, shingle_n)
+        .select("id", "shingle")
+        .distinct()
+    )
+    sh = sh.persist()
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+        )
+        if drop_stats is not None:
+            row = hot.agg(
+                F.count(F.lit(1)).alias("s"),
+                F.coalesce(F.sum("__df"), F.lit(0)).alias("p"),
+            ).collect()[0]
+            drop_stats["n_dropped_shingles"] = int(row["s"])
+            drop_stats["n_dropped_postings"] = int(row["p"])
+        sh_kept = sh.join(
+            F.broadcast(hot.select("shingle")), "shingle", "left_anti"
+        )
+    else:
+        sh_kept = sh
+    # set sizes AFTER the df-cap so the Jaccard denominator matches the
+    # (possibly reduced) similarity domain
+    sizes = sh_kept.groupBy("id").agg(F.count(F.lit(1)).alias("__sz"))
+    a, b = sh_kept.alias("a"), sh_kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    jac = F.col("__shared") / (
+        F.col("__sa") + F.col("__sb") - F.col("__shared")
+    )
+    pairs_plan = (
+        shared.join(
+            sizes.select(
+                F.col("id").alias("id_a"), F.col("__sz").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("id").alias("id_b"), F.col("__sz").alias("__sb")
+            ),
+            "id_b",
+        )
+        # threshold on the UNROUNDED ratio (one IEEE division of two exact
+        # ints — engines agree bit-for-bit); round only for display
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+    rows = pairs_plan.limit(BROADCAST_PAIR_LIMIT + 1).collect()
+    if len(rows) > BROADCAST_PAIR_LIMIT:
+        pairs = pairs_plan.persist()
+        pairs.count()
+        sh.unpersist()
+        return pairs
+    sh.unpersist()
+    return sh.sparkSession.createDataFrame(rows, schema=pairs_plan.schema)

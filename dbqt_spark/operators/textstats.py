@@ -122,14 +122,40 @@ def language_id(
     )
 
 
+# Rolling-hash parameters: accumulator stays < _ROLL_P (31-bit), token
+# hashes are < 2^60 (md5-prefix), so acc * _ROLL_B + h < 2^52 + 2^60 —
+# no int64 overflow under Spark's ANSI mode, and DuckDB/Trino reproduce
+# the arithmetic exactly (see SQL twin in queries.py).
+_ROLL_P = (1 << 31) - 1
+_ROLL_B = 1_000_003
+
+
+def rolling_hash_col(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    ``acc = (acc * B + md5prefix60(token)) mod P``, entirely JVM-side
+    (higher-order ``F.aggregate``). Engine-portable by construction —
+    md5 is identical everywhere and the arithmetic fits signed 64-bit —
+    so a SQL oracle reproduces it bit-for-bit (unlike ``xxhash64``,
+    which only Spark implements). Empty docs hash to 0."""
+    from .dedup import portable_token_hash
+
+    return F.aggregate(
+        F.transform(tokens_col(F.lower(text)), portable_token_hash),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(_ROLL_B) + h) % F.lit(_ROLL_P),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized lowercase text
-    (exact-dup key) + xxhash64 (cheap 64-bit rolling-style hash)."""
+    (exact-dup key) + xxhash64 (cheap 64-bit whole-doc hash) + an
+    order-sensitive token rolling hash (portable across engines)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("fingerprint_md5"),
         F.xxhash64(norm).alias("fingerprint_xx64"),
+        rolling_hash_col(F.col(text_col)).alias("fingerprint_roll"),
     )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from .catalog import TPCH_TABLES, discover_tables, load_table, load_tables
 from .operators.dedup import (
     minhash_near_duplicates,
+    ngram_jaccard_near_duplicates,
     normalize_text,
     simhash_fingerprints,
     simhash_near_duplicates,
@@ -1287,6 +1288,69 @@ SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
 """
 
 
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-doc md5 (exact-dup key) + the
+    order-sensitive token rolling hash. ``fingerprint_xx64`` is excluded
+    here because xxhash64 exists only in Spark — the md5 and rolling
+    columns are engine-portable by construction and oracle-checked
+    bit-for-bit."""
+    from .operators.textstats import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select(
+        "doc_id", "fingerprint_md5", "fingerprint_roll"
+    )
+
+
+# DuckDB twin of textstats.rolling_hash_col: same md5-prefix token hash
+# as the simhash oracle, same (acc*B + h) mod P fold. list_reduce seeds
+# the accumulator with the FIRST element (no init argument), so a 0 is
+# prepended — which also makes empty docs hash to 0 like Spark's
+# aggregate(…, 0, …).
+SQL_DOC_FINGERPRINTS = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+)
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(ts,
+             t -> CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT))),
+         (acc, h) -> (acc * 1000003 + h) % 2147483647
+       ) AS fingerprint_roll
+FROM toks
+"""
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (inverted-index set-similarity
+    join, no LSH anywhere) at a tighter threshold than the minhash tier —
+    the two pipelines share only the shingle definition, so agreeing
+    oracles cross-check both."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_near_duplicates(docs, threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# brute-force twin of the inverted-index join: same shingle sets, same
+# unrounded-ratio threshold
+SQL_NGRAM_JACCARD_DUPS = f"""
+WITH {_SQL_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs
+WHERE j >= 0.6 ORDER BY id_a, id_b
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints with the engine-portable (md5-prefix) token
     hash, so DuckDB reproduces every 64-bit fingerprint exactly."""
@@ -1616,6 +1680,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dynamic_queries": q_dynamic_queries,
     "table_discovery": q_table_discovery,
     "minhash_near_dups": q_minhash_near_dups,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "doc_fingerprints": q_doc_fingerprints,
     "simhash": q_simhash,
     "simhash_near_dups": q_simhash_near_dups,
     "lsh_topk": q_lsh_topk,
@@ -1659,6 +1725,8 @@ ORACLES: dict[str, str] = {
     "dynamic_queries": SQL_DYNAMIC_QUERIES,
     "table_discovery": SQL_TABLE_DISCOVERY,
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+    "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "simhash": SQL_SIMHASH,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -27,3 +27,23 @@ def test_plan_summary(spark, sf_dir):
     assert s["scans"] == 5
     assert s["broadcast_joins"] == 4
     assert s["sort_merge_joins"] == 0
+
+
+def test_rolling_hash_order_sensitive_and_empty(spark):
+    """The rolling fingerprint is order-SENSITIVE (unlike the md5 of
+    normalized text which collapses whitespace only) and hashes empty
+    docs to 0."""
+    from dbqt_spark.operators.textstats import fingerprint
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "gamma beta alpha"),  # same tokens, different order
+        (3, "alpha beta gamma"),  # identical to 1
+        (4, ""),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {r["doc_id"]: r["fingerprint_roll"] for r in fingerprint(df).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]
+    assert fp[4] == 0 and fp[5] == 0

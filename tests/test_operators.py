@@ -594,3 +594,39 @@ def test_near_dup_localize_fallback_persists(spark):
         out.unpersist()
     finally:
         dd.BROADCAST_PAIR_LIMIT = orig
+
+
+def test_ngram_jaccard_near_duplicates_exact(spark):
+    """Known-answer: shared-shingle counting must reproduce brute-force
+    set Jaccard exactly, and non-overlapping docs never pair."""
+    from dbqt_spark.operators.dedup import ngram_jaccard_near_duplicates
+
+    base = "one two three four five six seven eight nine ten"
+    near = "one two three four five six seven eight nine eleven"
+    rows = [(1, base), (2, near), (3, "totally different words entirely here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_near_duplicates(df, threshold=0.5).collect()
+    }
+    # 8 shingles each, 7 shared -> 7 / (8 + 8 - 7) = 7/9 = 0.7778
+    assert got == {(1, 2): round(7 / 9, 4)}
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """max_shingle_df drops boilerplate shingles observably and shrinks
+    the similarity domain (documented semantics change)."""
+    from dbqt_spark.operators.dedup import ngram_jaccard_near_duplicates
+
+    boiler = "lorem ipsum dolor sit amet"
+    rows = [(i, f"{boiler} unique{i} tail{i} words{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats: dict = {}
+    out = ngram_jaccard_near_duplicates(
+        df, threshold=0.9, max_shingle_df=3, drop_stats=stats
+    )
+    # the boilerplate shingles appear in all 6 docs -> dropped
+    assert stats["n_dropped_shingles"] >= 3
+    assert stats["n_dropped_postings"] >= 18
+    # with the shared prefix gone, no pair reaches 0.9
+    assert out.count() == 0
