@@ -111,6 +111,7 @@ def main() -> None:
     # scheduling). Weights are coarse — measured once at sf0.1.
     heavy = [
         "minhash_near_dups",
+        "ngram_jaccard_dups",
         "keyfinder_search",
         "simhash_near_dups",
         "profile_lineitem",

@@ -143,3 +143,24 @@ def test_range_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan  # Broadcast- or ShuffledHashJoin on __bin
+
+
+def test_ngram_jaccard_is_equi_join(spark, sf_dir):
+    """The set-similarity join must be an equi-join on the shingle (the
+    inverted index) — never a cartesian product. Asserted on the lazy
+    pair plan (the operator executes it eagerly)."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs).select("id", "shingle").distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).groupBy(F.col("a.id"), F.col("b.id")).count()
+    plan = _formatted_plan(joined)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
