@@ -630,3 +630,77 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     assert stats["n_dropped_postings"] >= 18
     # with the shared prefix gone, no pair reaches 0.9
     assert out.count() == 0
+
+
+def test_ngram_jaccard_random_corpus_matches_python_model(spark):
+    """Seeded random corpus: the inverted-index shared-count Jaccard must
+    equal a pure-Python set model exactly (threshold on the unrounded
+    ratio, 4-digit rounding on output)."""
+    import random
+
+    from dbqt_spark.operators.dedup import ngram_jaccard_near_duplicates
+
+    rnd = random.Random(7)
+    # small vocabulary so trigram shingles actually collide across docs
+    vocab = [f"w{i}" for i in range(5)]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 25))))
+        for i in range(40)
+    ]
+
+    def sh_set(text):
+        toks = text.split()
+        if len(toks) >= 3:
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+        return {" ".join(toks)}
+
+    threshold = 0.2
+    expected = {}
+    for (ia, ta) in rows:
+        for (ib, tb) in rows:
+            if ia < ib:
+                a, b = sh_set(ta), sh_set(tb)
+                j = len(a & b) / len(a | b) if a | b else 0.0
+                if j >= threshold:
+                    expected[(ia, ib)] = round(j, 4)
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_near_duplicates(df, threshold=threshold).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_rolling_hash_matches_python_model(spark):
+    """The portable rolling fingerprint must reproduce a from-scratch
+    Python model (md5-prefix token hash, (acc*B + h) mod P fold) on a
+    seeded random corpus — the same independence the DuckDB oracle
+    provides, but pinned at unit-test speed."""
+    import hashlib
+    import random
+    import re
+
+    from dbqt_spark.operators.textstats import _ROLL_B, _ROLL_P, fingerprint
+
+    rnd = random.Random(11)
+    vocab = ["Alpha", "BETA", "gamma", "Delta9", "x"]
+    rows = [
+        (i, "  ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 12))))
+        for i in range(30)
+    ]
+
+    def model(text):
+        acc = 0
+        for tok in [t for t in re.split(r"\s+", text.lower()) if t]:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            acc = (acc * _ROLL_B + h) % _ROLL_P
+        return acc
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["fingerprint_roll"] for r in fingerprint(df).collect()
+    }
+    assert got == {i: model(t) for i, t in rows}
