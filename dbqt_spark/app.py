@@ -35,6 +35,7 @@ TOOLS = [
     "parquetizer",
     "dynamic-query",
     "checks",
+    "dedup",
 ]
 
 
@@ -456,6 +457,74 @@ def tool_checks(argv: list[str]) -> int:
     return 1 if failed else 0
 
 
+def tool_dedup(argv: list[str]) -> int:
+    """Document dedup from the CLI: exact fingerprint groups or one of
+    the near-dup tiers (minhash / simhash / ngram) over a configured
+    table's text column; pairs go to an HTML report and optionally to
+    parquet."""
+    from .report.html import HTMLReport
+
+    p = argparse.ArgumentParser(prog="dedup")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument(
+        "--method",
+        choices=["exact", "minhash", "simhash", "ngram"],
+        default="exact",
+    )
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="Jaccard threshold (minhash/ngram)")
+    p.add_argument("--max-hamming", type=int, default=3,
+                   help="Hamming radius (simhash)")
+    p.add_argument("--output")
+    p.add_argument("--pairs-parquet", help="also write the pairs here")
+    args = p.parse_args(argv)
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    from .operators import dedup as dd
+    from .operators.cache import released
+
+    stats: dict = {}
+    if args.method == "exact":
+        result = dd.exact_duplicate_groups(
+            df, text_col=args.text_column, id_col=args.id_column
+        )
+    elif args.method == "minhash":
+        result = dd.minhash_near_duplicates(
+            df, text_col=args.text_column, id_col=args.id_column,
+            threshold=args.threshold, drop_stats=stats,
+        )
+    elif args.method == "simhash":
+        # pigeonhole banding needs max_hamming < bands and bands | 64:
+        # pick the smallest qualifying divisor
+        bands = next(b for b in (2, 4, 8, 16, 32, 64) if b > args.max_hamming)
+        result = dd.simhash_near_duplicates(
+            df, text_col=args.text_column, id_col=args.id_column,
+            max_hamming=args.max_hamming, bands=bands, drop_stats=stats,
+        )
+    else:
+        result = dd.ngram_jaccard_near_duplicates(
+            df, text_col=args.text_column, id_col=args.id_column,
+            threshold=args.threshold,
+        )
+    with released(result) as result:
+        if args.pairs_parquet:
+            result.write.mode("overwrite").parquet(args.pairs_parquet)
+        report = HTMLReport(f"dedup ({args.method})")
+        report.add_dataframe_tab("Duplicates", result)
+        out = args.output or _results_path("dedup")
+        report.save(out)
+        n = result.count()
+    if stats:
+        logger.info("drop accounting: %s", stats)
+    print(f"{n} {'groups' if args.method == 'exact' else 'pairs'} found")
+    print(f"Report saved to {out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -477,6 +546,7 @@ def main(argv: list[str] | None = None) -> int:
         "parquetizer": tool_parquetizer,
         "dynamic-query": tool_dynamic_query,
         "checks": tool_checks,
+        "dedup": tool_dedup,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

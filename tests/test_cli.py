@@ -147,3 +147,28 @@ def test_colcompare_generate_config_roundtrip(tmp_path, capsys):
     assert main(["colcompare", "--generate-config", out]) == 1
     text = (tmp_path / "cc.yaml").read_text()
     assert "excluded_cols" in text and "type_mappings" in text
+
+
+def test_dedup_tool_methods(tmp_path, capsys):
+    """The dedup CLI runs each tier end-to-end over a parquet-dir config
+    and writes the report (+ optional pairs parquet)."""
+    cfg = tmp_path / "conn.yaml"
+    cfg.write_text(
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n"
+    )
+    for method, extra in (
+        ("exact", []),
+        ("minhash", ["--threshold", "0.5"]),
+        ("ngram", ["--threshold", "0.5",
+                   "--pairs-parquet", str(tmp_path / "pairs.pq")]),
+        ("simhash", ["--max-hamming", "6"]),
+    ):
+        out = str(tmp_path / f"dedup_{method}.html")
+        rc = main(
+            ["dedup", "--config", str(cfg), "--table", "documents",
+             "--method", method, "--output", out, *extra]
+        )
+        assert rc == 0
+        assert os.path.exists(out)
+        assert "Report saved" in capsys.readouterr().out
+    assert os.path.exists(tmp_path / "pairs.pq")
