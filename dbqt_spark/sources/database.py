@@ -191,6 +191,20 @@ class Database:
         for k in ("user", "password", "driver"):
             if c.get(k):
                 opts[k] = str(c[k])
+        # Parallel reads: without a partition column a JDBC scan is ONE
+        # task pulling the whole table through one connection — the
+        # single biggest JDBC scale lever. Config carries an integral
+        # column + bounds; Spark then issues numPartitions range queries
+        # concurrently. fetch_size tunes rows-per-round-trip.
+        if c.get("partition_column"):
+            opts["partitionColumn"] = str(c["partition_column"])
+            opts["numPartitions"] = str(c.get("num_partitions", 8))
+            if c.get("lower_bound") is not None:
+                opts["lowerBound"] = str(c["lower_bound"])
+            if c.get("upper_bound") is not None:
+                opts["upperBound"] = str(c["upper_bound"])
+        if c.get("fetch_size"):
+            opts["fetchsize"] = str(c["fetch_size"])
         return opts
 
     def _jdbc_table(self, table: str) -> DataFrame:

@@ -257,3 +257,38 @@ def test_jdbc_live_roundtrip_derby(spark, tmp_path):
     rows = sorted(tuple(r) for r in got.collect())
     assert rows == [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)]
     assert [c.lower() for c in got.columns] == ["id", "name", "score"]
+
+
+def test_jdbc_partitioned_read_live(spark, tmp_path):
+    """Partitioned JDBC read (partition_column + bounds config): the scan
+    fans out into numPartitions range queries — verified live against
+    embedded Derby, same rows, multiple input partitions."""
+    from dbqt_spark.sources.database import Database
+
+    url = f"jdbc:derby:{tmp_path}/pdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.range(0, 100).selectExpr("id", "id * 2 AS val")
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("dbtable", "nums")
+        .mode("overwrite")
+        .save()
+    )
+    db = Database(
+        spark,
+        {
+            "type": "jdbc",
+            "url": url,
+            "driver": driver,
+            "partition_column": "id",
+            "num_partitions": 4,
+            "lower_bound": 0,
+            "upper_bound": 100,
+            "fetch_size": 50,
+        },
+    )
+    got = db.load("nums")
+    assert got.rdd.getNumPartitions() == 4
+    assert sorted(r["id"] for r in got.collect()) == list(range(100))
