@@ -93,6 +93,32 @@ def test_sweep_all_reference_pairs():
     assert mismatches == []
 
 
+def test_spark_expression_sweep_matches_python(spark):
+    """The Catalyst compat expression and the Python function must agree
+    on EVERY vocabulary pair (the colcompare oracle's CASE is generated
+    from the same tables, so this pins all three surfaces together)."""
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.typecompat import compat_condition
+
+    vocab = sorted({t for ts in _REF_MAPPINGS.values() for t in ts}) + [
+        "UUID",
+        "BLOB",
+        "TIMESTAMPTZ",
+        "DECIMAL(10,2)",
+        "TIMESTAMP(9)",
+    ]
+    pairs = [(a, b) for a in vocab for b in vocab]
+    df = spark.createDataFrame(pairs, ["a", "b"]).withColumn(
+        "compat", compat_condition(F.col("a"), F.col("b"))
+    )
+    got = {(r["a"], r["b"]): r["compat"] for r in df.collect()}
+    bad = [
+        p for p in pairs if got[p] != are_types_compatible(*p)
+    ]
+    assert bad == []
+
+
 def test_spark_expression_variant(spark):
     from pyspark.sql import functions as F
 
