@@ -110,16 +110,16 @@ def main() -> None:
     # that only starts after everything else finished (classic LPT
     # scheduling). Weights are coarse — measured once at sf0.1.
     heavy = [
-        "minhash_near_dups",
         "ngram_jaccard_dups",
-        "keyfinder_search",
         "simhash_near_dups",
+        "minhash_near_dups",
         "profile_lineitem",
-        "ivf_topk",
+        "streaming_dedup",
         "streaming_hourly_profile",
-        "low_distinct",
+        "keyfinder_search",
         "count_compare",
         "colcompare",
+        "low_distinct",
     ]
     ordered = [n for n in heavy if n in QUERIES] + [
         n for n in bench_names + extra_names if n not in heavy
