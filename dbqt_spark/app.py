@@ -36,6 +36,7 @@ TOOLS = [
     "dynamic-query",
     "checks",
     "dedup",
+    "textstats",
 ]
 
 
@@ -525,6 +526,51 @@ def tool_dedup(argv: list[str]) -> int:
     return 0
 
 
+def tool_textstats(argv: list[str]) -> int:
+    """Text-analysis report over a configured table: token stats, quality
+    scores, language ID, and fingerprints in one tabbed HTML report
+    (single scan per tab — each operator is one narrow
+    pyspark.sql.functions pass)."""
+    from .report.html import HTMLReport
+
+    p = argparse.ArgumentParser(prog="textstats")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--sample", type=int, default=1000,
+                   help="rows per tab in the report (the full frames are "
+                   "computed; the report shows the first N by id)")
+    p.add_argument("--output")
+    args = p.parse_args(argv)
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    from .operators.textstats import (
+        fingerprint,
+        language_id,
+        quality_scores,
+        token_stats,
+    )
+
+    report = HTMLReport("textstats")
+    tabs = [
+        ("Token Stats", token_stats),
+        ("Quality", quality_scores),
+        ("Language ID", language_id),
+        ("Fingerprints", fingerprint),
+    ]
+    for title, op in tabs:
+        frame = op(df, text_col=args.text_column, id_col=args.id_column)
+        report.add_dataframe_tab(
+            title, frame.orderBy(args.id_column).limit(args.sample)
+        )
+    out = args.output or _results_path("textstats")
+    report.save(out)
+    print(f"Report saved to {out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -547,6 +593,7 @@ def main(argv: list[str] | None = None) -> int:
         "dynamic-query": tool_dynamic_query,
         "checks": tool_checks,
         "dedup": tool_dedup,
+        "textstats": tool_textstats,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

@@ -172,3 +172,19 @@ def test_dedup_tool_methods(tmp_path, capsys):
         assert os.path.exists(out)
         assert "Report saved" in capsys.readouterr().out
     assert os.path.exists(tmp_path / "pairs.pq")
+
+
+def test_textstats_tool(tmp_path, capsys):
+    cfg = tmp_path / "conn.yaml"
+    cfg.write_text(
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n"
+    )
+    out = str(tmp_path / "ts.html")
+    rc = main(
+        ["textstats", "--config", str(cfg), "--table", "documents",
+         "--sample", "50", "--output", out]
+    )
+    assert rc == 0 and os.path.exists(out)
+    html = open(out).read()
+    for tab in ("Token Stats", "Quality", "Language ID", "Fingerprints"):
+        assert tab in html
