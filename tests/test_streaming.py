@@ -113,3 +113,32 @@ def test_streaming_equals_batch(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_streaming_dedup_rocksdb_state_store(spark, sf_dir):
+    """The 100 TB state-store path is real, not just a docstring: the
+    same streaming dedup runs under RocksDBStateStoreProvider (ships in
+    Spark) and produces the identical first-occurrence set."""
+    from dbqt_spark.queries import q_streaming_dedup
+    from dbqt_spark.streaming.dedup import dedup_keys
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        streamed = {
+            (r["user_id"], r["event_type"], r["props"])
+            for r in q_streaming_dedup(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["user_id"], r["event_type"], r["props"])
+        for r in dedup_keys(ev, ["user_id", "event_type", "props"]).collect()
+    }
+    assert streamed == batch
