@@ -298,3 +298,24 @@ def test_ivf_build_empty_and_tiny_input(spark):
     assigned, centroids = ivf_build(tiny, n_cells=8, max_iter=2)
     assert len(centroids) == 2
     assert assigned.count() == 2
+
+
+def test_embedding_localize_fallback_persists(spark):
+    """Pair sets beyond the broadcast limit stay cluster-side: the
+    returned frame is persisted and the caller releases it."""
+    from dbqt_spark.operators import dedup as dd
+    from dbqt_spark.operators.similarity import embedding_near_dup_pairs
+
+    df, _ = _hot_label_df(spark, n=30)
+    orig = dd.BROADCAST_PAIR_LIMIT
+    dd.BROADCAST_PAIR_LIMIT = 1  # force the fallback
+    try:
+        pairs = embedding_near_dup_pairs(
+            df, 0.2, key_cols=["label"], bands=16, bits_per_band=2, seed=1,
+            max_block_size=10_000,
+        )
+        assert pairs.is_cached
+        assert pairs.count() > 1
+        pairs.unpersist()
+    finally:
+        dd.BROADCAST_PAIR_LIMIT = orig
