@@ -249,6 +249,38 @@ def ivf_search(
     )
 
 
+def ivf_write(
+    assigned: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Persist an IVF index: the cell-assigned vectors as parquet
+    ``partitionBy("cell")`` plus the centroid list as JSON alongside.
+    This is THE 100 TB layout: a probe query filters on ``cell`` and the
+    scan touches only the probed cells' directories (partition pruning —
+    see ``test_plans.test_ivf_probe_prunes_partitions``), so search cost
+    scales with n_probes/n_cells of the corpus, not the corpus."""
+    import json
+    import os
+
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def ivf_load(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """Load an index written by ``ivf_write``; pair with ``ivf_search``."""
+    import json
+    import os
+
+    assigned = spark.read.parquet(os.path.join(path, "vectors"))
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)
+    return assigned, centroids
+
+
 def random_band_values(
     vec_col: Column, bands: int, bits_per_band: int, seed: int = 42
 ) -> Column:

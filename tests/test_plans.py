@@ -164,3 +164,37 @@ def test_ngram_jaccard_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """A probe over a written IVF index must PRUNE partitions: the scan
+    plan carries the cell filter as a PartitionFilter (only the probed
+    cells' directories are read), and a round-tripped full-probe search
+    still equals brute force."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_load,
+        ivf_search,
+        ivf_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=8)
+    ivf_write(assigned, centroids, str(tmp_path / "ivf"))
+    loaded, c2 = ivf_load(spark, str(tmp_path / "ivf"))
+    assert c2 == centroids
+
+    q = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    probe = ivf_search(loaded, c2, list(q), k=10, n_probes=3)
+    plan = _formatted_plan(probe)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "cell" in part_lines[0]
+
+    truth = [r["vec_id"] for r in cosine_topk(emb, list(q), k=10).collect()]
+    full = [
+        r["vec_id"]
+        for r in ivf_search(loaded, c2, list(q), k=10, n_probes=8).collect()
+    ]
+    assert full == truth
