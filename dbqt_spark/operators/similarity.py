@@ -249,6 +249,94 @@ def ivf_search(
     )
 
 
+def lsh_write(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an LSH index: vectors written parquet
+    ``partitionBy("bucket")`` with the hyperplane-signature bucket id.
+    The plane count and seed are stored alongside so probes re-derive
+    the same hyperplanes. Multi-probe search then enumerates the bucket
+    ids within the Hamming radius (``(n_planes choose <=h)`` values — 9
+    for 8 planes at h=1) and prunes to exactly those directories."""
+    import json
+    import os
+
+    banded = df.withColumn(
+        "bucket",
+        lsh_signature_col(
+            F.col(vec_col), _hyperplanes_for(df, vec_col, n_planes, seed)
+        ),
+    )
+    banded.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "vectors")
+    )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"n_planes": n_planes, "seed": seed}, f)
+
+
+def _hyperplanes_for(
+    df: DataFrame, vec_col: str, n_planes: int, seed: int
+) -> list[list[float]]:
+    """Hyperplanes for the frame's embedding dimension (one cheap
+    first-row peek — the dim is a schema-level fact the array type does
+    not carry)."""
+    dim = len(df.select(vec_col).first()[0])
+    return _hyperplanes(dim, n_planes, seed)
+
+
+def _buckets_within_hamming(sig: int, n_planes: int, h: int) -> list[int]:
+    """All bucket ids within Hamming distance ``h`` of ``sig``."""
+    from itertools import combinations
+
+    out = [sig]
+    for r in range(1, h + 1):
+        for bits in combinations(range(n_planes), r):
+            flipped = sig
+            for b in bits:
+                flipped ^= 1 << b
+            out.append(flipped)
+    return out
+
+
+def lsh_topk_from_index(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN over an index written by ``lsh_write``: enumerate the probe
+    buckets driver-side, ``isin``-filter on the partition column (the
+    scan prunes to those directories — same mechanism as
+    ``test_ivf_probe_prunes_partitions``), exact-score only those
+    vectors."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    n_planes, seed = int(meta["n_planes"]), int(meta["seed"])
+    planes = _hyperplanes(len(query), n_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) > 0:
+            qsig |= 1 << i
+    probes = _buckets_within_hamming(qsig, n_planes, probe_hamming)
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    pruned = vectors.filter(F.col("bucket").isin(probes))
+    return (
+        cosine_scores(pruned, query, vec_col, id_col)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_write(
     assigned: DataFrame, centroids: list[list[float]], path: str
 ) -> None:

@@ -198,3 +198,26 @@ def test_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
         for r in ivf_search(loaded, c2, list(q), k=10, n_probes=8).collect()
     ]
     assert full == truth
+
+
+def test_lsh_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """Multi-probe search over a written LSH index enumerates the probe
+    buckets driver-side and the scan prunes to those partitions; the
+    query vector's own bucket is always probed, so vec 0 ranks first."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.similarity import (
+        lsh_topk_from_index,
+        lsh_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh_write(emb, str(tmp_path / "lsh"), n_planes=8, seed=42)
+    q = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    topk = lsh_topk_from_index(
+        spark, str(tmp_path / "lsh"), list(q), k=5, probe_hamming=1
+    )
+    plan = _formatted_plan(topk)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "bucket" in part_lines[0]
+    got = topk.collect()
+    assert got and got[0]["vec_id"] == 0
