@@ -57,11 +57,9 @@ def token_stats(
     )
 
 
-def quality_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Heuristic quality signals (length, punctuation ratio, stopword
-    ratio, alpha ratio) + a composite score in [0,1]."""
+def _quality_exprs(text_col: str) -> dict[str, Column]:
+    """The quality expressions, reusable by ``quality_scores`` and the
+    single-scan ``corpus_summary`` (score is UNROUNDED here)."""
     text = F.col(text_col)
     toks = tokens_col(F.lower(text))
     n_chars = F.length(text)
@@ -82,22 +80,35 @@ def quality_scores(
         + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.2
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "alpha_ratio": alpha_ratio,
+        "stop_ratio": stop_ratio,
+        "score": score,
+    }
+
+
+def quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality signals (length, punctuation ratio, stopword
+    ratio, alpha ratio) + a composite score in [0,1]."""
+    q = _quality_exprs(text_col)
     return df.select(
         F.col(id_col),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        q["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(q["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(q["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(q["stop_ratio"], 4).alias("stopword_ratio"),
+        F.round(q["score"], 4).alias("quality_score"),
     )
 
 
-def language_id(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Stopword-voting language ID: score each language by fraction of
-    tokens in its stopword list; argmax with deterministic tie-break
-    (alphabetical language code). Pure codegen expressions."""
+def _lang_best_expr(text_col: str) -> Column:
+    """struct(hits, lang) of the winning language — reusable by
+    ``language_id`` and ``corpus_summary``."""
     toks = tokens_col(F.lower(F.col(text_col)))
     scores = []
     for lang in sorted(STOPWORDS):
@@ -114,11 +125,58 @@ def language_id(
     # (hits, reversed-lang) — simpler: max of (hits, negated-rank) ==
     # array_max over (hits, lang) struct gives lexicographically-last lang
     # on ties; we document that tie-break instead.
-    best = F.array_max(F.array(*scores))
+    return F.array_max(F.array(*scores))
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-voting language ID: score each language by fraction of
+    tokens in its stopword list; argmax with deterministic tie-break
+    (alphabetical language code). Pure codegen expressions."""
+    best = _lang_best_expr(text_col)
     return df.select(
         F.col(id_col),
         best["lang"].alias("predicted_lang"),
         best["hits"].cast("long").alias("stopword_hits"),
+    )
+
+
+def corpus_summary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus rollup per predicted language in ONE scan + one
+    aggregation: doc count, total tokens, mean quality, mean length.
+
+    The per-doc expressions are the same builders the row-level operators
+    use; composing them in a single ``select`` keeps the whole report one
+    pass over the corpus (at 100 TB, three separate operator scans +
+    joins would triple the read). Quality means are summed as
+    DECIMAL(18,6) of the 4-digit-rounded per-doc score — exact,
+    order-independent arithmetic, so any SQL engine reproduces the mean
+    bit-for-bit (same trick as the pricing-summary oracle)."""
+    q = _quality_exprs(text_col)
+    best = _lang_best_expr(text_col)
+    per_doc = df.select(
+        best["lang"].alias("predicted_lang"),
+        q["n_tokens"].cast("long").alias("__tok"),
+        F.round(q["score"], 4).cast("decimal(18,6)").alias("__q"),
+        q["n_chars"].cast("long").alias("__chars"),
+    )
+    n_docs = F.count(F.lit(1))
+    return (
+        per_doc.groupBy("predicted_lang")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum("__tok").alias("total_tokens"),
+            F.round(
+                F.sum("__q").cast("double") / n_docs, 4
+            ).alias("avg_quality"),
+            F.round(
+                F.sum("__chars").cast("double") / n_docs, 2
+            ).alias("avg_chars"),
+        )
+        .orderBy("predicted_lang")
     )
 
 

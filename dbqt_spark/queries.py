@@ -42,7 +42,13 @@ from .operators.similarity import (
     embedding_near_dup_pairs,
     lsh_bucketed_topk,
 )
-from .operators.textstats import STOPWORDS, language_id, quality_scores, token_stats
+from .operators.textstats import (
+    STOPWORDS,
+    corpus_summary,
+    language_id,
+    quality_scores,
+    token_stats,
+)
 from .operators.colcompare import compare_columns
 from .patterns import filter_excluded_tables
 from .schema_df import build_schema_df
@@ -528,6 +534,31 @@ def _langid_sql() -> str:
 
 
 SQL_LANGUAGE_ID = _langid_sql()
+
+
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup (docs, tokens, mean quality/length) —
+    ONE scan + one aggregation (see operators/textstats.corpus_summary)."""
+    return corpus_summary(load_table(spark, sf_dir, "documents"))
+
+
+# Composes the existing per-doc oracles (they are plain SELECTs, so they
+# nest as CTEs). Quality mean via DECIMAL(18,6) sums of the rounded
+# per-doc score — exact order-independent arithmetic on both engines.
+SQL_CORPUS_SUMMARY = f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+l AS ({SQL_LANGUAGE_ID}),
+c AS (SELECT doc_id, length(text) AS n_chars FROM documents)
+SELECT l.predicted_lang,
+       COUNT(*) AS n_docs,
+       SUM(q.n_tokens) AS total_tokens,
+       round(CAST(SUM(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_quality,
+       round(CAST(SUM(c.n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+FROM l JOIN q USING (doc_id) JOIN c USING (doc_id)
+GROUP BY l.predicted_lang
+ORDER BY l.predicted_lang
+"""
 
 # ---------------------------------------------------------------------------
 # Similarity: cosine top-k vs the vec_id=0 query vector
@@ -1657,6 +1688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "language_id": q_language_id,
+    "corpus_summary": q_corpus_summary,
     "cosine_topk": q_cosine_topk,
     "embedding_nn": q_embedding_nn,
     "events_hourly": q_events_hourly,
@@ -1703,6 +1735,7 @@ ORACLES: dict[str, str] = {
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "language_id": SQL_LANGUAGE_ID,
+    "corpus_summary": SQL_CORPUS_SUMMARY,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_nn": SQL_EMBEDDING_NN,
     "events_hourly": SQL_EVENTS_HOURLY,

@@ -221,3 +221,16 @@ def test_lsh_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert part_lines and "bucket" in part_lines[0]
     got = topk.collect()
     assert got and got[0]["vec_id"] == 0
+
+
+def test_corpus_summary_single_scan(spark, sf_dir):
+    """The per-language rollup must be ONE scan of documents (compose the
+    per-doc expressions, aggregate once) — not three operator scans
+    joined on doc_id."""
+    import re
+
+    from dbqt_spark.queries import q_corpus_summary
+
+    plan = _formatted_plan(q_corpus_summary(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
