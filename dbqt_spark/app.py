@@ -472,13 +472,16 @@ def tool_dedup(argv: list[str]) -> int:
     p.add_argument("--id-column", default="doc_id")
     p.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "ngram"],
+        choices=["exact", "minhash", "simhash", "ngram", "embedding"],
         default="exact",
     )
     p.add_argument("--threshold", type=float, default=0.8,
-                   help="Jaccard threshold (minhash/ngram)")
+                   help="Jaccard threshold (minhash/ngram) or cosine "
+                   "threshold (embedding)")
     p.add_argument("--max-hamming", type=int, default=3,
                    help="Hamming radius (simhash)")
+    p.add_argument("--vec-column", default="embedding",
+                   help="array<float> column (embedding method)")
     p.add_argument("--output")
     p.add_argument("--pairs-parquet", help="also write the pairs here")
     args = p.parse_args(argv)
@@ -505,6 +508,14 @@ def tool_dedup(argv: list[str]) -> int:
         result = dd.simhash_near_duplicates(
             df, text_col=args.text_column, id_col=args.id_column,
             max_hamming=args.max_hamming, bands=bands, drop_stats=stats,
+        )
+    elif args.method == "embedding":
+        from .operators.similarity import embedding_near_dup_pairs
+
+        result = embedding_near_dup_pairs(
+            df, args.threshold, vec_col=args.vec_column,
+            id_col=args.id_column, max_block_size=100_000,
+            drop_stats=stats,
         )
     else:
         result = dd.ngram_jaccard_near_duplicates(

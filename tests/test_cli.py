@@ -188,3 +188,17 @@ def test_textstats_tool(tmp_path, capsys):
     html = open(out).read()
     for tab in ("Token Stats", "Quality", "Language ID", "Fingerprints"):
         assert tab in html
+
+
+def test_dedup_tool_embedding(tmp_path, capsys):
+    cfg = tmp_path / "conn.yaml"
+    cfg.write_text(
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n"
+    )
+    out = str(tmp_path / "dedup_emb.html")
+    rc = main(
+        ["dedup", "--config", str(cfg), "--table", "embeddings",
+         "--method", "embedding", "--id-column", "vec_id",
+         "--threshold", "0.3", "--output", out]
+    )
+    assert rc == 0 and os.path.exists(out)
