@@ -292,3 +292,25 @@ def test_jdbc_partitioned_read_live(spark, tmp_path):
     got = db.load("nums")
     assert got.rdd.getNumPartitions() == 4
     assert sorted(r["id"] for r in got.collect()) == list(range(100))
+
+
+def test_jdbc_filter_pushdown_live(spark, tmp_path):
+    """Filters on a JDBC frame must reach the remote engine as SQL (the
+    scan plan carries PushedFilters) — live against embedded Derby."""
+    from dbqt_spark.plans import formatted_plan
+    from dbqt_spark.sources.database import Database
+
+    url = f"jdbc:derby:{tmp_path}/fpdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    (
+        spark.range(0, 50).selectExpr("id", "id % 5 AS grp")
+        .write.format("jdbc")
+        .option("url", url).option("driver", driver)
+        .option("dbtable", "t").mode("overwrite").save()
+    )
+    db = Database(spark, {"type": "jdbc", "url": url, "driver": driver})
+    filtered = db.load("t").filter("id < 10")
+    plan = formatted_plan(filtered)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "LessThan" in pushed[0]
+    assert filtered.count() == 10
