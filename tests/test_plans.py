@@ -72,12 +72,20 @@ def test_compat_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_simhash_banding_is_equi_join(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize("portable", [True, False])
+def test_simhash_banding_is_equi_join(spark, sf_dir, portable):
     """The simhash pair search must plan the band-bucket match as a hash
     equi-join on (band, chunk) — never a cartesian/nested-loop product,
-    which would be O(n^2) at corpus scale. The shipped operator executes
-    this plan eagerly (and returns a localized result), so the assertion
-    runs on the lazy pair plan it builds internally."""
+    which would be O(n^2) at corpus scale. Both fingerprint paths are
+    pinned: portable (JVM md5 expressions) and default (pandas_udf —
+    Catalyst extracts the UDF-bearing null filter from the join
+    condition, and the equi keys MUST survive that extraction). The
+    shipped operator executes this plan eagerly (and returns a localized
+    result), so the assertion runs on the lazy pair plan it builds
+    internally."""
     from dbqt_spark.catalog import load_table
     from dbqt_spark.operators.dedup import (
         _candidate_pair_plan,
@@ -85,7 +93,7 @@ def test_simhash_banding_is_equi_join(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(docs, portable=True)
+    fp = simhash_fingerprints(docs, portable=portable)
     width = 64 // 4
     mask = (1 << width) - 1
     banded = fp.select(
