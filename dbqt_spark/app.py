@@ -504,6 +504,8 @@ def tool_dedup(argv: list[str]) -> int:
     elif args.method == "simhash":
         # pigeonhole banding needs max_hamming < bands and bands | 64:
         # pick the smallest qualifying divisor
+        if not 0 <= args.max_hamming < 64:
+            p.error("--max-hamming must be in [0, 63] for 64-bit simhash")
         bands = next(b for b in (2, 4, 8, 16, 32, 64) if b > args.max_hamming)
         result = dd.simhash_near_duplicates(
             df, text_col=args.text_column, id_col=args.id_column,

@@ -82,7 +82,7 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 # explicitly evicts entries whose session has been stopped.
 import weakref
 
-_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, bool]]]" = (
     weakref.WeakKeyDictionary()
 )
 
@@ -119,7 +119,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         per_session = {}
     cached = per_session.get(path)
     if cached is not None:
-        return cached
+        df, needs_utc = cached
+        if needs_utc:
+            # the cast inside the cached plan evaluates LAZILY: re-enforce
+            # UTC on every hand-out, or a caller that reset the zone after
+            # the first load would execute the NTZ cast shifted
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return df
     nanos = _nanos_timestamp_cols(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -141,7 +147,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
-    per_session[path] = df
+    per_session[path] = (df, bool(ntz or nanos))
     return df
 
 

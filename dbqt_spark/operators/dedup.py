@@ -218,7 +218,11 @@ def minhash_band_hashes(
     tokenized (lower + whitespace split, same tokens as
     ``normalize_text``); the batch's shingles are hashed in ONE
     vectorized pass (pandas' keyed siphash — fixed key, deterministic
-    across executors/retries) and the signature mins + band fold happen
+    across executors/retries on the standard PySpark deployment where
+    every executor runs the same Python environment; a cluster mixing
+    pandas builds across nodes is outside Spark's own support envelope
+    for Python UDFs and would silently cost candidate recall here) and
+    the signature mins + band fold happen
     as whole-batch numpy array ops (``np.minimum.reduceat`` over doc
     boundaries). Same pattern as ``similarity.random_band_values``. The
     hash family differs from the relational path (siphash vs xxhash64) —

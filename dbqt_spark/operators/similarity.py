@@ -108,10 +108,7 @@ def lsh_bucketed_topk(
     filtering post-scan."""
     dim = len(query)
     planes = _hyperplanes(dim, n_planes, seed)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query, p)) > 0:
-            qsig |= 1 << i
+    qsig = _query_signature(query, planes)
     sig = lsh_signature_col(F.col(vec_col), planes)
     probe = F.bit_count(sig.bitwiseXOR(F.lit(qsig))) <= probe_hamming
     return (
@@ -284,8 +281,24 @@ def _hyperplanes_for(
     """Hyperplanes for the frame's embedding dimension (one cheap
     first-row peek — the dim is a schema-level fact the array type does
     not carry)."""
-    dim = len(df.select(vec_col).first()[0])
-    return _hyperplanes(dim, n_planes, seed)
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "cannot build LSH index on empty input (no vectors to derive "
+            "the embedding dimension from)"
+        )
+    return _hyperplanes(len(first[0]), n_planes, seed)
+
+
+def _query_signature(query: list[float], planes: list[list[float]]) -> int:
+    """Bucket id of a query vector — the same sign convention as
+    ``lsh_signature_col`` (shared by the in-memory and on-disk probes so
+    the two can never diverge)."""
+    sig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) > 0:
+            sig |= 1 << i
+    return sig
 
 
 def _buckets_within_hamming(sig: int, n_planes: int, h: int) -> list[int]:
@@ -323,10 +336,7 @@ def lsh_topk_from_index(
         meta = json.load(f)
     n_planes, seed = int(meta["n_planes"]), int(meta["seed"])
     planes = _hyperplanes(len(query), n_planes, seed)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query, p)) > 0:
-            qsig |= 1 << i
+    qsig = _query_signature(query, planes)
     probes = _buckets_within_hamming(qsig, n_planes, probe_hamming)
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
     pruned = vectors.filter(F.col("bucket").isin(probes))

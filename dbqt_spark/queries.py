@@ -76,6 +76,26 @@ def _ensure_utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _localized(df: DataFrame) -> DataFrame:
+    """Release a persisted operator result by pulling it through the
+    driver: collect, unpersist, rebuild as a LocalRelation.
+
+    The near-dup / blocked-NN operators return PERSISTED frames on some
+    paths (corpus-sized NN output; over-limit pair sets) with a caller
+    release contract — but these harness queries hand their frame to the
+    driver, which collects and never unpersists, and wrapping a derived
+    ``.select``/``.orderBy`` frame makes ``unpersist()`` a no-op on the
+    cache underneath. Results at harness scale are bounded (<=1 row per
+    doc/vector), so localizing is safe here; production callers use the
+    operators directly with ``operators.cache.released``. Lazy frames
+    pass through untouched."""
+    if not df.is_cached:
+        return df
+    rows = df.collect()
+    df.unpersist()
+    return df.sparkSession.createDataFrame(rows, schema=df.schema)
+
+
 def _union_all(parts: list[DataFrame]) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
@@ -656,9 +676,11 @@ def q_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot bucket to one executor-sized matmul and the drop is observable:
     # drop_stats is filled eagerly and logged when nonzero)
     stats: dict = {}
-    nn = embedding_blocked_nn(
-        emb, key_cols=["label"], bands=48, bits_per_band=2, seed=42,
-        max_block_size=10_000, drop_stats=stats,
+    nn = _localized(
+        embedding_blocked_nn(
+            emb, key_cols=["label"], bands=48, bits_per_band=2, seed=42,
+            max_block_size=10_000, drop_stats=stats,
+        )
     )
     _warn_on_drops("embedding_nn", stats)
     return nn.select("vec_id", "nn_id", F.round("cosine", 4).alias("cosine"))
@@ -674,9 +696,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding"
     )
     stats: dict = {}
-    pairs = embedding_near_dup_pairs(
-        emb, 0.35, key_cols=["label"], bands=64, bits_per_band=2, seed=42,
-        max_block_size=10_000, drop_stats=stats,
+    pairs = _localized(
+        embedding_near_dup_pairs(
+            emb, 0.35, key_cols=["label"], bands=64, bits_per_band=2, seed=42,
+            max_block_size=10_000, drop_stats=stats,
+        )
     )
     _warn_on_drops("embedding_near_dups", stats)
     return pairs
@@ -1290,7 +1314,9 @@ WHERE table_name IN ({_TABLES_IN})
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, threshold=0.5).orderBy("id_a", "id_b")
+    return _localized(minhash_near_duplicates(docs, threshold=0.5)).orderBy(
+        "id_a", "id_b"
+    )
 
 
 _SQL_SHINGLES = """
@@ -1362,7 +1388,7 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two pipelines share only the shingle definition, so agreeing
     oracles cross-check both."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_near_duplicates(docs, threshold=0.6).orderBy(
+    return _localized(ngram_jaccard_near_duplicates(docs, threshold=0.6)).orderBy(
         "id_a", "id_b"
     )
 
@@ -1395,9 +1421,9 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Manku et al. pigeonhole LSH — exhaustive for max_hamming < bands, so
     the brute-force oracle is an exact twin)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=3, portable=True).orderBy(
-        "id_a", "id_b"
-    )
+    return _localized(
+        simhash_near_duplicates(docs, max_hamming=3, portable=True)
+    ).orderBy("id_a", "id_b")
 
 
 # DuckDB twin of operators/dedup.simhash_fingerprints(portable=True):

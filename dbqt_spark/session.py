@@ -52,14 +52,15 @@ def get_spark(
         # short queries aren't starved behind a long pipeline when callers
         # (bench.py, multi-tool CLIs, notebook users) share the session
         .config("spark.scheduler.mode", "FAIR")
-        # Pool definitions (default + a higher-weight `heavy` pool for
-        # long sequential-chain queries); threads opt in via
-        # sc.setLocalProperty("spark.scheduler.pool", "heavy")
-        .config(
-            "spark.scheduler.allocation.file",
-            os.path.join(os.path.dirname(__file__), "fairscheduler.xml"),
-        )
     )
+    # Pool definitions (default + a higher-weight `heavy` pool for
+    # long sequential-chain queries); threads opt in via
+    # sc.setLocalProperty("spark.scheduler.pool", "heavy"). Guarded on
+    # existence: a missing file would fail SparkContext creation, and
+    # FAIR without pools is a graceful fallback.
+    alloc = os.path.join(os.path.dirname(__file__), "fairscheduler.xml")
+    if os.path.exists(alloc):
+        builder = builder.config("spark.scheduler.allocation.file", alloc)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

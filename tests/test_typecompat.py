@@ -79,10 +79,15 @@ def _ref_compatible(type1: str, type2: str) -> bool:
 
 
 def test_sweep_all_reference_pairs():
+    # TIMESTAMP_TZ: in NO reference group (Snowflake's TZ variant only
+    # reaches other TIMESTAMP* names through the ^TIMESTAMP regex, so
+    # DATE/DATETIME vs TIMESTAMP_TZ is Mismatched) — deliberately pinned,
+    # the r5 repo behavior that grouped it was the deviation
     vocab = sorted({t for ts in _REF_MAPPINGS.values() for t in ts}) + [
         "UUID",
         "BLOB",
         "TIMESTAMPTZ",
+        "TIMESTAMP_TZ",
     ]
     mismatches = [
         (a, b)
