@@ -112,3 +112,66 @@ def profile_tables(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile_numeric(
+    df: DataFrame, table_name: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Numeric statistical profile, ONE scan for every column:
+    (table_name, col_name, non_null_count, null_count, min_value,
+    max_value, mean_value, p25, p50, p75).
+
+    A dbstats-style extension the reference lacks. Means are computed as
+    DECIMAL(38,10) sums divided once at the end — exact, order-independent
+    arithmetic any SQL engine reproduces bit-for-bit (float sums are
+    shuffle-order dependent). Percentiles use Spark's exact interpolating
+    ``percentile`` (the ``quantile_cont`` semantics); at corpus scale
+    swap in ``approx_percentile`` — the output contract is unchanged.
+    The wide one-row aggregate is unpivoted with ``stack`` (driver-cheap:
+    one row in, n_cols rows out)."""
+    from pyspark.sql.types import DecimalType, NumericType
+
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType)
+        and (columns is None or f.name in columns)
+    ]
+    if not cols:
+        empty_schema = (
+            "table_name string, col_name string, non_null_count long, "
+            "null_count long, min_value double, max_value double, "
+            "mean_value double, p25 double, p50 double, p75 double"
+        )
+        return df.sparkSession.createDataFrame([], empty_schema)
+
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        dec = col.cast("decimal(38,10)")
+        aggs += [
+            F.count(col).alias(f"__n_{c}"),
+            F.count(F.when(col.isNull(), 1)).alias(f"__nn_{c}"),
+            F.min(col).cast("double").alias(f"__min_{c}"),
+            F.max(col).cast("double").alias(f"__max_{c}"),
+            F.sum(dec).alias(f"__sum_{c}"),
+            F.percentile(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+                f"__pct_{c}"
+            ),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__n_{c}`, `__nn_{c}`, `__min_{c}`, `__max_{c}`, "
+        f"round(CAST(`__sum_{c}` AS DOUBLE) / `__n_{c}`, 4), "
+        f"round(`__pct_{c}`[0], 4), round(`__pct_{c}`[1], 4), "
+        f"round(`__pct_{c}`[2], 4)"
+        for c in cols
+    )
+    unpivoted = wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, non_null_count, null_count, min_value, max_value, "
+        "mean_value, p25, p50, p75)"
+    )
+    return unpivoted.select(
+        F.lit(table_name).alias("table_name"), "*"
+    )

@@ -204,6 +204,46 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(load_table(spark, sf_dir, "lineitem"), "lineitem")
 
 
+_NUMERIC_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+
+
+def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric statistical profile of lineitem — one scan for min/max/
+    decimal-exact mean/exact interpolated percentiles of every numeric
+    column (operators/profile.profile_numeric)."""
+    from .operators.profile import profile_numeric
+
+    return profile_numeric(
+        load_table(spark, sf_dir, "lineitem"), "lineitem",
+        columns=_NUMERIC_PROFILE_COLS,
+    )
+
+
+def _numeric_profile_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin: one SELECT per column (quantile_cont == Spark's
+    interpolating percentile; means via DECIMAL(38,10) sums)."""
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{table}' AS table_name, '{c}' AS col_name,
+       COUNT({c}) AS non_null_count,
+       COUNT(*) - COUNT({c}) AS null_count,
+       CAST(MIN({c}) AS DOUBLE) AS min_value,
+       CAST(MAX({c}) AS DOUBLE) AS max_value,
+       round(CAST(SUM(CAST({c} AS DECIMAL(38,10))) AS DOUBLE) / COUNT({c}), 4) AS mean_value,
+       round(CAST(quantile_cont(CAST({c} AS DOUBLE), 0.25) AS DOUBLE), 4) AS p25,
+       round(CAST(quantile_cont(CAST({c} AS DOUBLE), 0.5) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(CAST({c} AS DOUBLE), 0.75) AS DOUBLE), 4) AS p75
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_PROFILE_NUMERIC = _numeric_profile_sql("lineitem", _NUMERIC_PROFILE_COLS)
+
+
 def _profile_sql(table: str, cols: list[str]) -> str:
     parts = []
     for i, c in enumerate(cols, start=1):
@@ -1706,6 +1746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcount_filtered": q_rowcount_filtered,
     "count_compare": q_count_compare,
     "profile_lineitem": q_profile_lineitem,
+    "profile_numeric": q_profile_numeric,
     "low_distinct": q_low_distinct,
     "schema_all_tables": q_schema_all_tables,
     "colcompare": q_colcompare,
@@ -1753,6 +1794,7 @@ ORACLES: dict[str, str] = {
     "rowcount_filtered": SQL_ROWCOUNT_FILTERED,
     "count_compare": SQL_COUNT_COMPARE,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
+    "profile_numeric": SQL_PROFILE_NUMERIC,
     "low_distinct": SQL_LOW_DISTINCT,
     "schema_all_tables": SQL_SCHEMA_ALL_TABLES,
     "colcompare": SQL_COLCOMPARE,

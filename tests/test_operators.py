@@ -704,3 +704,25 @@ def test_rolling_hash_matches_python_model(spark):
         r["doc_id"]: r["fingerprint_roll"] for r in fingerprint(df).collect()
     }
     assert got == {i: model(t) for i, t in rows}
+
+
+def test_profile_numeric_nulls_and_selection(spark):
+    """Null counting, mean over non-null only, non-numeric columns
+    excluded, empty selection yields an empty typed frame."""
+    from dbqt_spark.operators.profile import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 20.0, "c")],
+        "k int, v double, s string",
+    )
+    rows = {r["col_name"]: r for r in profile_numeric(df, "t").collect()}
+    assert set(rows) == {"k", "v"}  # string column excluded
+    assert rows["v"]["non_null_count"] == 2
+    assert rows["v"]["null_count"] == 1
+    assert rows["v"]["mean_value"] == 15.0
+    assert rows["v"]["p50"] == 15.0
+    assert rows["k"]["min_value"] == 1.0 and rows["k"]["max_value"] == 3.0
+
+    empty = profile_numeric(df.select("s"), "t")
+    assert empty.count() == 0
+    assert "mean_value" in empty.columns

@@ -242,3 +242,14 @@ def test_corpus_summary_single_scan(spark, sf_dir):
     plan = _formatted_plan(q_corpus_summary(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_profile_numeric_single_scan(spark, sf_dir):
+    """All numeric-column stats must come from ONE scan (wide aggregate +
+    stack unpivot), not a scan per column."""
+    import re
+
+    from dbqt_spark.queries import q_profile_numeric
+
+    plan = _formatted_plan(q_profile_numeric(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
