@@ -142,3 +142,60 @@ def test_streaming_dedup_rocksdb_state_store(spark, sf_dir):
         for r in dedup_keys(ev, ["user_id", "event_type", "props"]).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_minhash_neardup_gate(spark, tmp_path):
+    """The near-dup ingest gate drops arriving docs that near-duplicate
+    anything already ACCEPTED — within a micro-batch (earlier ids win)
+    and across batches (via the persisted band/text store)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.streaming.neardup import streaming_minhash_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    uniq1 = "completely different content about other things entirely " * 5
+    uniq2 = "yet another independent document with its own words here " * 5
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [base, base.replace("gamma", "gammaX", 1), uniq1],
+        }),
+        str(src / "b1.parquet"),
+    )
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    pq.write_table(
+        pa.table({
+            "doc_id": [4, 5, 6],
+            "text": [
+                base.replace("kappa", "kappaX", 1),  # near-dup of doc 1 (batch 1)
+                uniq2,
+                uniq2.replace("words", "wordsX", 1),  # near-dup of doc 5 (same batch)
+            ],
+        }),
+        str(src / "b2.parquet"),
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = streaming_minhash_dedup(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination()
+
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert kept == [1, 3, 5]
