@@ -113,6 +113,7 @@ def main() -> None:
         "ngram_jaccard_dups",
         "simhash_near_dups",
         "minhash_near_dups",
+        "profile_numeric",
         "profile_lineitem",
         "streaming_dedup",
         "streaming_hourly_profile",
