@@ -135,6 +135,7 @@ def main() -> None:
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     best_total = None
     best_timings: dict[str, float] = {}
+    best_complete = False
     for t in range(max(1, trials)):
         timings.clear()
         wall0 = time.perf_counter()
@@ -145,10 +146,18 @@ def main() -> None:
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 list(pool.map(run_one, ordered))
         total = round(time.perf_counter() - wall0, 3)
-        print(f"bench: trial {t + 1}/{trials}: {total}s", file=sys.stderr)
-        if best_total is None or total < best_total:
-            best_total = total
-            best_timings = dict(timings)
+        complete = all(v == v for v in timings.values())  # no NaN failures
+        print(
+            f"bench: trial {t + 1}/{trials}: {total}s"
+            + ("" if complete else " (INCOMPLETE — query failures)"),
+            file=sys.stderr,
+        )
+        # a trial with failed queries ran less work — it cannot beat a
+        # complete one; it only stands in if no trial completed
+        if complete and (not best_complete or total < best_total):
+            best_total, best_timings, best_complete = total, dict(timings), True
+        elif not best_complete and best_total is None:
+            best_total, best_timings = total, dict(timings)
     query_sum = round(sum(v for v in best_timings.values() if v == v), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

@@ -262,17 +262,17 @@ def lsh_write(
     import json
     import os
 
+    planes = _hyperplanes_for(df, vec_col, n_planes, seed)
     banded = df.withColumn(
-        "bucket",
-        lsh_signature_col(
-            F.col(vec_col), _hyperplanes_for(df, vec_col, n_planes, seed)
-        ),
+        "bucket", lsh_signature_col(F.col(vec_col), planes)
     )
     banded.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "vectors")
     )
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"n_planes": n_planes, "seed": seed}, f)
+        json.dump(
+            {"n_planes": n_planes, "seed": seed, "dim": len(planes[0])}, f
+        )
 
 
 def _hyperplanes_for(
@@ -335,6 +335,13 @@ def lsh_topk_from_index(
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     n_planes, seed = int(meta["n_planes"]), int(meta["seed"])
+    dim = meta.get("dim")
+    if dim is not None and len(query) != dim:
+        # zip_with would silently truncate a mismatched query against the
+        # stored vectors AND the hyperplanes would differ — fail loudly
+        raise ValueError(
+            f"query dimension {len(query)} != index dimension {dim}"
+        )
     planes = _hyperplanes(len(query), n_planes, seed)
     qsig = _query_signature(query, planes)
     probes = _buckets_within_hamming(qsig, n_planes, probe_hamming)

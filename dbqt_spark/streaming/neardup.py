@@ -49,8 +49,44 @@ def _store_paths(store_dir: str) -> tuple[str, str]:
     return os.path.join(store_dir, "bands"), os.path.join(store_dir, "docs")
 
 
+def _check_store_params(
+    store_dir: str, num_hashes: int, bands: int, shingle_n: int
+) -> None:
+    """Persist the banding parameters with the store and refuse to mix:
+    bands computed under different (num_hashes, bands, shingle_n) never
+    equi-join each other, so a parameter drift would silently admit
+    every cross-batch near-duplicate (same precedent as
+    ``similarity.lsh_write``'s meta.json)."""
+    import json
+
+    meta_path = os.path.join(store_dir, "meta.json")
+    params = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = json.load(f)
+        if stored != params:
+            raise ValueError(
+                f"near-dup store at {store_dir} was built with {stored}; "
+                f"refusing to gate with {params} — matching would "
+                "silently fail"
+            )
+        return
+    os.makedirs(store_dir, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(params, f)
+
+
 def _jaccard_verified(
-    cand: DataFrame, new_docs: DataFrame, old_docs: DataFrame, threshold: float
+    cand: DataFrame,
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    threshold: float,
+    shingle_n: int,
+    broadcast_cand: bool,
 ) -> DataFrame:
     """(new_id, old_id) pairs whose exact shingle Jaccard >= threshold.
     ``cand`` is the ids-only candidate frame; texts attach via joins
@@ -64,9 +100,10 @@ def _jaccard_verified(
 
         def sh(text):
             toks = _ascii_tokens(text)
-            if len(toks) >= 3:
+            if len(toks) >= shingle_n:
                 return {
-                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
                 }
             return {" ".join(toks)}
 
@@ -77,6 +114,7 @@ def _jaccard_verified(
             out.append(len(sa & sb) / union if union else 0.0)
         return pd.Series(out, dtype="float64")
 
+    bcast = F.broadcast if broadcast_cand else (lambda d: d)
     with_new = cand.join(
         new_docs.select(
             F.col("id").alias("new_id"), F.col("text").alias("__tn")
@@ -84,7 +122,7 @@ def _jaccard_verified(
         "new_id",
     )
     old_needed = old_docs.join(
-        F.broadcast(cand.select(F.col("old_id").alias("id")).distinct()),
+        bcast(cand.select(F.col("old_id").alias("id")).distinct()),
         "id",
         "left_semi",
     )
@@ -114,8 +152,17 @@ def minhash_gate_batch(
     """Run one micro-batch through the near-dup gate; returns the KEPT
     rows (eagerly — the store append must happen inside the batch) and
     appends their bands + texts to ``store_dir``. Usable directly on
-    batch frames for backfills, or inside ``foreachBatch``."""
+    batch frames for backfills, or inside ``foreachBatch``.
+
+    Retry-safe: self-pairs (a doc matching its own already-appended copy
+    after a mid-batch failure) are excluded from the cross-store
+    candidates, so a re-executed batch keeps the same survivors; the
+    duplicate band/doc rows a partial retry leaves in the store are
+    harmless (candidate pairs are distinct-ed). Exactly-once delivery of
+    the OUTPUT is the caller's job via the batch-id marker
+    (``streaming_minhash_dedup``)."""
     spark = batch_df.sparkSession
+    _check_store_params(store_dir, num_hashes, bands, shingle_n)
     band_path, doc_path = _store_paths(store_dir)
     docs = batch_df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
@@ -154,7 +201,13 @@ def minhash_gate_batch(
         batch_kept = docs.filter(~F.col("id").isin(sorted(dropped_within)))
 
     # 2. candidates vs the accumulated store: band equi-join, then exact
-    #    Jaccard verify against stored texts
+    #    Jaccard verify against stored texts. new_id != old_id excludes
+    #    the self-pairs a retried batch's own store rows would produce.
+    #    The candidate set is persisted and COUNTED (it feeds both verify
+    #    joins — re-evaluation at a silent limit would be
+    #    nondeterministic) and the broadcast is gated on the measured
+    #    count, mirroring dedup.BROADCAST_PAIR_LIMIT.
+    cand = None
     if os.path.exists(band_path):
         store_bands = spark.read.parquet(band_path)
         store_docs = spark.read.parquet(doc_path)
@@ -166,20 +219,30 @@ def minhash_gate_batch(
         )
         cand = (
             new_bands.join(store_bands, ["band_id", "band_hash"])
+            .filter(F.col("new_id") != F.col("old_id"))
             .select("new_id", "old_id")
             .distinct()
-            .limit(BROADCAST_PAIR_LIMIT)
+            .persist()
         )
-        matched = _jaccard_verified(cand, batch_kept, store_docs, threshold)
+        n_cand = cand.count()
+        matched = _jaccard_verified(
+            cand, batch_kept, store_docs, threshold, shingle_n,
+            broadcast_cand=n_cand <= BROADCAST_PAIR_LIMIT,
+        )
         batch_kept = batch_kept.join(
             F.broadcast(matched.select(F.col("new_id").alias("id")).distinct()),
             "id",
             "left_anti",
         )
 
-    # 3. materialize survivors, append their bands + texts to the store
-    kept_rows = batch_kept.collect()
-    kept = spark.createDataFrame(kept_rows, schema=batch_kept.schema)
+    # 3. materialize survivors CLUSTER-SIDE (staging parquet — document
+    #    bytes never route through the driver), then append their bands +
+    #    texts to the store
+    staging = os.path.join(store_dir, "_staging")
+    batch_kept.write.mode("overwrite").parquet(staging)
+    if cand is not None:
+        cand.unpersist()
+    kept = spark.read.parquet(staging)
     kept.select(
         F.col("id").alias("old_id"),
         F.posexplode(
@@ -201,15 +264,27 @@ def streaming_minhash_dedup(
 ):
     """Wire the gate into a stream: every micro-batch flows through
     ``minhash_gate_batch``; survivors append to ``out_dir``. Returns the
-    StreamingQuery (caller awaits termination)."""
+    StreamingQuery (caller awaits termination).
 
-    def gate(batch_df: DataFrame, _batch_id: int) -> None:
+    Idempotent under micro-batch retries (the foreachBatch contract): a
+    per-batch marker file skips fully-processed batches, and the gate
+    itself excludes self-pairs so a partially-appended store does not
+    change a re-run's survivors — re-execution appends no duplicate
+    output rows."""
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(store_dir, "_batches", f"{batch_id}.done")
+        if os.path.exists(marker):
+            return  # retried batch already fully processed
         kept = minhash_gate_batch(
             batch_df, store_dir, threshold, text_col, id_col
         )
         kept.withColumnRenamed("id", id_col).withColumnRenamed(
             "text", text_col
         ).write.mode("append").parquet(out_dir)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("")
 
     return (
         stream_df.writeStream.foreachBatch(gate)

@@ -199,3 +199,31 @@ def test_streaming_minhash_neardup_gate(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert kept == [1, 3, 5]
+
+
+def test_neardup_gate_retry_and_param_guard(spark, tmp_path):
+    """Retry safety + parameter pinning: re-running a batch whose store
+    appends already landed keeps the SAME survivors (self-pairs are
+    excluded), and reopening a store with different banding parameters
+    is refused."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from dbqt_spark.streaming.neardup import minhash_gate_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    batch = spark.createDataFrame(
+        [(1, base), (2, "totally different other content here " * 5)],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "store")
+    kept1 = sorted(r["id"] for r in minhash_gate_batch(batch, store).collect())
+    assert kept1 == [1, 2]
+    # simulate a retry AFTER the store append: same batch again — the
+    # docs' own stored copies must not knock them out
+    kept2 = sorted(r["id"] for r in minhash_gate_batch(batch, store).collect())
+    assert kept2 == [1, 2]
+
+    with _pytest.raises(ValueError, match="refusing to gate"):
+        minhash_gate_batch(batch, store, bands=32)
