@@ -611,7 +611,7 @@ l AS ({SQL_LANGUAGE_ID}),
 c AS (SELECT doc_id, length(text) AS n_chars FROM documents)
 SELECT l.predicted_lang,
        COUNT(*) AS n_docs,
-       SUM(q.n_tokens) AS total_tokens,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
        round(CAST(SUM(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(*), 4) AS avg_quality,
        round(CAST(SUM(c.n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
@@ -1244,7 +1244,7 @@ SQL_TOP_ORDERS_PER_CUSTOMER = f"""
 SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk, running_total
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk,
          round(CAST(SUM(CAST(o_totalprice AS {_DEC})) OVER (
              PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total

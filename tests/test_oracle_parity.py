@@ -71,6 +71,68 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+# ---------------------------------------------------------------------------
+# Oracle TYPE parity — the driver's value hasher is typed, so a DuckDB
+# HUGEINT (uncast SUM of an integer column) hash-mismatches a Spark BIGINT
+# even when every value is identical (this bit corpus_summary in r6).
+# Map each DuckDB result type to the Spark dtype it must equal; types with
+# no Spark twin (HUGEINT, UHUGEINT, unsigned ints) demand an explicit CAST
+# in the oracle SQL and fail here.
+# ---------------------------------------------------------------------------
+
+_DUCK_SCALAR_TO_SPARK = {
+    "TINYINT": {"tinyint"},
+    "SMALLINT": {"smallint"},
+    "INTEGER": {"int"},
+    "BIGINT": {"bigint"},
+    "FLOAT": {"float"},
+    "DOUBLE": {"double"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date"},
+    "BLOB": {"binary"},
+    # Spark's TIMESTAMP/TIMESTAMP_NTZ both serialize the same wall-clock
+    # instants under the session-UTC contract (catalog.load_table).
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+}
+
+
+def _spark_twins(duck_type: str):
+    """Spark dtypes that hash identically to ``duck_type``; None if the
+    DuckDB type has no Spark twin (the oracle must CAST)."""
+    duck_type = duck_type.strip()
+    if duck_type.endswith("[]"):
+        inner = _spark_twins(duck_type[:-2])
+        if inner is None:
+            return None
+        return {f"array<{t}>" for t in inner}
+    if duck_type.startswith("DECIMAL"):
+        return {duck_type.lower().replace(" ", "")}
+    return _DUCK_SCALAR_TO_SPARK.get(duck_type)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_types_match_spark(name, spark, sf_dir, duck):
+    """Schema-only: no execution of the Spark plan, lazy DuckDB relation."""
+    sdf = entry_mod.queries()[name](spark, sf_dir)
+    spark_types = {c.lower(): t for c, t in sdf.dtypes}
+
+    rel = duck.sql(entry_mod.oracle_sql()[name])
+    for col, dtype in zip(rel.columns, rel.types):
+        col = col.lower()
+        assert col in spark_types, f"{name}: oracle col {col} missing in Spark"
+        twins = _spark_twins(str(dtype))
+        assert twins is not None, (
+            f"{name}.{col}: DuckDB type {dtype} has no Spark twin — add an "
+            f"explicit CAST in the oracle SQL (typed hash would mismatch)"
+        )
+        assert spark_types[col] in twins, (
+            f"{name}.{col}: Spark dtype {spark_types[col]} vs DuckDB {dtype} "
+            f"(expected one of {sorted(twins)}) — typed hash would mismatch"
+        )
+
+
 @pytest.mark.parametrize("name", [n for n in ALL_NAMES if n not in ORACLE_NAMES])
 def test_rows_only_queries_run(name, spark, sf_dir):
     df = entry_mod.queries()[name](spark, sf_dir)
