@@ -136,6 +136,7 @@ def main() -> None:
     best_total = None
     best_timings: dict[str, float] = {}
     best_complete = False
+    trial_totals: list[float] = []
     for t in range(max(1, trials)):
         timings.clear()
         wall0 = time.perf_counter()
@@ -146,6 +147,7 @@ def main() -> None:
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 list(pool.map(run_one, ordered))
         total = round(time.perf_counter() - wall0, 3)
+        trial_totals.append(total)
         complete = all(v == v for v in timings.values())  # no NaN failures
         print(
             f"bench: trial {t + 1}/{trials}: {total}s"
@@ -167,7 +169,12 @@ def main() -> None:
                 "value": best_total,
                 "unit": "sec",
                 "workers": workers,
-                "trials": trials,
+                # per-trial wall totals, in run order: trials[0] is the
+                # coldest run (post-warmup but pre any query-built state)
+                # and is the figure comparable to the single-run r5
+                # baseline; "value" is the best complete trial.
+                "trials": trial_totals,
+                "cold_total_sec": trial_totals[0] if trial_totals else None,
                 "sum_query_sec": query_sum,
                 "queries": best_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
