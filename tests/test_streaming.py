@@ -1,6 +1,9 @@
 """Structured Streaming checks: the streaming windowed profile must equal
 its batch twin (stream/batch equivalence is the correctness contract)."""
 
+import os
+import shutil
+
 from pyspark.sql import functions as F
 
 from dbqt_spark.catalog import load_table
@@ -227,3 +230,160 @@ def test_neardup_gate_retry_and_param_guard(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="refusing to gate"):
         minhash_gate_batch(batch, store, bands=32)
+
+
+def test_neardup_store_join_no_store_exchange(spark, tmp_path):
+    """The band store is a bucketed table on band_key: the candidate
+    join's store side must scan the buckets directly (no Exchange); only
+    the arriving batch shuffles to match."""
+    import re
+
+    from dbqt_spark.plans import formatted_plan
+    from dbqt_spark.streaming.neardup import (
+        _band_keys,
+        _register_bands_table,
+        _store_paths,
+        minhash_gate_batch,
+    )
+
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon " * 8), (2, "other words entirely " * 8)],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(3, "more unrelated content here " * 8)], ["doc_id", "text"]
+    )
+    minhash_gate_batch(b1, store)
+    minhash_gate_batch(b2, store)  # second append -> multi-file buckets
+
+    band_path, _ = _store_paths(store)
+    tbl = _register_bands_table(spark, store, band_path)
+    new_bands = _band_keys(
+        b2.select(F.col("doc_id").alias("id"), "text"), "new_id", 32, 16, 3
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(new_bands.join(spark.table(tbl), "band_key"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert "Bucketed: true" in plan
+    # exactly ONE Exchange: the new-batch side; none above the store scan
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
+
+
+def test_neardup_store_compaction_roundtrip(spark, tmp_path):
+    """compact_store rewrites the multi-file buckets appends leave into
+    one file per bucket, and the gate keeps working against the
+    compacted store (cross-batch near-dups still dropped)."""
+    import glob
+
+    from dbqt_spark.streaming.neardup import (
+        NEARDUP_STORE_BUCKETS,
+        _store_paths,
+        compact_store,
+        minhash_gate_batch,
+    )
+
+    import re
+    from collections import Counter
+
+    def files_per_bucket(band_path):
+        # bucketed file names carry the bucket id as the _NNNNN suffix
+        c = Counter()
+        for f in glob.glob(os.path.join(band_path, "part-*")):
+            m = re.search(r"_(\d{5})\.", os.path.basename(f))
+            assert m, f"non-bucketed file in band store: {f}"
+            c[int(m.group(1))] += 1
+        return c
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    words = "red green blue cyan magenta yellow black white grey pink".split()
+    store = str(tmp_path / "store")
+    minhash_gate_batch(
+        spark.createDataFrame(
+            [(i, f"{w} doc number {i} " * 9) for i, w in enumerate(words[:5])]
+            + [(90, base)],
+            ["doc_id", "text"],
+        ),
+        store,
+        threshold=0.5,
+    )
+    minhash_gate_batch(
+        spark.createDataFrame(
+            [(10 + i, f"{w} OTHER item {i} " * 9) for i, w in enumerate(words[5:])],
+            ["doc_id", "text"],
+        ),
+        store,
+        threshold=0.5,
+    )
+    band_path, _ = _store_paths(store)
+    before = files_per_bucket(band_path)
+    assert max(before.values()) > 1  # some bucket holds files from both appends
+    compact_store(spark, store)
+    after = files_per_bucket(band_path)
+    assert max(after.values()) == 1  # ONE file per bucket
+    assert len(after) <= NEARDUP_STORE_BUCKETS
+    assert sum(after.values()) < sum(before.values())
+    # gate still works: near-dup of doc 1 is dropped, fresh doc kept
+    kept = sorted(
+        r["id"]
+        for r in minhash_gate_batch(
+            spark.createDataFrame(
+                [(103, base.replace("kappa", "kappaX", 1)),
+                 (104, "fresh new text " * 8)],
+                ["doc_id", "text"],
+            ),
+            store,
+            threshold=0.5,
+        ).collect()
+    )
+    assert kept == [104]
+
+
+def test_neardup_gate_output_publish_is_idempotent(spark, tmp_path):
+    """A batch whose output publish crashed mid-way (store appended,
+    out_dir half-written, no marker) must not duplicate rows when the
+    batch re-executes: the per-batch partition is REPLACED, not appended
+    to."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.streaming.neardup import streaming_minhash_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["aa bb cc " * 9, "dd ee ff " * 9]}),
+        str(src / "b1.parquet"),
+    )
+    out = tmp_path / "out"
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src))
+        )
+        q = streaming_minhash_dedup(
+            stream,
+            store_dir=str(tmp_path / "store"),
+            out_dir=str(out),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            threshold=0.5,
+        )
+        q.awaitTermination()
+
+    run()
+    # simulate the crash window: half-published output, marker missing,
+    # checkpoint rolled back -> Spark re-runs batch 0 from scratch
+    os.remove(str(tmp_path / "store" / "_batches" / "0.done"))
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    time.sleep(1.1)
+    run()
+
+    rows = spark.read.parquet(str(out)).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]  # no duplicates
+    assert all(r["batch_id"] == 0 for r in rows)
