@@ -1448,6 +1448,115 @@ WHERE j >= 0.6 ORDER BY id_a, id_b
 """
 
 
+def q_streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch-mode run of the STREAMING near-dup ingest
+    gate (streaming/neardup.py, the foreachBatch operator): documents
+    split by doc_id parity into two 'micro-batches', gated sequentially
+    against a fresh store — returns the ACCEPTED ids. Phase semantics
+    under test: within-batch greedy first-wins (earlier ids live), then
+    cross-store exact-Jaccard rejection of anything near-duplicating an
+    already-accepted doc. Survivor ids are collected per batch BEFORE
+    the next batch runs (the gate's staging dir is per-store, and the
+    store is torn down on exit)."""
+    import shutil
+    import tempfile
+
+    from .streaming.neardup import _bands_table, minhash_gate_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="neardup_gate_q_")
+    try:
+        ids: list[int] = []
+        for parity in (0, 1):
+            kept = minhash_gate_batch(
+                docs.filter(F.col("doc_id") % 2 == parity),
+                store,
+                threshold=0.5,
+                id_col="doc_id",
+            )
+            ids.extend(r["id"] for r in kept.collect())
+        return spark.createDataFrame(
+            [(i,) for i in sorted(ids)], "doc_id bigint"
+        ).orderBy("doc_id")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {_bands_table(store)}")
+        shutil.rmtree(store, ignore_errors=True)
+
+
+# DuckDB twin of the two-batch gate run. The pair graph is the same
+# brute-force construction as SQL_MINHASH_NEAR_DUPS (threshold 0.5 on
+# the unrounded ratio); the greedy first-wins walk is a recursive CTE
+# stepping through each batch's ids ascending, keeping a doc unless a
+# SMALLER already-kept id is its pair partner (list_has_any against the
+# precomputed smaller-neighbor lists — plain joins in the recursive
+# term; correlated-subquery forms mis-planned on DuckDB 1.0). Phase 2
+# mirrors the gate exactly: batch-2 survivors are then rejected if they
+# pair with ANY batch-1 survivor. CTEs are MATERIALIZED so the
+# recursion doesn't recompute the shingle join per step.
+_SQL_SHINGLES_MAT = _SQL_SHINGLES.replace(
+    "toks AS (", "toks AS MATERIALIZED ("
+).replace("sh AS (", "sh AS MATERIALIZED (")
+
+SQL_STREAMING_NEARDUP_GATE = f"""
+WITH RECURSIVE
+{_SQL_SHINGLES_MAT},
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+ids1 AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id % 2 = 0
+),
+ids2 AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id % 2 = 1
+),
+nbrs AS MATERIALIZED (
+  SELECT id_b AS doc_id, list(id_a) AS smaller FROM pairs GROUP BY id_b
+),
+g1(rn, kept) AS (
+  SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT g.rn + 1,
+         CASE WHEN list_has_any(g.kept, coalesce(n.smaller, []))
+              THEN g.kept ELSE list_append(g.kept, i.doc_id) END
+  FROM g1 g
+  JOIN ids1 i ON i.rn = g.rn + 1
+  LEFT JOIN nbrs n ON n.doc_id = i.doc_id
+),
+kept1 AS MATERIALIZED (
+  SELECT unnest(kept) AS doc_id FROM g1 WHERE rn = (SELECT max(rn) FROM ids1)
+),
+g2(rn, kept) AS (
+  SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT g.rn + 1,
+         CASE WHEN list_has_any(g.kept, coalesce(n.smaller, []))
+              THEN g.kept ELSE list_append(g.kept, i.doc_id) END
+  FROM g2 g
+  JOIN ids2 i ON i.rn = g.rn + 1
+  LEFT JOIN nbrs n ON n.doc_id = i.doc_id
+),
+kept2a AS (
+  SELECT unnest(kept) AS doc_id FROM g2 WHERE rn = (SELECT max(rn) FROM ids2)
+),
+kept2 AS (
+  SELECT k.doc_id FROM kept2a k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p JOIN kept1 s
+      ON (p.id_a = s.doc_id AND p.id_b = k.doc_id)
+      OR (p.id_b = s.doc_id AND p.id_a = k.doc_id))
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM kept1
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM kept2
+ORDER BY doc_id
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints with the engine-portable (md5-prefix) token
     hash, so DuckDB reproduces every 64-bit fingerprint exactly."""
@@ -1779,6 +1888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dynamic_queries": q_dynamic_queries,
     "table_discovery": q_table_discovery,
     "minhash_near_dups": q_minhash_near_dups,
+    "streaming_neardup_gate": q_streaming_neardup_gate,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "doc_fingerprints": q_doc_fingerprints,
     "simhash": q_simhash,
@@ -1826,6 +1936,7 @@ ORACLES: dict[str, str] = {
     "dynamic_queries": SQL_DYNAMIC_QUERIES,
     "table_discovery": SQL_TABLE_DISCOVERY,
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+    "streaming_neardup_gate": SQL_STREAMING_NEARDUP_GATE,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "simhash": SQL_SIMHASH,
