@@ -275,6 +275,71 @@ def lsh_write(
         )
 
 
+def lsh_append(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
+    """Append vectors to an existing ``lsh_write`` index.
+
+    The hyperplanes are RE-DERIVED from the stored (n_planes, seed, dim)
+    — the whole point of meta.json — so appended vectors land in exactly
+    the buckets a fresh full rebuild would give them; probes over the
+    grown index stay correct with no re-train step (hyperplane LSH is
+    data-independent, unlike IVF). Appends add one file per touched
+    bucket directory; run ``lsh_compact`` periodically. Dimension is
+    validated against the stored index — a mismatched append would
+    silently truncate every future probe's ``zip_with`` dot product."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        return  # nothing to append
+    if len(first[0]) != int(meta["dim"]):
+        raise ValueError(
+            f"append dimension {len(first[0])} != index dimension "
+            f"{meta['dim']}"
+        )
+    planes = _hyperplanes(int(meta["dim"]), int(meta["n_planes"]), int(meta["seed"]))
+    banded = df.withColumn("bucket", lsh_signature_col(F.col(vec_col), planes))
+    banded.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def lsh_compact(spark, path: str) -> None:
+    """Rewrite the LSH index to one file per bucket directory (appends
+    leave one file per bucket per batch). See ``_compact_partitioned``."""
+    import os
+
+    _compact_partitioned(spark, os.path.join(path, "vectors"), "bucket")
+
+
+def _compact_partitioned(spark, data_path: str, partition_col: str) -> None:
+    """One file per partition-value directory: hash-repartition on the
+    partition column (each value lands in exactly ONE task, so the
+    partitionBy writer emits exactly one file per directory), stage to a
+    sibling dir, swap with one atomic rename. Offline maintenance — run
+    between ingest batches, not concurrently with one. Small-file
+    compaction is the standard lakehouse maintenance op (Delta OPTIMIZE /
+    Iceberg rewrite_data_files); partition pruning is untouched because
+    the directory layout is reproduced exactly."""
+    import os
+    import shutil
+
+    if not os.path.exists(data_path):
+        return
+    df = spark.read.parquet(data_path)
+    tmp = data_path + ".compact"
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    shutil.rmtree(data_path)
+    os.rename(tmp, data_path)
+
+
 def _hyperplanes_for(
     df: DataFrame, vec_col: str, n_planes: int, seed: int
 ) -> list[list[float]]:
@@ -355,14 +420,25 @@ def lsh_topk_from_index(
 
 
 def ivf_write(
-    assigned: DataFrame, centroids: list[list[float]], path: str
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
 ) -> None:
     """Persist an IVF index: the cell-assigned vectors as parquet
     ``partitionBy("cell")`` plus the centroid list as JSON alongside.
     This is THE 100 TB layout: a probe query filters on ``cell`` and the
     scan touches only the probed cells' directories (partition pruning —
     see ``test_plans.test_ivf_probe_prunes_partitions``), so search cost
-    scales with n_probes/n_cells of the corpus, not the corpus."""
+    scales with n_probes/n_cells of the corpus, not the corpus.
+
+    A drift BASELINE (mean squared nearest-centroid distance over a
+    bounded sample) is stored in meta.json so ``ivf_append`` can refuse
+    batches whose distribution the centroids no longer describe. The
+    sample is ``limit()``-bounded (first partitions, not uniform) — it
+    sets the SCALE of normal quantization error, which is all the drift
+    ratio needs; an extra full-corpus pass at write time would double
+    the cost of building a 100 TB index for a statistic."""
     import json
     import os
 
@@ -371,6 +447,102 @@ def ivf_write(
     )
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(centroids, f)
+    C = np.array(centroids, dtype=np.float64)
+    qerr = _sample_quantization_error(assigned, C, vec_col)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"dim": int(C.shape[1]), "mean_sq_qerr": qerr}, f)
+
+
+_DRIFT_SAMPLE_ROWS = 10_000
+
+
+def _sample_quantization_error(
+    df: DataFrame, C: "np.ndarray", vec_col: str
+) -> float:
+    """Mean squared nearest-centroid distance over a bounded sample
+    (driver-side numpy — ``_DRIFT_SAMPLE_ROWS`` x dim doubles)."""
+    rows = df.select(F.col(vec_col).cast("array<double>")).limit(
+        _DRIFT_SAMPLE_ROWS
+    ).collect()
+    if not rows:
+        return 0.0
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    return float(_sq_dists(X, C).min(axis=1).mean())
+
+
+def ivf_append(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    max_drift: float = 4.0,
+) -> None:
+    """Append vectors to an existing ``ivf_write`` index, guarded against
+    centroid drift.
+
+    Unlike hyperplane LSH, IVF cells are DATA-DEPENDENT: centroids
+    trained on the original corpus can describe a new batch badly (new
+    language, new embedding model revision), and silently appending then
+    degrades recall for every future probe — vectors land in cells whose
+    centroid is far away, and ``n_probes`` cells no longer cover the true
+    neighbors. The guard compares the batch's mean squared
+    nearest-centroid distance (bounded sample) against the baseline
+    stored at write time and REFUSES the append past ``max_drift``x —
+    the fix is a re-train (``ivf_build`` + ``ivf_write``), which the
+    error message names. faiss leaves this check to the caller; an
+    engine should not.
+
+    Appends add one file per touched cell directory; run ``ivf_compact``
+    periodically."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"IVF index at {path} has no meta.json drift baseline — "
+            "rebuild it with ivf_write before appending"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)
+    C = np.array(centroids, dtype=np.float64)
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        return  # nothing to append
+    if len(first[0]) != int(meta["dim"]):
+        raise ValueError(
+            f"append dimension {len(first[0])} != index dimension "
+            f"{meta['dim']}"
+        )
+    batch_qerr = _sample_quantization_error(df, C, vec_col)
+    baseline = float(meta["mean_sq_qerr"])
+    if baseline > 0 and batch_qerr > max_drift * baseline:
+        raise ValueError(
+            f"appended batch drifts from the stored centroids (mean sq "
+            f"quantization error {batch_qerr:.4g} > {max_drift}x baseline "
+            f"{baseline:.4g}): re-train with ivf_build + ivf_write "
+            "instead of appending"
+        )
+
+    @F.pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.array(embs.tolist(), dtype=np.float64)
+        return pd.Series(_sq_dists(M, C).argmin(axis=1).astype(np.int32))
+
+    df.withColumn("cell", cell_of(F.col(vec_col))).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(path, "vectors"))
+
+
+def ivf_compact(spark, path: str) -> None:
+    """Rewrite the IVF index to one file per cell directory (appends
+    leave one file per cell per batch). See ``_compact_partitioned``."""
+    import os
+
+    _compact_partitioned(spark, os.path.join(path, "vectors"), "cell")
 
 
 def ivf_load(
@@ -478,24 +650,26 @@ def _eager_capped_result(
     (``embedding_blocked_nn``) or an over-limit pair set — the RETURNED
     frame is persisted and the caller releases it with ``.unpersist()``
     (or ``operators.cache.released``)."""
-    from .dedup import _record_drop_stats, _split_oversized
+    from .dedup import _cap_buckets_eager
 
     if max_block_size is None:
         return build_result(banded)
     banded = banded.persist()
-    capped, oversized = _split_oversized(banded, keys, max_block_size)
-    result_plan = build_result(capped)
+    # drop accounting rides the capping probe job (dedup's r6 ask #6
+    # restructure); the result plan anti-joins a LocalRelation of
+    # oversized keys — or nothing at all on the common zero-drop corpus
+    capped = _cap_buckets_eager(banded, keys, max_block_size, drop_stats)
+    # persist BEFORE the probe so the over-limit fallback's count()
+    # finishes from cache instead of re-executing the matmul (ADVICE r6)
+    result = build_result(capped).persist()
     if localize_limit is not None:
-        rows = result_plan.limit(localize_limit + 1).collect()
+        rows = result.limit(localize_limit + 1).collect()
         if len(rows) <= localize_limit:
-            _record_drop_stats(oversized, drop_stats)
+            schema = result.schema
+            result.unpersist()
             banded.unpersist()
-            return banded.sparkSession.createDataFrame(
-                rows, schema=result_plan.schema
-            )
-    result = result_plan.persist()
+            return banded.sparkSession.createDataFrame(rows, schema=schema)
     result.count()
-    _record_drop_stats(oversized, drop_stats)
     banded.unpersist()
     return result
 

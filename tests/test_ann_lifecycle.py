@@ -1,0 +1,149 @@
+"""ANN index lifecycle: append + compaction + drift guard (VERDICT r6
+ask #7). An index that can only be rebuilt from scratch is not a 100 TB
+index — ingest appends, maintenance compacts, and data-dependent (IVF)
+indexes must notice when the stored centroids stop describing the data."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbqt_spark.plans import formatted_plan
+
+from dbqt_spark.catalog import load_table
+from dbqt_spark.operators.similarity import (
+    ivf_append,
+    ivf_build,
+    ivf_compact,
+    ivf_load,
+    ivf_search,
+    ivf_write,
+    lsh_append,
+    lsh_compact,
+    lsh_topk_from_index,
+    lsh_write,
+)
+
+
+def _files_per_dir(vectors_path: str) -> dict[str, int]:
+    out = {}
+    for d in glob.glob(os.path.join(vectors_path, "*=*")):
+        out[os.path.basename(d)] = len(
+            [f for f in os.listdir(d) if f.endswith(".parquet")]
+        )
+    return out
+
+
+def test_lsh_append_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """write(half) + append(half) must equal write(full): hyperplanes are
+    re-derived from the stored seed, so appended vectors land in exactly
+    the buckets a fresh build gives them, and probes stay correct."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+
+    grown, full = str(tmp_path / "grown"), str(tmp_path / "full")
+    lsh_write(half_a, grown, n_planes=8, seed=42)
+    lsh_append(half_b, grown)
+    lsh_write(emb, full, n_planes=8, seed=42)
+
+    q = list(emb.filter("vec_id = 1").select("embedding").first()[0])
+    got = [
+        r["vec_id"]
+        for r in lsh_topk_from_index(spark, grown, q, k=5).collect()
+    ]
+    want = [
+        r["vec_id"]
+        for r in lsh_topk_from_index(spark, full, q, k=5).collect()
+    ]
+    assert got == want and got[0] == 1
+
+
+def test_lsh_compact_one_file_per_bucket_prunes(spark, sf_dir, tmp_path):
+    """After append + compact: one parquet file per bucket directory, and
+    the probe scan still prunes partitions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh")
+    lsh_write(emb.filter("vec_id % 2 = 0"), path, n_planes=8, seed=42)
+    lsh_append(emb.filter("vec_id % 2 = 1"), path)
+    vectors = os.path.join(path, "vectors")
+    assert max(_files_per_dir(vectors).values()) > 1  # appends fragment
+
+    lsh_compact(spark, path)
+    assert set(_files_per_dir(vectors).values()) == {1}
+
+    q = list(emb.filter("vec_id = 0").select("embedding").first()[0])
+    topk = lsh_topk_from_index(spark, path, q, k=5)
+    plan = formatted_plan(topk)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "bucket" in part_lines[0]
+    assert topk.collect()[0]["vec_id"] == 0
+
+
+def test_lsh_append_dim_mismatch_raises(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh")
+    lsh_write(emb, path, n_planes=8, seed=42)
+    truncated = emb.withColumn("embedding", F.slice("embedding", 1, 3))
+    with pytest.raises(ValueError, match="dimension"):
+        lsh_append(truncated, path)
+
+
+def test_ivf_append_within_drift_then_compact(spark, sf_dir, tmp_path):
+    """Same-distribution append passes the drift gate, appended ids are
+    findable, compaction restores one file per cell and pruning holds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, centroids, path)
+
+    clones = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    ivf_append(clones, path)
+
+    loaded, c2 = ivf_load(spark, path)
+    q = list(emb.filter("vec_id = 7").select("embedding").first()[0])
+    top2 = {
+        r["vec_id"]
+        for r in ivf_search(loaded, c2, q, k=2, n_probes=8).collect()
+    }
+    assert top2 == {7, 1_000_007}  # original and its appended clone
+
+    vectors = os.path.join(path, "vectors")
+    assert max(_files_per_dir(vectors).values()) > 1
+    ivf_compact(spark, path)
+    assert set(_files_per_dir(vectors).values()) == {1}
+
+    probe = ivf_search(*ivf_load(spark, path), q, k=2, n_probes=3)
+    plan = formatted_plan(probe)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "cell" in part_lines[0]
+
+
+def test_ivf_append_refuses_drifted_batch(spark, sf_dir, tmp_path):
+    """A batch far from every stored centroid must be refused with a
+    re-train instruction, not silently appended into the wrong cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, centroids, path)
+
+    drifted = emb.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x * F.lit(100.0) + F.lit(50.0)),
+    )
+    with pytest.raises(ValueError, match="re-train"):
+        ivf_append(drifted, path)
+    # and nothing was written
+    n = ivf_load(spark, path)[0].count()
+    assert n == emb.count()
+
+
+def test_ivf_append_requires_baseline(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=4)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, centroids, path)
+    os.remove(os.path.join(path, "meta.json"))
+    with pytest.raises(ValueError, match="meta.json"):
+        ivf_append(emb, path)
