@@ -110,6 +110,7 @@ def main() -> None:
     # that only starts after everything else finished (classic LPT
     # scheduling). Weights are coarse — measured once at sf0.1.
     heavy = [
+        "streaming_neardup_gate",
         "ngram_jaccard_dups",
         "simhash_near_dups",
         "minhash_near_dups",

@@ -94,10 +94,30 @@ def _session_stopped(session: SparkSession) -> bool:
         return False  # connect-mode/mock sessions: never treated as stopped
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC — a GLOBAL, session-wide setting.
+
+    The NTZ→TIMESTAMP and nanos-long rebases in ``load_table`` (and
+    ``streaming.checks.normalize_event_ts``) are value-identical ONLY
+    under a UTC session zone, and the casts inside the returned plans
+    evaluate lazily: the zone in force at ACTION time is what counts.
+    ``load_table`` calls this on every hand-out (first and cached alike),
+    but a caller that resets the zone between receiving a frame and its
+    terminal action must call ``ensure_utc`` again before acting — or
+    simply not share a session between UTC-pinned table reads and
+    workloads that need another zone (documented side effect; the
+    engine's own queries and tests all run UTC)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Lazy: only the parquet footer is touched until an
     action runs, mirroring the reference's schema-only reads
     (dbqt/tools/colcompare.py:246-251).
+
+    SIDE EFFECT: when the table needs a timestamp rebase, the session
+    timezone is pinned to UTC for the whole session — see ``ensure_utc``
+    (ADVICE r6).
 
     Nanosecond-timestamp columns (illegal for Spark's vectorized reader)
     are read as long via ``spark.sql.legacy.parquet.nanosAsLong`` and cast
@@ -124,7 +144,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # the cast inside the cached plan evaluates LAZILY: re-enforce
             # UTC on every hand-out, or a caller that reset the zone after
             # the first load would execute the NTZ cast shifted
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            ensure_utc(spark)
         return df
     nanos = _nanos_timestamp_cols(path)
     if nanos:
@@ -143,8 +163,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ntz or nanos:
         # the NTZ->TIMESTAMP (and nanos-long) rebase is value-identical
         # ONLY under a UTC session zone — enforce it rather than assume it
-        # for externally built sessions (ADVICE r5)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # for externally built sessions (ADVICE r5), through the same
+        # helper the cached path uses (ADVICE r6: uniform enforcement)
+        ensure_utc(spark)
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     per_session[path] = (df, bool(ntz or nanos))

@@ -72,8 +72,11 @@ _DEC = "DECIMAL(18,6)"  # exact accumulator for float sums
 def _ensure_utc(spark: SparkSession) -> None:
     """Timestamp-to-string queries must render in UTC regardless of the
     caller's session timezone (parquet naive timestamps are read as UTC
-    instants; DuckDB renders them naively)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    instants; DuckDB renders them naively). GLOBAL session side effect,
+    documented at ``catalog.ensure_utc``."""
+    from .catalog import ensure_utc
+
+    ensure_utc(spark)
 
 
 def _localized(df: DataFrame) -> DataFrame:
@@ -1461,7 +1464,7 @@ def q_streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .streaming.neardup import _bands_table, minhash_gate_batch
+    from .streaming.neardup import minhash_gate_batch
 
     docs = load_table(spark, sf_dir, "documents")
     store = tempfile.mkdtemp(prefix="neardup_gate_q_")
@@ -1479,7 +1482,6 @@ def q_streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(i,) for i in sorted(ids)], "doc_id bigint"
         ).orderBy("doc_id")
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {_bands_table(store)}")
         shutil.rmtree(store, ignore_errors=True)
 
 

@@ -73,7 +73,10 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
     if isinstance(t, TimestampNTZType):
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        from ..catalog import ensure_utc
+
+        # GLOBAL session side effect, documented at catalog.ensure_utc
+        ensure_utc(df.sparkSession)
         return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 

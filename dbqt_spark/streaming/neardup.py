@@ -22,25 +22,31 @@ Per micro-batch (``minhash_gate_batch``):
    first-wins contract ``dropDuplicates`` gives exact dedup),
 5. append the survivors' bands + texts to the store (parquet).
 
-Scale notes: the band store is a BUCKETED external parquet table keyed
-by ``band_key = xxhash64(band_id, band_hash)`` (``NEARDUP_STORE_BUCKETS``
-buckets) — folding the band id into one join key lets the planner use
-the bucket layout (it declines bucketed scans when bucket columns are a
-strict subset of the join keys), so step 2's candidate join needs no
-shuffle on the store side; only the (small) arriving batch is exchanged
-to match the buckets (``test_neardup_store_join_no_store_exchange``).
-A band_key collision across different bands merely adds a candidate
-pair that the exact-Jaccard verify discards. Appends add one file per
-bucket per batch; run ``compact_store`` periodically to rewrite them
-into one file per bucket. State grows with ACCEPTED (unique) docs only,
-the minimum any exact-verify near-dup gate can hold. The within-batch
-greedy pulls only verified pairs (not docs) to the driver, bounded by
-the bucket cap.
+Scale notes: the band store is plain parquet keyed by
+``band_key = xxhash64(band_id, band_hash)`` and step 2's candidate join
+BROADCASTS the arriving batch's band keys (micro-batch x bands rows of
+two longs — megabytes at any realistic trigger size), so the store side
+is scanned in place with NO shuffle at any store size
+(``test_neardup_store_join_no_store_exchange``). This replaced an r7
+interim design that kept the store as a catalog-registered bucketed
+table: the bucketed layout also avoided the store-side exchange, but
+paid seconds of metastore/commit overhead PER micro-batch append —
+measured 4.5-35 s per ``saveAsTable`` vs 0.2 s for the plain append —
+which dwarfs the shuffle it saved; broadcast achieves the same plan
+property for free. (If micro-batches ever grow past broadcastable, the
+co-bucketed catalog table is the right alternative and
+``partitioning.write_bucketed`` provides it.) A band_key collision
+across different bands merely adds a candidate pair that the
+exact-Jaccard verify discards. Appends add files per batch; run
+``compact_store`` periodically to rewrite the store into
+``NEARDUP_STORE_BUCKETS`` band_key-clustered files. State grows with
+ACCEPTED (unique) docs only, the minimum any exact-verify near-dup gate
+can hold. The within-batch greedy pulls only verified pairs (not docs)
+to the driver, bounded by the bucket cap.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 
@@ -53,7 +59,6 @@ NEARDUP_STORE_BUCKETS = 32
 from ..operators.dedup import (
     BROADCAST_PAIR_LIMIT,
     minhash_band_hashes,
-    minhash_near_duplicates,
 )
 
 
@@ -87,19 +92,23 @@ def _check_store_params(
                 "silently fail"
             )
         band_path, _ = _store_paths(store_dir)
+        # v2 (bucketed-table) band files are plain parquet with the same
+        # (old_id, band_key) schema — readable as-is; only the pre-v2
+        # (band_id, band_hash) schema needs a rebuild
         if (
-            stored.get("store_format") != "bucketed_bands_v2"
+            stored.get("store_format")
+            not in ("bucketed_bands_v2", "plain_bands_v3")
             and os.path.exists(band_path)
         ):
             raise ValueError(
-                f"near-dup store at {store_dir} uses the pre-v2 unbucketed "
-                "band layout; rebuild it (re-run the gate over the accepted "
+                f"near-dup store at {store_dir} uses the pre-v2 band "
+                "layout; rebuild it (re-run the gate over the accepted "
                 "docs into a fresh store_dir) before gating"
             )
         return
     os.makedirs(store_dir, exist_ok=True)
     with open(meta_path, "w") as f:
-        json.dump({**params, "store_format": "bucketed_bands_v2"}, f)
+        json.dump({**params, "store_format": "plain_bands_v3"}, f)
 
 
 def _band_keys(
@@ -121,99 +130,43 @@ def _band_keys(
     )
 
 
-def _bands_table(store_dir: str) -> str:
-    """Catalog name for the store's bucketed band table — derived from
-    the (absolute) store path so concurrent gates on different stores
-    never collide."""
-    digest = hashlib.md5(os.path.abspath(store_dir).encode()).hexdigest()[:12]
-    return f"neardup_bands_{digest}"
-
-
-def _register_bands_table(
-    spark: SparkSession, store_dir: str, band_path: str
-) -> str:
-    """(Re-)register the external bucketed band table for ``store_dir``.
-    The files at ``band_path`` are only ever produced by the bucketed
-    writer below, so declaring CLUSTERED BY (band_hash) is truthful; a
-    fresh session (new metastore) re-registers from the parquet footer
-    schema."""
-    tbl = _bands_table(store_dir)
-    if not spark.catalog.tableExists(tbl):
-        schema = spark.read.parquet(band_path).schema
-        cols = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
-        )
-        spark.sql(
-            f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
-            f"CLUSTERED BY (band_key) SORTED BY (band_key) "
-            f"INTO {NEARDUP_STORE_BUCKETS} BUCKETS "
-            f"LOCATION '{band_path}'"
-        )
-    return tbl
-
-
 def _append_bands(spark: SparkSession, store_dir: str, bands_df: DataFrame) -> None:
-    """Append band rows through the bucketed writer (one file per bucket
-    per append; ``compact_store`` merges them)."""
+    """Append band rows as plain parquet (``compact_store`` merges the
+    per-batch files periodically)."""
     band_path, _ = _store_paths(store_dir)
-    if os.path.exists(band_path):
-        _register_bands_table(spark, store_dir, band_path)
-    (
-        bands_df.write.mode("append")
-        .bucketBy(NEARDUP_STORE_BUCKETS, "band_key")
-        .sortBy("band_key")
-        .option("path", band_path)
-        .format("parquet")
-        .saveAsTable(_bands_table(store_dir))
-    )
+    bands_df.write.mode("append").parquet(band_path)
 
 
 def compact_store(spark: SparkSession, store_dir: str) -> None:
-    """Rewrite the band store to ONE file per bucket (appends leave one
-    file per bucket per micro-batch). Offline maintenance: run between
-    gate invocations, not concurrently with one."""
+    """Rewrite the band store into ``NEARDUP_STORE_BUCKETS``
+    band_key-clustered, key-sorted files (appends leave files per
+    micro-batch). Clustering + the within-file sort give every file a
+    tight band_key min/max, so future optimizations (or an engine with
+    file-level zone maps) can skip files; for the broadcast candidate
+    join the win is simply fewer, larger scan splits. Offline
+    maintenance: run between gate invocations, not concurrently with
+    one — the swap is one atomic rename."""
     band_path, _ = _store_paths(store_dir)
     if not os.path.exists(band_path):
         return
-    tbl = _register_bands_table(spark, store_dir, band_path)
     tmp = band_path + ".compact"
-    compact_tbl = tbl + "_compact"
-    spark.sql(f"DROP TABLE IF EXISTS {compact_tbl}")
     (
-        # PLAIN parquet read, not spark.table(tbl): the bucketed scan
-        # already reports HashPartitioning(band_key), so Catalyst elides
-        # the repartition and every input split writes its own file —
-        # the plain read + one shuffle lands exactly one file per bucket
-        # (repartition and bucketBy share the Murmur3 partition id).
         spark.read.parquet(band_path)
         .repartition(NEARDUP_STORE_BUCKETS, "band_key")
+        .sortWithinPartitions("band_key")
         .write.mode("overwrite")
-        .bucketBy(NEARDUP_STORE_BUCKETS, "band_key")
-        .sortBy("band_key")
-        .option("path", tmp)
-        .format("parquet")
-        .saveAsTable(compact_tbl)
+        .parquet(tmp)
     )
-    spark.sql(f"DROP TABLE IF EXISTS {compact_tbl}")
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(band_path)
     os.rename(tmp, band_path)
-    _register_bands_table(spark, store_dir, band_path)
 
 
-def _jaccard_verified(
-    cand: DataFrame,
-    new_docs: DataFrame,
-    old_docs: DataFrame,
-    threshold: float,
-    shingle_n: int,
-    broadcast_cand: bool,
-) -> DataFrame:
-    """(new_id, old_id) pairs whose exact shingle Jaccard >= threshold.
-    ``cand`` is the ids-only candidate frame; texts attach via joins
-    (new side tiny = the batch; old side filtered by broadcast semi-join
-    on the candidate ids, so the store is never fully read into the
-    verify)."""
+def _jaccard_udf(shingle_n: int):
+    """Arrow pandas_udf: exact shingle-set Jaccard of two text columns —
+    the same set semantics as ``operators.dedup.minhash_near_duplicates``
+    (lower + ASCII-whitespace split, distinct word n-grams, whole-doc
+    shingle for short docs), so the gate's verdicts match the batch
+    operator's and the DuckDB oracle's bit-for-bit."""
 
     @F.pandas_udf("double")
     def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -235,29 +188,7 @@ def _jaccard_verified(
             out.append(len(sa & sb) / union if union else 0.0)
         return pd.Series(out, dtype="float64")
 
-    bcast = F.broadcast if broadcast_cand else (lambda d: d)
-    with_new = cand.join(
-        new_docs.select(
-            F.col("id").alias("new_id"), F.col("text").alias("__tn")
-        ),
-        "new_id",
-    )
-    old_needed = old_docs.join(
-        bcast(cand.select(F.col("old_id").alias("id")).distinct()),
-        "id",
-        "left_semi",
-    )
-    with_both = with_new.join(
-        old_needed.select(
-            F.col("id").alias("old_id"), F.col("text").alias("__to")
-        ),
-        "old_id",
-    )
-    return (
-        with_both.withColumn("__j", jac("__tn", "__to"))
-        .filter(F.col("__j") >= threshold)
-        .select("new_id", "old_id")
-    )
+    return jac
 
 
 def minhash_gate_batch(
@@ -269,11 +200,32 @@ def minhash_gate_batch(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Run one micro-batch through the near-dup gate; returns the KEPT
     rows (eagerly — the store append must happen inside the batch) and
     appends their bands + texts to ``store_dir``. Usable directly on
     batch frames for backfills, or inside ``foreachBatch``.
+
+    Fused shape (r7): the batch is band-hashed ONCE (one Arrow pass,
+    persisted) and that frame feeds (a) the within-batch candidate
+    self-join, (b) the cross-store broadcast candidate join, and (c) the
+    survivor band append; within- and cross-store candidates are then
+    exact-Jaccard-verified in ONE job (union tagged ``from_store``, both
+    text attachments ride the same broadcast). The first gate shape ran
+    ``minhash_near_duplicates`` for (a) and re-banded the survivors for
+    (b)/(c) — three Arrow passes over the texts and ~10 sequential jobs
+    per micro-batch; per-batch LATENCY is the operative cost of a
+    streaming gate, so the passes are fused. Cross-store candidates are
+    drawn from the FULL batch (not the within-batch survivors): the
+    extra pairs belong to docs the within-greedy already dropped, so the
+    kept set is identical and no ordering between the two phases is
+    needed.
+
+    Within-batch semantics: verified (id_a < id_b) pairs feed a greedy
+    first-wins walk (earlier ids live — the same contract
+    ``dropDuplicates`` gives exact dedup); cross-store matches then drop
+    any batch doc near-duplicating an already-accepted one.
 
     Retry-safe: self-pairs (a doc matching its own already-appended copy
     after a mid-batch failure) are excluded from the cross-store
@@ -282,6 +234,8 @@ def minhash_gate_batch(
     harmless (candidate pairs are distinct-ed). Exactly-once delivery of
     the OUTPUT is the caller's job via the batch-id marker
     (``streaming_minhash_dedup``)."""
+    from ..operators.dedup import _candidate_pair_plan, _cap_buckets_eager
+
     spark = batch_df.sparkSession
     _check_store_params(store_dir, num_hashes, bands, shingle_n)
     band_path, doc_path = _store_paths(store_dir)
@@ -289,97 +243,129 @@ def minhash_gate_batch(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
 
-    # 1. survivors of the WITHIN-batch near-dup set, earlier ids win.
-    #    minhash_near_duplicates emits verified (id_a < id_b) pairs; the
-    #    greedy walk keeps a doc unless it pairs with an already-kept one
-    #    (first-wins, same contract as dropDuplicates for exact dedup).
-    pairs = minhash_near_duplicates(
-        docs,
-        text_col="text",
-        id_col="id",
-        threshold=threshold,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_n=shingle_n,
-    )
-    pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
-    if pairs.is_cached:
-        pairs.unpersist()
-    neighbors: dict = {}
-    for a, b in pair_rows:
-        neighbors.setdefault(b, set()).add(a)
-        neighbors.setdefault(a, set()).add(b)
-    dropped_within: set = set()
-    for did in sorted(
-        {i for pair in pair_rows for i in pair}
-    ):  # ascending: earlier ids decided first
-        if any(
-            n < did and n not in dropped_within for n in neighbors.get(did, ())
-        ):
-            dropped_within.add(did)
-    batch_kept = docs
-    if dropped_within:
-        # left-anti on a broadcast frame, not a literal isin() IN-list:
-        # the dropped set is bounded (verified pairs <= the bucket cap)
-        # but an IN-list grows the PLAN with it; the anti-join keeps the
-        # plan constant-size (same shape as the store-match drop below).
-        dropped_df = spark.createDataFrame(
-            [(i,) for i in sorted(dropped_within)],
-            schema=docs.select("id").schema,
+    # 1. band-hash the batch once; the cap probe's bounded collect is
+    #    also the action that materializes the banding cache
+    batch_bands = _band_keys(docs, "id", num_hashes, bands, shingle_n).persist()
+    capped = batch_bands
+    if max_bucket_size is not None:
+        capped = _cap_buckets_eager(
+            batch_bands, ["band_key"], max_bucket_size, None
         )
-        batch_kept = docs.join(F.broadcast(dropped_df), "id", "left_anti")
+    within_cand = _candidate_pair_plan(
+        capped,
+        ["band_key"],
+        lambda a, b: [
+            F.col("a.id").alias("qid"),
+            F.col("b.id").alias("cid"),
+        ],
+    )
 
-    # 2. candidates vs the accumulated store: band equi-join, then exact
-    #    Jaccard verify against stored texts. new_id != old_id excludes
-    #    the self-pairs a retried batch's own store rows would produce.
-    #    The candidate set is persisted and COUNTED (it feeds both verify
-    #    joins — re-evaluation at a silent limit would be
-    #    nondeterministic) and the broadcast is gated on the measured
-    #    count, mirroring dedup.BROADCAST_PAIR_LIMIT.
-    cand = None
+    # 2. candidate pairs: within-batch (qid < cid, both batch-side) plus
+    #    cross-store (qid batch-side, cid an accepted store doc) — the
+    #    batch's band keys BROADCAST against the store scan, so the store
+    #    is never shuffled at any size. qid != cid excludes the
+    #    self-pairs a retried batch's own store rows would produce. The
+    #    union is persisted and COUNTED (it feeds both text joins; the
+    #    verify broadcast is gated on the measured count, mirroring
+    #    dedup.BROADCAST_PAIR_LIMIT).
+    cands = within_cand.withColumn("from_store", F.lit(False))
+    store_docs = None
     # doc_path is checked too: a first-batch retry after the bands append
     # landed but the docs append did not must not die reading a missing
     # docs dir (it skips the cross-store step — the store holds only this
     # batch's own rows, which the self-pair exclusion discards anyway).
     if os.path.exists(band_path) and os.path.exists(doc_path):
-        store_bands = spark.table(
-            _register_bands_table(spark, store_dir, band_path)
-        )
+        store_bands = spark.read.parquet(band_path)
         store_docs = spark.read.parquet(doc_path)
-        new_bands = _band_keys(
-            batch_kept, "new_id", num_hashes, bands, shingle_n
-        )
-        cand = (
-            new_bands.join(store_bands, "band_key")
-            .filter(F.col("new_id") != F.col("old_id"))
-            .select("new_id", "old_id")
+        cross_cand = (
+            F.broadcast(batch_bands.select(F.col("id").alias("qid"), "band_key"))
+            .join(store_bands, "band_key")
+            .filter(F.col("qid") != F.col("old_id"))
+            .select("qid", F.col("old_id").alias("cid"))
             .distinct()
-            .persist()
+            .withColumn("from_store", F.lit(True))
         )
-        n_cand = cand.count()
-        matched = _jaccard_verified(
-            cand, batch_kept, store_docs, threshold, shingle_n,
-            broadcast_cand=n_cand <= BROADCAST_PAIR_LIMIT,
-        )
-        batch_kept = batch_kept.join(
-            F.broadcast(matched.select(F.col("new_id").alias("id")).distinct()),
-            "id",
-            "left_anti",
-        )
+        cands = cands.unionByName(cross_cand)
+    cands = cands.persist()
+    n_cand = cands.count()
 
-    # 3. materialize survivors CLUSTER-SIDE (staging parquet — document
+    # 3. ONE exact-Jaccard verify job over the union: qid texts come
+    #    from the batch, cid texts from the batch or the store according
+    #    to the tag (the store side streams through a broadcast join —
+    #    only candidate-matching store rows reach the UDF)
+    bcast = F.broadcast if n_cand <= BROADCAST_PAIR_LIMIT else (lambda d: d)
+    jac = _jaccard_udf(shingle_n)
+    with_q = bcast(cands).join(
+        docs.select(F.col("id").alias("qid"), F.col("text").alias("__tq")),
+        "qid",
+    )
+    c_sources = docs.select("id", "text").withColumn(
+        "from_store", F.lit(False)
+    )
+    if store_docs is not None:
+        c_sources = c_sources.unionByName(
+            store_docs.select("id", "text").withColumn(
+                "from_store", F.lit(True)
+            )
+        )
+    with_qc = with_q.join(
+        c_sources.select(
+            F.col("id").alias("cid"), "from_store", F.col("text").alias("__tc")
+        ),
+        ["cid", "from_store"],
+    )
+    verified = (
+        with_qc.withColumn("__j", jac("__tq", "__tc"))
+        .filter(F.col("__j") >= threshold)
+        .select("qid", "cid", "from_store")
+    )
+    vrows = [(r["qid"], r["cid"], r["from_store"]) for r in verified.collect()]
+    cands.unpersist()
+
+    # 4. driver-side resolution (bounded: verified pairs only, never
+    #    docs): greedy first-wins over the within-batch pairs, then any
+    #    store match drops its batch doc outright
+    within_rows = [(q, c) for q, c, s in vrows if not s]
+    store_matched = {q for q, c, s in vrows if s}
+    neighbors: dict = {}
+    for a, b in within_rows:
+        neighbors.setdefault(b, set()).add(a)
+        neighbors.setdefault(a, set()).add(b)
+    dropped_within: set = set()
+    for did in sorted({i for pair in within_rows for i in pair}):
+        # ascending: earlier ids decided first
+        if any(
+            n < did and n not in dropped_within for n in neighbors.get(did, ())
+        ):
+            dropped_within.add(did)
+    dropped = dropped_within | store_matched
+    batch_kept = docs
+    if dropped:
+        # left-anti on a broadcast frame, not a literal isin() IN-list:
+        # the dropped set is bounded (verified pairs <= the bucket cap)
+        # but an IN-list grows the PLAN with it; the anti-join keeps the
+        # plan constant-size.
+        dropped_df = spark.createDataFrame(
+            [(i,) for i in sorted(dropped)], schema=docs.select("id").schema
+        )
+        batch_kept = docs.join(F.broadcast(dropped_df), "id", "left_anti")
+
+    # 5. materialize survivors CLUSTER-SIDE (staging parquet — document
     #    bytes never route through the driver), then append their bands +
-    #    texts to the store
+    #    texts to the store. The appended bands are the cached
+    #    ``batch_bands`` semi-joined to the survivor ids — no second
+    #    band-hash pass over the texts.
     staging = os.path.join(store_dir, "_staging")
     batch_kept.write.mode("overwrite").parquet(staging)
-    if cand is not None:
-        cand.unpersist()
     kept = spark.read.parquet(staging)
     _append_bands(
         spark,
         store_dir,
-        _band_keys(kept, "old_id", num_hashes, bands, shingle_n),
+        batch_bands.join(
+            F.broadcast(kept.select("id")), "id", "left_semi"
+        ).select(F.col("id").alias("old_id"), "band_key"),
     )
+    batch_bands.unpersist()
     kept.write.mode("append").parquet(doc_path)
     return kept
 

@@ -233,15 +233,15 @@ def test_neardup_gate_retry_and_param_guard(spark, tmp_path):
 
 
 def test_neardup_store_join_no_store_exchange(spark, tmp_path):
-    """The band store is a bucketed table on band_key: the candidate
-    join's store side must scan the buckets directly (no Exchange); only
-    the arriving batch shuffles to match."""
+    """The candidate join must broadcast the (small) arriving batch's
+    band keys against the store scan: a BroadcastHashJoin with NO
+    shuffle Exchange anywhere — the store side is read in place at any
+    store size, and the batch side ships as a broadcast."""
     import re
 
     from dbqt_spark.plans import formatted_plan
     from dbqt_spark.streaming.neardup import (
         _band_keys,
-        _register_bands_table,
         _store_paths,
         minhash_gate_batch,
     )
@@ -255,28 +255,28 @@ def test_neardup_store_join_no_store_exchange(spark, tmp_path):
         [(3, "more unrelated content here " * 8)], ["doc_id", "text"]
     )
     minhash_gate_batch(b1, store)
-    minhash_gate_batch(b2, store)  # second append -> multi-file buckets
+    minhash_gate_batch(b2, store)  # second append -> multi-file store
 
     band_path, _ = _store_paths(store)
-    tbl = _register_bands_table(spark, store, band_path)
     new_bands = _band_keys(
         b2.select(F.col("doc_id").alias("id"), "text"), "new_id", 32, 16, 3
     )
-    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        plan = formatted_plan(new_bands.join(spark.table(tbl), "band_key"))
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-    assert "Bucketed: true" in plan
-    # exactly ONE Exchange: the new-batch side; none above the store scan
-    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
+    store_bands = spark.read.parquet(band_path)
+    plan = formatted_plan(
+        F.broadcast(new_bands).join(store_bands, "band_key")
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only Exchange is the broadcast of the batch side — no shuffle
+    # (hash-partitioning) Exchange on either side
+    exchanges = re.findall(r"\(\d+\) (\w*Exchange)", plan)
+    assert exchanges == ["BroadcastExchange"]
 
 
 def test_neardup_store_compaction_roundtrip(spark, tmp_path):
-    """compact_store rewrites the multi-file buckets appends leave into
-    one file per bucket, and the gate keeps working against the
-    compacted store (cross-batch near-dups still dropped)."""
+    """compact_store rewrites the per-batch append files into at most
+    NEARDUP_STORE_BUCKETS band_key-clustered files, and the gate keeps
+    working against the compacted store (cross-batch near-dups still
+    dropped)."""
     import glob
 
     from dbqt_spark.streaming.neardup import (
@@ -286,17 +286,8 @@ def test_neardup_store_compaction_roundtrip(spark, tmp_path):
         minhash_gate_batch,
     )
 
-    import re
-    from collections import Counter
-
-    def files_per_bucket(band_path):
-        # bucketed file names carry the bucket id as the _NNNNN suffix
-        c = Counter()
-        for f in glob.glob(os.path.join(band_path, "part-*")):
-            m = re.search(r"_(\d{5})\.", os.path.basename(f))
-            assert m, f"non-bucketed file in band store: {f}"
-            c[int(m.group(1))] += 1
-        return c
+    def band_files(band_path):
+        return glob.glob(os.path.join(band_path, "part-*"))
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     words = "red green blue cyan magenta yellow black white grey pink".split()
@@ -319,13 +310,14 @@ def test_neardup_store_compaction_roundtrip(spark, tmp_path):
         threshold=0.5,
     )
     band_path, _ = _store_paths(store)
-    before = files_per_bucket(band_path)
-    assert max(before.values()) > 1  # some bucket holds files from both appends
+    assert band_files(band_path)
+    rows_before = spark.read.parquet(band_path).count()
     compact_store(spark, store)
-    after = files_per_bucket(band_path)
-    assert max(after.values()) == 1  # ONE file per bucket
-    assert len(after) <= NEARDUP_STORE_BUCKETS
-    assert sum(after.values()) < sum(before.values())
+    after = band_files(band_path)
+    # bounded file count regardless of how many batches appended, and
+    # nothing lost in the rewrite
+    assert 0 < len(after) <= NEARDUP_STORE_BUCKETS
+    assert spark.read.parquet(band_path).count() == rows_before
     # gate still works: near-dup of doc 1 is dropped, fresh doc kept
     kept = sorted(
         r["id"]
