@@ -92,9 +92,10 @@ def main() -> None:
         # FAIR pool (dbqt_spark/fairscheduler.xml): the bench wall
         # converges to their chain latency, while the short queries have
         # slack — weighting the tail up shortens the whole run.
-        spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", "heavy" if name in heavy else "default"
+        pool_name = (
+            "chain" if name in chains else "heavy" if name in heavy else "default"
         )
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool_name)
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -109,8 +110,17 @@ def main() -> None:
     # Longest-job-first keeps the pool's tail from being one long query
     # that only starts after everything else finished (classic LPT
     # scheduling). Weights are coarse — measured once at sf0.1.
+    # Chains: many small SEQUENTIAL jobs whose pooled wall is queueing,
+    # not work (gate: ~12 jobs across 2 gated batches; keyfinder: a ~6-job
+    # candidate loop; streaming drains: availableNow micro-batch chains).
+    # They run in the top-weight `chain` pool so each little job jumps
+    # the queue — measured: the gate at 7.4 s solo spent 27 s pooled in
+    # `heavy` with 12 concurrent competitors.
+    # the gate ALONE: sharing the pool dilutes its share exactly when
+    # another chain runs — the other chains' queueing is tolerable in
+    # `heavy`, the gate's is the bench tail
+    chains = ["streaming_neardup_gate"]
     heavy = [
-        "streaming_neardup_gate",
         "ngram_jaccard_dups",
         "simhash_near_dups",
         "minhash_near_dups",
@@ -123,8 +133,9 @@ def main() -> None:
         "colcompare",
         "low_distinct",
     ]
-    ordered = [n for n in heavy if n in QUERIES] + [
-        n for n in bench_names + extra_names if n not in heavy
+    longest_first = chains + [n for n in heavy if n not in chains]
+    ordered = [n for n in longest_first if n in QUERIES] + [
+        n for n in bench_names + extra_names if n not in longest_first
     ]
 
     # Background load on this machine swings a single pool run by ~15%

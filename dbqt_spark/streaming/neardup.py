@@ -234,7 +234,7 @@ def minhash_gate_batch(
     harmless (candidate pairs are distinct-ed). Exactly-once delivery of
     the OUTPUT is the caller's job via the batch-id marker
     (``streaming_minhash_dedup``)."""
-    from ..operators.dedup import _candidate_pair_plan, _cap_buckets_eager
+    from ..operators.dedup import _candidate_pair_plan, _cap_buckets
 
     spark = batch_df.sparkSession
     _check_store_params(store_dir, num_hashes, bands, shingle_n)
@@ -243,14 +243,15 @@ def minhash_gate_batch(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
 
-    # 1. band-hash the batch once; the cap probe's bounded collect is
-    #    also the action that materializes the banding cache
+    # 1. band-hash the batch once (persisted; the candidate count in
+    #    step 2 is the action that materializes the cache). The bucket
+    #    cap stays LAZY (in-plan broadcast anti-join) here — the gate
+    #    needs no drop-stats job, and a streaming operator's per-batch
+    #    latency is priced in sequential jobs, so it runs the minimum.
     batch_bands = _band_keys(docs, "id", num_hashes, bands, shingle_n).persist()
     capped = batch_bands
     if max_bucket_size is not None:
-        capped = _cap_buckets_eager(
-            batch_bands, ["band_key"], max_bucket_size, None
-        )
+        capped = _cap_buckets(batch_bands, ["band_key"], max_bucket_size)
     within_cand = _candidate_pair_plan(
         capped,
         ["band_key"],
@@ -340,6 +341,7 @@ def minhash_gate_batch(
             dropped_within.add(did)
     dropped = dropped_within | store_matched
     batch_kept = docs
+    dropped_df = None
     if dropped:
         # left-anti on a broadcast frame, not a literal isin() IN-list:
         # the dropped set is bounded (verified pairs <= the bucket cap)
@@ -350,24 +352,26 @@ def minhash_gate_batch(
         )
         batch_kept = docs.join(F.broadcast(dropped_df), "id", "left_anti")
 
-    # 5. materialize survivors CLUSTER-SIDE (staging parquet — document
-    #    bytes never route through the driver), then append their bands +
-    #    texts to the store. The appended bands are the cached
-    #    ``batch_bands`` semi-joined to the survivor ids — no second
-    #    band-hash pass over the texts.
-    staging = os.path.join(store_dir, "_staging")
-    batch_kept.write.mode("overwrite").parquet(staging)
-    kept = spark.read.parquet(staging)
+    # 5. append the survivors' bands + texts to the store. The appended
+    #    bands come from the cached ``batch_bands`` anti-joined to the
+    #    dropped ids — no second band-hash pass over the texts; the docs
+    #    append executes ``batch_kept`` (one bounded micro-batch scan —
+    #    document bytes never route through the driver; the survivor set
+    #    is a deterministic LocalRelation anti-join, so the caller's later
+    #    action on the returned frame re-derives the same rows).
+    band_append = batch_bands
+    if dropped_df is not None:
+        band_append = batch_bands.join(
+            F.broadcast(dropped_df), "id", "left_anti"
+        )
     _append_bands(
         spark,
         store_dir,
-        batch_bands.join(
-            F.broadcast(kept.select("id")), "id", "left_semi"
-        ).select(F.col("id").alias("old_id"), "band_key"),
+        band_append.select(F.col("id").alias("old_id"), "band_key"),
     )
     batch_bands.unpersist()
-    kept.write.mode("append").parquet(doc_path)
-    return kept
+    batch_kept.write.mode("append").parquet(doc_path)
+    return batch_kept
 
 
 def streaming_minhash_dedup(
