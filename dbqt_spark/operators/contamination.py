@@ -1,0 +1,92 @@
+"""Benchmark-decontamination for training corpora.
+
+Beyond the reference surface (north-star LLM-pipeline operator): flag or
+drop training documents that share a word n-gram with an evaluation /
+benchmark set — the standard exact-substring decontamination used for
+LLM training data (GPT-3 appendix C uses 13-grams; Llama and the Pile
+use the same shape), here as an exact inverted-index membership test.
+
+Scale shape (the part that matters at 100 TB): the EVAL side is small by
+construction (benchmarks are thousands of documents), so its distinct
+n-gram hash set BROADCASTS; the corpus side is one narrow scan +
+explode, the join is a BroadcastHashJoin, and the only shuffle carries
+the matched (doc_id, hash) hits — near-zero rows for a clean corpus.
+The corpus is never shuffled and never carries text past the hash
+projection: each n-gram travels as one portable 60-bit md5-prefix
+bigint (``operators.dedup.portable_token_hash`` family), which a
+DuckDB/Trino oracle reproduces exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exploded_ngram_hashes(
+    df: DataFrame, text_col: str, n: int, keep: list[str]
+) -> DataFrame:
+    """One row per DISTINCT word ``n``-gram per doc: ``keep`` columns
+    plus ``__h``, the gram's portable 60-bit md5-prefix hash (see
+    ``operators.dedup.portable_token_hash`` — engine-portable so a
+    DuckDB/Trino oracle reproduces it bit-for-bit). Lowercased
+    whitespace tokens; docs shorter than ``n`` tokens hash their whole
+    token sequence (the shingle convention ``minhash_near_duplicates``
+    uses); empty docs contribute nothing. The token array materializes
+    per ROW (explode of a computed array), never per gram."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    )
+    grams = F.expr(
+        f"CASE WHEN size(__toks) = 0 THEN array() "
+        f"ELSE array_distinct(transform("
+        f"sequence(1, greatest(size(__toks) - {n} + 1, 1)), "
+        f"i -> cast(conv(substring(md5(array_join(slice(__toks, i, {n}), "
+        f"' ')), 1, 15), 16, 10) as bigint))) END"
+    )
+    return (
+        df.select(*keep, toks.alias("__toks"))
+        .select(*keep, F.explode(grams).alias("__h"))
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """(id_col, n_hit_ngrams) for every corpus doc sharing at least one
+    word ``n``-gram with the eval set. n=13 is the published GPT-3
+    decontamination window; smaller n is stricter (more collisions on
+    common phrases)."""
+    eval_hashes = exploded_ngram_hashes(
+        eval_df, eval_text_col or text_col, n, keep=[]
+    ).distinct()
+    corpus_hashes = exploded_ngram_hashes(corpus, text_col, n, keep=[id_col])
+    return (
+        corpus_hashes.join(F.broadcast(eval_hashes), "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_ngrams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Corpus rows with every contaminated document REMOVED (left-anti
+    against ``contamination_check``). The anti-join side is the (small)
+    contaminated id set, so the corpus still streams through one scan."""
+    hits = contamination_check(
+        corpus, eval_df, n, text_col, id_col, eval_text_col
+    )
+    return corpus.join(
+        F.broadcast(hits.select(id_col)), id_col, "left_anti"
+    )

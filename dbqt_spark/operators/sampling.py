@@ -1,0 +1,62 @@
+"""Deterministic sampling / dataset-split assignment.
+
+Beyond the reference surface (north-star LLM-pipeline operator): a
+train/val/test split at 100 TB cannot be ``rand()`` — re-runs, late
+data, and engine changes would reshuffle membership. The standard
+answer is HASH-MOD assignment: bucket = hash(seed, id) mod M, split by
+cumulative weight thresholds. Membership is then a pure function of
+(seed, id) — stable across runs, engines, partitionings, and appends
+(a new document lands in its split without touching old ones).
+
+The hash is the engine-portable md5-prefix bigint (same family as
+``operators.dedup.portable_token_hash``), NOT xxhash64/Murmur3 — the
+split must be reproducible by any engine that can md5, and a DuckDB
+oracle verifies every assignment bit-for-bit. One narrow projection:
+no shuffle, no UDF, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 10_000
+
+
+def split_bucket_col(id_col: str, seed: int) -> Column:
+    """Deterministic bucket in [0, HASH_BUCKETS): portable 60-bit
+    md5-prefix hash of ``"<seed>:<id>"`` mod 10_000."""
+    key = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return (h % HASH_BUCKETS).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: "list[tuple[str, float]] | None" = None,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by hash-mod (order of ``weights``
+    fixes the threshold order; weights must sum to ~1). Default
+    80/10/10 train/val/test."""
+    weights = weights or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = split_bucket_col(id_col, seed)
+    expr = None
+    cum = 0.0
+    for name, w in weights[:-1]:
+        cum += w
+        threshold = int(round(cum * HASH_BUCKETS))
+        cond = bucket < F.lit(threshold)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = weights[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)

@@ -217,3 +217,56 @@ def fingerprint(
         F.xxhash64(norm).alias("fingerprint_xx64"),
         rolling_hash_col(F.col(text_col)).alias("fingerprint_roll"),
     )
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc REPETITION signals — the Gopher/MassiveText quality-rule
+    family (Rae et al. 2021 table A1): highly repetitive documents
+    (boilerplate, keyword stuffing, scraper loops) are filtered by the
+    fraction of duplicate lines and duplicate word n-grams. All ratios
+    are 1 - distinct/total (0 for empty docs), computed with array
+    functions in one narrow projection — no UDF, no explode, no
+    shuffle; at 100 TB this is a pure map over the corpus scan.
+
+    Columns: n_lines, dup_line_frac, dup_word_frac, dup_2gram_frac,
+    dup_3gram_frac — each rounded to 4 places (matching the DuckDB
+    oracle's arithmetic exactly: integer size ratios in IEEE double)."""
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.round(
+            F.when(
+                n > 0,
+                1.0
+                - F.size(F.array_distinct(arr)).cast("double")
+                / n.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
+
+    def ngrams(n: int) -> Column:
+        return F.expr(
+            f"CASE WHEN size(__toks) < {n} THEN array() "
+            f"ELSE transform(sequence(1, size(__toks) - {n} + 1), "
+            f"i -> array_join(slice(__toks, i, {n}), ' ')) END"
+        )
+
+    lines = F.expr(
+        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), "
+        "l -> l != '')"
+    )
+    toks = tokens_col(F.lower(F.col(text_col)))
+    return (
+        df.select(
+            F.col(id_col), lines.alias("__lines"), toks.alias("__toks")
+        )
+        .select(
+            id_col,
+            F.size("__lines").cast("long").alias("n_lines"),
+            dup_frac(F.col("__lines")).alias("dup_line_frac"),
+            dup_frac(F.col("__toks")).alias("dup_word_frac"),
+            dup_frac(ngrams(2)).alias("dup_2gram_frac"),
+            dup_frac(ngrams(3)).alias("dup_3gram_frac"),
+        )
+    )

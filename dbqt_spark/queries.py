@@ -1388,6 +1388,116 @@ SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals (dup line / word / 2-gram
+    / 3-gram fractions) — one narrow projection, no shuffle."""
+    from .operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+SQL_REPETITION_STATS = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lines,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lines, toks,
+    CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(
+      range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i+1), ' '))
+    END AS g2,
+    CASE WHEN len(toks) < 3 THEN [] ELSE list_transform(
+      range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' '))
+    END AS g3
+  FROM base
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  round(CASE WHEN len(lines) > 0
+    THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+    ELSE 0.0 END, 4) AS dup_line_frac,
+  round(CASE WHEN len(toks) > 0
+    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+    ELSE 0.0 END, 4) AS dup_word_frac,
+  round(CASE WHEN len(g2) > 0
+    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+    ELSE 0.0 END, 4) AS dup_2gram_frac,
+  round(CASE WHEN len(g3) > 0
+    THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+    ELSE 0.0 END, 4) AS dup_3gram_frac
+FROM g ORDER BY doc_id
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by portable
+    hash-mod — membership is a pure function of (seed, doc_id), stable
+    across runs, engines, and appends."""
+    from .operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, seed=42).select("doc_id", "split").orderBy(
+        "doc_id"
+    )
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+  CASE WHEN b < 8000 THEN 'train'
+       WHEN b < 9000 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+      % 10000 AS b
+  FROM documents
+) ORDER BY doc_id
+"""
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 = 0 stand in as
+    the 'eval set'; every other doc sharing a word 3-gram with it is
+    flagged with its hit count. (The operator default is the published
+    13-gram window; 3-grams here so the synthetic all-unique corpus
+    yields a non-trivial flagged set.) Eval n-gram hashes broadcast;
+    the corpus is scanned once and never shuffled — only matched hits
+    move."""
+    from .operators.contamination import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    ).orderBy("doc_id")
+
+
+SQL_DECONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), ng AS (
+  SELECT DISTINCT doc_id,
+    unnest(CASE WHEN len(t) = 0 THEN []
+      ELSE list_transform(range(1, greatest(len(t) - 3 + 2, 2)),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS g
+  FROM toks
+), eval_g AS (
+  SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+FROM (SELECT * FROM ng WHERE doc_id % 97 <> 0) c
+JOIN eval_g USING (g)
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: whole-doc md5 (exact-dup key) + the
     order-sensitive token rolling hash. ``fingerprint_xx64`` is excluded
@@ -1906,6 +2016,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_neardup_gate": q_streaming_neardup_gate,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "doc_fingerprints": q_doc_fingerprints,
+    "repetition_stats": q_repetition_stats,
+    "hash_split": q_hash_split,
+    "decontamination": q_decontamination,
     "simhash": q_simhash,
     "simhash_near_dups": q_simhash_near_dups,
     "lsh_topk": q_lsh_topk,
@@ -1954,6 +2067,9 @@ ORACLES: dict[str, str] = {
     "streaming_neardup_gate": SQL_STREAMING_NEARDUP_GATE,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "hash_split": SQL_HASH_SPLIT,
+    "decontamination": SQL_DECONTAMINATION,
     "simhash": SQL_SIMHASH,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
