@@ -1,0 +1,56 @@
+"""Streaming benchmark-decontamination — the ingest-time twin of
+``operators.contamination``.
+
+No reference analog (dbqt has no streaming surface). Each micro-batch
+drops documents sharing a word n-gram with the STATIC eval set, via
+``foreachBatch`` + the batch operator: the eval n-gram hash set is tiny
+and broadcast per batch, the batch side is one scan + generate (see
+``operators/contamination.py`` for the plan contract), and — unlike the
+near-dup gate — there is NO cross-batch state to maintain, so the sink
+is a pure filter and batch retries are naturally idempotent under the
+same per-batch-partition publish used by ``streaming_minhash_dedup``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+from ..operators.contamination import decontaminate
+
+
+def streaming_decontaminate(
+    stream_df: DataFrame,
+    eval_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Wire decontamination into a stream: every micro-batch's clean
+    rows land in ``out_dir/batch_id=N`` (write-to-hidden-dir + one
+    atomic rename — a retry REPLACES a half-published batch). Returns
+    the StreamingQuery; read the output with
+    ``spark.read.parquet(out_dir)`` (partition discovery surfaces
+    ``batch_id``)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        clean = decontaminate(
+            batch_df, eval_df, n=n, text_col=text_col, id_col=id_col
+        )
+        inflight = os.path.join(out_dir, f".inflight-{batch_id}")
+        final = os.path.join(out_dir, f"batch_id={batch_id}")
+        clean.write.mode("overwrite").parquet(inflight)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(inflight, final)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

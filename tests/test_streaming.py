@@ -379,3 +379,64 @@ def test_neardup_gate_output_publish_is_idempotent(spark, tmp_path):
     rows = spark.read.parquet(str(out)).collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 2]  # no duplicates
     assert all(r["batch_id"] == 0 for r in rows)
+
+
+def test_streaming_decontaminate(spark, tmp_path):
+    """Every micro-batch drops docs sharing an n-gram with the static
+    eval set; clean docs land in per-batch partitions. Batch-twin: the
+    streamed output equals the batch operator over the union."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.operators.contamination import decontaminate
+    from dbqt_spark.streaming.decontaminate import streaming_decontaminate
+
+    leak = "the secret benchmark answer is forty two exactly"
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2],
+            "text": [f"prefix {leak} suffix", "totally clean document one"],
+        }),
+        str(src / "b1.parquet"),
+    )
+    time.sleep(1.1)
+    pq.write_table(
+        pa.table({
+            "doc_id": [3, 4],
+            "text": ["another clean document here", f"{leak} copied again"],
+        }),
+        str(src / "b2.parquet"),
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"question: {leak}?")], ["doc_id", "text"]
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = streaming_decontaminate(
+        stream,
+        eval_df,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n=5,
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [2, 3]
+    assert sorted(set(r["batch_id"] for r in out.collect())) == [0, 1]
+
+    # batch twin
+    all_docs = spark.read.parquet(str(src))
+    twin = sorted(
+        r["doc_id"] for r in decontaminate(all_docs, eval_df, n=5).collect()
+    )
+    assert twin == kept
