@@ -149,6 +149,7 @@ def main() -> None:
     best_timings: dict[str, float] = {}
     best_complete = False
     trial_totals: list[float] = []
+    trial_complete: list[bool] = []
     for t in range(max(1, trials)):
         timings.clear()
         wall0 = time.perf_counter()
@@ -161,6 +162,7 @@ def main() -> None:
         total = round(time.perf_counter() - wall0, 3)
         trial_totals.append(total)
         complete = all(v == v for v in timings.values())  # no NaN failures
+        trial_complete.append(complete)
         print(
             f"bench: trial {t + 1}/{trials}: {total}s"
             + ("" if complete else " (INCOMPLETE — query failures)"),
@@ -187,6 +189,9 @@ def main() -> None:
                 # baseline; "value" is the best complete trial.
                 "trials": trial_totals,
                 "cold_total_sec": trial_totals[0] if trial_totals else None,
+                # a trial with query failures ran LESS work — flag it so
+                # the cold figure is never silently compared as complete
+                "cold_complete": trial_complete[0] if trial_complete else None,
                 "sum_query_sec": query_sum,
                 "queries": best_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -50,21 +50,34 @@ def exploded_ngram_hashes(
     )
 
 
+def eval_ngram_hashes(
+    eval_df: DataFrame, n: int = 13, text_col: str = "text"
+) -> DataFrame:
+    """The eval set's distinct n-gram hash frame — precompute (and
+    persist) this once when checking MANY corpora/batches against the
+    same benchmark (e.g. the streaming sink), instead of re-tokenizing
+    the eval set per call."""
+    return exploded_ngram_hashes(eval_df, text_col, n, keep=[]).distinct()
+
+
 def contamination_check(
     corpus: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None = None,
     n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
     eval_text_col: str | None = None,
+    eval_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, n_hit_ngrams) for every corpus doc sharing at least one
     word ``n``-gram with the eval set. n=13 is the published GPT-3
     decontamination window; smaller n is stricter (more collisions on
-    common phrases)."""
-    eval_hashes = exploded_ngram_hashes(
-        eval_df, eval_text_col or text_col, n, keep=[]
-    ).distinct()
+    common phrases). Pass ``eval_hashes`` (from ``eval_ngram_hashes``,
+    with the SAME ``n``) to reuse a precomputed eval side."""
+    if eval_hashes is None:
+        if eval_df is None:
+            raise ValueError("pass eval_df or a precomputed eval_hashes")
+        eval_hashes = eval_ngram_hashes(eval_df, n, eval_text_col or text_col)
     corpus_hashes = exploded_ngram_hashes(corpus, text_col, n, keep=[id_col])
     return (
         corpus_hashes.join(F.broadcast(eval_hashes), "__h")
@@ -75,17 +88,18 @@ def contamination_check(
 
 def decontaminate(
     corpus: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None = None,
     n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
     eval_text_col: str | None = None,
+    eval_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus rows with every contaminated document REMOVED (left-anti
     against ``contamination_check``). The anti-join side is the (small)
     contaminated id set, so the corpus still streams through one scan."""
     hits = contamination_check(
-        corpus, eval_df, n, text_col, id_col, eval_text_col
+        corpus, eval_df, n, text_col, id_col, eval_text_col, eval_hashes
     )
     return corpus.join(
         F.broadcast(hits.select(id_col)), id_col, "left_anti"

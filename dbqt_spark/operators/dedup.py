@@ -637,25 +637,7 @@ def minhash_near_duplicates(
     # bit-for-bit, and rounding stays JVM-side (F.round, HALF_UP like the
     # oracle's round()).
     bcast = F.broadcast if n_pairs <= BROADCAST_PAIR_LIMIT else (lambda d: d)
-
-    @F.pandas_udf("double")
-    def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        def sh_set(text: str) -> set:
-            toks = _ascii_tokens(text)
-            if len(toks) >= shingle_n:
-                return {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
-            return {" ".join(toks)}
-
-        out = []
-        for a_txt, b_txt in zip(ta, tb):
-            sa, sb = sh_set(a_txt), sh_set(b_txt)
-            union = len(sa | sb)
-            out.append(len(sa & sb) / union if union else 0.0)
-        return pd.Series(out, dtype="float64")
-
+    jaccard_udf = jaccard_shingle_udf(shingle_n)
     docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     with_a = docs.join(
         bcast(pairs), docs["__id"] == pairs["id_a"]
@@ -685,6 +667,35 @@ def minhash_near_duplicates(
         verified.count()
         pairs.unpersist()
     return verified
+
+
+def jaccard_shingle_udf(shingle_n: int):
+    """Arrow pandas_udf: exact shingle-set Jaccard of two text columns.
+    THE canonical verify kernel — ``minhash_near_duplicates`` and the
+    streaming gate (``streaming/neardup.py``) both use it, so their
+    verdicts (and the DuckDB oracles') can never diverge: lower +
+    ASCII-whitespace split, distinct word n-grams, whole-doc shingle for
+    short docs, 0.0 on empty union."""
+
+    @F.pandas_udf("double")
+    def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def sh_set(text: str) -> set:
+            toks = _ascii_tokens(text)
+            if len(toks) >= shingle_n:
+                return {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+            return {" ".join(toks)}
+
+        out = []
+        for a_txt, b_txt in zip(ta, tb):
+            sa, sb = sh_set(a_txt), sh_set(b_txt)
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    return jaccard_udf
 
 
 PORTABLE_HASH_BITS = 60

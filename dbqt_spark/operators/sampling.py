@@ -25,10 +25,13 @@ HASH_BUCKETS = 10_000
 
 def split_bucket_col(id_col: str, seed: int) -> Column:
     """Deterministic bucket in [0, HASH_BUCKETS): portable 60-bit
-    md5-prefix hash of ``"<seed>:<id>"`` mod 10_000."""
+    md5-prefix hash (``dedup.portable_token_hash``, the single canonical
+    statement of the portability contract) of ``"<seed>:<id>"`` mod
+    10_000."""
+    from .dedup import portable_token_hash
+
     key = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
-    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
-    return (h % HASH_BUCKETS).alias("bucket")
+    return (portable_token_hash(key) % HASH_BUCKETS).alias("bucket")
 
 
 def hash_split(
@@ -45,6 +48,11 @@ def hash_split(
     total = sum(w for _, w in weights)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
+    bad = [(n, w) for n, w in weights if w <= 0]
+    if bad:
+        # a negative weight shifts every later threshold and silently
+        # empties splits; a zero weight is a label that can never occur
+        raise ValueError(f"split weights must be positive, got {bad}")
     bucket = split_bucket_col(id_col, seed)
     expr = None
     cum = 0.0

@@ -291,19 +291,34 @@ def lsh_append(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    first = df.select(vec_col).first()
-    if first is None or first[0] is None:
+    dim = int(meta["dim"])
+    df = _checked_vectors(df, vec_col, dim)
+    if df.first() is None:
         return  # nothing to append
-    if len(first[0]) != int(meta["dim"]):
-        raise ValueError(
-            f"append dimension {len(first[0])} != index dimension "
-            f"{meta['dim']}"
-        )
-    planes = _hyperplanes(int(meta["dim"]), int(meta["n_planes"]), int(meta["seed"]))
+    planes = _hyperplanes(dim, int(meta["n_planes"]), int(meta["seed"]))
     banded = df.withColumn("bucket", lsh_signature_col(F.col(vec_col), planes))
     banded.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(path, "vectors")
     )
+
+
+def _checked_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Null-vector rows dropped, every REMAINING row's dimension
+    enforced IN the plan (``raise_error`` fires on the first mismatched
+    row wherever it hides in the batch — a first-row peek would both
+    skip a whole append when row 0 happens to be null and wave through
+    mixed-dimension batches, silently truncating every future probe's
+    ``zip_with`` dot product)."""
+    vec = F.col(vec_col)
+    checked = F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"append dimension != index dimension {dim}: got "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
+    return df.filter(vec.isNotNull()).withColumn(vec_col, checked)
 
 
 def lsh_compact(spark, path: str) -> None:
@@ -322,12 +337,19 @@ def _compact_partitioned(spark, data_path: str, partition_col: str) -> None:
     between ingest batches, not concurrently with one. Small-file
     compaction is the standard lakehouse maintenance op (Delta OPTIMIZE /
     Iceberg rewrite_data_files); partition pruning is untouched because
-    the directory layout is reproduced exactly."""
+    the directory layout is reproduced exactly. The swap is two renames
+    with crash recovery (roll back from ``.old`` on the next call), so
+    no crash window leaves the index silently absent."""
     import os
     import shutil
 
+    old = data_path + ".old"
+    if not os.path.exists(data_path) and os.path.exists(old):
+        os.rename(old, data_path)  # crashed mid-swap: roll back
     if not os.path.exists(data_path):
         return
+    if os.path.exists(old):
+        shutil.rmtree(old)
     df = spark.read.parquet(data_path)
     tmp = data_path + ".compact"
     (
@@ -336,8 +358,9 @@ def _compact_partitioned(spark, data_path: str, partition_col: str) -> None:
         .partitionBy(partition_col)
         .parquet(tmp)
     )
-    shutil.rmtree(data_path)
+    os.rename(data_path, old)
     os.rename(tmp, data_path)
+    shutil.rmtree(old)
 
 
 def _hyperplanes_for(
@@ -507,14 +530,9 @@ def ivf_append(
     with open(os.path.join(path, "centroids.json")) as f:
         centroids = json.load(f)
     C = np.array(centroids, dtype=np.float64)
-    first = df.select(vec_col).first()
-    if first is None or first[0] is None:
+    df = _checked_vectors(df, vec_col, int(meta["dim"]))
+    if df.first() is None:
         return  # nothing to append
-    if len(first[0]) != int(meta["dim"]):
-        raise ValueError(
-            f"append dimension {len(first[0])} != index dimension "
-            f"{meta['dim']}"
-        )
     batch_qerr = _sample_quantization_error(df, C, vec_col)
     baseline = float(meta["mean_sq_qerr"])
     if baseline > 0 and batch_qerr > max_drift * baseline:

@@ -252,11 +252,14 @@ def repetition_stats(
             f"i -> array_join(slice(__toks, i, {n}), ' ')) END"
         )
 
+    # NULL text counts as empty (all-zero stats), not as a null array —
+    # F.size(null) is -1 outside ANSI null semantics, and the DuckDB
+    # oracle coalesces identically
     lines = F.expr(
-        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), "
-        "l -> l != '')"
+        f"filter(transform(split(coalesce({text_col}, ''), '\\n'), "
+        "l -> trim(l)), l -> l != '')"
     )
-    toks = tokens_col(F.lower(F.col(text_col)))
+    toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     return (
         df.select(
             F.col(id_col), lines.alias("__lines"), toks.alias("__toks")

@@ -1400,9 +1400,10 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REPETITION_STATS = r"""
 WITH base AS (
   SELECT doc_id,
-    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-                l -> l <> '') AS lines,
-    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                l -> trim(l)), l -> l <> '') AS lines,
+    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                x -> x <> '') AS toks
   FROM documents
 ), g AS (
   SELECT doc_id, lines, toks,

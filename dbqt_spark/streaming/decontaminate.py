@@ -18,7 +18,7 @@ import shutil
 
 from pyspark.sql import DataFrame
 
-from ..operators.contamination import decontaminate
+from ..operators.contamination import decontaminate, eval_ngram_hashes
 
 
 def streaming_decontaminate(
@@ -32,14 +32,21 @@ def streaming_decontaminate(
 ):
     """Wire decontamination into a stream: every micro-batch's clean
     rows land in ``out_dir/batch_id=N`` (write-to-hidden-dir + one
-    atomic rename — a retry REPLACES a half-published batch). Returns
-    the StreamingQuery; read the output with
-    ``spark.read.parquet(out_dir)`` (partition discovery surfaces
-    ``batch_id``)."""
+    atomic rename — a retry REPLACES a half-published batch). The eval
+    set's n-gram hashes are computed ONCE and persisted for the
+    stream's lifetime — a long-running stream must not re-tokenize the
+    static benchmark on every trigger. Returns the StreamingQuery; read
+    the output with ``spark.read.parquet(out_dir)`` (partition
+    discovery surfaces ``batch_id``)."""
+    eval_hashes = eval_ngram_hashes(eval_df, n, text_col).persist()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         clean = decontaminate(
-            batch_df, eval_df, n=n, text_col=text_col, id_col=id_col
+            batch_df,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+            eval_hashes=eval_hashes,
         )
         inflight = os.path.join(out_dir, f".inflight-{batch_id}")
         final = os.path.join(out_dir, f"batch_id={batch_id}")

@@ -50,7 +50,6 @@ from __future__ import annotations
 import os
 import shutil
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,6 +57,7 @@ NEARDUP_STORE_BUCKETS = 32
 
 from ..operators.dedup import (
     BROADCAST_PAIR_LIMIT,
+    jaccard_shingle_udf,
     minhash_band_hashes,
 )
 
@@ -77,6 +77,13 @@ def _check_store_params(
     import json
 
     meta_path = os.path.join(store_dir, "meta.json")
+    band_path, _ = _store_paths(store_dir)
+    # a compaction that crashed between its two swap renames leaves the
+    # store parked at bands.old — roll it back rather than silently
+    # gating against an absent store (which would re-admit every
+    # previously-accepted document's near-duplicates)
+    if not os.path.exists(band_path) and os.path.exists(band_path + ".old"):
+        os.rename(band_path + ".old", band_path)
     params = {
         "num_hashes": num_hashes,
         "bands": bands,
@@ -145,10 +152,19 @@ def compact_store(spark: SparkSession, store_dir: str) -> None:
     file-level zone maps) can skip files; for the broadcast candidate
     join the win is simply fewer, larger scan splits. Offline
     maintenance: run between gate invocations, not concurrently with
-    one — the swap is one atomic rename."""
+    one. The swap is two directory renames (the missing-dir window is
+    microseconds, vs. the whole delete under an rmtree-then-rename
+    swap); a crash inside that window leaves ``bands.old`` behind, and
+    the next compaction RECOVERS it rather than letting the gate see an
+    absent store and silently re-admit near-duplicates."""
     band_path, _ = _store_paths(store_dir)
+    old = band_path + ".old"
+    if not os.path.exists(band_path) and os.path.exists(old):
+        os.rename(old, band_path)  # crashed mid-swap: roll back
     if not os.path.exists(band_path):
         return
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a crash after the swap
     tmp = band_path + ".compact"
     (
         spark.read.parquet(band_path)
@@ -157,38 +173,14 @@ def compact_store(spark: SparkSession, store_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    shutil.rmtree(band_path)
+    os.rename(band_path, old)
     os.rename(tmp, band_path)
+    shutil.rmtree(old)
 
 
-def _jaccard_udf(shingle_n: int):
-    """Arrow pandas_udf: exact shingle-set Jaccard of two text columns —
-    the same set semantics as ``operators.dedup.minhash_near_duplicates``
-    (lower + ASCII-whitespace split, distinct word n-grams, whole-doc
-    shingle for short docs), so the gate's verdicts match the batch
-    operator's and the DuckDB oracle's bit-for-bit."""
-
-    @F.pandas_udf("double")
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        from ..operators.dedup import _ascii_tokens
-
-        def sh(text):
-            toks = _ascii_tokens(text)
-            if len(toks) >= shingle_n:
-                return {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
-            return {" ".join(toks)}
-
-        out = []
-        for a, b in zip(ta, tb):
-            sa, sb = sh(a), sh(b)
-            union = len(sa | sb)
-            out.append(len(sa & sb) / union if union else 0.0)
-        return pd.Series(out, dtype="float64")
-
-    return jac
+# The verify kernel is SHARED with the batch operator
+# (``operators.dedup.jaccard_shingle_udf``) so the gate's verdicts, the
+# batch tier's, and the DuckDB oracles' can never diverge.
 
 
 def minhash_gate_batch(
@@ -264,10 +256,14 @@ def minhash_gate_batch(
     # 2. candidate pairs: within-batch (qid < cid, both batch-side) plus
     #    cross-store (qid batch-side, cid an accepted store doc) — the
     #    batch's band keys BROADCAST against the store scan, so the store
-    #    is never shuffled at any size. qid != cid excludes the
-    #    self-pairs a retried batch's own store rows would produce. The
-    #    union is persisted and COUNTED (it feeds both text joins; the
-    #    verify broadcast is gated on the measured count, mirroring
+    #    is never shuffled at any size. The CAPPED frame feeds the cross
+    #    join too (and the append below): capping symmetrically on every
+    #    path is what keeps a retried batch's survivor set identical —
+    #    an uncapped store side would resurrect exactly the pairs the
+    #    within-batch cap suppressed. qid != cid excludes the self-pairs
+    #    a retried batch's own store rows would produce. The union is
+    #    persisted and COUNTED (it feeds both text joins; the verify
+    #    broadcast is gated on the measured count, mirroring
     #    dedup.BROADCAST_PAIR_LIMIT).
     cands = within_cand.withColumn("from_store", F.lit(False))
     store_docs = None
@@ -279,7 +275,7 @@ def minhash_gate_batch(
         store_bands = spark.read.parquet(band_path)
         store_docs = spark.read.parquet(doc_path)
         cross_cand = (
-            F.broadcast(batch_bands.select(F.col("id").alias("qid"), "band_key"))
+            F.broadcast(capped.select(F.col("id").alias("qid"), "band_key"))
             .join(store_bands, "band_key")
             .filter(F.col("qid") != F.col("old_id"))
             .select("qid", F.col("old_id").alias("cid"))
@@ -291,11 +287,14 @@ def minhash_gate_batch(
     n_cand = cands.count()
 
     # 3. ONE exact-Jaccard verify job over the union: qid texts come
-    #    from the batch, cid texts from the batch or the store according
-    #    to the tag (the store side streams through a broadcast join —
-    #    only candidate-matching store rows reach the UDF)
+    #    from the batch; cid texts from the batch or the store according
+    #    to the tag. The store side is pre-filtered by a semi-join on
+    #    the candidate ids BEFORE its texts join anything — the store's
+    #    documents are never moved in bulk (the r4 contract: texts stay
+    #    off the broadcast path AND off any store-sized shuffle; only
+    #    candidate-involved store rows travel).
     bcast = F.broadcast if n_cand <= BROADCAST_PAIR_LIMIT else (lambda d: d)
-    jac = _jaccard_udf(shingle_n)
+    jac = jaccard_shingle_udf(shingle_n)
     with_q = bcast(cands).join(
         docs.select(F.col("id").alias("qid"), F.col("text").alias("__tq")),
         "qid",
@@ -304,8 +303,17 @@ def minhash_gate_batch(
         "from_store", F.lit(False)
     )
     if store_docs is not None:
+        store_needed = store_docs.join(
+            bcast(
+                cands.filter("from_store")
+                .select(F.col("cid").alias("id"))
+                .distinct()
+            ),
+            "id",
+            "left_semi",
+        )
         c_sources = c_sources.unionByName(
-            store_docs.select("id", "text").withColumn(
+            store_needed.select("id", "text").withColumn(
                 "from_store", F.lit(True)
             )
         )
@@ -353,15 +361,17 @@ def minhash_gate_batch(
         batch_kept = docs.join(F.broadcast(dropped_df), "id", "left_anti")
 
     # 5. append the survivors' bands + texts to the store. The appended
-    #    bands come from the cached ``batch_bands`` anti-joined to the
-    #    dropped ids — no second band-hash pass over the texts; the docs
-    #    append executes ``batch_kept`` (one bounded micro-batch scan —
-    #    document bytes never route through the driver; the survivor set
-    #    is a deterministic LocalRelation anti-join, so the caller's later
+    #    bands come from the cached CAPPED frame anti-joined to the
+    #    dropped ids — no second band-hash pass over the texts, and the
+    #    store only ever holds capped bands (symmetric with step 2, so a
+    #    retry reproduces the same candidate set); the docs append
+    #    executes ``batch_kept`` (one bounded micro-batch scan — document
+    #    bytes never route through the driver; the survivor set is a
+    #    deterministic LocalRelation anti-join, so the caller's later
     #    action on the returned frame re-derives the same rows).
-    band_append = batch_bands
+    band_append = capped
     if dropped_df is not None:
-        band_append = batch_bands.join(
+        band_append = capped.join(
             F.broadcast(dropped_df), "id", "left_anti"
         )
     _append_bands(

@@ -82,12 +82,50 @@ def test_lsh_compact_one_file_per_bucket_prunes(spark, sf_dir, tmp_path):
 
 
 def test_lsh_append_dim_mismatch_raises(spark, sf_dir, tmp_path):
+    """Per-row in-plan enforcement: a mismatched row fails the append
+    wherever it hides in the batch (not just row 0), and nothing lands
+    in the index."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
     emb = load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "lsh")
     lsh_write(emb, path, n_planes=8, seed=42)
-    truncated = emb.withColumn("embedding", F.slice("embedding", 1, 3))
-    with pytest.raises(ValueError, match="dimension"):
+    n_before = spark.read.parquet(os.path.join(path, "vectors")).count()
+    # only ONE late row is truncated — a first-row peek would miss it
+    truncated = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 400, F.slice("embedding", 1, 3)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="dimension"
+    ):
         lsh_append(truncated, path)
+    n_after = spark.read.parquet(os.path.join(path, "vectors")).count()
+    assert n_after == n_before
+
+
+def test_lsh_append_skips_null_vectors_keeps_rest(spark, sf_dir, tmp_path):
+    """A null first row must not silently skip the whole append: null
+    vectors are dropped, every valid vector still lands."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh")
+    lsh_write(emb.filter("vec_id >= 100"), path, n_planes=8, seed=42)
+    batch = emb.filter("vec_id < 100").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") < 5, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    lsh_append(batch, path)
+    got = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter("vec_id < 100")
+        .count()
+    )
+    assert got == 95  # 100 minus the 5 nulls, not 0
 
 
 def test_ivf_append_within_drift_then_compact(spark, sf_dir, tmp_path):
@@ -147,3 +185,17 @@ def test_ivf_append_requires_baseline(spark, sf_dir, tmp_path):
     os.remove(os.path.join(path, "meta.json"))
     with pytest.raises(ValueError, match="meta.json"):
         ivf_append(emb, path)
+
+
+def test_lsh_compact_crash_recovery(spark, sf_dir, tmp_path):
+    """lsh_compact rolls a mid-swap crash (vectors parked at .old) back
+    before compacting; the index is never silently absent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh")
+    lsh_write(emb, path, n_planes=8, seed=42)
+    vectors = os.path.join(path, "vectors")
+    os.rename(vectors, vectors + ".old")  # simulate mid-swap crash
+    lsh_compact(spark, path)
+    assert os.path.exists(vectors) and not os.path.exists(vectors + ".old")
+    q = list(emb.filter("vec_id = 0").select("embedding").first()[0])
+    assert lsh_topk_from_index(spark, path, q, k=1).collect()[0]["vec_id"] == 0

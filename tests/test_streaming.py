@@ -440,3 +440,35 @@ def test_streaming_decontaminate(spark, tmp_path):
         r["doc_id"] for r in decontaminate(all_docs, eval_df, n=5).collect()
     )
     assert twin == kept
+
+
+def test_neardup_store_compaction_crash_recovery(spark, tmp_path):
+    """A compaction that crashed between its two swap renames leaves the
+    store parked at bands.old; the next gate call must ROLL IT BACK and
+    keep cross-batch dedup working, never silently gate against an
+    absent store."""
+    from dbqt_spark.streaming.neardup import _store_paths, minhash_gate_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    store = str(tmp_path / "store")
+    minhash_gate_batch(
+        spark.createDataFrame([(1, base)], ["doc_id", "text"]),
+        store,
+        threshold=0.5,
+    )
+    band_path, _ = _store_paths(store)
+    os.rename(band_path, band_path + ".old")  # simulate mid-swap crash
+
+    kept = sorted(
+        r["id"]
+        for r in minhash_gate_batch(
+            spark.createDataFrame(
+                [(2, base.replace("kappa", "kappaX", 1)),
+                 (3, "entirely different fresh content " * 8)],
+                ["doc_id", "text"],
+            ),
+            store,
+            threshold=0.5,
+        ).collect()
+    )
+    assert kept == [3]  # doc 2 still caught against the recovered store
