@@ -37,6 +37,8 @@ TOOLS = [
     "checks",
     "dedup",
     "textstats",
+    "decontaminate",
+    "split",
 ]
 
 
@@ -584,6 +586,105 @@ def tool_textstats(argv: list[str]) -> int:
     return 0
 
 
+def tool_decontaminate(argv: list[str]) -> int:
+    """Benchmark decontamination from the CLI: flag corpus docs sharing
+    a word n-gram with an eval table (13-gram default, GPT-3 appendix C);
+    flagged docs go to an HTML report, clean rows optionally to
+    parquet."""
+    from .report.html import HTMLReport
+
+    p = argparse.ArgumentParser(prog="decontaminate")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True, help="corpus table")
+    p.add_argument("--eval-table", required=True, help="benchmark table")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--eval-text-column",
+                   help="eval table's text column (default: --text-column)")
+    p.add_argument("--ngram", type=int, default=13,
+                   help="overlap window in word tokens")
+    p.add_argument("--clean-parquet",
+                   help="also write the DECONTAMINATED corpus here")
+    p.add_argument("--output")
+    args = p.parse_args(argv)
+
+    from .operators.contamination import contamination_check, decontaminate
+
+    cfg, db = _load_db(args.config)
+    corpus = db.load(args.table)
+    eval_df = db.load(args.eval_table)
+    kw = dict(
+        n=args.ngram,
+        text_col=args.text_column,
+        id_col=args.id_column,
+        eval_text_col=args.eval_text_column,
+    )
+    hits = contamination_check(corpus, eval_df, **kw)
+    report = HTMLReport(f"decontaminate ({args.ngram}-gram)")
+    report.add_dataframe_tab("Contaminated", hits.orderBy(args.id_column))
+    out = args.output or _results_path("decontaminate")
+    report.save(out)
+    n_flagged = hits.count()
+    if args.clean_parquet:
+        decontaminate(corpus, eval_df, **kw).write.mode(
+            "overwrite"
+        ).parquet(args.clean_parquet)
+        print(f"clean corpus written to {args.clean_parquet}")
+    print(f"{n_flagged} contaminated documents flagged")
+    print(f"Report saved to {out}")
+    return 0
+
+
+def tool_split(argv: list[str]) -> int:
+    """Deterministic train/val/test assignment from the CLI: hash-mod
+    split on the id column (stable across runs/engines/appends), split
+    counts printed, assigned rows optionally written partitioned by
+    split."""
+    p = argparse.ArgumentParser(prog="split")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--weights", default="train=0.8,val=0.1,test=0.1",
+                   help="name=weight[,name=weight...] — order fixes the "
+                   "hash thresholds")
+    p.add_argument("--output-parquet",
+                   help="write assigned rows here, partitionBy(split)")
+    args = p.parse_args(argv)
+
+    try:
+        weights = [
+            (part.split("=")[0], float(part.split("=")[1]))
+            for part in args.weights.split(",")
+        ]
+    except (IndexError, ValueError):
+        p.error(f"cannot parse --weights {args.weights!r}")
+
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import hash_split
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    assigned = hash_split(
+        df, id_col=args.id_column, weights=weights, seed=args.seed
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in assigned.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for name, _ in weights:
+        print(f"{name}: {counts.get(name, 0)}")
+    if args.output_parquet:
+        assigned.write.mode("overwrite").partitionBy("split").parquet(
+            args.output_parquet
+        )
+        print(f"assigned rows written to {args.output_parquet}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -607,6 +708,8 @@ def main(argv: list[str] | None = None) -> int:
         "checks": tool_checks,
         "dedup": tool_dedup,
         "textstats": tool_textstats,
+        "decontaminate": tool_decontaminate,
+        "split": tool_split,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

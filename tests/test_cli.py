@@ -202,3 +202,56 @@ def test_dedup_tool_embedding(tmp_path, capsys):
          "--threshold", "0.3", "--output", out]
     )
     assert rc == 0 and os.path.exists(out)
+
+
+def test_cli_decontaminate_and_split(spark, sf_dir, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    db = tmp_path / "db"
+    db.mkdir()
+    leak = "the secret benchmark answer is forty two"
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [f"intro {leak} outro", "clean one here", "clean two here"],
+        }),
+        str(db / "corpus.parquet"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": [9], "text": [f"q: {leak}?"]}),
+        str(db / "bench.parquet"),
+    )
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {db}\n",
+    )
+
+    clean = str(tmp_path / "clean")
+    out = str(tmp_path / "d.html")
+    assert main([
+        "decontaminate", "--config", cfg, "--table", "corpus",
+        "--eval-table", "bench", "--ngram", "5",
+        "--clean-parquet", clean, "--output", out,
+    ]) == 0
+    assert "1 contaminated documents flagged" in capsys.readouterr().out
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(clean).collect())
+    assert kept == [2, 3]
+    assert os.path.exists(out)
+
+    splits = str(tmp_path / "splits")
+    assert main([
+        "split", "--config", cfg, "--table", "corpus",
+        "--weights", "a=0.5,b=0.5", "--output-parquet", splits,
+    ]) == 0
+    outtext = capsys.readouterr().out
+    assert "a: " in outtext and "b: " in outtext
+    rows = spark.read.parquet(splits).collect()
+    assert len(rows) == 3 and {r["split"] for r in rows} <= {"a", "b"}
+
+    # bad weights surface as an argparse error, not a stack trace
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["split", "--config", cfg, "--table", "corpus",
+              "--weights", "nonsense"])
