@@ -1,0 +1,99 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark at sf0.01 and its
+``oracle_sql()`` twin in DuckDB over the same parquet, then compares
+row count, sorted column names, dtype-aware value hash — the same
+contract the driver applies. Usage::
+
+    python check_correctness.py [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from dbqt_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(_canon(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(only=None):
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            results[name] = "no_oracle"
+            print(f"{name}: no_oracle")
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            rel = con.sql(oracles[name])
+            ocols = rel.columns
+            orows = rel.fetchall()
+            ok_rows = len(srows) == len(orows)
+            ok_schema = sorted(c.lower() for c in scols) == sorted(
+                c.lower() for c in ocols
+            )
+            sh = value_hash([c.lower() for c in scols], srows)
+            oh = value_hash([c.lower() for c in ocols], orows)
+            ok_hash = sh == oh
+            status = "OK" if (ok_rows and ok_schema and ok_hash) else (
+                f"FAIL rows={ok_rows}({len(srows)}/{len(orows)}) "
+                f"schema={ok_schema} hash={ok_hash}"
+            )
+            results[name] = status
+            print(f"{name}: {status}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"ERR {e}"
+            print(f"{name}: ERR {type(e).__name__}: {e}", flush=True)
+    bad = {k: v for k, v in results.items() if v not in ("OK", "no_oracle")}
+    print(json.dumps({"n": len(results), "bad": bad}, default=str))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(set(sys.argv[1:]) or None))

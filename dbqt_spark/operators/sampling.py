@@ -68,3 +68,43 @@ def hash_split(
     last = weights[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``n_per_group`` rows per
+    ``group_col`` value, chosen by the portable hash order (hash of
+    ``"<seed>:<id>"`` ascending, then ``id_col``) — NOT ``rand()``. The
+    kept set is a pure function of (seed, ids-in-group): stable across
+    runs and engines, and any engine that can md5 (the DuckDB oracle
+    does) reproduces it bit-for-bit.
+
+    Scale shape: one hash-partition shuffle on ``group_col`` + a
+    streaming ``row_number`` per group — no sort of the whole corpus,
+    no driver state. Skew caveat: a single giant group serializes into
+    one task; for corpus-scale caps on few groups, pre-aggregate with a
+    salted two-level top-N instead (``partitioning.salted_agg`` shows
+    the pattern).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import portable_token_hash
+
+    if n_per_group <= 0:
+        raise ValueError(f"n_per_group must be positive, got {n_per_group}")
+    key = F.concat_ws(
+        ":", F.lit(str(seed)), F.col(id_col).cast("string")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        portable_token_hash(key).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

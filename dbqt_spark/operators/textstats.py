@@ -273,3 +273,82 @@ def repetition_stats(
             dup_frac(ngrams(3)).alias("dup_3gram_frac"),
         )
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams: (ngram, n_occurrences, n_docs)
+    ordered by count desc then ngram asc (a total order, so the k-cut is
+    deterministic). The vocabulary-discovery / boilerplate-mining
+    primitive of a training-data pipeline (frequent n-grams feed
+    stopword lists, contamination screens, and dedup shingle choices).
+
+    Scale shape: explode -> hash aggregate. The groupBy gets map-side
+    partial aggregation for n_occurrences for free; n_docs is a
+    COUNT(DISTINCT doc_id), which Spark expands to a two-phase
+    partial-distinct aggregate (no giant per-key sets shipped). The
+    final top-k is a TakeOrdered over the aggregated (distinct-ngram)
+    frame, not a full sort of the corpus.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    grams = F.expr(
+        f"CASE WHEN size(__toks) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(__toks) - {n} + 1), "
+        f"i -> array_join(slice(__toks, i, {n}), ' ')) END"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    quantile: float = 0.5,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents whose composite quality score is at or above their
+    group's exact interpolated ``quantile`` (default: per-language
+    median). Per-group rather than global thresholds avoid the classic
+    corpus-curation failure where one language's score distribution
+    eats another's budget.
+
+    Scale shape: ONE scan computes per-doc scores; a groupBy on
+    ``group_col`` (tiny cardinality -> tiny agg) yields thresholds that
+    broadcast back onto the scored frame — the corpus itself is never
+    shuffled. Exact ``percentile`` is the at-toy-scale choice; at
+    100 TB swap ``approx_percentile`` (same contract, bounded memory).
+    """
+    if not 0.0 <= quantile <= 1.0:
+        raise ValueError(f"quantile must be in [0,1], got {quantile}")
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.round(_quality_exprs(text_col)["score"], 4).alias(
+            "quality_score"
+        ),
+    )
+    thresholds = scored.groupBy(group_col).agg(
+        F.percentile("quality_score", F.lit(quantile)).alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), group_col)
+        .filter(F.col("quality_score") >= F.col("__thr"))
+        .select(id_col, group_col, "quality_score")
+    )

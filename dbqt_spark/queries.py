@@ -1976,6 +1976,128 @@ SQL_KEYFINDER_SEARCH = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Training-pipeline curation operators (r7): stratified sample, corpus
+# n-gram mining, PII scan, per-language quality-quantile gate
+# ---------------------------------------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language cap (50 docs/lang) chosen by portable
+    hash order — rerun-/engine-stable, unlike rand() sampling."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", 50, id_col="doc_id", seed=42)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 ::UBIGINT,
+               doc_id
+    ) AS rn
+  FROM documents
+) WHERE rn <= 50 ORDER BY doc_id
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 word bigrams with occurrence and document
+    frequencies — explode + two-phase hash agg + TakeOrdered."""
+    from .operators.textstats import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=100)
+
+
+SQL_TOP_NGRAMS = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(
+      range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i+1), ' '))
+    END) AS ngram
+  FROM base
+)
+SELECT ngram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC LIMIT 100
+"""
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII hit counts (email/url/ipv4/digit-run) + redacted
+    length — pure regexp codegen, no UDF, no shuffle."""
+    from .operators.redact import pii_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_scan(docs).orderBy("doc_id")
+
+
+# Same regexes as redact.PII_PATTERNS — written in the Java-regex /
+# RE2 common subset so both engines match identically.
+SQL_PII_SCAN = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '[0-9]{7,}')) AS BIGINT) AS n_digit_run,
+  CAST(length(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          'https?://[^\s]+', '<URL>', 'g'),
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      '[0-9]{7,}', '<NUM>', 'g')
+  ) AS BIGINT) AS redacted_len
+FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+ORDER BY doc_id
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median-quality gate: docs scoring at or above their
+    language's exact interpolated p50 survive. Thresholds are a tiny
+    broadcast; the corpus is never shuffled."""
+    from .operators.textstats import quality_quantile_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        quality_quantile_filter(docs, quantile=0.5, group_col="lang")
+        .select("doc_id", "lang", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+d AS (SELECT doc_id, lang FROM documents),
+s AS (SELECT d.doc_id, d.lang, q.quality_score
+      FROM d JOIN q USING (doc_id)),
+thr AS (SELECT lang, quantile_cont(quality_score, 0.5) AS t
+        FROM s GROUP BY lang)
+SELECT s.doc_id, s.lang, s.quality_score
+FROM s JOIN thr USING (lang)
+WHERE s.quality_score >= thr.t
+ORDER BY s.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "rowcount_filtered": q_rowcount_filtered,
@@ -2026,6 +2148,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "keyfinder_search": q_keyfinder_search,
     "multimodal_features": q_multimodal_features,
+    "stratified_sample": q_stratified_sample,
+    "top_ngrams": q_top_ngrams,
+    "pii_scan": q_pii_scan,
+    "quality_filter": q_quality_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -2075,6 +2201,10 @@ ORACLES: dict[str, str] = {
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "keyfinder_search": SQL_KEYFINDER_SEARCH,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "top_ngrams": SQL_TOP_NGRAMS,
+    "pii_scan": SQL_PII_SCAN,
+    "quality_filter": SQL_QUALITY_FILTER,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -144,3 +144,155 @@ def test_repetition_stats_no_shuffle(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = formatted_plan(repetition_stats(docs))
     assert "Exchange" not in plan  # pure map over the scan
+
+
+# --- stratified sample ------------------------------------------------------
+
+
+def test_stratified_sample_caps_and_determinism(spark):
+    from dbqt_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "g" + str(i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = stratified_sample(df, "grp", 5, id_col="doc_id", seed=7)
+    got = sorted((r["grp"], r["doc_id"]) for r in out.collect())
+    # caps respected
+    from collections import Counter
+
+    per = Counter(g for g, _ in got)
+    assert set(per.values()) == {5}
+    # pure function of (seed, id): a rerun and a differently-ordered
+    # input pick the identical set
+    again = sorted(
+        (r["grp"], r["doc_id"])
+        for r in stratified_sample(
+            df.orderBy(F.desc("doc_id")), "grp", 5, id_col="doc_id", seed=7
+        ).collect()
+    )
+    assert got == again
+    # a different seed picks a different set (overwhelmingly likely)
+    other = sorted(
+        (r["grp"], r["doc_id"])
+        for r in stratified_sample(df, "grp", 5, id_col="doc_id", seed=8)
+        .collect()
+    )
+    assert got != other
+
+
+def test_stratified_sample_small_groups_kept_whole(spark):
+    from dbqt_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "grp"]
+    )
+    out = stratified_sample(df, "grp", 10).collect()
+    assert len(out) == 3
+    with pytest.raises(ValueError):
+        stratified_sample(df, "grp", 0)
+
+
+# --- top n-grams ------------------------------------------------------------
+
+
+def test_top_ngrams_counts(spark):
+    from dbqt_spark.operators.textstats import top_ngrams
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b c"),
+            (2, "A B x"),  # case-folded: 'a b' again, new doc
+            (3, "z"),  # shorter than n: contributes nothing
+            (4, None),  # null-safe
+        ],
+    )
+    rows = top_ngrams(docs, n=2, k=2).collect()
+    assert [(r["ngram"], r["n_occurrences"], r["n_docs"]) for r in rows] == [
+        ("a b", 3, 2),
+        ("b a", 1, 1),  # ties broken by ngram asc: 'b a' < 'b c' < 'b x'
+    ]
+
+
+def test_top_ngrams_partial_agg_before_shuffle(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.textstats import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(top_ngrams(docs, n=2, k=10))
+    # two-phase agg: a partial HashAggregate must run on the explode
+    # side BEFORE the Exchange (map-side combine), and the final top-k
+    # is TakeOrdered, not a global Sort
+    assert "TakeOrderedAndProject" in plan
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange]
+
+
+# --- PII scan / redaction ---------------------------------------------------
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from dbqt_spark.operators.redact import pii_scan, redact_pii
+
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@site-a.example.com or see "
+                "https://example.com/p?q=1 now"),
+            (2, "server 10.0.0.1 acct 12345678 short 123456"),
+            (3, "clean text only"),
+            (4, None),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_scan(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_url"] == 1
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_digit_run"] == 1
+    assert got[3] == {
+        "doc_id": 3, "n_email": 0, "n_url": 0, "n_ipv4": 0,
+        "n_digit_run": 0, "redacted_len": len("clean text only"),
+    }
+    assert got[4]["redacted_len"] == 0
+    red = {
+        r["doc_id"]: r["redacted_text"]
+        for r in redact_pii(docs).collect()
+    }
+    assert red[1] == "mail me at <EMAIL> or see <URL> now"
+    assert red[2] == "server <IP> acct <NUM> short 123456"
+
+
+def test_pii_scan_no_shuffle(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.redact import pii_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(pii_scan(docs))
+    assert "Exchange" not in plan  # pure map over the scan
+
+
+# --- quality quantile filter ------------------------------------------------
+
+
+def test_quality_filter_broadcasts_thresholds(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.textstats import quality_quantile_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_quantile_filter(docs, quantile=0.5, group_col="lang")
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+    # keeps >= the per-group median: roughly half of each group, and
+    # every kept score >= its group threshold by construction
+    kept = out.groupBy("lang").count().collect()
+    total = dict(
+        (r["lang"], r["count"])
+        for r in docs.groupBy("lang").count().collect()
+    )
+    for r in kept:
+        assert r["count"] >= total[r["lang"]] // 2
+
+
+def test_quality_filter_bad_quantile(spark):
+    from dbqt_spark.operators.textstats import quality_quantile_filter
+
+    df = _docs(spark, [(1, "x")]).withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError):
+        quality_quantile_filter(df, quantile=1.5)
