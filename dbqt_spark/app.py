@@ -39,6 +39,7 @@ TOOLS = [
     "textstats",
     "decontaminate",
     "split",
+    "curate",
 ]
 
 
@@ -685,6 +686,57 @@ def tool_split(argv: list[str]) -> int:
     return 0
 
 
+def tool_curate(argv: list[str]) -> int:
+    """The full curation chain from the CLI: per-group quality gate ->
+    exact dedup -> PII redaction -> deterministic split, published
+    partitionBy(split). One composed plan; per-split counts printed."""
+    p = argparse.ArgumentParser(prog="curate")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--output-parquet", required=True)
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--group-column", default="lang",
+                   help="quality thresholds are computed per group")
+    p.add_argument("--quality-quantile", type=float, default=0.5)
+    p.add_argument("--dedup", choices=["exact", "none"], default="exact")
+    p.add_argument("--no-redact", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--weights", default="train=0.8,val=0.1,test=0.1")
+    args = p.parse_args(argv)
+
+    try:
+        weights = [
+            (part.split("=")[0], float(part.split("=")[1]))
+            for part in args.weights.split(",")
+        ]
+    except (IndexError, ValueError):
+        p.error(f"cannot parse --weights {args.weights!r}")
+
+    from .operators.pipeline import CurateConfig, curate_and_write
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    counts = curate_and_write(
+        df,
+        args.output_parquet,
+        CurateConfig(
+            quality_quantile=args.quality_quantile,
+            group_col=args.group_column,
+            text_col=args.text_column,
+            id_col=args.id_column,
+            dedup=args.dedup,
+            redact=not args.no_redact,
+            seed=args.seed,
+            split_weights=weights,
+        ),
+    )
+    for name, _ in weights:
+        print(f"{name}: {counts.get(name, 0)}")
+    print(f"curated corpus written to {args.output_parquet}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -710,6 +762,7 @@ def main(argv: list[str] | None = None) -> int:
         "textstats": tool_textstats,
         "decontaminate": tool_decontaminate,
         "split": tool_split,
+        "curate": tool_curate,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

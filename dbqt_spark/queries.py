@@ -2098,6 +2098,72 @@ ORDER BY s.doc_id
 """
 
 
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain (quality gate -> exact dedup -> PII
+    redaction -> deterministic split) as one composed plan — the corpus
+    is scanned once; only the dedup groupBy shuffles it."""
+    from .operators.pipeline import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curate(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            "split",
+            F.length("redacted_text").cast("long").alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Composes the stage oracles: quantile_cont gate, md5 keep-min-id dedup,
+# the PII regexp_replace chain's length, and the hash-mod split.
+SQL_CURATED_CORPUS = f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+thr AS (
+  SELECT d.lang, quantile_cont(q.quality_score, 0.5) AS t
+  FROM documents d JOIN q USING (doc_id) GROUP BY d.lang
+),
+gated AS (
+  SELECT d.doc_id, d.lang, d.text, q.quality_score
+  FROM documents d JOIN q USING (doc_id) JOIN thr USING (lang)
+  WHERE q.quality_score >= thr.t
+),
+fp AS (
+  SELECT *,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM gated
+),
+deduped AS (
+  SELECT * FROM fp
+  WHERE doc_id = (SELECT min(f2.doc_id) FROM fp f2
+                  WHERE f2.fingerprint = fp.fingerprint)
+)
+SELECT doc_id, lang, quality_score,
+  CASE WHEN b < 8000 THEN 'train'
+       WHEN b < 9000 THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(length(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(coalesce(text, ''),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+          'https?://[^\\s]+', '<URL>', 'g'),
+        '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g'),
+      '[0-9]{{7,}}', '<NUM>', 'g')
+  ) AS BIGINT) AS redacted_len
+FROM (
+  SELECT *,
+    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+      % 10000 AS b
+  FROM deduped
+) ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "rowcount_filtered": q_rowcount_filtered,
@@ -2152,6 +2218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_ngrams": q_top_ngrams,
     "pii_scan": q_pii_scan,
     "quality_filter": q_quality_filter,
+    "curated_corpus": q_curated_corpus,
 }
 
 ORACLES: dict[str, str] = {
@@ -2205,6 +2272,7 @@ ORACLES: dict[str, str] = {
     "top_ngrams": SQL_TOP_NGRAMS,
     "pii_scan": SQL_PII_SCAN,
     "quality_filter": SQL_QUALITY_FILTER,
+    "curated_corpus": SQL_CURATED_CORPUS,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -255,3 +255,36 @@ def test_cli_decontaminate_and_split(spark, sf_dir, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["split", "--config", cfg, "--table", "corpus",
               "--weights", "nonsense"])
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    db = tmp_path / "db"
+    db.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(20)),
+            "text": [f"plain unique document {i} with common words" for i in range(18)]
+            + ["mail root@host.example.org now", "mail root@host.example.org now"],
+            "lang": ["en"] * 20,
+        }),
+        str(db / "corpus.parquet"),
+    )
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {db}\n",
+    )
+    out = str(tmp_path / "curated")
+    assert main([
+        "curate", "--config", cfg, "--table", "corpus",
+        "--quality-quantile", "0.0", "--output-parquet", out,
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "curated corpus written to" in text
+    back = spark.read.parquet(out)
+    # one of the two exact dups dropped; redaction applied
+    assert back.count() == 19
+    masked = back.filter("redacted_text like '%<EMAIL>%'").count()
+    assert masked == 1

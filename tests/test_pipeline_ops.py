@@ -296,3 +296,78 @@ def test_quality_filter_bad_quantile(spark):
     df = _docs(spark, [(1, "x")]).withColumn("lang", F.lit("en"))
     with pytest.raises(ValueError):
         quality_quantile_filter(df, quantile=1.5)
+
+
+# --- curate pipeline --------------------------------------------------------
+
+
+def test_curate_chain_semantics(spark):
+    from dbqt_spark.operators.pipeline import CurateConfig, curate
+
+    rows = [
+        # en group: two exact dups (one survives), one low-quality doc,
+        # one doc with an email to redact
+        (1, "the quick brown fox jumps over the lazy dog today", "en"),
+        (2, "the quick brown fox jumps over the lazy dog today", "en"),
+        (3, "zzzz!!!! ???? ....", "en"),
+        (4, "write to the admin at root@host.example.org for help", "en"),
+        (5, "el perro grande corre en la casa que es de madera", "es"),
+        (6, "la casa de madera es grande y el perro corre alli", "es"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = curate(df, CurateConfig(quality_quantile=0.0))  # gate passes all
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # dedup kept min-id of the identical pair, dropped 2
+    assert 1 in got and 2 not in got
+    assert set(got) == {1, 3, 4, 5, 6}
+    # redaction applied
+    assert "<EMAIL>" in got[4]["redacted_text"]
+    # split matches hash_split exactly (pure function of (seed, id))
+    from dbqt_spark.operators.sampling import hash_split
+
+    expect = {
+        r["doc_id"]: r["split"] for r in hash_split(df).collect()
+    }
+    for i, r in got.items():
+        assert r["split"] == expect[i]
+    # with a median gate, low-quality docs go first
+    gated = curate(df, CurateConfig(quality_quantile=0.5))
+    assert 3 not in {r["doc_id"] for r in gated.collect()}
+
+
+def test_curate_single_corpus_scan(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.pipeline import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(curate(docs))
+    # quality thresholds and the gated-id set join back as broadcasts
+    assert "BroadcastHashJoin" in plan
+    # the ONLY shuffle join is the dedup keeper semi-join on the
+    # fingerprint — required semantics (the keeper set is corpus-sized,
+    # one row per distinct text, so broadcasting it would be wrong at
+    # 100 TB); redaction and split add no joins or exchanges
+    import re
+
+    smj_nodes = re.findall(r"\(\d+\) SortMergeJoin", plan)
+    assert len(smj_nodes) == 1
+
+
+def test_curate_and_write_counts(spark, tmp_path):
+    from dbqt_spark.operators.pipeline import (
+        CurateConfig,
+        curate_and_write,
+    )
+
+    rows = [(i, f"unique document number {i} with plain words", "en")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out_dir = str(tmp_path / "curated")
+    counts = curate_and_write(
+        df, out_dir, CurateConfig(quality_quantile=0.0)
+    )
+    assert sum(counts.values()) == 40
+    back = spark.read.parquet(out_dir)
+    assert "split" in back.columns and back.count() == 40
+    with pytest.raises(ValueError):
+        curate_and_write(df, out_dir, CurateConfig(dedup="fuzzy"))
