@@ -904,3 +904,44 @@ def knn_join_brute(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid of an embedding column, one row per (label,
+    dim): the building block for nearest-centroid classification, class
+    drift monitoring, and IVF-style seeding from labels.
+
+    Returns (label, dim, centroid, n_vecs) — the exploded layout is the
+    honest distributed shape (a groupBy on (label, dim) with map-side
+    partial sums; re-assembling arrays would force every dimension of a
+    label through one reducer) and is directly comparable to a SQL
+    oracle. Elementwise means are computed ORDER-INDEPENDENTLY: each
+    float32 element is cast to double (exact), rounded to 7 places, and
+    summed as DECIMAL(20,8) — exact arithmetic, so any engine
+    reproduces the centroid bit-for-bit regardless of partitioning
+    (same trick as corpus_summary's decimal quality means).
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).withColumn("dim", F.col("dim").cast("long"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("__v").cast("double"), 7).cast(
+                        "decimal(20,8)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )

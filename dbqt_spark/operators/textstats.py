@@ -352,3 +352,67 @@ def quality_quantile_filter(
         .filter(F.col("quality_score") >= F.col("__thr"))
         .select(id_col, group_col, "quality_score")
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the cheap
+    keyword-extraction / topic-fingerprint primitive (stopwords score
+    near zero automatically because their document frequency ~= N).
+
+    tf = in-doc term count; idf = ln(N / df) with df = #docs containing
+    the term. Ties cut deterministically by (score desc, term asc, so
+    the k-cut is a total order). Tokens shorter than ``min_token_len``
+    are dropped (they are almost always function words).
+
+    Scale shape: one explode -> per-(doc, term) count (combines
+    map-side) -> per-term df agg (small: vocabulary-sized) joined back
+    BROADCAST -> per-doc top-k window. The only corpus-sized shuffles
+    are the two hash aggs and the final window on ``id_col``; the
+    vocabulary frame stays tiny next to the corpus. ln() on both
+    engines is IEEE double, and the score is rounded to 6 places so the
+    oracle compares bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark_n = df.count()
+    toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    terms = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.length("term") >= min_token_len)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = terms.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    scored = terms.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(spark_n)) / F.col("df").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+        )
+    )

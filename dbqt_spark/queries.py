@@ -2164,6 +2164,63 @@ FROM (
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (one row per (label, dim)) with
+    order-independent decimal-exact elementwise means."""
+    from .operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, i AS dim,
+  CAST(round(
+    CAST(SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE), 7)
+                  AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)
+    AS DOUBLE) AS centroid,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM embeddings, unnest(range(len(embedding))) AS t(i)
+GROUP BY label, i ORDER BY label, i
+"""
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (deterministic
+    (score desc, term asc) cut)."""
+    from .operators.textstats import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=3).orderBy("doc_id", "rank")
+
+
+SQL_TFIDF_KEYWORDS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                x -> x <> '')) AS term
+  FROM documents
+), terms AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE length(term) >= 3 GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM terms GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+    round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+  FROM terms t JOIN dfreq d USING (term), n
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "rowcount_filtered": q_rowcount_filtered,
@@ -2219,6 +2276,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scan": q_pii_scan,
     "quality_filter": q_quality_filter,
     "curated_corpus": q_curated_corpus,
+    "label_centroids": q_label_centroids,
+    "tfidf_keywords": q_tfidf_keywords,
 }
 
 ORACLES: dict[str, str] = {
@@ -2273,6 +2332,8 @@ ORACLES: dict[str, str] = {
     "pii_scan": SQL_PII_SCAN,
     "quality_filter": SQL_QUALITY_FILTER,
     "curated_corpus": SQL_CURATED_CORPUS,
+    "label_centroids": SQL_LABEL_CENTROIDS,
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

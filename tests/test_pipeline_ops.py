@@ -371,3 +371,83 @@ def test_curate_and_write_counts(spark, tmp_path):
     assert "split" in back.columns and back.count() == 40
     with pytest.raises(ValueError):
         curate_and_write(df, out_dir, CurateConfig(dedup="fuzzy"))
+
+
+# --- tfidf keywords ---------------------------------------------------------
+
+
+def test_tfidf_keywords_known_values(spark):
+    import math
+
+    from dbqt_spark.operators.textstats import tfidf_keywords
+
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple banana common common"),
+            (2, "banana cherry common common"),
+            (3, "common words only here"),
+        ],
+    )
+    rows = tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 'apple' tf=2 df=1 -> 2*ln(3); beats 'banana' tf=1 df=2
+    top1 = by_doc[1][0]
+    assert top1["term"] == "apple"
+    assert top1["tfidf"] == round(2 * math.log(3.0), 6)
+    assert top1["tf"] == 2 and top1["df"] == 1
+    # 'common' appears in every doc -> idf = ln(1) = 0
+    common = [r for r in rows if r["term"] == "common"]
+    for r in common:
+        assert r["tfidf"] == 0.0
+    # short tokens dropped
+    assert all(len(r["term"]) >= 3 for r in rows)
+    with pytest.raises(ValueError):
+        tfidf_keywords(docs, k=0)
+
+
+def test_tfidf_vocabulary_joins_broadcast(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.textstats import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(tfidf_keywords(docs))
+    # the vocabulary-sized df frame joins back as a broadcast; the
+    # corpus-sized term frame must never sort-merge against it
+    assert "BroadcastHashJoin" in plan
+
+
+# --- label centroids --------------------------------------------------------
+
+
+def test_label_centroids_exact_means(spark):
+    from dbqt_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 6.0], 0),
+            (3, [10.0, 20.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = label_centroids(df).collect()
+    got = {(r["label"], r["dim"]): (r["centroid"], r["n_vecs"]) for r in rows}
+    assert got == {
+        (0, 0): (2.0, 2),
+        (0, 1): (4.0, 2),
+        (1, 0): (10.0, 1),
+        (1, 1): (20.0, 1),
+    }
+
+
+def test_label_centroids_partial_agg(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = formatted_plan(label_centroids(emb))
+    # map-side partial sums run below the (label, dim) exchange
+    assert "partial_sum" in plan and "partial_count" in plan
