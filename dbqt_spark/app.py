@@ -699,7 +699,13 @@ def tool_curate(argv: list[str]) -> int:
     p.add_argument("--group-column", default="lang",
                    help="quality thresholds are computed per group")
     p.add_argument("--quality-quantile", type=float, default=0.5)
-    p.add_argument("--dedup", choices=["exact", "none"], default="exact")
+    p.add_argument("--dedup", choices=["exact", "minhash", "none"],
+                   default="exact")
+    p.add_argument("--minhash-threshold", type=float, default=0.8)
+    p.add_argument("--eval-table",
+                   help="optional benchmark table: docs sharing an "
+                   "--decontam-ngram with it are removed")
+    p.add_argument("--decontam-ngram", type=int, default=13)
     p.add_argument("--no-redact", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--weights", default="train=0.8,val=0.1,test=0.1")
@@ -726,9 +732,12 @@ def tool_curate(argv: list[str]) -> int:
             text_col=args.text_column,
             id_col=args.id_column,
             dedup=args.dedup,
+            minhash_threshold=args.minhash_threshold,
             redact=not args.no_redact,
             seed=args.seed,
             split_weights=weights,
+            eval_df=db.load(args.eval_table) if args.eval_table else None,
+            decontam_n=args.decontam_ngram,
         ),
     )
     for name, _ in weights:

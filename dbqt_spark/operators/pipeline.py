@@ -7,9 +7,13 @@ each later (more expensive) stage sees fewer rows:
 
     1. quality gate     — per-group exact-quantile threshold
                           (textstats.quality_quantile_filter)
-    2. exact dedup      — md5 keep-min-id (dedup.dedup_exact)
-    3. PII redaction    — ordered regexp masking (redact.redact_pii)
-    4. split assignment — portable hash-mod (sampling.hash_split)
+    2. dedup            — md5 keep-min-id (dedup.dedup_exact) or
+                          MinHash near-dup keep-smaller-id
+                          (dedup.minhash_near_duplicates)
+    3. decontamination  — optional n-gram overlap removal against an
+                          eval set (contamination.decontaminate)
+    4. PII redaction    — ordered regexp masking (redact.redact_pii)
+    5. split assignment — portable hash-mod (sampling.hash_split)
 
 Every stage is a narrow declarative transformation, so Catalyst fuses
 the whole chain: the corpus is scanned ONCE, shuffled only where a
@@ -33,25 +37,31 @@ class CurateConfig:
     group_col: str = "lang"
     text_col: str = "text"
     id_col: str = "doc_id"
-    dedup: str = "exact"  # "exact" | "none"
+    dedup: str = "exact"  # "exact" | "minhash" | "none"
+    minhash_threshold: float = 0.8
     redact: bool = True
     seed: int = 42
     split_weights: "list[tuple[str, float]]" = field(
         default_factory=lambda: [("train", 0.8), ("val", 0.1), ("test", 0.1)]
     )
+    # optional benchmark-decontamination stage: a frame of eval/benchmark
+    # texts; corpus docs sharing a decontam_n-gram with it are removed
+    eval_df: "DataFrame | None" = None
+    decontam_n: int = 13
 
 
 def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
     """Run the four-stage curation chain; returns the surviving rows
     with ``quality_score``, ``split``, and (if enabled) the redacted
     text appended. Original columns are preserved."""
-    from .dedup import dedup_exact
+    from .contamination import decontaminate
+    from .dedup import dedup_exact, minhash_near_duplicates
     from .redact import redact_pii
     from .sampling import hash_split
     from .textstats import quality_quantile_filter
 
     cfg = config or CurateConfig()
-    if cfg.dedup not in ("exact", "none"):
+    if cfg.dedup not in ("exact", "minhash", "none"):
         raise ValueError(f"unknown dedup mode {cfg.dedup!r}")
 
     # 1. quality gate — survivors only, score carried along via semi-ish
@@ -65,15 +75,44 @@ def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
     ).select(cfg.id_col, "quality_score")
     kept = df.join(scored, cfg.id_col)
 
-    # 2. exact dedup
+    # 2. dedup — exact (md5 keep-min-id) or MinHash near-dup. The
+    # near-dup policy is keep-the-smaller-id: any doc whose verified
+    # pair partner has a smaller id is dropped (the classic canonical-
+    # min rule — fully distributed, no driver-side cluster walk; NOT
+    # the transitive greedy the streaming gate runs, so of a chain
+    # A~B~C with no A~C pair, both B and C drop). The pair frame is
+    # corpus-dependent-sized, so the drop set anti-joins by shuffle,
+    # never broadcast.
     if cfg.dedup == "exact":
         kept = dedup_exact(kept, text_col=cfg.text_col, id_col=cfg.id_col)
+    elif cfg.dedup == "minhash":
+        pairs = minhash_near_duplicates(
+            kept,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+            threshold=cfg.minhash_threshold,
+        )
+        drop = pairs.select(
+            F.col("id_b").alias(cfg.id_col)
+        ).distinct()
+        kept = kept.join(drop, cfg.id_col, "left_anti")
 
-    # 3. PII redaction
+    # 3. optional benchmark decontamination (broadcast eval n-gram
+    # hashes; the corpus side never shuffles)
+    if cfg.eval_df is not None:
+        kept = decontaminate(
+            kept,
+            cfg.eval_df,
+            n=cfg.decontam_n,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        )
+
+    # 4. PII redaction
     if cfg.redact:
         kept = redact_pii(kept, text_col=cfg.text_col, id_col=cfg.id_col)
 
-    # 4. deterministic split
+    # 5. deterministic split
     return hash_split(
         kept, id_col=cfg.id_col, weights=cfg.split_weights, seed=cfg.seed
     )

@@ -451,3 +451,33 @@ def test_label_centroids_partial_agg(spark, sf_dir):
     plan = formatted_plan(label_centroids(emb))
     # map-side partial sums run below the (label, dim) exchange
     assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_curate_minhash_and_decontam_stages(spark):
+    from dbqt_spark.operators.pipeline import CurateConfig, curate
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base, "en"),
+        # near-dup of 1 (one word changed) -> dropped (larger id)
+        (2, base.replace("lazy", "sleepy"), "en"),
+        (3, "completely different text about spark dataframes and scale", "en"),
+        # contaminated: contains the eval 3-gram verbatim
+        (4, "prefix secret eval answer suffix words to make it longer", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    eval_df = spark.createDataFrame(
+        [(100, "the secret eval answer")], ["doc_id", "text"]
+    )
+    out = curate(
+        df,
+        CurateConfig(
+            quality_quantile=0.0,
+            dedup="minhash",
+            minhash_threshold=0.5,
+            eval_df=eval_df,
+            decontam_n=3,
+        ),
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 3]  # 2 near-dup-dropped, 4 decontaminated
