@@ -124,6 +124,7 @@ def main() -> None:
         "ngram_jaccard_dups",
         "simhash_near_dups",
         "minhash_near_dups",
+        "minhash_clusters",
         "profile_numeric",
         "profile_lineitem",
         "streaming_dedup",

@@ -1,0 +1,126 @@
+"""Connected components over a pair graph — near-dup CLUSTER assignment.
+
+Beyond the reference surface (north star): pairwise near-dup output
+(``minhash_near_duplicates`` et al.) is not directly actionable when
+duplicates chain (A~B, B~C, no A~C pair): keep-smaller-id drops both B
+and C, and per-pair greedy needs a driver walk. The standard resolution
+is the transitive closure — assign every doc the MINIMUM id reachable
+through the pair graph (its cluster id), then keep one representative
+per cluster.
+
+Algorithm: iterative min-label propagation (the simple half of the
+small-star/large-star family — Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014). Each round joins the current labels
+across the (bidirected) edge list and takes the min of each node's own
+label and its neighbors' labels; fixpoint when no label changes. Rounds
+needed = graph diameter in the worst case — near-dup graphs are
+overwhelmingly tiny star-shaped clusters, so 3-5 rounds is typical.
+
+Scale shape per round: one shuffle join (labels x edges, both hashed on
+the node id) + one groupBy min (partial-aggregated). The frame is
+``localCheckpoint``-ed each round to truncate lineage — an iterative
+plan that keeps growing is the classic Spark-iteration failure. The
+convergence check is a one-row ``agg(sum(changed))`` — the only
+driver-side data movement; labels themselves never leave the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``pairs``;
+    cluster_id is the minimum node id reachable through the pair graph.
+    Raises if the fixpoint is not reached within ``max_iterations``
+    (pathological diameter — raise the limit or pre-contract the
+    graph)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # each node's new label: min(own, min over neighbors' labels)
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("id", "dst").withColumnRenamed(
+                    "cluster_id", "nbr_label"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                )
+                .cast("int")
+                .alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster view of a near-dup pair set: one row per doc APPEARING IN
+    A PAIR — (doc_id, cluster_id, cluster_size, is_representative).
+    Singleton docs (no pairs) are not emitted; they are their own
+    implicit clusters. The representative (min id) is the keeper under
+    the canonical-min policy, now transitively correct."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        comp.withColumnRenamed("id", id_col)
+        .join(sizes, "cluster_id")
+        .select(
+            id_col,
+            F.col("cluster_id").alias("cluster_id"),
+            "cluster_size",
+            (F.col(id_col) == F.col("cluster_id")).alias(
+                "is_representative"
+            ),
+        )
+    )

@@ -2221,6 +2221,52 @@ FROM (
 """
 
 
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERS: MinHash pairs at threshold 0.5 ->
+    iterative min-label connected components -> (doc, cluster, size,
+    representative). The cluster id makes chained duplicates (A~B~C
+    with no A~C pair) actionable — keep is_representative only."""
+    from .operators.clusters import near_dup_clusters
+    from .operators.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    return near_dup_clusters(docs, pairs).orderBy("doc_id")
+
+
+# DuckDB twin: brute-force Jaccard pairs (same construction as
+# SQL_MINHASH_NEAR_DUPS) -> recursive-CTE reachability -> min reachable
+# id per node = the cluster id.
+SQL_MINHASH_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id
+)
+SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size,
+       comp.id = comp.cluster_id AS is_representative
+FROM comp JOIN sizes USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "rowcount_filtered": q_rowcount_filtered,
@@ -2278,6 +2324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curated_corpus": q_curated_corpus,
     "label_centroids": q_label_centroids,
     "tfidf_keywords": q_tfidf_keywords,
+    "minhash_clusters": q_minhash_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -2334,6 +2381,7 @@ ORACLES: dict[str, str] = {
     "curated_corpus": SQL_CURATED_CORPUS,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+    "minhash_clusters": SQL_MINHASH_CLUSTERS,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -481,3 +481,51 @@ def test_curate_minhash_and_decontam_stages(spark):
     )
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 3]  # 2 near-dup-dropped, 4 decontaminated
+
+
+# --- connected components / near-dup clusters -------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    from dbqt_spark.operators.clusters import connected_components
+
+    # chain 1-2-3-4 (diameter 3), island pair (10, 11), singleton edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    from dbqt_spark.operators.clusters import connected_components
+
+    # a 30-node path labels in ~diameter rounds; must converge within
+    # the default bound and label everything with the min id
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, max_iterations=40).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 31
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iterations=2)
+
+
+def test_near_dup_clusters_representatives(spark):
+    from dbqt_spark.operators.clusters import near_dup_clusters
+
+    docs = _docs(spark, [(i, f"d{i}") for i in range(6)])
+    pairs = spark.createDataFrame([(1, 2), (2, 5)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r for r in near_dup_clusters(docs, pairs).collect()}
+    # only pair-involved docs appear; transitive cluster {1,2,5}
+    assert set(rows) == {1, 2, 5}
+    assert all(r["cluster_id"] == 1 and r["cluster_size"] == 3
+               for r in rows.values())
+    assert rows[1]["is_representative"] is True
+    assert rows[2]["is_representative"] is False
