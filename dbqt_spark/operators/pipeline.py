@@ -51,7 +51,7 @@ class CurateConfig:
 
 
 def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
-    """Run the four-stage curation chain; returns the surviving rows
+    """Run the curation chain; returns the surviving rows
     with ``quality_score``, ``split``, and (if enabled) the redacted
     text appended. Original columns are preserved."""
     from .contamination import decontaminate

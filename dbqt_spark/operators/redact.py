@@ -54,9 +54,6 @@ def pii_scan(
         _count(text, pattern).cast("long").alias(f"n_{name}")
         for name, pattern, _ in PII_PATTERNS
     ]
-    total = None
-    for c in counts:
-        total = c if total is None else total + c
     return df.select(
         F.col(id_col),
         *counts,

@@ -1,0 +1,121 @@
+"""Streaming corpus curation — the ingest-time twin of
+``operators.pipeline.curate``.
+
+No reference analog (dbqt has no streaming surface). Each micro-batch
+runs the batch curation chain via ``foreachBatch`` with two
+stream-specific substitutions:
+
+- the quality gate uses FIXED per-group thresholds (computed once from
+  a calibration frame, or given literally) — a per-batch quantile would
+  make a doc's fate depend on which batch it arrived in, destroying
+  retry determinism and auditability;
+- within-batch exact dedup keeps the min id per fingerprint exactly as
+  batch does; CROSS-batch near-dup control is the separate
+  ``streaming/neardup.py`` gate (stateful), composable upstream.
+
+Everything else (PII redaction, hash-split) is already a pure per-row
+function, so the sink is deterministic per batch and the
+write-to-hidden-dir + atomic-rename publish makes retries REPLACE a
+half-published batch (same contract as ``streaming_decontaminate``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.pipeline import CurateConfig
+from ..operators.textstats import _quality_exprs
+
+
+def group_quality_thresholds(
+    calibration_df: DataFrame,
+    quantile: float = 0.5,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> "dict[str, float]":
+    """Per-group quality thresholds from a (bounded) calibration frame —
+    computed ONCE before the stream starts. Returns {group: threshold}."""
+    scored = calibration_df.select(
+        F.col(group_col).alias("g"),
+        F.round(_quality_exprs(text_col)["score"], 4).alias("q"),
+    )
+    rows = (
+        scored.groupBy("g")
+        .agg(F.percentile("q", F.lit(quantile)).alias("t"))
+        .collect()
+    )
+    return {r["g"]: r["t"] for r in rows}
+
+
+def streaming_curate(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    thresholds: "dict[str, float]",
+    config: CurateConfig | None = None,
+):
+    """Wire the curation chain into a stream: every micro-batch's
+    surviving rows (quality-gated by the FIXED ``thresholds``, exact-
+    deduped within the batch, redacted, split-assigned) land in
+    ``out_dir/batch_id=N`` atomically. Returns the StreamingQuery; read
+    the output with ``spark.read.parquet(out_dir)``."""
+    from ..operators.dedup import dedup_exact
+    from ..operators.redact import redact_pii
+    from ..operators.sampling import hash_split
+
+    cfg = config or CurateConfig()
+    if cfg.dedup not in ("exact", "none"):
+        raise ValueError(
+            "streaming curate supports dedup='exact'|'none' within a "
+            "batch; use streaming/neardup.py upstream for cross-batch "
+            f"near-dup control (got {cfg.dedup!r})"
+        )
+    spark_thresholds = sorted(thresholds.items())
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        thr = spark.createDataFrame(
+            spark_thresholds, f"{cfg.group_col} string, __thr double"
+        )
+        scored = batch_df.withColumn(
+            "quality_score",
+            F.round(_quality_exprs(cfg.text_col)["score"], 4),
+        )
+        kept = (
+            scored.join(F.broadcast(thr), cfg.group_col, "left")
+            # unseen groups pass (no calibrated threshold to apply)
+            .filter(
+                F.col("__thr").isNull()
+                | (F.col("quality_score") >= F.col("__thr"))
+            )
+            .drop("__thr")
+        )
+        if cfg.dedup == "exact":
+            kept = dedup_exact(
+                kept, text_col=cfg.text_col, id_col=cfg.id_col
+            )
+        if cfg.redact:
+            kept = redact_pii(kept, text_col=cfg.text_col, id_col=cfg.id_col)
+        out = hash_split(
+            kept,
+            id_col=cfg.id_col,
+            weights=cfg.split_weights,
+            seed=cfg.seed,
+        )
+        inflight = os.path.join(out_dir, f".inflight-{batch_id}")
+        final = os.path.join(out_dir, f"batch_id={batch_id}")
+        out.write.mode("overwrite").parquet(inflight)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(inflight, final)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

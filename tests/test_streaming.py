@@ -472,3 +472,83 @@ def test_neardup_store_compaction_crash_recovery(spark, tmp_path):
         ).collect()
     )
     assert kept == [3]  # doc 2 still caught against the recovered store
+
+
+def test_streaming_curate_batch_twin(spark, tmp_path):
+    """The streamed curation output (fixed calibrated thresholds) equals
+    the batch chain with the same thresholds; batches publish atomically
+    into batch_id partitions."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.operators.pipeline import CurateConfig
+    from dbqt_spark.streaming.curate import (
+        group_quality_thresholds,
+        streaming_curate,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog in a field today"
+    bad = "zzz!!! ??? ... !!!"
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [good, bad, good],  # 3 dups 1 exactly
+            "lang": ["en", "en", "en"],
+        }),
+        str(src / "b1.parquet"),
+    )
+    time.sleep(1.1)
+    pq.write_table(
+        pa.table({
+            "doc_id": [4, 5],
+            "text": [good + " again", "mail root@x.example.org ok " + good],
+            "lang": ["en", "fr"],  # fr: no calibrated threshold -> passes
+        }),
+        str(src / "b2.parquet"),
+    )
+
+    calib = spark.createDataFrame(
+        [(100, good, "en"), (101, bad, "en")], ["doc_id", "text", "lang"]
+    )
+    thresholds = group_quality_thresholds(calib, quantile=0.5)
+    assert "en" in thresholds
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = streaming_curate(
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        thresholds=thresholds,
+        config=CurateConfig(),
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # bad doc gated out (below the en median of {good, bad});
+    # within-batch exact dup of 1 (id 3) dropped; fr doc passes ungated
+    assert set(rows) == {1, 4, 5}
+    assert "<EMAIL>" in rows[5]["redacted_text"]
+    assert {rows[i]["batch_id"] for i in (1,)} == {0}
+    assert rows[4]["batch_id"] == 1
+    # split assignment matches the batch operator bit-for-bit
+    from dbqt_spark.operators.sampling import hash_split
+
+    batch_split = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            spark.createDataFrame(
+                [(i,) for i in rows], "doc_id long"
+            )
+        ).collect()
+    }
+    for i, r in rows.items():
+        assert r["split"] == batch_split[i]
