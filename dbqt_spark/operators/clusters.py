@@ -35,12 +35,55 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    localize_limit: "int | None" = None,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``pairs``;
     cluster_id is the minimum node id reachable through the pair graph.
     Raises if the fixpoint is not reached within ``max_iterations``
     (pathological diameter — raise the limit or pre-contract the
-    graph)."""
+    graph).
+
+    Hybrid execution (the same localize contract as
+    ``dedup._eager_pairs_from_banded``): when the pair set fits under
+    ``localize_limit`` (default ``dedup.BROADCAST_PAIR_LIMIT``) the
+    components are resolved driver-side with union-find — O(pairs
+    alpha) instant, no per-round jobs — because a near-dup pair set is
+    bounded by construction (bucket caps) and collecting ids-only pairs
+    is exactly what the verify stage already broadcasts. Only an
+    over-limit pair graph runs the distributed propagation loop."""
+    from .dedup import BROADCAST_PAIR_LIMIT
+
+    limit = (
+        BROADCAST_PAIR_LIMIT if localize_limit is None else localize_limit
+    )
+    spark = pairs.sparkSession
+    probe = pairs.select(id_a, id_b).limit(limit + 1).collect()
+    if len(probe) <= limit:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in probe:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the cluster id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = sorted((i, find(i)) for i in parent)
+        schema = pairs.select(
+            F.col(id_a).alias("id"), F.col(id_a).alias("cluster_id")
+        ).schema
+        return spark.createDataFrame(rows, schema)
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(

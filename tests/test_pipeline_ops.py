@@ -508,13 +508,16 @@ def test_connected_components_long_path_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
     )
+    # localize_limit=0 forces the DISTRIBUTED propagation path
     got = {
         r["id"]: r["cluster_id"]
-        for r in connected_components(pairs, max_iterations=40).collect()
+        for r in connected_components(
+            pairs, max_iterations=40, localize_limit=0
+        ).collect()
     }
     assert set(got.values()) == {0} and len(got) == 31
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(pairs, max_iterations=2)
+        connected_components(pairs, max_iterations=2, localize_limit=0)
 
 
 def test_near_dup_clusters_representatives(spark):
@@ -529,3 +532,23 @@ def test_near_dup_clusters_representatives(spark):
                for r in rows.values())
     assert rows[1]["is_representative"] is True
     assert rows[2]["is_representative"] is False
+
+
+def test_connected_components_localized_equals_distributed(spark):
+    from dbqt_spark.operators.clusters import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    local = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()  # localized path
+    }
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, localize_limit=0).collect()
+    }
+    assert local == dist == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+    }
