@@ -8,8 +8,10 @@ each later (more expensive) stage sees fewer rows:
     1. quality gate     — per-group exact-quantile threshold
                           (textstats.quality_quantile_filter)
     2. dedup            — md5 keep-min-id (dedup.dedup_exact) or
-                          MinHash near-dup keep-smaller-id
-                          (dedup.minhash_near_duplicates)
+                          MinHash near-dup with transitive cluster
+                          resolution, one representative per component
+                          (dedup.minhash_near_duplicates +
+                          clusters.connected_components)
     3. decontamination  — optional n-gram overlap removal against an
                           eval set (contamination.decontaminate)
     4. PII redaction    — ordered regexp masking (redact.redact_pii)
@@ -75,26 +77,30 @@ def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
     ).select(cfg.id_col, "quality_score")
     kept = df.join(scored, cfg.id_col)
 
-    # 2. dedup — exact (md5 keep-min-id) or MinHash near-dup. The
-    # near-dup policy is keep-the-smaller-id: any doc whose verified
-    # pair partner has a smaller id is dropped (the classic canonical-
-    # min rule — fully distributed, no driver-side cluster walk; NOT
-    # the transitive greedy the streaming gate runs, so of a chain
-    # A~B~C with no A~C pair, both B and C drop). The pair frame is
-    # corpus-dependent-sized, so the drop set anti-joins by shuffle,
-    # never broadcast.
+    # 2. dedup — exact (md5 keep-min-id) or MinHash near-dup with
+    # TRANSITIVE cluster resolution: verified pairs -> connected
+    # components (clusters.connected_components — driver union-find
+    # when the pair set is bounded, distributed propagation otherwise)
+    # -> keep only each cluster's min-id representative. Transitivity
+    # matters: for pairs (1,5),(2,5) the naive drop-larger-id rule
+    # would keep both 1 and 2 even though they near-duplicate via 5.
+    # The drop frame is corpus-dependent-sized, so it anti-joins by
+    # shuffle, never broadcast.
     if cfg.dedup == "exact":
         kept = dedup_exact(kept, text_col=cfg.text_col, id_col=cfg.id_col)
     elif cfg.dedup == "minhash":
+        from .clusters import connected_components
+
         pairs = minhash_near_duplicates(
             kept,
             text_col=cfg.text_col,
             id_col=cfg.id_col,
             threshold=cfg.minhash_threshold,
         )
-        drop = pairs.select(
-            F.col("id_b").alias(cfg.id_col)
-        ).distinct()
+        comp = connected_components(pairs)
+        drop = comp.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(cfg.id_col)
+        )
         kept = kept.join(drop, cfg.id_col, "left_anti")
 
     # 3. optional benchmark decontamination (broadcast eval n-gram

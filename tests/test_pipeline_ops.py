@@ -552,3 +552,27 @@ def test_connected_components_localized_equals_distributed(spark):
     assert local == dist == {
         1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
     }
+
+
+def test_curate_minhash_transitive_cluster_drop(spark):
+    """Pairs (1,5),(2,5) and no (1,2) pair: transitive resolution keeps
+    ONLY the cluster representative (1); the naive drop-larger rule
+    would have kept 2 as well."""
+    from dbqt_spark.operators.pipeline import CurateConfig, curate
+
+    base = "the quick brown fox jumps over the lazy dog and runs very far away"
+    rows = [
+        (1, base + " alpha beta", "en"),
+        (2, base + " gamma delta", "en"),
+        (5, base + " alpha gamma", "en"),
+        (9, "completely different text about spark plans and shuffles", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = curate(
+        df,
+        CurateConfig(
+            quality_quantile=0.0, dedup="minhash", minhash_threshold=0.5
+        ),
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 9]
