@@ -322,18 +322,23 @@ def quality_quantile_filter(
     group_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact: bool = True,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Keep documents whose composite quality score is at or above their
-    group's exact interpolated ``quantile`` (default: per-language
-    median). Per-group rather than global thresholds avoid the classic
+    group's ``quantile`` threshold (default: per-language median).
+    Per-group rather than global thresholds avoid the classic
     corpus-curation failure where one language's score distribution
     eats another's budget.
 
     Scale shape: ONE scan computes per-doc scores; a groupBy on
     ``group_col`` (tiny cardinality -> tiny agg) yields thresholds that
     broadcast back onto the scored frame — the corpus itself is never
-    shuffled. Exact ``percentile`` is the at-toy-scale choice; at
-    100 TB swap ``approx_percentile`` (same contract, bounded memory).
+    shuffled. ``exact=True`` uses the interpolating ``percentile``
+    (oracle-reproducible, but its per-group state is the full value
+    list); at 100 TB pass ``exact=False`` for ``approx_percentile`` —
+    bounded memory (Greenwald-Khanna, error <= 1/approx_accuracy),
+    same output contract, thresholds within one rank-error of exact.
     """
     if not 0.0 <= quantile <= 1.0:
         raise ValueError(f"quantile must be in [0,1], got {quantile}")
@@ -344,9 +349,14 @@ def quality_quantile_filter(
             "quality_score"
         ),
     )
-    thresholds = scored.groupBy(group_col).agg(
-        F.percentile("quality_score", F.lit(quantile)).alias("__thr")
+    thr_fn = (
+        F.percentile("quality_score", F.lit(quantile))
+        if exact
+        else F.percentile_approx(
+            "quality_score", F.lit(quantile), F.lit(approx_accuracy)
+        )
     )
+    thresholds = scored.groupBy(group_col).agg(thr_fn.alias("__thr"))
     return (
         scored.join(F.broadcast(thresholds), group_col)
         .filter(F.col("quality_score") >= F.col("__thr"))

@@ -576,3 +576,23 @@ def test_curate_minhash_transitive_cluster_drop(spark):
     )
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 9]
+
+
+def test_quality_filter_approx_close_to_exact(spark, sf_dir):
+    """The at-scale approx_percentile path keeps nearly the same set as
+    the exact path (rank error <= 1/accuracy)."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.textstats import quality_quantile_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["doc_id"]
+        for r in quality_quantile_filter(docs, exact=True).collect()
+    }
+    approx = {
+        r["doc_id"]
+        for r in quality_quantile_filter(docs, exact=False).collect()
+    }
+    n = docs.count()
+    sym_diff = len(exact ^ approx)
+    assert sym_diff <= max(2, n // 100)
