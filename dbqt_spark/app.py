@@ -487,6 +487,10 @@ def tool_dedup(argv: list[str]) -> int:
                    help="array<float> column (embedding method)")
     p.add_argument("--output")
     p.add_argument("--pairs-parquet", help="also write the pairs here")
+    p.add_argument("--clusters", action="store_true",
+                   help="resolve pair output into transitive clusters "
+                   "(doc, cluster, size, representative) — pair methods "
+                   "only")
     args = p.parse_args(argv)
 
     cfg, db = _load_db(args.config)
@@ -527,6 +531,18 @@ def tool_dedup(argv: list[str]) -> int:
             df, text_col=args.text_column, id_col=args.id_column,
             threshold=args.threshold,
         )
+    if args.clusters:
+        if args.method == "exact":
+            p.error("--clusters applies to pair methods, not exact")
+        from .operators.clusters import near_dup_clusters
+
+        id_cols = ("id_a", "id_b")
+        if args.method == "embedding" and "id_a" not in result.columns:
+            id_cols = tuple(result.columns[:2])
+        result = near_dup_clusters(
+            df, result, id_col=args.id_column,
+            id_a=id_cols[0], id_b=id_cols[1],
+        ).orderBy(args.id_column)
     with released(result) as result:
         if args.pairs_parquet:
             result.write.mode("overwrite").parquet(args.pairs_parquet)
@@ -537,7 +553,9 @@ def tool_dedup(argv: list[str]) -> int:
         n = result.count()
     if stats:
         logger.info("drop accounting: %s", stats)
-    print(f"{n} {'groups' if args.method == 'exact' else 'pairs'} found")
+    kind = ("clustered docs" if args.clusters
+            else "groups" if args.method == "exact" else "pairs")
+    print(f"{n} {kind} found")
     print(f"Report saved to {out}")
     return 0
 

@@ -288,3 +288,27 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert back.count() == 19
     masked = back.filter("redacted_text like '%<EMAIL>%'").count()
     assert masked == 1
+
+
+def test_dedup_tool_clusters(tmp_path, capsys):
+    cfg = tmp_path / "conn.yaml"
+    cfg.write_text(
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n"
+    )
+    out = str(tmp_path / "dedup_clusters.html")
+    rc = main(
+        ["dedup", "--config", str(cfg), "--table", "documents",
+         "--method", "minhash", "--threshold", "0.5", "--clusters",
+         "--output", out,
+         "--pairs-parquet", str(tmp_path / "clusters.pq")]
+    )
+    assert rc == 0 and os.path.exists(out)
+    text = capsys.readouterr().out
+    assert "clustered docs found" in text
+    import pyarrow.parquet as pq
+
+    cols = set(pq.read_schema(
+        next((tmp_path / "clusters.pq").glob("*.parquet"))
+    ).names)
+    assert {"doc_id", "cluster_id", "cluster_size",
+            "is_representative"} <= cols
