@@ -536,15 +536,16 @@ def tool_dedup(argv: list[str]) -> int:
             p.error("--clusters applies to pair methods, not exact")
         from .operators.clusters import near_dup_clusters
 
-        id_cols = ("id_a", "id_b")
-        if args.method == "embedding" and "id_a" not in result.columns:
-            id_cols = tuple(result.columns[:2])
+        # honor --pairs-parquet's contract (it writes PAIRS) before the
+        # cluster transform consumes and releases the pair frame
+        if args.pairs_parquet:
+            result.write.mode("overwrite").parquet(args.pairs_parquet)
+        # every pair method emits (id_a, id_b, ...)
         result = near_dup_clusters(
-            df, result, id_col=args.id_column,
-            id_a=id_cols[0], id_b=id_cols[1],
+            result, id_col=args.id_column
         ).orderBy(args.id_column)
     with released(result) as result:
-        if args.pairs_parquet:
+        if args.pairs_parquet and not args.clusters:
             result.write.mode("overwrite").parquet(args.pairs_parquet)
         report = HTMLReport(f"dedup ({args.method})")
         report.add_dataframe_tab("Duplicates", result)

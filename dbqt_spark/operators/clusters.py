@@ -50,45 +50,68 @@ def connected_components(
     alpha) instant, no per-round jobs — because a near-dup pair set is
     bounded by construction (bucket caps) and collecting ids-only pairs
     is exactly what the verify stage already broadcasts. Only an
-    over-limit pair graph runs the distributed propagation loop."""
+    over-limit pair graph runs the distributed propagation loop.
+
+    The result never references the input's lineage (a LocalRelation on
+    the localized path, checkpointed frames on the distributed one), so
+    a persisted ``pairs`` input (dedup's over-limit contract) can be
+    released by the caller as soon as this returns. The ids-only
+    projection is persisted around the probe so the over-limit path
+    never executes the (expensive) upstream pair pipeline twice."""
     from .dedup import BROADCAST_PAIR_LIMIT
 
     limit = (
         BROADCAST_PAIR_LIMIT if localize_limit is None else localize_limit
     )
-    spark = pairs.sparkSession
-    probe = pairs.select(id_a, id_b).limit(limit + 1).collect()
-    if len(probe) <= limit:
-        parent: dict = {}
+    ids_only = pairs.select(
+        F.col(id_a).alias("__a"), F.col(id_b).alias("__b")
+    ).persist()
+    try:
+        probe = ids_only.limit(limit + 1).collect()
+        if len(probe) <= limit:
+            return _local_components(pairs, probe, id_a)
+        return _distributed_components(ids_only, max_iterations)
+    finally:
+        ids_only.unpersist()
 
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
 
-        for r in probe:
-            a, b = r[0], r[1]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by MIN id so the root IS the cluster id
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        rows = sorted((i, find(i)) for i in parent)
-        schema = pairs.select(
-            F.col(id_a).alias("id"), F.col(id_a).alias("cluster_id")
-        ).schema
-        return spark.createDataFrame(rows, schema)
+def _local_components(pairs, probe, id_a) -> DataFrame:
+    """Driver union-find (union by min id, so the root IS the cluster
+    id) over a bounded collected pair list."""
+    parent: dict = {}
 
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in probe:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((i, find(i)) for i in parent)
+    schema = pairs.select(
+        F.col(id_a).alias("id"), F.col(id_a).alias("cluster_id")
+    ).schema
+    return pairs.sparkSession.createDataFrame(rows, schema)
+
+
+def _distributed_components(ids_only, max_iterations: int) -> DataFrame:
+    """Min-label propagation over the persisted (__a, __b) frame;
+    ``localCheckpoint`` materializes from the cache, so the upstream
+    pair pipeline is never re-executed."""
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        ids_only.select(F.col("__a").alias("src"), F.col("__b").alias("dst"))
         .unionByName(
-            pairs.select(
-                F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+            ids_only.select(
+                F.col("__b").alias("src"), F.col("__a").alias("dst")
             )
         )
         .distinct()
@@ -140,7 +163,6 @@ def connected_components(
 
 
 def near_dup_clusters(
-    docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     id_a: str = "id_a",
@@ -150,8 +172,11 @@ def near_dup_clusters(
     A PAIR — (doc_id, cluster_id, cluster_size, is_representative).
     Singleton docs (no pairs) are not emitted; they are their own
     implicit clusters. The representative (min id) is the keeper under
-    the canonical-min policy, now transitively correct."""
+    the canonical-min policy, now transitively correct. A persisted
+    ``pairs`` input is released here once the components are built (the
+    components never reference its lineage)."""
     comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    pairs.unpersist()  # no-op unless dedup returned it persisted
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )

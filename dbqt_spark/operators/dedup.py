@@ -64,15 +64,17 @@ def _spread(df: DataFrame) -> DataFrame:
     price of shuffling the raw (small) docs."""
     try:
         n = df.rdd.getNumPartitions()
-        # 2x parallelism, not 1x: halves the per-task Arrow-UDF wall,
-        # which doubles FAIR-preemption granularity — latency-bound
-        # chain queries (the streaming gate) get scheduled into freed
-        # slots ~2x sooner when a band-hash stage owns the machine.
-        # Per-task overhead at this batch size is noise (measured).
-        target = 2 * df.sparkSession.sparkContext.defaultParallelism
+        cores = df.sparkSession.sparkContext.defaultParallelism
     except Exception:
         return df
-    return df.repartition(target) if n < target else df
+    # Trigger only BELOW cores (so corpus-scale inputs arriving in
+    # >= cores splits stay untouched — the no-op contract above), but
+    # spread TO 2x cores: halving the per-task Arrow-UDF wall doubles
+    # FAIR-preemption granularity, so latency-bound chain queries (the
+    # streaming gate) get scheduled into freed slots ~2x sooner when a
+    # band-hash stage owns the machine (BENCH_NOTES #10). Per-task
+    # overhead at this batch size is noise (measured).
+    return df.repartition(2 * cores) if n < cores else df
 
 
 def exact_duplicate_groups(

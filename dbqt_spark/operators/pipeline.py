@@ -66,16 +66,18 @@ def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
     if cfg.dedup not in ("exact", "minhash", "none"):
         raise ValueError(f"unknown dedup mode {cfg.dedup!r}")
 
-    # 1. quality gate — survivors only, score carried along via semi-ish
-    # inner join on the id (the filter frame is (id, group, score))
-    scored = quality_quantile_filter(
+    # 1. quality gate — keep_all scores the full rows inline and
+    # filters against the broadcast thresholds, so the corpus is never
+    # joined against itself on the id (one scan feeds the chain; the
+    # only other corpus read is the thresholds aggregate)
+    kept = quality_quantile_filter(
         df,
         quantile=cfg.quality_quantile,
         group_col=cfg.group_col,
         text_col=cfg.text_col,
         id_col=cfg.id_col,
-    ).select(cfg.id_col, "quality_score")
-    kept = df.join(scored, cfg.id_col)
+        keep_all=True,
+    )
 
     # 2. dedup — exact (md5 keep-min-id) or MinHash near-dup with
     # TRANSITIVE cluster resolution: verified pairs -> connected
@@ -98,6 +100,7 @@ def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
             threshold=cfg.minhash_threshold,
         )
         comp = connected_components(pairs)
+        pairs.unpersist()  # no-op unless dedup returned it persisted
         drop = comp.filter(F.col("id") != F.col("cluster_id")).select(
             F.col("id").alias(cfg.id_col)
         )

@@ -324,6 +324,7 @@ def quality_quantile_filter(
     id_col: str = "doc_id",
     exact: bool = True,
     approx_accuracy: int = 10_000,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Keep documents whose composite quality score is at or above their
     group's ``quantile`` threshold (default: per-language median).
@@ -342,12 +343,16 @@ def quality_quantile_filter(
     """
     if not 0.0 <= quantile <= 1.0:
         raise ValueError(f"quantile must be in [0,1], got {quantile}")
-    scored = df.select(
-        F.col(id_col),
-        F.col(group_col),
-        F.round(_quality_exprs(text_col)["score"], 4).alias(
-            "quality_score"
-        ),
+    score = F.round(_quality_exprs(text_col)["score"], 4).alias(
+        "quality_score"
+    )
+    # keep_all preserves every input column (the curate chain wants the
+    # text downstream); the default narrow projection lets the scan
+    # prune to (id, group, text)
+    scored = (
+        df.withColumn("quality_score", score)
+        if keep_all
+        else df.select(F.col(id_col), F.col(group_col), score)
     )
     thr_fn = (
         F.percentile("quality_score", F.lit(quantile))
@@ -356,11 +361,21 @@ def quality_quantile_filter(
             "quality_score", F.lit(quantile), F.lit(approx_accuracy)
         )
     )
-    thresholds = scored.groupBy(group_col).agg(thr_fn.alias("__thr"))
+    thresholds = (
+        scored.groupBy(group_col)
+        .agg(thr_fn.alias("__thr"))
+        .withColumnRenamed(group_col, "__g")
+    )
+    # null-SAFE group match: rows with a NULL group form their own
+    # group (groupBy already aggregates them) and are thresholded like
+    # any other, instead of silently vanishing through an equi-join
     return (
-        scored.join(F.broadcast(thresholds), group_col)
+        scored.join(
+            F.broadcast(thresholds),
+            F.col(group_col).eqNullSafe(F.col("__g")),
+        )
         .filter(F.col("quality_score") >= F.col("__thr"))
-        .select(id_col, group_col, "quality_score")
+        .drop("__g", "__thr")
     )
 
 
@@ -392,7 +407,10 @@ def tfidf_keywords(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    spark_n = df.count()
+    # N stays IN the plan (one-row aggregate, broadcast cross join) —
+    # an eager df.count() here would run a full extra corpus scan at
+    # call time and make construction non-lazy, unlike every sibling
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     terms = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
@@ -403,13 +421,18 @@ def tfidf_keywords(
     dfreq = terms.groupBy("term").agg(
         F.countDistinct(id_col).alias("df")
     )
-    scored = terms.join(F.broadcast(dfreq), "term").withColumn(
-        "tfidf",
-        F.round(
-            F.col("tf")
-            * F.log(F.lit(float(spark_n)) / F.col("df").cast("double")),
-            6,
-        ),
+    scored = (
+        terms.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("__n") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+        .drop("__n")
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

@@ -2231,7 +2231,7 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(docs, threshold=0.5)
-    return near_dup_clusters(docs, pairs).orderBy("doc_id")
+    return near_dup_clusters(pairs).orderBy("doc_id")
 
 
 # DuckDB twin: brute-force Jaccard pairs (same construction as

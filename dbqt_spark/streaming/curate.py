@@ -11,7 +11,9 @@ stream-specific substitutions:
   retry determinism and auditability;
 - within-batch exact dedup keeps the min id per fingerprint exactly as
   batch does; CROSS-batch near-dup control is the separate
-  ``streaming/neardup.py`` gate (stateful), composable upstream.
+  ``streaming/neardup.py`` gate (stateful), composable upstream;
+- decontamination (``config.eval_df``) hashes the static eval set ONCE
+  and persists it for the stream's lifetime.
 
 Everything else (PII redaction, hash-split) is already a pure per-row
 function, so the sink is deterministic per batch and the
@@ -67,6 +69,11 @@ def streaming_curate(
     from ..operators.redact import redact_pii
     from ..operators.sampling import hash_split
 
+    from ..operators.contamination import (
+        decontaminate,
+        eval_ngram_hashes,
+    )
+
     cfg = config or CurateConfig()
     if cfg.dedup not in ("exact", "none"):
         raise ValueError(
@@ -74,6 +81,13 @@ def streaming_curate(
             "batch; use streaming/neardup.py upstream for cross-batch "
             f"near-dup control (got {cfg.dedup!r})"
         )
+    # the eval set is static: hash its n-grams ONCE for the stream's
+    # lifetime (same contract as streaming_decontaminate)
+    eval_hashes = (
+        eval_ngram_hashes(cfg.eval_df, cfg.decontam_n, cfg.text_col).persist()
+        if cfg.eval_df is not None
+        else None
+    )
     spark_thresholds = sorted(thresholds.items())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -97,6 +111,14 @@ def streaming_curate(
         if cfg.dedup == "exact":
             kept = dedup_exact(
                 kept, text_col=cfg.text_col, id_col=cfg.id_col
+            )
+        if eval_hashes is not None:
+            kept = decontaminate(
+                kept,
+                n=cfg.decontam_n,
+                text_col=cfg.text_col,
+                id_col=cfg.id_col,
+                eval_hashes=eval_hashes,
             )
         if cfg.redact:
             kept = redact_pii(kept, text_col=cfg.text_col, id_col=cfg.id_col)

@@ -307,8 +307,8 @@ def test_dedup_tool_clusters(tmp_path, capsys):
     assert "clustered docs found" in text
     import pyarrow.parquet as pq
 
+    # --pairs-parquet honors its contract even with --clusters: PAIRS
     cols = set(pq.read_schema(
         next((tmp_path / "clusters.pq").glob("*.parquet"))
     ).names)
-    assert {"doc_id", "cluster_id", "cluster_size",
-            "is_representative"} <= cols
+    assert {"id_a", "id_b"} <= cols

@@ -523,9 +523,8 @@ def test_connected_components_long_path_converges(spark):
 def test_near_dup_clusters_representatives(spark):
     from dbqt_spark.operators.clusters import near_dup_clusters
 
-    docs = _docs(spark, [(i, f"d{i}") for i in range(6)])
     pairs = spark.createDataFrame([(1, 2), (2, 5)], ["id_a", "id_b"])
-    rows = {r["doc_id"]: r for r in near_dup_clusters(docs, pairs).collect()}
+    rows = {r["doc_id"]: r for r in near_dup_clusters(pairs).collect()}
     # only pair-involved docs appear; transitive cluster {1,2,5}
     assert set(rows) == {1, 2, 5}
     assert all(r["cluster_id"] == 1 and r["cluster_size"] == 3
@@ -596,3 +595,20 @@ def test_quality_filter_approx_close_to_exact(spark, sf_dir):
     n = docs.count()
     sym_diff = len(exact ^ approx)
     assert sym_diff <= max(2, n // 100)
+
+
+def test_quality_filter_null_group_thresholded(spark):
+    """Rows with a NULL group form their own group and are thresholded,
+    not silently dropped by an equi-join."""
+    from dbqt_spark.operators.textstats import quality_quantile_filter
+
+    good = "the quick brown fox jumps over the lazy dog in a field today"
+    bad = "zzz!!! ??? ..."
+    df = spark.createDataFrame(
+        [(1, good, None), (2, bad, None), (3, good, "en")],
+        "doc_id long, text string, lang string",
+    )
+    kept = {r["doc_id"] for r in quality_quantile_filter(df).collect()}
+    # NULL group: median of {good, bad} keeps the good one; en keeps its
+    # only member
+    assert kept == {1, 3}

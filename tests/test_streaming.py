@@ -552,3 +552,43 @@ def test_streaming_curate_batch_twin(spark, tmp_path):
     }
     for i, r in rows.items():
         assert r["split"] == batch_split[i]
+
+
+def test_streaming_curate_decontaminates(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.operators.pipeline import CurateConfig
+    from dbqt_spark.streaming.curate import streaming_curate
+
+    leak = "the secret benchmark answer is forty two exactly"
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2],
+            "text": [f"prefix {leak} suffix", "a clean document here now"],
+            "lang": ["en", "en"],
+        }),
+        str(src / "b1.parquet"),
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"q: {leak}?")], ["doc_id", "text"]
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(str(src))
+    )
+    q = streaming_curate(
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        thresholds={},
+        config=CurateConfig(eval_df=eval_df, decontam_n=5),
+    )
+    q.awaitTermination()
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert kept == [2]
