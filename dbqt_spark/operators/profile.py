@@ -175,3 +175,79 @@ def profile_numeric(
     return unpivoted.select(
         F.lit(table_name).alias("table_name"), "*"
     )
+
+
+def zscore_outliers(
+    df,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 20,
+):
+    """Top-k rows by |z-score| of ``value_col`` within its
+    ``group_col`` population — the per-row companion to the statistical
+    bounds check in ``operators/checks.py`` (which gates on aggregate
+    mean/stddev; this names the offending ROWS).
+
+    Moments are ORDER-INDEPENDENT: values are canonicalized to
+    DECIMAL(18,6) and the per-group sum / sum-of-squares accumulate as
+    exact decimals (map-side partial aggregation still applies), so any
+    engine and any partitioning reproduce mean and variance bit-for-bit
+    — double-summation order sensitivity is the classic source of
+    cross-engine z-score drift. Variance is the (n-1) sample form via
+    E[x^2] - E[x]^2 computed from the exact sums; groups with n < 2 or
+    zero variance emit no rows (z undefined). The final top-k is a
+    TakeOrdered on (|z| desc, id asc) — a total order, so the cut is
+    deterministic.
+
+    Scale shape: one scan -> tiny per-group aggregate -> broadcast back
+    -> narrow map -> TakeOrdered. The corpus never shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.col(value_col).cast("decimal(18,6)")
+    canon = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        v.alias("__v"),
+    )
+    stats = (
+        canon.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__v").alias("__s"),
+            F.sum(F.col("__v") * F.col("__v")).alias("__s2"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select(
+            F.col(group_col).alias("__g"),
+            F.col("__n"),
+            (F.col("__s").cast("double") / F.col("__n")).alias("__mean"),
+            (
+                (
+                    F.col("__s2").cast("double") / F.col("__n")
+                    - (F.col("__s").cast("double") / F.col("__n"))
+                    * (F.col("__s").cast("double") / F.col("__n"))
+                )
+                * F.col("__n")
+                / (F.col("__n") - 1)
+            ).alias("__var"),
+        )
+        .filter(F.col("__var") > 0)
+    )
+    z = (F.col("__v").cast("double") - F.col("__mean")) / F.sqrt("__var")
+    return (
+        canon.join(
+            F.broadcast(stats), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
+        .select(
+            id_col,
+            group_col,
+            F.round(F.col("__v").cast("double"), 6).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy(F.abs(F.col("zscore")).desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -2267,6 +2267,44 @@ ORDER BY doc_id
 """
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 events by |z-score| of value within their event_type —
+    decimal-exact order-independent moments, broadcast back, TakeOrdered."""
+    from .operators.profile import zscore_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return zscore_outliers(
+        events, value_col="value", group_col="event_type",
+        id_col="event_id", k=20,
+    )
+
+
+SQL_VALUE_OUTLIERS = """
+WITH canon AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
+         (CAST(SUM(v * v) AS DOUBLE) / COUNT(*)
+          - (CAST(SUM(v) AS DOUBLE) / COUNT(*))
+            * (CAST(SUM(v) AS DOUBLE) / COUNT(*)))
+           * COUNT(*) / (COUNT(*) - 1) AS var
+  FROM canon GROUP BY event_type HAVING COUNT(*) >= 2
+)
+SELECT event_id, event_type,
+       round(CAST(v AS DOUBLE), 6) AS value,
+       round((CAST(v AS DOUBLE) - mean) / sqrt(var), 4) AS zscore
+FROM canon JOIN stats USING (event_type)
+WHERE var > 0
+ORDER BY abs(round((CAST(v AS DOUBLE) - mean) / sqrt(var), 4)) DESC,
+         event_id ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "rowcount_filtered": q_rowcount_filtered,
@@ -2325,6 +2363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": q_label_centroids,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_clusters": q_minhash_clusters,
+    "value_outliers": q_value_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -2382,6 +2421,7 @@ ORACLES: dict[str, str] = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
+    "value_outliers": SQL_VALUE_OUTLIERS,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

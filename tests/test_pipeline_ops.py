@@ -612,3 +612,34 @@ def test_quality_filter_null_group_thresholded(spark):
     # NULL group: median of {good, bad} keeps the good one; en keeps its
     # only member
     assert kept == {1, 3}
+
+
+def test_zscore_outliers_known_values(spark):
+    from dbqt_spark.operators.profile import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 10.0), (3, "a", 10.0), (4, "a", 100.0),
+         (5, "b", 1.0), (6, "b", 2.0),
+         (7, "c", 7.0)],  # n=1: no z
+        ["event_id", "grp", "v"],
+    )
+    rows = zscore_outliers(
+        df, value_col="v", group_col="grp", id_col="event_id", k=3
+    ).collect()
+    # group a: the 100 is the standout; its z = (100-32.5)/45 = 1.5
+    top = rows[0]
+    assert top["event_id"] == 4 and top["grp"] == "a"
+    assert top["zscore"] == 1.5
+    assert all(r["grp"] != "c" for r in rows)  # singleton group excluded
+
+
+def test_zscore_outliers_plan(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.profile import zscore_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    plan = formatted_plan(
+        zscore_outliers(events, "value", "event_type", "event_id")
+    )
+    assert "BroadcastHashJoin" in plan  # stats broadcast back
+    assert "TakeOrderedAndProject" in plan  # no global sort
