@@ -728,6 +728,9 @@ def tool_curate(argv: list[str]) -> int:
     p.add_argument("--no-redact", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--weights", default="train=0.8,val=0.1,test=0.1")
+    p.add_argument("--report", action="store_true",
+                   help="also print stage-wise drop accounting "
+                   "(one count job per stage boundary)")
     args = p.parse_args(argv)
 
     try:
@@ -738,29 +741,33 @@ def tool_curate(argv: list[str]) -> int:
     except (IndexError, ValueError):
         p.error(f"cannot parse --weights {args.weights!r}")
 
-    from .operators.pipeline import CurateConfig, curate_and_write
+    from .operators.pipeline import (
+        CurateConfig,
+        curate_and_write,
+        curate_report,
+    )
 
     cfg, db = _load_db(args.config)
     df = db.load(args.table)
-    counts = curate_and_write(
-        df,
-        args.output_parquet,
-        CurateConfig(
-            quality_quantile=args.quality_quantile,
-            group_col=args.group_column,
-            text_col=args.text_column,
-            id_col=args.id_column,
-            dedup=args.dedup,
-            minhash_threshold=args.minhash_threshold,
-            redact=not args.no_redact,
-            seed=args.seed,
-            split_weights=weights,
-            eval_df=db.load(args.eval_table) if args.eval_table else None,
-            decontam_n=args.decontam_ngram,
-        ),
+    curate_cfg = CurateConfig(
+        quality_quantile=args.quality_quantile,
+        group_col=args.group_column,
+        text_col=args.text_column,
+        id_col=args.id_column,
+        dedup=args.dedup,
+        minhash_threshold=args.minhash_threshold,
+        redact=not args.no_redact,
+        seed=args.seed,
+        split_weights=weights,
+        eval_df=db.load(args.eval_table) if args.eval_table else None,
+        decontam_n=args.decontam_ngram,
     )
+    counts = curate_and_write(df, args.output_parquet, curate_cfg)
     for name, _ in weights:
         print(f"{name}: {counts.get(name, 0)}")
+    if args.report:
+        for stage, n in curate_report(df, curate_cfg).items():
+            print(f"{stage}: {n}")
     print(f"curated corpus written to {args.output_parquet}")
     return 0
 

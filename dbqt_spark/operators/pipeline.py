@@ -143,3 +143,89 @@ def curate_and_write(
         .collect()
     )
     return {r["split"]: r["n"] for r in written}
+
+
+def curate_report(
+    df: DataFrame, config: CurateConfig | None = None
+) -> "dict[str, int]":
+    """Stage-wise drop accounting for a curation run — the audit trail
+    a 100 TB curation needs before anyone trusts its output. Returns
+    ordered counts: n_input, n_after_quality, n_after_dedup,
+    n_after_decontam (when configured), n_output, plus per-stage
+    n_dropped_* deltas.
+
+    Costs one count job per stage boundary on top of the chain itself;
+    each intermediate is persisted across its two uses (count + next
+    stage) and released at the end. Use for audits and dry runs — the
+    plain ``curate``/``curate_and_write`` path stays count-free."""
+    from .contamination import decontaminate
+    from .dedup import dedup_exact, minhash_near_duplicates
+    from .textstats import quality_quantile_filter
+
+    cfg = config or CurateConfig()
+    if cfg.dedup not in ("exact", "minhash", "none"):
+        raise ValueError(f"unknown dedup mode {cfg.dedup!r}")
+
+    report: "dict[str, int]" = {"n_input": df.count()}
+    to_release = []
+
+    gated = quality_quantile_filter(
+        df,
+        quantile=cfg.quality_quantile,
+        group_col=cfg.group_col,
+        text_col=cfg.text_col,
+        id_col=cfg.id_col,
+        keep_all=True,
+    ).persist()
+    to_release.append(gated)
+    report["n_after_quality"] = gated.count()
+    report["n_dropped_quality"] = (
+        report["n_input"] - report["n_after_quality"]
+    )
+
+    kept = gated
+    if cfg.dedup == "exact":
+        kept = dedup_exact(
+            gated, text_col=cfg.text_col, id_col=cfg.id_col
+        ).persist()
+    elif cfg.dedup == "minhash":
+        from .clusters import connected_components
+
+        pairs = minhash_near_duplicates(
+            gated,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+            threshold=cfg.minhash_threshold,
+        )
+        comp = connected_components(pairs)
+        pairs.unpersist()
+        drop = comp.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(cfg.id_col)
+        )
+        kept = gated.join(drop, cfg.id_col, "left_anti").persist()
+    if kept is not gated:
+        to_release.append(kept)
+    report["n_after_dedup"] = kept.count()
+    report["n_dropped_dedup"] = (
+        report["n_after_quality"] - report["n_after_dedup"]
+    )
+
+    if cfg.eval_df is not None:
+        clean = decontaminate(
+            kept,
+            cfg.eval_df,
+            n=cfg.decontam_n,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        )
+        report["n_after_decontam"] = clean.count()
+        report["n_dropped_decontam"] = (
+            report["n_after_dedup"] - report["n_after_decontam"]
+        )
+        report["n_output"] = report["n_after_decontam"]
+    else:
+        report["n_output"] = report["n_after_dedup"]
+
+    for frame in to_release:
+        frame.unpersist()
+    return report

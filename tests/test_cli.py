@@ -280,9 +280,11 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert main([
         "curate", "--config", cfg, "--table", "corpus",
         "--quality-quantile", "0.0", "--output-parquet", out,
+        "--report",
     ]) == 0
     text = capsys.readouterr().out
     assert "curated corpus written to" in text
+    assert "n_dropped_dedup: 1" in text
     back = spark.read.parquet(out)
     # one of the two exact dups dropped; redaction applied
     assert back.count() == 19

@@ -643,3 +643,35 @@ def test_zscore_outliers_plan(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan  # stats broadcast back
     assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_curate_report_stage_accounting(spark):
+    from dbqt_spark.operators.pipeline import CurateConfig, curate_report
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    leak = "the secret eval answer"
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),  # exact dup of 1
+        (3, "zzzz!!!! ????", "en"),  # low quality
+        (4, f"prefix {leak} suffix words to reach length", "en"),
+        (5, "a perfectly ordinary different document here", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    eval_df = spark.createDataFrame([(100, leak)], ["doc_id", "text"])
+    rep = curate_report(
+        df,
+        CurateConfig(
+            quality_quantile=0.4, eval_df=eval_df, decontam_n=3
+        ),
+    )
+    assert rep["n_input"] == 5
+    assert rep["n_dropped_quality"] >= 1  # doc 3 gated
+    assert rep["n_dropped_dedup"] == 1  # doc 2
+    assert rep["n_dropped_decontam"] == 1  # doc 4
+    assert rep["n_output"] == (
+        rep["n_input"]
+        - rep["n_dropped_quality"]
+        - rep["n_dropped_dedup"]
+        - rep["n_dropped_decontam"]
+    )
