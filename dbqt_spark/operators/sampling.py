@@ -108,3 +108,89 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+# ordered range-buckets for the token-budget prefix: top 12 bits of the
+# 60-bit portable hash, so bucket order IS hash order
+_BUDGET_BUCKETS_SHIFT = 48
+_BUDGET_BUCKETS = 1 << 12
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic subsample holding the LARGEST hash-order prefix of
+    the corpus whose whitespace-token total stays within
+    ``budget_tokens`` — "give me a 1B-token sample" as a pure function
+    of (seed, corpus), stable across runs and engines.
+
+    The naive form is a global running sum over hash order — a
+    single-partition window, dead at scale. Here the 60-bit portable
+    hash's top 12 bits form 4096 ORDERED range-buckets: per-bucket
+    token sums aggregate distributed (one tiny shuffle), the driver
+    prefix-sums 4096 longs to locate the boundary bucket, buckets
+    before it are kept whole with no window at all, and only the ONE
+    boundary bucket (1/4096 of the corpus in expectation) runs an exact
+    within-bucket running sum. Equivalent to the global cumulative by
+    construction (bucket order is hash-order); the DuckDB oracle runs
+    the naive global window and matches bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import portable_token_hash
+    from .textstats import tokens_col
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    key = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    h = portable_token_hash(key)
+    n_tokens = F.size(
+        tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        h.alias("__h"),
+        # exact integer shift — a double division could round an h
+        # sitting within one ulp of a bucket boundary into the wrong
+        # bucket
+        F.shiftright(h, _BUDGET_BUCKETS_SHIFT).alias("__bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+
+    bucket_rows = sorted(
+        (r["__bucket"], r["__s"])
+        for r in base.groupBy("__bucket")
+        .agg(F.sum("n_tokens").alias("__s"))
+        .collect()
+    )
+    cum = 0
+    boundary_bucket, boundary_base = None, 0
+    last_full = -1
+    for b, s in bucket_rows:
+        if cum + s <= budget_tokens:
+            cum += s
+            last_full = b
+            continue
+        boundary_bucket, boundary_base = b, cum
+        break
+
+    kept_whole = base.filter(F.col("__bucket") <= F.lit(last_full))
+    if boundary_bucket is None:
+        return kept_whole.select(id_col, "n_tokens").orderBy(id_col)
+    w = Window.partitionBy("__bucket").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    boundary = (
+        base.filter(F.col("__bucket") == F.lit(boundary_bucket))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .filter(F.col("__cum") + F.lit(boundary_base) <= budget_tokens)
+    )
+    return (
+        kept_whole.select(id_col, "n_tokens")
+        .unionByName(boundary.select(id_col, "n_tokens"))
+        .orderBy(id_col)
+    )

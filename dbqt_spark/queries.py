@@ -2305,6 +2305,36 @@ LIMIT 20
 """
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20k-token subsample: the largest hash-order prefix
+    within budget — distributed range-bucket prefix sum; only the one
+    boundary bucket runs a window."""
+    from .operators.sampling import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(docs, budget_tokens=20_000, seed=42)
+
+
+# The oracle runs the NAIVE global running sum the operator's bucketed
+# prefix is provably equivalent to.
+SQL_TOKEN_BUDGET = r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens,
+    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      ::UBIGINT AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY h, doc_id) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens FROM c WHERE cum <= 20000 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "rowcount_filtered": q_rowcount_filtered,
@@ -2364,6 +2394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_clusters": q_minhash_clusters,
     "value_outliers": q_value_outliers,
+    "token_budget_sample": q_token_budget,
 }
 
 ORACLES: dict[str, str] = {
@@ -2422,6 +2453,7 @@ ORACLES: dict[str, str] = {
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "value_outliers": SQL_VALUE_OUTLIERS,
+    "token_budget_sample": SQL_TOKEN_BUDGET,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -675,3 +675,55 @@ def test_curate_report_stage_accounting(spark):
         - rep["n_dropped_dedup"]
         - rep["n_dropped_decontam"]
     )
+
+
+# --- token budget sample ----------------------------------------------------
+
+
+def test_token_budget_sample_matches_naive(spark):
+    """The bucketed prefix equals the naive global running-sum cut."""
+    from dbqt_spark.operators.dedup import portable_token_hash
+    from dbqt_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, " ".join(["w"] * (3 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    budget = 300
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in token_budget_sample(df, budget).collect()
+    }
+    # naive reference: sort by (hash, id), take while within budget
+    hashed = df.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("n"),
+        portable_token_hash(
+            F.concat_ws(":", F.lit("42"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    ).collect()
+    expect, cum = {}, 0
+    for r in sorted(hashed, key=lambda r: (r["h"], r["doc_id"])):
+        if cum + r["n"] > budget:
+            break
+        cum += r["n"]
+        expect[r["doc_id"]] = r["n"]
+    assert got == expect
+    assert sum(got.values()) <= budget
+    # deterministic across reruns
+    again = {
+        r["doc_id"]: r["n_tokens"]
+        for r in token_budget_sample(df, budget).collect()
+    }
+    assert again == got
+
+
+def test_token_budget_sample_edges(spark):
+    from dbqt_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], ["doc_id", "text"]
+    )
+    # zero budget keeps only zero-token docs that hash-sort first --
+    # possibly none; huge budget keeps everything
+    assert len(token_budget_sample(df, 10_000).collect()) == 2
+    with pytest.raises(ValueError):
+        token_budget_sample(df, -1)
