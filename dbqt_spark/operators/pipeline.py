@@ -229,3 +229,69 @@ def curate_report(
     for frame in to_release:
         frame.unpersist()
     return report
+
+
+def curate_incremental(
+    df: DataFrame,
+    out_dir: str,
+    config: CurateConfig | None = None,
+) -> "dict[str, int]":
+    """Curate ONLY the rows not yet in ``out_dir`` and append them —
+    the grow-in-place story for a curated corpus (the ANN indexes'
+    ``*_append`` analog). Correct incrementality rests on two existing
+    contracts: ``hash_split`` is append-stable (a new doc's split never
+    depends on the rest of the frame), and exact dedup extends across
+    increments by anti-joining the new batch's fingerprints against the
+    ALREADY-PUBLISHED corpus before the chain runs.
+
+    Two documented boundaries: quality-quantile thresholds are computed
+    over the NEW batch (for fixed calibrated thresholds run the
+    streaming sink instead), and near-dup control across increments is
+    the stateful ``streaming/neardup.py`` gate — ``dedup='minhash'``
+    here still resolves only within the batch. The append itself uses
+    Spark's job-commit protocol; a mid-job failure leaves no visible
+    files, but a retry AFTER a successful commit would re-append — use
+    the streaming sink's batch markers when exactly-once matters.
+
+    Returns per-split counts of the rows appended by THIS call."""
+    import os
+
+    from .dedup import normalize_text
+
+    cfg = config or CurateConfig()
+    spark = df.sparkSession
+    new_docs = df
+    if os.path.isdir(out_dir) and any(
+        not f.startswith((".", "_")) for f in os.listdir(out_dir)
+    ):
+        existing = spark.read.parquet(out_dir)
+        # ids already curated never re-enter
+        new_docs = df.join(
+            existing.select(cfg.id_col), cfg.id_col, "left_anti"
+        )
+        if cfg.dedup == "exact" and cfg.text_col in existing.columns:
+            # cross-increment exact dedup: a new doc whose normalized
+            # text fingerprint already exists in the corpus is a dup
+            # even though its id is new
+            new_fp = new_docs.withColumn(
+                "__fp", F.md5(normalize_text(cfg.text_col))
+            )
+            old_fp = existing.select(
+                F.md5(normalize_text(cfg.text_col)).alias("__fp")
+            ).distinct()
+            new_docs = new_fp.join(old_fp, "__fp", "left_anti").drop(
+                "__fp"
+            )
+    # localCheckpoint (eager) CUTS the lineage before the append: the
+    # curated plan reads out_dir through the anti-joins, so any
+    # post-append re-execution (the count below, a cache miss during
+    # the write) would re-list the directory it just appended to and
+    # anti-join its own output away — the classic read-modify-read-
+    # same-path hazard. After the checkpoint both the write and the
+    # count consume materialized blocks, never the directory.
+    out = curate(new_docs, cfg).localCheckpoint()
+    out.write.mode("append").partitionBy("split").parquet(out_dir)
+    appended = (
+        out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    return {r["split"]: r["n"] for r in appended}

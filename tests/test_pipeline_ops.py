@@ -727,3 +727,48 @@ def test_token_budget_sample_edges(spark):
     assert len(token_budget_sample(df, 10_000).collect()) == 2
     with pytest.raises(ValueError):
         token_budget_sample(df, -1)
+
+
+def test_curate_incremental_appends_only_new(spark, tmp_path):
+    from dbqt_spark.operators.pipeline import (
+        CurateConfig,
+        curate_incremental,
+    )
+
+    cfg = CurateConfig(quality_quantile=0.0)
+    out_dir = str(tmp_path / "corpus")
+    batch1 = spark.createDataFrame(
+        [(i, f"unique document number {i} with plain words", "en")
+         for i in range(10)],
+        ["doc_id", "text", "lang"],
+    )
+    c1 = curate_incremental(batch1, out_dir, cfg)
+    assert sum(c1.values()) == 10
+
+    # batch 2: 5 genuinely new, 2 already-curated ids, 1 new id whose
+    # text exactly duplicates a curated doc
+    batch2 = spark.createDataFrame(
+        [(i, f"unique document number {i} with plain words", "en")
+         for i in range(10, 15)]
+        + [(3, "unique document number 3 with plain words", "en"),
+           (7, "unique document number 7 with plain words", "en"),
+           (99, "unique document number 4 with plain words", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    c2 = curate_incremental(batch2, out_dir, cfg)
+    assert sum(c2.values()) == 5  # 2 old ids + 1 cross-increment dup skipped
+
+    final = spark.read.parquet(out_dir)
+    ids = sorted(r["doc_id"] for r in final.collect())
+    assert ids == sorted(range(15))
+    # append-stable split: batch-1 docs keep their original assignment
+    from dbqt_spark.operators.sampling import hash_split
+
+    expect = {
+        r["doc_id"]: r["split"] for r in hash_split(batch1).collect()
+    }
+    got = {
+        r["doc_id"]: r["split"]
+        for r in final.filter("doc_id < 10").collect()
+    }
+    assert got == expect
