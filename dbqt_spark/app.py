@@ -40,6 +40,7 @@ TOOLS = [
     "decontaminate",
     "split",
     "curate",
+    "sample",
 ]
 
 
@@ -772,6 +773,57 @@ def tool_curate(argv: list[str]) -> int:
     return 0
 
 
+def tool_sample(argv: list[str]) -> int:
+    """Deterministic corpus sampling from the CLI: per-group stratified
+    cap or token-budget prefix — both pure functions of (seed, corpus),
+    rerun- and engine-stable (never rand())."""
+    p = argparse.ArgumentParser(prog="sample")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--method", choices=["stratified", "budget"],
+                   required=True)
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--group-column", default="lang",
+                   help="stratified: group to cap")
+    p.add_argument("--per-group", type=int, default=1000,
+                   help="stratified: rows kept per group")
+    p.add_argument("--text-column", default="text",
+                   help="budget: tokens counted on this column")
+    p.add_argument("--budget-tokens", type=int,
+                   help="budget: whitespace-token budget")
+    p.add_argument("--output-parquet", required=True)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    if args.method == "stratified":
+        from .operators.sampling import stratified_sample
+
+        out = stratified_sample(
+            df, args.group_column, args.per_group,
+            id_col=args.id_column, seed=args.seed,
+        )
+    else:
+        if args.budget_tokens is None:
+            p.error("--budget-tokens is required with --method budget")
+        from .operators.sampling import token_budget_sample
+
+        ids = token_budget_sample(
+            df, args.budget_tokens, text_col=args.text_column,
+            id_col=args.id_column, seed=args.seed,
+        ).select(args.id_column)
+        # the kept-id set can be most of the corpus — never broadcast
+        # it; AQE picks the join strategy from the measured size
+        out = df.join(ids, args.id_column, "left_semi")
+    out.write.mode("overwrite").parquet(args.output_parquet)
+    n = db.spark.read.parquet(args.output_parquet).count()
+    print(f"{n} rows sampled to {args.output_parquet}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -798,6 +850,7 @@ def main(argv: list[str] | None = None) -> int:
         "decontaminate": tool_decontaminate,
         "split": tool_split,
         "curate": tool_curate,
+        "sample": tool_sample,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

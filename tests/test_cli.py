@@ -314,3 +314,28 @@ def test_dedup_tool_clusters(tmp_path, capsys):
         next((tmp_path / "clusters.pq").glob("*.parquet"))
     ).names)
     assert {"id_a", "id_b"} <= cols
+
+
+def test_cli_sample(spark, tmp_path, capsys):
+    cfg = _write(
+        tmp_path / "c.yaml",
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n",
+    )
+    strat = str(tmp_path / "strat")
+    assert main([
+        "sample", "--config", cfg, "--table", "documents",
+        "--method", "stratified", "--per-group", "5",
+        "--output-parquet", strat,
+    ]) == 0
+    assert "25 rows sampled" in capsys.readouterr().out  # 5 langs x 5
+
+    budget = str(tmp_path / "budget")
+    assert main([
+        "sample", "--config", cfg, "--table", "documents",
+        "--method", "budget", "--budget-tokens", "2000",
+        "--output-parquet", budget,
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "rows sampled" in out
+    back = spark.read.parquet(budget)
+    assert 0 < back.count() < 500  # a strict subset
