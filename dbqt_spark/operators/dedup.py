@@ -966,3 +966,94 @@ def ngram_jaccard_near_duplicates(
         return pairs
     sh.unpersist()
     return sh.sparkSession.createDataFrame(rows, schema=pairs_plan.schema)
+
+
+def minhash_cross_near_duplicates(
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
+    drop_stats: dict | None = None,
+) -> DataFrame:
+    """CROSS-corpus near-dup pairs: for each ``query_df`` doc, the
+    ``corpus_df`` docs it near-duplicates — (query_id, corpus_id,
+    jaccard). The batch analog of the streaming ingest gate
+    (streaming/neardup.py): dedup a NEW crawl against an EXISTING
+    corpus without the N^2 self-join over their union, and without the
+    gate's per-batch store machinery. Ids may overlap between the two
+    frames (they are independent keyspaces); no self-pair exclusion is
+    applied — disjointness is the caller's contract.
+
+    Shape mirrors ``minhash_near_duplicates``: each side is band-hashed
+    in its own single Arrow pass, candidates come from an equi-join on
+    (band_id, band_hash) — query side x corpus side, never within a
+    side — and candidates verify with exact Jaccard over the shingle
+    sets. The bucket cap applies per side (a hot boilerplate bucket is
+    quadratic in the CROSS product too), with drops observable via
+    ``drop_stats`` ({'query': {...}, 'corpus': {...}}).
+    """
+
+    to_release: "list[DataFrame]" = []
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        frame = _spread(df).select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.posexplode(
+                minhash_band_hashes(text_col, num_hashes, bands, shingle_n)
+            ).alias("band_id", "band_hash"),
+        )
+        if max_bucket_size is not None:
+            stats: dict = {}
+            frame = frame.persist()
+            to_release.append(frame)
+            frame = _cap_buckets_eager(
+                frame, ["band_id", "band_hash"], max_bucket_size, stats
+            )
+            if drop_stats is not None:
+                drop_stats[side] = stats
+        return frame
+
+    q_bands = banded(query_df, "query")
+    c_bands = banded(corpus_df, "corpus")
+    cands = (
+        q_bands.join(c_bands, ["band_id", "band_hash"])
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    n_cand = cands.persist().count()
+    bcast = F.broadcast if n_cand <= BROADCAST_PAIR_LIMIT else (lambda d: d)
+    jac = jaccard_shingle_udf(shingle_n)
+    with_q = bcast(cands).join(
+        query_df.select(
+            F.col(id_col).alias("query_id"), F.col(text_col).alias("__tq")
+        ),
+        "query_id",
+    )
+    with_qc = with_q.join(
+        corpus_df.select(
+            F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__tc")
+        ),
+        "corpus_id",
+    )
+    verified = (
+        with_qc.withColumn("__j", jac("__tq", "__tc"))
+        .filter(F.col("__j") >= threshold)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("__j", 4).alias("jaccard"),
+        )
+    )
+    # eager checkpoint: materializes the verified pairs so every cached
+    # band/candidate frame can be released before returning (the result
+    # carries no lineage back to them)
+    result = verified.localCheckpoint()
+    cands.unpersist()
+    for frame in to_release:
+        frame.unpersist()
+    return result

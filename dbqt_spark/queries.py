@@ -2335,6 +2335,34 @@ SELECT doc_id, n_tokens FROM c WHERE cum <= 20000 ORDER BY doc_id
 """
 
 
+def q_cross_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup: odd-id docs (the 'new crawl') vs even-id
+    docs (the 'existing corpus') at threshold 0.5 — banded equi-join
+    across sides only, exact-Jaccard verified."""
+    from .operators.dedup import minhash_cross_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_cross_near_duplicates(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.5,
+    ).orderBy("query_id", "corpus_id")
+
+
+SQL_CROSS_NEAR_DUPS = f"""
+WITH {_SQL_SHINGLES}
+SELECT a.doc_id AS query_id, b.doc_id AS corpus_id,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+             4) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+ORDER BY query_id, corpus_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "rowcount_filtered": q_rowcount_filtered,
@@ -2395,6 +2423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_clusters": q_minhash_clusters,
     "value_outliers": q_value_outliers,
     "token_budget_sample": q_token_budget,
+    "cross_near_dups": q_cross_near_dups,
 }
 
 ORACLES: dict[str, str] = {
@@ -2454,6 +2483,7 @@ ORACLES: dict[str, str] = {
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "token_budget_sample": SQL_TOKEN_BUDGET,
+    "cross_near_dups": SQL_CROSS_NEAR_DUPS,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -772,3 +772,49 @@ def test_curate_incremental_appends_only_new(spark, tmp_path):
         for r in final.filter("doc_id < 10").collect()
     }
     assert got == expect
+
+
+# --- cross-corpus near-dup --------------------------------------------------
+
+
+def test_cross_near_duplicates_sides_only(spark):
+    from dbqt_spark.operators.dedup import minhash_cross_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    query = _docs(
+        spark,
+        [
+            (1, base + " tonight"),  # near-dups corpus doc 100
+            (2, "totally different new crawl document about engines"),
+            (3, base + " tonight"),  # near-dups 100 AND exactly = doc 1
+        ],
+    )
+    corpus = _docs(
+        spark,
+        [
+            (100, base + " today"),
+            (101, "existing corpus document about something else entirely"),
+        ],
+    )
+    got = sorted(
+        (r["query_id"], r["corpus_id"])
+        for r in minhash_cross_near_duplicates(
+            query, corpus, threshold=0.5
+        ).collect()
+    )
+    # within-side pairs (1,3) must NOT appear: only cross pairs
+    assert got == [(1, 100), (3, 100)]
+
+
+def test_cross_near_duplicates_overlapping_ids(spark):
+    """Ids are independent keyspaces: the same id on both sides is a
+    legitimate cross pair, not a self-pair to exclude."""
+    from dbqt_spark.operators.dedup import minhash_cross_near_duplicates
+
+    text = "one identical document text shared across the two corpora here"
+    query = _docs(spark, [(7, text)])
+    corpus = _docs(spark, [(7, text)])
+    got = minhash_cross_near_duplicates(query, corpus, threshold=0.9).collect()
+    assert [(r["query_id"], r["corpus_id"], r["jaccard"]) for r in got] == [
+        (7, 7, 1.0)
+    ]
