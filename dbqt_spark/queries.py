@@ -2363,6 +2363,52 @@ ORDER BY query_id, corpus_id
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel with first-touch ordered
+    attribution — one scan, one user-hash shuffle, stacked unordered
+    window minimums."""
+    from .operators.funnel import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel(events, ["view", "click", "purchase"])
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY e.user_id
+),
+n AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT step_index, step, n_users,
+  CASE WHEN n1 > 0
+       THEN round(CAST(n_users AS DOUBLE) / n1 * 100.0, 2)
+       ELSE 0.0 END AS pct_of_first
+FROM (
+  SELECT 1 AS step_index, 'view' AS step, CAST(n1 AS BIGINT) AS n_users, n1 FROM n
+  UNION ALL
+  SELECT 2, 'click', CAST(n2 AS BIGINT), n1 FROM n
+  UNION ALL
+  SELECT 3, 'purchase', CAST(n3 AS BIGINT), n1 FROM n
+) ORDER BY step_index
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "rowcount_filtered": q_rowcount_filtered,
@@ -2424,6 +2470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_outliers": q_value_outliers,
     "token_budget_sample": q_token_budget,
     "cross_near_dups": q_cross_near_dups,
+    "event_funnel": q_event_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -2484,6 +2531,7 @@ ORACLES: dict[str, str] = {
     "value_outliers": SQL_VALUE_OUTLIERS,
     "token_budget_sample": SQL_TOKEN_BUDGET,
     "cross_near_dups": SQL_CROSS_NEAR_DUPS,
+    "event_funnel": SQL_EVENT_FUNNEL,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -818,3 +818,60 @@ def test_cross_near_duplicates_overlapping_ids(spark):
     assert [(r["query_id"], r["corpus_id"], r["jaccard"]) for r in got] == [
         (7, 7, 1.0)
     ]
+
+
+# --- event funnel -----------------------------------------------------------
+
+
+def test_funnel_ordered_attribution(spark):
+    import datetime as dt
+
+    from dbqt_spark.operators.funnel import funnel
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1 completes in order
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # u2 clicks BEFORE viewing: click doesn't count, no purchase
+        (2, "click", t(1)), (2, "view", t(2)),
+        # u3 views only
+        (3, "view", t(1)),
+        # u4 same-timestamp view+click: >= lets the click bind
+        (4, "view", t(5)), (4, "click", t(5)),
+        # u5 never views; later steps can't start the funnel
+        (5, "click", t(1)), (5, "purchase", t(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["step"]: (r["n_users"], r["pct_of_first"])
+        for r in funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {
+        "view": (4, 100.0),
+        "click": (2, 50.0),  # u1 and u4
+        "purchase": (1, 25.0),  # u1
+    }
+    with pytest.raises(ValueError):
+        funnel(df, ["view"])
+    with pytest.raises(ValueError):
+        funnel(df, ["view", "view"])
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    import re
+
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.funnel import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    plan = formatted_plan(funnel(events, ["view", "click", "purchase"]))
+    # the event table is hash-partitioned by user ONCE; the stacked
+    # window minimums and the per-user collapse reuse that partitioning
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1
+    # one user-hash exchange + the final single-partition gather for
+    # the 3-row result (+1 under AQE variations) — never per-step
+    assert len(exchanges) <= 3
