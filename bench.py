@@ -125,6 +125,7 @@ def main() -> None:
         "simhash_near_dups",
         "minhash_near_dups",
         "minhash_clusters",
+        "cross_near_dups",
         "profile_numeric",
         "profile_lineitem",
         "streaming_dedup",
