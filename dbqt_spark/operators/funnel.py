@@ -87,3 +87,64 @@ def funnel(
         .select("r.*")
         .orderBy("step_index")
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by their FIRST-activity
+    week (Monday-truncated), then for each later week the fraction of
+    the cohort still active — (cohort_week, week_offset, n_active,
+    retention_pct). Offset 0 is the cohort itself (100% by
+    construction); ``max_offset`` optionally bounds the matrix width.
+
+    Shape: one scan -> per-user min-week aggregate + distinct
+    (user, week) activity pairs (both hash-partition on the user) ->
+    join on user -> tiny (cohort, offset) aggregate. Cohort sizes come
+    from the offset-0 rows of the SAME aggregate (no second pass), and
+    join back by broadcast — the matrix is weeks x weeks, never
+    corpus-sized.
+    """
+    week = F.date_format(
+        F.date_trunc("week", F.col(ts_col)), "yyyy-MM-dd"
+    )
+    activity = df.select(
+        F.col(user_col).alias("u"), week.alias("wk")
+    ).distinct()
+    cohorts = activity.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    joined = activity.join(cohorts, "u").select(
+        "cohort_week",
+        (
+            F.datediff(F.to_date("wk"), F.to_date("cohort_week")) / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+        "u",
+    )
+    if max_offset is not None:
+        joined = joined.filter(F.col("week_offset") <= max_offset)
+    counts = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("u").alias("n_active")
+    )
+    sizes = counts.filter(F.col("week_offset") == 0).select(
+        F.col("cohort_week").alias("__cw"),
+        F.col("n_active").alias("__size"),
+    )
+    return (
+        counts.join(
+            F.broadcast(sizes), F.col("cohort_week") == F.col("__cw")
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("__size") * 100.0,
+                2,
+            ).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -2409,6 +2409,49 @@ FROM (
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events — cohort by first
+    Monday-week of activity; sizes from the offset-0 rows of the same
+    aggregate, broadcast back."""
+    _ensure_utc(spark)
+    from .operators.funnel import retention_cohorts
+
+    events = load_table(spark, sf_dir, "events")
+    return retention_cohorts(events)
+
+
+SQL_RETENTION_COHORTS = """
+WITH activity AS (
+  SELECT DISTINCT user_id AS u,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk
+  FROM events
+),
+cohorts AS (
+  SELECT u, min(wk) AS cohort_week FROM activity GROUP BY u
+),
+joined AS (
+  SELECT c.cohort_week,
+         CAST(datediff('day', CAST(c.cohort_week AS DATE),
+                       CAST(a.wk AS DATE)) / 7 AS BIGINT) AS week_offset,
+         a.u
+  FROM activity a JOIN cohorts c USING (u)
+),
+counts AS (
+  SELECT cohort_week, week_offset,
+         CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active
+  FROM joined GROUP BY cohort_week, week_offset
+),
+sizes AS (
+  SELECT cohort_week, n_active AS sz FROM counts WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_active,
+       round(CAST(c.n_active AS DOUBLE) / s.sz * 100.0, 2)
+         AS retention_pct
+FROM counts c JOIN sizes s USING (cohort_week)
+ORDER BY c.cohort_week, c.week_offset
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "rowcount_filtered": q_rowcount_filtered,
@@ -2471,6 +2514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_sample": q_token_budget,
     "cross_near_dups": q_cross_near_dups,
     "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 ORACLES: dict[str, str] = {
@@ -2532,6 +2576,7 @@ ORACLES: dict[str, str] = {
     "token_budget_sample": SQL_TOKEN_BUDGET,
     "cross_near_dups": SQL_CROSS_NEAR_DUPS,
     "event_funnel": SQL_EVENT_FUNNEL,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

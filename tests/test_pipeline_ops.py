@@ -875,3 +875,32 @@ def test_funnel_single_shuffle(spark, sf_dir):
     # one user-hash exchange + the final single-partition gather for
     # the 3-row result (+1 under AQE variations) — never per-step
     assert len(exchanges) <= 3
+
+
+def test_retention_cohorts_known_values(spark):
+    import datetime as dt
+
+    from dbqt_spark.operators.funnel import retention_cohorts
+
+    d = lambda day: dt.datetime(2026, 1, day, 12, 0)  # noqa: E731
+    # week of Mon Jan 5 and week of Mon Jan 12, 2026
+    rows = [
+        (1, d(5)), (1, d(13)),   # cohort w1, active w2
+        (2, d(6)),               # cohort w1 only
+        (3, d(12)),              # cohort w2 only
+        (1, d(5)),               # duplicate activity, same week
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["n_active"], r["retention_pct"]
+        )
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2026-01-05", 0): (2, 100.0),
+        ("2026-01-05", 1): (1, 50.0),
+        ("2026-01-12", 0): (1, 100.0),
+    }
+    capped = retention_cohorts(df, max_offset=0).collect()
+    assert all(r["week_offset"] == 0 for r in capped)
