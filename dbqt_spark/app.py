@@ -763,12 +763,20 @@ def tool_curate(argv: list[str]) -> int:
         eval_df=db.load(args.eval_table) if args.eval_table else None,
         decontam_n=args.decontam_ngram,
     )
-    counts = curate_and_write(df, args.output_parquet, curate_cfg)
-    for name, _ in weights:
-        print(f"{name}: {counts.get(name, 0)}")
     if args.report:
-        for stage, n in curate_report(df, curate_cfg).items():
-            print(f"{stage}: {n}")
+        # one chain: the report path finishes redact+split and writes,
+        # so the expensive stages (MinHash banding, component
+        # resolution) run exactly once
+        report = curate_report(df, curate_cfg, out_dir=args.output_parquet)
+        for name, _ in weights:
+            print(f"{name}: {report.get(f'split_{name}', 0)}")
+        for stage, n in report.items():
+            if not stage.startswith("split_"):
+                print(f"{stage}: {n}")
+    else:
+        counts = curate_and_write(df, args.output_parquet, curate_cfg)
+        for name, _ in weights:
+            print(f"{name}: {counts.get(name, 0)}")
     print(f"curated corpus written to {args.output_parquet}")
     return 0
 
@@ -794,8 +802,6 @@ def tool_sample(argv: list[str]) -> int:
                    help="budget: whitespace-token budget")
     p.add_argument("--output-parquet", required=True)
     args = p.parse_args(argv)
-
-    from pyspark.sql import functions as F
 
     cfg, db = _load_db(args.config)
     df = db.load(args.table)

@@ -627,43 +627,13 @@ def minhash_near_duplicates(
         drop_stats,
     )
 
-    # Exact-Jaccard verification: attach each side's text to the candidate
-    # pairs with two joins against the raw docs, then one Arrow pandas_udf
-    # computes |A∩B| / |A∪B| over the distinct shingle SETS of the two
-    # texts. ONLY the ids-only ``pairs`` frame is ever broadcast (gated on
-    # the measured count — an uncapped run degrades to shuffle joins, not
-    # OOM); the text-carrying intermediates are joined by shuffle, which
-    # moves just 2 x n_pairs text rows. Broadcasting a text-carrying frame
-    # would turn 100k pairs of multi-KB docs into a driver/executor memory
-    # bet — the gate counts pairs, not bytes, so texts must stay off the
-    # broadcast path (ADVICE r4). Only candidate-involved docs ever reach
-    # the UDF; the full corpus is never shingle-exploded. Set semantics
-    # mirror the brute-force oracle (lower + ASCII-whitespace split,
-    # distinct word n-grams, whole-doc shingle for short docs); the
-    # division is one IEEE op on two small ints, so engines agree
-    # bit-for-bit, and rounding stays JVM-side (F.round, HALF_UP like the
-    # oracle's round()).
-    bcast = F.broadcast if n_pairs <= BROADCAST_PAIR_LIMIT else (lambda d: d)
-    jaccard_udf = jaccard_shingle_udf(shingle_n)
+    # Exact-Jaccard verification via the shared stage (see
+    # ``_attach_texts_and_verify`` for the broadcast invariant and set
+    # semantics — both self-join and cross-corpus paths run the same
+    # code, so their verdicts and the DuckDB oracles' cannot diverge).
     docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    with_a = docs.join(
-        bcast(pairs), docs["__id"] == pairs["id_a"]
-    ).select("id_a", "id_b", F.col("__t").alias("__ta"))
-    with_b = docs.join(
-        bcast(pairs), docs["__id"] == pairs["id_b"]
-    ).select(
-        F.col("id_a").alias("__pa"),
-        F.col("id_b").alias("__pb"),
-        F.col("__t").alias("__tb"),
-    )
-    with_ab = with_a.join(
-        with_b,
-        (with_a["id_a"] == with_b["__pa"]) & (with_a["id_b"] == with_b["__pb"]),
-    ).select("id_a", "id_b", "__ta", "__tb")
-    verified = (
-        with_ab.withColumn("jaccard", jaccard_udf("__ta", "__tb"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    verified = _attach_texts_and_verify(
+        pairs, n_pairs, docs, docs, "id_a", "id_b", shingle_n, threshold
     )
     if pairs.is_cached:
         # fallback path (candidate set too big to localize): materialize
@@ -674,6 +644,54 @@ def minhash_near_duplicates(
         verified.count()
         pairs.unpersist()
     return verified
+
+
+def _attach_texts_and_verify(
+    pairs: DataFrame,
+    n_pairs: int,
+    a_docs: DataFrame,
+    b_docs: DataFrame,
+    a_key: str,
+    b_key: str,
+    shingle_n: int,
+    threshold: float,
+) -> DataFrame:
+    """THE shared exact-Jaccard verification stage: attach each side's
+    text to the candidate pairs with two joins, score with the canonical
+    ``jaccard_shingle_udf``, keep (a_key, b_key, jaccard >= threshold).
+
+    Broadcast invariant (ADVICE r4): ONLY the ids-only ``pairs`` frame
+    may broadcast, gated on the measured ``n_pairs`` — the text-carrying
+    intermediates always join by shuffle, moving just 2 x n_pairs text
+    rows; broadcasting a text-carrying frame would turn 100k pairs of
+    multi-KB docs into a driver/executor memory bet. Only candidate-
+    involved docs ever reach the UDF; no corpus is shingle-exploded.
+    ``a_docs``/``b_docs`` must be (``__id``, ``__t``) projections; the
+    self-join path passes the same frame twice, the cross-corpus path
+    its two sides. Rounding stays JVM-side (F.round, HALF_UP like the
+    oracle's round()).
+    """
+    bcast = F.broadcast if n_pairs <= BROADCAST_PAIR_LIMIT else (lambda d: d)
+    jaccard_udf = jaccard_shingle_udf(shingle_n)
+    with_a = a_docs.join(
+        bcast(pairs), a_docs["__id"] == pairs[a_key]
+    ).select(a_key, b_key, F.col("__t").alias("__ta"))
+    with_b = b_docs.join(
+        bcast(pairs), b_docs["__id"] == pairs[b_key]
+    ).select(
+        F.col(a_key).alias("__pa"),
+        F.col(b_key).alias("__pb"),
+        F.col("__t").alias("__tb"),
+    )
+    with_ab = with_a.join(
+        with_b,
+        (with_a[a_key] == with_b["__pa"]) & (with_a[b_key] == with_b["__pb"]),
+    ).select(a_key, b_key, "__ta", "__tb")
+    return (
+        with_ab.withColumn("jaccard", jaccard_udf("__ta", "__tb"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(a_key, b_key, F.round("jaccard", 4).alias("jaccard"))
+    )
 
 
 def jaccard_shingle_udf(shingle_n: int):
@@ -1026,28 +1044,19 @@ def minhash_cross_near_duplicates(
         .distinct()
     )
     n_cand = cands.persist().count()
-    bcast = F.broadcast if n_cand <= BROADCAST_PAIR_LIMIT else (lambda d: d)
-    jac = jaccard_shingle_udf(shingle_n)
-    with_q = bcast(cands).join(
+    verified = _attach_texts_and_verify(
+        cands,
+        n_cand,
         query_df.select(
-            F.col(id_col).alias("query_id"), F.col(text_col).alias("__tq")
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+        ),
+        corpus_df.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
         ),
         "query_id",
-    )
-    with_qc = with_q.join(
-        corpus_df.select(
-            F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__tc")
-        ),
         "corpus_id",
-    )
-    verified = (
-        with_qc.withColumn("__j", jac("__tq", "__tc"))
-        .filter(F.col("__j") >= threshold)
-        .select(
-            "query_id",
-            "corpus_id",
-            F.round("__j", 4).alias("jaccard"),
-        )
+        shingle_n,
+        threshold,
     )
     # eager checkpoint: materializes the verified pairs so every cached
     # band/candidate frame can be released before returning (the result

@@ -146,7 +146,9 @@ def curate_and_write(
 
 
 def curate_report(
-    df: DataFrame, config: CurateConfig | None = None
+    df: DataFrame,
+    config: CurateConfig | None = None,
+    out_dir: "str | None" = None,
 ) -> "dict[str, int]":
     """Stage-wise drop accounting for a curation run — the audit trail
     a 100 TB curation needs before anyone trusts its output. Returns
@@ -157,7 +159,13 @@ def curate_report(
     Costs one count job per stage boundary on top of the chain itself;
     each intermediate is persisted across its two uses (count + next
     stage) and released at the end. Use for audits and dry runs — the
-    plain ``curate``/``curate_and_write`` path stays count-free."""
+    plain ``curate``/``curate_and_write`` path stays count-free.
+
+    With ``out_dir``, the SAME chain finishes (PII redaction + split)
+    and publishes partitionBy(split) — curation and accounting in one
+    pass, the expensive stages (MinHash banding, component resolution)
+    never recomputed. Per-split counts land in the report as
+    ``split_<name>`` keys."""
     from .contamination import decontaminate
     from .dedup import dedup_exact, minhash_near_duplicates
     from .textstats import quality_quantile_filter
@@ -210,21 +218,42 @@ def curate_report(
         report["n_after_quality"] - report["n_after_dedup"]
     )
 
+    final = kept
     if cfg.eval_df is not None:
-        clean = decontaminate(
+        final = decontaminate(
             kept,
             cfg.eval_df,
             n=cfg.decontam_n,
             text_col=cfg.text_col,
             id_col=cfg.id_col,
         )
-        report["n_after_decontam"] = clean.count()
+        report["n_after_decontam"] = final.count()
         report["n_dropped_decontam"] = (
             report["n_after_dedup"] - report["n_after_decontam"]
         )
         report["n_output"] = report["n_after_decontam"]
     else:
         report["n_output"] = report["n_after_dedup"]
+
+    if out_dir is not None:
+        from .redact import redact_pii
+        from .sampling import hash_split
+
+        out = final
+        if cfg.redact:
+            out = redact_pii(out, text_col=cfg.text_col, id_col=cfg.id_col)
+        out = hash_split(
+            out, id_col=cfg.id_col, weights=cfg.split_weights, seed=cfg.seed
+        )
+        out.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+        written = (
+            df.sparkSession.read.parquet(out_dir)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in written:
+            report[f"split_{r['split']}"] = r["n"]
 
     for frame in to_release:
         frame.unpersist()

@@ -208,11 +208,14 @@ def zscore_outliers(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     v = F.col(value_col).cast("decimal(18,6)")
+    # NULL values (and values overflowing the decimal canon, which cast
+    # to NULL outside ANSI mode) carry no signal: excluded from the
+    # moments AND the output, so n is the count of REAL values
     canon = df.select(
         F.col(id_col),
         F.col(group_col),
         v.alias("__v"),
-    )
+    ).filter(F.col("__v").isNotNull())
     stats = (
         canon.groupBy(group_col)
         .agg(

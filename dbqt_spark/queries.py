@@ -2282,7 +2282,7 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_VALUE_OUTLIERS = """
 WITH canon AS (
   SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS v
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 stats AS (
   SELECT event_type,
@@ -2294,10 +2294,11 @@ stats AS (
            * COUNT(*) / (COUNT(*) - 1) AS var
   FROM canon GROUP BY event_type HAVING COUNT(*) >= 2
 )
-SELECT event_id, event_type,
+SELECT event_id, canon.event_type AS event_type,
        round(CAST(v AS DOUBLE), 6) AS value,
        round((CAST(v AS DOUBLE) - mean) / sqrt(var), 4) AS zscore
-FROM canon JOIN stats USING (event_type)
+FROM canon JOIN stats
+  ON canon.event_type IS NOT DISTINCT FROM stats.event_type
 WHERE var > 0
 ORDER BY abs(round((CAST(v AS DOUBLE) - mean) / sqrt(var), 4)) DESC,
          event_id ASC

@@ -904,3 +904,19 @@ def test_retention_cohorts_known_values(spark):
     }
     capped = retention_cohorts(df, max_offset=0).collect()
     assert all(r["week_offset"] == 0 for r in capped)
+
+
+def test_zscore_outliers_null_values_excluded(spark):
+    from dbqt_spark.operators.profile import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 10.0), (3, "a", None), (4, "a", 100.0)],
+        "event_id long, grp string, v double",
+    )
+    rows = zscore_outliers(
+        df, value_col="v", group_col="grp", id_col="event_id", k=5
+    ).collect()
+    # NULL contributes nothing: stats over {10, 10, 100}, no NULL row out
+    assert all(r["value"] is not None and r["zscore"] is not None
+               for r in rows)
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 4]
