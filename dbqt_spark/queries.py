@@ -2453,6 +2453,31 @@ ORDER BY c.cohort_week, c.week_offset
 """
 
 
+def q_lsh_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH ANN machinery at FULL probe radius (the whole Hamming
+    cube): provably equal to brute-force cosine top-k, so the same
+    pipeline that runs approximately in `lsh_topk` gets a bit-for-bit
+    DuckDB oracle here — the correctness anchor for the ANN tier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    scored = lsh_bucketed_topk(
+        emb, list(q), k=10, n_planes=8, probe_hamming=8
+    )
+    return scored.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF ANN machinery probing ALL cells — equal to brute force
+    by construction; oracled with the same cosine top-k SQL."""
+    from .operators.similarity import ivf_build, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    assigned, centroids = ivf_build(emb, n_cells=8)
+    out = ivf_search(assigned, centroids, list(q), k=10, n_probes=8)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "rowcount_filtered": q_rowcount_filtered,
@@ -2516,6 +2541,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_near_dups": q_cross_near_dups,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
+    "lsh_full_probe": q_lsh_full_probe,
+    "ivf_full_probe": q_ivf_full_probe,
 }
 
 ORACLES: dict[str, str] = {
@@ -2578,6 +2605,9 @@ ORACLES: dict[str, str] = {
     "cross_near_dups": SQL_CROSS_NEAR_DUPS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    # full-probe ANN == brute force by construction: same oracle
+    "lsh_full_probe": SQL_COSINE_TOPK,
+    "ivf_full_probe": SQL_COSINE_TOPK,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).
