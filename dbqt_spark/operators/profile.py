@@ -177,6 +177,191 @@ def profile_numeric(
     )
 
 
+def numeric_histogram(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str] | None = None,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Fixed-width histogram of every numeric column — a dbstats-style
+    distribution profile (companion to ``profile_numeric``'s moments).
+
+    Output: (table_name, col_name, bucket, n_rows, min_value, max_value)
+    with bucket in [0, n_buckets-1]; only non-empty buckets emit rows.
+
+    Engine-portable bucketing: values canonicalize to DECIMAL(18,6) and
+    then to SCALED INTEGERS (value * 1e6 as BIGINT), so the bucket index
+    ``least(((v - lo) * n) div (hi - lo + 1), n - 1)`` is pure int64
+    arithmetic — no float width computation, hence bit-identical across
+    engines and partitionings (float-width histograms disagree on bucket
+    boundaries between engines). Constraint: |column range| * 1e6 *
+    n_buckets must fit int64, i.e. ranges up to ~9e11 — the DECIMAL(18,6)
+    domain itself. NULLs (and values overflowing the decimal canon) are
+    excluded, as in ``zscore_outliers``.
+
+    Scale shape: pass 1 is a tiny min/max aggregate (parquet min/max
+    aggregate pushdown applies: spark.sql.parquet.aggregatePushdown);
+    pass 2 broadcasts the one-row bounds, emits (col_name, bucket) pairs
+    JVM-side via ``inline``, and hash-aggregates with map-side combine —
+    ONE shuffle whose cardinality is n_cols * n_buckets, independent of
+    input size.
+    """
+    from pyspark.sql.types import NumericType
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType)
+        and (columns is None or f.name in columns)
+    ]
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "table_name string, col_name string, bucket int, n_rows long, "
+            "min_value double, max_value double",
+        )
+
+    def vi(c: str):
+        return (F.col(c).cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+
+    bounds = df.agg(
+        *[F.min(vi(c)).alias(f"__lo_{c}") for c in cols],
+        *[F.max(vi(c)).alias(f"__hi_{c}") for c in cols],
+    )
+    data = df.select(*[vi(c).alias(f"__v_{c}") for c in cols])
+    joined = data.crossJoin(F.broadcast(bounds))
+
+    structs = []
+    for c in cols:
+        v, lo, hi = F.col(f"__v_{c}"), F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        bucket = F.least(
+            F.expr(
+                f"((`__v_{c}` - `__lo_{c}`) * {n_buckets}) "
+                f"div (`__hi_{c}` - `__lo_{c}` + 1)"
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.when(v.isNotNull(), bucket).alias("bucket"),
+                (lo.cast("double") / 1000000).alias("min_value"),
+                (hi.cast("double") / 1000000).alias("max_value"),
+            )
+        )
+    exploded = joined.select(F.inline(F.array(*structs))).filter(
+        F.col("bucket").isNotNull()
+    )
+    return (
+        exploded.groupBy("col_name", "bucket", "min_value", "max_value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            "col_name",
+            "bucket",
+            "n_rows",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("col_name", "bucket")
+    )
+
+
+def correlation_matrix(
+    df: DataFrame, table_name: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns, ONE scan for all
+    pairs: (table_name, col_x, col_y, n_pairs, corr) for every unordered
+    pair col_x < col_y (schema order).
+
+    ORDER-INDEPENDENT arithmetic, same contract as ``zscore_outliers``:
+    values canonicalize to DECIMAL(18,6); per-pair n / Σx / Σy / Σxy /
+    Σx² / Σy² accumulate as exact decimals (map-side partial aggregation
+    still applies), and the correlation is computed ONCE in double from
+    those exact sums — so any engine and any shuffle order reproduce the
+    value bit-for-bit, unlike streaming ``corr`` implementations whose
+    merge order varies. Pairwise-complete semantics: a pair's sums use
+    only rows where BOTH values are non-null. Zero-variance pairs emit
+    corr = NULL (the ratio is undefined; engines disagree on x/0).
+
+    Scale shape: one scan -> one-row wide aggregate (6 * C(n,2) partial
+    aggs) -> driver-cheap ``inline`` unpivot. No shuffle of the data.
+    Note: Σx² as DECIMAL(38,12) overflows (to NULL, non-ANSI) around
+    1e26 / n rows of 1e6-magnitude values; at that scale recenter the
+    columns or accept double sums with a tolerance-based comparison.
+    """
+    from pyspark.sql.types import NumericType
+
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType)
+        and (columns is None or f.name in columns)
+    ]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [],
+            "table_name string, col_x string, col_y string, "
+            "n_pairs long, corr double",
+        )
+
+    def d(c: str):
+        return F.col(c).cast("decimal(18,6)")
+
+    aggs = []
+    for a, b in pairs:
+        both = d(a).isNotNull() & d(b).isNotNull()
+        xa, xb = F.when(both, d(a)), F.when(both, d(b))
+        key = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"__n_{key}"),
+            F.sum(xa).alias(f"__sx_{key}"),
+            F.sum(xb).alias(f"__sy_{key}"),
+            F.sum(xa * xb).alias(f"__sxy_{key}"),
+            F.sum(xa * xa).alias(f"__sx2_{key}"),
+            F.sum(xb * xb).alias(f"__sy2_{key}"),
+        ]
+    wide = df.agg(*aggs)
+
+    structs = []
+    for a, b in pairs:
+        key = f"{a}__{b}"
+        n = F.col(f"__n_{key}").cast("double")
+        sx = F.col(f"__sx_{key}").cast("double")
+        sy = F.col(f"__sy_{key}").cast("double")
+        sxy = F.col(f"__sxy_{key}").cast("double")
+        sx2 = F.col(f"__sx2_{key}").cast("double")
+        sy2 = F.col(f"__sy2_{key}").cast("double")
+        dx = n * sx2 - sx * sx
+        dy = n * sy2 - sy * sy
+        corr = F.when(
+            (dx > 0) & (dy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(dx * dy), 4),
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"__n_{key}").cast("long").alias("n_pairs"),
+                corr.alias("corr"),
+            )
+        )
+    return (
+        wide.select(F.inline(F.array(*structs)))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            "col_x",
+            "col_y",
+            "n_pairs",
+            "corr",
+        )
+        .orderBy("col_x", "col_y")
+    )
+
+
 def zscore_outliers(
     df,
     value_col: str,

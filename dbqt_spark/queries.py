@@ -247,6 +247,86 @@ FROM {table}""")
 SQL_PROFILE_NUMERIC = _numeric_profile_sql("lineitem", _NUMERIC_PROFILE_COLS)
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 10-bucket histogram of every lineitem numeric column —
+    scaled-integer bucketing, one broadcast bounds pass + one tiny-output
+    shuffle (operators/profile.numeric_histogram)."""
+    from .operators.profile import numeric_histogram
+
+    return numeric_histogram(
+        load_table(spark, sf_dir, "lineitem"), "lineitem",
+        columns=_NUMERIC_PROFILE_COLS, n_buckets=10,
+    )
+
+
+def _histogram_sql(table: str, cols: list[str], n: int) -> str:
+    """DuckDB twin: identical scaled-int64 bucket arithmetic (// equals
+    Spark's div for the non-negative operands here)."""
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{table}' AS table_name, '{c}' AS col_name,
+       CAST(LEAST(((vi - lo) * {n}) // (hi - lo + 1), {n} - 1) AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(lo AS DOUBLE) / 1000000 AS min_value,
+       CAST(hi AS DOUBLE) / 1000000 AS max_value
+FROM (SELECT CAST(CAST({c} AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vi
+      FROM {table} WHERE {c} IS NOT NULL) v,
+     (SELECT MIN(CAST(CAST({c} AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS lo,
+             MAX(CAST(CAST({c} AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS hi
+      FROM {table}) b
+GROUP BY 1, 2, 3, 5, 6""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_VALUE_HISTOGRAM = _histogram_sql("lineitem", _NUMERIC_PROFILE_COLS, 10)
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of lineitem value columns in ONE
+    scan — decimal-exact order-independent sums, double math applied once
+    (operators/profile.correlation_matrix)."""
+    from .operators.profile import correlation_matrix
+
+    return correlation_matrix(
+        load_table(spark, sf_dir, "lineitem"), "lineitem", columns=_CORR_COLS
+    )
+
+
+def _corr_matrix_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin: same exact decimal sums, same double expression tree
+    (IEEE ops on identical inputs => bit-identical), same zero-variance
+    NULL rule. DECIMAL(19,6) (not 18) forces DuckDB's int128-backed
+    arithmetic for the products — width 18 multiplies in int64 and
+    overflows; the numeric values are identical either way."""
+    parts = []
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        parts.append(f"""
+SELECT '{table}' AS table_name, '{a}' AS col_x, '{b}' AS col_y,
+       CAST(cnt AS BIGINT) AS n_pairs,
+       CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 4)
+            ELSE NULL END AS corr
+FROM (
+  SELECT COUNT(*) AS cnt, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(xa) AS DOUBLE) AS sx, CAST(SUM(xb) AS DOUBLE) AS sy,
+         CAST(SUM(xa * xb) AS DOUBLE) AS sxy,
+         CAST(SUM(xa * xa) AS DOUBLE) AS sx2,
+         CAST(SUM(xb * xb) AS DOUBLE) AS sy2
+  FROM (SELECT CAST({a} AS DECIMAL(19,6)) AS xa,
+               CAST({b} AS DECIMAL(19,6)) AS xb FROM {table})
+  WHERE xa IS NOT NULL AND xb IS NOT NULL
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_CORR_MATRIX = _corr_matrix_sql("lineitem", _CORR_COLS)
+
+
 def _profile_sql(table: str, cols: list[str]) -> str:
     parts = []
     for i, c in enumerate(cols, start=1):
@@ -2484,6 +2564,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_compare": q_count_compare,
     "profile_lineitem": q_profile_lineitem,
     "profile_numeric": q_profile_numeric,
+    "value_histogram": q_value_histogram,
+    "corr_matrix": q_corr_matrix,
     "low_distinct": q_low_distinct,
     "schema_all_tables": q_schema_all_tables,
     "colcompare": q_colcompare,
@@ -2551,6 +2633,8 @@ ORACLES: dict[str, str] = {
     "count_compare": SQL_COUNT_COMPARE,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "profile_numeric": SQL_PROFILE_NUMERIC,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "corr_matrix": SQL_CORR_MATRIX,
     "low_distinct": SQL_LOW_DISTINCT,
     "schema_all_tables": SQL_SCHEMA_ALL_TABLES,
     "colcompare": SQL_COLCOMPARE,

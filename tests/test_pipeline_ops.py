@@ -920,3 +920,107 @@ def test_zscore_outliers_null_values_excluded(spark):
     assert all(r["value"] is not None and r["zscore"] is not None
                for r in rows)
     assert sorted(r["event_id"] for r in rows) == [1, 2, 4]
+
+
+def test_numeric_histogram_known_buckets(spark):
+    from dbqt_spark.operators.profile import numeric_histogram
+
+    # values 0..9 with n_buckets=5 -> exactly 2 per bucket; scaled-int
+    # arithmetic: bucket = ((v*1e6 - 0) * 5) div (9e6 - 0 + 1)
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(10)], "x double"
+    )
+    rows = numeric_histogram(df, "t", n_buckets=5).collect()
+    assert [(r["bucket"], r["n_rows"]) for r in rows] == [
+        (0, 2), (1, 2), (2, 2), (3, 2), (4, 2)
+    ]
+    assert rows[0]["min_value"] == 0.0 and rows[0]["max_value"] == 9.0
+
+
+def test_numeric_histogram_nulls_and_constant(spark):
+    from dbqt_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(5.0, 1.0), (5.0, None), (5.0, 2.0)], "c double, v double"
+    )
+    rows = numeric_histogram(df, "t", n_buckets=4).collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r["col_name"], []).append(r)
+    # constant column: everything lands in bucket 0 (range collapses)
+    assert [(r["bucket"], r["n_rows"]) for r in by_col["c"]] == [(0, 3)]
+    # NULLs excluded from counts and bounds
+    assert sum(r["n_rows"] for r in by_col["v"]) == 2
+    assert by_col["v"][0]["min_value"] == 1.0
+
+
+def test_numeric_histogram_max_value_in_top_bucket(spark):
+    from dbqt_spark.operators.profile import numeric_histogram
+
+    # the maximum must clamp into bucket n-1, never fall off the end
+    df = spark.createDataFrame([(0.0,), (100.0,)], "x double")
+    rows = numeric_histogram(df, "t", n_buckets=3).collect()
+    assert [(r["bucket"], r["n_rows"]) for r in rows] == [(0, 1), (2, 1)]
+
+
+def test_correlation_matrix_known_values(spark):
+    from dbqt_spark.operators.profile import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0, 7.0),
+         (2.0, 4.0, -2.0, 7.0),
+         (3.0, 6.0, -3.0, 7.0)],
+        "a double, b double, c double, k double",
+    )
+    rows = correlation_matrix(df, "t").collect()
+    got = {(r["col_x"], r["col_y"]): r["corr"] for r in rows}
+    assert got[("a", "b")] == 1.0     # perfectly correlated
+    assert got[("a", "c")] == -1.0    # perfectly anti-correlated
+    assert got[("a", "k")] is None    # zero variance -> undefined
+    assert all(r["n_pairs"] == 3 for r in rows)
+
+
+def test_correlation_matrix_pairwise_null_semantics(spark):
+    from dbqt_spark.operators.profile import correlation_matrix
+
+    # the (a,b) pair must use only rows where BOTH are non-null
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, None), (3.0, 6.0), (None, 8.0)],
+        "a double, b double",
+    )
+    rows = correlation_matrix(df, "t").collect()
+    assert rows[0]["n_pairs"] == 2
+    assert rows[0]["corr"] == 1.0
+
+
+def test_correlation_matrix_single_scan_plan(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = formatted_plan(
+        correlation_matrix(li, "lineitem",
+                           columns=["l_quantity", "l_extendedprice"])
+    )
+    # ONE scan (formatted plans list each node twice: tree + detail),
+    # no data shuffle — the only Exchange is the single-row final agg
+    assert plan.count("Scan parquet") <= 2
+    assert "SinglePartition" in plan
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_numeric_histogram_bounds_broadcast_plan(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.profile import numeric_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = formatted_plan(
+        numeric_histogram(li, "lineitem",
+                          columns=["l_quantity", "l_extendedprice"])
+    )
+    # one-row bounds joined via broadcast, never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the counting aggregate partial-aggregates before its Exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
