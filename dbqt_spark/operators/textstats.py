@@ -449,3 +449,79 @@ def tfidf_keywords(
             "tfidf",
         )
     )
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram language-model score — the perplexity-style
+    quality signal corpus-curation pipelines (e.g. CCNet-style filtering)
+    gate on: documents whose tokens are improbable under the corpus
+    unigram distribution score low and surface as boilerplate/gibberish
+    candidates. Output: (doc_id, n_tokens, avg_logprob, perplexity),
+    one row per document with >= 1 token.
+
+    Model: add-one-smoothed unigram probabilities over lowercased
+    whitespace tokens, p(t) = (c_t + 1) / (T + V) with T = total tokens,
+    V = vocabulary size; avg_logprob = mean ln p over the doc's tokens,
+    perplexity = exp(-avg_logprob). Here the model is fit on the scored
+    corpus itself (self-scoring); at production scale freeze the
+    vocabulary frame from a reference corpus and join it in unchanged.
+
+    Cross-engine determinism: each term's ln p is rounded to 6 places
+    and canonicalized to DECIMAL(18,6) BEFORE the per-doc sum, so the
+    aggregation is exact integer arithmetic — a raw double sum over
+    shuffled rows is order-dependent and never bit-stable. The final
+    division and exp() run once on identical inputs in either engine
+    (same discipline as ``tfidf_keywords`` / ``zscore_outliers``).
+
+    Scale shape: ONE text scan -> explode -> (doc, term) counts with
+    map-side combine -> vocabulary counts derived from THAT aggregate
+    (the corpus is never re-exploded) -> one-row totals -> per-term
+    log-probs joined back BROADCAST (vocabulary-sized) -> per-doc agg.
+    Shuffle cardinalities shrink monotonically: corpus tokens -> doc
+    terms -> vocabulary -> docs.
+    """
+    toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    doc_terms = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = doc_terms.groupBy("term").agg(F.sum("tf").alias("__c"))
+    totals = vocab.agg(
+        F.sum("__c").alias("__t"), F.count(F.lit(1)).alias("__v")
+    )
+    lp = vocab.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("__c") + 1).cast("double")
+                / (F.col("__t") + F.col("__v")).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("__lp"),
+    )
+    agg = (
+        doc_terms.join(F.broadcast(lp), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf").cast("decimal(18,0)") * F.col("__lp")).alias(
+                "__s"
+            ),
+        )
+    )
+    avg = F.round(
+        F.col("__s").cast("double") / F.col("n_tokens").cast("double"), 6
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        avg.alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("perplexity"),
+    ).orderBy(id_col)

@@ -703,6 +703,50 @@ GROUP BY l.predicted_lang
 ORDER BY l.predicted_lang
 """
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM scoring of every document (add-one smoothing, self-fit
+    vocabulary) — perplexity-style quality signal
+    (operators/textstats.lm_score)."""
+    from .operators.textstats import lm_score
+
+    return lm_score(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB twin: identical tokenization, per-term ln p rounded to 6 and
+# canonicalized to DECIMAL(18,6) before the per-doc sum (exact,
+# order-independent), division/exp applied once to identical inputs.
+SQL_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                x -> x <> '')) AS term
+  FROM documents
+), doc_terms AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), vocab AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM doc_terms GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+), lp AS (
+  SELECT term,
+         CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM vocab, tot
+), agg AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         SUM(CAST(tf AS DECIMAL(18,0)) * lp) AS s
+  FROM doc_terms JOIN lp USING (term) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob,
+       round(exp(-round(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)), 4)
+         AS perplexity
+FROM agg ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity: cosine top-k vs the vec_id=0 query vector
 # ---------------------------------------------------------------------------
@@ -2566,6 +2610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_numeric": q_profile_numeric,
     "value_histogram": q_value_histogram,
     "corr_matrix": q_corr_matrix,
+    "lm_score": q_lm_score,
     "low_distinct": q_low_distinct,
     "schema_all_tables": q_schema_all_tables,
     "colcompare": q_colcompare,
@@ -2635,6 +2680,7 @@ ORACLES: dict[str, str] = {
     "profile_numeric": SQL_PROFILE_NUMERIC,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "corr_matrix": SQL_CORR_MATRIX,
+    "lm_score": SQL_LM_SCORE,
     "low_distinct": SQL_LOW_DISTINCT,
     "schema_all_tables": SQL_SCHEMA_ALL_TABLES,
     "colcompare": SQL_COLCOMPARE,

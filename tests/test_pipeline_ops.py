@@ -1024,3 +1024,51 @@ def test_numeric_histogram_bounds_broadcast_plan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # the counting aggregate partial-aggregates before its Exchange
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_lm_score_known_values(spark):
+    import math
+
+    from dbqt_spark.operators.textstats import lm_score
+
+    # corpus: T=5 tokens, V=3 terms; p(a)=p(b)=3/8, p(c)=2/8
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm_score(df).collect()}
+    lp_ab = round(math.log(3 / 8), 6)
+    lp_c = round(math.log(2 / 8), 6)
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["avg_logprob"] == pytest.approx(lp_ab, abs=1e-6)
+    assert rows[2]["n_tokens"] == 2
+    assert rows[2]["avg_logprob"] == pytest.approx(
+        (lp_ab + lp_c) / 2, abs=1e-6
+    )
+    # perplexity inverts the (rounded) mean log-prob
+    assert rows[1]["perplexity"] == pytest.approx(
+        math.exp(-rows[1]["avg_logprob"]), abs=1e-4
+    )
+    # the rarer-token doc is strictly more perplexing
+    assert rows[2]["perplexity"] > rows[1]["perplexity"]
+
+
+def test_lm_score_empty_and_null_text_dropped(spark):
+    from dbqt_spark.operators.textstats import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    ids = [r["doc_id"] for r in lm_score(df).collect()]
+    assert ids == [1]  # token-less docs emit no score row
+
+
+def test_lm_score_vocab_broadcast_plan(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.textstats import lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(lm_score(docs))
+    # vocabulary log-probs join back broadcast; the corpus-sized frame
+    # is never sort-merge joined
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
