@@ -585,6 +585,7 @@ def tool_textstats(argv: list[str]) -> int:
     from .operators.textstats import (
         fingerprint,
         language_id,
+        lm_score,
         quality_scores,
         token_stats,
     )
@@ -595,6 +596,7 @@ def tool_textstats(argv: list[str]) -> int:
         ("Quality", quality_scores),
         ("Language ID", language_id),
         ("Fingerprints", fingerprint),
+        ("LM Score", lm_score),
     ]
     for title, op in tabs:
         frame = op(df, text_col=args.text_column, id_col=args.id_column)

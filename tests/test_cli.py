@@ -186,7 +186,8 @@ def test_textstats_tool(tmp_path, capsys):
     )
     assert rc == 0 and os.path.exists(out)
     html = open(out).read()
-    for tab in ("Token Stats", "Quality", "Language ID", "Fingerprints"):
+    for tab in ("Token Stats", "Quality", "Language ID", "Fingerprints",
+                "LM Score"):
         assert tab in html
 
 
