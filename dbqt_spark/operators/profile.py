@@ -439,3 +439,71 @@ def zscore_outliers(
         .orderBy(F.abs(F.col("zscore")).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def frequent_values(
+    df,
+    table_name: str,
+    columns: list[str] | None = None,
+    k: int = 5,
+):
+    """Top-k most frequent values per column — the heavy-hitters panel
+    of a data-profiling report (dbstats-style companion to
+    ``profile_columns``' distinct/null counts). Output: (table_name,
+    col_name, rank, value, n_rows), rank 1..k per column.
+
+    Values are cast to string so one frame profiles every column type
+    uniformly. SQL NULLs are excluded — the null count is
+    ``profile_columns``' job, and NULL ordering defaults differ across
+    engines. Ties cut deterministically by (count desc, value asc): a
+    total order, so the k-cut is reproducible anywhere.
+
+    Scale shape: one scan emits (col_name, value) pairs JVM-side via
+    ``inline`` -> hash agg with map-side combine (the shuffle carries
+    per-partition pre-counts, not rows) -> per-column top-k window over
+    the AGGREGATED frame, whose size is the sum of column
+    cardinalities, not the corpus. For ultra-high-cardinality columns
+    the aggregate itself is the cost; cap with ``columns=`` or sketch
+    first (count-min) — the output contract is unchanged.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = [
+        c for c in df.columns if columns is None or c in columns
+    ]
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "table_name string, col_name string, rank int, value string, "
+            "n_rows long",
+        )
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(c).cast("string").alias("value"),
+        )
+        for c in cols
+    ]
+    counts = (
+        df.select(F.inline(F.array(*structs)))
+        .filter(F.col("value").isNotNull())
+        .groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("n_rows").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.lit(table_name).alias("table_name"),
+            "col_name",
+            F.col("rank").cast("int"),
+            "value",
+            "n_rows",
+        )
+        .orderBy("col_name", "rank")
+    )

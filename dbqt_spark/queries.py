@@ -326,6 +326,46 @@ FROM (
 
 SQL_CORR_MATRIX = _corr_matrix_sql("lineitem", _CORR_COLS)
 
+_FREQ_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+
+def q_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent values of lineitem's categorical columns —
+    heavy-hitters profiling panel (operators/profile.frequent_values)."""
+    from .operators.profile import frequent_values
+
+    return frequent_values(
+        load_table(spark, sf_dir, "lineitem"), "lineitem",
+        columns=_FREQ_COLS, k=5,
+    )
+
+
+def _frequent_values_sql(table: str, cols: list[str], k: int) -> str:
+    """DuckDB twin: same string canon, NULLs excluded, same
+    (count desc, value asc) deterministic tie cut."""
+    pair_selects = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM {table}"
+        for c in cols
+    )
+    return f"""
+WITH pairs AS (
+{pair_selects}
+), counts AS (
+  SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM pairs WHERE value IS NOT NULL GROUP BY col_name, value
+)
+SELECT '{table}' AS table_name, col_name, CAST(rank AS INTEGER) AS rank,
+       value, n_rows
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY col_name ORDER BY n_rows DESC, value ASC) AS rank
+  FROM counts
+) WHERE rank <= {k} ORDER BY col_name, rank
+"""
+
+
+SQL_FREQUENT_VALUES = _frequent_values_sql("lineitem", _FREQ_COLS, 5)
+
 
 def _profile_sql(table: str, cols: list[str]) -> str:
     parts = []
@@ -2610,6 +2650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_numeric": q_profile_numeric,
     "value_histogram": q_value_histogram,
     "corr_matrix": q_corr_matrix,
+    "frequent_values": q_frequent_values,
     "lm_score": q_lm_score,
     "low_distinct": q_low_distinct,
     "schema_all_tables": q_schema_all_tables,
@@ -2680,6 +2721,7 @@ ORACLES: dict[str, str] = {
     "profile_numeric": SQL_PROFILE_NUMERIC,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "corr_matrix": SQL_CORR_MATRIX,
+    "frequent_values": SQL_FREQUENT_VALUES,
     "lm_score": SQL_LM_SCORE,
     "low_distinct": SQL_LOW_DISTINCT,
     "schema_all_tables": SQL_SCHEMA_ALL_TABLES,

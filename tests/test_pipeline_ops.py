@@ -1072,3 +1072,42 @@ def test_lm_score_vocab_broadcast_plan(spark, sf_dir):
     # is never sort-merge joined
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_frequent_values_known_and_tie_cut(spark):
+    from dbqt_spark.operators.profile import frequent_values
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 2), ("z", 2), (None, 2)],
+        "s string, n int",
+    )
+    rows = frequent_values(df, "t", k=2).collect()
+    got = {
+        (r["col_name"], r["rank"]): (r["value"], r["n_rows"]) for r in rows
+    }
+    # column s: x twice, then the y/z tie cut by value asc; NULL excluded
+    assert got[("s", 1)] == ("x", 2)
+    assert got[("s", 2)] == ("y", 1)
+    # column n: 2 appears 4x (including the NULL-s row), 1 once
+    assert got[("n", 1)] == ("2", 4)
+    assert got[("n", 2)] == ("1", 1)
+
+
+def test_frequent_values_partial_agg_plan(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.profile import frequent_values
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = formatted_plan(
+        frequent_values(li, "lineitem",
+                        columns=["l_returnflag", "l_linestatus"])
+    )
+    # the count agg partial-aggregates BEFORE its Exchange: the shuffle
+    # carries per-partition pre-counts, not exploded rows
+    tree = plan.split("\n\n")[0].splitlines()
+    first_exchange = next(
+        i for i, l in enumerate(tree) if "Exchange" in l
+    )
+    below = "\n".join(tree[first_exchange:])
+    assert "HashAggregate" in below
+    assert "SortMergeJoin" not in plan
