@@ -196,8 +196,9 @@ def numeric_histogram(
     engines and partitionings (float-width histograms disagree on bucket
     boundaries between engines). Constraint: |column range| * 1e6 *
     n_buckets must fit int64, i.e. ranges up to ~9e11 — the DECIMAL(18,6)
-    domain itself. NULLs (and values overflowing the decimal canon) are
-    excluded, as in ``zscore_outliers``.
+    domain itself. NULLs and values outside that domain are excluded
+    (``try_cast`` — a plain cast would RAISE under the session's ANSI
+    mode; DuckDB's TRY_CAST mirrors the rule exactly).
 
     Scale shape: pass 1 is a tiny min/max aggregate (parquet min/max
     aggregate pushdown applies: spark.sql.parquet.aggregatePushdown);
@@ -224,7 +225,9 @@ def numeric_histogram(
         )
 
     def vi(c: str):
-        return (F.col(c).cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+        return (F.col(c).try_cast("decimal(18,6)") * F.lit(1000000)).cast(
+            "long"
+        )
 
     bounds = df.agg(
         *[F.min(vi(c)).alias(f"__lo_{c}") for c in cols],
@@ -283,8 +286,10 @@ def correlation_matrix(
     those exact sums — so any engine and any shuffle order reproduce the
     value bit-for-bit, unlike streaming ``corr`` implementations whose
     merge order varies. Pairwise-complete semantics: a pair's sums use
-    only rows where BOTH values are non-null. Zero-variance pairs emit
-    corr = NULL (the ratio is undefined; engines disagree on x/0).
+    only rows where BOTH values are non-null; values outside the
+    decimal canon's domain count as NULL (``try_cast`` — a plain cast
+    RAISES under ANSI mode). Zero-variance pairs emit corr = NULL (the
+    ratio is undefined; engines disagree on x/0).
 
     Scale shape: one scan -> one-row wide aggregate (6 * C(n,2) partial
     aggs) -> driver-cheap ``inline`` unpivot. No shuffle of the data.
@@ -309,7 +314,7 @@ def correlation_matrix(
         )
 
     def d(c: str):
-        return F.col(c).cast("decimal(18,6)")
+        return F.col(c).try_cast("decimal(18,6)")
 
     aggs = []
     for a, b in pairs:

@@ -270,10 +270,11 @@ SELECT '{table}' AS table_name, '{c}' AS col_name,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(lo AS DOUBLE) / 1000000 AS min_value,
        CAST(hi AS DOUBLE) / 1000000 AS max_value
-FROM (SELECT CAST(CAST({c} AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vi
-      FROM {table} WHERE {c} IS NOT NULL) v,
-     (SELECT MIN(CAST(CAST({c} AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS lo,
-             MAX(CAST(CAST({c} AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS hi
+FROM (SELECT CAST(TRY_CAST({c} AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vi
+      FROM {table}
+      WHERE TRY_CAST({c} AS DECIMAL(18,6)) IS NOT NULL) v,
+     (SELECT MIN(CAST(TRY_CAST({c} AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS lo,
+             MAX(CAST(TRY_CAST({c} AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS hi
       FROM {table}) b
 GROUP BY 1, 2, 3, 5, 6""")
     return "\nUNION ALL\n".join(parts)
@@ -298,7 +299,9 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corr_matrix_sql(table: str, cols: list[str]) -> str:
     """DuckDB twin: same exact decimal sums, same double expression tree
     (IEEE ops on identical inputs => bit-identical), same zero-variance
-    NULL rule. DECIMAL(19,6) (not 18) forces DuckDB's int128-backed
+    NULL rule. TRY_CAST to DECIMAL(18,6) fixes the value domain to
+    Spark's try_cast exactly (out-of-range -> NULL, excluded); the
+    outer widening to DECIMAL(19,6) forces DuckDB's int128-backed
     arithmetic for the products — width 18 multiplies in int64 and
     overflows; the numeric values are identical either way."""
     parts = []
@@ -317,8 +320,9 @@ FROM (
          CAST(SUM(xa * xb) AS DOUBLE) AS sxy,
          CAST(SUM(xa * xa) AS DOUBLE) AS sx2,
          CAST(SUM(xb * xb) AS DOUBLE) AS sy2
-  FROM (SELECT CAST({a} AS DECIMAL(19,6)) AS xa,
-               CAST({b} AS DECIMAL(19,6)) AS xb FROM {table})
+  FROM (SELECT CAST(TRY_CAST({a} AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS xa,
+               CAST(TRY_CAST({b} AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS xb
+        FROM {table})
   WHERE xa IS NOT NULL AND xb IS NOT NULL
 )""")
     return "\nUNION ALL\n".join(parts)

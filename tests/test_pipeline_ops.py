@@ -1111,3 +1111,24 @@ def test_frequent_values_partial_agg_plan(spark, sf_dir):
     below = "\n".join(tree[first_exchange:])
     assert "HashAggregate" in below
     assert "SortMergeJoin" not in plan
+
+
+def test_histogram_and_corr_exclude_out_of_domain_values(spark):
+    """Values beyond the DECIMAL(18,6) canon must be EXCLUDED, not raise
+    under the session's ANSI mode (try_cast contract)."""
+    from dbqt_spark.operators.profile import (
+        correlation_matrix,
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (1e15, 3.0)], "a double, b double"
+    )
+    hist = numeric_histogram(df, "t", n_buckets=2).collect()
+    a_rows = [r for r in hist if r["col_name"] == "a"]
+    # the 1e15 row vanished: bounds and counts come from {1, 2}
+    assert sum(r["n_rows"] for r in a_rows) == 2
+    assert a_rows[0]["max_value"] == 2.0
+
+    corr = correlation_matrix(df, "t").collect()
+    assert corr[0]["n_pairs"] == 2  # pairwise-complete over {1, 2}
