@@ -538,9 +538,13 @@ def tool_dedup(argv: list[str]) -> int:
         from .operators.clusters import near_dup_clusters
 
         # honor --pairs-parquet's contract (it writes PAIRS) before the
-        # cluster transform consumes and releases the pair frame
+        # cluster transform consumes and releases the pair frame; read
+        # the written parquet back so the expensive pair pipeline (the
+        # Arrow verify stage in particular) runs exactly once instead of
+        # once for the write and again for the cluster pass
         if args.pairs_parquet:
             result.write.mode("overwrite").parquet(args.pairs_parquet)
+            result = df.sparkSession.read.parquet(args.pairs_parquet)
         # every pair method emits (id_a, id_b, ...)
         result = near_dup_clusters(
             result, id_col=args.id_column

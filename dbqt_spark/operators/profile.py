@@ -397,9 +397,12 @@ def zscore_outliers(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    v = F.col(value_col).cast("decimal(18,6)")
-    # NULL values (and values overflowing the decimal canon, which cast
-    # to NULL outside ANSI mode) carry no signal: excluded from the
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    # of an out-of-domain value (|v| >= ~1e12) aborts the whole query
+    # with NUMERIC_VALUE_OUT_OF_RANGE instead of producing NULL
+    v = F.col(value_col).try_cast("decimal(18,6)")
+    # NULL values (and values overflowing the decimal canon, which
+    # try_cast maps to NULL) carry no signal: excluded from the
     # moments AND the output, so n is the count of REAL values
     canon = df.select(
         F.col(id_col),

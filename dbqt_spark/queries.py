@@ -2260,7 +2260,7 @@ s AS (SELECT d.doc_id, d.lang, q.quality_score
 thr AS (SELECT lang, quantile_cont(quality_score, 0.5) AS t
         FROM s GROUP BY lang)
 SELECT s.doc_id, s.lang, s.quality_score
-FROM s JOIN thr USING (lang)
+FROM s JOIN thr ON s.lang IS NOT DISTINCT FROM thr.lang
 WHERE s.quality_score >= thr.t
 ORDER BY s.doc_id
 """
@@ -2296,7 +2296,8 @@ thr AS (
 ),
 gated AS (
   SELECT d.doc_id, d.lang, d.text, q.quality_score
-  FROM documents d JOIN q USING (doc_id) JOIN thr USING (lang)
+  FROM documents d JOIN q USING (doc_id)
+       JOIN thr ON d.lang IS NOT DISTINCT FROM thr.lang
   WHERE q.quality_score >= thr.t
 ),
 fp AS (
@@ -2449,8 +2450,8 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_VALUE_OUTLIERS = """
 WITH canon AS (
-  SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS v
-  FROM events WHERE value IS NOT NULL
+  SELECT event_id, event_type, TRY_CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE TRY_CAST(value AS DECIMAL(18,6)) IS NOT NULL
 ),
 stats AS (
   SELECT event_type,

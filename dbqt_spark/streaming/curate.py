@@ -88,7 +88,14 @@ def streaming_curate(
         if cfg.eval_df is not None
         else None
     )
-    spark_thresholds = sorted(thresholds.items())
+    # drop a NULL-group threshold (group_quality_thresholds aggregates
+    # the NULL group into a None key): it could never match the plain
+    # equi-join below anyway, and None keys break the sort. Net effect:
+    # NULL-group docs always pass the streaming gate (no calibrated
+    # threshold applies to them).
+    spark_thresholds = sorted(
+        (k, v) for k, v in thresholds.items() if k is not None
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

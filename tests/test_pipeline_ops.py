@@ -910,13 +910,16 @@ def test_zscore_outliers_null_values_excluded(spark):
     from dbqt_spark.operators.profile import zscore_outliers
 
     df = spark.createDataFrame(
-        [(1, "a", 10.0), (2, "a", 10.0), (3, "a", None), (4, "a", 100.0)],
+        [(1, "a", 10.0), (2, "a", 10.0), (3, "a", None), (4, "a", 100.0),
+         # out of the DECIMAL(18,6) domain: under ANSI mode a plain cast
+         # would abort the query; try_cast must NULL it out instead
+         (5, "a", 1.0e15)],
         "event_id long, grp string, v double",
     )
     rows = zscore_outliers(
         df, value_col="v", group_col="grp", id_col="event_id", k=5
     ).collect()
-    # NULL contributes nothing: stats over {10, 10, 100}, no NULL row out
+    # NULL and overflow contribute nothing: stats over {10, 10, 100}
     assert all(r["value"] is not None and r["zscore"] is not None
                for r in rows)
     assert sorted(r["event_id"] for r in rows) == [1, 2, 4]

@@ -504,18 +504,24 @@ def test_streaming_curate_batch_twin(spark, tmp_path):
     time.sleep(1.1)
     pq.write_table(
         pa.table({
-            "doc_id": [4, 5],
-            "text": [good + " again", "mail root@x.example.org ok " + good],
-            "lang": ["en", "fr"],  # fr: no calibrated threshold -> passes
+            "doc_id": [4, 5, 6],
+            "text": [good + " again", "mail root@x.example.org ok " + good,
+                     bad + " null-lang docs always pass the gate"],
+            # fr: no calibrated threshold -> passes; NULL lang -> passes
+            "lang": ["en", "fr", None],
         }),
         str(src / "b2.parquet"),
     )
 
     calib = spark.createDataFrame(
-        [(100, good, "en"), (101, bad, "en")], ["doc_id", "text", "lang"]
+        [(100, good, "en"), (101, bad, "en"), (102, bad, None)],
+        ["doc_id", "text", "lang"],
     )
     thresholds = group_quality_thresholds(calib, quantile=0.5)
     assert "en" in thresholds
+    # the NULL calibration group yields a None key; streaming_curate must
+    # drop it (sorted() over a str/None mix raised TypeError before)
+    assert None in thresholds
 
     stream = (
         spark.readStream.schema("doc_id long, text string, lang string")
@@ -534,8 +540,9 @@ def test_streaming_curate_batch_twin(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     rows = {r["doc_id"]: r for r in out.collect()}
     # bad doc gated out (below the en median of {good, bad});
-    # within-batch exact dup of 1 (id 3) dropped; fr doc passes ungated
-    assert set(rows) == {1, 4, 5}
+    # within-batch exact dup of 1 (id 3) dropped; fr doc passes ungated;
+    # NULL-lang doc passes ungated despite its bad score
+    assert set(rows) == {1, 4, 5, 6}
     assert "<EMAIL>" in rows[5]["redacted_text"]
     assert {rows[i]["batch_id"] for i in (1,)} == {0}
     assert rows[4]["batch_id"] == 1
