@@ -8,20 +8,23 @@ is the transitive closure — assign every doc the MINIMUM id reachable
 through the pair graph (its cluster id), then keep one representative
 per cluster.
 
-Algorithm: iterative min-label propagation (the simple half of the
-small-star/large-star family — Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC 2014). Each round joins the current labels
-across the (bidirected) edge list and takes the min of each node's own
-label and its neighbors' labels; fixpoint when no label changes. Rounds
-needed = graph diameter in the worst case — near-dup graphs are
-overwhelmingly tiny star-shaped clusters, so 3-5 rounds is typical.
+Algorithm: alternating large-star/small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014). Each
+round rewires every edge toward the minimum id of a local neighborhood;
+the edge set converges to a forest of stars whose root is the component
+minimum in O(log n) rounds — unlike min-label propagation, whose round
+count is the graph DIAMETER (a chain-shaped dup graph at corpus scale
+would pay diameter sequential shuffles). Near-dup graphs are
+overwhelmingly tiny star-shaped clusters, so 2-4 rounds is typical; the
+log bound is what makes the pathological chain safe.
 
-Scale shape per round: one shuffle join (labels x edges, both hashed on
-the node id) + one groupBy min (partial-aggregated). The frame is
+Scale shape per round: two groupBy-min + join passes (each hashed on
+the node id), all map-side-combinable. The edge frame is
 ``localCheckpoint``-ed each round to truncate lineage — an iterative
 plan that keeps growing is the classic Spark-iteration failure. The
-convergence check is a one-row ``agg(sum(changed))`` — the only
-driver-side data movement; labels themselves never leave the cluster.
+convergence check is a one-row ``agg(count, sum(xxhash64))`` edge-set
+checksum — the only driver-side data movement; edges themselves never
+leave the cluster.
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 25,
     localize_limit: "int | None" = None,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``pairs``;
     cluster_id is the minimum node id reachable through the pair graph.
@@ -69,8 +73,10 @@ def connected_components(
     try:
         probe = ids_only.limit(limit + 1).collect()
         if len(probe) <= limit:
+            if stats is not None:
+                stats["rounds"] = 0  # driver union-find, no Spark rounds
             return _local_components(pairs, probe, id_a)
-        return _distributed_components(ids_only, max_iterations)
+        return _distributed_components(ids_only, max_iterations, stats)
     finally:
         ids_only.unpersist()
 
@@ -103,63 +109,100 @@ def _local_components(pairs, probe, id_a) -> DataFrame:
     return pairs.sparkSession.createDataFrame(rows, schema)
 
 
-def _distributed_components(ids_only, max_iterations: int) -> DataFrame:
-    """Min-label propagation over the persisted (__a, __b) frame;
-    ``localCheckpoint`` materializes from the cache, so the upstream
-    pair pipeline is never re-executed."""
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node connects its STRICTLY-LARGER neighbors to
+    the minimum of its neighborhood (including itself). Input and output
+    are canonical directed edges (u > v)."""
+    b = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        b.groupBy("u")
+        .agg(F.min("v").alias("__m"))
+        .select("u", F.least("__m", F.col("u")).alias("__m"))
+    )
+    return (
+        b.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        # v > u >= m, so the emitted (v, m) is canonical and loop-free
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every node connects its smaller-or-equal neighbors
+    (its canonical out-edges) and itself to the minimum among them.
+    Canonical (u > v) in, canonical out."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("__m"))
+    j = edges.join(mins, "u")
+    return (
+        j.select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(mins.select("u", F.col("__m").alias("v")))
+        .distinct()
+    )
+
+
+def _distributed_components(
+    ids_only, max_iterations: int, stats: "dict | None" = None
+) -> DataFrame:
+    """Alternating large-star/small-star contraction over the persisted
+    (__a, __b) frame — O(log n) rounds to a forest of stars rooted at
+    each component's minimum id. ``localCheckpoint`` materializes from
+    the cache, so the upstream pair pipeline is never re-executed.
+
+    Convergence = the canonical edge set reaches a fixpoint, detected
+    by a (count, sum(xxhash64)) checksum repeating — one driver-side
+    row per round; a round after the contraction stabilizes, both star
+    operations are identities, so the checksum repeat IS the fixpoint
+    (up to a negligible 64-bit hash collision)."""
+    nodes = (
+        ids_only.select(F.col("__a").alias("id"))
+        .unionByName(ids_only.select(F.col("__b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = (
-        ids_only.select(F.col("__a").alias("src"), F.col("__b").alias("dst"))
-        .unionByName(
-            ids_only.select(
-                F.col("__b").alias("src"), F.col("__a").alias("dst")
-            )
+        ids_only.select(
+            F.greatest("__a", "__b").alias("u"),
+            F.least("__a", "__b").alias("v"),
         )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iterations):
-        # each node's new label: min(own, min over neighbors' labels)
-        neighbor_min = (
-            edges.join(
-                labels.withColumnRenamed("id", "dst").withColumnRenamed(
-                    "cluster_id", "nbr_label"
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nbr_label").alias("nbr_min"))
-            .withColumnRenamed("src", "id")
+    prev_chk = None
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iterations + 1):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # decimal accumulator: a long sum of 64-bit hashes overflows
+        # under ANSI mode (Spark 4 default)
+        row = edges.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).collect()[0]
+        chk = (row[0], row[1])
+        if chk == prev_chk:
+            converged = True
+            break
+        prev_chk = chk
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in "
+            f"{max_iterations} rounds"
         )
-        updated = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-                (
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                    < F.col("cluster_id")
-                )
-                .cast("int")
-                .alias("__changed"),
-            )
-            .localCheckpoint()
-        )
-        n_changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
-        labels = updated.drop("__changed")
-        if n_changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} rounds"
-    )
+    # stars: every non-root appears exactly once as u, pointing at its
+    # component-min root; roots (and isolated self-pair nodes) label
+    # themselves
+    return nodes.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
 
 
 def near_dup_clusters(

@@ -520,6 +520,30 @@ def test_connected_components_long_path_converges(spark):
         connected_components(pairs, max_iterations=2, localize_limit=0)
 
 
+def test_connected_components_logarithmic_rounds(spark):
+    """Star contraction must label a 1000-node PATH (the worst case for
+    min-label propagation: diameter 999) in ~log2(n) rounds, not
+    ~diameter rounds."""
+    import math
+
+    from dbqt_spark.operators.clusters import connected_components
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    st: dict = {}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, max_iterations=25, localize_limit=0, stats=st
+        ).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == n
+    # measured: 11 rounds (10 contraction + 1 fixpoint confirmation)
+    assert st["rounds"] <= math.ceil(math.log2(n)) + 2
+
+
 def test_near_dup_clusters_representatives(spark):
     from dbqt_spark.operators.clusters import near_dup_clusters
 
