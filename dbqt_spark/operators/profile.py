@@ -273,7 +273,10 @@ def numeric_histogram(
 
 
 def correlation_matrix(
-    df: DataFrame, table_name: str, columns: list[str] | None = None
+    df: DataFrame,
+    table_name: str,
+    columns: list[str] | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Pairwise Pearson correlation of numeric columns, ONE scan for all
     pairs: (table_name, col_x, col_y, n_pairs, corr) for every unordered
@@ -294,8 +297,21 @@ def correlation_matrix(
     Scale shape: one scan -> one-row wide aggregate (6 * C(n,2) partial
     aggs) -> driver-cheap ``inline`` unpivot. No shuffle of the data.
     Note: Σx² as DECIMAL(38,12) overflows (to NULL, non-ANSI) around
-    1e26 / n rows of 1e6-magnitude values; at that scale recenter the
-    columns or accept double sums with a tolerance-based comparison.
+    1e26 / n rows of 1e6-magnitude values.
+
+    ``exact=False`` is the at-scale mode: the same six sums per pair
+    but accumulated in DOUBLE — no decimal domain limit (values beyond
+    |1e12| stay in the moments instead of try_cast-ing to NULL), still
+    one scan, map-side-combined. (The built-in ``F.corr`` is NOT usable
+    here: under ANSI mode its final division aborts the whole query on
+    a zero-variance pair instead of yielding NaN.) Double summation is
+    merge-order dependent and loses precision when mean >> stddev
+    (catastrophic cancellation in n*Σx² - (Σx)²), so the value carries
+    a small tolerance and is not bit-for-bit reproducible across
+    partitionings — use it for wide profiling (m=100 -> 4950 pairs) or
+    out-of-decimal-domain values; the oracle-exact default remains for
+    cross-engine comparison. Zero-variance pairs emit corr = NULL in
+    both modes.
     """
     from pyspark.sql.types import NumericType
 
@@ -312,6 +328,9 @@ def correlation_matrix(
             "table_name string, col_x string, col_y string, "
             "n_pairs long, corr double",
         )
+
+    if not exact:
+        return _correlation_matrix_approx(df, table_name, pairs)
 
     def d(c: str):
         return F.col(c).try_cast("decimal(18,6)")
@@ -340,6 +359,65 @@ def correlation_matrix(
         sxy = F.col(f"__sxy_{key}").cast("double")
         sx2 = F.col(f"__sx2_{key}").cast("double")
         sy2 = F.col(f"__sy2_{key}").cast("double")
+        dx = n * sx2 - sx * sx
+        dy = n * sy2 - sy * sy
+        corr = F.when(
+            (dx > 0) & (dy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(dx * dy), 4),
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"__n_{key}").cast("long").alias("n_pairs"),
+                corr.alias("corr"),
+            )
+        )
+    return (
+        wide.select(F.inline(F.array(*structs)))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            "col_x",
+            "col_y",
+            "n_pairs",
+            "corr",
+        )
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _correlation_matrix_approx(
+    df: DataFrame, table_name: str, pairs: "list[tuple[str, str]]"
+) -> DataFrame:
+    """The ``exact=False`` arm of ``correlation_matrix``: the six
+    pairwise-complete sums in DOUBLE, one scan. Same output schema and
+    zero-variance/NULL contracts as the exact arm; the division is
+    inside a when() branch, so no ANSI divide-by-zero can fire."""
+    aggs = []
+    for a, b in pairs:
+        da = F.col(a).cast("double")
+        db = F.col(b).cast("double")
+        both = da.isNotNull() & db.isNotNull()
+        xa, xb = F.when(both, da), F.when(both, db)
+        key = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"__n_{key}"),
+            F.sum(xa).alias(f"__sx_{key}"),
+            F.sum(xb).alias(f"__sy_{key}"),
+            F.sum(xa * xb).alias(f"__sxy_{key}"),
+            F.sum(xa * xa).alias(f"__sx2_{key}"),
+            F.sum(xb * xb).alias(f"__sy2_{key}"),
+        ]
+    wide = df.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        key = f"{a}__{b}"
+        n = F.col(f"__n_{key}").cast("double")
+        sx = F.col(f"__sx_{key}")
+        sy = F.col(f"__sy_{key}")
+        sxy = F.col(f"__sxy_{key}")
+        sx2 = F.col(f"__sx2_{key}")
+        sy2 = F.col(f"__sy2_{key}")
         dx = n * sx2 - sx * sx
         dy = n * sy2 - sy * sy
         corr = F.when(

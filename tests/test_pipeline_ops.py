@@ -1020,6 +1020,59 @@ def test_correlation_matrix_pairwise_null_semantics(spark):
     assert rows[0]["corr"] == 1.0
 
 
+def test_correlation_matrix_approx_mode(spark):
+    """exact=False (the at-scale arm: built-in F.corr co-moments) must
+    agree with the exact-decimal arm within tolerance, share its
+    zero-variance -> NULL and pairwise-complete contracts, and survive
+    values outside the DECIMAL(18,6) domain."""
+    from dbqt_spark.operators.profile import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.1, 7.0, None),
+         (2.0, 3.9, 7.0, 1.0e15),
+         (3.0, 6.2, 7.0, 2.0e15),
+         (4.0, 7.8, 7.0, 4.0e15),
+         (None, 1.0, 7.0, 8.0e15)],
+        "a double, b double, k double, big double",
+    )
+    exact = {
+        (r["col_x"], r["col_y"]): (r["n_pairs"], r["corr"])
+        for r in correlation_matrix(df, "t", columns=["a", "b", "k"])
+        .collect()
+    }
+    approx = {
+        (r["col_x"], r["col_y"]): (r["n_pairs"], r["corr"])
+        for r in correlation_matrix(df, "t", exact=False).collect()
+    }
+    for pair, (n, c) in exact.items():
+        an, ac = approx[pair]
+        assert an == n
+        if c is None:
+            assert ac is None  # zero variance in both modes
+        else:
+            assert abs(ac - c) <= 1e-4 + 1e-9
+    # out-of-decimal-domain column: exact mode NULLs it out (n_pairs
+    # counts the try_cast survivors: none), approx mode correlates it
+    assert approx[("a", "big")][0] == 3
+    assert approx[("a", "big")][1] == 0.982  # doubling vs linear, r4
+
+
+def test_correlation_matrix_approx_single_scan_plan(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = formatted_plan(
+        correlation_matrix(li, "lineitem",
+                           columns=["l_quantity", "l_extendedprice"],
+                           exact=False)
+    )
+    assert plan.count("Scan parquet") <= 2
+    assert "SinglePartition" in plan
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
 def test_correlation_matrix_single_scan_plan(spark, sf_dir):
     from dbqt_spark.catalog import load_table
     from dbqt_spark.operators.profile import correlation_matrix
