@@ -2,9 +2,11 @@
 
 Reproduces the behavior of ``HTMLReport`` (dbqt/tools/utils.py:462-659):
 a self-contained HTML file with one Tabulator table per tab, numeric vs
-string sorters inferred from column dtypes, NaN→null sanitization, and
-multi-sheet XLSX export. Presentation layer only: it renders small
-*collected* results (never distributed data).
+string sorters AND per-column interactive header filters
+("number"/"input" per dtype, plaintext formatter — utils.py:481-523)
+inferred from column dtypes, NaN→null sanitization, and multi-sheet
+XLSX export. Presentation layer only: it renders small *collected*
+results (never distributed data).
 """
 
 from __future__ import annotations
@@ -52,6 +54,8 @@ TABS.forEach((tab, i) => {{
     columns: tab.columns.map(c => ({{
       title: c.name, field: c.name,
       sorter: c.numeric ? "number" : "string",
+      headerFilter: c.numeric ? "number" : "input",
+      formatter: "plaintext",
     }})),
     layout: "fitDataFill",
     pagination: true,

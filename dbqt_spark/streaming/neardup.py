@@ -193,6 +193,7 @@ def minhash_gate_batch(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
+    max_verified_pairs: int = 1_000_000,
 ) -> DataFrame:
     """Run one micro-batch through the near-dup gate; returns the KEPT
     rows (eagerly — the store append must happen inside the batch) and
@@ -328,7 +329,23 @@ def minhash_gate_batch(
         .filter(F.col("__j") >= threshold)
         .select("qid", "cid", "from_store")
     )
-    vrows = [(r["qid"], r["cid"], r["from_store"]) for r in verified.collect()]
+    # the driver-side greedy below is bounded by the VERIFIED pair
+    # count, normally tiny (pairs, never docs; bucket-capped upstream) —
+    # but a pathological all-near-dup batch is O(batch^2) pairs, so the
+    # collect is guarded: limit+1 probes the overflow without a count
+    # job, and the error names the knobs that bound it
+    probe = verified.limit(max_verified_pairs + 1).collect()
+    if len(probe) > max_verified_pairs:
+        cands.unpersist()
+        batch_bands.unpersist()
+        raise RuntimeError(
+            f"minhash_gate_batch: verified near-dup pairs exceed "
+            f"max_verified_pairs={max_verified_pairs} — the micro-batch "
+            "is pathologically self-similar. Shrink the trigger "
+            "(maxFilesPerTrigger / maxOffsetsPerTrigger), lower "
+            "max_bucket_size, or raise max_verified_pairs."
+        )
+    vrows = [(r["qid"], r["cid"], r["from_store"]) for r in probe]
     cands.unpersist()
 
     # 4. driver-side resolution (bounded: verified pairs only, never

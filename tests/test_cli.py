@@ -134,6 +134,28 @@ def test_dbstats_dual_two_sources_one_target(spark, sf_dir, tmp_path):
     assert html.count('"source_table"') >= 2
 
 
+def test_example_configs_round_trip():
+    """Every shipped examples/*.yaml.example parses through the real
+    config loader into a connection type the Database source supports
+    (onboarding parity with the reference's examples directory)."""
+    import glob
+
+    from dbqt_spark.config import EngineConfig
+    from dbqt_spark.sources.database import _JDBC_URLS
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(here, "examples", "*.yaml.example")))
+    assert len(paths) == 5  # athena, duckdb, mssql, oracle, snowflake
+    supported = set(_JDBC_URLS) | {
+        "parquet", "csv", "json", "orc", "duckdb", "s3parquet", "jdbc",
+    }
+    for p in paths:
+        cfg = EngineConfig.load(p)
+        kind = (cfg.connection.get("type") or "").lower()
+        assert kind in supported, f"{p}: unsupported type {kind!r}"
+        assert cfg.tables_file  # every example names a tables CSV
+
+
 def test_colcompare_generate_config_roundtrip(tmp_path, capsys):
     """--generate-config writes the default type-mapping YAML; loading it
     back yields exactly the default groups (reference colcompare.py:98),

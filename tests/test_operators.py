@@ -258,6 +258,19 @@ def test_html_report(spark, tmp_path):
     html = open(out).read()
     assert "Tabulator" in html and "Tab1" in html
     assert "NaN" not in html  # NaN sanitized to null
+    # column-feature parity with the reference's Tabulator defs
+    # (dbqt/tools/utils.py:481-523): per-dtype headerFilter + sorter +
+    # plaintext formatter, numeric flags carried per column
+    assert 'headerFilter: c.numeric ? "number" : "input"' in html
+    assert 'sorter: c.numeric ? "number" : "string"' in html
+    assert 'formatter: "plaintext"' in html
+    import json as _json
+
+    tabs = _json.loads(
+        html.split("const TABS = ", 1)[1].split(";\n", 1)[0]
+    )
+    numeric = {c["name"]: c["numeric"] for c in tabs[0]["columns"]}
+    assert numeric == {"n": True, "s": False, "f": True}
 
 
 # -- multimodal plumbing -----------------------------------------------------

@@ -232,6 +232,31 @@ def test_neardup_gate_retry_and_param_guard(spark, tmp_path):
         minhash_gate_batch(batch, store, bands=32)
 
 
+def test_neardup_gate_verified_pair_guard(spark, tmp_path):
+    """An adversarial all-near-dup batch (every doc pairs with every
+    other) must trip the max_verified_pairs guard observably instead of
+    silently pulling O(batch^2) pairs to the driver; a sane limit keeps
+    the same batch green."""
+    import pytest as _pytest
+
+    from dbqt_spark.streaming.neardup import minhash_gate_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    # 6 near-identical docs -> C(6,2)=15 verified within-batch pairs
+    batch = spark.createDataFrame(
+        [(i, base + f"tail{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    with _pytest.raises(RuntimeError, match="max_verified_pairs"):
+        minhash_gate_batch(
+            batch, str(tmp_path / "s1"), max_verified_pairs=3
+        )
+    kept = minhash_gate_batch(
+        batch, str(tmp_path / "s2"), max_verified_pairs=100
+    ).collect()
+    # greedy first-wins: only the minimum id survives the clique
+    assert sorted(r["id"] for r in kept) == [0]
+
+
 def test_neardup_store_join_no_store_exchange(spark, tmp_path):
     """The candidate join must broadcast the (small) arriving batch's
     band keys against the store scan: a BroadcastHashJoin with NO
