@@ -132,7 +132,8 @@ def find_composite_keys(
         if df.rdd.getNumPartitions() < max(2, parallelism // 4):
             df = df.repartition(parallelism)
     except Exception:
-        pass
+        pass  # partition probing (df.rdd) can fail on exotic frames;
+        # the spread is an optimization, never a correctness requirement
     if cache:
         df = df.cache()
     try:

@@ -53,7 +53,9 @@ def profile_columns(
         if exact and df.rdd.getNumPartitions() < max(2, parallelism // 4):
             df = df.repartition(parallelism)
     except Exception:
-        pass
+        pass  # partition probing (df.rdd) can fail on exotic frames
+        # (e.g. pure-SQL views in Connect-like setups); the spread is an
+        # optimization, never a correctness requirement
     cd = (
         (lambda c: F.countDistinct(F.col(c)))
         if exact

@@ -1910,6 +1910,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN, multi-probe (8 planes, Hamming radius 2 = 37/256
+    buckets probed). Approximate -> rows-only check; recorded bound
+    (test_pruned_probe_recall_bounds): mean recall@10 >= 0.25 and above
+    the probed-fraction baseline on the near-isotropic synthetic
+    embeddings (measured ~0.4); `lsh_full_probe` is the bit-for-bit
+    exactness anchor."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     scored = lsh_bucketed_topk(emb, list(q), k=10, n_planes=8, probe_hamming=2)
@@ -2040,7 +2046,10 @@ FROM lineitem GROUP BY l_returnflag
 
 def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL profile of lineitem — the 100 TB scale path (single pass, no
-    Expand). Approximate -> rows-only check."""
+    Expand). Approximate -> rows-only check; recorded bound
+    (test_profile_approx_mode): null counts exact, distinct counts
+    within 3 sigma per column AND <= 5% mean relative error vs
+    `profile_lineitem`'s exact numbers (measured ~2.3%)."""
     return profile_columns(
         load_table(spark, sf_dir, "lineitem"), "lineitem", exact=False
     )
@@ -2048,7 +2057,11 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans cells + 4-probe search for the vec_id=0 query.
-    Approximate (probe subset) -> rows-only check."""
+    Approximate (probe subset) -> rows-only check; recorded bound
+    (test_pruned_probe_recall_bounds): mean recall@10 >= 0.6 and above
+    the 4/8 probed-cell baseline on the near-isotropic synthetic
+    embeddings (measured ~0.75); `ivf_full_probe` is the bit-for-bit
+    exactness anchor."""
     from .operators.similarity import ivf_build, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
