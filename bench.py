@@ -203,6 +203,37 @@ def main() -> None:
         elif not best_complete and best_total is None:
             best_total, best_timings = total, dict(timings)
     query_sum = round(sum(v for v in best_timings.values() if v == v), 3)
+
+    # Solo anchors (BENCH_NOTES #11): the pooled walls above carry up to
+    # ±40% ambient contention; these few queries re-run SEQUENTIALLY on
+    # the otherwise-idle session, so engine regressions and contention
+    # separate mechanically across rounds. Runs warm (post-trials) by
+    # design — the anchor isolates per-query engine cost, not startup.
+    anchor_env = os.environ.get(
+        "SPARK_GRAFT_SOLO_ANCHORS",
+        "streaming_neardup_gate,minhash_near_dups,minhash_clusters,"
+        "simhash_near_dups,embedding_nn,rowcounts",
+    )
+    solo_anchors: dict[str, float] = {}
+    if anchor_env.strip() not in ("", "0", "none"):
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "default")
+        for name in anchor_env.split(","):
+            name = name.strip()
+            if name not in QUERIES:
+                continue
+            t0 = time.perf_counter()
+            try:
+                n = len(QUERIES[name](spark, sf_dir).collect())
+            except Exception as exc:
+                print(f"bench: solo {name} FAILED: {exc}", file=sys.stderr)
+                solo_anchors[name] = float("nan")
+                continue
+            solo_anchors[name] = round(time.perf_counter() - t0, 3)
+            print(
+                f"bench: solo {name}: {solo_anchors[name]:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -221,6 +252,9 @@ def main() -> None:
                 # the cold figure is never silently compared as complete
                 "cold_complete": trial_complete[0] if trial_complete else None,
                 "sum_query_sec": query_sum,
+                # contention-free per-query walls (sequential re-runs on
+                # the idle session; see BENCH_NOTES #11)
+                "solo_anchors": solo_anchors,
                 "queries": best_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
