@@ -789,12 +789,13 @@ def tool_curate(argv: list[str]) -> int:
 
 def tool_sample(argv: list[str]) -> int:
     """Deterministic corpus sampling from the CLI: per-group stratified
-    cap or token-budget prefix — both pure functions of (seed, corpus),
-    rerun- and engine-stable (never rand())."""
+    cap, token-budget prefix, or mixture reweighting (per-group rates)
+    — all pure functions of (seed, corpus), rerun- and engine-stable
+    (never rand())."""
     p = argparse.ArgumentParser(prog="sample")
     p.add_argument("--config", required=True)
     p.add_argument("--table", required=True)
-    p.add_argument("--method", choices=["stratified", "budget"],
+    p.add_argument("--method", choices=["stratified", "budget", "mixture"],
                    required=True)
     p.add_argument("--id-column", default="doc_id")
     p.add_argument("--seed", type=int, default=42)
@@ -806,12 +807,32 @@ def tool_sample(argv: list[str]) -> int:
                    help="budget: tokens counted on this column")
     p.add_argument("--budget-tokens", type=int,
                    help="budget: whitespace-token budget")
+    p.add_argument("--rate", action="append", default=[],
+                   metavar="GROUP=RATE",
+                   help="mixture: per-group sampling rate, repeatable "
+                   "(e.g. --rate en=0.5 --rate web=0.3)")
+    p.add_argument("--default-rate", type=float, default=1.0,
+                   help="mixture: rate for groups not named by --rate")
     p.add_argument("--output-parquet", required=True)
     args = p.parse_args(argv)
 
     cfg, db = _load_db(args.config)
     df = db.load(args.table)
-    if args.method == "stratified":
+    if args.method == "mixture":
+        from .operators.sampling import mixture_sample
+
+        rates: dict = {}
+        for spec in args.rate:
+            if "=" not in spec:
+                p.error(f"--rate expects GROUP=RATE, got {spec!r}")
+            g, _, r = spec.partition("=")
+            rates[g] = float(r)
+        out = mixture_sample(
+            df, args.group_column, rates,
+            default_rate=args.default_rate,
+            id_col=args.id_column, seed=args.seed,
+        )
+    elif args.method == "stratified":
         from .operators.sampling import stratified_sample
 
         out = stratified_sample(

@@ -70,6 +70,56 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: "dict[str | None, float]",
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Training-mix reweighting: keep each group at its configured
+    sampling RATE (e.g. ``{"web": 0.3, "books": 1.0}`` on a source
+    column) — the standard corpus-mixture move before training.
+    Membership is the same pure-function-of-(seed, id) contract as
+    ``hash_split``: a row survives iff its portable hash bucket falls
+    under ``rate * HASH_BUCKETS`` for its group, so re-runs, appends,
+    and engine swaps never reshuffle the kept set, and DOWN-stream
+    rate changes are monotone (lowering a rate only removes rows; the
+    survivors at 0.3 are a subset of the survivors at 0.5 — nested
+    samples, the property ``rand()`` cannot give).
+
+    Groups absent from ``rates`` keep ``default_rate``; a NULL group
+    matches a ``None`` key. Scale shape: ONE narrow projection — the
+    rate lookup is a when-chain over the (small) rates dict, no
+    shuffle, no UDF, no join.
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for group {g!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    bucket = split_bucket_col(id_col, seed)
+    threshold = None
+    for g, r in sorted(
+        rates.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+    ):
+        t = F.lit(int(round(r * HASH_BUCKETS)))
+        cond = (
+            F.col(group_col).isNull()
+            if g is None
+            else F.col(group_col).eqNullSafe(F.lit(g))
+        )
+        threshold = (
+            F.when(cond, t) if threshold is None else threshold.when(cond, t)
+        )
+    default_t = F.lit(int(round(default_rate * HASH_BUCKETS)))
+    threshold = (
+        default_t if threshold is None else threshold.otherwise(default_t)
+    )
+    return df.filter(bucket < threshold)
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

@@ -2791,6 +2791,41 @@ ORDER BY grain, event_type, bucket
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix reweighting: per-language sampling rates applied by
+    portable hash threshold (operators/sampling.mixture_sample) — one
+    narrow projection, no shuffle; membership is append-stable and
+    NESTED across rate changes."""
+    from .operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(
+            docs,
+            group_col="lang",
+            rates={"en": 0.5, "zh": 1.0, "de": 0.25},
+            default_rate=0.75,
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+SQL_MIXTURE_SAMPLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+      % 10000 AS b
+  FROM documents
+)
+WHERE b < CASE WHEN lang = 'en' THEN 5000
+               WHEN lang = 'zh' THEN 10000
+               WHEN lang = 'de' THEN 2500
+               ELSE 7500 END
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "rowcount_filtered": q_rowcount_filtered,
@@ -2863,6 +2898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_enriched": q_asof_enriched,
     "event_sessions": q_event_sessions,
     "event_rollup": q_event_rollup,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2935,6 +2971,7 @@ ORACLES: dict[str, str] = {
     "asof_enriched": SQL_ASOF_ENRICHED,
     "event_sessions": SQL_EVENT_SESSIONS,
     "event_rollup": SQL_EVENT_ROLLUP,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -362,3 +362,17 @@ def test_cli_sample(spark, tmp_path, capsys):
     assert "rows sampled" in out
     back = spark.read.parquet(budget)
     assert 0 < back.count() < 500  # a strict subset
+
+    mix = str(tmp_path / "mix")
+    assert main([
+        "sample", "--config", cfg, "--table", "documents",
+        "--method", "mixture", "--group-column", "lang",
+        "--rate", "en=0.0", "--default-rate", "1.0",
+        "--output-parquet", mix,
+    ]) == 0
+    back = spark.read.parquet(mix)
+    # every en doc sampled out; all other languages kept whole
+    assert back.filter("lang = 'en'").count() == 0
+    assert back.count() == spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("lang <> 'en'").count()

@@ -1368,3 +1368,54 @@ def test_time_rollup_single_scan_plan(spark, sf_dir):
     # GROUPING SETS: one scan feeds all three grains via Expand
     assert plan.count("Scan parquet") <= 2  # tree + detail
     assert "Expand" in plan
+
+
+# -- mixture sampler ----------------------------------------------------------
+
+
+def test_mixture_sample_nested_and_deterministic(spark):
+    from dbqt_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(200)],
+        ["doc_id", "lang"],
+    )
+    half = {r["doc_id"] for r in
+            mixture_sample(df, "lang", {"en": 0.5, "zh": 0.5}).collect()}
+    fifth = {r["doc_id"] for r in
+             mixture_sample(df, "lang", {"en": 0.2, "zh": 0.2}).collect()}
+    # nested-sample property: lowering a rate only REMOVES rows
+    assert fifth <= half
+    assert 0 < len(fifth) < len(half) < 200
+    # pure function of (seed, id): re-run identical
+    again = {r["doc_id"] for r in
+             mixture_sample(df, "lang", {"en": 0.5, "zh": 0.5}).collect()}
+    assert again == half
+    # rate 1.0 keeps everything; rate 0.0 drops the group entirely
+    all_en = mixture_sample(df, "lang", {"en": 1.0, "zh": 0.0}).collect()
+    assert len(all_en) == 100 and all(r["lang"] == "en" for r in all_en)
+
+
+def test_mixture_sample_null_group_and_default(spark):
+    from dbqt_spark.operators.sampling import mixture_sample
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y")], ["doc_id", "lang"]
+    )
+    # None key targets the NULL group; unlisted groups use default_rate
+    kept = mixture_sample(
+        df, "lang", {None: 0.0, "x": 1.0}, default_rate=1.0
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == [2, 3]
+    with _pytest.raises(ValueError, match="rate"):
+        mixture_sample(df, "lang", {"x": 1.5})
+
+
+def test_mixture_sample_no_shuffle_plan(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(mixture_sample(docs, "lang", {"en": 0.5}))
+    assert "Exchange" not in plan and "Join" not in plan
