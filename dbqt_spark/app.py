@@ -41,6 +41,7 @@ TOOLS = [
     "split",
     "curate",
     "sample",
+    "profile",
 ]
 
 
@@ -787,6 +788,80 @@ def tool_curate(argv: list[str]) -> int:
     return 0
 
 
+def tool_profile(argv: list[str]) -> int:
+    """Column-profiling report over one table: distinct/null profile,
+    numeric histograms, Pearson correlation matrix, frequent values,
+    and |z|-score outlier rows, one tab each — every tab a single-scan
+    (or single-scan + broadcast) plan from operators/profile.py."""
+    from .operators.profile import (
+        correlation_matrix,
+        frequent_values,
+        numeric_histogram,
+        profile_columns,
+        zscore_outliers,
+    )
+    from .report.html import HTMLReport
+
+    p = argparse.ArgumentParser(prog="profile")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--columns", help="comma list; default all numerics "
+                   "for histogram/corr, all for profile/frequent")
+    p.add_argument("--buckets", type=int, default=10)
+    p.add_argument("--top-k", type=int, default=5,
+                   help="frequent values per column")
+    p.add_argument("--approx", action="store_true",
+                   help="HLL distincts + double-sum correlation "
+                   "(the 100 TB mode; exact is the default)")
+    p.add_argument("--outlier-value-column",
+                   help="also rank top-20 |z|-score outlier rows of "
+                   "this column (requires --outlier-group-column and "
+                   "--outlier-id-column)")
+    p.add_argument("--outlier-group-column")
+    p.add_argument("--outlier-id-column")
+    p.add_argument("--output")
+    args = p.parse_args(argv)
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    cols = args.columns.split(",") if args.columns else None
+    report = HTMLReport(f"profile ({args.table})")
+    report.add_dataframe_tab(
+        "Columns", profile_columns(df, args.table, exact=not args.approx)
+    )
+    report.add_dataframe_tab(
+        "Histograms",
+        numeric_histogram(df, args.table, columns=cols,
+                          n_buckets=args.buckets),
+    )
+    report.add_dataframe_tab(
+        "Correlations",
+        correlation_matrix(df, args.table, columns=cols,
+                           exact=not args.approx),
+    )
+    report.add_dataframe_tab(
+        "Frequent values",
+        frequent_values(df, args.table, columns=cols, k=args.top_k),
+    )
+    if args.outlier_value_column:
+        if not (args.outlier_group_column and args.outlier_id_column):
+            p.error("--outlier-value-column needs --outlier-group-column "
+                    "and --outlier-id-column")
+        report.add_dataframe_tab(
+            "Outliers",
+            zscore_outliers(
+                df,
+                value_col=args.outlier_value_column,
+                group_col=args.outlier_group_column,
+                id_col=args.outlier_id_column,
+            ),
+        )
+    out = args.output or _results_path("profile")
+    report.save(out)
+    print(f"Report saved to {out}")
+    return 0
+
+
 def tool_sample(argv: list[str]) -> int:
     """Deterministic corpus sampling from the CLI: per-group stratified
     cap, token-budget prefix, or mixture reweighting (per-group rates)
@@ -884,6 +959,7 @@ def main(argv: list[str] | None = None) -> int:
         "split": tool_split,
         "curate": tool_curate,
         "sample": tool_sample,
+        "profile": tool_profile,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

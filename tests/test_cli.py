@@ -376,3 +376,30 @@ def test_cli_sample(spark, tmp_path, capsys):
     assert back.count() == spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).filter("lang <> 'en'").count()
+
+
+def test_cli_profile(spark, tmp_path):
+    cfg = _write(
+        tmp_path / "c.yaml",
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n",
+    )
+    out = str(tmp_path / "profile.html")
+    assert main([
+        "profile", "--config", cfg, "--table", "events",
+        "--buckets", "5", "--top-k", "3",
+        "--outlier-value-column", "value",
+        "--outlier-group-column", "event_type",
+        "--outlier-id-column", "event_id",
+        "--output", out,
+    ]) == 0
+    html = open(out).read()
+    for tab in ("Columns", "Histograms", "Correlations",
+                "Frequent values", "Outliers"):
+        assert tab in html
+    # approx mode drives the HLL + double-sum arms through the same tool
+    out2 = str(tmp_path / "profile2.html")
+    assert main([
+        "profile", "--config", cfg, "--table", "events",
+        "--approx", "--output", out2,
+    ]) == 0
+    assert os.path.exists(out2)
