@@ -28,6 +28,7 @@ def asof_join(
     ts_col: str = "ts",
     by: str | list[str] = "user_id",
     right_prefix: str = "right_",
+    tolerance_seconds: "int | None" = None,
 ) -> DataFrame:
     """Backward as-of join: all ``left`` columns plus every non-key
     ``right`` column renamed ``{right_prefix}{name}``.
@@ -36,6 +37,13 @@ def asof_join(
     among the tied-or-earlier right rows the greatest ``ts`` wins
     (deterministic given unique (by, ts) on the right — enforce upstream
     when the right side can hold duplicates).
+
+    ``tolerance_seconds`` voids matches older than the window (pandas
+    ``merge_asof`` tolerance contract): a left row whose best match is
+    further back than the tolerance keeps NULLs instead. Inclusive at
+    the boundary. For TIMESTAMP ts columns the gap is computed in
+    integer microseconds (``unix_micros`` — exact, engine-portable);
+    for numeric ts columns the tolerance is in the column's own units.
     """
     keys = [by] if isinstance(by, str) else list(by)
     rpayload = [c for c in right.columns if c not in keys]
@@ -66,6 +74,25 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        # the carried struct holds the matched right row's own ts; a
+        # match further back than the window is voided wholesale
+        if isinstance(
+            left.schema[ts_col].dataType, (TimestampType, TimestampNTZType)
+        ):
+            gap = F.unix_micros(F.col("__ts")) - F.unix_micros(
+                F.col("__m")[ts_col]
+            )
+            limit = F.lit(int(tolerance_seconds) * 1_000_000)
+        else:
+            gap = F.col("__ts") - F.col("__m")[ts_col]
+            limit = F.lit(tolerance_seconds)
+        matched = matched.withColumn(
+            "__m",
+            F.when(F.col("__m").isNotNull() & (gap <= limit), F.col("__m")),
+        )
 
     out_cols = (
         [F.col(k) for k in keys]

@@ -2660,137 +2660,6 @@ def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
-def q_asof_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time feature attachment: every event gains its user's
-    most recent order (backward as-of on o_custkey/o_orderdate) —
-    one union-and-carry window, ONE shuffle, no range join
-    (operators/temporal.asof_join). Orders are pre-deduped to one row
-    per (custkey, orderdate) by max orderkey, the operator's
-    right-side uniqueness contract."""
-    from .operators.temporal import asof_join
-
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts"
-    )
-    orders = load_table(spark, sf_dir, "orders")
-    right = (
-        orders.groupBy("o_custkey", "o_orderdate")
-        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("__m"))
-        .select(
-            "o_custkey",
-            "o_orderdate",
-            F.col("__m.o_orderkey").alias("o_orderkey"),
-            F.round(F.col("__m.o_totalprice"), 4).alias("last_order_price"),
-        )
-    )
-    return (
-        asof_join(
-            events.withColumnRenamed("user_id", "o_custkey"),
-            right,
-            on="o_custkey",
-            left_ts="ts",
-            right_ts="o_orderdate",
-            payload_cols=["o_orderkey", "last_order_price"],
-        )
-        .select(
-            "event_id",
-            F.col("o_custkey").alias("user_id"),
-            F.col("o_orderkey").alias("last_orderkey"),
-            "last_order_price",
-        )
-        .orderBy("event_id")
-    )
-
-
-SQL_ASOF_ENRICHED = """
-WITH r AS (
-  SELECT o_custkey, o_orderdate, o_orderkey,
-         round(o_totalprice, 4) AS last_order_price
-  FROM orders
-  QUALIFY row_number() OVER (
-    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
-),
-e AS (SELECT event_id, user_id, ts FROM events)
-SELECT e.event_id, e.user_id,
-       r.o_orderkey AS last_orderkey, r.last_order_price
-FROM e ASOF LEFT JOIN r
-  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
-ORDER BY e.event_id
-"""
-
-
-def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity), one row per
-    session — lag/cumsum/groupBy sharing ONE user-key shuffle
-    (operators/temporal.sessionize)."""
-    from .operators.temporal import sessionize
-
-    events = load_table(spark, sf_dir, "events")
-    return sessionize(events, gap_minutes=30)
-
-
-SQL_EVENT_SESSIONS = """
-WITH m AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-              THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-n AS (
-  SELECT user_id, ts,
-         CAST(SUM(is_new) OVER (
-           PARTITION BY user_id ORDER BY ts
-           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-  FROM m
-)
-SELECT user_id, session_idx,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM n GROUP BY user_id, session_idx
-ORDER BY user_id, session_idx
-"""
-
-
-def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour/day/type rollup of events in ONE scan via GROUPING SETS
-    (operators/temporal.time_rollup) — three grains for the price of
-    one shuffle."""
-    from .operators.temporal import time_rollup
-
-    events = load_table(spark, sf_dir, "events")
-    return time_rollup(events)
-
-
-SQL_EVENT_ROLLUP = """
-WITH b AS (
-  SELECT event_type,
-         date_trunc('hour', ts) AS hour_b,
-         date_trunc('day', ts) AS day_b,
-         value
-  FROM events
-)
-SELECT CASE WHEN grouping(hour_b) = 0 THEN 'hour'
-            WHEN grouping(day_b) = 0 THEN 'day'
-            ELSE 'type' END AS grain,
-       event_type,
-       CASE WHEN grouping(hour_b) = 0
-              THEN strftime(hour_b, '%Y-%m-%d %H:%M:%S')
-            WHEN grouping(day_b) = 0
-              THEN strftime(day_b, '%Y-%m-%d %H:%M:%S')
-       END AS bucket,
-       CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS sum_value
-FROM b
-GROUP BY GROUPING SETS ((event_type, day_b, hour_b),
-                        (event_type, day_b),
-                        (event_type))
-ORDER BY grain, event_type, bucket
-"""
-
-
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix reweighting: per-language sampling rates applied by
     portable hash threshold (operators/sampling.mixture_sample) — one
@@ -2895,9 +2764,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "lsh_full_probe": q_lsh_full_probe,
     "ivf_full_probe": q_ivf_full_probe,
-    "asof_enriched": q_asof_enriched,
-    "event_sessions": q_event_sessions,
-    "event_rollup": q_event_rollup,
     "mixture_sample": q_mixture_sample,
 }
 
@@ -2968,9 +2834,6 @@ ORACLES: dict[str, str] = {
     # full-probe ANN == brute force by construction: same oracle
     "lsh_full_probe": SQL_COSINE_TOPK,
     "ivf_full_probe": SQL_COSINE_TOPK,
-    "asof_enriched": SQL_ASOF_ENRICHED,
-    "event_sessions": SQL_EVENT_SESSIONS,
-    "event_rollup": SQL_EVENT_ROLLUP,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /

@@ -391,6 +391,45 @@ def test_asof_join_semantics(spark):
     assert set(rows) == {"user_id", "ts", "tag", "right_ts", "right_name"}
 
 
+def test_asof_join_tolerance(spark):
+    """A match further back than the tolerance window is voided to NULL
+    (pandas merge_asof contract), inclusive at the boundary; timestamp
+    columns measure in seconds, numeric columns in their own units."""
+    import datetime as dt
+
+    from dbqt_spark.operators.asof import asof_join
+
+    # numeric ts: tolerance in native units
+    left = spark.createDataFrame(
+        [(1, 200, "p1"), (1, 130, "p2")], ["user_id", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "c1")], ["user_id", "ts", "name"]
+    )
+    got = {
+        r["tag"]: r["right_name"]
+        for r in asof_join(
+            left, right, ts_col="ts", by="user_id", tolerance_seconds=50
+        ).collect()
+    }
+    assert got == {"p1": None, "p2": "c1"}  # 100 > 50 voided; 30 kept
+    # timestamp ts: tolerance in seconds, inclusive boundary
+    T = lambda h, m=0: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+    lts = spark.createDataFrame(
+        [(1, T(10), "x"), (1, T(12), "y")], "user_id long, ts timestamp, tag string"
+    )
+    rts = spark.createDataFrame(
+        [(1, T(9), "c")], "user_id long, ts timestamp, name string"
+    )
+    got = {
+        r["tag"]: r["right_name"]
+        for r in asof_join(
+            lts, rts, ts_col="ts", by="user_id", tolerance_seconds=3600
+        ).collect()
+    }
+    assert got == {"x": "c", "y": None}  # exactly 1h in; 3h out
+
+
 def test_asof_join_composite_key(spark):
     from dbqt_spark.operators.asof import asof_join
 

@@ -1214,162 +1214,6 @@ def test_histogram_and_corr_exclude_out_of_domain_values(spark):
     assert corr[0]["n_pairs"] == 2  # pairwise-complete over {1, 2}
 
 
-# -- temporal operators (operators/temporal.py) -------------------------------
-
-
-def test_asof_join_backward_and_tolerance(spark):
-    import datetime as dt
-
-    from dbqt_spark.operators.temporal import asof_join
-
-    T = lambda h, m=0: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
-    left = spark.createDataFrame(
-        [(1, 1, T(10)), (2, 1, T(12)), (3, 2, T(10))],
-        "eid long, k long, ts timestamp",
-    )
-    right = spark.createDataFrame(
-        [(1, T(9), 5.0), (1, T(11, 30), 7.0), (3, T(9), 9.0)],
-        "k long, rts timestamp, v double",
-    )
-    got = {
-        r["eid"]: r["v"]
-        for r in asof_join(
-            left, right, on="k", left_ts="ts", right_ts="rts",
-            payload_cols=["v"],
-        ).collect()
-    }
-    # eid 1: latest right at/before 10:00 is 09:00 -> 5; eid 2: 11:30 ->
-    # 7; eid 3: key 2 has no right rows -> NULL (left-join semantics)
-    assert got == {1: 5.0, 2: 7.0, 3: None}
-    # 60-min tolerance: eid 1's match is 1h old (exactly in window, 
-    # inclusive), eid 2's is 30min -> kept
-    got_tol = {
-        r["eid"]: r["v"]
-        for r in asof_join(
-            left, right, on="k", left_ts="ts", right_ts="rts",
-            payload_cols=["v"], tolerance_seconds=3600,
-        ).collect()
-    }
-    assert got_tol == {1: 5.0, 2: 7.0, 3: None}
-    got_tight = {
-        r["eid"]: r["v"]
-        for r in asof_join(
-            left, right, on="k", left_ts="ts", right_ts="rts",
-            payload_cols=["v"], tolerance_seconds=1800,
-        ).collect()
-    }
-    assert got_tight == {1: None, 2: 7.0, 3: None}
-
-
-def test_asof_join_inclusive_at_equal_ts(spark):
-    import datetime as dt
-
-    from dbqt_spark.operators.temporal import asof_join
-
-    t = dt.datetime(2026, 1, 1, 10)
-    left = spark.createDataFrame([(1, 1, t)], "eid long, k long, ts timestamp")
-    right = spark.createDataFrame([(1, t, 42.0)], "k long, rts timestamp, v double")
-    rows = asof_join(
-        left, right, on="k", left_ts="ts", right_ts="rts", payload_cols=["v"]
-    ).collect()
-    assert rows[0]["v"] == 42.0  # right_ts == left_ts matches (<=)
-
-
-def test_asof_join_single_shuffle_plan(spark, sf_dir):
-    from dbqt_spark.catalog import load_table
-    from dbqt_spark.operators.temporal import asof_join
-
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", F.col("user_id").alias("k"), "ts"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("rts"),
-        "o_totalprice",
-    ).dropDuplicates(["k", "rts"])
-    plan = formatted_plan(
-        asof_join(events, orders, on="k", left_ts="ts", right_ts="rts",
-                  payload_cols=["o_totalprice"])
-    )
-    # union-and-carry: no Join node at all, and the only hash exchange
-    # keys on the join key for the window (dropDuplicates adds its own)
-    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
-    assert plan.count("Window") >= 1
-
-
-def test_sessionize_known_sessions(spark):
-    import datetime as dt
-
-    from dbqt_spark.operators.temporal import sessionize
-
-    T = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
-    df = spark.createDataFrame(
-        [
-            (1, 10, T(10, 0)), (2, 10, T(10, 20)),   # session 1 (20m gap)
-            (3, 10, T(11, 0)),                        # 40m gap -> session 2
-            (4, 20, T(9, 0)),
-        ],
-        "event_id long, user_id long, ts timestamp",
-    )
-    rows = sessionize(df, gap_minutes=30).collect()
-    got = [
-        (r["user_id"], r["session_idx"], r["n_events"]) for r in rows
-    ]
-    assert got == [(10, 1, 2), (10, 2, 1), (20, 1, 1)]
-    assert rows[0]["session_start"] == "2026-01-01 10:00:00"
-    assert rows[0]["session_end"] == "2026-01-01 10:20:00"
-
-
-def test_sessionize_single_shuffle_plan(spark, sf_dir):
-    from dbqt_spark.catalog import load_table
-    from dbqt_spark.operators.temporal import sessionize
-
-    plan = formatted_plan(sessionize(load_table(spark, sf_dir, "events")))
-    # lag + cumsum + groupBy all reuse the ONE user-key hash exchange;
-    # the only other exchange is the final presentation orderBy (range)
-    assert plan.count("Exchange hashpartitioning") <= 2  # tree + detail
-    assert "Join" not in plan
-
-
-def test_time_rollup_grains_consistent(spark):
-    import datetime as dt
-
-    from dbqt_spark.operators.temporal import time_rollup
-
-    df = spark.createDataFrame(
-        [
-            (1, "a", dt.datetime(2026, 1, 1, 10, 15), 1.5),
-            (2, "a", dt.datetime(2026, 1, 1, 10, 45), 2.5),
-            (3, "a", dt.datetime(2026, 1, 2, 10, 0), 4.0),
-            (4, "b", dt.datetime(2026, 1, 1, 10, 0), 8.0),
-        ],
-        "event_id long, event_type string, ts timestamp, value double",
-    )
-    rows = time_rollup(df).collect()
-    by_grain = {}
-    for r in rows:
-        by_grain.setdefault(r["grain"], []).append(r)
-    # hour grain: 3 buckets for a, 1 for b; day: 2 for a, 1 for b
-    assert len(by_grain["hour"]) == 3 and len(by_grain["day"]) == 3
-    type_rows = {r["event_type"]: r for r in by_grain["type"]}
-    assert type_rows["a"]["n_events"] == 3
-    assert type_rows["a"]["sum_value"] == 8.0
-    assert type_rows["a"]["bucket"] is None
-    # each grain sums to the same total (rollup consistency)
-    for g in ("hour", "day", "type"):
-        assert sum(r["sum_value"] for r in by_grain[g]) == 16.0
-
-
-def test_time_rollup_single_scan_plan(spark, sf_dir):
-    from dbqt_spark.catalog import load_table
-    from dbqt_spark.operators.temporal import time_rollup
-
-    plan = formatted_plan(time_rollup(load_table(spark, sf_dir, "events")))
-    # GROUPING SETS: one scan feeds all three grains via Expand
-    assert plan.count("Scan parquet") <= 2  # tree + detail
-    assert "Expand" in plan
-
-
 # -- mixture sampler ----------------------------------------------------------
 
 
