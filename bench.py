@@ -212,7 +212,8 @@ def main() -> None:
     anchor_env = os.environ.get(
         "SPARK_GRAFT_SOLO_ANCHORS",
         "streaming_neardup_gate,minhash_near_dups,minhash_clusters,"
-        "simhash_near_dups,embedding_nn,rowcounts",
+        "simhash_near_dups,embedding_nn,rowcounts,"
+        "cross_near_dups,ngram_jaccard_dups",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):
@@ -235,31 +236,37 @@ def main() -> None:
             )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries",
-                "value": best_total,
-                "unit": "sec",
-                "workers": workers,
-                # per-trial wall totals, in run order: trials[0] is the
-                # coldest run (post-warmup but pre any query-built state)
-                # and is the figure comparable to the single-run r5
-                # baseline; "value" is the best complete trial.
-                "trials": trial_totals,
-                "cold_total_sec": trial_totals[0] if trial_totals else None,
-                # a trial with query failures ran LESS work — flag it so
-                # the cold figure is never silently compared as complete
-                "cold_complete": trial_complete[0] if trial_complete else None,
-                "sum_query_sec": query_sum,
-                # contention-free per-query walls (sequential re-runs on
-                # the idle session; see BENCH_NOTES #11)
-                "solo_anchors": solo_anchors,
-                "queries": best_timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result_json = json.dumps(
+        {
+            "metric": "total_wall_sec_all_queries",
+            "value": best_total,
+            "unit": "sec",
+            "workers": workers,
+            # per-trial wall totals, in run order: trials[0] is the
+            # coldest run (post-warmup but pre any query-built state)
+            # and is the figure comparable to the single-run r5
+            # baseline; "value" is the best complete trial.
+            "trials": trial_totals,
+            "cold_total_sec": trial_totals[0] if trial_totals else None,
+            # a trial with query failures ran LESS work — flag it so
+            # the cold figure is never silently compared as complete
+            "cold_complete": trial_complete[0] if trial_complete else None,
+            "sum_query_sec": query_sum,
+            # contention-free per-query walls (sequential re-runs on
+            # the idle session; see BENCH_NOTES #11)
+            "solo_anchors": solo_anchors,
+            "queries": best_timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # the stdout line is the driver's contract, but its tail capture has
+    # truncated it before (BENCH_r08.json: "parsed": null) — also write
+    # the artifact to a file so the record never depends on stdout
+    out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    if out_file:
+        with open(out_file, "w") as fh:
+            fh.write(result_json + "\n")
+    print(result_json)
 
 
 if __name__ == "__main__":

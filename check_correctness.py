@@ -51,6 +51,8 @@ def value_hash(cols, rows):
 
 
 def main(only=None):
+    import os
+
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
@@ -92,6 +94,21 @@ def main(only=None):
             print(f"{name}: ERR {type(e).__name__}: {e}", flush=True)
     bad = {k: v for k, v in results.items() if v not in ("OK", "no_oracle")}
     print(json.dumps({"n": len(results), "bad": bad}, default=str))
+    # persist the full-registry record as a committable artifact (the
+    # driver's own sweep runs a pinned query list that can lag the live
+    # registry) — same per-query shape as CORRECTNESS_r{N}.json
+    if not only:
+        out_file = os.environ.get(
+            "CORRECTNESS_OUT", "CORRECTNESS_LOCAL.json"
+        )
+        with open(out_file, "w") as fh:
+            json.dump(
+                {name: {"status": s} for name, s in results.items()},
+                fh,
+                indent=1,
+                default=str,
+            )
+            fh.write("\n")
     return 1 if bad else 0
 
 

@@ -545,6 +545,11 @@ def tool_dedup(argv: list[str]) -> int:
         # once for the write and again for the cluster pass
         if args.pairs_parquet:
             result.write.mode("overwrite").parquet(args.pairs_parquet)
+            # the dedup operators return the pair frame persisted (the
+            # over-limit contract); release those blocks before dropping
+            # our handle to them, else repeated in-process main() calls
+            # leak cached partitions until GC
+            result.unpersist()
             result = df.sparkSession.read.parquet(args.pairs_parquet)
         # every pair method emits (id_a, id_b, ...)
         result = near_dup_clusters(
@@ -822,6 +827,15 @@ def tool_profile(argv: list[str]) -> int:
     p.add_argument("--output")
     args = p.parse_args(argv)
 
+    # validate flag combinations BEFORE any tab renders: each tab
+    # eagerly collects a full-table aggregate, so a usage error after
+    # them would do all the expensive work and then exit
+    if args.outlier_value_column and not (
+        args.outlier_group_column and args.outlier_id_column
+    ):
+        p.error("--outlier-value-column needs --outlier-group-column "
+                "and --outlier-id-column")
+
     cfg, db = _load_db(args.config)
     df = db.load(args.table)
     cols = args.columns.split(",") if args.columns else None
@@ -844,9 +858,6 @@ def tool_profile(argv: list[str]) -> int:
         frequent_values(df, args.table, columns=cols, k=args.top_k),
     )
     if args.outlier_value_column:
-        if not (args.outlier_group_column and args.outlier_id_column):
-            p.error("--outlier-value-column needs --outlier-group-column "
-                    "and --outlier-id-column")
         report.add_dataframe_tab(
             "Outliers",
             zscore_outliers(
@@ -891,17 +902,25 @@ def tool_sample(argv: list[str]) -> int:
     p.add_argument("--output-parquet", required=True)
     args = p.parse_args(argv)
 
+    # validate flag syntax BEFORE loading config/data — a malformed
+    # --rate should be a usage error, not a traceback after real work
+    rates: dict = {}
+    for spec in args.rate:
+        if "=" not in spec:
+            p.error(f"--rate expects GROUP=RATE, got {spec!r}")
+        g, _, r = spec.partition("=")
+        try:
+            rates[g] = float(r)
+        except ValueError:
+            p.error(f"--rate expects a numeric RATE, got {spec!r}")
+    if args.method == "budget" and args.budget_tokens is None:
+        p.error("--budget-tokens is required with --method budget")
+
     cfg, db = _load_db(args.config)
     df = db.load(args.table)
     if args.method == "mixture":
         from .operators.sampling import mixture_sample
 
-        rates: dict = {}
-        for spec in args.rate:
-            if "=" not in spec:
-                p.error(f"--rate expects GROUP=RATE, got {spec!r}")
-            g, _, r = spec.partition("=")
-            rates[g] = float(r)
         out = mixture_sample(
             df, args.group_column, rates,
             default_rate=args.default_rate,
@@ -915,8 +934,6 @@ def tool_sample(argv: list[str]) -> int:
             id_col=args.id_column, seed=args.seed,
         )
     else:
-        if args.budget_tokens is None:
-            p.error("--budget-tokens is required with --method budget")
         from .operators.sampling import token_budget_sample
 
         ids = token_budget_sample(

@@ -88,32 +88,39 @@ def streaming_curate(
         if cfg.eval_df is not None
         else None
     )
-    # drop a NULL-group threshold (group_quality_thresholds aggregates
-    # the NULL group into a None key): it could never match the plain
-    # equi-join below anyway, and None keys break the sort. Net effect:
-    # NULL-group docs always pass the streaming gate (no calibrated
-    # threshold applies to them).
+    # KEEP a NULL-group threshold (group_quality_thresholds aggregates
+    # the NULL group into a None key) for parity with the batch twin
+    # (textstats.quality_quantile_filter gates NULL-group docs against
+    # the NULL-group threshold via a null-safe join). Sort with a
+    # None-first key so determinism survives the None entry.
     spark_thresholds = sorted(
-        (k, v) for k, v in thresholds.items() if k is not None
+        thresholds.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         thr = spark.createDataFrame(
-            spark_thresholds, f"{cfg.group_col} string, __thr double"
+            spark_thresholds, "__g string, __thr double"
         )
         scored = batch_df.withColumn(
             "quality_score",
             F.round(_quality_exprs(cfg.text_col)["score"], 4),
         )
         kept = (
-            scored.join(F.broadcast(thr), cfg.group_col, "left")
+            # null-SAFE group match (batch-twin parity): NULL-group docs
+            # gate against the NULL-group calibrated threshold instead
+            # of always passing
+            scored.join(
+                F.broadcast(thr),
+                F.col(cfg.group_col).eqNullSafe(F.col("__g")),
+                "left",
+            )
             # unseen groups pass (no calibrated threshold to apply)
             .filter(
                 F.col("__thr").isNull()
                 | (F.col("quality_score") >= F.col("__thr"))
             )
-            .drop("__thr")
+            .drop("__g", "__thr")
         )
         if cfg.dedup == "exact":
             kept = dedup_exact(

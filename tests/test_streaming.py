@@ -531,21 +531,23 @@ def test_streaming_curate_batch_twin(spark, tmp_path):
         pa.table({
             "doc_id": [4, 5, 6],
             "text": [good + " again", "mail root@x.example.org ok " + good,
-                     bad + " null-lang docs always pass the gate"],
-            # fr: no calibrated threshold -> passes; NULL lang -> passes
+                     bad + " gated by the null-group threshold"],
+            # fr: no calibrated threshold -> passes; NULL lang: gated
+            # against the NULL-group calibrated threshold (batch parity)
             "lang": ["en", "fr", None],
         }),
         str(src / "b2.parquet"),
     )
 
     calib = spark.createDataFrame(
-        [(100, good, "en"), (101, bad, "en"), (102, bad, None)],
+        [(100, good, "en"), (101, bad, "en"), (102, good, None)],
         ["doc_id", "text", "lang"],
     )
     thresholds = group_quality_thresholds(calib, quantile=0.5)
     assert "en" in thresholds
-    # the NULL calibration group yields a None key; streaming_curate must
-    # drop it (sorted() over a str/None mix raised TypeError before)
+    # the NULL calibration group yields a None key; streaming_curate
+    # keeps it (null-safe join, batch-twin parity) and must not crash
+    # sorting the str/None key mix
     assert None in thresholds
 
     stream = (
@@ -566,8 +568,9 @@ def test_streaming_curate_batch_twin(spark, tmp_path):
     rows = {r["doc_id"]: r for r in out.collect()}
     # bad doc gated out (below the en median of {good, bad});
     # within-batch exact dup of 1 (id 3) dropped; fr doc passes ungated;
-    # NULL-lang doc passes ungated despite its bad score
-    assert set(rows) == {1, 4, 5, 6}
+    # NULL-lang doc gated out against the NULL-group threshold
+    # (calibrated on good text) — batch-twin parity, not a free pass
+    assert set(rows) == {1, 4, 5}
     assert "<EMAIL>" in rows[5]["redacted_text"]
     assert {rows[i]["batch_id"] for i in (1,)} == {0}
     assert rows[4]["batch_id"] == 1
