@@ -101,21 +101,63 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN: score only vectors whose LSH bucket is within ``probe_hamming``
     bits of the query's bucket (multi-probe). At scale, write the data
     partitioned by bucket so this prunes parquet partitions instead of
-    filtering post-scan."""
-    dim = len(query)
-    planes = _hyperplanes(dim, n_planes, seed)
-    qsig = _query_signature(query, planes)
-    sig = lsh_signature_col(F.col(vec_col), planes)
-    probe = F.bit_count(sig.bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    filtering post-scan.
+
+    ``n_tables > 1`` is classic multi-table LSH (the E2LSH structure): L
+    INDEPENDENT ``n_planes``-bit tables, a vector is a candidate if ANY
+    table places it within ``probe_hamming`` of the query — recall is
+    1 - (1 - p_table)^L, the knob that reaches >= 0.9 even on isotropic
+    embeddings where one table's multi-probe saturates near its scanned
+    fraction. All L signatures come from ONE Arrow matmul per batch
+    (``random_band_values``), the table conditions OR in codegen, and
+    exact scoring runs once on the candidate union — still a single scan
+    of the corpus, no shuffle before the final top-k."""
+    if n_tables <= 1:
+        dim = len(query)
+        planes = _hyperplanes(dim, n_planes, seed)
+        qsig = _query_signature(query, planes)
+        sig = lsh_signature_col(F.col(vec_col), planes)
+        probe = F.bit_count(sig.bitwiseXOR(F.lit(qsig))) <= probe_hamming
+        cands = df.filter(probe)
+    else:
+        qsigs = _band_query_signatures(query, n_tables, n_planes, seed)
+        sigs = random_band_values(F.col(vec_col), n_tables, n_planes, seed)
+        banded = df.withColumn("__sigs", sigs)
+        probe = None
+        for t, qs in enumerate(qsigs):
+            cond = (
+                F.bit_count(
+                    F.element_at("__sigs", t + 1).bitwiseXOR(F.lit(int(qs)))
+                )
+                <= probe_hamming
+            )
+            probe = cond if probe is None else (probe | cond)
+        cands = banded.filter(probe).drop("__sigs")
     return (
-        cosine_scores(df.filter(probe), query, vec_col, id_col)
+        cosine_scores(cands, query, vec_col, id_col)
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def _band_query_signatures(
+    query: list[float], bands: int, bits_per_band: int, seed: int
+) -> list[int]:
+    """Per-table signatures of a query vector under the SAME plane
+    generation and bit packing as ``random_band_values`` (shared
+    convention — the vectorized corpus path and the driver-side query
+    path can never diverge)."""
+    n_planes = bands * bits_per_band
+    qv = np.asarray(query, dtype=np.float64)
+    planes = np.random.RandomState(seed).standard_normal((n_planes, len(qv)))
+    bits = (planes @ qv) > 0.0
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+    return [int(v) for v in bits.reshape(bands, bits_per_band) @ weights]
 
 
 def _sq_dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
@@ -173,6 +215,7 @@ def ivf_build(
     seed: int = 42,
     max_iter: int = 10,
     max_train_rows: int = 10_000,
+    n_assign: int = 1,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Build an IVF index: KMeans the vectors into cells, return the
     cell-assigned table and the centroid list.
@@ -189,7 +232,14 @@ def ivf_build(
     driver-side numpy (``_kmeans_fit`` — the MLlib fit's per-iteration
     job storm was the whole cost of this operator on a busy scheduler),
     and the single full-data assignment pass is one Arrow ``pandas_udf``
-    (centroids ship in the task closure — k x dim doubles, kilobytes)."""
+    (centroids ship in the task closure — k x dim doubles, kilobytes).
+
+    ``n_assign > 1`` is multi-assignment replication (the SPANN closure-
+    assignment idea): each vector is stored in its ``n_assign`` nearest
+    cells, so a probe finds it if ANY of those cells is probed — the
+    recall knob for boundary vectors, at ``n_assign``x storage. The
+    replicated frame still partitions by ``cell``; ``ivf_search``
+    dedupes candidates by id before the top-k."""
     sample = df.select(F.col(vec_col).cast("array<double>")).orderBy(
         F.rand(seed)
     ).limit(max_train_rows).collect()
@@ -201,16 +251,42 @@ def ivf_build(
     # fewer distinct points than requested cells degenerates k-means++
     # (zero total mass); clamp k to the sample size
     C = _kmeans_fit(X, min(n_cells, len(X)), seed, max_iter)
-
-    @F.pandas_udf("int")
-    def cell_of(embs: pd.Series) -> pd.Series:
-        if len(embs) == 0:
-            return pd.Series([], dtype="int32")
-        M = np.array(embs.tolist(), dtype=np.float64)
-        return pd.Series(_sq_dists(M, C).argmin(axis=1).astype(np.int32))
-
-    assigned = df.withColumn("cell", cell_of(F.col(vec_col)))
+    assigned = _assign_cells(df, C, vec_col, n_assign)
     return assigned, [list(map(float, c)) for c in C]
+
+
+def _assign_cells(
+    df: DataFrame, C: "np.ndarray", vec_col: str, n_assign: int
+) -> DataFrame:
+    """Attach ``cell`` — each row's ``n_assign`` nearest centroids, one
+    output row per (vector, cell). One Arrow pass; centroids ship in the
+    task closure."""
+    r = max(1, min(int(n_assign), len(C)))
+
+    @F.pandas_udf("array<int>")
+    def cells_of(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(embs.tolist(), dtype=np.float64)
+        D = _sq_dists(M, C)
+        # argpartition bounds the per-row sort cost at O(k); the r kept
+        # cells are then exactly ordered for determinism
+        near = np.argpartition(D, r - 1, axis=1)[:, :r]
+        order = np.take_along_axis(D, near, axis=1).argsort(axis=1)
+        return pd.Series(
+            np.take_along_axis(near, order, axis=1)
+            .astype(np.int32)
+            .tolist()
+        )
+
+    if r == 1:
+        # common path: no replication, keep the plan explode-free
+        return df.withColumn(
+            "cell", F.element_at(cells_of(F.col(vec_col)), 1)
+        )
+    return df.withColumn(
+        "cell", F.explode(cells_of(F.col(vec_col)))
+    )
 
 
 def ivf_search(
@@ -223,7 +299,11 @@ def ivf_search(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Probe the ``n_probes`` cells whose centroids are closest to the
-    query (cosine), then exact-score only those cells' vectors."""
+    query (cosine), then exact-score only those cells' vectors. A
+    multi-assigned index (``ivf_build(n_assign>1)``) can surface the
+    same vector from several probed cells — candidates dedupe by id
+    before the top-k (replica rows are bit-identical, so the dedupe is
+    value-stable)."""
     qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
 
     def cos_to_query(c: list[float]) -> float:
@@ -241,6 +321,7 @@ def ivf_search(
     pruned = assigned.filter(F.col("cell").isin(probe_cells))
     return (
         cosine_scores(pruned, query, vec_col, id_col)
+        .dropDuplicates([id_col])
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
@@ -252,26 +333,58 @@ def lsh_write(
     n_planes: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> None:
     """Persist an LSH index: vectors written parquet
     ``partitionBy("bucket")`` with the hyperplane-signature bucket id.
     The plane count and seed are stored alongside so probes re-derive
     the same hyperplanes. Multi-probe search then enumerates the bucket
     ids within the Hamming radius (``(n_planes choose <=h)`` values — 9
-    for 8 planes at h=1) and prunes to exactly those directories."""
+    for 8 planes at h=1) and prunes to exactly those directories.
+
+    ``n_tables > 1`` stores the classic multi-table layout: every vector
+    appears once per table (``n_tables``x storage — the standard E2LSH
+    space/recall trade), laid out ``partitionBy("table", "bucket")`` so
+    a probe prunes to exactly the (table, bucket) directories within the
+    Hamming radius of each table's query signature. Signatures come from
+    ONE Arrow matmul per batch (``random_band_values``)."""
     import json
     import os
 
-    planes = _hyperplanes_for(df, vec_col, n_planes, seed)
-    banded = df.withColumn(
-        "bucket", lsh_signature_col(F.col(vec_col), planes)
-    )
-    banded.write.mode("overwrite").partitionBy("bucket").parquet(
+    if n_tables <= 1:
+        planes = _hyperplanes_for(df, vec_col, n_planes, seed)
+        dim = len(planes[0])
+        banded = df.withColumn(
+            "bucket", lsh_signature_col(F.col(vec_col), planes)
+        )
+        part_cols = ["bucket"]
+    else:
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "cannot build LSH index on empty input (no vectors to "
+                "derive the embedding dimension from)"
+            )
+        dim = len(first[0])
+        banded = df.select(
+            "*",
+            F.posexplode(
+                random_band_values(F.col(vec_col), n_tables, n_planes, seed)
+            ).alias("table", "bucket"),
+        )
+        part_cols = ["table", "bucket"]
+    banded.write.mode("overwrite").partitionBy(*part_cols).parquet(
         os.path.join(path, "vectors")
     )
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
-            {"n_planes": n_planes, "seed": seed, "dim": len(planes[0])}, f
+            {
+                "n_planes": n_planes,
+                "seed": seed,
+                "dim": dim,
+                "n_tables": int(n_tables),
+            },
+            f,
         )
 
 
@@ -295,9 +408,23 @@ def lsh_append(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
     df = _checked_vectors(df, vec_col, dim)
     if df.first() is None:
         return  # nothing to append
-    planes = _hyperplanes(dim, int(meta["n_planes"]), int(meta["seed"]))
-    banded = df.withColumn("bucket", lsh_signature_col(F.col(vec_col), planes))
-    banded.write.mode("append").partitionBy("bucket").parquet(
+    n_planes, seed = int(meta["n_planes"]), int(meta["seed"])
+    n_tables = int(meta.get("n_tables", 1))
+    if n_tables <= 1:
+        planes = _hyperplanes(dim, n_planes, seed)
+        banded = df.withColumn(
+            "bucket", lsh_signature_col(F.col(vec_col), planes)
+        )
+        part_cols = ["bucket"]
+    else:
+        banded = df.select(
+            "*",
+            F.posexplode(
+                random_band_values(F.col(vec_col), n_tables, n_planes, seed)
+            ).alias("table", "bucket"),
+        )
+        part_cols = ["table", "bucket"]
+    banded.write.mode("append").partitionBy(*part_cols).parquet(
         os.path.join(path, "vectors")
     )
 
@@ -324,14 +451,22 @@ def _checked_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
 def lsh_compact(spark, path: str) -> None:
     """Rewrite the LSH index to one file per bucket directory (appends
     leave one file per bucket per batch). See ``_compact_partitioned``."""
+    import json
     import os
 
-    _compact_partitioned(spark, os.path.join(path, "vectors"), "bucket")
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cols = (
+        ["table", "bucket"] if int(meta.get("n_tables", 1)) > 1 else ["bucket"]
+    )
+    _compact_partitioned(spark, os.path.join(path, "vectors"), cols)
 
 
-def _compact_partitioned(spark, data_path: str, partition_col: str) -> None:
+def _compact_partitioned(
+    spark, data_path: str, partition_cols: "str | list[str]"
+) -> None:
     """One file per partition-value directory: hash-repartition on the
-    partition column (each value lands in exactly ONE task, so the
+    partition column(s) (each value lands in exactly ONE task, so the
     partitionBy writer emits exactly one file per directory), stage to a
     sibling dir, swap with one atomic rename. Offline maintenance — run
     between ingest batches, not concurrently with one. Small-file
@@ -350,12 +485,15 @@ def _compact_partitioned(spark, data_path: str, partition_col: str) -> None:
         return
     if os.path.exists(old):
         shutil.rmtree(old)
+    cols = (
+        [partition_cols] if isinstance(partition_cols, str) else partition_cols
+    )
     df = spark.read.parquet(data_path)
     tmp = data_path + ".compact"
     (
-        df.repartition(partition_col)
+        df.repartition(*cols)
         .write.mode("overwrite")
-        .partitionBy(partition_col)
+        .partitionBy(*cols)
         .parquet(tmp)
     )
     os.rename(data_path, old)
@@ -423,6 +561,7 @@ def lsh_topk_from_index(
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     n_planes, seed = int(meta["n_planes"]), int(meta["seed"])
+    n_tables = int(meta.get("n_tables", 1))
     dim = meta.get("dim")
     if dim is not None and len(query) != dim:
         # zip_with would silently truncate a mismatched query against the
@@ -430,11 +569,23 @@ def lsh_topk_from_index(
         raise ValueError(
             f"query dimension {len(query)} != index dimension {dim}"
         )
-    planes = _hyperplanes(len(query), n_planes, seed)
-    qsig = _query_signature(query, planes)
-    probes = _buckets_within_hamming(qsig, n_planes, probe_hamming)
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
-    pruned = vectors.filter(F.col("bucket").isin(probes))
+    if n_tables <= 1:
+        planes = _hyperplanes(len(query), n_planes, seed)
+        qsig = _query_signature(query, planes)
+        probes = _buckets_within_hamming(qsig, n_planes, probe_hamming)
+        pruned = vectors.filter(F.col("bucket").isin(probes))
+    else:
+        qsigs = _band_query_signatures(query, n_tables, n_planes, seed)
+        cond = None
+        for t, qs in enumerate(qsigs):
+            probes = _buckets_within_hamming(int(qs), n_planes, probe_hamming)
+            c = (F.col("table") == t) & F.col("bucket").isin(probes)
+            cond = c if cond is None else (cond | c)
+        # the OR-of-partition-predicates prunes to exactly the probed
+        # (table, bucket) directories; a vector found in several tables
+        # dedupes by id before scoring
+        pruned = vectors.filter(cond).dropDuplicates([id_col])
     return (
         cosine_scores(pruned, query, vec_col, id_col)
         .orderBy(F.desc("cosine"), F.col(id_col))
@@ -447,6 +598,7 @@ def ivf_write(
     centroids: list[list[float]],
     path: str,
     vec_col: str = "embedding",
+    n_assign: int = 1,
 ) -> None:
     """Persist an IVF index: the cell-assigned vectors as parquet
     ``partitionBy("cell")`` plus the centroid list as JSON alongside.
@@ -473,7 +625,17 @@ def ivf_write(
     C = np.array(centroids, dtype=np.float64)
     qerr = _sample_quantization_error(assigned, C, vec_col)
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"dim": int(C.shape[1]), "mean_sq_qerr": qerr}, f)
+        json.dump(
+            {
+                "dim": int(C.shape[1]),
+                "mean_sq_qerr": qerr,
+                # replication factor the index was built with — appends
+                # re-apply it so probe recall stays uniform across the
+                # original corpus and every appended batch
+                "n_assign": int(n_assign),
+            },
+            f,
+        )
 
 
 _DRIFT_SAMPLE_ROWS = 10_000
@@ -543,16 +705,11 @@ def ivf_append(
             "instead of appending"
         )
 
-    @F.pandas_udf("int")
-    def cell_of(embs: pd.Series) -> pd.Series:
-        if len(embs) == 0:
-            return pd.Series([], dtype="int32")
-        M = np.array(embs.tolist(), dtype=np.float64)
-        return pd.Series(_sq_dists(M, C).argmin(axis=1).astype(np.int32))
-
-    df.withColumn("cell", cell_of(F.col(vec_col))).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(os.path.join(path, "vectors"))
+    _assign_cells(
+        df, C, vec_col, int(meta.get("n_assign", 1))
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
 
 
 def ivf_compact(spark, path: str) -> None:

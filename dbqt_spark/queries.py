@@ -1910,15 +1910,20 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH ANN, multi-probe (8 planes, Hamming radius 2 = 37/256
-    buckets probed). Approximate -> rows-only check; recorded bound
-    (test_pruned_probe_recall_bounds): mean recall@10 >= 0.25 and above
-    the probed-fraction baseline on the near-isotropic synthetic
-    embeddings (measured ~0.4); `lsh_full_probe` is the bit-for-bit
-    exactness anchor."""
+    """LSH ANN, multi-table multi-probe (16 independent 12-bit tables,
+    Hamming radius 3 per table — the classic E2LSH structure; candidates
+    are the union over tables, exact-scored once). Approximate ->
+    rows-only check; recorded bound (test_pruned_probe_recall_bounds):
+    mean recall@10 >= 0.9 on the near-isotropic synthetic embeddings
+    (measured 0.99-1.0 at sf0.001/sf0.1). Isotropic data is the ANN
+    worst case — recall ~ fraction scanned is forced there (~70% here);
+    on clustered real embeddings the same tables scan far less.
+    `lsh_full_probe` is the bit-for-bit exactness anchor."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    scored = lsh_bucketed_topk(emb, list(q), k=10, n_planes=8, probe_hamming=2)
+    scored = lsh_bucketed_topk(
+        emb, list(q), k=10, n_planes=12, probe_hamming=3, n_tables=16
+    )
     return scored.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
@@ -2056,18 +2061,21 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans cells + 4-probe search for the vec_id=0 query.
-    Approximate (probe subset) -> rows-only check; recorded bound
-    (test_pruned_probe_recall_bounds): mean recall@10 >= 0.6 and above
-    the 4/8 probed-cell baseline on the near-isotropic synthetic
-    embeddings (measured ~0.75); `ivf_full_probe` is the bit-for-bit
-    exactness anchor."""
+    """IVF ANN: KMeans cells with 2-way multi-assignment (each vector
+    stored in its 2 nearest cells, SPANN-style closure replication) +
+    5-probe search for the vec_id=0 query. Approximate (probe subset)
+    -> rows-only check; recorded bound
+    (test_pruned_probe_recall_bounds): mean recall@10 >= 0.9 on the
+    near-isotropic synthetic embeddings (measured 0.97-0.99 at
+    sf0.001/sf0.1 — isotropic data is the ANN worst case; clustered
+    real embeddings hit the same recall probing far fewer cells).
+    `ivf_full_probe` is the bit-for-bit exactness anchor."""
     from .operators.similarity import ivf_build, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    assigned, centroids = ivf_build(emb, n_cells=8)
-    out = ivf_search(assigned, centroids, list(q), k=10, n_probes=4)
+    assigned, centroids = ivf_build(emb, n_cells=8, n_assign=2)
+    out = ivf_search(assigned, centroids, list(q), k=10, n_probes=5)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 

@@ -199,3 +199,82 @@ def test_lsh_compact_crash_recovery(spark, sf_dir, tmp_path):
     assert os.path.exists(vectors) and not os.path.exists(vectors + ".old")
     q = list(emb.filter("vec_id = 0").select("embedding").first()[0])
     assert lsh_topk_from_index(spark, path, q, k=1).collect()[0]["vec_id"] == 0
+
+
+def test_lsh_multitable_index_lifecycle(spark, sf_dir, tmp_path):
+    """Multi-table LSH index (n_tables>1): write replicates each vector
+    once per table under table=/bucket= directories; append matches a
+    full rebuild (planes re-derived from the stored seed); the probe
+    prunes on BOTH partition columns and dedupes cross-table hits; and
+    compaction restores one file per (table, bucket) directory."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+
+    grown, full = str(tmp_path / "grown"), str(tmp_path / "full")
+    lsh_write(half_a, grown, n_planes=12, seed=42, n_tables=4)
+    lsh_append(half_b, grown)
+    lsh_write(emb, full, n_planes=12, seed=42, n_tables=4)
+
+    # replication factor: every vector appears once per table
+    n = emb.count()
+    stored = spark.read.parquet(os.path.join(full, "vectors"))
+    assert stored.count() == 4 * n
+    assert stored.select("table").distinct().count() == 4
+
+    q = list(emb.filter("vec_id = 1").select("embedding").first()[0])
+    topk = lsh_topk_from_index(spark, grown, q, k=5, probe_hamming=2)
+    from dbqt_spark.plans import formatted_plan
+
+    plan = formatted_plan(topk)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "bucket" in part_lines[0] and "table" in part_lines[0]
+    got = [r["vec_id"] for r in topk.collect()]
+    want = [
+        r["vec_id"]
+        for r in lsh_topk_from_index(
+            spark, full, q, k=5, probe_hamming=2
+        ).collect()
+    ]
+    assert got == want and got[0] == 1
+    # no duplicate ids despite cross-table candidate overlap
+    assert len(got) == len(set(got))
+
+    # appends left >1 file in touched dirs; compact restores one each
+    vectors = os.path.join(grown, "vectors")
+    lsh_compact(spark, grown)
+    for tdir in glob.glob(os.path.join(vectors, "table=*")):
+        for bdir in glob.glob(os.path.join(tdir, "bucket=*")):
+            files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+            assert len(files) == 1
+
+
+def test_ivf_multiassign_append_and_dedupe(spark, sf_dir, tmp_path):
+    """n_assign=2 lifecycle: write stores each vector in its 2 nearest
+    cells, append re-applies the stored replication factor, and a
+    full-probe search (which sees both replicas of everything) still
+    returns each id once and equals brute force."""
+    from dbqt_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=8, n_assign=2)
+    path = str(tmp_path / "ivf2")
+    ivf_write(assigned, centroids, path, n_assign=2)
+
+    n = emb.count()
+    loaded, c2 = ivf_load(spark, path)
+    assert loaded.count() == 2 * n  # replicated storage
+
+    clones = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    ivf_append(clones, path)
+    loaded, c2 = ivf_load(spark, path)
+    assert loaded.count() == 4 * n  # append replicated too
+
+    q = list(emb.filter("vec_id = 0").select("embedding").first()[0])
+    got = [
+        r["vec_id"]
+        for r in ivf_search(loaded, c2, q, k=4, n_probes=8).collect()
+    ]
+    assert len(got) == len(set(got)) == 4
+    # originals and clones interleave at the top (identical vectors)
+    assert set(got[:2]) == {0, 1_000_000}

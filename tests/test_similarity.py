@@ -162,14 +162,16 @@ def test_pruned_probe_recall_bounds(spark, sf_dir):
     brute-force truth.
 
     Context for the bounds: the synthetic embeddings are near-isotropic
-    — the ANN WORST case, where expected recall ~ the probed fraction
-    (no cluster structure to exploit). The assertions therefore pin (a)
-    an absolute floor measured with margin, and (b) LIFT over the
-    probed-fraction baseline — the locality the index genuinely buys.
-    Measured means: IVF ~0.75-0.78 (probing 4/8 cells = 0.5 baseline);
-    LSH ~0.36-0.41 (probing 37/256 buckets = 0.145 baseline). Clustered
-    real-world embeddings recall far higher; the full-probe twins
-    (ivf_full_probe, lsh_full_probe) are the exactness anchors."""
+    — the ANN WORST case, where recall ~ fraction scanned is forced (no
+    cluster structure to exploit). The shipped parameterizations buy
+    recall with the classical structures: IVF stores each vector in its
+    2 nearest cells (multi-assignment replication) and probes 5/8; LSH
+    unions candidates over 16 independent 12-bit tables at Hamming
+    radius 3. Measured means: IVF 0.97-0.99, LSH 0.99-1.0 at
+    sf0.001/sf0.1 — the floors assert >= 0.9 with margin. Clustered
+    real-world embeddings reach the same recall scanning far less; the
+    full-probe twins (ivf_full_probe, lsh_full_probe) are the exactness
+    anchors."""
     from dbqt_spark.catalog import load_table
     from dbqt_spark.operators.similarity import (
         cosine_topk,
@@ -179,7 +181,7 @@ def test_pruned_probe_recall_bounds(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings").persist()
-    assigned, centroids = ivf_build(emb, n_cells=8)
+    assigned, centroids = ivf_build(emb, n_cells=8, n_assign=2)
     assigned = assigned.persist()
     ivf_r, lsh_r = [], []
     for qid in range(8):
@@ -190,13 +192,13 @@ def test_pruned_probe_recall_bounds(spark, sf_dir):
         got_ivf = {
             r["vec_id"]
             for r in ivf_search(
-                assigned, centroids, q, k=10, n_probes=4
+                assigned, centroids, q, k=10, n_probes=5
             ).collect()
         }
         got_lsh = {
             r["vec_id"]
             for r in lsh_bucketed_topk(
-                emb, q, k=10, n_planes=8, probe_hamming=2
+                emb, q, k=10, n_planes=12, probe_hamming=3, n_tables=16
             ).collect()
         }
         ivf_r.append(len(truth & got_ivf) / 10)
@@ -205,10 +207,8 @@ def test_pruned_probe_recall_bounds(spark, sf_dir):
     assigned.unpersist()
     mean_ivf = sum(ivf_r) / len(ivf_r)
     mean_lsh = sum(lsh_r) / len(lsh_r)
-    assert mean_ivf >= 0.6          # floor under the ~0.75 measured mean
-    assert mean_ivf > 4 / 8         # lift over the probed-cell fraction
-    assert mean_lsh >= 0.25         # floor under the ~0.4 measured mean
-    assert mean_lsh > 37 / 256      # lift over the probed-bucket fraction
+    assert mean_ivf >= 0.9, f"ivf recall@10 {mean_ivf}"
+    assert mean_lsh >= 0.9, f"lsh recall@10 {mean_lsh}"
 
 
 def test_auto_bits_per_band():
