@@ -235,3 +235,96 @@ def near_dup_clusters(
             ),
         )
     )
+
+
+def first_wins_dropped(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 40,
+    stats: "dict | None" = None,
+) -> DataFrame:
+    """DISTRIBUTED greedy first-wins over a pair graph: ids are decided
+    ascending, a node is DROPPED iff some smaller KEPT neighbor pairs
+    with it (the lexicographically-first maximal independent set — the
+    exact contract of the streaming gate's driver greedy and of
+    ``dropDuplicates`` for exact dedup). Returns one ``id`` column of
+    the dropped nodes.
+
+    Wavefront rounds: a live node with no smaller LIVE neighbor is KEPT
+    (all its smaller neighbors, if any, were already dropped); every
+    live node paired with a kept smaller neighbor is DROPPED; edges
+    touching decided nodes fall away. Each round decides at least every
+    live component's minimum and its neighbors, so dense near-dup
+    blobs (the realistic over-limit shape — that is what produced
+    enough pairs to leave the driver path) finish in 1-2 rounds. The
+    worst case is a strictly-decreasing chain (diameter/2 rounds);
+    ``max_rounds`` makes that pathology an observable error instead of
+    a hang. NOTE this is NOT connected components: a 1-2, 2-3 path
+    keeps {1, 3}, while component-min keeps only {1} — the wavefront,
+    not star contraction, is what preserves the driver greedy's
+    semantics.
+
+    Scale shape per round: one anti-join (the kept frontier), one join
+    + two anti-joins (drop + edge pruning), all hashed on node ids;
+    ``localCheckpoint`` truncates the iterative lineage each round
+    (same discipline as ``_distributed_components``); the only
+    driver-side data is a one-row count."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = pairs.sparkSession
+    dropped = spark.createDataFrame([], edges.select(F.col("hi").alias("id")).schema)
+    rounds = 0
+    while True:
+        if edges.isEmpty():
+            break
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"first_wins_dropped did not converge in {max_rounds} "
+                "rounds — the pair graph contains a decreasing chain "
+                "longer than 2x max_rounds (pathological for near-dup "
+                "data); raise max_rounds or pre-cluster the graph"
+            )
+        rounds += 1
+        # kept frontier: lo-side nodes that never appear as hi — no
+        # smaller live neighbor exists for them
+        kept = (
+            edges.select(F.col("lo").alias("id"))
+            .distinct()
+            .join(
+                edges.select(F.col("hi").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            )
+        )
+        newly_dropped = (
+            edges.join(kept, edges["lo"] == kept["id"])
+            .select(F.col("hi").alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        dropped = dropped.unionByName(newly_dropped).localCheckpoint()
+        edges = (
+            edges.join(
+                newly_dropped, edges["hi"] == newly_dropped["id"], "left_anti"
+            )
+            .join(
+                newly_dropped.withColumnRenamed("id", "__d"),
+                edges["lo"] == F.col("__d"),
+                "left_anti",
+            )
+            # kept-lo edges already fell away via their dropped hi
+            .join(kept.withColumnRenamed("id", "__k"),
+                  edges["lo"] == F.col("__k"), "left_anti")
+            .localCheckpoint()
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    return dropped

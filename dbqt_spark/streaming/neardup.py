@@ -193,7 +193,7 @@ def minhash_gate_batch(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
-    max_verified_pairs: int = 1_000_000,
+    driver_pair_limit: int | None = None,
 ) -> DataFrame:
     """Run one micro-batch through the near-dup gate; returns the KEPT
     rows (eagerly — the store append must happen inside the batch) and
@@ -218,7 +218,14 @@ def minhash_gate_batch(
     Within-batch semantics: verified (id_a < id_b) pairs feed a greedy
     first-wins walk (earlier ids live — the same contract
     ``dropDuplicates`` gives exact dedup); cross-store matches then drop
-    any batch doc near-duplicating an already-accepted one.
+    any batch doc near-duplicating an already-accepted one. The walk is
+    HYBRID (same contract as ``clusters.connected_components``): pair
+    sets within ``driver_pair_limit`` (default
+    ``dedup.BROADCAST_PAIR_LIMIT``) resolve driver-side — instant, one
+    bounded ids-only collect; a pathologically self-similar batch that
+    overflows the limit switches to the distributed wavefront
+    (``clusters.first_wins_dropped``) with identical semantics instead
+    of aborting — pairs then never leave the cluster.
 
     Retry-safe: self-pairs (a doc matching its own already-appended copy
     after a mid-batch failure) are excluded from the cross-store
@@ -272,7 +279,8 @@ def minhash_gate_batch(
     # landed but the docs append did not must not die reading a missing
     # docs dir (it skips the cross-store step — the store holds only this
     # batch's own rows, which the self-pair exclusion discards anyway).
-    if os.path.exists(band_path) and os.path.exists(doc_path):
+    has_store = os.path.exists(band_path) and os.path.exists(doc_path)
+    if has_store:
         store_bands = spark.read.parquet(band_path)
         store_docs = spark.read.parquet(doc_path)
         cross_cand = (
@@ -284,8 +292,16 @@ def minhash_gate_batch(
             .withColumn("from_store", F.lit(True))
         )
         cands = cands.unionByName(cross_cand)
-    cands = cands.persist()
-    n_cand = cands.count()
+        # the candidate count gates the verify broadcasts when a store
+        # participates (the store side must never shuffle, so cands is
+        # measured before it is broadcast). The no-store first batch
+        # skips this whole job: its verify joins broadcast the DOCS
+        # side, which is trigger-bounded by construction.
+        cands = cands.persist()
+        n_cand = cands.count()
+        bcast = F.broadcast if n_cand <= BROADCAST_PAIR_LIMIT else (
+            lambda d: d
+        )
 
     # 3. ONE exact-Jaccard verify job over the union: qid texts come
     #    from the batch; cid texts from the batch or the store according
@@ -294,16 +310,17 @@ def minhash_gate_batch(
     #    documents are never moved in bulk (the r4 contract: texts stay
     #    off the broadcast path AND off any store-sized shuffle; only
     #    candidate-involved store rows travel).
-    bcast = F.broadcast if n_cand <= BROADCAST_PAIR_LIMIT else (lambda d: d)
     jac = jaccard_shingle_udf(shingle_n)
-    with_q = bcast(cands).join(
-        docs.select(F.col("id").alias("qid"), F.col("text").alias("__tq")),
-        "qid",
-    )
-    c_sources = docs.select("id", "text").withColumn(
-        "from_store", F.lit(False)
-    )
-    if store_docs is not None:
+    if has_store:
+        with_q = bcast(cands).join(
+            docs.select(
+                F.col("id").alias("qid"), F.col("text").alias("__tq")
+            ),
+            "qid",
+        )
+        c_sources = docs.select("id", "text").withColumn(
+            "from_store", F.lit(False)
+        )
         store_needed = store_docs.join(
             bcast(
                 cands.filter("from_store")
@@ -318,64 +335,109 @@ def minhash_gate_batch(
                 "from_store", F.lit(True)
             )
         )
-    with_qc = with_q.join(
-        c_sources.select(
-            F.col("id").alias("cid"), "from_store", F.col("text").alias("__tc")
-        ),
-        ["cid", "from_store"],
-    )
+        with_qc = with_q.join(
+            c_sources.select(
+                F.col("id").alias("cid"),
+                "from_store",
+                F.col("text").alias("__tc"),
+            ),
+            ["cid", "from_store"],
+        )
+    else:
+        # no-store fast path (stream's first batch / backfill start):
+        # both text attachments broadcast the micro-batch itself, so the
+        # candidate pipeline, text joins, and Jaccard verify fuse into
+        # the single probe job below — no separate count job.
+        with_qc = cands.join(
+            F.broadcast(
+                docs.select(
+                    F.col("id").alias("qid"), F.col("text").alias("__tq")
+                )
+            ),
+            "qid",
+        ).join(
+            F.broadcast(
+                docs.select(
+                    F.col("id").alias("cid"), F.col("text").alias("__tc")
+                )
+            ),
+            "cid",
+        )
     verified = (
         with_qc.withColumn("__j", jac("__tq", "__tc"))
         .filter(F.col("__j") >= threshold)
         .select("qid", "cid", "from_store")
     )
-    # the driver-side greedy below is bounded by the VERIFIED pair
-    # count, normally tiny (pairs, never docs; bucket-capped upstream) —
-    # but a pathological all-near-dup batch is O(batch^2) pairs, so the
-    # collect is guarded: limit+1 probes the overflow without a count
-    # job, and the error names the knobs that bound it
-    probe = verified.limit(max_verified_pairs + 1).collect()
-    if len(probe) > max_verified_pairs:
-        cands.unpersist()
-        batch_bands.unpersist()
-        raise RuntimeError(
-            f"minhash_gate_batch: verified near-dup pairs exceed "
-            f"max_verified_pairs={max_verified_pairs} — the micro-batch "
-            "is pathologically self-similar. Shrink the trigger "
-            "(maxFilesPerTrigger / maxOffsetsPerTrigger), lower "
-            "max_bucket_size, or raise max_verified_pairs."
-        )
-    vrows = [(r["qid"], r["cid"], r["from_store"]) for r in probe]
-    cands.unpersist()
+    # 4. first-wins resolution, HYBRID: the verified pair set (pairs,
+    #    never docs; bucket-capped upstream) is limit-probed — within
+    #    the driver limit it resolves as a driver-side greedy (instant);
+    #    an over-limit (pathologically self-similar) batch switches to
+    #    the distributed wavefront with identical semantics. No abort.
+    limit = (
+        BROADCAST_PAIR_LIMIT if driver_pair_limit is None
+        else driver_pair_limit
+    )
+    verified = verified.persist()
+    probe = verified.limit(limit + 1).collect()
+    if len(probe) <= limit:
+        verified.unpersist()
+        vrows = [(r["qid"], r["cid"], r["from_store"]) for r in probe]
+        within_rows = [(q, c) for q, c, s in vrows if not s]
+        store_matched = {q for q, c, s in vrows if s}
+        neighbors: dict = {}
+        for a, b in within_rows:
+            neighbors.setdefault(b, set()).add(a)
+            neighbors.setdefault(a, set()).add(b)
+        dropped_within: set = set()
+        for did in sorted({i for pair in within_rows for i in pair}):
+            # ascending: earlier ids decided first
+            if any(
+                n < did and n not in dropped_within
+                for n in neighbors.get(did, ())
+            ):
+                dropped_within.add(did)
+        dropped = dropped_within | store_matched
+        dropped_df = None
+        if dropped:
+            # left-anti on a broadcast frame, not a literal isin()
+            # IN-list: the dropped set is bounded but an IN-list grows
+            # the PLAN with it; the anti-join keeps the plan
+            # constant-size.
+            dropped_df = F.broadcast(
+                spark.createDataFrame(
+                    [(i,) for i in sorted(dropped)],
+                    schema=docs.select("id").schema,
+                )
+            )
+    else:
+        from ..operators.clusters import first_wins_dropped
 
-    # 4. driver-side resolution (bounded: verified pairs only, never
-    #    docs): greedy first-wins over the within-batch pairs, then any
-    #    store match drops its batch doc outright
-    within_rows = [(q, c) for q, c, s in vrows if not s]
-    store_matched = {q for q, c, s in vrows if s}
-    neighbors: dict = {}
-    for a, b in within_rows:
-        neighbors.setdefault(b, set()).add(a)
-        neighbors.setdefault(a, set()).add(b)
-    dropped_within: set = set()
-    for did in sorted({i for pair in within_rows for i in pair}):
-        # ascending: earlier ids decided first
-        if any(
-            n < did and n not in dropped_within for n in neighbors.get(did, ())
-        ):
-            dropped_within.add(did)
-    dropped = dropped_within | store_matched
-    batch_kept = docs
-    dropped_df = None
-    if dropped:
-        # left-anti on a broadcast frame, not a literal isin() IN-list:
-        # the dropped set is bounded (verified pairs <= the bucket cap)
-        # but an IN-list grows the PLAN with it; the anti-join keeps the
-        # plan constant-size.
-        dropped_df = spark.createDataFrame(
-            [(i,) for i in sorted(dropped)], schema=docs.select("id").schema
+        # distributed path: pairs stay on the cluster. The dropped
+        # frame is localCheckpoint-ed (first_wins_dropped does so
+        # internally per round; the union here is one more) so nothing
+        # downstream references the verified lineage, then the caches
+        # release. No broadcast hint on the anti-joins — the dropped
+        # set is over-limit by construction, AQE picks the strategy.
+        dropped_df = (
+            first_wins_dropped(verified.filter(~F.col("from_store")),
+                               id_a="qid", id_b="cid")
+            .unionByName(
+                verified.filter("from_store").select(
+                    F.col("qid").alias("id")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
         )
-        batch_kept = docs.join(F.broadcast(dropped_df), "id", "left_anti")
+        verified.unpersist()
+
+    batch_kept = docs
+    band_append = capped
+    if dropped_df is not None:
+        batch_kept = docs.join(dropped_df, "id", "left_anti")
+        band_append = capped.join(dropped_df, "id", "left_anti")
+    if has_store:
+        cands.unpersist()
 
     # 5. append the survivors' bands + texts to the store. The appended
     #    bands come from the cached CAPPED frame anti-joined to the
@@ -384,20 +446,28 @@ def minhash_gate_batch(
     #    retry reproduces the same candidate set); the docs append
     #    executes ``batch_kept`` (one bounded micro-batch scan — document
     #    bytes never route through the driver; the survivor set is a
-    #    deterministic LocalRelation anti-join, so the caller's later
-    #    action on the returned frame re-derives the same rows).
-    band_append = capped
-    if dropped_df is not None:
-        band_append = capped.join(
-            F.broadcast(dropped_df), "id", "left_anti"
+    #    deterministic anti-join, so the caller's later action on the
+    #    returned frame re-derives the same rows). The two appends touch
+    #    DISJOINT directories from independent cached inputs, so they
+    #    run as CONCURRENT jobs — per-batch latency pays one append's
+    #    scheduling + commit latency, not two (measured ~0.5 s/batch).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _do_bands() -> None:
+        _append_bands(
+            spark,
+            store_dir,
+            band_append.select(F.col("id").alias("old_id"), "band_key"),
         )
-    _append_bands(
-        spark,
-        store_dir,
-        band_append.select(F.col("id").alias("old_id"), "band_key"),
-    )
+
+    def _do_docs() -> None:
+        batch_kept.write.mode("append").parquet(doc_path)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_do_bands), pool.submit(_do_docs)]
+        for f in futs:
+            f.result()
     batch_bands.unpersist()
-    batch_kept.write.mode("append").parquet(doc_path)
     return batch_kept
 
 

@@ -232,13 +232,14 @@ def test_neardup_gate_retry_and_param_guard(spark, tmp_path):
         minhash_gate_batch(batch, store, bands=32)
 
 
-def test_neardup_gate_verified_pair_guard(spark, tmp_path):
+def test_neardup_gate_adversarial_batch_both_paths(spark, tmp_path):
     """An adversarial all-near-dup batch (every doc pairs with every
-    other) must trip the max_verified_pairs guard observably instead of
-    silently pulling O(batch^2) pairs to the driver; a sane limit keeps
-    the same batch green."""
-    import pytest as _pytest
-
+    other) must NOT abort and must NOT silently pull O(batch^2) pairs
+    to the driver: past ``driver_pair_limit`` the gate switches to the
+    distributed first-wins wavefront, whose survivors are identical to
+    the driver greedy's. Both paths run the same batch here — including
+    a SECOND batch so the distributed path also exercises the
+    cross-store rejection arm."""
     from dbqt_spark.streaming.neardup import minhash_gate_batch
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
@@ -246,15 +247,42 @@ def test_neardup_gate_verified_pair_guard(spark, tmp_path):
     batch = spark.createDataFrame(
         [(i, base + f"tail{i}") for i in range(6)], ["doc_id", "text"]
     )
-    with _pytest.raises(RuntimeError, match="max_verified_pairs"):
-        minhash_gate_batch(
-            batch, str(tmp_path / "s1"), max_verified_pairs=3
-        )
-    kept = minhash_gate_batch(
-        batch, str(tmp_path / "s2"), max_verified_pairs=100
-    ).collect()
-    # greedy first-wins: only the minimum id survives the clique
-    assert sorted(r["id"] for r in kept) == [0]
+    batch2 = spark.createDataFrame(
+        [(i, base + f"tail{i}") for i in range(10, 14)]
+        + [(20, "entirely different words make an entirely different doc")],
+        ["doc_id", "text"],
+    )
+    # driver path (limit generous)
+    kept_d = sorted(
+        r["id"]
+        for r in minhash_gate_batch(
+            batch, str(tmp_path / "s1"), driver_pair_limit=100
+        ).collect()
+    )
+    kept2_d = sorted(
+        r["id"]
+        for r in minhash_gate_batch(
+            batch2, str(tmp_path / "s1"), driver_pair_limit=100
+        ).collect()
+    )
+    # distributed path (limit 3 << 15 pairs forces the wavefront)
+    kept_w = sorted(
+        r["id"]
+        for r in minhash_gate_batch(
+            batch, str(tmp_path / "s2"), driver_pair_limit=3
+        ).collect()
+    )
+    kept2_w = sorted(
+        r["id"]
+        for r in minhash_gate_batch(
+            batch2, str(tmp_path / "s2"), driver_pair_limit=3
+        ).collect()
+    )
+    # greedy first-wins: only the minimum id survives the clique;
+    # batch 2's near-dups of the accepted doc 0 all drop via the store,
+    # the unrelated doc survives
+    assert kept_d == kept_w == [0]
+    assert kept2_d == kept2_w == [20]
 
 
 def test_neardup_store_join_no_store_exchange(spark, tmp_path):
