@@ -23,6 +23,32 @@ from pyspark.sql import functions as F
 
 LOW_DISTINCT_THRESHOLD = 5  # reference: dbqt/tools/nullcheck.py:95-97
 
+# Plan-size guard for the wide one-row aggregates: Catalyst's analysis/
+# optimization cost grows superlinearly with expression count, so at
+# m~500+ columns (profile: 2m aggs; correlation: 6*C(m,2)) building ONE
+# agg plan becomes the bottleneck before any data is read. Columns /
+# pairs are chunked into <= this many agg expressions per scan and the
+# unpivoted chunk results are unioned — each chunk's arithmetic is
+# independent, so values are identical to the single-plan shape; narrow
+# tables (every oracled query) stay a single scan. The extra scans are
+# the right trade at width: scan cost is column-pruned parquet IO,
+# while a 500-column single plan is minutes of driver CPU.
+MAX_AGG_EXPRS_PER_SCAN = 1200
+
+
+def _chunk(items: list, per_item_exprs: int) -> "list[list]":
+    """Split ``items`` so each chunk contributes at most
+    ``MAX_AGG_EXPRS_PER_SCAN`` aggregate expressions."""
+    size = max(1, MAX_AGG_EXPRS_PER_SCAN // per_item_exprs)
+    return [items[i : i + size] for i in range(0, len(items), size)]
+
+
+def _union_all(parts: "list[DataFrame]") -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
 
 def profile_columns(
     df: DataFrame,
@@ -61,28 +87,33 @@ def profile_columns(
         if exact
         else (lambda c: F.approx_count_distinct(F.col(c), approx_rsd))
     )
-    aggs = [F.count(F.lit(1)).alias("__total")]
-    for c in cols:
-        aggs.append(cd(c).alias(f"__d_{c}"))
-        aggs.append(
-            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__n_{c}")
-        )
-    one = df.groupBy().agg(*aggs)
+    parts = []
+    for chunk in _chunk(list(enumerate(cols)), 2):
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for _, c in chunk:
+            aggs.append(cd(c).alias(f"__d_{c}"))
+            aggs.append(
+                F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__n_{c}")
+            )
+        one = df.groupBy().agg(*aggs)
 
-    structs = [
-        F.struct(
-            F.lit(c).alias("col_name"),
-            F.lit(i + 1).alias("ordinal"),
-            F.col(f"__d_{c}").cast("long").alias("distinct_count"),
-            F.col(f"__n_{c}").cast("long").alias("null_count"),
+        structs = [
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(i + 1).alias("ordinal"),
+                F.col(f"__d_{c}").cast("long").alias("distinct_count"),
+                F.col(f"__n_{c}").cast("long").alias("null_count"),
+            )
+            for i, c in chunk
+        ]
+        parts.append(
+            one.select(
+                F.lit(table_name).alias("table_name"),
+                F.col("__total").cast("long").alias("total_rows"),
+                F.inline(F.array(*structs)),
+            )
         )
-        for i, c in enumerate(cols)
-    ]
-    unpivoted = one.select(
-        F.lit(table_name).alias("table_name"),
-        F.col("__total").cast("long").alias("total_rows"),
-        F.inline(F.array(*structs)),
-    )
+    unpivoted = _union_all(parts)
     status = (
         F.when(F.col("distinct_count") == 0, F.lit("NULL column"))
         .when(
@@ -147,34 +178,38 @@ def profile_numeric(
         )
         return df.sparkSession.createDataFrame([], empty_schema)
 
-    aggs = []
-    for c in cols:
-        col = F.col(c)
-        dec = col.cast("decimal(38,10)")
-        aggs += [
-            F.count(col).alias(f"__n_{c}"),
-            F.count(F.when(col.isNull(), 1)).alias(f"__nn_{c}"),
-            F.min(col).cast("double").alias(f"__min_{c}"),
-            F.max(col).cast("double").alias(f"__max_{c}"),
-            F.sum(dec).alias(f"__sum_{c}"),
-            F.percentile(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
-                f"__pct_{c}"
-            ),
-        ]
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', `__n_{c}`, `__nn_{c}`, `__min_{c}`, `__max_{c}`, "
-        f"round(CAST(`__sum_{c}` AS DOUBLE) / `__n_{c}`, 4), "
-        f"round(`__pct_{c}`[0], 4), round(`__pct_{c}`[1], 4), "
-        f"round(`__pct_{c}`[2], 4)"
-        for c in cols
-    )
-    unpivoted = wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(col_name, non_null_count, null_count, min_value, max_value, "
-        "mean_value, p25, p50, p75)"
-    )
-    return unpivoted.select(
+    parts = []
+    for chunk in _chunk(cols, 6):
+        aggs = []
+        for c in chunk:
+            col = F.col(c)
+            dec = col.cast("decimal(38,10)")
+            aggs += [
+                F.count(col).alias(f"__n_{c}"),
+                F.count(F.when(col.isNull(), 1)).alias(f"__nn_{c}"),
+                F.min(col).cast("double").alias(f"__min_{c}"),
+                F.max(col).cast("double").alias(f"__max_{c}"),
+                F.sum(dec).alias(f"__sum_{c}"),
+                F.percentile(
+                    col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+                ).alias(f"__pct_{c}"),
+            ]
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', `__n_{c}`, `__nn_{c}`, `__min_{c}`, `__max_{c}`, "
+            f"round(CAST(`__sum_{c}` AS DOUBLE) / `__n_{c}`, 4), "
+            f"round(`__pct_{c}`[0], 4), round(`__pct_{c}`[1], 4), "
+            f"round(`__pct_{c}`[2], 4)"
+            for c in chunk
+        )
+        parts.append(
+            wide.selectExpr(
+                f"stack({len(chunk)}, {stack_args}) AS "
+                "(col_name, non_null_count, null_count, min_value, "
+                "max_value, mean_value, p25, p50, p75)"
+            )
+        )
+    return _union_all(parts).select(
         F.lit(table_name).alias("table_name"), "*"
     )
 
@@ -337,46 +372,49 @@ def correlation_matrix(
     def d(c: str):
         return F.col(c).try_cast("decimal(18,6)")
 
-    aggs = []
-    for a, b in pairs:
-        both = d(a).isNotNull() & d(b).isNotNull()
-        xa, xb = F.when(both, d(a)), F.when(both, d(b))
-        key = f"{a}__{b}"
-        aggs += [
-            F.count(F.when(both, F.lit(1))).alias(f"__n_{key}"),
-            F.sum(xa).alias(f"__sx_{key}"),
-            F.sum(xb).alias(f"__sy_{key}"),
-            F.sum(xa * xb).alias(f"__sxy_{key}"),
-            F.sum(xa * xa).alias(f"__sx2_{key}"),
-            F.sum(xb * xb).alias(f"__sy2_{key}"),
-        ]
-    wide = df.agg(*aggs)
+    parts = []
+    for chunk in _chunk(pairs, 6):
+        aggs = []
+        for a, b in chunk:
+            both = d(a).isNotNull() & d(b).isNotNull()
+            xa, xb = F.when(both, d(a)), F.when(both, d(b))
+            key = f"{a}__{b}"
+            aggs += [
+                F.count(F.when(both, F.lit(1))).alias(f"__n_{key}"),
+                F.sum(xa).alias(f"__sx_{key}"),
+                F.sum(xb).alias(f"__sy_{key}"),
+                F.sum(xa * xb).alias(f"__sxy_{key}"),
+                F.sum(xa * xa).alias(f"__sx2_{key}"),
+                F.sum(xb * xb).alias(f"__sy2_{key}"),
+            ]
+        wide = df.agg(*aggs)
 
-    structs = []
-    for a, b in pairs:
-        key = f"{a}__{b}"
-        n = F.col(f"__n_{key}").cast("double")
-        sx = F.col(f"__sx_{key}").cast("double")
-        sy = F.col(f"__sy_{key}").cast("double")
-        sxy = F.col(f"__sxy_{key}").cast("double")
-        sx2 = F.col(f"__sx2_{key}").cast("double")
-        sy2 = F.col(f"__sy2_{key}").cast("double")
-        dx = n * sx2 - sx * sx
-        dy = n * sy2 - sy * sy
-        corr = F.when(
-            (dx > 0) & (dy > 0),
-            F.round((n * sxy - sx * sy) / F.sqrt(dx * dy), 4),
-        )
-        structs.append(
-            F.struct(
-                F.lit(a).alias("col_x"),
-                F.lit(b).alias("col_y"),
-                F.col(f"__n_{key}").cast("long").alias("n_pairs"),
-                corr.alias("corr"),
+        structs = []
+        for a, b in chunk:
+            key = f"{a}__{b}"
+            n = F.col(f"__n_{key}").cast("double")
+            sx = F.col(f"__sx_{key}").cast("double")
+            sy = F.col(f"__sy_{key}").cast("double")
+            sxy = F.col(f"__sxy_{key}").cast("double")
+            sx2 = F.col(f"__sx2_{key}").cast("double")
+            sy2 = F.col(f"__sy2_{key}").cast("double")
+            dx = n * sx2 - sx * sx
+            dy = n * sy2 - sy * sy
+            corr = F.when(
+                (dx > 0) & (dy > 0),
+                F.round((n * sxy - sx * sy) / F.sqrt(dx * dy), 4),
             )
-        )
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col(f"__n_{key}").cast("long").alias("n_pairs"),
+                    corr.alias("corr"),
+                )
+            )
+        parts.append(wide.select(F.inline(F.array(*structs))))
     return (
-        wide.select(F.inline(F.array(*structs)))
+        _union_all(parts)
         .select(
             F.lit(table_name).alias("table_name"),
             "col_x",
@@ -394,48 +432,54 @@ def _correlation_matrix_approx(
     """The ``exact=False`` arm of ``correlation_matrix``: the six
     pairwise-complete sums in DOUBLE, one scan. Same output schema and
     zero-variance/NULL contracts as the exact arm; the division is
-    inside a when() branch, so no ANSI divide-by-zero can fire."""
-    aggs = []
-    for a, b in pairs:
-        da = F.col(a).cast("double")
-        db = F.col(b).cast("double")
-        both = da.isNotNull() & db.isNotNull()
-        xa, xb = F.when(both, da), F.when(both, db)
-        key = f"{a}__{b}"
-        aggs += [
-            F.count(F.when(both, F.lit(1))).alias(f"__n_{key}"),
-            F.sum(xa).alias(f"__sx_{key}"),
-            F.sum(xb).alias(f"__sy_{key}"),
-            F.sum(xa * xb).alias(f"__sxy_{key}"),
-            F.sum(xa * xa).alias(f"__sx2_{key}"),
-            F.sum(xb * xb).alias(f"__sy2_{key}"),
-        ]
-    wide = df.agg(*aggs)
-    structs = []
-    for a, b in pairs:
-        key = f"{a}__{b}"
-        n = F.col(f"__n_{key}").cast("double")
-        sx = F.col(f"__sx_{key}")
-        sy = F.col(f"__sy_{key}")
-        sxy = F.col(f"__sxy_{key}")
-        sx2 = F.col(f"__sx2_{key}")
-        sy2 = F.col(f"__sy2_{key}")
-        dx = n * sx2 - sx * sx
-        dy = n * sy2 - sy * sy
-        corr = F.when(
-            (dx > 0) & (dy > 0),
-            F.round((n * sxy - sx * sy) / F.sqrt(dx * dy), 4),
-        )
-        structs.append(
-            F.struct(
-                F.lit(a).alias("col_x"),
-                F.lit(b).alias("col_y"),
-                F.col(f"__n_{key}").cast("long").alias("n_pairs"),
-                corr.alias("corr"),
+    inside a when() branch, so no ANSI divide-by-zero can fire. Pair
+    chunks bound the per-scan plan size (``MAX_AGG_EXPRS_PER_SCAN``) —
+    at m=500 columns C(m,2)=124,750 pairs would otherwise put ~750k
+    aggregate expressions in ONE plan."""
+    parts = []
+    for chunk in _chunk(pairs, 6):
+        aggs = []
+        for a, b in chunk:
+            da = F.col(a).cast("double")
+            db = F.col(b).cast("double")
+            both = da.isNotNull() & db.isNotNull()
+            xa, xb = F.when(both, da), F.when(both, db)
+            key = f"{a}__{b}"
+            aggs += [
+                F.count(F.when(both, F.lit(1))).alias(f"__n_{key}"),
+                F.sum(xa).alias(f"__sx_{key}"),
+                F.sum(xb).alias(f"__sy_{key}"),
+                F.sum(xa * xb).alias(f"__sxy_{key}"),
+                F.sum(xa * xa).alias(f"__sx2_{key}"),
+                F.sum(xb * xb).alias(f"__sy2_{key}"),
+            ]
+        wide = df.agg(*aggs)
+        structs = []
+        for a, b in chunk:
+            key = f"{a}__{b}"
+            n = F.col(f"__n_{key}").cast("double")
+            sx = F.col(f"__sx_{key}")
+            sy = F.col(f"__sy_{key}")
+            sxy = F.col(f"__sxy_{key}")
+            sx2 = F.col(f"__sx2_{key}")
+            sy2 = F.col(f"__sy2_{key}")
+            dx = n * sx2 - sx * sx
+            dy = n * sy2 - sy * sy
+            corr = F.when(
+                (dx > 0) & (dy > 0),
+                F.round((n * sxy - sx * sy) / F.sqrt(dx * dy), 4),
             )
-        )
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col(f"__n_{key}").cast("long").alias("n_pairs"),
+                    corr.alias("corr"),
+                )
+            )
+        parts.append(wide.select(F.inline(F.array(*structs))))
     return (
-        wide.select(F.inline(F.array(*structs)))
+        _union_all(parts)
         .select(
             F.lit(table_name).alias("table_name"),
             "col_x",

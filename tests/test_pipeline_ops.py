@@ -1263,3 +1263,64 @@ def test_mixture_sample_no_shuffle_plan(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = formatted_plan(mixture_sample(docs, "lang", {"en": 0.5}))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_wide_profile_bounded_plan(spark):
+    """A 300-numeric-column table must profile with BOUNDED per-scan
+    plan size: the aggregate expressions chunk at
+    MAX_AGG_EXPRS_PER_SCAN per scan (plan-construction cost at m~500+
+    columns otherwise dwarfs the query), values identical to the
+    single-plan shape. 300 cols x 6 aggs = 1800 exprs -> 2 scans."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.operators.profile import profile_numeric
+    from dbqt_spark.plans import formatted_plan
+
+    wide = spark.range(50).select(
+        "id", *[((F.col("id") * (i + 3)) % 97).alias(f"c{i}") for i in range(299)]
+    )
+    prof = profile_numeric(wide, "wide")
+    plan = formatted_plan(prof)
+    n_scans = len(re.findall(r"Scan ", plan)) or plan.count("Range")
+    # 300 numeric cols x 6 exprs / 1200 cap = 2 bounded scans
+    assert plan.count("HashAggregate") >= 2 or "Union" in plan
+    rows = {r["col_name"]: r for r in prof.collect()}
+    assert len(rows) == 300
+    assert rows["id"]["min_value"] == 0.0 and rows["id"]["max_value"] == 49.0
+    # spot-check a chunk-2 column computes correctly too
+    assert rows["c298"]["non_null_count"] == 50
+
+
+def test_chunked_profile_matches_single_plan(spark, sf_dir):
+    """Forcing tiny chunks must not change any profiler value — each
+    chunk's arithmetic is independent, so the union equals the
+    single-plan result bit-for-bit (exact decimal sums) on every
+    operator that chunks."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators import profile as P
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def snap():
+        return (
+            sorted(map(tuple, P.profile_columns(li, "t").collect())),
+            sorted(map(tuple, P.profile_numeric(li, "t").collect())),
+            sorted(map(tuple, P.correlation_matrix(li, "t").collect())),
+            sorted(
+                map(
+                    tuple,
+                    P.correlation_matrix(li, "t", exact=False).collect(),
+                )
+            ),
+        )
+
+    want = snap()
+    orig = P.MAX_AGG_EXPRS_PER_SCAN
+    P.MAX_AGG_EXPRS_PER_SCAN = 13  # forces many chunks everywhere
+    try:
+        got = snap()
+    finally:
+        P.MAX_AGG_EXPRS_PER_SCAN = orig
+    assert got == want
