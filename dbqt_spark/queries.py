@@ -2540,6 +2540,36 @@ def q_cross_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "corpus_id")
 
 
+def q_cross_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index twin of `cross_near_dups`: even-id docs are
+    banded ONCE into an on-disk MinHash index
+    (operators/minhash_index.py — half via write, half via append, so
+    the lifecycle is exercised), then the odd-id 'new crawl' probes it
+    at threshold 0.5. Same result contract and the same DuckDB oracle
+    as the live-frames operator — the index changes WHERE the corpus
+    bands live, never the answer."""
+    import shutil
+    import tempfile
+
+    from .operators.minhash_index import (
+        minhash_index_append,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    path = tempfile.mkdtemp(prefix="minhash_index_q_")
+    try:
+        minhash_index_write(corpus.filter(F.col("doc_id") % 4 == 0), path)
+        minhash_index_append(corpus.filter(F.col("doc_id") % 4 == 2), path)
+        return minhash_index_query(
+            docs.filter(F.col("doc_id") % 2 == 1), path, threshold=0.5
+        ).orderBy("query_id", "corpus_id")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 SQL_CROSS_NEAR_DUPS = f"""
 WITH {_SQL_SHINGLES}
 SELECT a.doc_id AS query_id, b.doc_id AS corpus_id,
@@ -2768,6 +2798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_outliers": q_value_outliers,
     "token_budget_sample": q_token_budget,
     "cross_near_dups": q_cross_near_dups,
+    "cross_dedup_index": q_cross_dedup_index,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "lsh_full_probe": q_lsh_full_probe,
@@ -2837,6 +2868,8 @@ ORACLES: dict[str, str] = {
     "value_outliers": SQL_VALUE_OUTLIERS,
     "token_budget_sample": SQL_TOKEN_BUDGET,
     "cross_near_dups": SQL_CROSS_NEAR_DUPS,
+    # the persisted-index twin computes the SAME pair set
+    "cross_dedup_index": SQL_CROSS_NEAR_DUPS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     # full-probe ANN == brute force by construction: same oracle
