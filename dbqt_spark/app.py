@@ -79,28 +79,40 @@ def _resolve_tables(cfg, db) -> list[str]:
     return filter_excluded_tables(names, cfg.excluded_tables)
 
 
-def _dual_pairs(cfg, db, tcfg, tdb) -> list[dict]:
+def _dual_pairs(cfg, db, tcfg, tdb) -> "tuple[list[dict], list[str], list[str]]":
     """Resolve (source_table, target_table, _discovery_status) pairs:
     explicit dual CSV, or auto-discovery with case-insensitive
-    intersection (FIXTURES.md F-12; reference utils.py:264-317)."""
+    intersection (FIXTURES.md F-12; reference utils.py:264-317).
+
+    Returns (pairs, src_names, tgt_names) — the per-side resolved table
+    lists ride along so downstream phases (``--mode both``'s colcompare
+    tabs) reuse this ONE discovery pass instead of re-listing each
+    database (the reference's dbstats orchestration contract,
+    dbqt/tools/dbstats.py:334-390)."""
     from .config import discover_common_tables, read_tables_csv
     from .patterns import filter_excluded_tables
 
     if cfg.tables_file:
         mode, rows = read_tables_csv(cfg.tables_file)
         if mode == "dual":
-            return [dict(r, _discovery_status="common") for r in rows]
-        return [
-            {
-                "source_table": r["table_name"],
-                "target_table": r["table_name"],
-                "_discovery_status": "common",
-            }
-            for r in rows
-        ]
+            pairs = [dict(r, _discovery_status="common") for r in rows]
+        else:
+            pairs = [
+                {
+                    "source_table": r["table_name"],
+                    "target_table": r["table_name"],
+                    "_discovery_status": "common",
+                }
+                for r in rows
+            ]
+        return (
+            pairs,
+            [p["source_table"] for p in pairs],
+            [p["target_table"] for p in pairs],
+        )
     src_names = filter_excluded_tables(db.list_tables(), cfg.excluded_tables)
     tgt_names = filter_excluded_tables(tdb.list_tables(), tcfg.excluded_tables)
-    return discover_common_tables(src_names, tgt_names)
+    return discover_common_tables(src_names, tgt_names), src_names, tgt_names
 
 
 def _db_row_counts(spark, db, named: list[tuple[str, str]]):
@@ -138,9 +150,10 @@ def tool_dbstats(argv: list[str]) -> int:
     spark = db.spark
     report = HTMLReport("dbstats")
 
+    src_names = tgt_names = None
     if args.target_config:
         tcfg, tdb = _load_db(args.target_config)
-        pairs = _dual_pairs(cfg, db, tcfg, tdb)
+        pairs, src_names, tgt_names = _dual_pairs(cfg, db, tcfg, tdb)
         # one-sided tables are skipped with a note, never counted
         # (reference dbstats.py:113-134)
         common = [p_ for p_ in pairs if p_["_discovery_status"] == "common"]
@@ -191,7 +204,12 @@ def tool_dbstats(argv: list[str]) -> int:
         report.add_dataframe_tab("Row Counts", result)
 
     if args.mode in ("colcompare", "both") and args.target_config:
-        _append_colcompare_tabs(report, cfg, db, tcfg, tdb)
+        # reuse the rowcount phase's discovery (ONE pass per database —
+        # the reference's dbstats orchestration contract); colcompare
+        # tabs see the same per-side table lists the counts saw
+        _append_colcompare_tabs(
+            report, cfg, db, tcfg, tdb, src_names, tgt_names
+        )
 
     out = args.output or _results_path("dbstats")
     report.save(out)
@@ -201,7 +219,13 @@ def tool_dbstats(argv: list[str]) -> int:
     return 0
 
 
-def _append_colcompare_tabs(report, cfg, db, tcfg, tdb) -> None:
+def _append_colcompare_tabs(
+    report, cfg, db, tcfg, tdb, src_names=None, tgt_names=None
+) -> None:
+    """Schema-comparison tabs. ``src_names``/``tgt_names`` carry an
+    already-resolved discovery (dbstats --mode both passes the rowcount
+    phase's lists so each database is listed exactly once); standalone
+    colcompare leaves them None and resolves here."""
     from .operators.colcompare import (
         compare_columns,
         compare_table_sets,
@@ -209,12 +233,12 @@ def _append_colcompare_tabs(report, cfg, db, tcfg, tdb) -> None:
     )
     from .schema_df import build_schema_df
 
-    src_ir = build_schema_df(
-        db.spark, {n: db.load(n) for n in _resolve_tables(cfg, db)}
-    )
-    tgt_ir = build_schema_df(
-        tdb.spark, {n: tdb.load(n) for n in _resolve_tables(tcfg, tdb)}
-    )
+    if src_names is None:
+        src_names = _resolve_tables(cfg, db)
+    if tgt_names is None:
+        tgt_names = _resolve_tables(tcfg, tdb)
+    src_ir = build_schema_df(db.spark, {n: db.load(n) for n in src_names})
+    tgt_ir = build_schema_df(tdb.spark, {n: tdb.load(n) for n in tgt_names})
     excluded = list({*cfg.excluded_cols, *tcfg.excluded_cols})
     cc = compare_columns(src_ir, tgt_ir, excluded_cols=excluded)
     report.add_dataframe_tab("Table Comparison", compare_table_sets(src_ir, tgt_ir))

@@ -403,3 +403,80 @@ def test_cli_profile(spark, tmp_path):
         "--approx", "--output", out2,
     ]) == 0
     assert os.path.exists(out2)
+
+
+def test_dbstats_mode_both_single_discovery(spark, sf_dir, tmp_path, monkeypatch):
+    """dbstats --mode both over two parquet roots: the merged report
+    carries all four tabs (Row Counts + the three colcompare tabs) in
+    one run, AND table discovery runs exactly ONCE per database — the
+    colcompare phase reuses the rowcount phase's lists (the reference's
+    dbstats orchestration contract, dbqt/tools/dbstats.py:334-390).
+    Golden shape: the target root is the source minus one table plus a
+    renamed-type clone, so every tab has deterministic content."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    # target root: copy two tables, drop the rest, retype one column
+    tgt_root = tmp_path / "tgt"
+    tgt_root.mkdir()
+    shutil.copy(os.path.join(sf_dir, "orders.parquet"), tgt_root / "orders.parquet")
+    t = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = t.set_column(
+        t.schema.get_field_index("n_nationkey"),
+        "n_nationkey",
+        pc.cast(t["n_nationkey"], pa.string()),
+    )
+    pq.write_table(t, tgt_root / "nation.parquet")
+
+    src = _write(
+        tmp_path / "s.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n",
+    )
+    tgt = _write(
+        tmp_path / "t.yaml",
+        f"connection:\n  type: parquet\n  path: {tgt_root}\n",
+    )
+
+    from dbqt_spark.sources import database as dbmod
+
+    calls = {"n": 0}
+    orig = dbmod.Database.list_tables
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(dbmod.Database, "list_tables", counting)
+
+    out_html = str(tmp_path / "both.html")
+    assert (
+        main(
+            [
+                "dbstats",
+                "--config", src,
+                "--target-config", tgt,
+                "--mode", "both",
+                "--output", out_html,
+            ]
+        )
+        == 0
+    )
+    # ONE discovery pass per database, reused by both phases
+    assert calls["n"] == 2, f"discovery ran {calls['n']} times"
+
+    html = open(out_html).read()
+    for tab in (
+        "Row Counts", "Table Comparison", "Column Comparison",
+        "Datatype Mismatches",
+    ):
+        assert tab in html, f"missing tab {tab}"
+    # rowcounts: common tables match; source-only tables noted, skipped
+    assert '"difference": 0' in html
+    assert "row count skipped" in html
+    # colcompare: the retyped column surfaces as a datatype mismatch
+    # (colcompare uppercases names — reference parity)
+    assert "N_NATIONKEY" in html and "Different Types" in html
