@@ -143,6 +143,7 @@ def main() -> None:
         "minhash_near_dups",
         "minhash_clusters",
         "cross_near_dups",
+        "cross_dedup_index",
         "simhash_near_dups",
         "ngram_jaccard_dups",
     ]
@@ -152,6 +153,7 @@ def main() -> None:
         "minhash_near_dups",
         "minhash_clusters",
         "cross_near_dups",
+        "cross_dedup_index",
         "profile_numeric",
         "profile_lineitem",
         "streaming_dedup",

@@ -2540,6 +2540,63 @@ def q_cross_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "corpus_id")
 
 
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-wins survivors over the minhash near-dup pair graph
+    (doc_id < GATE_BENCH_MAX_DOC, threshold 0.5), resolved with the
+    DISTRIBUTED wavefront (`operators.clusters.first_wins_dropped`) —
+    the same lexicographically-first-MIS semantics as the streaming
+    gate's driver greedy and this query's recursive-CTE oracle, but
+    computed with pairs never leaving the cluster. This is the gate's
+    over-limit fallback path under a direct oracle."""
+    from .operators.clusters import first_wins_dropped
+    from .operators.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < GATE_BENCH_MAX_DOC
+    )
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    dropped = first_wins_dropped(pairs).withColumnRenamed("id", "doc_id")
+    pairs.unpersist()  # no-op unless dedup returned it persisted
+    return (
+        docs.select("doc_id")
+        .join(dropped, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_FIRST_WINS = f"""
+WITH RECURSIVE
+{_SQL_SHINGLES_MAT},
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE b.doc_id < {GATE_BENCH_MAX_DOC}
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+ids AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id < {GATE_BENCH_MAX_DOC}
+),
+nbrs AS MATERIALIZED (
+  SELECT id_b AS doc_id, list(id_a) AS smaller FROM pairs GROUP BY id_b
+),
+g(rn, kept) AS (
+  SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT g.rn + 1,
+         CASE WHEN list_has_any(g.kept, coalesce(n.smaller, []))
+              THEN g.kept ELSE list_append(g.kept, i.doc_id) END
+  FROM g
+  JOIN ids i ON i.rn = g.rn + 1
+  LEFT JOIN nbrs n ON n.doc_id = i.doc_id
+)
+SELECT CAST(unnest(kept) AS BIGINT) AS doc_id
+FROM g WHERE rn = (SELECT max(rn) FROM ids)
+ORDER BY doc_id
+"""
+
+
 def q_cross_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index twin of `cross_near_dups`: even-id docs are
     banded ONCE into an on-disk MinHash index
@@ -2799,6 +2856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_sample": q_token_budget,
     "cross_near_dups": q_cross_near_dups,
     "cross_dedup_index": q_cross_dedup_index,
+    "dedup_first_wins": q_dedup_first_wins,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "lsh_full_probe": q_lsh_full_probe,
@@ -2870,6 +2928,7 @@ ORACLES: dict[str, str] = {
     "cross_near_dups": SQL_CROSS_NEAR_DUPS,
     # the persisted-index twin computes the SAME pair set
     "cross_dedup_index": SQL_CROSS_NEAR_DUPS,
+    "dedup_first_wins": SQL_DEDUP_FIRST_WINS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     # full-probe ANN == brute force by construction: same oracle
