@@ -268,8 +268,11 @@ def first_wins_dropped(
     Scale shape per round: one anti-join (the kept frontier), one join
     + two anti-joins (drop + edge pruning), all hashed on node ids;
     ``localCheckpoint`` truncates the iterative lineage each round
-    (same discipline as ``_distributed_components``); the only
-    driver-side data is a one-row count."""
+    (same discipline as ``_distributed_components``). Exactly two jobs
+    run per round (the two checkpoints; the emptiness probe reads the
+    already-materialized edge checkpoint); per-round drop frames
+    accumulate in a LAZY union of checkpointed parts — no per-round
+    accumulator materialization."""
     edges = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
@@ -280,7 +283,10 @@ def first_wins_dropped(
         .localCheckpoint()
     )
     spark = pairs.sparkSession
-    dropped = spark.createDataFrame([], edges.select(F.col("hi").alias("id")).schema)
+    empty = spark.createDataFrame(
+        [], edges.select(F.col("hi").alias("id")).schema
+    )
+    dropped_parts = [empty]
     rounds = 0
     while True:
         if edges.isEmpty():
@@ -310,7 +316,7 @@ def first_wins_dropped(
             .distinct()
             .localCheckpoint()
         )
-        dropped = dropped.unionByName(newly_dropped).localCheckpoint()
+        dropped_parts.append(newly_dropped)
         edges = (
             edges.join(
                 newly_dropped, edges["hi"] == newly_dropped["id"], "left_anti"
@@ -327,4 +333,7 @@ def first_wins_dropped(
         )
     if stats is not None:
         stats["rounds"] = rounds
+    dropped = dropped_parts[0]
+    for part in dropped_parts[1:]:
+        dropped = dropped.unionByName(part)
     return dropped

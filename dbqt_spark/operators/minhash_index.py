@@ -112,12 +112,11 @@ def minhash_index_write(
     else:
         capped = banded
     os.makedirs(path, exist_ok=True)
-    capped.write.mode("overwrite").parquet(band_path)
+    _write_bands_and_docs(
+        capped, df, band_path, doc_path, text_col, id_col, "overwrite"
+    )
     if max_bucket_size is not None:
         banded.unpersist()
-    df.select(
-        F.col(id_col).alias("corpus_id"), F.col(text_col).alias("text")
-    ).write.mode("overwrite").parquet(doc_path)
     with open(meta_path, "w") as f:
         json.dump(
             {
@@ -165,12 +164,39 @@ def minhash_index_append(
         )
     else:
         capped = banded
-    capped.write.mode("append").parquet(band_path)
+    _write_bands_and_docs(
+        capped, df, band_path, doc_path, text_col, id_col, "append"
+    )
     if cap is not None:
         banded.unpersist()
-    df.select(
-        F.col(id_col).alias("corpus_id"), F.col(text_col).alias("text")
-    ).write.mode("append").parquet(doc_path)
+
+
+def _write_bands_and_docs(
+    capped: DataFrame,
+    df: DataFrame,
+    band_path: str,
+    doc_path: str,
+    text_col: str,
+    id_col: str,
+    mode: str,
+) -> None:
+    """The band and doc writes touch disjoint directories from
+    independent inputs — submitted as CONCURRENT jobs so a build/append
+    pays one scheduling + commit latency, not two (the same shape as
+    the streaming gate's per-batch appends)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _bands() -> None:
+        capped.write.mode(mode).parquet(band_path)
+
+    def _docs() -> None:
+        df.select(
+            F.col(id_col).alias("corpus_id"), F.col(text_col).alias("text")
+        ).write.mode(mode).parquet(doc_path)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_bands), pool.submit(_docs)]:
+            f.result()
 
 
 def minhash_index_compact(spark: SparkSession, path: str) -> None:

@@ -2547,12 +2547,14 @@ def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same lexicographically-first-MIS semantics as the streaming
     gate's driver greedy and this query's recursive-CTE oracle, but
     computed with pairs never leaving the cluster. This is the gate's
-    over-limit fallback path under a direct oracle."""
+    over-limit fallback path under a direct oracle. The doc cap keeps
+    the bench cost in the per-round wavefront (the thing under test),
+    not the upstream banding."""
     from .operators.clusters import first_wins_dropped
     from .operators.dedup import minhash_near_duplicates
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < GATE_BENCH_MAX_DOC
+        F.col("doc_id") < FIRST_WINS_MAX_DOC
     )
     pairs = minhash_near_duplicates(docs, threshold=0.5)
     dropped = first_wins_dropped(pairs).withColumnRenamed("id", "doc_id")
@@ -2564,19 +2566,21 @@ def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FIRST_WINS_MAX_DOC = 1_000
+
 SQL_DEDUP_FIRST_WINS = f"""
 WITH RECURSIVE
 {_SQL_SHINGLES_MAT},
 pairs AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE b.doc_id < {GATE_BENCH_MAX_DOC}
+  WHERE b.doc_id < {FIRST_WINS_MAX_DOC}
     AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
 ),
 ids AS MATERIALIZED (
   SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
-  FROM documents WHERE doc_id < {GATE_BENCH_MAX_DOC}
+  FROM documents WHERE doc_id < {FIRST_WINS_MAX_DOC}
 ),
 nbrs AS MATERIALIZED (
   SELECT id_b AS doc_id, list(id_a) AS smaller FROM pairs GROUP BY id_b
