@@ -2601,6 +2601,64 @@ ORDER BY doc_id
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact LINE dedup (operators/linededup.py, the C4 /
+    MassiveText curation stage), keep-first policy. The synthetic docs
+    are single-line, so the harness builds multi-line documents
+    deterministically: doc i's text becomes lines (text_i, text_{i+1},
+    text_{i+2}) via lead() — every original line then occurs in up to 3
+    docs and only its FIRST (doc, position) occurrence survives,
+    producing a nontrivial removal pattern the oracle reproduces
+    line-for-line (including documents reduced to empty text)."""
+    from pyspark.sql import Window
+
+    from .operators.linededup import line_level_dedup
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    # harness-side construction (300 rows): the single-partition window
+    # is the test scaffolding, not the operator under test
+    w = Window.orderBy("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lead("text", 1).over(w),
+            F.lead("text", 2).over(w),
+        ).alias("text"),
+    )
+    return line_level_dedup(base, mode="keep_first").orderBy("doc_id")
+
+
+SQL_LINE_DEDUP = """
+WITH base AS (
+  SELECT doc_id, concat_ws(chr(10), text,
+     lead(text,1) OVER (ORDER BY doc_id),
+     lead(text,2) OVER (ORDER BY doc_id)) AS t
+  FROM documents WHERE doc_id < 300
+),
+lines AS (
+  SELECT doc_id, u.line, u.pos
+  FROM base,
+  LATERAL (SELECT unnest(string_split(t, chr(10))) AS line,
+                  unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos) u
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                           ORDER BY pos), '') AS text,
+       CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT)
+         AS n_removed_lines
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_cross_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index twin of `cross_near_dups`: even-id docs are
     banded ONCE into an on-disk MinHash index
@@ -2861,6 +2919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_near_dups": q_cross_near_dups,
     "cross_dedup_index": q_cross_dedup_index,
     "dedup_first_wins": q_dedup_first_wins,
+    "line_dedup": q_line_dedup,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "lsh_full_probe": q_lsh_full_probe,
@@ -2933,6 +2992,7 @@ ORACLES: dict[str, str] = {
     # the persisted-index twin computes the SAME pair set
     "cross_dedup_index": SQL_CROSS_NEAR_DUPS,
     "dedup_first_wins": SQL_DEDUP_FIRST_WINS,
+    "line_dedup": SQL_LINE_DEDUP,
     "event_funnel": SQL_EVENT_FUNNEL,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     # full-probe ANN == brute force by construction: same oracle

@@ -1324,3 +1324,66 @@ def test_chunked_profile_matches_single_plan(spark, sf_dir):
     finally:
         P.MAX_AGG_EXPRS_PER_SCAN = orig
     assert got == want
+
+
+def test_line_level_dedup_keep_first(spark):
+    """MassiveText policy: each distinct line keeps exactly its first
+    (doc, position) occurrence; empty-line runs are preserved; a fully
+    deduplicated document survives as empty text."""
+    from dbqt_spark.operators.linededup import line_level_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\n\nbeta", "a"),
+            (2, "boiler\ngamma\nboiler", "b"),
+            (3, "boiler", "c"),
+        ],
+        ["doc_id", "text", "src"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in line_level_dedup(df, mode="keep_first").collect()
+    }
+    # doc1 untouched (all lines first occurrences, incl. the empty line)
+    assert rows[1]["text"] == "alpha\nboiler\n\nbeta"
+    assert rows[1]["n_removed_lines"] == 0
+    # doc2: both boiler copies removed (first occurrence was doc1);
+    # the doc-2-internal repeat is also a later occurrence
+    assert rows[2]["text"] == "gamma" and rows[2]["n_removed_lines"] == 2
+    # doc3 fully deduplicated -> empty text, row survives
+    assert rows[3]["text"] == "" and rows[3]["n_removed_lines"] == 1
+    # passthrough columns intact
+    assert rows[2]["src"] == "b"
+
+
+def test_line_level_dedup_drop_frequent(spark):
+    """C4-style policy: every occurrence of a line reaching min_count
+    goes, including the first."""
+    from dbqt_spark.operators.linededup import line_level_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "boiler\nunique1"),
+            (2, "boiler\nunique2"),
+            (3, "boiler\ntwice"),
+            (4, "twice"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in line_level_dedup(
+            df, mode="drop_frequent", min_count=3
+        ).collect()
+    }
+    # boiler occurs 3x -> removed everywhere; twice occurs 2x -> kept
+    assert rows[1]["text"] == "unique1"
+    assert rows[2]["text"] == "unique2"
+    assert rows[3]["text"] == "twice"
+    assert rows[4]["text"] == "twice"
+    assert rows[1]["n_removed_lines"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        line_level_dedup(df, mode="nope")
