@@ -501,7 +501,8 @@ def tool_dedup(argv: list[str]) -> int:
     p.add_argument("--id-column", default="doc_id")
     p.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "ngram", "embedding"],
+        choices=["exact", "minhash", "simhash", "ngram", "embedding",
+                 "lines"],
         default="exact",
     )
     p.add_argument("--threshold", type=float, default=0.8,
@@ -517,6 +518,16 @@ def tool_dedup(argv: list[str]) -> int:
                    help="resolve pair output into transitive clusters "
                    "(doc, cluster, size, representative) — pair methods "
                    "only")
+    p.add_argument("--line-policy", choices=["keep_first", "drop_frequent"],
+                   default="keep_first",
+                   help="lines method: first-occurrence-wins "
+                   "(MassiveText) or remove every occurrence past "
+                   "--line-min-count (C4)")
+    p.add_argument("--line-min-count", type=int, default=3,
+                   help="lines method, drop_frequent policy: remove "
+                   "lines occurring at least this often")
+    p.add_argument("--output-parquet",
+                   help="lines method: write the rebuilt corpus here")
     args = p.parse_args(argv)
 
     cfg, db = _load_db(args.config)
@@ -552,6 +563,34 @@ def tool_dedup(argv: list[str]) -> int:
             id_col=args.id_column, max_block_size=100_000,
             drop_stats=stats,
         )
+    elif args.method == "lines":
+        from pyspark.sql import functions as F
+
+        from .operators.linededup import line_level_dedup
+
+        if args.clusters:
+            p.error("--clusters applies to pair methods, not lines")
+        rebuilt = line_level_dedup(
+            df, text_col=args.text_column, id_col=args.id_column,
+            mode=args.line_policy, min_count=args.line_min_count,
+        )
+        if args.output_parquet:
+            rebuilt.write.mode("overwrite").parquet(args.output_parquet)
+            rebuilt = df.sparkSession.read.parquet(args.output_parquet)
+        report = HTMLReport("dedup (lines)")
+        # report the surgery, not the corpus: per-doc removal counts
+        report.add_dataframe_tab(
+            "Removed lines",
+            rebuilt.filter(F.col("n_removed_lines") > 0).select(
+                args.id_column, "n_removed_lines"
+            ),
+        )
+        out = args.output or _results_path("dedup")
+        report.save(out)
+        n = rebuilt.filter(F.col("n_removed_lines") > 0).count()
+        print(f"{n} docs had lines removed")
+        print(f"Report saved to {out}")
+        return 0
     else:
         result = dd.ngram_jaccard_near_duplicates(
             df, text_col=args.text_column, id_col=args.id_column,

@@ -480,3 +480,41 @@ def test_dbstats_mode_both_single_discovery(spark, sf_dir, tmp_path, monkeypatch
     # colcompare: the retyped column surfaces as a datatype mismatch
     # (colcompare uppercases names — reference parity)
     assert "N_NATIONKEY" in html and "Different Types" in html
+
+
+def test_dedup_lines_cli(spark, sf_dir, tmp_path, capsys):
+    """dedup --method lines end-to-end: rebuilt corpus to parquet,
+    removal counts in the report."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "data"
+    root.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3],
+            "text": ["alpha\nboiler", "boiler\nbeta", "boiler"],
+        }),
+        str(root / "docs.parquet"),
+    )
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {root}\n",
+    )
+    outp = str(tmp_path / "rebuilt")
+    assert (
+        main(
+            [
+                "dedup", "--config", cfg, "--table", "docs",
+                "--method", "lines", "--output-parquet", outp,
+                "--output", str(tmp_path / "r.html"),
+            ]
+        )
+        == 0
+    )
+    assert "2 docs had lines removed" in capsys.readouterr().out
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert rows == {1: "alpha\nboiler", 2: "beta", 3: ""}
