@@ -1,0 +1,147 @@
+"""Sequence packing — map a corpus onto fixed-length training sequences.
+
+Beyond the reference surface (north star). GPT-style pretraining packs
+the corpus by CONCATENATING every document (plus a separator token) in
+a canonical order and chunking the token stream into fixed-length
+sequences; a document's placement is then a pure function of the global
+token offsets. This operator computes that placement — per doc: its
+global token start, the first/last sequence it lands in, and its offset
+inside the first — which is what a loader needs to materialize batches
+and what an auditor needs to answer "which sequences contain doc X".
+
+Deterministic by construction: the order is ``id_col`` ascending and
+token counts are the engine-portable whitespace tokenization shared
+with ``textstats.token_stats`` — any engine reproduces the packing
+bit-for-bit (the DuckDB oracle does).
+
+Scale shape — the global prefix sum is the whole problem: a single
+``Window.orderBy`` with no partition key funnels the corpus through ONE
+reducer, the classic Spark scaling failure. This implements the
+standard two-phase distributed prefix sum instead:
+
+1. bucket the ids into ``n_buckets`` ORDER-CONTIGUOUS ranges (split
+   points from one tiny exact-percentile aggregate over the ids — a
+   scalar job, broadcast back as a plan literal);
+2. per-bucket running sums under ``Window.partitionBy(bucket)
+   .orderBy(id)`` — parallel across buckets;
+3. per-bucket totals (one ``n_buckets``-row aggregate, collected) turn
+   into base offsets added back as a CASE literal — no second shuffle
+   over the data.
+
+Rows shuffle ONCE (hash by bucket for the windows); the driver only
+ever sees ``n_buckets`` numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+
+def sequence_pack(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_tokens: int = 1,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-doc placement in the packed token stream:
+    (id, n_tokens, global_start, first_seq, last_seq, seq_offset).
+
+    ``n_tokens`` counts whitespace tokens (``textstats.tokens_col``);
+    each doc is followed by ``sep_tokens`` separator tokens (the EOS
+    convention), which belong to the doc's span for boundary purposes.
+    ``first_seq``/``last_seq`` are the sequence ids of the doc's first
+    and last OWN token (separators excluded from last_seq so an
+    empty-tail separator never claims a sequence the doc has no token
+    in); ``seq_offset`` is the doc's position inside ``first_seq``.
+    Empty docs (0 tokens) occupy no sequence: first_seq/last_seq are
+    NULL, but their separators still advance the stream — exactly what
+    concat-then-chunk does to an empty file."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    counted = df.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+    # phase 1: order-contiguous buckets from exact id percentiles (one
+    # scalar aggregate; exact keeps the bucketing engine-portable —
+    # the bucket assignment changes the PARALLELISM, never the result)
+    if n_buckets > 1:
+        splits_row = counted.agg(
+            F.percentile(
+                F.col(id_col),
+                F.array(
+                    *[
+                        F.lit(i / n_buckets)
+                        for i in range(1, n_buckets)
+                    ]
+                ),
+            ).alias("s")
+        ).collect()[0]["s"]
+        bucket = F.lit(0)
+        for s in splits_row or []:
+            bucket = bucket + F.when(
+                F.col(id_col) > F.lit(float(s)), F.lit(1)
+            ).otherwise(F.lit(0))
+    else:
+        bucket = F.lit(0)
+    bucketed = counted.withColumn("__b", bucket)
+
+    # phase 2: per-bucket running sums (parallel windows)
+    w = Window.partitionBy("__b").orderBy(id_col)
+    stepped = bucketed.withColumn(
+        "__step", F.col("n_tokens") + F.lit(int(sep_tokens))
+    ).withColumn(
+        "__local_end", F.sum("__step").over(w)
+    )
+
+    # phase 3: bucket base offsets — an n_buckets-row aggregate whose
+    # running total becomes a CASE literal (driver sees n_buckets rows)
+    totals = (
+        stepped.groupBy("__b")
+        .agg(F.sum("__step").alias("__t"))
+        .orderBy("__b")
+        .collect()
+    )
+    base = 0
+    bases: dict[int, int] = {}
+    for r in totals:
+        bases[r["__b"]] = base
+        base += r["__t"]
+    base_col = F.lit(0).cast("long")
+    for b, off in bases.items():
+        base_col = F.when(F.col("__b") == b, F.lit(off)).otherwise(base_col)
+
+    L = int(seq_len)
+    start = (base_col + F.col("__local_end") - F.col("__step")).alias(
+        "global_start"
+    )
+    out = stepped.select(
+        F.col(id_col),
+        "n_tokens",
+        start,
+    )
+    has_tokens = F.col("n_tokens") > 0
+    # integer `div`, not double `/`: double division loses exactness
+    # past 2^53 token offsets (a ~20T-token corpus is within reach of
+    # that at 100 TB scale)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "global_start",
+        F.when(has_tokens, F.expr(f"global_start div {L}")).alias(
+            "first_seq"
+        ),
+        F.when(
+            has_tokens,
+            F.expr(f"(global_start + n_tokens - 1) div {L}"),
+        ).alias("last_seq"),
+        F.when(has_tokens, F.col("global_start") % F.lit(L)).alias(
+            "seq_offset"
+        ),
+    )

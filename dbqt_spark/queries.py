@@ -2601,6 +2601,44 @@ ORDER BY doc_id
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.py): each doc's
+    placement in the packed token stream at seq_len=512 with one EOS
+    separator per doc. The distributed two-phase prefix sum must
+    reproduce a plain SQL window cumsum bit-for-bit — bucketing changes
+    parallelism, never values."""
+    from .operators.packing import sequence_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sequence_pack(docs, seq_len=512).orderBy("doc_id")
+
+
+SQL_SEQUENCE_PACK = r"""
+WITH counted AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS global_start
+  FROM counted
+)
+SELECT doc_id, n_tokens, global_start,
+       CASE WHEN n_tokens > 0
+            THEN CAST(global_start // 512 AS BIGINT) END AS first_seq,
+       CASE WHEN n_tokens > 0
+            THEN CAST((global_start + n_tokens - 1) // 512 AS BIGINT)
+       END AS last_seq,
+       CASE WHEN n_tokens > 0
+            THEN CAST(global_start % 512 AS BIGINT) END AS seq_offset
+FROM c ORDER BY doc_id
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact LINE dedup (operators/linededup.py, the C4 /
     MassiveText curation stage), keep-first policy. The synthetic docs
@@ -2920,6 +2958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_dedup_index": q_cross_dedup_index,
     "dedup_first_wins": q_dedup_first_wins,
     "line_dedup": q_line_dedup,
+    "sequence_pack": q_sequence_pack,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "lsh_full_probe": q_lsh_full_probe,
@@ -2993,6 +3032,7 @@ ORACLES: dict[str, str] = {
     "cross_dedup_index": SQL_CROSS_NEAR_DUPS,
     "dedup_first_wins": SQL_DEDUP_FIRST_WINS,
     "line_dedup": SQL_LINE_DEDUP,
+    "sequence_pack": SQL_SEQUENCE_PACK,
     "event_funnel": SQL_EVENT_FUNNEL,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     # full-probe ANN == brute force by construction: same oracle

@@ -1387,3 +1387,50 @@ def test_line_level_dedup_drop_frequent(spark):
 
     with _pytest.raises(ValueError, match="mode"):
         line_level_dedup(df, mode="nope")
+
+
+def test_sequence_pack_semantics(spark):
+    """Known-answer packing: seq_len=10, sep=1. Doc token counts
+    4, 12, 0, 3 -> starts 0, 5, 18, 19; doc 2 spans a boundary; the
+    empty doc occupies no sequence but its separator advances the
+    stream."""
+    from dbqt_spark.operators.packing import sequence_pack
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, " ".join(f"t{i}" for i in range(12))),
+            (3, "   "),
+            (4, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in sequence_pack(df, seq_len=10, n_buckets=2).collect()
+    }
+    assert (rows[1]["global_start"], rows[1]["first_seq"],
+            rows[1]["last_seq"], rows[1]["seq_offset"]) == (0, 0, 0, 0)
+    # doc 2 starts at 5 (4 tokens + 1 sep), spans tokens 5..16 ->
+    # sequences 0 and 1
+    assert (rows[2]["global_start"], rows[2]["first_seq"],
+            rows[2]["last_seq"]) == (5, 0, 1)
+    # empty doc: no sequence, separator still advances (18 -> 19)
+    assert rows[3]["n_tokens"] == 0 and rows[3]["first_seq"] is None
+    assert rows[3]["global_start"] == 18
+    assert rows[4]["global_start"] == 19
+
+
+def test_sequence_pack_bucketing_invariant(spark, sf_dir):
+    """The two-phase distributed prefix sum must give the same packing
+    for ANY bucket count (bucketing = parallelism knob only)."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.packing import sequence_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = sorted(map(tuple, sequence_pack(docs, 128, n_buckets=1).collect()))
+    for nb in (4, 64):
+        got = sorted(
+            map(tuple, sequence_pack(docs, 128, n_buckets=nb).collect())
+        )
+        assert got == base
