@@ -778,3 +778,66 @@ def test_profile_numeric_nulls_and_selection(spark):
     empty = profile_numeric(df.select("s"), "t")
     assert empty.count() == 0
     assert "mean_value" in empty.columns
+
+
+def test_first_wins_dropped_matches_driver_greedy(spark):
+    """The distributed wavefront must equal the driver greedy (the
+    lexicographically-first maximal independent set) on seeded random
+    graphs, a decreasing chain (the NOT-connected-components case), and
+    degenerate inputs."""
+    import random
+
+    from dbqt_spark.operators.clusters import first_wins_dropped
+
+    def driver_greedy(pairs):
+        neighbors = {}
+        for a, b in pairs:
+            neighbors.setdefault(b, set()).add(a)
+            neighbors.setdefault(a, set()).add(b)
+        dropped = set()
+        for did in sorted({i for p in pairs for i in p}):
+            if any(
+                n < did and n not in dropped
+                for n in neighbors.get(did, ())
+            ):
+                dropped.add(did)
+        return dropped
+
+    rnd = random.Random(7)
+    for _ in range(4):
+        n = rnd.randint(5, 40)
+        m = rnd.randint(1, 80)
+        pairs = list(
+            {
+                (min(a, b), max(a, b))
+                for _ in range(m)
+                for a, b in [(rnd.randint(0, n), rnd.randint(0, n))]
+                if a != b
+            }
+        )
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        stats = {}
+        got = {r["id"] for r in first_wins_dropped(df, stats=stats).collect()}
+        assert got == driver_greedy(pairs)
+        assert stats["rounds"] >= 1
+
+    # chain 1-2-3-4-5: greedy keeps {1,3,5} — component-min would keep
+    # only {1}; this is the semantic the wavefront must preserve
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    assert sorted(
+        r["id"] for r in first_wins_dropped(chain).collect()
+    ) == [2, 4]
+
+    # empty input -> empty output, zero rounds
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    stats = {}
+    assert first_wins_dropped(empty, stats=stats).count() == 0
+    assert stats["rounds"] == 0
+
+    # round cap is an observable error, not a hang
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        first_wins_dropped(chain, max_rounds=1)
