@@ -866,6 +866,7 @@ def tool_profile(argv: list[str]) -> int:
         frequent_values,
         numeric_histogram,
         profile_columns,
+        quantile_histogram,
         zscore_outliers,
     )
     from .report.html import HTMLReport
@@ -910,6 +911,11 @@ def tool_profile(argv: list[str]) -> int:
         "Histograms",
         numeric_histogram(df, args.table, columns=cols,
                           n_buckets=args.buckets),
+    )
+    report.add_dataframe_tab(
+        "Quantile histograms",
+        quantile_histogram(df, args.table, columns=cols,
+                           n_buckets=args.buckets),
     )
     report.add_dataframe_tab(
         "Correlations",

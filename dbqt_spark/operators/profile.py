@@ -639,3 +639,106 @@ def frequent_values(
         )
         .orderBy("col_name", "rank")
     )
+
+
+def quantile_histogram(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str] | None = None,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """EQUI-DEPTH histogram of every numeric column — the quantile
+    companion to ``numeric_histogram``'s fixed-width buckets (skewed
+    columns collapse into one fixed-width bucket; quantile buckets
+    spread them by rank instead).
+
+    Output: (table_name, col_name, bucket, lo, hi, n_rows), bucket in
+    [0, n_buckets-1]; only non-empty buckets emit rows; NULLs excluded.
+
+    Engine-portable by construction: bucket edges are exact DISCRETE
+    percentiles (``percentile_disc`` — actual data values, no
+    interpolation formula to disagree on), values and edges compare as
+    doubles cast from the same inputs, and bucket(v) = the number of
+    interior edges strictly below v. Ties collapse into the lower
+    bucket, so a heavy repeated value yields one over-full bucket and
+    empty neighbors — the honest equi-depth behavior, identical in any
+    engine (the DuckDB oracle reproduces it bit-for-bit).
+
+    Scale shape: pass 1 is one percentile aggregate (per-column sort
+    state, the standard exact-quantile cost; swap approx_percentile at
+    100 TB — same output contract, rank-error-bounded edges); pass 2
+    broadcasts the one-row edges, computes buckets in codegen
+    (``F.aggregate`` over the edge array), and hash-aggregates with
+    map-side combine — one shuffle of n_cols x n_buckets rows.
+    """
+    from pyspark.sql.types import NumericType
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType)
+        and (columns is None or f.name in columns)
+    ]
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "table_name string, col_name string, bucket int, lo double, "
+            "hi double, n_rows long",
+        )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edge_exprs = []
+    for c in cols:
+        arr = ", ".join(str(q) for q in qs) or "0.5"
+        if qs:
+            edge_exprs.append(
+                f"percentile_disc(array({arr})) WITHIN GROUP "
+                f"(ORDER BY CAST(`{c}` AS DOUBLE)) AS `__q_{c}`"
+            )
+        else:  # n_buckets == 1: no interior edges
+            edge_exprs.append(f"array() AS `__q_{c}`")
+        edge_exprs.append(f"min(CAST(`{c}` AS DOUBLE)) AS `__mn_{c}`")
+        edge_exprs.append(f"max(CAST(`{c}` AS DOUBLE)) AS `__mx_{c}`")
+    edges = df.selectExpr(*edge_exprs)
+    data = df.select(
+        *[F.col(c).cast("double").alias(f"__v_{c}") for c in cols]
+    )
+    joined = data.crossJoin(F.broadcast(edges))
+
+    structs = []
+    for c in cols:
+        v = F.col(f"__v_{c}")
+        q = F.col(f"__q_{c}")
+        bucket = F.aggregate(
+            q,
+            F.lit(0),
+            lambda acc, e: acc
+            + F.when(v > e, F.lit(1)).otherwise(F.lit(0)),
+        )
+        full_lo = F.concat(F.array(F.col(f"__mn_{c}")), q)
+        full_hi = F.concat(q, F.array(F.col(f"__mx_{c}")))
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.when(v.isNotNull(), bucket.cast("int")).alias("bucket"),
+                F.round(F.element_at(full_lo, bucket + 1), 4).alias("lo"),
+                F.round(F.element_at(full_hi, bucket + 1), 4).alias("hi"),
+            )
+        )
+    exploded = joined.select(F.inline(F.array(*structs))).filter(
+        F.col("bucket").isNotNull()
+    )
+    return (
+        exploded.groupBy("col_name", "bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            "col_name",
+            "bucket",
+            "lo",
+            "hi",
+            "n_rows",
+        )
+        .orderBy("col_name", "bucket")
+    )

@@ -2601,6 +2601,56 @@ ORDER BY doc_id
 """
 
 
+_QHIST_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_QHIST_BUCKETS = 4
+
+
+def q_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram profiler (profile.quantile_histogram):
+    discrete-percentile bucket edges — actual data values, so bucket
+    membership is engine-exact (no interpolation formula to disagree
+    on) — over four lineitem numeric columns."""
+    from .operators.profile import quantile_histogram
+
+    return quantile_histogram(
+        load_table(spark, sf_dir, "lineitem"),
+        "lineitem",
+        columns=_QHIST_COLS,
+        n_buckets=_QHIST_BUCKETS,
+    )
+
+
+def _qhist_oracle_sql() -> str:
+    qs = [i / _QHIST_BUCKETS for i in range(1, _QHIST_BUCKETS)]
+    arr = ", ".join(str(q) for q in qs)
+    parts = []
+    for c in _QHIST_COLS:
+        parts.append(f"""
+SELECT 'lineitem' AS table_name, '{c}' AS col_name,
+       CAST(bucket AS INTEGER) AS bucket,
+       round(lo_edges[bucket + 1], 4) AS lo,
+       round(hi_edges[bucket + 1], 4) AS hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT len(list_filter(e.qs, q -> CAST(t.{c} AS DOUBLE) > q)) AS bucket,
+         list_prepend(e.mn, e.qs) AS lo_edges,
+         list_append(e.qs, e.mx) AS hi_edges
+  FROM lineitem t,
+       (SELECT list_transform(
+                 quantile_disc(CAST({c} AS DOUBLE), [{arr}]),
+                 x -> CAST(x AS DOUBLE)) AS qs,
+               min(CAST({c} AS DOUBLE)) AS mn,
+               max(CAST({c} AS DOUBLE)) AS mx
+        FROM lineitem) e
+  WHERE t.{c} IS NOT NULL
+)
+GROUP BY bucket, lo_edges, hi_edges""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_name, bucket"
+
+
+SQL_QUANTILE_HISTOGRAM = _qhist_oracle_sql()
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): each doc's
     placement in the packed token stream at seq_len=512 with one EOS
@@ -2959,6 +3009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_first_wins": q_dedup_first_wins,
     "line_dedup": q_line_dedup,
     "sequence_pack": q_sequence_pack,
+    "quantile_histogram": q_quantile_histogram,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "lsh_full_probe": q_lsh_full_probe,
@@ -3033,6 +3084,7 @@ ORACLES: dict[str, str] = {
     "dedup_first_wins": SQL_DEDUP_FIRST_WINS,
     "line_dedup": SQL_LINE_DEDUP,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "event_funnel": SQL_EVENT_FUNNEL,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     # full-probe ANN == brute force by construction: same oracle

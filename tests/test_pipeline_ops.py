@@ -1434,3 +1434,38 @@ def test_sequence_pack_bucketing_invariant(spark, sf_dir):
             map(tuple, sequence_pack(docs, 128, n_buckets=nb).collect())
         )
         assert got == base
+
+
+def test_quantile_histogram_equi_depth_and_ties(spark):
+    """Quantile buckets split by rank (a skewed column spreads across
+    buckets instead of collapsing into one fixed-width bucket), and a
+    heavy repeated value collapses ties into the lower bucket."""
+    from dbqt_spark.operators.profile import quantile_histogram
+
+    rows = [(i, float(i)) for i in range(100)] + [
+        (100 + i, 1e6) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {
+        r["bucket"]: r
+        for r in quantile_histogram(
+            df, "t", columns=["v"], n_buckets=4
+        ).collect()
+    }
+    # 104 rows over 4 buckets: each bucket ~rank-quartile despite the
+    # 1e6 outliers (a fixed-width histogram would put 100 rows in
+    # bucket 0 and 4 in the last)
+    assert set(out) == {0, 1, 2, 3}
+    assert sum(r["n_rows"] for r in out.values()) == 104
+    assert max(r["n_rows"] for r in out.values()) <= 30
+    assert out[0]["lo"] == 0.0 and out[3]["hi"] == 1e6
+
+    # all-equal column: every row lands in bucket 0, edges degenerate
+    eq = spark.createDataFrame([(i, 7.0) for i in range(10)], "id long, v double")
+    got = quantile_histogram(eq, "t", columns=["v"], n_buckets=4).collect()
+    assert len(got) == 1 and got[0]["bucket"] == 0 and got[0]["n_rows"] == 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        quantile_histogram(eq, "t", n_buckets=0)
