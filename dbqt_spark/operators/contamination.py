@@ -68,19 +68,29 @@ def contamination_check(
     id_col: str = "doc_id",
     eval_text_col: str | None = None,
     eval_hashes: DataFrame | None = None,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """(id_col, n_hit_ngrams) for every corpus doc sharing at least one
     word ``n``-gram with the eval set. n=13 is the published GPT-3
     decontamination window; smaller n is stricter (more collisions on
     common phrases). Pass ``eval_hashes`` (from ``eval_ngram_hashes``,
-    with the SAME ``n``) to reuse a precomputed eval side."""
+    with the SAME ``n``) to reuse a precomputed eval side.
+
+    ``broadcast_eval=True`` (the default, and the right shape — eval
+    sets are thousands of documents by construction) forces the
+    broadcast hash join so the corpus never shuffles. Pass ``False``
+    only for a pathologically large eval side (tens of millions of
+    distinct n-grams): the join becomes a shuffle on the gram hash and
+    AQE picks the strategy — the corpus pays one hash shuffle, which
+    still never moves text, only (id, hash) pairs."""
     if eval_hashes is None:
         if eval_df is None:
             raise ValueError("pass eval_df or a precomputed eval_hashes")
         eval_hashes = eval_ngram_hashes(eval_df, n, eval_text_col or text_col)
     corpus_hashes = exploded_ngram_hashes(corpus, text_col, n, keep=[id_col])
+    eval_side = F.broadcast(eval_hashes) if broadcast_eval else eval_hashes
     return (
-        corpus_hashes.join(F.broadcast(eval_hashes), "__h")
+        corpus_hashes.join(eval_side, "__h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit_ngrams"))
     )
