@@ -144,6 +144,7 @@ def main() -> None:
         "minhash_clusters",
         "cross_near_dups",
         "cross_dedup_index",
+        "dedup_first_wins",
         "simhash_near_dups",
         "ngram_jaccard_dups",
     ]
@@ -154,6 +155,7 @@ def main() -> None:
         "minhash_clusters",
         "cross_near_dups",
         "cross_dedup_index",
+        "dedup_first_wins",
         "profile_numeric",
         "profile_lineitem",
         "streaming_dedup",
