@@ -73,3 +73,68 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering must give file-level min/max pruning on EVERY
+    interleaved column: a narrow filter on either x or y overlaps only
+    a small fraction of files, while a plain x-sorted layout gives y no
+    pruning at all (every file spans the full y range)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.operators.partitioning import write_zordered
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        (F.xxhash64("id") % 200).alias("y"),
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, ["x", "y"], n_files=16)
+    xpath = str(tmp_path / "xsorted")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+
+    def overlap(path, col, lo, hi):
+        files = glob.glob(path + "/*.parquet")
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == col and c.statistics:
+                        mn, mx = c.statistics.min, c.statistics.max
+                        fmin = mn if fmin is None else min(fmin, mn)
+                        fmax = mx if fmax is None else max(fmax, mx)
+            if fmin is not None and not (hi < fmin or lo > fmax):
+                hit += 1
+        return hit, len(files)
+
+    zx = overlap(zpath, "x", 10, 20)
+    zy = overlap(zpath, "y", 10, 20)
+    sy = overlap(xpath, "y", 10, 20)
+    # z-order: both dimensions prune to a fraction of the files
+    assert zx[0] <= zx[1] // 2, f"x did not prune: {zx}"
+    assert zy[0] <= zy[1] // 2, f"y did not prune: {zy}"
+    # the single-sort layout cannot prune its non-sort column
+    assert sy[0] == sy[1], f"baseline unexpectedly pruned y: {sy}"
+    # and the data round-trips exactly
+    assert spark.read.parquet(zpath).count() == 40_000
+
+
+def test_zorder_requires_columns(spark, tmp_path):
+    import pytest as _pytest
+
+    from dbqt_spark.operators.partitioning import write_zordered
+
+    df = spark.range(10).selectExpr("id AS x")
+    with _pytest.raises(ValueError, match="at least one column"):
+        write_zordered(df, str(tmp_path / "z"), [])
