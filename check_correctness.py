@@ -62,11 +62,13 @@ def main(only=None):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     results = {}
+    records = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         if name not in oracles:
             results[name] = "no_oracle"
+            records[name] = {"status": "no_oracle"}
             print(f"{name}: no_oracle")
             continue
         try:
@@ -88,9 +90,27 @@ def main(only=None):
                 f"schema={ok_schema} hash={ok_hash}"
             )
             results[name] = status
+            # same per-query shape the driver's CORRECTNESS_r{N}.json
+            # records, so the two artifacts diff directly
+            records[name] = {
+                "rows_match": ok_rows,
+                "schema_match": ok_schema,
+                "hash_match": ok_hash,
+                "spark_rows": len(srows),
+                "oracle_rows": len(orows),
+                "err": None,
+            }
             print(f"{name}: {status}", flush=True)
         except Exception as e:  # noqa: BLE001
             results[name] = f"ERR {e}"
+            records[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}",
+            }
             print(f"{name}: ERR {type(e).__name__}: {e}", flush=True)
     bad = {k: v for k, v in results.items() if v not in ("OK", "no_oracle")}
     print(json.dumps({"n": len(results), "bad": bad}, default=str))
@@ -102,12 +122,7 @@ def main(only=None):
             "CORRECTNESS_OUT", "CORRECTNESS_LOCAL.json"
         )
         with open(out_file, "w") as fh:
-            json.dump(
-                {name: {"status": s} for name, s in results.items()},
-                fh,
-                indent=1,
-                default=str,
-            )
+            json.dump(records, fh, indent=1, default=str)
             fh.write("\n")
     return 1 if bad else 0
 
