@@ -217,7 +217,8 @@ def main() -> None:
         "SPARK_GRAFT_SOLO_ANCHORS",
         "streaming_neardup_gate,minhash_near_dups,minhash_clusters,"
         "simhash_near_dups,embedding_nn,rowcounts,"
-        "cross_near_dups,ngram_jaccard_dups",
+        "cross_near_dups,ngram_jaccard_dups,"
+        "cross_dedup_index,dedup_first_wins",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):
