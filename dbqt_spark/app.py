@@ -42,6 +42,7 @@ TOOLS = [
     "curate",
     "sample",
     "profile",
+    "dedupindex",
 ]
 
 
@@ -1018,6 +1019,73 @@ def tool_sample(argv: list[str]) -> int:
     return 0
 
 
+def tool_dedupindex(argv: list[str]) -> int:
+    """Persisted MinHash band index lifecycle from the CLI
+    (operators/minhash_index.py): band a corpus ONCE, then dedup every
+    new crawl against it without re-banding — build / append / query /
+    compact subcommands."""
+    p = argparse.ArgumentParser(prog="dedupindex")
+    p.add_argument("action", choices=["build", "append", "query", "compact"])
+    p.add_argument("--index-path", required=True)
+    p.add_argument("--config", help="required for build/append/query")
+    p.add_argument("--table", help="required for build/append/query")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="query: exact-Jaccard verify threshold")
+    p.add_argument("--output-parquet", help="query: write hit pairs here")
+    p.add_argument("--output", help="query: HTML report path")
+    args = p.parse_args(argv)
+
+    from .operators.minhash_index import (
+        minhash_index_append,
+        minhash_index_compact,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    if args.action == "compact":
+        minhash_index_compact(_spark(), args.index_path)
+        print(f"Index compacted at {args.index_path}")
+        return 0
+    if not (args.config and args.table):
+        p.error(f"{args.action} needs --config and --table")
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    stats: dict = {}
+    if args.action == "build":
+        minhash_index_write(
+            df, args.index_path, text_col=args.text_column,
+            id_col=args.id_column, drop_stats=stats,
+        )
+        print(f"Index built at {args.index_path}")
+    elif args.action == "append":
+        minhash_index_append(
+            df, args.index_path, text_col=args.text_column,
+            id_col=args.id_column, drop_stats=stats,
+        )
+        print(f"Batch appended to {args.index_path}")
+    else:
+        from .report.html import HTMLReport
+
+        hits = minhash_index_query(
+            df, args.index_path, threshold=args.threshold,
+            text_col=args.text_column, id_col=args.id_column,
+            drop_stats=stats,
+        )
+        if args.output_parquet:
+            hits.write.mode("overwrite").parquet(args.output_parquet)
+        report = HTMLReport("dedupindex (query)")
+        report.add_dataframe_tab("Near-dup hits", hits)
+        out = args.output or _results_path("dedupindex")
+        report.save(out)
+        print(f"{hits.count()} near-dup pairs found")
+        print(f"Report saved to {out}")
+    if stats:
+        logger.info("drop accounting: %s", stats)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -1046,6 +1114,7 @@ def main(argv: list[str] | None = None) -> int:
         "curate": tool_curate,
         "sample": tool_sample,
         "profile": tool_profile,
+        "dedupindex": tool_dedupindex,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

@@ -518,3 +518,66 @@ def test_dedup_lines_cli(spark, sf_dir, tmp_path, capsys):
         for r in spark.read.parquet(outp).collect()
     }
     assert rows == {1: "alpha\nboiler", 2: "beta", 3: ""}
+
+
+def test_dedupindex_cli_lifecycle(spark, tmp_path, capsys):
+    """dedupindex build -> append -> query -> compact end-to-end: the
+    queried pairs match the live-frames cross operator on identical
+    sides."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    root = tmp_path / "data"
+    root.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [0, 2],
+            "text": [base + "corpus0", "something entirely different here"],
+        }),
+        str(root / "corpus_a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": [4], "text": [base + "corpus4"]}),
+        str(root / "corpus_b.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 3],
+            "text": [base + "crawl1", "also unrelated text over here ok"],
+        }),
+        str(root / "crawl.parquet"),
+    )
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {root}\n",
+    )
+    idx = str(tmp_path / "idx")
+    assert main(["dedupindex", "build", "--index-path", idx,
+                 "--config", cfg, "--table", "corpus_a"]) == 0
+    assert main(["dedupindex", "append", "--index-path", idx,
+                 "--config", cfg, "--table", "corpus_b"]) == 0
+    outp = str(tmp_path / "hits")
+    assert main(["dedupindex", "query", "--index-path", idx,
+                 "--config", cfg, "--table", "crawl",
+                 "--threshold", "0.5", "--output-parquet", outp,
+                 "--output", str(tmp_path / "q.html")]) == 0
+    out = capsys.readouterr().out
+    assert "near-dup pairs found" in out
+    hits = {
+        (r["query_id"], r["corpus_id"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    # crawl doc 1 near-dups corpus docs 0 (built) and 4 (appended);
+    # the unrelated docs never pair
+    assert hits == {(1, 0), (1, 4)}
+    assert main(["dedupindex", "compact", "--index-path", idx]) == 0
+    # query still correct after compaction
+    assert main(["dedupindex", "query", "--index-path", idx,
+                 "--config", cfg, "--table", "crawl",
+                 "--threshold", "0.5", "--output-parquet", outp]) == 0
+    hits2 = {
+        (r["query_id"], r["corpus_id"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert hits2 == hits
