@@ -525,3 +525,53 @@ def lm_score(
         avg.alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("perplexity"),
     ).orderBy(id_col)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cuts: "tuple[float, float]" = (0.33333333, 0.66666667),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    unigram LM (``lm_score``) and split the corpus into
+    head / middle / tail by perplexity rank — the published CCNet
+    recipe keeps ~the head (lowest perplexity ~ most natural text),
+    samples the middle, and drops or down-weights the tail.
+
+    Output: (id, n_tokens, avg_logprob, perplexity, ppl_bucket) with
+    ppl_bucket in ('head', 'middle', 'tail').
+
+    Engine-exact: cut points are DISCRETE percentiles of the (already
+    rounded) perplexity — actual data values, no interpolation — and
+    membership is ``ppl <= edge``, so any engine reproduces the
+    bucketing bit-for-bit. Same broadcast-back shape as
+    ``quality_quantile_filter``: the two edges come from a one-row
+    aggregate over the scored frame and ride a broadcast crossJoin —
+    the corpus itself is never shuffled for the bucketing (persist the
+    scored frame before calling at 100 TB if the double evaluation of
+    the scoring pipeline matters)."""
+    lo, hi = cuts
+    if not 0 < lo < hi < 1:
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    scored = lm_score(df, text_col=text_col, id_col=id_col)
+    edges = scored.selectExpr(
+        f"percentile_disc({lo}) WITHIN GROUP (ORDER BY perplexity) AS __e1",
+        f"percentile_disc({hi}) WITHIN GROUP (ORDER BY perplexity) AS __e2",
+    )
+    bucket = (
+        F.when(F.col("perplexity") <= F.col("__e1"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("__e2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(edges))
+        .select(
+            id_col,
+            "n_tokens",
+            "avg_logprob",
+            "perplexity",
+            bucket.alias("ppl_bucket"),
+        )
+        .orderBy(id_col)
+    )

@@ -2601,6 +2601,34 @@ ORDER BY doc_id
 """
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (textstats.perplexity_buckets):
+    unigram-LM perplexity terciles -> head/middle/tail labels, fully
+    oracled (discrete-percentile cuts over the rounded perplexity)."""
+    from .operators.textstats import perplexity_buckets
+
+    return perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+# the lm_score oracle reused as a CTE body (its trailing ORDER BY is
+# redundant inside a CTE)
+_SQL_LM_CORE = SQL_LM_SCORE.replace("FROM agg ORDER BY doc_id", "FROM agg")
+
+SQL_PPL_BUCKETS = f"""
+WITH scored AS ({_SQL_LM_CORE}),
+e AS (
+  SELECT quantile_disc(perplexity, 0.33333333) AS e1,
+         quantile_disc(perplexity, 0.66666667) AS e2
+  FROM scored
+)
+SELECT doc_id, n_tokens, avg_logprob, perplexity,
+       CASE WHEN perplexity <= e.e1 THEN 'head'
+            WHEN perplexity <= e.e2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored, e ORDER BY doc_id
+"""
+
+
 _QHIST_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _QHIST_BUCKETS = 4
 
@@ -3010,6 +3038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "sequence_pack": q_sequence_pack,
     "quantile_histogram": q_quantile_histogram,
+    "ppl_buckets": q_ppl_buckets,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "lsh_full_probe": q_lsh_full_probe,
@@ -3085,6 +3114,7 @@ ORACLES: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
+    "ppl_buckets": SQL_PPL_BUCKETS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     # full-probe ANN == brute force by construction: same oracle

@@ -1469,3 +1469,33 @@ def test_quantile_histogram_equi_depth_and_ties(spark):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         quantile_histogram(eq, "t", n_buckets=0)
+
+
+def test_perplexity_buckets_tercile_split(spark):
+    """Head/middle/tail are rank terciles of the LM perplexity: natural
+    repeated-vocabulary docs land in head, rare-vocabulary docs in
+    tail; bucket sizes are ~equal on distinct scores."""
+    from dbqt_spark.operators.textstats import perplexity_buckets
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    # doc i appends i singleton (rare) words -> strictly increasing
+    # perplexity with i. With 9 docs the discrete cuts land on the 3rd
+    # (3/9 >= .33333333) and 7th (6/9 < .66666700 -> next value) ranks:
+    # head=3, middle=4, tail=2 — the cume_dist >= q convention both
+    # engines share.
+    docs = [
+        (i, common + "".join(f" rare{i}w{j}" for j in range(i)))
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = sorted(perplexity_buckets(df).collect(), key=lambda r: r["doc_id"])
+    ppl = [r["perplexity"] for r in rows]
+    assert ppl == sorted(ppl)  # monotone in rare-word count
+    assert [r["ppl_bucket"] for r in rows] == (
+        ["head"] * 3 + ["middle"] * 4 + ["tail"] * 2
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cuts"):
+        perplexity_buckets(df, cuts=(0.7, 0.3))
