@@ -2629,6 +2629,60 @@ FROM scored, e ORDER BY doc_id
 """
 
 
+def q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-batch stats store (operators/statstore.py): two
+    parity batches of documents append segments; the merged profile's
+    EXACT statistics (counts, nulls, min/max) must equal a direct
+    full-table profile — summing segment partials is the whole point.
+    The HLL distinct estimate is excluded here (approximate; bounded in
+    tests/test_pipeline_ops.py::test_stats_store_*) so the row stays
+    oracle-hashable."""
+    import shutil
+    import tempfile
+
+    from .operators.statstore import (
+        stats_store_append,
+        stats_store_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="statstore_q_")
+    try:
+        stats_store_append(docs.filter("doc_id % 2 = 0"), d, "documents")
+        stats_store_append(docs.filter("doc_id % 2 = 1"), d, "documents")
+        merged = stats_store_profile(spark, d).drop("approx_distinct")
+        # localize: the result is n_cols rows; the temp store dir is
+        # deleted on return, so the frame must not re-read it later
+        rows = merged.collect()
+        return spark.createDataFrame(rows, merged.schema).orderBy(
+            "table_name", "col_name"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _incremental_profile_oracle() -> str:
+    numeric = {"doc_id", "n_chars"}
+    parts = []
+    for c in ["doc_id", "lang", "n_chars", "source", "text"]:
+        mn = (
+            f"CAST(min({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        )
+        mx = (
+            f"CAST(max({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        )
+        parts.append(
+            f"SELECT 'documents' AS table_name, '{c}' AS col_name, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS null_count, "
+            f"{mn} AS min_value, {mx} AS max_value FROM documents"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY table_name, col_name"
+
+
+SQL_INCREMENTAL_PROFILE = _incremental_profile_oracle()
+
+
 _QHIST_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _QHIST_BUCKETS = 4
 
@@ -3039,6 +3093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "quantile_histogram": q_quantile_histogram,
     "ppl_buckets": q_ppl_buckets,
+    "incremental_profile": q_incremental_profile,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "lsh_full_probe": q_lsh_full_probe,
@@ -3115,6 +3170,7 @@ ORACLES: dict[str, str] = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "ppl_buckets": SQL_PPL_BUCKETS,
+    "incremental_profile": SQL_INCREMENTAL_PROFILE,
     "event_funnel": SQL_EVENT_FUNNEL,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     # full-probe ANN == brute force by construction: same oracle

@@ -1499,3 +1499,65 @@ def test_perplexity_buckets_tercile_split(spark):
 
     with _pytest.raises(ValueError, match="cuts"):
         perplexity_buckets(df, cuts=(0.7, 0.3))
+
+
+def test_stats_store_merge_associativity_and_hll_bound(spark, sf_dir, tmp_path):
+    """Per-batch segments merge to the same profile as a single-segment
+    store (sketch union is associative), exact stats match a direct
+    aggregate, and the HLL distinct estimate lands within 5% of exact."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.statstore import (
+        stats_store_append,
+        stats_store_profile,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    split_store = str(tmp_path / "split")
+    one_store = str(tmp_path / "one")
+    for k in range(4):
+        stats_store_append(
+            li.filter(f"l_orderkey % 4 = {k}"), split_store, "lineitem"
+        )
+    stats_store_append(li, one_store, "lineitem")
+
+    merged = {
+        r["col_name"]: r
+        for r in stats_store_profile(spark, split_store).collect()
+    }
+    single = {
+        r["col_name"]: r
+        for r in stats_store_profile(spark, one_store).collect()
+    }
+    exact = li.selectExpr(
+        "count(*) AS n",
+        "count(distinct l_orderkey) AS d_ok",
+        "count(distinct l_returnflag) AS d_rf",
+        "CAST(min(l_quantity) AS DOUBLE) AS mn",
+        "CAST(max(l_quantity) AS DOUBLE) AS mx",
+    ).collect()[0]
+
+    for col in merged:
+        m, s = merged[col], single[col]
+        # exact stats identical between groupings and vs direct
+        assert (m["n_rows"], m["null_count"], m["min_value"],
+                m["max_value"]) == (
+            s["n_rows"], s["null_count"], s["min_value"], s["max_value"]
+        )
+        # sketch union: the 4-way merge and the single sketch agree
+        # within sketch error (DataSketches unions are not bit-exact
+        # vs a directly-built sketch, only error-bounded)
+        hi = max(m["approx_distinct"], s["approx_distinct"], 1)
+        assert abs(m["approx_distinct"] - s["approx_distinct"]) / hi <= 0.02
+    assert merged["l_orderkey"]["n_rows"] == exact["n"]
+    assert merged["l_quantity"]["min_value"] == exact["mn"]
+    assert merged["l_quantity"]["max_value"] == exact["mx"]
+    # HLL error bound: within 5% on the biggest-cardinality column,
+    # exact at tiny cardinality
+    est = merged["l_orderkey"]["approx_distinct"]
+    assert abs(est - exact["d_ok"]) / exact["d_ok"] <= 0.05
+    assert merged["l_returnflag"]["approx_distinct"] == exact["d_rf"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no columns"):
+        stats_store_append(li, str(tmp_path / "x"), "t", columns=["nope"])
