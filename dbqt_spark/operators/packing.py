@@ -68,12 +68,15 @@ def sequence_pack(
         F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
     )
 
-    # phase 1: order-contiguous buckets from exact id percentiles (one
-    # scalar aggregate; exact keeps the bucketing engine-portable —
-    # the bucket assignment changes the PARALLELISM, never the result)
+    # phase 1: order-contiguous buckets from APPROX id percentiles (one
+    # bounded-memory aggregate — exact percentile would buffer every id
+    # in one aggregator, the very single-reducer trap this operator
+    # exists to avoid). Split-point wobble only moves rows between
+    # buckets, i.e. changes PARALLELISM, never the result (pinned by
+    # test_sequence_pack_bucketing_invariant across 1/4/64 buckets).
     if n_buckets > 1:
         splits_row = counted.agg(
-            F.percentile(
+            F.percentile_approx(
                 F.col(id_col),
                 F.array(
                     *[
@@ -81,6 +84,7 @@ def sequence_pack(
                         for i in range(1, n_buckets)
                     ]
                 ),
+                F.lit(10_000),
             ).alias("s")
         ).collect()[0]["s"]
         bucket = F.lit(0)
