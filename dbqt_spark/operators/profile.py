@@ -646,6 +646,8 @@ def quantile_histogram(
     table_name: str,
     columns: list[str] | None = None,
     n_buckets: int = 10,
+    exact: bool = True,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """EQUI-DEPTH histogram of every numeric column — the quantile
     companion to ``numeric_histogram``'s fixed-width buckets (skewed
@@ -664,10 +666,14 @@ def quantile_histogram(
     empty neighbors — the honest equi-depth behavior, identical in any
     engine (the DuckDB oracle reproduces it bit-for-bit).
 
-    Scale shape: pass 1 is one percentile aggregate (per-column sort
-    state, the standard exact-quantile cost; swap approx_percentile at
-    100 TB — same output contract, rank-error-bounded edges) collected
-    driver-side (n_cols x n_buckets doubles); pass 2 assigns buckets
+    Scale shape: pass 1 is one percentile aggregate collected driver-
+    side (n_cols x n_buckets doubles). ``exact=True`` uses
+    ``percentile_disc`` (oracle-reproducible, but its aggregation state
+    is the full value list — fine up to ~memory, wrong at 100 TB);
+    ``exact=False`` switches to ``approx_percentile`` — bounded memory
+    (Greenwald-Khanna, rank error <= 1/approx_accuracy), edges are
+    still actual data values, same output contract. Pass 2 assigns
+    buckets
     with the edges as PLAN LITERALS — a sum of when(v > edge)
     comparisons that stays inside whole-stage codegen (an edge-array
     higher-order ``F.aggregate`` measured ~4x slower: HOF lambdas are
@@ -694,13 +700,18 @@ def quantile_histogram(
     edge_exprs = []
     for c in cols:
         arr = ", ".join(str(q) for q in qs) or "0.5"
-        if qs:
+        if not qs:  # n_buckets == 1: no interior edges
+            edge_exprs.append(f"array() AS `__q_{c}`")
+        elif exact:
             edge_exprs.append(
                 f"percentile_disc(array({arr})) WITHIN GROUP "
                 f"(ORDER BY CAST(`{c}` AS DOUBLE)) AS `__q_{c}`"
             )
-        else:  # n_buckets == 1: no interior edges
-            edge_exprs.append(f"array() AS `__q_{c}`")
+        else:
+            edge_exprs.append(
+                f"approx_percentile(CAST(`{c}` AS DOUBLE), array({arr}), "
+                f"{int(approx_accuracy)}) AS `__q_{c}`"
+            )
         edge_exprs.append(f"min(CAST(`{c}` AS DOUBLE)) AS `__mn_{c}`")
         edge_exprs.append(f"max(CAST(`{c}` AS DOUBLE)) AS `__mx_{c}`")
     edge_row = df.selectExpr(*edge_exprs).collect()[0]

@@ -532,6 +532,8 @@ def perplexity_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     cuts: "tuple[float, float]" = (0.33333333, 0.66666667),
+    exact: bool = True,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing: score every document with the
     unigram LM (``lm_score``) and split the corpus into
@@ -550,15 +552,29 @@ def perplexity_buckets(
     aggregate over the scored frame and ride a broadcast crossJoin —
     the corpus itself is never shuffled for the bucketing (persist the
     scored frame before calling at 100 TB if the double evaluation of
-    the scoring pipeline matters)."""
+    the scoring pipeline matters). Also like the quality gate,
+    ``exact=True`` (``percentile_disc``) is oracle-reproducible but
+    buffers every score in one aggregator; pass ``exact=False`` at
+    corpus scale for ``approx_percentile`` — bounded memory, cuts
+    still actual data values within one rank-error."""
     lo, hi = cuts
     if not 0 < lo < hi < 1:
         raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
     scored = lm_score(df, text_col=text_col, id_col=id_col)
-    edges = scored.selectExpr(
-        f"percentile_disc({lo}) WITHIN GROUP (ORDER BY perplexity) AS __e1",
-        f"percentile_disc({hi}) WITHIN GROUP (ORDER BY perplexity) AS __e2",
-    )
+    if exact:
+        edges = scored.selectExpr(
+            f"percentile_disc({lo}) WITHIN GROUP (ORDER BY perplexity)"
+            " AS __e1",
+            f"percentile_disc({hi}) WITHIN GROUP (ORDER BY perplexity)"
+            " AS __e2",
+        )
+    else:
+        edges = scored.selectExpr(
+            f"approx_percentile(perplexity, {lo}, {int(approx_accuracy)})"
+            " AS __e1",
+            f"approx_percentile(perplexity, {hi}, {int(approx_accuracy)})"
+            " AS __e2",
+        )
     bucket = (
         F.when(F.col("perplexity") <= F.col("__e1"), F.lit("head"))
         .when(F.col("perplexity") <= F.col("__e2"), F.lit("middle"))

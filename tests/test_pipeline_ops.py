@@ -1561,3 +1561,31 @@ def test_stats_store_merge_associativity_and_hll_bound(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="no columns"):
         stats_store_append(li, str(tmp_path / "x"), "t", columns=["nope"])
+
+
+def test_quantile_cuts_approx_arm(spark, sf_dir):
+    """The exact=False (at-scale) arms of quantile_histogram and
+    perplexity_buckets keep the output contract; at this data size the
+    GK sketch is rank-exact, so results match the exact arm."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.profile import quantile_histogram
+    from dbqt_spark.operators.textstats import perplexity_buckets
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ex = sorted(
+        map(tuple, quantile_histogram(li, "t", columns=["l_quantity"]).collect())
+    )
+    ap = sorted(
+        map(
+            tuple,
+            quantile_histogram(
+                li, "t", columns=["l_quantity"], exact=False
+            ).collect(),
+        )
+    )
+    assert ap == ex
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    ex2 = sorted(map(tuple, perplexity_buckets(docs).collect()))
+    ap2 = sorted(map(tuple, perplexity_buckets(docs, exact=False).collect()))
+    assert ap2 == ex2
