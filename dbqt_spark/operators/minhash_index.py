@@ -237,12 +237,21 @@ def minhash_index_query(
     id_col: str = "doc_id",
     max_bucket_size: int | None = 1000,
     drop_stats: dict | None = None,
+    broadcast_query: bool = True,
 ) -> DataFrame:
     """Near-dup pairs of a new crawl against the index: (query_id,
     corpus_id, jaccard) — the ``minhash_cross_near_duplicates`` result
     contract, computed WITHOUT re-banding the corpus. Ids are
     independent keyspaces (no self-pair exclusion); disjointness is the
     caller's contract, exactly as in the live-frames operator.
+
+    ``broadcast_query=True`` (the default, and the point of an index —
+    crawls are batch-sized, the corpus is the big side) broadcasts the
+    crawl's band keys against the band scan so the index never
+    shuffles. For a corpus-sized crawl pass ``False``: the candidate
+    join becomes a band_key shuffle on both sides (at that scale
+    ``minhash_cross_near_duplicates`` over live frames is usually the
+    better tool).
 
     The result is localCheckpoint-ed (no lineage back to the probe
     caches, which are released before returning)."""
@@ -279,9 +288,9 @@ def minhash_index_query(
     else:
         q_capped = q_bands
     store_bands = spark.read.parquet(band_path)
+    q_side = F.broadcast(q_capped) if broadcast_query else q_capped
     cands = (
-        F.broadcast(q_capped)
-        .join(store_bands, "band_key")
+        q_side.join(store_bands, "band_key")
         .select("query_id", "corpus_id")
         .distinct()
         .persist()

@@ -60,7 +60,14 @@ def sequence_pack(
     in); ``seq_offset`` is the doc's position inside ``first_seq``.
     Empty docs (0 tokens) occupy no sequence: first_seq/last_seq are
     NULL, but their separators still advance the stream — exactly what
-    concat-then-chunk does to an empty file."""
+    concat-then-chunk does to an empty file.
+
+    ``n_buckets`` is the parallelism knob: each bucket's running sum is
+    one task, so size it to corpus_rows / rows-per-task (the default 64
+    suits the test scale; a 100 TB corpus wants thousands — the only
+    cost is a linearly longer bucket/base CASE chain in the plan).
+    Values are provably invariant to the choice
+    (test_sequence_pack_bucketing_invariant)."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     counted = df.select(
