@@ -591,3 +591,51 @@ def perplexity_buckets(
         )
         .orderBy(id_col)
     )
+
+
+def corpus_card(
+    df: DataFrame,
+    group_cols: "list[str]" = ("source",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset-card rollup per arbitrary grouping (source, lang, split,
+    ...): doc count, total tokens, mean quality, mean length, distinct
+    texts, and the exact-duplicate rate — the numbers a corpus
+    datasheet / mixture designer needs per slice, in ONE scan + one
+    aggregation.
+
+    Same determinism contract as ``corpus_summary``: quality means sum
+    as DECIMAL(18,6) of the rounded per-doc score (exact,
+    order-independent); the dup rate divides two exact counts once.
+    The distinct-text count is an exact COUNT(DISTINCT md5) — swap
+    ``approx_count_distinct`` at 100 TB if the Expand cost bites (the
+    other statistics are plain map-side-combinable sums)."""
+    q = _quality_exprs(text_col)
+    per_doc = df.select(
+        *[F.col(c) for c in group_cols],
+        q["n_tokens"].cast("long").alias("__tok"),
+        F.round(q["score"], 4).cast("decimal(18,6)").alias("__q"),
+        q["n_chars"].cast("long").alias("__chars"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__fp"),
+    )
+    n_docs = F.count(F.lit(1))
+    n_distinct = F.countDistinct(F.col("__fp"))
+    return (
+        per_doc.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            n_docs.cast("long").alias("n_docs"),
+            F.sum("__tok").cast("long").alias("total_tokens"),
+            F.round(F.sum("__q").cast("double") / n_docs, 4).alias(
+                "avg_quality"
+            ),
+            F.round(F.sum("__chars").cast("double") / n_docs, 2).alias(
+                "avg_chars"
+            ),
+            n_distinct.cast("long").alias("n_distinct_texts"),
+            F.round(
+                F.lit(1.0) - n_distinct.cast("double") / n_docs, 4
+            ).alias("dup_rate"),
+        )
+        .orderBy(*group_cols)
+    )

@@ -747,6 +747,37 @@ GROUP BY l.predicted_lang
 ORDER BY l.predicted_lang
 """
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup per (source, lang) slice
+    (textstats.corpus_card): docs, tokens, mean quality/length,
+    distinct texts, exact-dup rate — one scan + one aggregation."""
+    from .operators.textstats import corpus_card
+
+    return corpus_card(
+        load_table(spark, sf_dir, "documents"), group_cols=["source", "lang"]
+    )
+
+
+SQL_CORPUS_CARD = f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+c AS (SELECT doc_id, source, lang, length(text) AS n_chars,
+             md5(coalesce(text, '')) AS fp
+      FROM documents)
+SELECT c.source, c.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_quality,
+       round(CAST(SUM(c.n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars,
+       CAST(COUNT(DISTINCT c.fp) AS BIGINT) AS n_distinct_texts,
+       round(1.0 - CAST(COUNT(DISTINCT c.fp) AS DOUBLE) / COUNT(*), 4)
+         AS dup_rate
+FROM c JOIN q USING (doc_id)
+GROUP BY c.source, c.lang
+ORDER BY c.source, c.lang
+"""
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM scoring of every document (add-one smoothing, self-fit
     vocabulary) — perplexity-style quality signal
@@ -3094,6 +3125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_histogram": q_quantile_histogram,
     "ppl_buckets": q_ppl_buckets,
     "incremental_profile": q_incremental_profile,
+    "corpus_card": q_corpus_card,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "lsh_full_probe": q_lsh_full_probe,
@@ -3171,6 +3203,7 @@ ORACLES: dict[str, str] = {
     "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "ppl_buckets": SQL_PPL_BUCKETS,
     "incremental_profile": SQL_INCREMENTAL_PROFILE,
+    "corpus_card": SQL_CORPUS_CARD,
     "event_funnel": SQL_EVENT_FUNNEL,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     # full-probe ANN == brute force by construction: same oracle

@@ -1589,3 +1589,27 @@ def test_quantile_cuts_approx_arm(spark, sf_dir):
     ex2 = sorted(map(tuple, perplexity_buckets(docs).collect()))
     ap2 = sorted(map(tuple, perplexity_buckets(docs, exact=False).collect()))
     assert ap2 == ex2
+
+
+def test_corpus_card_dup_rate_and_grouping(spark):
+    from dbqt_spark.operators.textstats import corpus_card
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "web", "en"),
+            (2, "the quick brown fox", "web", "en"),   # exact dup
+            (3, "something else entirely", "web", "en"),
+            (4, "otra cosa distinta aqui", "books", "es"),
+        ],
+        ["doc_id", "text", "source", "lang"],
+    )
+    rows = {
+        (r["source"], r["lang"]): r
+        for r in corpus_card(df, group_cols=["source", "lang"]).collect()
+    }
+    web = rows[("web", "en")]
+    assert web["n_docs"] == 3 and web["n_distinct_texts"] == 2
+    assert web["dup_rate"] == round(1 - 2 / 3, 4)
+    books = rows[("books", "es")]
+    assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
+    assert books["total_tokens"] == 4
