@@ -14,12 +14,14 @@ import hashlib
 import json
 import sys
 
+import os
+
 import duckdb
 
 import __spark_entry__ as entrymod
 from dbqt_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CORRECTNESS_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -51,8 +53,6 @@ def value_hash(cols, rows):
 
 
 def main(only=None):
-    import os
-
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
