@@ -605,17 +605,24 @@ def corpus_card(
     datasheet / mixture designer needs per slice, in ONE scan + one
     aggregation.
 
-    Same determinism contract as ``corpus_summary``: quality means sum
-    as DECIMAL(18,6) of the rounded per-doc score (exact,
-    order-independent); the dup rate divides two exact counts once.
-    The distinct-text count is an exact COUNT(DISTINCT md5) — swap
+    Means are EXACT IEEE quotients of integer sums — stronger than the
+    round-after-divide pattern: the per-doc 4dp score scales to an
+    int64 (``floor(r*10000 + 0.5)`` — floor is exact, so any engine
+    produces the identical integer), integer sums divide once in
+    double, and NO post-division rounding exists to straddle a
+    boundary (``round(x, 4)`` after a division diverges between
+    HALF_UP-on-decimal-repr and IEEE engines whenever the quotient
+    lands on a .00005 — a 99-group run at sf0.001 hit one). The
+    distinct-text count is an exact COUNT(DISTINCT md5) — swap
     ``approx_count_distinct`` at 100 TB if the Expand cost bites (the
     other statistics are plain map-side-combinable sums)."""
     q = _quality_exprs(text_col)
     per_doc = df.select(
         *[F.col(c) for c in group_cols],
         q["n_tokens"].cast("long").alias("__tok"),
-        F.round(q["score"], 4).cast("decimal(18,6)").alias("__q"),
+        F.floor(F.round(q["score"], 4) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("__qs"),
         q["n_chars"].cast("long").alias("__chars"),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__fp"),
     )
@@ -626,15 +633,13 @@ def corpus_card(
         .agg(
             n_docs.cast("long").alias("n_docs"),
             F.sum("__tok").cast("long").alias("total_tokens"),
-            F.round(F.sum("__q").cast("double") / n_docs, 4).alias(
-                "avg_quality"
-            ),
-            F.round(F.sum("__chars").cast("double") / n_docs, 2).alias(
-                "avg_chars"
-            ),
+            (
+                F.sum("__qs").cast("double") / n_docs / F.lit(10000.0)
+            ).alias("avg_quality"),
+            (F.sum("__chars").cast("double") / n_docs).alias("avg_chars"),
             n_distinct.cast("long").alias("n_distinct_texts"),
-            F.round(
-                F.lit(1.0) - n_distinct.cast("double") / n_docs, 4
+            (
+                F.lit(1.0) - n_distinct.cast("double") / n_docs
             ).alias("dup_rate"),
         )
         .orderBy(*group_cols)

@@ -766,12 +766,12 @@ c AS (SELECT doc_id, source, lang, length(text) AS n_chars,
 SELECT c.source, c.lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
-       round(CAST(SUM(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(*), 4) AS avg_quality,
-       round(CAST(SUM(c.n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars,
+       CAST(SUM(CAST(floor(round(q.quality_score, 4) * 10000 + 0.5)
+                     AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 10000.0 AS avg_quality,
+       CAST(SUM(c.n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
        CAST(COUNT(DISTINCT c.fp) AS BIGINT) AS n_distinct_texts,
-       round(1.0 - CAST(COUNT(DISTINCT c.fp) AS DOUBLE) / COUNT(*), 4)
-         AS dup_rate
+       1.0 - CAST(COUNT(DISTINCT c.fp) AS DOUBLE) / COUNT(*) AS dup_rate
 FROM c JOIN q USING (doc_id)
 GROUP BY c.source, c.lang
 ORDER BY c.source, c.lang

@@ -1609,7 +1609,8 @@ def test_corpus_card_dup_rate_and_grouping(spark):
     }
     web = rows[("web", "en")]
     assert web["n_docs"] == 3 and web["n_distinct_texts"] == 2
-    assert web["dup_rate"] == round(1 - 2 / 3, 4)
+    # exact IEEE quotient — no display rounding (determinism contract)
+    assert web["dup_rate"] == 1 - 2 / 3
     books = rows[("books", "es")]
     assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
     assert books["total_tokens"] == 4
