@@ -106,11 +106,16 @@ def _dual_pairs(cfg, db, tcfg, tdb) -> "tuple[list[dict], list[str], list[str]]"
                 }
                 for r in rows
             ]
-        return (
-            pairs,
-            [p["source_table"] for p in pairs],
-            [p["target_table"] for p in pairs],
+        # exclusion patterns apply to CSV-listed names too (parity with
+        # _resolve_tables — without this, --mode both's colcompare phase
+        # would load tables the counts phase skipped)
+        src = filter_excluded_tables(
+            [p["source_table"] for p in pairs], cfg.excluded_tables
         )
+        tgt = filter_excluded_tables(
+            [p["target_table"] for p in pairs], tcfg.excluded_tables
+        )
+        return pairs, src, tgt
     src_names = filter_excluded_tables(db.list_tables(), cfg.excluded_tables)
     tgt_names = filter_excluded_tables(tdb.list_tables(), tcfg.excluded_tables)
     return discover_common_tables(src_names, tgt_names), src_names, tgt_names
@@ -578,18 +583,27 @@ def tool_dedup(argv: list[str]) -> int:
         if args.output_parquet:
             rebuilt.write.mode("overwrite").parquet(args.output_parquet)
             rebuilt = df.sparkSession.read.parquet(args.output_parquet)
+        # collect the (bounded) removal counts ONCE; the report tab and
+        # the summary count both come from the local rows — without the
+        # parquet round-trip the lazy two-shuffle pipeline would
+        # otherwise execute twice
+        removed_rows = (
+            rebuilt.filter(F.col("n_removed_lines") > 0)
+            .select(args.id_column, "n_removed_lines")
+            .collect()
+        )
         report = HTMLReport("dedup (lines)")
         # report the surgery, not the corpus: per-doc removal counts
         report.add_dataframe_tab(
             "Removed lines",
-            rebuilt.filter(F.col("n_removed_lines") > 0).select(
-                args.id_column, "n_removed_lines"
+            df.sparkSession.createDataFrame(
+                removed_rows,
+                f"{args.id_column} long, n_removed_lines long",
             ),
         )
         out = args.output or _results_path("dedup")
         report.save(out)
-        n = rebuilt.filter(F.col("n_removed_lines") > 0).count()
-        print(f"{n} docs had lines removed")
+        print(f"{len(removed_rows)} docs had lines removed")
         print(f"Report saved to {out}")
         return 0
     else:
@@ -916,7 +930,8 @@ def tool_profile(argv: list[str]) -> int:
     report.add_dataframe_tab(
         "Quantile histograms",
         quantile_histogram(df, args.table, columns=cols,
-                           n_buckets=args.buckets),
+                           n_buckets=args.buckets,
+                           exact=not args.approx),
     )
     report.add_dataframe_tab(
         "Correlations",

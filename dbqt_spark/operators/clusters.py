@@ -317,6 +317,9 @@ def first_wins_dropped(
             .localCheckpoint()
         )
         dropped_parts.append(newly_dropped)
+        # kept-lo edges need no pruning of their own: newly_dropped IS
+        # the hi set of every kept-lo edge, so the hi anti-join below
+        # removes them all
         edges = (
             edges.join(
                 newly_dropped, edges["hi"] == newly_dropped["id"], "left_anti"
@@ -326,9 +329,6 @@ def first_wins_dropped(
                 edges["lo"] == F.col("__d"),
                 "left_anti",
             )
-            # kept-lo edges already fell away via their dropped hi
-            .join(kept.withColumnRenamed("id", "__k"),
-                  edges["lo"] == F.col("__k"), "left_anti")
             .localCheckpoint()
         )
     if stats is not None:

@@ -112,6 +112,13 @@ def minhash_index_write(
     else:
         capped = banded
     os.makedirs(path, exist_ok=True)
+    # rebuild ordering: retire the OLD meta before touching data, write
+    # the new meta LAST. A crash mid-rebuild then leaves an index with
+    # no meta.json — a loud _load_meta error — instead of new-parameter
+    # bands under old-parameter meta, which would band every probe with
+    # the stale parameters and silently miss every near-dup.
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
     _write_bands_and_docs(
         capped, df, band_path, doc_path, text_col, id_col, "overwrite"
     )

@@ -20,8 +20,9 @@ reducer, the classic Spark scaling failure. This implements the
 standard two-phase distributed prefix sum instead:
 
 1. bucket the ids into ``n_buckets`` ORDER-CONTIGUOUS ranges (split
-   points from one tiny exact-percentile aggregate over the ids — a
-   scalar job, broadcast back as a plan literal);
+   points from one bounded-memory ``approx_percentile`` aggregate over
+   the ids — a scalar job, folded back as plan literals; split-point
+   wobble only moves rows between buckets, never changes values);
 2. per-bucket running sums under ``Window.partitionBy(bucket)
    .orderBy(id)`` — parallel across buckets;
 3. per-bucket totals (one ``n_buckets``-row aggregate, collected) turn

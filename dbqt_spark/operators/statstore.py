@@ -27,12 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .profile import MAX_AGG_EXPRS_PER_SCAN
-
-
-def _chunks(items: list, per_item: int) -> "list[list]":
-    size = max(1, MAX_AGG_EXPRS_PER_SCAN // per_item)
-    return [items[i : i + size] for i in range(0, len(items), size)]
+from .profile import _chunk, _union_all
 
 
 def stats_store_append(
@@ -58,7 +53,7 @@ def stats_store_append(
         f.name for f in fields if isinstance(f.dataType, NumericType)
     }
     parts = []
-    for chunk in _chunks(fields, 5):
+    for chunk in _chunk(fields, 5):
         aggs = [F.count(F.lit(1)).alias("__n")]
         for f in chunk:
             c, col = f.name, F.col(f.name)
@@ -100,10 +95,7 @@ def stats_store_append(
                 F.inline(F.array(*structs)),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.write.mode("append").parquet(path)
+    _union_all(parts).write.mode("append").parquet(path)
 
 
 def stats_store_profile(spark: SparkSession, path: str) -> DataFrame:
