@@ -43,6 +43,7 @@ TOOLS = [
     "sample",
     "profile",
     "dedupindex",
+    "statstore",
 ]
 
 
@@ -1101,6 +1102,42 @@ def tool_dedupindex(argv: list[str]) -> int:
     return 0
 
 
+def tool_statstore(argv: list[str]) -> int:
+    """Incremental profile store from the CLI
+    (operators/statstore.py): `append` one segment of mergeable
+    per-column statistics per ingest batch; `profile` merges all
+    segments into the corpus profile without rescanning any data."""
+    p = argparse.ArgumentParser(prog="statstore")
+    p.add_argument("action", choices=["append", "profile"])
+    p.add_argument("--store-path", required=True)
+    p.add_argument("--config", help="required for append")
+    p.add_argument("--table", help="required for append")
+    p.add_argument("--columns", help="comma-separated subset (append)")
+    p.add_argument("--output", help="profile: HTML report path")
+    args = p.parse_args(argv)
+
+    from .operators.statstore import stats_store_append, stats_store_profile
+
+    if args.action == "append":
+        if not (args.config and args.table):
+            p.error("append needs --config and --table")
+        cfg, db = _load_db(args.config)
+        df = db.load(args.table)
+        cols = args.columns.split(",") if args.columns else None
+        stats_store_append(df, args.store_path, args.table, columns=cols)
+        print(f"Segment appended to {args.store_path}")
+        return 0
+    from .report.html import HTMLReport
+
+    merged = stats_store_profile(_spark(), args.store_path)
+    report = HTMLReport("statstore (merged profile)")
+    report.add_dataframe_tab("Merged profile", merged)
+    out = args.output or _results_path("statstore")
+    report.save(out)
+    print(f"Report saved to {out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -1130,6 +1167,7 @@ def main(argv: list[str] | None = None) -> int:
         "sample": tool_sample,
         "profile": tool_profile,
         "dedupindex": tool_dedupindex,
+        "statstore": tool_statstore,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

@@ -581,3 +581,23 @@ def test_dedupindex_cli_lifecycle(spark, tmp_path, capsys):
         for r in spark.read.parquet(outp).collect()
     }
     assert hits2 == hits
+
+
+def test_statstore_cli(spark, sf_dir, tmp_path, capsys):
+    """statstore append x2 -> profile: merged exact stats match a
+    direct aggregate; no corpus rescan at profile time (the merged
+    report reads only segment rows)."""
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n",
+    )
+    store = str(tmp_path / "store")
+    for _ in range(2):
+        assert main(["statstore", "append", "--store-path", store,
+                     "--config", cfg, "--table", "region"]) == 0
+    out_html = str(tmp_path / "s.html")
+    assert main(["statstore", "profile", "--store-path", store,
+                 "--output", out_html]) == 0
+    html = open(out_html).read()
+    # two appends of the same 5-row region table -> n_rows 10 per col
+    assert '"n_rows": 10' in html and "r_regionkey" in html
