@@ -1,0 +1,61 @@
+"""Text normalization — the canonical pre-dedup / pre-tokenize step.
+
+Beyond the reference surface (north star). Every exact-match stage
+(line dedup, fingerprints, n-gram decontamination) treats byte-distinct
+strings as distinct, so visually-identical texts that differ only in
+Unicode composition ("é" as U+00E9 vs e+U+0301), compatibility forms
+(the "ﬁ" ligature), case, or whitespace runs silently evade it. The
+standard fix normalizes FIRST: Unicode normal form, casefold,
+whitespace collapse — in that order.
+
+Scale shape: only the Unicode normalization needs Python (Spark has no
+built-in normalizer) and it runs as ONE Arrow ``pandas_udf`` batch map
+— no shuffle, no per-row Python. Case folding and whitespace collapse
+stay JVM-side (``F.lower`` / ``regexp_replace``, whole-stage codegen).
+A fast path skips the UDF entirely when ``form=None``.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FORMS = ("NFC", "NFKC", "NFD", "NFKD")
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: "str | None" = "NFC",
+    lower: bool = True,
+    collapse_whitespace: bool = True,
+    out_col: "str | None" = None,
+) -> DataFrame:
+    """Return ``df`` with ``text_col`` (or ``out_col``) normalized:
+    Unicode ``form`` (NFC/NFKC/NFD/NFKD, or None to skip the Arrow
+    step), then lowercase, then whitespace runs collapsed to single
+    spaces with ends trimmed. NULL texts stay NULL. Application order
+    matters and is fixed: compatibility decomposition can CREATE case
+    and whitespace (NFKC turns the ﬁ ligature into "fi"), so the
+    JVM-side steps run after the Unicode step."""
+    if form is not None and form not in _FORMS:
+        raise ValueError(f"form must be one of {_FORMS} or None, got {form}")
+    col = F.col(text_col)
+    if form is not None:
+        nf = form  # bind for the closure
+
+        @F.pandas_udf("string")
+        def unorm(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda t: None if t is None else unicodedata.normalize(nf, t)
+            )
+
+        col = unorm(col)
+    if lower:
+        col = F.lower(col)
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return df.withColumn(out_col or text_col, col)

@@ -747,6 +747,25 @@ GROUP BY l.predicted_lang
 ORDER BY l.predicted_lang
 """
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (operators/normalize.py): NFC +
+    lowercase + whitespace collapse over every document — the
+    pre-dedup/pre-tokenize step; compared to DuckDB's nfc_normalize +
+    lower + regexp twin byte-for-byte."""
+    from .operators.normalize import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return normalize_text(docs, out_col="norm_text").orderBy("doc_id")
+
+
+SQL_NORMALIZE_TEXT = r"""
+SELECT doc_id, text,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS norm_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card rollup per (source, lang) slice
     (textstats.corpus_card): docs, tokens, mean quality/length,
@@ -3126,6 +3145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppl_buckets": q_ppl_buckets,
     "incremental_profile": q_incremental_profile,
     "corpus_card": q_corpus_card,
+    "normalize_text": q_normalize_text,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "lsh_full_probe": q_lsh_full_probe,
@@ -3204,6 +3224,7 @@ ORACLES: dict[str, str] = {
     "ppl_buckets": SQL_PPL_BUCKETS,
     "incremental_profile": SQL_INCREMENTAL_PROFILE,
     "corpus_card": SQL_CORPUS_CARD,
+    "normalize_text": SQL_NORMALIZE_TEXT,
     "event_funnel": SQL_EVENT_FUNNEL,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     # full-probe ANN == brute force by construction: same oracle

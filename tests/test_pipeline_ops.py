@@ -1614,3 +1614,46 @@ def test_corpus_card_dup_rate_and_grouping(spark):
     books = rows[("books", "es")]
     assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
     assert books["total_tokens"] == 4
+
+
+def test_normalize_text_unicode_semantics(spark):
+    """NFC composes combining marks, NFKC folds compatibility forms
+    (the fi ligature), case and whitespace normalize AFTER the Unicode
+    step (NFKC can create both); NULLs pass through."""
+    from dbqt_spark.operators.normalize import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Café  X"),       # e + combining acute, double space
+            (2, "ﬁne  STUFF"),      # fi ligature
+            (3, None),
+            (4, "  plain  "),
+        ],
+        ["doc_id", "text"],
+    )
+    nfc = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(df, form="NFC").collect()
+    }
+    assert nfc[1] == "café x"     # composed é, collapsed, lowered
+    assert nfc[2] == "ﬁne stuff"  # NFC keeps the ligature
+    assert nfc[3] is None
+    assert nfc[4] == "plain"
+
+    nfkc = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(df, form="NFKC").collect()
+    }
+    assert nfkc[2] == "fine stuff"     # NFKC folds the ligature
+
+    # form=None skips the Arrow step entirely (pure-JVM plan)
+    out = normalize_text(df, form=None)
+    assert {r["doc_id"]: r["text"] for r in out.collect()}[4] == "plain"
+    from dbqt_spark.plans import formatted_plan
+
+    assert "ArrowEvalPython" not in formatted_plan(out)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="form"):
+        normalize_text(df, form="NFX")
