@@ -253,3 +253,45 @@ def test_profile_numeric_single_scan(spark, sf_dir):
 
     plan = _formatted_plan(q_profile_numeric(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_sequence_pack_no_single_reducer(spark, sf_dir):
+    """The packing prefix sum must NEVER funnel through one reducer:
+    no SinglePartition exchange and no global sort anywhere — the
+    per-bucket windows hash-partition on the bucket column."""
+    import re
+
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.packing import sequence_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _formatted_plan(sequence_pack(docs, 512))
+    assert "SinglePartition" not in plan
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), "global sort"
+
+
+def test_line_dedup_no_window(spark, sf_dir):
+    """Line dedup's first-occurrence rule is a map-side-combinable
+    min(struct) aggregate, never a corpus-wide Window (whose per-line
+    partitions would be dominated by the single hottest line)."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.linededup import line_level_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _formatted_plan(line_level_dedup(docs))
+    assert "Window" not in plan
+
+
+def test_corpus_card_single_scan(spark, sf_dir):
+    """The per-slice card is ONE scan + aggregation (the distinct-text
+    count plans as the two-level group rewrite, not a second scan or a
+    join)."""
+    import re
+
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.textstats import corpus_card
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = corpus_card(docs, group_cols=["source", "lang"])._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert "Join" not in plan
