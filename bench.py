@@ -156,6 +156,9 @@ def main() -> None:
         "cross_near_dups",
         "cross_dedup_index",
         "dedup_first_wins",
+        "embedding_nn",
+        "corr_matrix",
+        "value_histogram",
         "profile_numeric",
         "profile_lineitem",
         "streaming_dedup",
