@@ -1657,3 +1657,53 @@ def test_normalize_text_unicode_semantics(spark):
 
     with _pytest.raises(ValueError, match="form"):
         normalize_text(df, form="NFX")
+
+
+def test_line_level_dedup_random_reference(spark):
+    """Randomized corpora vs a pure-python reference for BOTH policies
+    (seeded): rebuilt texts and removal counts match exactly."""
+    import random
+
+    from dbqt_spark.operators.linededup import line_level_dedup
+
+    rnd = random.Random(11)
+    vocab = [f"line{i}" for i in range(12)] + ["", "shared"]
+    docs = [
+        (i, "\n".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 6))))
+        for i in range(25)
+    ]
+
+    def ref(mode, min_count):
+        lines = [
+            (i, p, ln)
+            for i, t in docs
+            for p, ln in enumerate(t.split("\n"))
+        ]
+        if mode == "keep_first":
+            first = {}
+            for i, p, ln in sorted(lines):
+                first.setdefault(ln, (i, p))
+            keep = lambda i, p, ln: first[ln] == (i, p)
+        else:
+            from collections import Counter
+
+            cnt = Counter(ln for _, _, ln in lines)
+            keep = lambda i, p, ln: cnt[ln] < min_count
+        out = {}
+        for i, t in docs:
+            kept, removed = [], 0
+            for p, ln in enumerate(t.split("\n")):
+                if keep(i, p, ln):
+                    kept.append(ln)
+                else:
+                    removed += 1
+            out[i] = ("\n".join(kept), removed)
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for mode, mc in (("keep_first", 3), ("drop_frequent", 3)):
+        got = {
+            r["doc_id"]: (r["text"], r["n_removed_lines"])
+            for r in line_level_dedup(df, mode=mode, min_count=mc).collect()
+        }
+        assert got == ref(mode, mc), f"mode={mode}"
