@@ -221,7 +221,8 @@ def main() -> None:
         "streaming_neardup_gate,minhash_near_dups,minhash_clusters,"
         "simhash_near_dups,embedding_nn,rowcounts,"
         "cross_near_dups,ngram_jaccard_dups,"
-        "cross_dedup_index,dedup_first_wins",
+        "cross_dedup_index,dedup_first_wins,"
+        "corr_matrix,profile_numeric,value_histogram",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):
