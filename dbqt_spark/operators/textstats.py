@@ -644,3 +644,84 @@ def corpus_card(
         )
         .orderBy(*group_cols)
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated n-gram fraction per doc — the
+    RefinedWeb/FineWeb "duplicated content" quality signal (Penedo et
+    al. 2023 §3.3): after fuzzy dedup, docs whose n-grams still mostly
+    appear in OTHER documents are boilerplate-heavy (nav bars, license
+    blocks, scraper templates) and get down-weighted or dropped.
+
+    Semantics: an n-gram is *duplicated* iff it occurs in >= 2 distinct
+    documents. Per doc we report the total n-gram occurrence count, how
+    many of those occurrences are of duplicated n-grams, and the
+    fraction (0 for docs with < n tokens).
+
+    Scale shape (100 TB): ONE corpus scan. Explode -> map-side-combined
+    hash aggregate to distinct (doc, ngram) pairs with occurrence
+    counts, then the per-ngram document frequency comes from a COUNT
+    window over the ngram partition — not a self-join, which would
+    re-derive the explode and scan the corpus twice (the first draft
+    did; ``.explain`` showed two parquet scans). Two shuffles total
+    ((doc, ngram) agg, then ngram window), both on natural keys, then
+    a reduce back to one row per doc. At extreme scale, shuffle bytes
+    drop further by shipping ``xxhash64(ngram)`` instead of the string
+    — same plan, narrower key; kept as the string here so the DuckDB
+    oracle is bit-for-bit (no cross-engine hash exists).
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    grams = F.expr(
+        f"CASE WHEN size(__toks) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(__toks) - {n} + 1), "
+        f"i -> array_join(slice(__toks, i, {n}), ' ')) END"
+    )
+    exploded = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, F.explode(grams).alias("__ngram"))
+    )
+    # Per-(doc, ngram) occurrence counts first: shrinks the window
+    # input to distinct pairs and makes n_docs a cheap COUNT(*) per
+    # ngram partition.
+    per_doc_gram = exploded.groupBy(id_col, "__ngram").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    wn = Window.partitionBy("__ngram")
+    joined = per_doc_gram.withColumn(
+        "__ndocs", F.count(F.lit(1)).over(wn)
+    )
+    stats = joined.groupBy(id_col).agg(
+        F.sum("__occ").cast("long").alias("n_ngrams"),
+        F.sum(F.when(F.col("__ndocs") >= 2, F.col("__occ")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_ngrams"),
+    )
+    # Left join back to the full doc list so < n-token docs emit zeros.
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_dup_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_dup_ngrams"),
+            F.round(
+                F.when(
+                    F.coalesce("n_ngrams", F.lit(0)) > 0,
+                    F.coalesce("n_dup_ngrams", F.lit(0)).cast("double")
+                    / F.col("n_ngrams").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_ngram_frac"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Time-series operators over the events stream.
+
+North-star extensions beyond the reference surface (the reference's
+event tooling stops at per-table profiling): rolling-window anomaly
+detection over bucketed counts, and telemetry debounce dedup. Both are
+pure window/aggregate plans — no UDFs, one shuffle each — so the 100 TB
+cost is the corpus scan plus one exchange on a natural key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_anomaly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    lookback: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Hourly-count anomaly flags per key: each hour's event count is
+    z-scored against the mean/std of the PRECEDING ``lookback`` hours
+    (the bucket itself excluded, so a spike can't mask itself). The
+    drift/incident monitor of an ingestion pipeline — a crawler dying,
+    a source flooding, a schema break zeroing a feed all surface as
+    |z| > threshold rows.
+
+    Determinism contract: counts are integers (exact in IEEE double up
+    to 2^53), rolling sums/sum-of-squares are window sums of integers —
+    exact — and the variance is derived once per row via the identical
+    expression the DuckDB oracle uses, so mean/std/z hash-match
+    bit-for-bit. Built-in STDDEV over a window is deliberately avoided:
+    engines disagree on accumulation order for float aggregates.
+
+    Scale shape: one map-side-combined hash aggregation collapses the
+    raw scan to (key, hour) rows — output is bounded by
+    |keys| x |hours|, thousands of rows per year per key even at
+    100 TB of raw events — then a single window pass over that tiny
+    frame. The shuffle moves the aggregated frame, not the events.
+    """
+    hour = F.date_format(
+        F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
+    )
+    hourly = events.groupBy(
+        F.col(key_col), hour.alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("hour_ts")
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.col("n_events").cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s = F.sum(x).over(w)
+    sq = F.sum(x * x).over(w)
+    mean = s / n
+    # Sample variance from exact integer sums; clamped at 0 for the
+    # all-equal window where fp cancellation can go slightly negative.
+    var = F.greatest(
+        (sq - s * s / n) / (n - F.lit(1.0)), F.lit(0.0)
+    )
+    std = F.sqrt(var)
+    z = F.when(
+        (n >= 2) & (std > 0), (x - mean) / std
+    )
+    return hourly.select(
+        key_col,
+        "hour_ts",
+        "n_events",
+        F.round(F.when(n >= 1, mean), 4).alias("roll_mean"),
+        F.round(F.when(n >= 2, std), 4).alias("roll_std"),
+        F.round(z, 4).alias("zscore"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def window_dedup(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    ts_col: str = "ts",
+    key_cols: tuple = ("user_id", "event_type"),
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Debounce dedup for telemetry: drop an event when the SAME key
+    emitted its previous event within ``gap_seconds`` (retry storms,
+    double-clicks, at-least-once replays). Lag-against-previous-arrival
+    semantics — each event is compared to its immediate predecessor in
+    (ts, id) order, so the plan is ONE window pass; the alternative
+    "previous *kept* event" debounce is inherently sequential per key
+    and is what streaming/dedup.py's stateful path provides.
+
+    Deterministic: the order key is (ts, id) — a total order even for
+    equal timestamps — and the gap test uses exact integer microsecond
+    arithmetic (``unix_micros``), no float time math.
+
+    Scale shape: one shuffle on the key columns, then a sorted window
+    scan per partition. Key cardinality (users x types) is high, so the
+    exchange spreads evenly; no aggregation state beyond one lag value.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        ts_col, id_col
+    )
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    return (
+        events.withColumn("__prev_us", prev)
+        .filter(
+            F.col("__prev_us").isNull()
+            | (us - F.col("__prev_us") > gap_seconds * 1_000_000)
+        )
+        .drop("__prev_us")
+    )

@@ -1320,6 +1320,91 @@ FROM (
 GROUP BY user_id, session_no
 """
 
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly flags over hourly event counts
+    (operators/timeseries.py rolling_anomaly): each hour z-scored
+    against the preceding 24 hours, std derived from exact integer
+    window sums so both engines agree bit-for-bit."""
+    from .operators.timeseries import rolling_anomaly
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_anomaly(ev, lookback=24, z_threshold=3.0).orderBy(
+        "event_type", "hour_ts"
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), rolled AS (
+  SELECT event_type, hour_ts, n_events,
+         CAST(n_events AS DOUBLE) AS x,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         SUM(CAST(n_events AS DOUBLE)) OVER w AS s,
+         SUM(CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) OVER w AS sq
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_ts, n_events,
+       round(CASE WHEN n >= 1 THEN s / n END, 4) AS roll_mean,
+       round(CASE WHEN n >= 2
+             THEN sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0)) END,
+             4) AS roll_std,
+       round(CASE WHEN n >= 2
+                   AND sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0)) > 0
+             THEN (x - s / n)
+                  / sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0)) END,
+             4) AS zscore,
+       coalesce(CASE WHEN n >= 2
+                      AND sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0)) > 0
+                THEN abs((x - s / n)
+                     / sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0))) > 3.0
+                END, FALSE) AS is_anomaly
+FROM rolled
+ORDER BY event_type, hour_ts
+"""
+
+
+def q_events_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce dedup (operators/timeseries.py window_dedup):
+    drop events whose same-(user, type) predecessor in (ts, event_id)
+    order landed within 300 s — retry storms and at-least-once replays
+    collapse to the first arrival. Exact integer microsecond math."""
+    from .operators.timeseries import window_dedup
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    kept = window_dedup(ev, gap_seconds=300)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return kept.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", fmt).alias("ts"),
+    ).orderBy("event_id")
+
+
+SQL_EVENTS_WINDOW_DEDUP = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev_us,
+         epoch_us(ts) AS us
+  FROM events
+)
+WHERE prev_us IS NULL OR us - prev_us > 300 * 1000000
+ORDER BY event_id
+"""
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom time-series operator, operators/asof.py): every
     purchase event paired with the same user's most recent click at or
@@ -2278,6 +2363,50 @@ ORDER BY n_occurrences DESC, ngram ASC LIMIT 100
 """
 
 
+def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 3-gram fraction per doc (FineWeb-style
+    duplicated-content quality signal, operators/textstats.py
+    dup_ngram_stats)."""
+    from .operators.textstats import dup_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, n=3).orderBy("doc_id")
+
+
+SQL_DUP_NGRAM_FRAC = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < 3 THEN [] ELSE list_transform(
+      range(1, len(toks) - 1),
+      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+    END) AS ngram
+  FROM base
+), pdg AS (
+  SELECT doc_id, ngram, COUNT(*) AS occ FROM g GROUP BY 1, 2
+), dfq AS (
+  SELECT ngram, COUNT(*) AS ndocs FROM pdg GROUP BY 1
+), stats AS (
+  SELECT pdg.doc_id,
+         SUM(pdg.occ) AS n_ngrams,
+         SUM(CASE WHEN dfq.ndocs >= 2 THEN pdg.occ ELSE 0 END) AS n_dup
+  FROM pdg JOIN dfq USING (ngram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup_ngrams,
+       round(CASE WHEN coalesce(s.n_ngrams, 0) > 0
+             THEN CAST(s.n_dup AS DOUBLE) / s.n_ngrams ELSE 0.0 END,
+             4) AS dup_ngram_frac
+FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc PII hit counts (email/url/ipv4/digit-run) + redacted
     length — pure regexp codegen, no UDF, no shuffle."""
@@ -3100,6 +3229,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
     "sessionize": q_sessionize,
+    "events_anomaly": q_events_anomaly,
+    "events_window_dedup": q_events_window_dedup,
     "dq_checks": q_dq_checks,
     "salted_revenue": q_salted_revenue,
     "profile_approx": q_profile_approx,
@@ -3128,6 +3259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "stratified_sample": q_stratified_sample,
     "top_ngrams": q_top_ngrams,
+    "dup_ngram_frac": q_dup_ngram_frac,
     "pii_scan": q_pii_scan,
     "quality_filter": q_quality_filter,
     "curated_corpus": q_curated_corpus,
@@ -3181,6 +3313,8 @@ ORACLES: dict[str, str] = {
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "sessionize": SQL_SESSIONIZE,
+    "events_anomaly": SQL_EVENTS_ANOMALY,
+    "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
     "dq_checks": SQL_DQ_CHECKS,
     "salted_revenue": SQL_SALTED_REVENUE,
     "events_json": SQL_EVENTS_JSON,
@@ -3206,6 +3340,7 @@ ORACLES: dict[str, str] = {
     "keyfinder_search": SQL_KEYFINDER_SEARCH,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_ngrams": SQL_TOP_NGRAMS,
+    "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
     "pii_scan": SQL_PII_SCAN,
     "quality_filter": SQL_QUALITY_FILTER,
     "curated_corpus": SQL_CURATED_CORPUS,

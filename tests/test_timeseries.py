@@ -1,0 +1,184 @@
+"""Unit + plan tests for the time-series operators (rolling anomaly,
+window dedup) and the cross-document duplicated-n-gram profiler."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbqt_spark.operators.textstats import dup_ngram_stats
+from dbqt_spark.operators.timeseries import rolling_anomaly, window_dedup
+from dbqt_spark.plans import formatted_plan
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _t(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+# --- rolling anomaly --------------------------------------------------------
+
+
+def test_rolling_anomaly_flags_spike(spark):
+    # 10 calm hours of exactly 5 events, then a 50-event spike: the
+    # rolling window has zero variance until the spike hour, whose
+    # z-score is undefined (std 0) -> anomaly must key off... make the
+    # calm hours alternate 4/6 so std > 0 and the spike z is huge.
+    rows = []
+    eid = 0
+    for h in range(10):
+        for _ in range(4 if h % 2 == 0 else 6):
+            rows.append((eid, 1, "click", _t(h)))
+            eid += 1
+    for _ in range(50):
+        rows.append((eid, 1, "click", _t(10)))
+        eid += 1
+    out = rolling_anomaly(
+        _events(spark, rows), lookback=24, z_threshold=3.0
+    ).orderBy("hour_ts")
+    got = out.collect()
+    assert len(got) == 11
+    first = got[0]
+    # no preceding hours: mean/std/z null, not an anomaly
+    assert first["roll_mean"] is None and first["is_anomaly"] is False
+    spike = got[-1]
+    assert spike["n_events"] == 50
+    # mean of ten alternating 4/6 hours is 5, std ~1.054
+    assert spike["roll_mean"] == 5.0
+    assert spike["zscore"] > 3.0 and spike["is_anomaly"] is True
+    calm = got[5]
+    assert calm["is_anomaly"] is False and abs(calm["zscore"]) < 3.0
+
+
+def test_rolling_anomaly_zero_variance_window(spark):
+    # constant rate: std 0 -> z null, never an anomaly (division by a
+    # zero std must not produce inf/nan)
+    rows = [
+        (h * 3 + i, 1, "view", _t(h)) for h in range(6) for i in range(3)
+    ]
+    got = rolling_anomaly(_events(spark, rows)).collect()
+    assert all(r["zscore"] is None for r in got)
+    assert all(r["is_anomaly"] is False for r in got)
+    # but the rolling mean is still reported once a window exists
+    assert got[-1]["roll_mean"] == 3.0 and got[-1]["roll_std"] == 0.0
+
+
+def test_rolling_anomaly_aggregates_before_window(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = formatted_plan(rolling_anomaly(ev))
+    # the raw scan must collapse via hash aggregation BELOW the window
+    # (the plan prints root-first, so Window appears before the
+    # aggregate that feeds it): the window runs over the (key, hour)
+    # frame, never over raw events
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+# --- window dedup -----------------------------------------------------------
+
+
+def test_window_dedup_debounce(spark):
+    rows = [
+        (1, 1, "click", _t(12, 0, 0)),  # kept
+        (2, 1, "click", _t(12, 2, 0)),  # 120s after #1 -> dropped
+        (3, 1, "click", _t(12, 4, 0)),  # 120s after #2 -> dropped (lag
+        # semantics: compared to previous ARRIVAL, kept or not)
+        (4, 1, "click", _t(12, 30, 0)),  # kept
+        (5, 1, "view", _t(12, 0, 30)),  # different type -> kept
+        (6, 2, "click", _t(12, 0, 30)),  # different user -> kept
+    ]
+    kept = sorted(
+        r["event_id"]
+        for r in window_dedup(_events(spark, rows), gap_seconds=300)
+        .collect()
+    )
+    assert kept == [1, 4, 5, 6]
+
+
+def test_window_dedup_equal_ts_tiebreak(spark):
+    # identical timestamps: (ts, id) total order keeps the lowest id
+    rows = [(i, 1, "click", _t(9)) for i in range(5)]
+    kept = [
+        r["event_id"]
+        for r in window_dedup(_events(spark, rows), gap_seconds=1)
+        .collect()
+    ]
+    assert kept == [0]
+
+
+def test_window_dedup_single_shuffle(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = formatted_plan(window_dedup(ev))
+    # exactly one exchange node in the tree (each node renders once in
+    # the tree as "Exchange (n)" and once in the detail as "(n) Exchange")
+    assert plan.count("Exchange (") == 1
+
+
+# --- duplicated n-gram fraction ---------------------------------------------
+
+
+def test_dup_ngram_stats_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares 'the quick brown'
+            (2, "the quick brown cat sleeps"),  # with doc 1
+            (3, "completely different text here now"),
+            (4, "hi"),  # < 3 tokens: zero ngrams
+            (5, None),  # null-safe
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dup_ngram_stats(docs, n=3).collect()}
+    assert rows[1]["n_ngrams"] == 3
+    assert rows[1]["n_dup_ngrams"] == 1  # only 'the quick brown'
+    assert rows[1]["dup_ngram_frac"] == round(1 / 3, 4)
+    assert rows[2]["n_dup_ngrams"] == 1
+    assert rows[3]["n_dup_ngrams"] == 0
+    assert rows[4]["n_ngrams"] == 0 and rows[4]["dup_ngram_frac"] == 0.0
+    assert rows[5]["n_ngrams"] == 0
+
+
+def test_dup_ngram_stats_within_doc_repeat_not_duplicated(spark):
+    # an n-gram repeated WITHIN one doc but appearing in no other doc
+    # is not cross-document duplicated
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y z")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in dup_ngram_stats(docs, n=3).collect()}
+    assert rows[1]["n_ngrams"] == 4
+    assert rows[1]["n_dup_ngrams"] == 0
+    with pytest.raises(ValueError):
+        dup_ngram_stats(docs, n=0)
+
+
+def test_dup_ngram_stats_partial_agg_before_shuffle(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(dup_ngram_stats(docs))
+    tree = plan.split("\n\n")[0]
+    # ONE explode over ONE text scan: the doc-frequency side must come
+    # from the ngram-partition window, never a self-join that re-derives
+    # the explode (two corpus scans at 100 TB — the first draft's plan)
+    assert sum("Generate" in ln for ln in tree.splitlines()) == 1
+    assert "Window" in tree
+    # explode output partially aggregates to distinct (doc, ngram)
+    # before any exchange: Generate is the deepest text producer and a
+    # HashAggregate sits between it and the first Exchange above it
+    lines = tree.splitlines()
+    gen_i = next(i for i, ln in enumerate(lines) if "Generate" in ln)
+    above = lines[:gen_i]
+    agg_i = max(i for i, ln in enumerate(above) if "HashAggregate" in ln)
+    exch_i = max(
+        i for i, ln in enumerate(above) if "Exchange" in ln
+    )
+    assert agg_i > exch_i  # aggregate is closer to the explode
