@@ -200,3 +200,40 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def file_stats(df: DataFrame, basename_only: bool = True) -> DataFrame:
+    """Per-file layout statistics of a file-backed DataFrame: row count
+    and on-disk size from the scan's ``_metadata`` hidden column — the
+    observability half of the layout toolkit above. At 100 TB the two
+    layout killers are small files (driver-side listing + per-task
+    overhead swamps IO) and skewed files (one straggler task per
+    oversized file); this reports both without a separate listing job,
+    riding the same distributed scan the query would do.
+
+    ``_metadata`` is generated per-row AT SCAN TIME by the file source
+    (constant within a file, no IO beyond the scan itself), so the plan
+    is scan -> map-side-combined hash aggregate on the file name: one
+    shuffle whose cardinality is the file count, not the row count.
+
+    Must be called on a frame read directly from files (parquet / orc /
+    csv / json); frames that have passed through joins or aggregations
+    no longer carry ``_metadata``.
+    """
+    name = (
+        F.col("_metadata.file_name")
+        if basename_only
+        else F.col("_metadata.file_path")
+    )
+    return (
+        df.select(
+            name.alias("file_name"),
+            F.col("_metadata.file_size").alias("__size"),
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.first("__size").cast("long").alias("file_bytes"),
+        )
+        .orderBy("file_name")
+    )

@@ -132,6 +132,33 @@ SQL_ROWCOUNTS = " UNION ALL ".join(
     for t in TPCH_TABLES
 )
 
+
+def q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file layout stats (operators/partitioning.py file_stats):
+    row counts per physical parquet file from the scan-time
+    ``_metadata`` hidden column — small-file / straggler-file detection
+    without a separate listing job. The oracle pins file->count via the
+    one-file-per-table testdata layout (file_bytes is operator-only:
+    no engine-independent truth for on-disk size exists through a SQL
+    view)."""
+    from .operators.partitioning import file_stats
+
+    parts = []
+    for t in TPCH_TABLES:
+        fs = file_stats(load_table(spark, sf_dir, t))
+        parts.append(fs.select("file_name", "n_rows"))
+    return _union_all(parts).orderBy("file_name")
+
+
+SQL_FILE_STATS = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{t}.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM {t}"
+        for t in TPCH_TABLES
+    )
+    + ") ORDER BY file_name"
+)
+
 # ---------------------------------------------------------------------------
 # F1/A1: filtered count (WHERE pushdown)
 # ---------------------------------------------------------------------------
@@ -3203,6 +3230,7 @@ ORDER BY doc_id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
+    "file_stats": q_file_stats,
     "rowcount_filtered": q_rowcount_filtered,
     "count_compare": q_count_compare,
     "profile_lineitem": q_profile_lineitem,
@@ -3287,6 +3315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "rowcounts": SQL_ROWCOUNTS,
+    "file_stats": SQL_FILE_STATS,
     "rowcount_filtered": SQL_ROWCOUNT_FILTERED,
     "count_compare": SQL_COUNT_COMPARE,
     "profile_lineitem": SQL_PROFILE_LINEITEM,

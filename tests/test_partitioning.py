@@ -138,3 +138,36 @@ def test_zorder_requires_columns(spark, tmp_path):
     df = spark.range(10).selectExpr("id AS x")
     with _pytest.raises(ValueError, match="at least one column"):
         write_zordered(df, str(tmp_path / "z"), [])
+
+
+def test_file_stats_multi_file_layout(spark, tmp_path):
+    from dbqt_spark.operators.partitioning import file_stats
+
+    path = str(tmp_path / "multi")
+    spark.range(9000).selectExpr(
+        "id", "id % 7 AS grp"
+    ).repartition(3).write.parquet(path)
+    out = file_stats(spark.read.parquet(path)).collect()
+    assert len(out) == 3
+    assert sum(r["n_rows"] for r in out) == 9000
+    assert all(r["file_bytes"] > 0 for r in out)
+    assert all(r["file_name"].endswith(".parquet") for r in out)
+    # sorted by file name (deterministic report order)
+    names = [r["file_name"] for r in out]
+    assert names == sorted(names)
+
+
+def test_file_stats_aggregates_on_scan(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.partitioning import file_stats
+
+    fs = file_stats(load_table(spark, sf_dir, "lineitem"))
+    plan = _plan(fs)
+    # one exchange whose cardinality is the FILE count: the aggregate
+    # must partially combine on the scan side (HashAggregate below the
+    # Exchange in dataflow = after it in root-first print order)
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    exch = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    aggs = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert any(a > e for e in exch for a in aggs)
