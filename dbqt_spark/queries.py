@@ -159,6 +159,124 @@ SQL_FILE_STATS = (
     + ") ORDER BY file_name"
 )
 
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed row-level diff report (operators/datadiff.py): orders vs a
+    deterministically perturbed copy (rows dropped at key%101, added at
+    key%103 via key shift, o_orderstatus rewritten at key%89,
+    o_totalprice bumped at key%97) — added/removed/changed/identical
+    counts plus per-column change counts. The oracle rebuilds the same
+    perturbation in SQL and diffs with IS DISTINCT FROM."""
+    from .operators.datadiff import diff_summary
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 101 != 0).select(
+        "o_orderkey",
+        F.when(k % 89 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(k % 97 == 0, F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    added = orders.filter(k % 103 == 0).select(
+        (k + F.lit(50_000_000)).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    tgt = base.unionByName(added)
+    return diff_summary(src, tgt, ["o_orderkey"])
+
+
+SQL_TABLE_DIFF = """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), tgt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 50000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 103 = 0
+), d AS (
+  SELECT CASE WHEN s.o_orderkey IS NULL THEN 'added'
+              WHEN t.o_orderkey IS NULL THEN 'removed'
+              WHEN (s.o_orderstatus IS DISTINCT FROM t.o_orderstatus)
+                OR (s.o_totalprice IS DISTINCT FROM t.o_totalprice)
+              THEN 'changed' ELSE 'identical' END AS status,
+         CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+               AND s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+              THEN 1 ELSE 0 END AS ch_status,
+         CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+               AND s.o_totalprice IS DISTINCT FROM t.o_totalprice
+              THEN 1 ELSE 0 END AS ch_price
+  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+)
+SELECT * FROM (
+  SELECT status AS item, CAST(COUNT(*) AS BIGINT) AS n_rows FROM d GROUP BY 1
+  UNION ALL
+  SELECT 'column:o_orderstatus' AS item, CAST(SUM(ch_status) AS BIGINT) AS n_rows
+  FROM d HAVING SUM(ch_status) > 0
+  UNION ALL
+  SELECT 'column:o_totalprice' AS item, CAST(SUM(ch_price) AS BIGINT) AS n_rows
+  FROM d HAVING SUM(ch_price) > 0
+) ORDER BY item
+"""
+
+
+_AGG_COMPARE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q_agg_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column checksum compare (operators/datadiff.py agg_compare):
+    lineitem vs a 'partial migration' copy missing first-line rows at
+    key%113 — count/null/min/max/exact-decimal-sum per column with a
+    match verdict. The O(cols)-output validator you run BEFORE paying
+    for a keyed diff at 100 TB."""
+    from .operators.datadiff import agg_compare
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tgt = li.filter(
+        ~((F.col("l_orderkey") % 113 == 0) & (F.col("l_linenumber") == 1))
+    )
+    return agg_compare(li, tgt, _AGG_COMPARE_COLS)
+
+
+def _agg_compare_oracle() -> str:
+    tgt = (
+        "SELECT * FROM lineitem "
+        "WHERE NOT (l_orderkey % 113 = 0 AND l_linenumber = 1)"
+    )
+    exprs = {
+        "n_rows": "CAST(COUNT(*) AS DOUBLE)",
+        "n_null": "CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS DOUBLE)",
+        "min": "CAST(MIN({c}) AS DOUBLE)",
+        "max": "CAST(MAX({c}) AS DOUBLE)",
+        "sum": "CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)",
+    }
+    parts = []
+    for c in _AGG_COMPARE_COLS:
+        for m, e in exprs.items():
+            v = e.format(c=c)
+            parts.append(
+                f"SELECT '{c}' AS column_name, '{m}' AS metric, "
+                f"s.v AS source_value, t.v AS target_value, "
+                f"(s.v IS NOT DISTINCT FROM t.v) AS is_match "
+                f"FROM (SELECT {v} AS v FROM lineitem) s, "
+                f"(SELECT {v} AS v FROM ({tgt})) t"
+            )
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY column_name, metric"
+    )
+
+
+SQL_AGG_COMPARE = _agg_compare_oracle()
+
 # ---------------------------------------------------------------------------
 # F1/A1: filtered count (WHERE pushdown)
 # ---------------------------------------------------------------------------
@@ -3231,6 +3349,8 @@ ORDER BY doc_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
+    "table_diff": q_table_diff,
+    "agg_compare": q_agg_compare,
     "rowcount_filtered": q_rowcount_filtered,
     "count_compare": q_count_compare,
     "profile_lineitem": q_profile_lineitem,
@@ -3316,6 +3436,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "rowcounts": SQL_ROWCOUNTS,
     "file_stats": SQL_FILE_STATS,
+    "table_diff": SQL_TABLE_DIFF,
+    "agg_compare": SQL_AGG_COMPARE,
     "rowcount_filtered": SQL_ROWCOUNT_FILTERED,
     "count_compare": SQL_COUNT_COMPARE,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
