@@ -44,6 +44,7 @@ TOOLS = [
     "profile",
     "dedupindex",
     "statstore",
+    "datadiff",
 ]
 
 
@@ -1138,6 +1139,90 @@ def tool_statstore(argv: list[str]) -> int:
     return 0
 
 
+def tool_datadiff(argv: list[str]) -> int:
+    """Migration validation from the CLI (operators/datadiff.py):
+    ``--mode agg`` is the cheap per-column checksum compare (run it
+    first — one scan per side, O(cols) output); ``--mode summary`` the
+    keyed row-diff report; ``--mode rows`` writes the full row-level
+    diff to parquet. Source and target can live in different
+    connections (parquet vs JDBC, etc.) — Spark reads both."""
+    p = argparse.ArgumentParser(prog="datadiff")
+    p.add_argument("--config", required=True, help="source connection")
+    p.add_argument("--table", required=True)
+    p.add_argument("--target-config",
+                   help="target connection (default: same as --config)")
+    p.add_argument("--target-table",
+                   help="target table (default: same as --table)")
+    p.add_argument("--keys", required=True,
+                   help="comma-separated key columns")
+    p.add_argument("--columns",
+                   help="comma-separated columns to compare "
+                   "(default: all shared non-key columns; agg mode: "
+                   "required)")
+    p.add_argument("--mode", choices=["summary", "rows", "agg"],
+                   default="summary")
+    p.add_argument("--output-parquet",
+                   help="rows mode: where the row-level diff lands")
+    args = p.parse_args(argv)
+
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    cols = (
+        [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.columns
+        else None
+    )
+    if not keys:
+        p.error("--keys needs at least one column name")
+    if args.mode == "rows" and not args.output_parquet:
+        p.error("--output-parquet is required with --mode rows")
+    if args.mode == "agg" and not cols:
+        p.error("--columns is required with --mode agg")
+
+    cfg, db = _load_db(args.config)
+    source = db.load(args.table)
+    if args.target_config:
+        _, tdb = _load_db(args.target_config)
+    else:
+        tdb = db
+    target = tdb.load(args.target_table or args.table)
+
+    if args.mode == "agg":
+        from .operators.datadiff import agg_compare
+
+        rows = agg_compare(source, target, cols).collect()
+        mismatched = [r for r in rows if not r["is_match"]]
+        for r in rows:
+            mark = "ok" if r["is_match"] else "MISMATCH"
+            print(
+                f"{r['column_name']}.{r['metric']}: "
+                f"{r['source_value']} vs {r['target_value']} [{mark}]"
+            )
+        print(f"{len(mismatched)} of {len(rows)} checks mismatched")
+        return 1 if mismatched else 0
+    if args.mode == "rows":
+        from pyspark.sql import functions as F
+
+        from .operators.datadiff import table_diff
+
+        d = table_diff(source, target, keys, compare_cols=cols)
+        d.filter(F.col("diff_status") != "identical").write.mode(
+            "overwrite"
+        ).parquet(args.output_parquet)
+        n = db.spark.read.parquet(args.output_parquet).count()
+        print(f"{n} differing rows written to {args.output_parquet}")
+        return 0
+    from .operators.datadiff import diff_summary
+
+    rows = diff_summary(source, target, keys, compare_cols=cols).collect()
+    diffs = 0
+    for r in rows:
+        print(f"{r['item']}: {r['n_rows']}")
+        if r["item"] in ("added", "removed", "changed"):
+            diffs += r["n_rows"]
+    print(f"{diffs} rows differ")
+    return 1 if diffs else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -1168,6 +1253,7 @@ def main(argv: list[str] | None = None) -> int:
         "profile": tool_profile,
         "dedupindex": tool_dedupindex,
         "statstore": tool_statstore,
+        "datadiff": tool_datadiff,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

@@ -601,3 +601,62 @@ def test_statstore_cli(spark, sf_dir, tmp_path, capsys):
     html = open(out_html).read()
     # two appends of the same 5-row region table -> n_rows 10 per col
     assert '"n_rows": 10' in html and "r_regionkey" in html
+
+
+def test_cli_datadiff(spark, tmp_path, capsys):
+    """datadiff end to end: identical tables exit 0; a perturbed copy
+    exits 1 with the right summary; agg mode flags the checksum."""
+    src_dir = tmp_path / "src"
+    tgt_dir = tmp_path / "tgt"
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST(id * 2 AS DOUBLE) AS v", "'x' AS s"
+    )
+    df.write.parquet(str(src_dir / "t.parquet"))
+    # target: drop k=7, change v at k=3
+    df.filter("k <> 7").selectExpr(
+        "k", "CASE WHEN k = 3 THEN v + 1 ELSE v END AS v", "s"
+    ).write.parquet(str(tgt_dir / "t.parquet"))
+    scfg = _write(
+        tmp_path / "s.yaml",
+        f"connection:\n  type: parquet\n  path: {src_dir}\n",
+    )
+    tcfg = _write(
+        tmp_path / "t.yaml",
+        f"connection:\n  type: parquet\n  path: {tgt_dir}\n",
+    )
+
+    # identical: exit 0
+    assert main([
+        "datadiff", "--config", scfg, "--table", "t", "--keys", "k",
+    ]) == 0
+    assert "0 rows differ" in capsys.readouterr().out
+
+    # differing: exit 1, summary names the changed column
+    assert main([
+        "datadiff", "--config", scfg, "--table", "t",
+        "--target-config", tcfg, "--keys", "k",
+    ]) == 1
+    out = capsys.readouterr().out
+    assert "removed: 1" in out and "changed: 1" in out
+    assert "column:v: 1" in out and "2 rows differ" in out
+
+    # agg mode: mismatch on count and sum, exit 1
+    assert main([
+        "datadiff", "--config", scfg, "--table", "t",
+        "--target-config", tcfg, "--keys", "k", "--mode", "agg",
+        "--columns", "v",
+    ]) == 1
+    out = capsys.readouterr().out
+    assert "MISMATCH" in out
+
+    # rows mode writes only differing rows
+    rows_out = str(tmp_path / "diffrows")
+    assert main([
+        "datadiff", "--config", scfg, "--table", "t",
+        "--target-config", tcfg, "--keys", "k", "--mode", "rows",
+        "--output-parquet", rows_out,
+    ]) == 0
+    back = {r["k"]: r for r in spark.read.parquet(rows_out).collect()}
+    assert set(back) == {3, 7}
+    assert back[3]["diff_status"] == "changed"
+    assert back[7]["diff_status"] == "removed"
