@@ -46,7 +46,21 @@ def rolling_anomaly(
     hourly = events.groupBy(
         F.col(key_col), hour.alias("hour_ts")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return score_hourly_counts(
+        hourly, key_col=key_col, lookback=lookback, z_threshold=z_threshold
+    )
 
+
+def score_hourly_counts(
+    hourly: DataFrame,
+    key_col: str = "event_type",
+    lookback: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Score a pre-bucketed (key, hour_ts, n_events) frame — the shared
+    back half of ``rolling_anomaly`` and the streaming twin
+    (streaming/anomaly.py), so batch and stream flag the identical
+    anomalies by construction."""
     w = (
         Window.partitionBy(key_col)
         .orderBy("hour_ts")

@@ -1516,6 +1516,21 @@ ORDER BY event_type, hour_ts
 """
 
 
+def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_anomaly (streaming/anomaly.py):
+    watermarked hourly-count aggregation over the drained event stream,
+    scored by the SAME batch scorer — stream and batch flag identical
+    anomalies, proven by sharing the batch oracle."""
+    from .catalog import table_path
+    from .streaming.anomaly import streaming_anomaly
+
+    _ensure_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return streaming_anomaly(
+        spark, table_path(sf_dir, "events"), lookback=24, z_threshold=3.0
+    ).orderBy("event_type", "hour_ts")
+
+
 def q_events_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telemetry debounce dedup (operators/timeseries.py window_dedup):
     drop events whose same-(user, type) predecessor in (ts, event_id)
@@ -3378,6 +3393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "sessionize": q_sessionize,
     "events_anomaly": q_events_anomaly,
+    "streaming_anomaly": q_streaming_anomaly,
     "events_window_dedup": q_events_window_dedup,
     "dq_checks": q_dq_checks,
     "salted_revenue": q_salted_revenue,
@@ -3465,6 +3481,7 @@ ORACLES: dict[str, str] = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "sessionize": SQL_SESSIONIZE,
     "events_anomaly": SQL_EVENTS_ANOMALY,
+    "streaming_anomaly": SQL_EVENTS_ANOMALY,
     "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
     "dq_checks": SQL_DQ_CHECKS,
     "salted_revenue": SQL_SALTED_REVENUE,

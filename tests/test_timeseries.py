@@ -182,3 +182,28 @@ def test_dup_ngram_stats_partial_agg_before_shuffle(spark, sf_dir):
         i for i, ln in enumerate(above) if "Exchange" in ln
     )
     assert agg_i > exch_i  # aggregate is closer to the explode
+
+
+# --- streaming anomaly twin -------------------------------------------------
+
+
+def test_streaming_anomaly_matches_batch_twin(spark, sf_dir):
+    """Stream and batch must flag identical anomalies: the streaming
+    path buckets via a watermarked windowed aggregation, the batch path
+    via groupBy(date_trunc) — both feed the shared scorer."""
+    from dbqt_spark.catalog import load_table, table_path
+    from dbqt_spark.streaming.anomaly import streaming_anomaly
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    batch = sorted(
+        tuple(r)
+        for r in rolling_anomaly(ev, lookback=24, z_threshold=3.0).collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in streaming_anomaly(
+            spark, table_path(sf_dir, "events"), lookback=24, z_threshold=3.0
+        ).collect()
+    )
+    assert batch == stream and len(batch) > 0
