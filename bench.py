@@ -157,6 +157,7 @@ def main() -> None:
         "cross_dedup_index",
         "dedup_first_wins",
         "embedding_nn",
+        "dup_ngram_frac",
         "corr_matrix",
         "value_histogram",
         "profile_numeric",

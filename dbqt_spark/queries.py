@@ -1516,6 +1516,38 @@ ORDER BY event_type, hour_ts
 """
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event value per type — the latency/SLA
+    percentile report. Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` implement the same linear interpolation; the agg
+    is one shuffle on the (tiny) key domain, with the per-group sort
+    happening inside the aggregate buffer. At 100 TB you'd flip to
+    approx_percentile (t-digest) — the profile family's
+    quantile_histogram already demonstrates that scale arm."""
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_PERCENTILES = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_anomaly (streaming/anomaly.py):
     watermarked hourly-count aggregation over the drained event stream,
@@ -3394,6 +3426,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "events_anomaly": q_events_anomaly,
     "streaming_anomaly": q_streaming_anomaly,
+    "events_percentiles": q_events_percentiles,
     "events_window_dedup": q_events_window_dedup,
     "dq_checks": q_dq_checks,
     "salted_revenue": q_salted_revenue,
@@ -3482,6 +3515,7 @@ ORACLES: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "streaming_anomaly": SQL_EVENTS_ANOMALY,
+    "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
     "dq_checks": SQL_DQ_CHECKS,
     "salted_revenue": SQL_SALTED_REVENUE,
