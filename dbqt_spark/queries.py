@@ -227,6 +227,62 @@ SELECT * FROM (
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report
+    (operators/datadiff.py psi_drift): l_extendedprice distribution of
+    the full corpus vs the recent-shipdate slice — per-bin fractions
+    and PSI contributions, equi-width bins over the source min/max.
+    Completes the validation ladder: checksums (agg_compare) ->
+    distribution (psi_drift) -> row level (table_diff)."""
+    from .operators.datadiff import psi_drift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    recent = li.filter(F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+    return psi_drift(li, recent, "l_extendedprice", bins=10)
+
+
+SQL_PSI_DRIFT = """
+WITH bounds AS (
+  SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+         CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), src AS (
+  SELECT CASE WHEN hi > lo THEN LEAST(9, GREATEST(0,
+           CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
+                      / ((hi - lo) / 10)) AS INT)))
+         ELSE 0 END AS bin_idx, COUNT(*) AS n
+  FROM lineitem, bounds WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), tgt AS (
+  SELECT CASE WHEN hi > lo THEN LEAST(9, GREATEST(0,
+           CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
+                      / ((hi - lo) / 10)) AS INT)))
+         ELSE 0 END AS bin_idx, COUNT(*) AS n
+  FROM lineitem, bounds
+  WHERE l_extendedprice IS NOT NULL
+    AND l_shipdate >= TIMESTAMP '1995-06-01'
+  GROUP BY 1
+), dense AS (
+  SELECT CAST(r.range AS INT) AS bin_idx,
+         lo + CAST(r.range AS INT) * (hi - lo) / 10 AS bin_lo,
+         lo + (CAST(r.range AS INT) + 1) * (hi - lo) / 10 AS bin_hi,
+         COALESCE(s.n, 0) AS sn, COALESCE(t.n, 0) AS tn
+  FROM range(10) r CROSS JOIN bounds
+  LEFT JOIN src s ON s.bin_idx = CAST(r.range AS INT)
+  LEFT JOIN tgt t ON t.bin_idx = CAST(r.range AS INT)
+), fr AS (
+  SELECT bin_idx, bin_lo, bin_hi, sn, tn,
+         GREATEST(CAST(sn AS DOUBLE) / SUM(sn) OVER (), 1e-6) AS p,
+         GREATEST(CAST(tn AS DOUBLE) / SUM(tn) OVER (), 1e-6) AS q
+  FROM dense
+)
+SELECT bin_idx, round(bin_lo, 6) AS bin_lo, round(bin_hi, 6) AS bin_hi,
+       CAST(sn AS BIGINT) AS n_source, CAST(tn AS BIGINT) AS n_target,
+       round(p - q, 6) AS frac_diff,
+       round((p - q) * ln(p / q), 6) AS psi_contrib
+FROM fr ORDER BY bin_idx
+"""
+
+
 _AGG_COMPARE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
@@ -3398,6 +3454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_stats": q_file_stats,
     "table_diff": q_table_diff,
     "agg_compare": q_agg_compare,
+    "psi_drift": q_psi_drift,
     "rowcount_filtered": q_rowcount_filtered,
     "count_compare": q_count_compare,
     "profile_lineitem": q_profile_lineitem,
@@ -3487,6 +3544,7 @@ ORACLES: dict[str, str] = {
     "file_stats": SQL_FILE_STATS,
     "table_diff": SQL_TABLE_DIFF,
     "agg_compare": SQL_AGG_COMPARE,
+    "psi_drift": SQL_PSI_DRIFT,
     "rowcount_filtered": SQL_ROWCOUNT_FILTERED,
     "count_compare": SQL_COUNT_COMPARE,
     "profile_lineitem": SQL_PROFILE_LINEITEM,

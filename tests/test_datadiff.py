@@ -126,3 +126,49 @@ def test_agg_compare_one_scan_per_side(spark, sf_dir):
     # all metrics for all columns fuse into ONE aggregate per side
     scans = [ln for ln in tree.splitlines() if "Scan parquet" in ln]
     assert len(scans) == 2
+
+
+def test_psi_drift_identical_distributions(spark):
+    from dbqt_spark.operators.datadiff import psi_drift
+
+    df = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    rows = psi_drift(df, df, "v", bins=10).collect()
+    assert len(rows) == 10
+    assert all(r["psi_contrib"] == 0.0 for r in rows)
+    assert sum(r["n_source"] for r in rows) == 1000
+    # identical sides bin identically
+    assert all(r["n_source"] == r["n_target"] for r in rows)
+
+
+def test_psi_drift_detects_shift(spark):
+    from dbqt_spark.operators.datadiff import psi_drift
+
+    src = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    # target concentrated in the top decile of the source range
+    tgt = spark.range(1000).selectExpr(
+        "CAST(90 + id % 10 AS DOUBLE) AS v"
+    )
+    rows = psi_drift(src, tgt, "v", bins=10).collect()
+    total = sum(r["psi_contrib"] for r in rows)
+    assert total > 0.25  # action-level drift
+    # out-of-range/edge values clamp into bins (no rows lost)
+    assert sum(r["n_target"] for r in rows) == 1000
+
+
+def test_psi_drift_nulls_and_degenerate_range(spark):
+    from dbqt_spark.operators.datadiff import psi_drift
+
+    import pytest as _pytest
+
+    src = spark.createDataFrame(
+        [(1.0,), (None,), (1.0,)], ["v"]
+    )
+    tgt = spark.createDataFrame([(1.0,), (None,)], ["v"])
+    # constant column: hi == lo -> everything lands in bin 0, no
+    # division by zero; nulls excluded from both sides
+    rows = psi_drift(src, tgt, "v", bins=5).collect()
+    b0 = rows[0]
+    assert b0["n_source"] == 2 and b0["n_target"] == 1
+    assert sum(r["n_source"] for r in rows[1:]) == 0
+    with _pytest.raises(ValueError):
+        psi_drift(src, tgt, "v", bins=0)
