@@ -1163,6 +1163,8 @@ def tool_datadiff(argv: list[str]) -> int:
                    default="summary")
     p.add_argument("--output-parquet",
                    help="rows mode: where the row-level diff lands")
+    p.add_argument("--output",
+                   help="also write an HTML report (summary/agg modes)")
     args = p.parse_args(argv)
 
     keys = [k.strip() for k in args.keys.split(",") if k.strip()]
@@ -1198,6 +1200,19 @@ def tool_datadiff(argv: list[str]) -> int:
                 f"{r['source_value']} vs {r['target_value']} [{mark}]"
             )
         print(f"{len(mismatched)} of {len(rows)} checks mismatched")
+        if args.output:
+            from .report.html import HTMLReport
+
+            rep = HTMLReport("datadiff (agg)")
+            rep.add_tab(
+                "Checksum compare",
+                [("column_name", False), ("metric", False),
+                 ("source_value", True), ("target_value", True),
+                 ("is_match", False)],
+                [r.asDict() for r in rows],
+            )
+            rep.save(args.output)
+            print(f"report written to {args.output}")
         return 1 if mismatched else 0
     if args.mode == "rows":
         from pyspark.sql import functions as F
@@ -1220,6 +1235,17 @@ def tool_datadiff(argv: list[str]) -> int:
         if r["item"] in ("added", "removed", "changed"):
             diffs += r["n_rows"]
     print(f"{diffs} rows differ")
+    if args.output:
+        from .report.html import HTMLReport
+
+        rep = HTMLReport("datadiff (summary)")
+        rep.add_tab(
+            "Diff summary",
+            [("item", False), ("n_rows", True)],
+            [r.asDict() for r in rows],
+        )
+        rep.save(args.output)
+        print(f"report written to {args.output}")
     return 1 if diffs else 0
 
 

@@ -660,3 +660,20 @@ def test_cli_datadiff(spark, tmp_path, capsys):
     assert set(back) == {3, 7}
     assert back[3]["diff_status"] == "changed"
     assert back[7]["diff_status"] == "removed"
+
+
+def test_cli_datadiff_html_report(spark, tmp_path, capsys):
+    src_dir = tmp_path / "hsrc"
+    df = spark.range(20).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    df.write.parquet(str(src_dir / "t.parquet"))
+    cfg = _write(
+        tmp_path / "h.yaml",
+        f"connection:\n  type: parquet\n  path: {src_dir}\n",
+    )
+    out = str(tmp_path / "diff.html")
+    assert main([
+        "datadiff", "--config", cfg, "--table", "t", "--keys", "k",
+        "--output", out,
+    ]) == 0
+    html = open(out).read()
+    assert "identical" in html and "Diff summary" in html
