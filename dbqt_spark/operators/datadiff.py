@@ -293,3 +293,74 @@ def psi_drift(
         )
         .orderBy("bin_idx")
     )
+
+
+def psi_drift_categorical(
+    source: DataFrame,
+    target: DataFrame,
+    col: str,
+    top_k: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Categorical PSI: drift over a discrete column's value
+    distribution. The source's ``top_k`` most frequent values (ties
+    broken by value — a total order, so the cut is deterministic)
+    become the categories; everything else, including NULL, folds into
+    ``__other__`` — the standard guard against unbounded category
+    domains blowing up the report (and, at 100 TB, against a
+    high-cardinality column turning a drift check into a giant
+    shuffle: the aggregate is map-side combined and the output is
+    O(top_k)).
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    v = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+    top = (
+        source.select(v.alias("__v"))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("__v").asc())
+        .limit(top_k)
+        .select("__v")
+    )
+
+    def counted(df: DataFrame) -> DataFrame:
+        # left join against the (tiny, broadcast) top-k set; misses
+        # fold into __other__
+        return (
+            df.select(v.alias("__v"))
+            .join(
+                F.broadcast(top.withColumn("__keep", F.lit(True))),
+                "__v",
+                "left",
+            )
+            .select(
+                F.when(F.col("__keep"), F.col("__v"))
+                .otherwise(F.lit("__other__"))
+                .alias("category")
+            )
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    s = counted(source).withColumnRenamed("n", "__sn")
+    t = counted(target).withColumnRenamed("n", "__tn")
+    joined = (
+        s.join(t, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("__sn", F.lit(0)).alias("__sn"),
+            F.coalesce("__tn", F.lit(0)).alias("__tn"),
+        )
+    )
+    stot = F.sum("__sn").over(Window.partitionBy())
+    ttot = F.sum("__tn").over(Window.partitionBy())
+    p = F.greatest(F.col("__sn").cast("double") / stot, F.lit(eps))
+    q = F.greatest(F.col("__tn").cast("double") / ttot, F.lit(eps))
+    return joined.select(
+        "category",
+        F.col("__sn").alias("n_source"),
+        F.col("__tn").alias("n_target"),
+        F.round(p - q, 6).alias("frac_diff"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    ).orderBy("category")

@@ -283,6 +283,55 @@ FROM fr ORDER BY bin_idx
 """
 
 
+def q_psi_drift_cat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI (operators/datadiff.py psi_drift_categorical):
+    does the non-English slice draw from the same source mix as the
+    whole corpus? Top-k source values from the reference side, long
+    tail folded to __other__, O(top_k) output."""
+    from .operators.datadiff import psi_drift_categorical
+
+    docs = load_table(spark, sf_dir, "documents")
+    non_en = docs.filter(F.col("lang") != "en")
+    return psi_drift_categorical(docs, non_en, "source", top_k=20)
+
+
+SQL_PSI_DRIFT_CAT = """
+WITH sv AS (
+  SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS v FROM documents
+), tv AS (
+  SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS v
+  FROM documents WHERE lang <> 'en'
+), top AS (
+  SELECT v FROM (
+    SELECT v, COUNT(*) AS n FROM sv GROUP BY 1
+    ORDER BY n DESC, v ASC LIMIT 20
+  )
+), sc AS (
+  SELECT CASE WHEN v IN (SELECT v FROM top) THEN v
+         ELSE '__other__' END AS category, COUNT(*) AS n
+  FROM sv GROUP BY 1
+), tc AS (
+  SELECT CASE WHEN v IN (SELECT v FROM top) THEN v
+         ELSE '__other__' END AS category, COUNT(*) AS n
+  FROM tv GROUP BY 1
+), j AS (
+  SELECT coalesce(s.category, t.category) AS category,
+         coalesce(s.n, 0) AS sn, coalesce(t.n, 0) AS tn
+  FROM sc s FULL OUTER JOIN tc t ON s.category = t.category
+), fr AS (
+  SELECT category, sn, tn,
+         GREATEST(CAST(sn AS DOUBLE) / SUM(sn) OVER (), 1e-6) AS p,
+         GREATEST(CAST(tn AS DOUBLE) / SUM(tn) OVER (), 1e-6) AS q
+  FROM j
+)
+SELECT category, CAST(sn AS BIGINT) AS n_source,
+       CAST(tn AS BIGINT) AS n_target,
+       round(p - q, 6) AS frac_diff,
+       round((p - q) * ln(p / q), 6) AS psi_contrib
+FROM fr ORDER BY category
+"""
+
+
 _AGG_COMPARE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
@@ -3455,6 +3504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_diff": q_table_diff,
     "agg_compare": q_agg_compare,
     "psi_drift": q_psi_drift,
+    "psi_drift_cat": q_psi_drift_cat,
     "rowcount_filtered": q_rowcount_filtered,
     "count_compare": q_count_compare,
     "profile_lineitem": q_profile_lineitem,
@@ -3545,6 +3595,7 @@ ORACLES: dict[str, str] = {
     "table_diff": SQL_TABLE_DIFF,
     "agg_compare": SQL_AGG_COMPARE,
     "psi_drift": SQL_PSI_DRIFT,
+    "psi_drift_cat": SQL_PSI_DRIFT_CAT,
     "rowcount_filtered": SQL_ROWCOUNT_FILTERED,
     "count_compare": SQL_COUNT_COMPARE,
     "profile_lineitem": SQL_PROFILE_LINEITEM,

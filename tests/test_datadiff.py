@@ -172,3 +172,37 @@ def test_psi_drift_nulls_and_degenerate_range(spark):
     assert sum(r["n_source"] for r in rows[1:]) == 0
     with _pytest.raises(ValueError):
         psi_drift(src, tgt, "v", bins=0)
+
+
+def test_psi_drift_categorical_semantics(spark):
+    from dbqt_spark.operators.datadiff import psi_drift_categorical
+
+    src = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 2 + [(None,)],
+        ["g"],
+    )
+    tgt = spark.createDataFrame(
+        [("a",)] * 2 + [("b",)] * 2 + [("z",)] * 4, ["g"]
+    )
+    # top_k=2 keeps a and b from the SOURCE; c, NULL, and target-only z
+    # fold into __other__
+    rows = {
+        r["category"]: r
+        for r in psi_drift_categorical(src, tgt, "g", top_k=2).collect()
+    }
+    assert set(rows) == {"a", "b", "__other__"}
+    assert rows["a"]["n_source"] == 6 and rows["a"]["n_target"] == 2
+    assert rows["__other__"]["n_source"] == 3  # c x2 + null x1
+    assert rows["__other__"]["n_target"] == 4  # z x4
+    # drift toward __other__ has positive contribution
+    assert rows["__other__"]["psi_contrib"] > 0
+    with pytest.raises(ValueError):
+        psi_drift_categorical(src, tgt, "g", top_k=0)
+
+
+def test_psi_drift_categorical_identical(spark):
+    from dbqt_spark.operators.datadiff import psi_drift_categorical
+
+    df = spark.range(100).selectExpr("CAST(id % 5 AS STRING) AS g")
+    rows = psi_drift_categorical(df, df, "g", top_k=3).collect()
+    assert all(r["psi_contrib"] == 0.0 for r in rows)
