@@ -237,3 +237,55 @@ def file_stats(df: DataFrame, basename_only: bool = True) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 20
+) -> DataFrame:
+    """Pre-join skew diagnosis for a prospective shuffle key: the
+    ``top_k`` heaviest key values with their share of all rows and
+    their size relative to the mean key (``x_avg``). The planning
+    companion to ``salted_agg``/``salted_join`` above — at 100 TB you
+    run this BEFORE the join to decide whether a key needs salting or
+    AQE skew-split will do (a key at 1000x the mean is one straggler
+    task; at roughly uniform x_avg the plain shuffle is fine).
+
+    Scale shape: one map-side-combined count per key (the only
+    row-level shuffle), then the totals reduce over the keyspace-sized
+    count frame and broadcast back as a 1-row join; the top-k cut is a
+    TakeOrdered with a deterministic (count desc, key asc) order, not
+    a full sort.
+    """
+    if not key_cols:
+        raise ValueError("skew_report needs at least one key column")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("__null__"))
+            for c in key_cols
+        ],
+    )
+    counts = (
+        df.select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    totals = counts.groupBy().agg(
+        F.sum("n_rows").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__nkeys"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("__total") / F.col("__nkeys")), 4
+            ).alias("x_avg"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+    )

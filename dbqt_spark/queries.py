@@ -227,6 +227,35 @@ SELECT * FROM (
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (operators/partitioning.py
+    skew_report): the 20 heaviest users in the event stream with share
+    of all rows and size vs the mean key — run before a user-keyed
+    join to pick plain shuffle vs salting."""
+    ev = load_table(spark, sf_dir, "events")
+    from .operators.partitioning import skew_report
+
+    return skew_report(ev, ["user_id"], top_k=20)
+
+
+SQL_SKEW_REPORT = """
+WITH counts AS (
+  SELECT coalesce(CAST(user_id AS VARCHAR), '__null__') AS key,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(n_rows) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS nkeys
+  FROM counts
+)
+SELECT key, n_rows,
+       round(n_rows / total, 6) AS share,
+       round(n_rows / (total / nkeys), 4) AS x_avg
+FROM counts, totals
+ORDER BY n_rows DESC, key ASC LIMIT 20
+"""
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift report
     (operators/datadiff.py psi_drift): l_extendedprice distribution of
@@ -3505,6 +3534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_compare": q_agg_compare,
     "psi_drift": q_psi_drift,
     "psi_drift_cat": q_psi_drift_cat,
+    "skew_report": q_skew_report,
     "rowcount_filtered": q_rowcount_filtered,
     "count_compare": q_count_compare,
     "profile_lineitem": q_profile_lineitem,
@@ -3596,6 +3626,7 @@ ORACLES: dict[str, str] = {
     "agg_compare": SQL_AGG_COMPARE,
     "psi_drift": SQL_PSI_DRIFT,
     "psi_drift_cat": SQL_PSI_DRIFT_CAT,
+    "skew_report": SQL_SKEW_REPORT,
     "rowcount_filtered": SQL_ROWCOUNT_FILTERED,
     "count_compare": SQL_COUNT_COMPARE,
     "profile_lineitem": SQL_PROFILE_LINEITEM,

@@ -171,3 +171,47 @@ def test_file_stats_aggregates_on_scan(spark, sf_dir):
     exch = [i for i, ln in enumerate(lines) if "Exchange" in ln]
     aggs = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
     assert any(a > e for e in exch for a in aggs)
+
+
+def test_skew_report_identifies_hot_key(spark):
+    from dbqt_spark.operators.partitioning import skew_report
+
+    import pytest as _pytest
+
+    # 900 rows on key 0, 10 each on keys 1..10
+    df = spark.range(1000).selectExpr(
+        "CASE WHEN id < 900 THEN 0 ELSE 1 + id % 10 END AS k"
+    )
+    rows = skew_report(df, ["k"], top_k=3).collect()
+    assert rows[0]["key"] == "0" and rows[0]["n_rows"] == 900
+    assert rows[0]["share"] == 0.9
+    # 11 keys, mean ~90.9 rows -> the hot key is ~9.9x the average
+    assert rows[0]["x_avg"] == round(900 / (1000 / 11), 4)
+    # deterministic tie-break among the 10-row keys: key asc
+    assert [r["key"] for r in rows[1:]] == ["1", "10"]
+
+
+def test_skew_report_composite_and_null_keys(spark):
+    from dbqt_spark.operators.partitioning import skew_report
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (None, "b")], ["x", "y"]
+    )
+    rows = skew_report(df, ["x", "y"], top_k=10).collect()
+    assert rows[0]["key"] == "1|a" and rows[0]["n_rows"] == 2
+    assert rows[1]["key"] == "__null__|b"
+    with _pytest.raises(ValueError):
+        skew_report(df, [], top_k=5)
+    with _pytest.raises(ValueError):
+        skew_report(df, ["x"], top_k=0)
+
+
+def test_skew_report_takeordered_not_full_sort(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.partitioning import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(skew_report(ev, ["user_id"], top_k=20))
+    assert "TakeOrderedAndProject" in plan  # top-k cut, no global Sort
