@@ -163,6 +163,55 @@ def run_ref_integrity(
     )
 
 
+def run_drift_check(
+    spark: SparkSession,
+    df: DataFrame,
+    check: Check,
+    baseline_df: DataFrame,
+) -> DataFrame:
+    """Distribution-drift check: total PSI of ``check.column`` in the
+    checked table against the baseline table's distribution
+    (operators/datadiff.py). ``params``: ``baseline_table`` (required),
+    ``threshold`` (default 0.25 — the standard action level), ``bins``
+    (numeric, default 10) or ``categorical: true`` with ``top_k``.
+    The measured PSI lands in ``detail`` (computed, not static — unlike
+    the fused aggregate checks this one owns its plan, like
+    ref_integrity)."""
+    from .datadiff import psi_drift, psi_drift_categorical
+
+    p = check.params
+    threshold = float(p.get("threshold", 0.25))
+    if p.get("categorical"):
+        rep = psi_drift_categorical(
+            baseline_df, df, check.column, top_k=int(p.get("top_k", 20))
+        )
+    else:
+        rep = psi_drift(
+            baseline_df, df, check.column, bins=int(p.get("bins", 10))
+        )
+    tot = rep.groupBy().agg(
+        F.round(F.sum("psi_contrib"), 6).alias("__psi"),
+        F.sum("n_target").cast("long").alias("__total"),
+    )
+    return tot.select(
+        F.lit(check.name).alias("check_name"),
+        F.lit(check.table).alias("table_name"),
+        F.lit(check.column).cast("string").alias("column_name"),
+        F.lit(check.kind).alias("kind"),
+        F.col("__total").cast("long").alias("total_rows"),
+        F.when(F.col("__psi") > threshold, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("violations"),
+        (F.col("__psi") <= threshold).alias("passed"),
+        F.concat(
+            F.lit("psi="),
+            F.col("__psi").cast("string"),
+            F.lit(f" threshold={threshold}"),
+        ).cast("string").alias("detail"),
+    )
+
+
 def run_checks(
     spark: SparkSession,
     tables: dict[str, DataFrame],
@@ -176,9 +225,12 @@ def run_checks(
     errors: list[tuple] = []
     by_table: dict[str, list[Check]] = {}
     ref_checks: list[Check] = []
+    drift_checks: list[Check] = []
     for c in checks:
         if c.kind == "ref_integrity":
             ref_checks.append(c)
+        elif c.kind == "drift":
+            drift_checks.append(c)
         elif c.kind in _AGG_KINDS:
             by_table.setdefault(c.table, []).append(c)
         else:
@@ -205,6 +257,21 @@ def run_checks(
         parts.append(
             run_ref_integrity(
                 spark, tables[c.table], c, tables[c.params["ref_table"]]
+            )
+        )
+    for c in drift_checks:
+        if (
+            c.table not in tables
+            or c.params.get("baseline_table") not in tables
+        ):
+            errors.append(
+                (c.name, c.table, c.column, c.kind, None, None, False,
+                 "ERROR: unknown table")
+            )
+            continue
+        parts.append(
+            run_drift_check(
+                spark, tables[c.table], c, tables[c.params["baseline_table"]]
             )
         )
     if errors:

@@ -102,3 +102,33 @@ def test_yaml_suite(tmp_path, spark, frames):
     assert [c.name for c in checks] == ["nn", "rng"]
     out = run_checks(spark, frames, checks).collect()
     assert len(out) == 2
+
+
+def test_drift_check_kind(spark):
+    baseline = spark.range(1000).selectExpr(
+        "CAST(id % 100 AS DOUBLE) AS v", "CAST(id % 5 AS STRING) AS g"
+    )
+    same = baseline
+    shifted = spark.range(1000).selectExpr(
+        "CAST(90 + id % 10 AS DOUBLE) AS v", "'9' AS g"
+    )
+    frames = {"base": baseline, "same": same, "shifted": shifted}
+    got = _run(spark, frames, [
+        {"name": "stable", "table": "same", "kind": "drift", "column": "v",
+         "params": {"baseline_table": "base"}},
+        {"name": "drifted", "table": "shifted", "kind": "drift",
+         "column": "v", "params": {"baseline_table": "base"}},
+        {"name": "cat_drift", "table": "shifted", "kind": "drift",
+         "column": "g",
+         "params": {"baseline_table": "base", "categorical": True,
+                    "top_k": 3}},
+        {"name": "no_base", "table": "same", "kind": "drift", "column": "v",
+         "params": {"baseline_table": "missing"}},
+    ])
+    assert got["stable"]["passed"] is True
+    assert got["stable"]["detail"].startswith("psi=0.0 ")
+    assert got["drifted"]["passed"] is False
+    assert got["drifted"]["violations"] == 1
+    assert float(got["drifted"]["detail"].split()[0][4:]) > 0.25
+    assert got["cat_drift"]["passed"] is False
+    assert got["no_base"]["detail"] == "ERROR: unknown table"
