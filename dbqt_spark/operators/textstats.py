@@ -673,7 +673,15 @@ def dup_ngram_stats(
     a reduce back to one row per doc. At extreme scale, shuffle bytes
     drop further by shipping ``xxhash64(ngram)`` instead of the string
     — same plan, narrower key; kept as the string here so the DuckDB
-    oracle is bit-for-bit (no cross-engine hash exists).
+    oracle is bit-for-bit (no cross-engine hash exists). Skew note: a
+    pathologically hot n-gram ("of the and" in billions of docs)
+    concentrates its distinct-(doc, ngram) rows in one window
+    partition; the needed predicate is only ``ndocs >= 2``, so at that
+    scale pre-mark ngrams whose PARTIAL per-partition doc count
+    already exceeds 1 (any two docs in one map partition prove
+    duplication without a global count) and exclude them from the
+    window — the same df-cap idea as ngram_jaccard's
+    ``max_shingle_df``.
     """
     from pyspark.sql import Window
 
