@@ -164,6 +164,7 @@ def main() -> None:
         "profile_lineitem",
         "streaming_dedup",
         "streaming_hourly_profile",
+        "streaming_anomaly",
         "keyfinder_search",
         "count_compare",
         "colcompare",
