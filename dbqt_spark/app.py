@@ -468,11 +468,19 @@ def tool_checks(argv: list[str]) -> int:
 
     cfg, db = _load_db(args.config)
     checks = load_check_suite(args.suite)
-    needed = {c.table for c in checks} | {
-        c.params.get("ref_table")
-        for c in checks
-        if c.kind == "ref_integrity"
-    }
+    needed = (
+        {c.table for c in checks}
+        | {
+            c.params.get("ref_table")
+            for c in checks
+            if c.kind == "ref_integrity"
+        }
+        | {
+            c.params.get("baseline_table")
+            for c in checks
+            if c.kind == "drift"
+        }
+    )
     tables = {}
     for t in needed:
         if not t:
