@@ -663,28 +663,34 @@ def dup_ngram_stats(
     many of those occurrences are of duplicated n-grams, and the
     fraction (0 for docs with < n tokens).
 
-    Scale shape (100 TB): ONE corpus scan. Explode -> map-side-combined
-    hash aggregate to distinct (doc, ngram) pairs with occurrence
-    counts, then the per-ngram document frequency comes from a COUNT
-    window over the ngram partition — not a self-join, which would
-    re-derive the explode and scan the corpus twice (the first draft
-    did; ``.explain`` showed two parquet scans). Two shuffles total
-    ((doc, ngram) agg, then ngram window), both on natural keys, then
-    a reduce back to one row per doc. At extreme scale, shuffle bytes
-    drop further by shipping ``xxhash64(ngram)`` instead of the string
-    — same plan, narrower key; kept as the string here so the DuckDB
-    oracle is bit-for-bit (no cross-engine hash exists). Skew note: a
-    pathologically hot n-gram ("of the and" in billions of docs)
-    concentrates its distinct-(doc, ngram) rows in one window
-    partition; the needed predicate is only ``ndocs >= 2``, so at that
-    scale pre-mark ngrams whose PARTIAL per-partition doc count
-    already exceeds 1 (any two docs in one map partition prove
-    duplication without a global count) and exclude them from the
-    window — the same df-cap idea as ngram_jaccard's
-    ``max_shingle_df``.
-    """
-    from pyspark.sql import Window
+    Scale shape (100 TB): ONE corpus scan and NO skew-prone operator.
+    Explode -> map-side-combined hash aggregate to distinct (doc,
+    ngram) pairs with occurrence counts. The needed per-ngram predicate
+    is only ``ndocs >= 2``, so instead of a per-ngram COUNT window
+    (whose PARTITION BY __ngram would concentrate every distinct
+    (doc, ngram) row of a pathologically hot n-gram — "of the and" in
+    billions of docs — into ONE partition), we use the complement:
 
+        n_dup_ngrams(doc) = n_ngrams(doc) - occurrences of ngrams
+                            UNIQUE to that doc (ndocs == 1)
+
+    Unique ngrams are found with a plain ``groupBy(__ngram)`` carrying
+    ``count``/``min(doc)``/``sum(occ)`` — all algebraic, so Spark's
+    partial (map-side) aggregation collapses a hot ngram to one partial
+    row per map partition before the exchange: the reducer for "of the
+    and" receives at most num_partitions rows, never num_docs rows. A
+    singleton ngram (the only kind we materialize per-row downstream)
+    has exactly one (doc, ngram) row by definition, so ``min(doc)`` /
+    ``sum(occ)`` ARE its doc and occurrence count. Every remaining
+    shuffle (per-doc rollups, final join) is keyed by doc, which is
+    bounded by document length, not corpus frequency. The (doc, ngram)
+    aggregate feeds both branches through one reused exchange — the
+    corpus is still scanned and exploded exactly once. At extreme
+    scale, shuffle bytes drop further by shipping ``xxhash64(ngram)``
+    instead of the string — same plan, narrower key; kept as the
+    string here so the DuckDB oracle is bit-for-bit (no cross-engine
+    hash exists).
+    """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
@@ -693,25 +699,46 @@ def dup_ngram_stats(
         f"ELSE transform(sequence(1, size(__toks) - {n} + 1), "
         f"i -> array_join(slice(__toks, i, {n}), ' ')) END"
     )
+    # NULL-id docs are excluded up front: they could never be reported
+    # (the final join on id never matches a NULL key) — and making the
+    # filter explicit keeps BOTH consumers of the (doc, ngram) aggregate
+    # plan-identical, so ReuseExchange shares one explode+shuffle instead
+    # of Catalyst pushing isnotnull into only the join-build branch and
+    # forcing a second corpus scan.
     exploded = (
-        df.select(F.col(id_col), toks.alias("__toks"))
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__toks"))
         .select(id_col, F.explode(grams).alias("__ngram"))
     )
-    # Per-(doc, ngram) occurrence counts first: shrinks the window
-    # input to distinct pairs and makes n_docs a cheap COUNT(*) per
-    # ngram partition.
+    # Per-(doc, ngram) occurrence counts first: one shuffle to distinct
+    # pairs; both downstream branches re-read this exchange (ReuseExchange),
+    # so the corpus is exploded exactly once.
     per_doc_gram = exploded.groupBy(id_col, "__ngram").agg(
         F.count(F.lit(1)).alias("__occ")
     )
-    wn = Window.partitionBy("__ngram")
-    joined = per_doc_gram.withColumn(
-        "__ndocs", F.count(F.lit(1)).over(wn)
+    # Skew-free doc frequency: partial-aggregated groupBy, NOT a
+    # PARTITION BY __ngram window. min(doc)/sum(occ) identify the owning
+    # doc and its occurrences exactly when __ndocs == 1 — the only rows
+    # the next stage consumes.
+    ngram_summary = per_doc_gram.groupBy("__ngram").agg(
+        F.count(F.lit(1)).alias("__ndocs"),
+        F.min(id_col).alias(id_col),
+        F.sum("__occ").alias("__occ"),
     )
-    stats = joined.groupBy(id_col).agg(
-        F.sum("__occ").cast("long").alias("n_ngrams"),
-        F.sum(F.when(F.col("__ndocs") >= 2, F.col("__occ")).otherwise(0))
-        .cast("long")
-        .alias("n_dup_ngrams"),
+    uniq_occ = (
+        ngram_summary.filter(F.col("__ndocs") == 1)
+        .groupBy(id_col)
+        .agg(F.sum("__occ").cast("long").alias("__uniq_occ"))
+    )
+    totals = per_doc_gram.groupBy(id_col).agg(
+        F.sum("__occ").cast("long").alias("n_ngrams")
+    )
+    stats = totals.join(uniq_occ, id_col, "left").select(
+        id_col,
+        "n_ngrams",
+        (
+            F.col("n_ngrams") - F.coalesce("__uniq_occ", F.lit(0))
+        ).cast("long").alias("n_dup_ngrams"),
     )
     # Left join back to the full doc list so < n-token docs emit zeros.
     return (

@@ -164,13 +164,14 @@ def test_dup_ngram_stats_partial_agg_before_shuffle(spark, sf_dir):
     from dbqt_spark.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    plan = formatted_plan(dup_ngram_stats(docs))
+    stats = dup_ngram_stats(docs)
+    plan = formatted_plan(stats)
     tree = plan.split("\n\n")[0]
-    # ONE explode over ONE text scan: the doc-frequency side must come
-    # from the ngram-partition window, never a self-join that re-derives
-    # the explode (two corpus scans at 100 TB — the first draft's plan)
-    assert sum("Generate" in ln for ln in tree.splitlines()) == 1
-    assert "Window" in tree
+    # NO per-ngram window anywhere: a PARTITION BY __ngram window puts
+    # every distinct (doc, ngram) row of a hot n-gram into ONE
+    # partition. The skew-free plan uses only partial-aggregated
+    # groupBys (hot ngrams collapse map-side) and doc-keyed shuffles.
+    assert "Window" not in tree
     # explode output partially aggregates to distinct (doc, ngram)
     # before any exchange: Generate is the deepest text producer and a
     # HashAggregate sits between it and the first Exchange above it
@@ -182,6 +183,40 @@ def test_dup_ngram_stats_partial_agg_before_shuffle(spark, sf_dir):
         i for i, ln in enumerate(above) if "Exchange" in ln
     )
     assert agg_i > exch_i  # aggregate is closer to the explode
+    # the per-ngram doc-frequency groupBy itself partially aggregates
+    # before its exchange (hot ngrams collapse to one partial per map
+    # partition — the skew escape)
+    assert any(
+        "partial_count" in blk and "partial_min" in blk
+        for blk in plan.split("\n\n")
+    )
+    # ONE explode over ONE text scan at runtime: both consumers of the
+    # (doc, ngram) aggregate share its shuffle via AQE stage reuse —
+    # never a self-join that re-derives the explode (two corpus scans
+    # at 100 TB). Static plans show two branches; the executed adaptive
+    # plan must collapse them.
+    stats.collect()
+    executed = stats._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "ReusedExchange" in executed
+
+
+def test_dup_ngram_stats_hot_ngram(spark):
+    # a pathologically hot n-gram shared by EVERY doc: correctness must
+    # hold and the per-ngram doc-frequency must come from partial
+    # aggregation, not a window partition holding all n rows
+    n_docs = 200
+    rows = [
+        (i, f"of the and unique{i} tail{i} word{i}") for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dup_ngram_stats(docs, n=3).collect()}
+    assert len(out) == n_docs
+    for i in range(n_docs):
+        # 4 trigrams per doc; only 'of the and' is cross-doc duplicated
+        assert out[i]["n_ngrams"] == 4
+        assert out[i]["n_dup_ngrams"] == 1
+        assert out[i]["dup_ngram_frac"] == 0.25
 
 
 # --- streaming anomaly twin -------------------------------------------------
