@@ -1060,6 +1060,18 @@ def tool_dedupindex(argv: list[str]) -> int:
                    help="query: exact-Jaccard verify threshold")
     p.add_argument("--output-parquet", help="query: write hit pairs here")
     p.add_argument("--output", help="query: HTML report path")
+    p.add_argument(
+        "--corpus-location",
+        help="build: record where the corpus parquet lives so queries "
+        "can resolve verify texts (the index stores bands only, never "
+        "corpus text)",
+    )
+    p.add_argument(
+        "--corpus-table",
+        help="query: comma-separated table name(s) holding the indexed "
+        "corpus texts (loaded via --config and unioned); defaults to "
+        "the corpus_location recorded at build time",
+    )
     args = p.parse_args(argv)
 
     from .operators.minhash_index import (
@@ -1082,6 +1094,7 @@ def tool_dedupindex(argv: list[str]) -> int:
         minhash_index_write(
             df, args.index_path, text_col=args.text_column,
             id_col=args.id_column, drop_stats=stats,
+            corpus_location=args.corpus_location,
         )
         print(f"Index built at {args.index_path}")
     elif args.action == "append":
@@ -1093,10 +1106,19 @@ def tool_dedupindex(argv: list[str]) -> int:
     else:
         from .report.html import HTMLReport
 
+        corpus = None
+        if args.corpus_table:
+            from functools import reduce
+
+            frames = [
+                db.load(t.strip())
+                for t in args.corpus_table.split(",") if t.strip()
+            ]
+            corpus = reduce(lambda a, b: a.unionByName(b), frames)
         hits = minhash_index_query(
             df, args.index_path, threshold=args.threshold,
             text_col=args.text_column, id_col=args.id_column,
-            drop_stats=stats,
+            drop_stats=stats, corpus=corpus,
         )
         if args.output_parquet:
             hits.write.mode("overwrite").parquet(args.output_parquet)

@@ -9,22 +9,50 @@ promoted to a first-class write/append/query/compact lifecycle
 (mirroring the ANN stores' ``lsh_write``/``ivf_append`` contracts in
 ``operators/similarity.py``).
 
-Layout at ``path``::
+Layout at ``path`` (v2)::
 
-    bands/      parquet (corpus_id, band_key)   band_key = xxhash64(band_id, band_hash)
-    docs/       parquet (corpus_id, text)       for the exact-Jaccard verify
-    meta.json   banding parameters + format tag
+    meta.json       banding parameters + format tag + generation N +
+                    optional corpus_location — the MANIFEST: readers
+                    resolve data dirs through it
+    bands-<N>/      parquet (corpus_id, band_key)
+
+The index stores NO corpus content. v1 kept a ``docs/`` directory of
+``(corpus_id, text)`` for the exact-Jaccard verify — a second copy of
+the ENTIRE corpus inside the index (~100 TB against a 100 TB corpus).
+Storing per-doc shingle-hash sets instead was measured WORSE for
+prose-length docs (64-bit hashes of ~1 distinct shingle per token cost
+~8 B/token; parquet-compressed text costs ~2-3 B/token — the hash
+arrays came out ~3x the text bytes on the synthetic corpus). The
+scale-correct representation is a POINTER: the verify reads texts from
+the corpus the caller already stores exactly once — either a frame
+passed to ``minhash_index_query(corpus=...)`` or the parquet path
+recorded in the manifest at write time (``corpus_location``). The
+index itself holds just ``bands`` per doc — a fixed ~(16 bands x 16 B)
+per doc, independent of document length, a vanishing fraction of any
+real corpus. The caller's contract: the corpus at that pointer still
+contains every indexed (id, text) row — the same immutability
+data lakes already guarantee for any derived artifact.
+
+Commit protocol (object-store safe): data is only ever written under
+generation-unique directory names; ``meta.json`` is (re)written LAST
+and is the single commit point. ``os.rename`` is never used — object
+stores don't honor atomic directory renames. A crash before the meta
+write leaves the old manifest pointing at the old (complete)
+generation; orphan ``bands-*`` dirs from crashed writes/compactions
+are garbage, not corruption, and are swept by the next write/compact.
 
 Scale shape of a query: the crawl is band-hashed in ONE Arrow pass
 (``dedup.minhash_band_hashes``), its (id, band_key) rows BROADCAST
 against the band scan — the index side is read in place with no shuffle
 at any index size (the same plan property as the streaming gate's
-candidate join) — and only candidate-involved index docs are ever
-tokenized for the verify (``dedup._attach_texts_and_verify``'s
-broadcast invariant). Bucket caps apply symmetrically: the stored bands
-are capped per append batch, the query side per probe, with drops
-observable through ``drop_stats`` ({'query': ..., 'index': ...} — the
-same accounting parity as ``minhash_cross_near_duplicates``).
+candidate join) — and the verify is ``dedup._attach_texts_and_verify``,
+the SAME kernel as the live-frames operator and the streaming gate
+(verdict parity by construction): only candidate-involved docs' texts
+ever move, via id-pruned scans of the crawl and the corpus pointer.
+Bucket caps apply symmetrically: the stored bands are capped per
+append batch, the query side per probe, with drops observable through
+``drop_stats`` ({'query': ..., 'index': ...} — the same accounting
+parity as ``minhash_cross_near_duplicates``).
 """
 
 from __future__ import annotations
@@ -44,14 +72,15 @@ from .dedup import (
 )
 
 MINHASH_INDEX_BUCKETS = 32
+_FORMAT = "minhash_index_v2"
 
 
-def _paths(path: str) -> tuple[str, str, str]:
-    return (
-        os.path.join(path, "bands"),
-        os.path.join(path, "docs"),
-        os.path.join(path, "meta.json"),
-    )
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "meta.json")
+
+
+def _bands_dir(path: str, generation: int) -> str:
+    return os.path.join(path, f"bands-{generation}")
 
 
 def _band_key_rows(
@@ -75,14 +104,33 @@ def _band_key_rows(
 
 
 def _load_meta(path: str) -> dict:
-    _, _, meta_path = _paths(path)
+    meta_path = _meta_path(path)
     if not os.path.exists(meta_path):
         raise ValueError(
             f"no MinHash index at {path} (meta.json missing) — build one "
             "with minhash_index_write first"
         )
     with open(meta_path) as f:
-        return json.load(f)
+        meta = json.load(f)
+    if meta.get("store_format") != _FORMAT:
+        raise ValueError(
+            f"MinHash index at {path} has store_format="
+            f"{meta.get('store_format')!r}, expected {_FORMAT!r} — rebuild "
+            "with minhash_index_write (v1 duplicated corpus text into the "
+            "index; v2 stores bands only and resolves texts through a "
+            "corpus pointer)"
+        )
+    return meta
+
+
+def _sweep_orphans(path: str, keep_generation: int) -> None:
+    """Best-effort removal of band dirs not referenced by the manifest
+    (crashed writes/compactions). Never touches the current generation."""
+    keep = os.path.basename(_bands_dir(path, keep_generation))
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if os.path.isdir(full) and name.startswith("bands-") and name != keep:
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def minhash_index_write(
@@ -95,12 +143,27 @@ def minhash_index_write(
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
     drop_stats: dict | None = None,
+    corpus_location: str | None = None,
 ) -> None:
-    """Build the index from a corpus: band rows + doc texts + meta.
-    Overwrites an existing index at ``path``. Oversized band buckets
-    are dropped (observable via ``drop_stats``) so no stored bucket is
-    ever a quadratic candidate bomb for future probes."""
-    band_path, doc_path, meta_path = _paths(path)
+    """Build the index from a corpus: band rows + manifest. Overwrites
+    an existing index at ``path`` by committing a NEW generation (the
+    old one becomes an orphan and is swept). Oversized band buckets are
+    dropped (observable via ``drop_stats``) so no stored bucket is ever
+    a quadratic candidate bomb for future probes.
+
+    ``corpus_location`` (optional) records where the corpus parquet
+    lives so ``minhash_index_query`` can resolve verify texts without
+    the caller re-passing the frame. The index never copies the texts."""
+    old_gen = None
+    meta_path = _meta_path(path)
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                old_gen = int(json.load(f).get("generation", 0))
+        except (ValueError, json.JSONDecodeError):
+            old_gen = None
+    generation = (old_gen or 0) + 1
+    band_path = _bands_dir(path, generation)
     banded = _band_key_rows(
         df, "corpus_id", text_col, id_col, num_hashes, bands, shingle_n
     )
@@ -112,18 +175,13 @@ def minhash_index_write(
     else:
         capped = banded
     os.makedirs(path, exist_ok=True)
-    # rebuild ordering: retire the OLD meta before touching data, write
-    # the new meta LAST. A crash mid-rebuild then leaves an index with
-    # no meta.json — a loud _load_meta error — instead of new-parameter
-    # bands under old-parameter meta, which would band every probe with
-    # the stale parameters and silently miss every near-dup.
-    if os.path.exists(meta_path):
-        os.remove(meta_path)
-    _write_bands_and_docs(
-        capped, df, band_path, doc_path, text_col, id_col, "overwrite"
-    )
+    capped.write.mode("overwrite").parquet(band_path)
     if max_bucket_size is not None:
         banded.unpersist()
+    # COMMIT POINT: the manifest write publishes the new generation. A
+    # crash before this line leaves the previous manifest (if any)
+    # pointing at its own complete generation — never new-parameter
+    # bands under old-parameter meta.
     with open(meta_path, "w") as f:
         json.dump(
             {
@@ -131,10 +189,13 @@ def minhash_index_write(
                 "bands": bands,
                 "shingle_n": shingle_n,
                 "max_bucket_size": max_bucket_size,
-                "store_format": "minhash_index_v1",
+                "store_format": _FORMAT,
+                "generation": generation,
+                "corpus_location": corpus_location,
             },
             f,
         )
+    _sweep_orphans(path, generation)
 
 
 def minhash_index_append(
@@ -144,16 +205,22 @@ def minhash_index_append(
     id_col: str = "doc_id",
     drop_stats: dict | None = None,
 ) -> None:
-    """Append a corpus batch to an existing index. The banding
-    parameters come from meta.json — bands computed under different
-    (num_hashes, bands, shingle_n) never equi-join each other, so a
-    parameter drift would silently miss every cross-batch near-dup
-    (same refusal contract as the streaming gate's
+    """Append a corpus batch's bands to the CURRENT generation. The
+    banding parameters come from meta.json — bands computed under
+    different (num_hashes, bands, shingle_n) never equi-join each
+    other, so a parameter drift would silently miss every cross-batch
+    near-dup (same refusal contract as the streaming gate's
     ``_check_store_params``). The per-batch bucket cap is re-applied;
     note a band_key can still accrue up to cap x n_batches rows across
-    appends — the same documented caveat as the gate's store."""
+    appends — the same documented caveat as the gate's store. Bands are
+    the ONLY stored artifact, so the v1 hazard of a partial append
+    (bands committed, docs not — candidates silently dropped at the
+    verify's inner text join) no longer exists; the corpus pointer is
+    the caller's, updated on their side before or after, and an
+    indexed id missing from it fails the probe loudly via
+    ``verify_missing`` accounting in minhash_index_query."""
     meta = _load_meta(path)
-    band_path, doc_path, _ = _paths(path)
+    band_path = _bands_dir(path, int(meta["generation"]))
     banded = _band_key_rows(
         df,
         "corpus_id",
@@ -171,69 +238,34 @@ def minhash_index_append(
         )
     else:
         capped = banded
-    _write_bands_and_docs(
-        capped, df, band_path, doc_path, text_col, id_col, "append"
-    )
+    capped.write.mode("append").parquet(band_path)
     if cap is not None:
         banded.unpersist()
 
 
-def _write_bands_and_docs(
-    capped: DataFrame,
-    df: DataFrame,
-    band_path: str,
-    doc_path: str,
-    text_col: str,
-    id_col: str,
-    mode: str,
-) -> None:
-    """The band and doc writes touch disjoint directories from
-    independent inputs — submitted as CONCURRENT jobs so a build/append
-    pays one scheduling + commit latency, not two (the same shape as
-    the streaming gate's per-batch appends)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _bands() -> None:
-        capped.write.mode(mode).parquet(band_path)
-
-    def _docs() -> None:
-        df.select(
-            F.col(id_col).alias("corpus_id"), F.col(text_col).alias("text")
-        ).write.mode(mode).parquet(doc_path)
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        for f in [pool.submit(_bands), pool.submit(_docs)]:
-            f.result()
-
-
 def minhash_index_compact(spark: SparkSession, path: str) -> None:
     """Rewrite bands into ``MINHASH_INDEX_BUCKETS`` band_key-clustered,
-    key-sorted files and docs into id-clustered files (appends leave
-    files per batch). Offline maintenance, crash-recoverable: the swap
-    is two renames per directory; a crash inside the window parks the
-    data at ``.old`` and the next compaction rolls it back (the same
-    discipline as ``streaming/neardup.compact_store``)."""
-    band_path, doc_path, _ = _paths(path)
-    _load_meta(path)  # existence check
-    for data_path, key in ((band_path, "band_key"), (doc_path, "corpus_id")):
-        old = data_path + ".old"
-        if not os.path.exists(data_path) and os.path.exists(old):
-            os.rename(old, data_path)  # crashed mid-swap: roll back
-        if not os.path.exists(data_path):
-            continue
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        tmp = data_path + ".compact"
-        (
-            spark.read.parquet(data_path)
-            .repartition(MINHASH_INDEX_BUCKETS, key)
-            .sortWithinPartitions(key)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        os.rename(data_path, old)
-        os.rename(tmp, data_path)
-        shutil.rmtree(old)
+    key-sorted files (appends leave files per batch). Offline
+    maintenance, object-store safe: the compacted data lands under a
+    NEW generation's directory name, the manifest is rewritten last
+    (the commit point), and the old generation is swept afterwards. A
+    crash anywhere leaves the manifest pointing at a complete
+    generation; half-written new dirs are orphans the next
+    write/compact removes."""
+    meta = _load_meta(path)
+    old_generation = int(meta["generation"])
+    new_generation = old_generation + 1
+    (
+        spark.read.parquet(_bands_dir(path, old_generation))
+        .repartition(MINHASH_INDEX_BUCKETS, "band_key")
+        .sortWithinPartitions("band_key")
+        .write.mode("overwrite")
+        .parquet(_bands_dir(path, new_generation))
+    )
+    meta["generation"] = new_generation
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta, f)
+    _sweep_orphans(path, new_generation)
 
 
 def minhash_index_query(
@@ -245,12 +277,23 @@ def minhash_index_query(
     max_bucket_size: int | None = 1000,
     drop_stats: dict | None = None,
     broadcast_query: bool = True,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a new crawl against the index: (query_id,
     corpus_id, jaccard) — the ``minhash_cross_near_duplicates`` result
     contract, computed WITHOUT re-banding the corpus. Ids are
     independent keyspaces (no self-pair exclusion); disjointness is the
     caller's contract, exactly as in the live-frames operator.
+
+    ``corpus`` supplies the verify texts (the index stores none): a
+    frame with (``id_col``, ``text_col``) covering every indexed doc.
+    When omitted, the manifest's ``corpus_location`` (recorded by
+    ``minhash_index_write``) is read as parquet. Candidates whose
+    corpus_id is missing from the supplied corpus would otherwise
+    vanish in the verify's inner join — they are counted instead and
+    reported via ``drop_stats['verify_missing']``; a non-zero value
+    means the corpus pointer is stale (fail loudly upstream, don't
+    trust the pair set).
 
     ``broadcast_query=True`` (the default, and the point of an index —
     crawls are batch-sized, the corpus is the big side) broadcasts the
@@ -263,13 +306,17 @@ def minhash_index_query(
     The result is localCheckpoint-ed (no lineage back to the probe
     caches, which are released before returning)."""
     meta = _load_meta(path)
-    band_path, doc_path, _ = _paths(path)
-    # a compaction that crashed between its swap renames parks a dir at
-    # .old — recover rather than probing an absent store
-    for p in (band_path, doc_path):
-        if not os.path.exists(p) and os.path.exists(p + ".old"):
-            os.rename(p + ".old", p)
+    band_path = _bands_dir(path, int(meta["generation"]))
     spark = query_df.sparkSession
+    if corpus is None:
+        loc = meta.get("corpus_location")
+        if not loc:
+            raise ValueError(
+                "minhash_index_query needs verify texts: pass corpus=... "
+                "or build the index with corpus_location set — the index "
+                "stores bands only, never corpus text"
+            )
+        corpus = spark.read.parquet(loc)
     q_bands = _band_key_rows(
         query_df,
         "query_id",
@@ -303,15 +350,25 @@ def minhash_index_query(
         .persist()
     )
     n_cand = cands.count()
+    corpus_docs = corpus.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
+    if drop_stats is not None and n_cand > 0:
+        # stale-pointer guard: candidates whose text the corpus pointer
+        # can no longer supply (left anti join moves only candidate ids)
+        drop_stats["verify_missing"] = (
+            cands.select(F.col("corpus_id").alias("__id"))
+            .distinct()
+            .join(corpus_docs.select("__id"), "__id", "left_anti")
+            .count()
+        )
     verified = _attach_texts_and_verify(
         cands,
         n_cand,
         query_df.select(
             F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
         ),
-        spark.read.parquet(doc_path).select(
-            F.col("corpus_id").alias("__id"), F.col("text").alias("__t")
-        ),
+        corpus_docs,
         "query_id",
         "corpus_id",
         int(meta["shingle_n"]),

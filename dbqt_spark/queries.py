@@ -3358,7 +3358,10 @@ def q_cross_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_index_write(corpus.filter(F.col("doc_id") % 4 == 0), path)
         minhash_index_append(corpus.filter(F.col("doc_id") % 4 == 2), path)
         return minhash_index_query(
-            docs.filter(F.col("doc_id") % 2 == 1), path, threshold=0.5
+            docs.filter(F.col("doc_id") % 2 == 1),
+            path,
+            threshold=0.5,
+            corpus=corpus,
         ).orderBy("query_id", "corpus_id")
     finally:
         shutil.rmtree(path, ignore_errors=True)

@@ -315,7 +315,8 @@ def test_minhash_index_query_matches_live_frames(spark, sf_dir, tmp_path):
         map(
             tuple,
             minhash_index_query(
-                crawl, path, threshold=0.5, drop_stats=stats_q
+                crawl, path, threshold=0.5, drop_stats=stats_q,
+                corpus=corpus,
             ).collect(),
         )
     )
@@ -328,9 +329,10 @@ def test_minhash_index_query_matches_live_frames(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
-    # drop accounting parity: both sides observable
+    # drop accounting parity: both sides observable, pointer not stale
     assert "n_dropped_buckets" in stats_w
     assert "query" in stats_q and "index" in stats_q
+    assert stats_q["verify_missing"] == 0
 
 
 def test_minhash_index_param_drift_refused(spark, sf_dir, tmp_path):
@@ -355,9 +357,14 @@ def test_minhash_index_param_drift_refused(spark, sf_dir, tmp_path):
 
 
 def test_minhash_index_compact_and_crash_recovery(spark, sf_dir, tmp_path):
-    """Compaction rewrites bands+docs into clustered files; a mid-swap
-    crash (dir parked at .old) is rolled back by the next compaction
-    AND by a probe."""
+    """Compaction rewrites bands into clustered files under a NEW
+    generation, committed by the manifest rewrite — no os.rename
+    anywhere (object stores don't honor atomic renames). A crash that
+    wrote data dirs but not the manifest leaves orphans the next
+    write/compact sweeps, while the manifest keeps pointing at a
+    complete generation."""
+    import json
+
     from dbqt_spark.operators.minhash_index import (
         minhash_index_append,
         minhash_index_compact,
@@ -369,16 +376,112 @@ def test_minhash_index_compact_and_crash_recovery(spark, sf_dir, tmp_path):
     path = str(tmp_path / "mhidx")
     minhash_index_write(docs.filter("doc_id % 4 = 0"), path)
     minhash_index_append(docs.filter("doc_id % 4 = 2"), path)
-    bands = os.path.join(path, "bands")
-    n_before = spark.read.parquet(bands).count()
-    assert len(glob.glob(os.path.join(bands, "*.parquet"))) > 1
-    minhash_index_compact(spark, path)
-    assert spark.read.parquet(bands).count() == n_before
+    with open(os.path.join(path, "meta.json")) as f:
+        gen0 = int(json.load(f)["generation"])
+    bands0 = os.path.join(path, f"bands-{gen0}")
+    n_before = spark.read.parquet(bands0).count()
+    assert len(glob.glob(os.path.join(bands0, "*.parquet"))) > 1
 
-    # crash window: bands parked at .old -> probe recovers it
-    os.rename(bands, bands + ".old")
+    # simulate a crashed compaction: an orphan next-generation dir
+    # exists but the manifest still points at gen0
+    os.makedirs(os.path.join(path, f"bands-{gen0 + 1}"))
+
+    minhash_index_compact(spark, path)
+    with open(os.path.join(path, "meta.json")) as f:
+        gen1 = int(json.load(f)["generation"])
+    assert gen1 == gen0 + 1
+    bands1 = os.path.join(path, f"bands-{gen1}")
+    assert spark.read.parquet(bands1).count() == n_before
+    # old generation and orphans swept; only the committed gen remains
+    leftover = {d for d in os.listdir(path) if d.startswith("bands-")}
+    assert leftover == {f"bands-{gen1}"}
+
+    # probe resolves through the manifest after compaction
     got = minhash_index_query(
-        docs.filter("doc_id % 2 = 1").limit(20), path, threshold=0.5
+        docs.filter("doc_id % 2 = 1").limit(20), path, threshold=0.5,
+        corpus=docs,
     )
     got.collect()
-    assert os.path.exists(bands) and not os.path.exists(bands + ".old")
+
+
+def test_minhash_index_stores_no_corpus_content(spark, tmp_path):
+    """The index must NOT duplicate corpus content: only (corpus_id,
+    band_key) rows are stored — a fixed ~bands x 16 B per doc — so for
+    real (KB-sized) documents the index is a small fraction of the
+    corpus bytes."""
+    import json
+
+    from dbqt_spark.operators.minhash_index import minhash_index_write
+
+    # long docs: ~3000 chars each, the shape where storing text (or
+    # per-shingle hashes) would blow the index up
+    rows = [
+        (i, " ".join(f"w{i}_{j} tok{j} common word" for j in range(100)))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus_path = str(tmp_path / "corpus")
+    docs.write.parquet(corpus_path)
+    path = str(tmp_path / "mhidx")
+    minhash_index_write(docs, path, corpus_location=corpus_path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["corpus_location"] == corpus_path
+    gen = int(meta["generation"])
+    stored = spark.read.parquet(os.path.join(path, f"bands-{gen}"))
+    assert dict(stored.dtypes) == {"corpus_id": "bigint",
+                                   "band_key": "bigint"}
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs
+        )
+
+    assert _dir_bytes(path) < 0.5 * _dir_bytes(corpus_path)
+
+
+def test_minhash_index_corpus_pointer_and_stale_guard(spark, sf_dir, tmp_path):
+    """corpus_location recorded at write time resolves verify texts
+    with no corpus= argument; a stale pointer (indexed docs missing
+    from it) is surfaced through drop_stats['verify_missing'] instead
+    of silently dropping candidates in the verify's inner join."""
+    from dbqt_spark.operators.minhash_index import (
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    docs = _mh_docs(spark, sf_dir)
+    corpus = docs.filter("doc_id % 2 = 0")
+    crawl = docs.filter("doc_id % 2 = 1")
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    path = str(tmp_path / "mhidx")
+    minhash_index_write(corpus, path, corpus_location=corpus_path)
+    via_pointer = sorted(
+        map(tuple, minhash_index_query(crawl, path, threshold=0.5).collect())
+    )
+    via_frame = sorted(
+        map(
+            tuple,
+            minhash_index_query(
+                crawl, path, threshold=0.5, corpus=corpus
+            ).collect(),
+        )
+    )
+    assert via_pointer == via_frame and len(via_pointer) > 0
+
+    # stale pointer: drop half the corpus docs from the supplied frame
+    stats: dict = {}
+    partial = corpus.filter("doc_id % 4 = 0")
+    out = minhash_index_query(
+        crawl, path, threshold=0.5, corpus=partial, drop_stats=stats
+    )
+    out.collect()
+    assert stats["verify_missing"] > 0
+
+    # no pointer recorded and no corpus passed -> loud error
+    path2 = str(tmp_path / "mhidx2")
+    minhash_index_write(corpus, path2)
+    with pytest.raises(ValueError, match="stores bands only"):
+        minhash_index_query(crawl, path2, threshold=0.5)

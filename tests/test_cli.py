@@ -560,6 +560,7 @@ def test_dedupindex_cli_lifecycle(spark, tmp_path, capsys):
     outp = str(tmp_path / "hits")
     assert main(["dedupindex", "query", "--index-path", idx,
                  "--config", cfg, "--table", "crawl",
+                 "--corpus-table", "corpus_a,corpus_b",
                  "--threshold", "0.5", "--output-parquet", outp,
                  "--output", str(tmp_path / "q.html")]) == 0
     out = capsys.readouterr().out
@@ -575,6 +576,7 @@ def test_dedupindex_cli_lifecycle(spark, tmp_path, capsys):
     # query still correct after compaction
     assert main(["dedupindex", "query", "--index-path", idx,
                  "--config", cfg, "--table", "crawl",
+                 "--corpus-table", "corpus_a,corpus_b",
                  "--threshold", "0.5", "--output-parquet", outp]) == 0
     hits2 = {
         (r["query_id"], r["corpus_id"])
