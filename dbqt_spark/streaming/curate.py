@@ -17,20 +17,19 @@ stream-specific substitutions:
 
 Everything else (PII redaction, hash-split) is already a pure per-row
 function, so the sink is deterministic per batch and the
-write-to-hidden-dir + atomic-rename publish makes retries REPLACE a
-half-published batch (same contract as ``streaming_decontaminate``).
+manifest-committed publish (``publish.publish_batch`` — object-store
+safe, no renames) makes retries REPLACE a half-published batch (same
+contract as ``streaming_decontaminate``).
 """
 
 from __future__ import annotations
-
-import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.pipeline import CurateConfig
 from ..operators.textstats import _quality_exprs
+from .publish import publish_batch
 
 
 def group_quality_thresholds(
@@ -142,12 +141,7 @@ def streaming_curate(
             weights=cfg.split_weights,
             seed=cfg.seed,
         )
-        inflight = os.path.join(out_dir, f".inflight-{batch_id}")
-        final = os.path.join(out_dir, f"batch_id={batch_id}")
-        out.write.mode("overwrite").parquet(inflight)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(inflight, final)
+        publish_batch(out, out_dir, batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(sink)

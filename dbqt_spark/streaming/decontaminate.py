@@ -13,10 +13,9 @@ same per-batch-partition publish used by ``streaming_minhash_dedup``.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
+
+from .publish import publish_batch
 
 from ..operators.contamination import decontaminate, eval_ngram_hashes
 
@@ -31,12 +30,14 @@ def streaming_decontaminate(
     id_col: str = "doc_id",
 ):
     """Wire decontamination into a stream: every micro-batch's clean
-    rows land in ``out_dir/batch_id=N`` (write-to-hidden-dir + one
-    atomic rename — a retry REPLACES a half-published batch). The eval
-    set's n-gram hashes are computed ONCE and persisted for the
-    stream's lifetime — a long-running stream must not re-tokenize the
-    static benchmark on every trigger. Returns the StreamingQuery; read
-    the output with ``spark.read.parquet(out_dir)`` (partition
+    rows land in ``out_dir/batch_id=N``, committed via the manifest
+    marker (``publish.publish_batch`` — object-store safe, a retry
+    REPLACES a half-published batch). The eval set's n-gram hashes are
+    computed ONCE and persisted for the stream's lifetime — a
+    long-running stream must not re-tokenize the static benchmark on
+    every trigger. Returns the StreamingQuery; read the output with
+    ``publish.read_published`` (crash-consistent) or plain
+    ``spark.read.parquet(out_dir)`` after a clean finish (partition
     discovery surfaces ``batch_id``)."""
     eval_hashes = eval_ngram_hashes(eval_df, n, text_col).persist()
 
@@ -48,12 +49,7 @@ def streaming_decontaminate(
             id_col=id_col,
             eval_hashes=eval_hashes,
         )
-        inflight = os.path.join(out_dir, f".inflight-{batch_id}")
-        final = os.path.join(out_dir, f"batch_id={batch_id}")
-        clean.write.mode("overwrite").parquet(inflight)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(inflight, final)
+        publish_batch(clean, out_dir, batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(sink)

@@ -62,8 +62,28 @@ from ..operators.dedup import (
 )
 
 
+def _read_meta(store_dir: str) -> dict:
+    import json
+
+    meta_path = os.path.join(store_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def _store_paths(store_dir: str) -> tuple[str, str]:
-    return os.path.join(store_dir, "bands"), os.path.join(store_dir, "docs")
+    """(bands dir, docs dir), resolved through the manifest: bands live
+    under a generation-suffixed name once ``compact_store`` has run
+    (generation 0 keeps the legacy plain ``bands`` name so existing
+    stores read unchanged). ``docs`` is append-only and never
+    compacted/renamed, so it needs no generation."""
+    gen = int(_read_meta(store_dir).get("generation", 0))
+    band_name = "bands" if gen == 0 else f"bands-{gen}"
+    return (
+        os.path.join(store_dir, band_name),
+        os.path.join(store_dir, "docs"),
+    )
 
 
 def _check_store_params(
@@ -77,13 +97,6 @@ def _check_store_params(
     import json
 
     meta_path = os.path.join(store_dir, "meta.json")
-    band_path, _ = _store_paths(store_dir)
-    # a compaction that crashed between its two swap renames leaves the
-    # store parked at bands.old — roll it back rather than silently
-    # gating against an absent store (which would re-admit every
-    # previously-accepted document's near-duplicates)
-    if not os.path.exists(band_path) and os.path.exists(band_path + ".old"):
-        os.rename(band_path + ".old", band_path)
     params = {
         "num_hashes": num_hashes,
         "bands": bands,
@@ -152,30 +165,42 @@ def compact_store(spark: SparkSession, store_dir: str) -> None:
     file-level zone maps) can skip files; for the broadcast candidate
     join the win is simply fewer, larger scan splits. Offline
     maintenance: run between gate invocations, not concurrently with
-    one. The swap is two directory renames (the missing-dir window is
-    microseconds, vs. the whole delete under an rmtree-then-rename
-    swap); a crash inside that window leaves ``bands.old`` behind, and
-    the next compaction RECOVERS it rather than letting the gate see an
-    absent store and silently re-admit near-duplicates."""
+    one. Object-store safe (no ``os.rename`` — object stores have no
+    atomic directory rename): the compacted bands land under the NEXT
+    generation's directory name, ``meta.json`` is rewritten LAST as the
+    commit point, and stale generations are swept afterwards. A crash
+    anywhere leaves the manifest pointing at a complete generation — the
+    gate can never see an absent store and silently re-admit
+    near-duplicates; half-written next-generation dirs are orphans the
+    next compaction removes."""
+    import json
+
+    meta = _read_meta(store_dir)
     band_path, _ = _store_paths(store_dir)
-    old = band_path + ".old"
-    if not os.path.exists(band_path) and os.path.exists(old):
-        os.rename(old, band_path)  # crashed mid-swap: roll back
     if not os.path.exists(band_path):
         return
-    if os.path.exists(old):
-        shutil.rmtree(old)  # leftover from a crash after the swap
-    tmp = band_path + ".compact"
+    old_gen = int(meta.get("generation", 0))
+    new_gen = old_gen + 1
+    new_path = os.path.join(store_dir, f"bands-{new_gen}")
     (
         spark.read.parquet(band_path)
         .repartition(NEARDUP_STORE_BUCKETS, "band_key")
         .sortWithinPartitions("band_key")
         .write.mode("overwrite")
-        .parquet(tmp)
+        .parquet(new_path)
     )
-    os.rename(band_path, old)
-    os.rename(tmp, band_path)
-    shutil.rmtree(old)
+    meta["generation"] = new_gen
+    with open(os.path.join(store_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    keep = os.path.basename(new_path)
+    for name in os.listdir(store_dir):
+        full = os.path.join(store_dir, name)
+        if (
+            os.path.isdir(full)
+            and (name == "bands" or name.startswith("bands-"))
+            and name != keep
+        ):
+            shutil.rmtree(full, ignore_errors=True)
 
 
 # The verify kernel is SHARED with the batch operator
@@ -486,14 +511,17 @@ def streaming_minhash_dedup(
 
     Idempotent under micro-batch retries (the foreachBatch contract):
     each batch's survivors land in their own ``out_dir/batch_id=N``
-    partition via write-to-hidden-dir + one atomic ``os.rename``, so a
+    partition, committed by the manifest marker
+    (``publish.publish_batch`` — object-store safe, no renames), so a
     retry REPLACES a half-published batch instead of appending next to
     it — no duplicate output rows in any failure window. The per-batch
     marker then short-circuits fully-processed batches, and the gate
     itself excludes self-pairs so a partially-appended store does not
     change a re-run's survivors. Read the output with
-    ``spark.read.parquet(out_dir)`` — partition discovery surfaces
+    ``publish.read_published`` (crash-consistent) or plain
+    ``spark.read.parquet(out_dir)`` after a clean finish — both surface
     ``batch_id`` as a lineage column."""
+    from .publish import publish_batch
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(store_dir, "_batches", f"{batch_id}.done")
@@ -502,17 +530,15 @@ def streaming_minhash_dedup(
         kept = minhash_gate_batch(
             batch_df, store_dir, threshold, text_col, id_col
         )
-        # stage under a dot-prefixed name (ignored by Spark's file
-        # index), publish with one atomic dir rename, THEN write the
-        # marker: every crash window re-runs into the same final dir.
-        inflight = os.path.join(out_dir, f".inflight-{batch_id}")
-        final = os.path.join(out_dir, f"batch_id={batch_id}")
-        kept.withColumnRenamed("id", id_col).withColumnRenamed(
-            "text", text_col
-        ).write.mode("overwrite").parquet(inflight)
-        if os.path.exists(final):  # half-published by a failed attempt
-            shutil.rmtree(final)
-        os.rename(inflight, final)
+        # publish the output, THEN write the gate marker: every crash
+        # window re-runs into the same final state.
+        publish_batch(
+            kept.withColumnRenamed("id", id_col).withColumnRenamed(
+                "text", text_col
+            ),
+            out_dir,
+            batch_id,
+        )
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as f:
             f.write("")

@@ -366,6 +366,11 @@ def test_neardup_store_compaction_roundtrip(spark, tmp_path):
     assert band_files(band_path)
     rows_before = spark.read.parquet(band_path).count()
     compact_store(spark, store)
+    # compaction commits a NEW generation through the manifest —
+    # re-resolve, and the pre-compaction dir must be swept
+    new_band_path, _ = _store_paths(store)
+    assert new_band_path != band_path and not os.path.exists(band_path)
+    band_path = new_band_path
     after = band_files(band_path)
     # bounded file count regardless of how many batches appended, and
     # nothing lost in the rewrite
@@ -496,11 +501,17 @@ def test_streaming_decontaminate(spark, tmp_path):
 
 
 def test_neardup_store_compaction_crash_recovery(spark, tmp_path):
-    """A compaction that crashed between its two swap renames leaves the
-    store parked at bands.old; the next gate call must ROLL IT BACK and
-    keep cross-batch dedup working, never silently gate against an
-    absent store."""
-    from dbqt_spark.streaming.neardup import _store_paths, minhash_gate_batch
+    """A compaction that crashed after writing the next generation's
+    data but BEFORE the manifest rewrite leaves an orphan bands-<N+1>
+    dir while meta.json still points at the complete old generation:
+    the gate keeps working against the committed store (never silently
+    gates against an absent one), and the next compaction sweeps the
+    orphan."""
+    from dbqt_spark.streaming.neardup import (
+        _store_paths,
+        compact_store,
+        minhash_gate_batch,
+    )
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     store = str(tmp_path / "store")
@@ -510,7 +521,8 @@ def test_neardup_store_compaction_crash_recovery(spark, tmp_path):
         threshold=0.5,
     )
     band_path, _ = _store_paths(store)
-    os.rename(band_path, band_path + ".old")  # simulate mid-swap crash
+    # simulate the crash window: orphan next-gen dir, manifest unchanged
+    os.makedirs(os.path.join(store, "bands-1"))
 
     kept = sorted(
         r["id"]
@@ -524,7 +536,18 @@ def test_neardup_store_compaction_crash_recovery(spark, tmp_path):
             threshold=0.5,
         ).collect()
     )
-    assert kept == [3]  # doc 2 still caught against the recovered store
+    assert kept == [3]  # doc 2 still caught against the committed store
+
+    # the next compaction commits a real new generation and sweeps both
+    # the orphan and the old dir
+    compact_store(spark, store)
+    new_band_path, _ = _store_paths(store)
+    assert os.path.exists(new_band_path)
+    leftover = {
+        d for d in os.listdir(store)
+        if d == "bands" or d.startswith("bands-")
+    }
+    assert leftover == {os.path.basename(new_band_path)}
 
 
 def test_streaming_curate_batch_twin(spark, tmp_path):
