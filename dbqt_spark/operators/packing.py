@@ -26,8 +26,8 @@ standard two-phase distributed prefix sum instead:
 2. per-bucket running sums under ``Window.partitionBy(bucket)
    .orderBy(id)`` — parallel across buckets;
 3. per-bucket totals (one ``n_buckets``-row aggregate, collected) turn
-   into base offsets added back as a CASE literal — no second shuffle
-   over the data.
+   into base offsets added back as one dense array literal indexed by
+   bucket id — no second shuffle over the data.
 
 Rows shuffle ONCE (hash by bucket for the windows); the driver only
 ever sees ``n_buckets`` numbers.
@@ -65,8 +65,9 @@ def sequence_pack(
 
     ``n_buckets`` is the parallelism knob: each bucket's running sum is
     one task, so size it to corpus_rows / rows-per-task (the default 64
-    suits the test scale; a 100 TB corpus wants thousands — the only
-    cost is a linearly longer bucket/base CASE chain in the plan).
+    suits the test scale; a 100 TB corpus wants thousands — safe now
+    that bucket/base lookups are flat array literals, not an
+    n_buckets-deep CASE chain that would break codegen at that depth).
     Values are provably invariant to the choice
     (test_sequence_pack_bucketing_invariant)."""
     if seq_len < 1:
@@ -86,20 +87,28 @@ def sequence_pack(
         splits_row = counted.agg(
             F.percentile_approx(
                 F.col(id_col),
-                F.array(
-                    *[
-                        F.lit(i / n_buckets)
-                        for i in range(1, n_buckets)
-                    ]
-                ),
+                F.lit([i / n_buckets for i in range(1, n_buckets)]),
                 F.lit(10_000),
             ).alias("s")
         ).collect()[0]["s"]
-        bucket = F.lit(0)
-        for s in splits_row or []:
-            bucket = bucket + F.when(
-                F.col(id_col) > F.lit(float(s)), F.lit(1)
-            ).otherwise(F.lit(0))
+        splits = sorted(float(s) for s in (splits_row or []))
+    else:
+        splits = []
+    if splits:
+        # bucket id = number of split points below the id, computed by
+        # ONE lambda over ONE broadcast array literal. The expression
+        # TREE is constant-size (no n_buckets-deep chained CASE — at
+        # the "thousands of buckets" a 100 TB corpus wants, a chain
+        # that deep breaks codegen); the per-row cost is a linear
+        # JVM-side scan of the sorted array, negligible next to the
+        # tokenize. (Spark has no binary-search builtin; the scan is
+        # the flat-plan equivalent.)
+        bucket = F.aggregate(
+            F.lit(splits),
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(F.col(id_col).cast("double") > s, 1).otherwise(0),
+        )
     else:
         bucket = F.lit(0)
     bucketed = counted.withColumn("__b", bucket)
@@ -113,21 +122,23 @@ def sequence_pack(
     )
 
     # phase 3: bucket base offsets — an n_buckets-row aggregate whose
-    # running total becomes a CASE literal (driver sees n_buckets rows)
-    totals = (
-        stepped.groupBy("__b")
+    # running total folds back as ONE dense array literal indexed by
+    # bucket id (O(1) element_at per row, constant-size expression
+    # tree; empty buckets contribute zero). Driver sees n_buckets rows.
+    totals = {
+        r["__b"]: r["__t"]
+        for r in stepped.groupBy("__b")
         .agg(F.sum("__step").alias("__t"))
-        .orderBy("__b")
         .collect()
-    )
+    }
+    bases: list[int] = []
     base = 0
-    bases: dict[int, int] = {}
-    for r in totals:
-        bases[r["__b"]] = base
-        base += r["__t"]
-    base_col = F.lit(0).cast("long")
-    for b, off in bases.items():
-        base_col = F.when(F.col("__b") == b, F.lit(off)).otherwise(base_col)
+    for b in range(len(splits) + 1):
+        bases.append(base)
+        base += int(totals.get(b, 0))
+    base_col = F.element_at(
+        F.lit(bases), (F.col("__b") + 1).cast("int")
+    ).cast("long")
 
     L = int(seq_len)
     start = (base_col + F.col("__local_end") - F.col("__step")).alias(

@@ -1429,11 +1429,31 @@ def test_sequence_pack_bucketing_invariant(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     base = sorted(map(tuple, sequence_pack(docs, 128, n_buckets=1).collect()))
-    for nb in (4, 64):
+    for nb in (4, 64, 2048):
         got = sorted(
             map(tuple, sequence_pack(docs, 128, n_buckets=nb).collect())
         )
         assert got == base
+
+
+def test_sequence_pack_plan_size_bounded(spark, sf_dir):
+    """Thousands of buckets must NOT grow the expression TREE: bucket
+    assignment is one lambda over one sorted-array literal and base
+    offsets are one element_at over a dense array — never an
+    n_buckets-deep chained CASE (which breaks codegen at the bucket
+    counts a 100 TB corpus needs)."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.packing import sequence_pack
+    from dbqt_spark.plans import formatted_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    small = formatted_plan(sequence_pack(docs, 128, n_buckets=4))
+    big = formatted_plan(sequence_pack(docs, 128, n_buckets=2048))
+    # CASE usage stays constant as buckets scale (the literal ARRAYS
+    # grow, the expression tree does not)
+    assert big.count("CASE WHEN") == small.count("CASE WHEN")
+    assert big.count("aggregate(") == small.count("aggregate(")
+    assert "element_at" in big
 
 
 def test_quantile_histogram_equi_depth_and_ties(spark):
