@@ -48,6 +48,7 @@ def sequence_pack(
     id_col: str = "doc_id",
     sep_tokens: int = 1,
     n_buckets: int = 64,
+    tokenizer=None,
 ) -> DataFrame:
     """Per-doc placement in the packed token stream:
     (id, n_tokens, global_start, first_seq, last_seq, seq_offset).
@@ -72,9 +73,20 @@ def sequence_pack(
     (test_sequence_pack_bucketing_invariant)."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    from ..functions.tokenize import resolve_token_counter
+
+    # tokenizer= swaps the whitespace count for real (BPE) tokens — the
+    # denomination training actually packs in; offsets/sequence ids stay
+    # a pure function of the counts, so the whole two-phase prefix-sum
+    # machinery is tokenizer-agnostic.
+    counter = resolve_token_counter(tokenizer)
+    n_tokens_col = (
+        counter(F.col(text_col))
+        if counter is not None
+        else F.size(tokens_col(F.col(text_col)))
+    )
     counted = df.select(
-        F.col(id_col),
-        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.col(id_col), n_tokens_col.cast("long").alias("n_tokens")
     )
 
     # phase 1: order-contiguous buckets from APPROX id percentiles (one

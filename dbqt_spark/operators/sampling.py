@@ -172,6 +172,7 @@ def token_budget_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    tokenizer=None,
 ) -> DataFrame:
     """Deterministic subsample holding the LARGEST hash-order prefix of
     the corpus whose whitespace-token total stays within
@@ -188,9 +189,16 @@ def token_budget_sample(
     within-bucket running sum. Equivalent to the global cumulative by
     construction (bucket order is hash-order); the DuckDB oracle runs
     the naive global window and matches bit-for-bit.
+
+    ``tokenizer=`` (see ``functions.tokenize.resolve_token_counter``)
+    swaps the whitespace count for real tokenizer tokens — budgets are
+    BPE-denominated in practice; the selection logic, hash order, and
+    plan shape are unchanged (the counter is one Arrow batch map inside
+    the same scan).
     """
     from pyspark.sql import Window
 
+    from ..functions.tokenize import resolve_token_counter
     from .dedup import portable_token_hash
     from .textstats import tokens_col
 
@@ -198,8 +206,11 @@ def token_budget_sample(
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
     key = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     h = portable_token_hash(key)
-    n_tokens = F.size(
-        tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    counter = resolve_token_counter(tokenizer)
+    n_tokens = (
+        counter(F.col(text_col))
+        if counter is not None
+        else F.size(tokens_col(F.coalesce(F.col(text_col), F.lit(""))))
     ).cast("long")
     base = df.select(
         F.col(id_col),

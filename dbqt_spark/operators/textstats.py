@@ -32,14 +32,27 @@ def tokens_col(text: Column) -> Column:
 
 
 def token_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer=None,
 ) -> DataFrame:
-    """Per-doc counts: n_chars, n_tokens (whitespace), n_word_tokens
-    (regex word/punct pieces ~ BPE pretokens), avg_token_len."""
+    """Per-doc counts: n_chars, n_tokens, n_word_tokens (regex
+    word/punct pieces ~ BPE pretokens), avg_token_len.
+
+    ``n_tokens`` counts whitespace tokens by default (JVM expression,
+    engine-portable — the oracle contract). Pass ``tokenizer=`` (see
+    ``functions.tokenize.resolve_token_counter``) to denominate
+    ``n_tokens`` in real tokenizer tokens via one Arrow batch map;
+    ``avg_token_len`` then reports chars-per-token under that
+    tokenizer."""
+    from ..functions.tokenize import resolve_token_counter
+
     text = F.col(text_col)
     toks = tokens_col(text)
     word_toks = F.expr(rf"regexp_extract_all({text_col}, '\\w+|[^\\w\\s]', 0)")
-    n_tokens = F.size(toks)
+    counter = resolve_token_counter(tokenizer)
+    n_tokens = counter(text) if counter is not None else F.size(toks)
     total_tok_chars = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     )
