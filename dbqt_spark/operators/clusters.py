@@ -243,6 +243,7 @@ def first_wins_dropped(
     id_b: str = "id_b",
     max_rounds: int = 40,
     stats: "dict | None" = None,
+    driver_fallback_edges: int = 500_000,
 ) -> DataFrame:
     """DISTRIBUTED greedy first-wins over a pair graph: ids are decided
     ascending, a node is DROPPED iff some smaller KEPT neighbor pairs
@@ -258,12 +259,24 @@ def first_wins_dropped(
     live component's minimum and its neighbors, so dense near-dup
     blobs (the realistic over-limit shape — that is what produced
     enough pairs to leave the driver path) finish in 1-2 rounds. The
-    worst case is a strictly-decreasing chain (diameter/2 rounds);
-    ``max_rounds`` makes that pathology an observable error instead of
-    a hang. NOTE this is NOT connected components: a 1-2, 2-3 path
-    keeps {1, 3}, while component-min keeps only {1} — the wavefront,
-    not star contraction, is what preserves the driver greedy's
-    semantics.
+    worst case is a strictly-decreasing chain (diameter/2 rounds) —
+    and no distributed shortcut can fix it exactly: the
+    lexicographically-first MIS is P-complete (Cook 1985), i.e.
+    inherently sequential on adversarial chains, so "condense then
+    recurse" schemes necessarily change the answer. Instead, after
+    ``max_rounds`` the RESIDUAL graph is finished exactly on the
+    driver when it fits ``driver_fallback_edges``: the wavefront
+    invariant guarantees every live node's smaller neighbors are all
+    live (kept smaller neighbor -> node already dropped; dropped ->
+    edge already pruned), so the residual subproblem is self-contained
+    and the driver greedy over it reproduces the global greedy's
+    decisions verbatim. Only a residual still wider than the fallback
+    bound raises — observable degradation, not a wrong answer
+    (``stats['driver_fallback_edges']`` records the residual size when
+    the fallback ran). NOTE this is NOT connected components: a 1-2,
+    2-3 path keeps {1, 3}, while component-min keeps only {1} — the
+    wavefront, not star contraction, is what preserves the driver
+    greedy's semantics.
 
     Scale shape per round: one anti-join (the kept frontier), one join
     + two anti-joins (drop + edge pruning), all hashed on node ids;
@@ -292,12 +305,40 @@ def first_wins_dropped(
         if edges.isEmpty():
             break
         if rounds >= max_rounds:
-            raise RuntimeError(
-                f"first_wins_dropped did not converge in {max_rounds} "
-                "rounds — the pair graph contains a decreasing chain "
-                "longer than 2x max_rounds (pathological for near-dup "
-                "data); raise max_rounds or pre-cluster the graph"
-            )
+            # exact driver finish on the self-contained residual (see
+            # docstring): bounded probe, then the same ascending greedy
+            # the driver path runs
+            probe = edges.limit(driver_fallback_edges + 1).collect()
+            if len(probe) > driver_fallback_edges:
+                raise RuntimeError(
+                    f"first_wins_dropped did not converge in "
+                    f"{max_rounds} rounds and the residual graph still "
+                    f"has > {driver_fallback_edges} edges — a "
+                    "decreasing chain this wide is pathological for "
+                    "near-dup data; raise max_rounds or "
+                    "driver_fallback_edges"
+                )
+            neighbors: dict = {}
+            for r in probe:
+                neighbors.setdefault(r["hi"], set()).add(r["lo"])
+                neighbors.setdefault(r["lo"], set()).add(r["hi"])
+            decided_drop: set = set()
+            for node in sorted(neighbors):
+                if any(
+                    n < node and n not in decided_drop
+                    for n in neighbors[node]
+                ):
+                    decided_drop.add(node)
+            if decided_drop:
+                dropped_parts.append(
+                    spark.createDataFrame(
+                        [(i,) for i in sorted(decided_drop)],
+                        schema=empty.schema,
+                    )
+                )
+            if stats is not None:
+                stats["driver_fallback_edges"] = len(probe)
+            break
         rounds += 1
         # kept frontier: lo-side nodes that never appear as hi — no
         # smaller live neighbor exists for them

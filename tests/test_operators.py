@@ -836,8 +836,33 @@ def test_first_wins_dropped_matches_driver_greedy(spark):
     assert first_wins_dropped(empty, stats=stats).count() == 0
     assert stats["rounds"] == 0
 
-    # round cap is an observable error, not a hang
+    # round cap with a bounded residual -> exact driver finish, SAME
+    # answer (the residual is self-contained by the wavefront
+    # invariant); only a residual wider than the fallback bound raises
+    stats = {}
+    assert sorted(
+        r["id"]
+        for r in first_wins_dropped(chain, max_rounds=1, stats=stats)
+        .collect()
+    ) == [2, 4]
+    assert stats["driver_fallback_edges"] > 0
+
+    # a long decreasing chain past the cap: fallback result equals the
+    # unbounded wavefront's (and the driver greedy's)
+    long_chain_pairs = [(i, i + 1) for i in range(1, 60)]
+    long_chain = spark.createDataFrame(
+        long_chain_pairs, "id_a long, id_b long"
+    )
+    want = driver_greedy(long_chain_pairs)
+    got = {
+        r["id"]
+        for r in first_wins_dropped(long_chain, max_rounds=3).collect()
+    }
+    assert got == want
+
+    # round cap is an observable error, not a hang, when the residual
+    # is still too wide for the driver
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="did not converge"):
-        first_wins_dropped(chain, max_rounds=1)
+        first_wins_dropped(chain, max_rounds=1, driver_fallback_edges=1)

@@ -678,3 +678,34 @@ def test_streaming_curate_decontaminates(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert kept == [2]
+
+
+def test_neardup_gate_adversarial_chain_both_paths_agree(spark, tmp_path):
+    """A decreasing near-dup CHAIN (doc i near-dups i+1 only — the
+    wavefront's worst case) through the gate: the distributed
+    first-wins path must keep exactly the same survivors as the driver
+    greedy path (keep evens, drop odds), and a pathological batch
+    degrades to the bounded driver finish instead of failing."""
+    from dbqt_spark.streaming.neardup import minhash_gate_batch
+
+    words = [f"w{i:03d}" for i in range(40)]
+    # sliding window of 8 words: adjacent Jaccard 7/9≈0.78, skip 0.6
+    docs = [
+        (i, " ".join(words[i : i + 8])) for i in range(24)
+    ]
+    batch = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    kept_driver = sorted(
+        r["id"]
+        for r in minhash_gate_batch(
+            batch, str(tmp_path / "s1"), threshold=0.7
+        ).collect()
+    )
+    kept_dist = sorted(
+        r["id"]
+        for r in minhash_gate_batch(
+            batch, str(tmp_path / "s2"), threshold=0.7,
+            driver_pair_limit=0,  # force the distributed first-wins
+        ).collect()
+    )
+    assert kept_driver == kept_dist == list(range(0, 24, 2))
