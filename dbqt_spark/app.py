@@ -95,6 +95,14 @@ def _dual_pairs(cfg, db, tcfg, tdb) -> "tuple[list[dict], list[str], list[str]]"
     from .config import discover_common_tables, read_tables_csv
     from .patterns import filter_excluded_tables
 
+    # the UNION of both configs' exclusion patterns applies to BOTH
+    # sides (reference utils.py:241-246 collects them into one set): a
+    # table excluded by either config is excluded everywhere, so the
+    # rowcount phase and the colcompare phase can never disagree on
+    # which tables are in scope
+    union_patterns = sorted(
+        set(cfg.excluded_tables or []) | set(tcfg.excluded_tables or [])
+    )
     if cfg.tables_file:
         mode, rows = read_tables_csv(cfg.tables_file)
         if mode == "dual":
@@ -108,18 +116,25 @@ def _dual_pairs(cfg, db, tcfg, tdb) -> "tuple[list[dict], list[str], list[str]]"
                 }
                 for r in rows
             ]
-        # exclusion patterns apply to CSV-listed names too (parity with
-        # _resolve_tables — without this, --mode both's colcompare phase
-        # would load tables the counts phase skipped)
+        # exclusion applies to the PAIR ROWS too, not just the per-side
+        # name lists (reference utils.py:249-254) — otherwise the
+        # counts phase would still count tables colcompare skips, the
+        # exact inconsistency this function exists to prevent
         src = filter_excluded_tables(
-            [p["source_table"] for p in pairs], cfg.excluded_tables
+            [p["source_table"] for p in pairs], union_patterns
         )
         tgt = filter_excluded_tables(
-            [p["target_table"] for p in pairs], tcfg.excluded_tables
+            [p["target_table"] for p in pairs], union_patterns
         )
+        src_set, tgt_set = set(src), set(tgt)
+        pairs = [
+            p
+            for p in pairs
+            if p["source_table"] in src_set and p["target_table"] in tgt_set
+        ]
         return pairs, src, tgt
-    src_names = filter_excluded_tables(db.list_tables(), cfg.excluded_tables)
-    tgt_names = filter_excluded_tables(tdb.list_tables(), tcfg.excluded_tables)
+    src_names = filter_excluded_tables(db.list_tables(), union_patterns)
+    tgt_names = filter_excluded_tables(tdb.list_tables(), union_patterns)
     return discover_common_tables(src_names, tgt_names), src_names, tgt_names
 
 

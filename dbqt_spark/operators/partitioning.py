@@ -137,6 +137,18 @@ def zorder_column(
     is pure bit arithmetic — no UDF anywhere."""
     if not cols:
         raise ValueError("zorder needs at least one column")
+    # the interleave's highest shift is (bits_per_col-1)*len(cols) +
+    # len(cols)-1 = bits_per_col*len(cols) - 1; at bit 63 it reaches
+    # the long SIGN bit (negative keys break Morton order silently) and
+    # past 64 shiftleft wraps mod 64 (truncated keys, same silent
+    # breakage) — refuse instead
+    if bits_per_col * len(cols) > 63:
+        raise ValueError(
+            f"bits_per_col={bits_per_col} x {len(cols)} columns needs "
+            f"{bits_per_col * len(cols)} interleaved bits, but only 63 "
+            "fit a signed long — lower bits_per_col to "
+            f"{63 // len(cols)} or fewer for {len(cols)} columns"
+        )
     n_buckets = 1 << bits_per_col
     qs = [i / n_buckets for i in range(1, n_buckets)]
     row = df.agg(

@@ -19,6 +19,7 @@ def rolling_anomaly(
     key_col: str = "event_type",
     lookback: int = 24,
     z_threshold: float = 3.0,
+    densify: bool = True,
 ) -> DataFrame:
     """Hourly-count anomaly flags per key: each hour's event count is
     z-scored against the mean/std of the PRECEDING ``lookback`` hours
@@ -26,6 +27,18 @@ def rolling_anomaly(
     drift/incident monitor of an ingestion pipeline — a crawler dying,
     a source flooding, a schema break zeroing a feed all surface as
     |z| > threshold rows.
+
+    ``densify`` (default True) fills zero-event hours between each
+    key's first and last observed hour with explicit n_events=0 rows
+    BEFORE scoring. Without it a dead/zeroed feed produces no (key,
+    hour) row at all — the exact incident the monitor exists to catch
+    would be invisible — and the row-based lookback window would span
+    ``lookback`` OBSERVED buckets rather than wall-clock hours whenever
+    the grid has gaps. Hours before a key's first event are not
+    fabricated (the key didn't exist yet); a feed dead PAST its last
+    observed hour is the monitoring cadence's job — score up to the
+    current wall-clock hour by appending a (key, now_hour, 0) seed row
+    upstream if that matters.
 
     Determinism contract: counts are integers (exact in IEEE double up
     to 2^53), rolling sums/sum-of-squares are window sums of integers —
@@ -37,8 +50,10 @@ def rolling_anomaly(
     Scale shape: one map-side-combined hash aggregation collapses the
     raw scan to (key, hour) rows — output is bounded by
     |keys| x |hours|, thousands of rows per year per key even at
-    100 TB of raw events — then a single window pass over that tiny
-    frame. The shuffle moves the aggregated frame, not the events.
+    100 TB of raw events — then the densify grid (sequence + explode,
+    bounded by the same |keys| x |hours|) joins that tiny frame, and a
+    single window pass scores it. The shuffle moves the aggregated
+    frame, not the events.
     """
     hour = F.date_format(
         F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
@@ -47,7 +62,11 @@ def rolling_anomaly(
         F.col(key_col), hour.alias("hour_ts")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     return score_hourly_counts(
-        hourly, key_col=key_col, lookback=lookback, z_threshold=z_threshold
+        hourly,
+        key_col=key_col,
+        lookback=lookback,
+        z_threshold=z_threshold,
+        densify=densify,
     )
 
 
@@ -56,11 +75,41 @@ def score_hourly_counts(
     key_col: str = "event_type",
     lookback: int = 24,
     z_threshold: float = 3.0,
+    densify: bool = True,
 ) -> DataFrame:
     """Score a pre-bucketed (key, hour_ts, n_events) frame — the shared
     back half of ``rolling_anomaly`` and the streaming twin
     (streaming/anomaly.py), so batch and stream flag the identical
-    anomalies by construction."""
+    anomalies (and fill the identical zero-event hours — densify lives
+    HERE so neither twin can drift) by construction."""
+    if densify:
+        ts = F.to_timestamp("hour_ts", "yyyy-MM-dd HH:mm:ss")
+        grid = (
+            hourly.groupBy(key_col)
+            .agg(
+                F.min(ts).alias("__lo"),
+                F.max(ts).alias("__hi"),
+            )
+            .select(
+                key_col,
+                F.explode(
+                    F.sequence(
+                        "__lo", "__hi", F.expr("interval 1 hour")
+                    )
+                ).alias("__h"),
+            )
+            .select(
+                key_col,
+                F.date_format("__h", "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour_ts"
+                ),
+            )
+        )
+        hourly = grid.join(hourly, [key_col, "hour_ts"], "left").select(
+            key_col,
+            "hour_ts",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
     w = (
         Window.partitionBy(key_col)
         .orderBy("hour_ts")

@@ -1615,11 +1615,22 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_ANOMALY = """
-WITH hourly AS (
+WITH hourly0 AS (
   SELECT event_type,
-         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         date_trunc('hour', ts) AS h,
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type,
+         unnest(generate_series(min_h, max_h, INTERVAL 1 HOUR)) AS h
+  FROM (SELECT event_type, min(h) AS min_h, max(h) AS max_h
+        FROM hourly0 GROUP BY 1)
+), hourly AS (
+  SELECT g.event_type,
+         strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         CAST(coalesce(h0.n_events, 0) AS BIGINT) AS n_events
+  FROM grid g LEFT JOIN hourly0 h0
+    ON g.event_type = h0.event_type AND g.h = h0.h
 ), rolled AS (
   SELECT event_type, hour_ts, n_events,
          CAST(n_events AS DOUBLE) AS x,

@@ -74,6 +74,36 @@ def test_dbstats_dual_with_pair_csv(spark, sf_dir, tmp_path):
     assert '"difference": 0' in html
 
 
+def test_dbstats_dual_pair_csv_honors_exclusions(spark, sf_dir, tmp_path):
+    """CSV-listed PAIRS are filtered by the union of both configs'
+    excluded_tables (reference utils.py:241-254): the rowcount phase
+    must skip the same tables colcompare skips — here 'lineitem'
+    matches only the TARGET config's pattern yet must vanish from the
+    counts tab too."""
+    src = _write(
+        tmp_path / "s.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n"
+        f"tables_file: {tmp_path / 'pairs.csv'}\n",
+    )
+    tgt = _write(
+        tmp_path / "t.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n"
+        "excluded_tables:\n  - 'line%'\n",
+    )
+    _write(
+        tmp_path / "pairs.csv",
+        "source_table,target_table\norders,orders\nlineitem,lineitem\n",
+    )
+    out_html = str(tmp_path / "d.html")
+    assert main(
+        ["dbstats", "--config", src, "--target-config", tgt,
+         "--output", out_html]
+    ) == 0
+    html = open(out_html).read()
+    assert "orders" in html
+    assert "lineitem" not in html
+
+
 def test_keyfinder_cli(spark, sf_dir, capsys):
     import tempfile
 

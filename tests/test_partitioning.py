@@ -140,6 +140,26 @@ def test_zorder_requires_columns(spark, tmp_path):
         write_zordered(df, str(tmp_path / "z"), [])
 
 
+def test_zorder_refuses_sign_bit_overflow(spark):
+    """bits_per_col x len(cols) > 63 would push interleaved bits into
+    the long sign bit (or wrap past 64) and silently break the Morton
+    sort order — must refuse loudly. 8 bits x 8 cols = 64 > 63."""
+    import pytest as _pytest
+
+    from dbqt_spark.operators.partitioning import zorder_column
+
+    cols = [f"c{i}" for i in range(8)]
+    df = spark.range(20).selectExpr(
+        *[f"id * {i + 1} AS c{i}" for i in range(8)]
+    )
+    with _pytest.raises(ValueError, match="63"):
+        zorder_column(df, cols, bits_per_col=8)
+    # 7 bits x 8 cols = 56 bits fits — monotone in every column's rank
+    z = zorder_column(df, cols, bits_per_col=7)
+    vals = [r["z"] for r in df.select(z.alias("z")).collect()]
+    assert all(v >= 0 for v in vals)
+
+
 def test_file_stats_multi_file_layout(spark, tmp_path):
     from dbqt_spark.operators.partitioning import file_stats
 

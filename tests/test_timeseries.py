@@ -242,3 +242,28 @@ def test_streaming_anomaly_matches_batch_twin(spark, sf_dir):
         ).collect()
     )
     assert batch == stream and len(batch) > 0
+
+
+def test_rolling_anomaly_densifies_dead_hours(spark):
+    """An hour with ZERO events must surface as an explicit scored row
+    (a dead feed is the incident the monitor exists to catch), and the
+    lookback must span wall-clock hours, not observed buckets."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # near-steady feed (alternating 9/11 so std > 0) for 30 hours, then
+    # a 3-hour outage, then one more hour
+    for h in list(range(30)) + [33]:
+        for i in range(9 if h % 2 == 0 else 11):
+            rows.append((h * 100 + i, "load", t0 + dt.timedelta(hours=h)))
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    out = {r["hour_ts"]: r for r in rolling_anomaly(ev, lookback=24).collect()}
+    assert len(out) == 34  # 30 observed + 3 zero hours + 1
+    dead = out["2026-01-02 06:00:00"]  # hour 30: first outage hour
+    assert dead["n_events"] == 0
+    assert dead["is_anomaly"]  # 0 against a steady mean of 10 flags
+    assert abs(dead["zscore"]) > 3.0
+    # densify=False preserves the old observed-buckets-only behavior
+    sparse = rolling_anomaly(ev, lookback=24, densify=False).collect()
+    assert len(sparse) == 31
