@@ -1,0 +1,148 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+Beyond the reference surface (north star, similarity pillar): corpus
+clustering is the workhorse behind semantic data curation — cluster
+then inspect/balance/prune (SemDeDup-style pruning, per-cluster
+mixture weights, topic discovery over embeddings). This is the
+CLASSIC distributed k-means shape:
+
+- centers live on the driver (k x dim floats — bytes), folded into the
+  assignment expression as plan literals, so the assignment step is a
+  pure narrow map over the corpus: NO shuffle, NO Python, whole-stage
+  codegen (k x dim fused multiply-adds per row);
+- the update step is one map-side-combined aggregation to (cluster,
+  dim) partial sums — k x dim rows reach the driver per iteration,
+  never vectors;
+- the corpus is scanned once per iteration (persist the projected
+  vectors upstream if iterating many times at scale).
+
+Determinism contract (what makes a bit-for-bit DuckDB oracle possible
+for an ITERATIVE algorithm): initial centers are the k lowest-id
+vectors (not random); iteration count is FIXED (no early-exit — an
+engine-dependent convergence test would diverge); element means use
+the exact-decimal trick shared with ``similarity.label_centroids``
+(round each float32 to 7 places -> DECIMAL(20,8) sums, order
+independent -> round the mean to 6); distances are left-fold double
+sums over the SAME rounded elements, identical IEEE operation order in
+both engines; ties in argmin break to the lowest cluster id; a cluster
+that loses all members keeps its previous center. The oracle unrolls
+the same fixed iterations as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _rounded_vec(vec_col: str):
+    return F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double"), 7)
+    )
+
+
+def _dist_to(center: list[float]):
+    """Squared distance from the rounded vector column ``__e`` to a
+    literal center — zip_with + sequential left-fold aggregate, the
+    same IEEE add order as the oracle's explicit chain."""
+    return F.aggregate(
+        F.zip_with(
+            "__e",
+            F.lit([float(c) for c in center]),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_expr(centers: list[list[float]]):
+    """cluster = index of the nearest center (ties -> lowest index):
+    array_position of the array minimum over k distance expressions."""
+    d = F.array(*[_dist_to(c) for c in centers])
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster the vectors and return (id, cluster, dist) — the
+    assignment against the centers after ``iters`` Lloyd's updates,
+    with ``dist`` the squared distance (rounded to 6) to the assigned
+    center. See module docstring for the determinism contract and the
+    100 TB plan shape."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    base = df.select(
+        F.col(id_col), _rounded_vec(vec_col).alias("__e")
+    )
+    init_rows = (
+        base.orderBy(id_col).limit(k).select("__e").collect()
+    )
+    if not init_rows:
+        raise ValueError("kmeans_assign needs a non-empty input")
+    centers = [list(r["__e"]) for r in init_rows]  # k_eff <= k
+    dim = len(centers[0])
+    for _ in range(iters):
+        assigned = base.withColumn("__c", _assign_expr(centers))
+        # exact decimal element means per (cluster, dim): map-side
+        # partial sums; k x dim rows reach the driver
+        means = (
+            assigned.select(
+                "__c", F.posexplode("__e").alias("__d", "__v")
+            )
+            .groupBy("__c", "__d")
+            .agg(
+                F.round(
+                    F.sum(F.col("__v").cast("decimal(20,8)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("__m")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, list[float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["__c"], [0.0] * dim)[r["__d"]] = r["__m"]
+        # empty cluster -> keep its previous center (deterministic)
+        centers = [
+            by_cluster.get(ci, centers[ci]) for ci in range(len(centers))
+        ]
+    return base.select(
+        id_col,
+        _assign_expr(centers).alias("cluster"),
+        F.round(
+            F.element_at(
+                F.array(*[_dist_to(c) for c in centers]),
+                _assign_expr(centers) + 1,
+            ),
+            6,
+        ).alias("dist"),
+    )
+
+
+def cluster_sizes(assignments: DataFrame) -> DataFrame:
+    """(cluster, n_vecs, mean_dist) rollup of a ``kmeans_assign``
+    result — the balance/quality report (a dominant cluster means the
+    embedding space is collapsed or k is too small; a huge mean_dist
+    cluster is the junk drawer worth inspecting)."""
+    return (
+        assignments.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("dist").cast("decimal(20,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_dist"),
+        )
+        .orderBy("cluster")
+    )

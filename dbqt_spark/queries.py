@@ -3541,6 +3541,94 @@ ORDER BY doc_id
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings (operators/
+    kmeans.py): deterministic init (k lowest ids), FIXED 2 iterations,
+    exact-decimal center means — the oracle unrolls the identical
+    iterations as chained CTEs, so an ITERATIVE algorithm still gets a
+    bit-for-bit hash gate."""
+    from .operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=4, iters=2).orderBy("vec_id")
+
+
+def _kmeans_sql_round(tag_in: str, tag_assign: str, tag_out: str) -> str:
+    """One unrolled Lloyd's round: distances to ``tag_in`` centers,
+    argmin assignment, exact-decimal means -> ``tag_out`` centers."""
+    return f"""
+d{tag_assign} AS (
+  SELECT v.vec_id, c.cluster,
+         list_sum(list_transform(v.e, (x, i) -> (x - c.e[i]) * (x - c.e[i]))) AS dist
+  FROM v CROSS JOIN c{tag_in} c
+),
+a{tag_assign} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{tag_assign}) WHERE rn = 1
+),
+m{tag_assign} AS (
+  SELECT a{tag_assign}.cluster,
+         unnest(range(1, len(v.e) + 1)) AS dim,
+         unnest(v.e) AS val
+  FROM a{tag_assign} JOIN v USING (vec_id)
+),
+c{tag_out} AS (
+  SELECT cluster,
+         list(round(CAST(s AS DOUBLE) / n, 6) ORDER BY dim) AS e
+  FROM (
+    SELECT cluster, dim,
+           sum(CAST(val AS DECIMAL(20,8))) AS s, count(*) AS n
+    FROM m{tag_assign} GROUP BY cluster, dim
+  ) GROUP BY cluster
+)"""
+
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 7)) AS e
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, e
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 4)
+),{_kmeans_sql_round("0", "1", "1")},{_kmeans_sql_round("1", "2", "2")},
+d3 AS (
+  SELECT v.vec_id, c.cluster,
+         list_sum(list_transform(v.e, (x, i) -> (x - c.e[i]) * (x - c.e[i]))) AS dist
+  FROM v CROSS JOIN c2 c
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, round(dist, 6) AS dist
+FROM (
+  SELECT vec_id, cluster, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+  FROM d3) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+def q_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster balance/quality rollup of the k-means assignment
+    (operators/kmeans.py cluster_sizes): per-cluster counts and exact
+    decimal mean squared distance."""
+    from .operators.kmeans import cluster_sizes, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_sizes(kmeans_assign(emb, k=4, iters=2))
+
+
+SQL_KMEANS_SIZES = f"""
+WITH assign AS ({SQL_KMEANS_CLUSTERS.replace("ORDER BY vec_id", "")})
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(dist AS DECIMAL(20,8))) AS DOUBLE) / count(*),
+             6) AS mean_dist
+FROM assign GROUP BY cluster ORDER BY cluster
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -3612,6 +3700,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "curated_corpus": q_curated_corpus,
     "label_centroids": q_label_centroids,
+    "kmeans_clusters": q_kmeans_clusters,
+    "kmeans_sizes": q_kmeans_sizes,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_clusters": q_minhash_clusters,
     "value_outliers": q_value_outliers,
@@ -3701,6 +3791,8 @@ ORACLES: dict[str, str] = {
     "quality_filter": SQL_QUALITY_FILTER,
     "curated_corpus": SQL_CURATED_CORPUS,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "kmeans_sizes": SQL_KMEANS_SIZES,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "value_outliers": SQL_VALUE_OUTLIERS,

@@ -375,3 +375,61 @@ def test_embedding_localize_fallback_persists(spark):
         pairs.unpersist()
     finally:
         dd.BROADCAST_PAIR_LIMIT = orig
+
+
+# --- distributed Lloyd's k-means --------------------------------------------
+
+
+def test_kmeans_assign_semantics(spark):
+    """Two well-separated blobs, k=2: every point lands with its blob;
+    deterministic init (lowest ids) and fixed iterations."""
+    from dbqt_spark.operators.kmeans import cluster_sizes, kmeans_assign
+
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(10)] + [
+        (100 + i, [-10.0 - (i % 3) * 0.1, 1.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=2, iters=3).collect()}
+    blob_a = {out[i] for i in range(10)}
+    blob_b = {out[100 + i] for i in range(10)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    sizes = cluster_sizes(kmeans_assign(df, k=2, iters=3)).collect()
+    assert sorted(r["n_vecs"] for r in sizes) == [10, 10]
+
+
+def test_kmeans_assign_edges(spark):
+    import pytest as _pytest
+
+    from dbqt_spark.operators.kmeans import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.1, 2.1])],
+        "vec_id long, embedding array<float>",
+    )
+    # k > n: effective k shrinks to n, everything still assigned
+    out = kmeans_assign(df, k=5, iters=1).collect()
+    assert len(out) == 2
+    # iters=0 assigns against the init centers directly
+    out0 = {r["vec_id"]: r for r in kmeans_assign(df, k=2, iters=0).collect()}
+    assert out0[1]["cluster"] == 0 and out0[1]["dist"] == 0.0
+    assert out0[2]["cluster"] == 1 and out0[2]["dist"] == 0.0
+    with _pytest.raises(ValueError, match="k must be"):
+        kmeans_assign(df, k=0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="non-empty"):
+        kmeans_assign(empty, k=2)
+
+
+def test_kmeans_assignment_plan_is_narrow(spark, sf_dir):
+    """The assignment step must be a pure narrow map: centers are plan
+    literals, no shuffle Exchange, no Python (ArrowEval/BatchEval)
+    anywhere in the final assignment plan."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.kmeans import kmeans_assign
+    from dbqt_spark.plans import formatted_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = formatted_plan(kmeans_assign(emb, k=4, iters=1))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
