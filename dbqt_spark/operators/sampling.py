@@ -130,16 +130,26 @@ def stratified_sample(
     """Deterministic per-group cap: keep at most ``n_per_group`` rows per
     ``group_col`` value, chosen by the portable hash order (hash of
     ``"<seed>:<id>"`` ascending, then ``id_col``) — NOT ``rand()``. The
-    kept set is a pure function of (seed, ids-in-group): stable across
-    runs and engines, and any engine that can md5 (the DuckDB oracle
-    does) reproduces it bit-for-bit.
+    per-domain/per-source cap every web pipeline applies
+    (RefinedWeb/CCNet cap documents per registered domain so one
+    crawler-friendly site cannot dominate the corpus). The kept set is
+    a pure function of (seed, ids-in-group): stable across runs and
+    engines, and any engine that can md5 (the DuckDB oracle does)
+    reproduces it bit-for-bit — semantics identical to the naive
+    ``row_number() OVER (PARTITION BY group ORDER BY hash, id)``.
 
-    Scale shape: one hash-partition shuffle on ``group_col`` + a
-    streaming ``row_number`` per group — no sort of the whole corpus,
-    no driver state. Skew caveat: a single giant group serializes into
-    one task; for corpus-scale caps on few groups, pre-aggregate with a
-    salted two-level top-N instead (``partitioning.salted_agg`` shows
-    the pattern).
+    Scale shape — the naive window is the trap: PARTITION BY group puts
+    a hot domain's every row in ONE partition. Same escape as
+    ``token_budget_sample``, per group: the hash's top 12 bits form
+    4096 ORDERED range-buckets; (group, bucket) counts aggregate
+    map-side (skew-free); a cumulative window over the AGGREGATED frame
+    (<= 4096 rows per group — bounded regardless of group size)
+    classifies each bucket as wholly-kept, wholly-dropped, or THE
+    boundary bucket; only boundary-bucket rows (~1/4096 of a group)
+    run an exact within-bucket rank, so the largest window partition
+    shrinks by 4096x. Equivalent to the naive rank by construction
+    (bucket order is hash order). NULL groups form one group of their
+    own (matching SQL ``PARTITION BY``).
     """
     from pyspark.sql import Window
 
@@ -147,17 +157,48 @@ def stratified_sample(
 
     if n_per_group <= 0:
         raise ValueError(f"n_per_group must be positive, got {n_per_group}")
-    key = F.concat_ws(
-        ":", F.lit(str(seed)), F.col(id_col).cast("string")
+    key = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    h = portable_token_hash(key)
+    # null-safe internal group key (plain equi-joins drop NULL keys)
+    g = F.coalesce(
+        F.concat(F.lit("v:"), F.col(group_col).cast("string")),
+        F.lit("null:"),
     )
-    w = Window.partitionBy(group_col).orderBy(
-        portable_token_hash(key).asc(), F.col(id_col).asc()
+    base = df.withColumn("__h", h).withColumn(
+        "__bucket", F.shiftright("__h", _BUDGET_BUCKETS_SHIFT)
+    ).withColumn("__g", g)
+
+    counts = base.groupBy("__g", "__bucket").agg(
+        F.count(F.lit(1)).alias("__n")
     )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_per_group)
-        .drop("__rn")
+    w_cum = (
+        Window.partitionBy("__g")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    marked = counts.select(
+        "__g",
+        "__bucket",
+        "__n",
+        F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__before"),
+    )
+    cap = int(n_per_group)
+    whole = marked.filter(F.col("__before") + F.col("__n") <= cap).select(
+        "__g", "__bucket"
+    )
+    boundary = marked.filter(
+        (F.col("__before") < cap) & (F.col("__before") + F.col("__n") > cap)
+    ).select("__g", "__bucket", (cap - F.col("__before")).alias("__quota"))
+
+    kept_whole = base.join(whole, ["__g", "__bucket"], "left_semi")
+    w_rank = Window.partitionBy("__g", "__bucket").orderBy("__h", id_col)
+    kept_boundary = (
+        base.join(boundary, ["__g", "__bucket"])
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+    return kept_whole.unionByName(kept_boundary).select(*df.columns)
 
 
 # ordered range-buckets for the token-budget prefix: top 12 bits of the

@@ -3541,6 +3541,39 @@ ORDER BY doc_id
 """
 
 
+def q_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap in deterministic hash order (operators/
+    sampling.py stratified_sample — the RefinedWeb per-domain cap),
+    computed with the skew-safe two-phase bucket plan; the cap of 40
+    lands INSIDE a bucket for every source, so this exercises the
+    boundary-bucket rank path the smaller stratified_sample query
+    (cap >= group size) never reaches. The oracle runs the naive
+    PARTITION BY window the plan must equal bit-for-bit."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "source", 40, id_col="doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+SQL_GROUP_CAP_SAMPLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::UBIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 40
+ORDER BY doc_id
+"""
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings (operators/
     kmeans.py): deterministic init (k lowest ids), FIXED 2 iterations,
@@ -3702,6 +3735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": q_label_centroids,
     "kmeans_clusters": q_kmeans_clusters,
     "kmeans_sizes": q_kmeans_sizes,
+    "group_cap_sample": q_group_cap_sample,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_clusters": q_minhash_clusters,
     "value_outliers": q_value_outliers,
@@ -3793,6 +3827,7 @@ ORACLES: dict[str, str] = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "kmeans_sizes": SQL_KMEANS_SIZES,
+    "group_cap_sample": SQL_GROUP_CAP_SAMPLE,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "value_outliers": SQL_VALUE_OUTLIERS,

@@ -1727,3 +1727,69 @@ def test_line_level_dedup_random_reference(spark):
             for r in line_level_dedup(df, mode=mode, min_count=mc).collect()
         }
         assert got == ref(mode, mc), f"mode={mode}"
+
+
+def test_group_cap_sample_matches_naive_window(spark):
+    """The two-phase bucketed plan must equal the naive per-group rank
+    for every cap, including caps landing inside a boundary bucket, a
+    NULL group, and groups smaller than the cap."""
+    from pyspark.sql import Window
+
+    from dbqt_spark.operators.dedup import portable_token_hash
+    from dbqt_spark.operators.sampling import stratified_sample
+
+    rows = (
+        [(i, "big") for i in range(200)]
+        + [(1000 + i, "small") for i in range(3)]
+        + [(2000 + i, None) for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    key = F.concat_ws(":", F.lit("42"), F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(
+        portable_token_hash(key), "doc_id"
+    )
+    for cap in (1, 5, 50, 500):
+        got = sorted(
+            r["doc_id"]
+            for r in stratified_sample(
+                df, "source", cap, id_col="doc_id"
+            ).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap)
+            .collect()
+        )
+        assert got == want, f"cap={cap}"
+    # determinism: same membership on re-run
+    a = {r["doc_id"] for r in stratified_sample(df, "source", 5).collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, "source", 5).collect()}
+    assert a == b
+    # per-group counts respect the cap
+    out = stratified_sample(df, "source", 5)
+    counts = dict(
+        (r["source"], r["n"])
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts["big"] == 5 and counts["small"] == 3 and counts[None] == 5
+
+
+def test_group_cap_sample_no_full_group_window(spark, sf_dir):
+    """Plan guard: the only row-level window partitions by (group,
+    bucket) — never by the bare group — so a hot domain's rank window
+    shrinks 4096x. The bare-group window exists only over the
+    aggregated (group, bucket) counts frame (<= 4096 rows/group)."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.sampling import stratified_sample
+    from dbqt_spark.plans import formatted_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(stratified_sample(docs, "source", 10))
+    windows = [
+        ln for ln in plan.splitlines()
+        if "row_number() windowspecdefinition" in ln
+    ]
+    assert windows  # the rank window exists...
+    # ...and every one is keyed by BOTH __g and __bucket
+    assert all("__bucket" in ln for ln in windows)
