@@ -3574,6 +3574,60 @@ ORDER BY doc_id
 """
 
 
+# toy linear quality model for the registry query: favors function
+# words / punctuation-free prose, penalizes shouty tokens — the SHAPE
+# of a fastText/FineWeb-Edu classifier export, deterministic for the
+# oracle
+_CLS_WEIGHTS = {
+    "the": 0.9, "and": 0.7, "of": 0.6, "to": 0.5, "a": 0.4,
+    "is": 0.35, "in": 0.3, "data": 0.25, "with": 0.2, "for": 0.15,
+    "click": -0.8, "buy": -0.9, "free": -0.7, "subscribe": -1.0,
+}
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words classifier inference (operators/
+    classifier.py): sigmoid(bias + mean token weight) per doc — the
+    model-based quality filter (CCNet fastText / FineWeb-Edu shape) as
+    one scan + broadcast weight join + decimal-exact doc rollup."""
+    from .operators.classifier import classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_score(
+        docs, _CLS_WEIGHTS, bias=-0.2
+    ).orderBy("doc_id")
+
+
+SQL_CLASSIFIER_SCORE = (
+    "WITH w(tok, wt) AS (VALUES "
+    + ", ".join(
+        f"('{t}', {round(v, 6)})" for t, v in sorted(_CLS_WEIGHTS.items())
+    )
+    + r"""),
+t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+agg AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(coalesce(w.wt, 0) AS DECIMAL(20,8))) AS s
+  FROM t LEFT JOIN w ON t.tok = w.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(-0.2 + CASE WHEN coalesce(n, 0) > 0
+                                       THEN CAST(s AS DOUBLE) / n
+                                       ELSE 0.0 END))), 6) AS score
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
+"""
+)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings (operators/
     kmeans.py): deterministic init (k lowest ids), FIXED 2 iterations,
@@ -3736,6 +3790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "kmeans_sizes": q_kmeans_sizes,
     "group_cap_sample": q_group_cap_sample,
+    "classifier_score": q_classifier_score,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_clusters": q_minhash_clusters,
     "value_outliers": q_value_outliers,
@@ -3828,6 +3883,7 @@ ORACLES: dict[str, str] = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "kmeans_sizes": SQL_KMEANS_SIZES,
     "group_cap_sample": SQL_GROUP_CAP_SAMPLE,
+    "classifier_score": SQL_CLASSIFIER_SCORE,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "value_outliers": SQL_VALUE_OUTLIERS,

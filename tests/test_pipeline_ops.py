@@ -1793,3 +1793,69 @@ def test_group_cap_sample_no_full_group_window(spark, sf_dir):
     assert windows  # the rank window exists...
     # ...and every one is keyed by BOTH __g and __bucket
     assert all("__bucket" in ln for ln in windows)
+
+
+def test_classifier_score_semantics(spark):
+    """Known-weight scoring: mean token weight through the sigmoid,
+    unknown tokens weigh 0, empty/null docs score sigmoid(bias)."""
+    import math
+
+    from dbqt_spark.operators.classifier import (
+        classifier_filter,
+        classifier_score,
+    )
+
+    w = {"good": 1.0, "bad": -1.0}
+    df = spark.createDataFrame(
+        [
+            (1, "good good good"),       # mean 1.0
+            (2, "bad bad"),              # mean -1.0
+            (3, "good bad"),             # mean 0.0
+            (4, "unknown words only"),   # mean 0.0
+            (5, ""),                     # no tokens
+            (6, None),                   # null text
+            (7, "GOOD"),                 # lowercased before lookup
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["score"] for r in classifier_score(df, w).collect()}
+    sig = lambda x: round(1.0 / (1.0 + math.exp(-x)), 6)
+    assert got[1] == sig(1.0)
+    assert got[2] == sig(-1.0)
+    assert got[3] == sig(0.0) == got[4] == got[5] == got[6]
+    assert got[7] == sig(1.0)
+    assert len(got) == 7  # every doc scored, including empty/null
+
+    # bias shifts every score; filter keeps the top band
+    got_b = {
+        r["doc_id"]: r["score"]
+        for r in classifier_score(df, w, bias=2.0).collect()
+    }
+    assert got_b[2] == sig(1.0)  # -1 + 2
+    kept = sorted(
+        r["doc_id"] for r in classifier_filter(df, w, threshold=0.6).collect()
+    )
+    assert kept == [1, 7]
+    # empty model: every doc scores sigmoid(bias)
+    flat = {r["doc_id"]: r["score"] for r in classifier_score(df, {}).collect()}
+    assert set(flat.values()) == {sig(0.0)}
+
+
+def test_classifier_score_plan_broadcast_no_udf(spark, sf_dir):
+    """The weight lookup must be a broadcast join (the corpus never
+    shuffles for it) and the whole plan stays JVM-side."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.classifier import classifier_score
+    from dbqt_spark.plans import formatted_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(classifier_score(docs, {"the": 0.5, "and": 0.2}))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
+    # the only non-broadcast exchange is the doc-keyed rollup
+    tree = plan.split("\n\n")[0]
+    shuffles = [
+        ln for ln in tree.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(shuffles) == 1
