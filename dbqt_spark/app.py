@@ -991,8 +991,15 @@ def tool_sample(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="sample")
     p.add_argument("--config", required=True)
     p.add_argument("--table", required=True)
-    p.add_argument("--method", choices=["stratified", "budget", "mixture"],
-                   required=True)
+    p.add_argument(
+        "--method",
+        choices=["stratified", "budget", "mixture", "temperature"],
+        required=True,
+    )
+    p.add_argument("--alpha", type=float, default=0.5,
+                   help="temperature: smoothing exponent in [0, 1] "
+                   "(1 = natural distribution, 0 = flatten to the "
+                   "smallest group)")
     p.add_argument("--id-column", default="doc_id")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--group-column", default="lang",
@@ -1034,6 +1041,13 @@ def tool_sample(argv: list[str]) -> int:
         out = mixture_sample(
             df, args.group_column, rates,
             default_rate=args.default_rate,
+            id_col=args.id_column, seed=args.seed,
+        )
+    elif args.method == "temperature":
+        from .operators.sampling import temperature_sample
+
+        out = temperature_sample(
+            df, args.group_column, alpha=args.alpha,
             id_col=args.id_column, seed=args.seed,
         )
     elif args.method == "stratified":

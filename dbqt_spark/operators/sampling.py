@@ -296,3 +296,56 @@ def token_budget_sample(
         .unionByName(boundary.select(id_col, "n_tokens"))
         .orderBy(id_col)
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: sample group g at rate
+    ``(n_min / n_g) ** (1 - alpha)`` — the standard multilingual /
+    multi-source balancing move (mBERT/mT5 exponential smoothing;
+    alpha=1 keeps the natural distribution, alpha=0 flattens every
+    group down to the smallest's size, alpha~0.5 is the common
+    compromise). Down-sampling only (no replication): the smallest
+    group always keeps rate 1.
+
+    Rates derive from EXACT group counts (one small aggregate collected
+    to the driver — O(groups) rows), then membership delegates to
+    ``mixture_sample``'s portable-hash threshold, inheriting its
+    determinism and nested-sample contracts. With the default
+    alpha=0.5 the rate is sqrt(n_min/n_g): sqrt is correctly-rounded
+    IEEE, so any engine derives the identical thresholds from the same
+    counts — the DuckDB oracle recomputes them from scratch. (Other
+    alphas go through pow(), whose last-ulp behavior is libm-specific;
+    fine in practice, but the bit-for-bit oracle contract is stated
+    for alpha=0.5.)
+
+    Scale shape: one map-side-combined groupBy(group) count + one
+    narrow filter projection — no corpus shuffle, no join.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df
+    n_min = min(counts.values())
+    rates = {
+        g: (float(n_min) / n) ** (1.0 - alpha) for g, n in counts.items()
+    }
+    return mixture_sample(
+        df,
+        group_col=group_col,
+        rates=rates,
+        default_rate=1.0,
+        id_col=id_col,
+        seed=seed,
+    )

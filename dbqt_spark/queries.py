@@ -3574,6 +3574,41 @@ ORDER BY doc_id
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 mixture rebalancing over lang (operators/
+    sampling.temperature_sample): rate_g = sqrt(n_min / n_g) derived
+    from exact counts, applied by the portable hash threshold. The
+    oracle derives the SAME thresholds from scratch in SQL — sqrt is
+    correctly-rounded IEEE, so both engines agree bit-for-bit."""
+    from .operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_sample(docs, group_col="lang", alpha=0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEMPERATURE_SAMPLE = """
+WITH n AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+),
+thr AS (
+  SELECT lang,
+         CAST(round(sqrt(CAST((SELECT min(c) FROM n) AS DOUBLE) / c)
+                    * 10000) AS BIGINT) AS t
+  FROM n
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN thr ON d.lang IS NOT DISTINCT FROM thr.lang
+WHERE ('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+        % 10000 < thr.t
+ORDER BY d.doc_id
+"""
+
+
 # toy linear quality model for the registry query: favors function
 # words / punctuation-free prose, penalizes shouty tokens — the SHAPE
 # of a fastText/FineWeb-Edu classifier export, deterministic for the
@@ -3791,6 +3826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_sizes": q_kmeans_sizes,
     "group_cap_sample": q_group_cap_sample,
     "classifier_score": q_classifier_score,
+    "temperature_sample": q_temperature_sample,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_clusters": q_minhash_clusters,
     "value_outliers": q_value_outliers,
@@ -3884,6 +3920,7 @@ ORACLES: dict[str, str] = {
     "kmeans_sizes": SQL_KMEANS_SIZES,
     "group_cap_sample": SQL_GROUP_CAP_SAMPLE,
     "classifier_score": SQL_CLASSIFIER_SCORE,
+    "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "value_outliers": SQL_VALUE_OUTLIERS,

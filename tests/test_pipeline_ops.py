@@ -1859,3 +1859,48 @@ def test_classifier_score_plan_broadcast_no_udf(spark, sf_dir):
         if "Exchange" in ln and "Broadcast" not in ln
     ]
     assert len(shuffles) == 1
+
+
+def test_temperature_sample_rates(spark):
+    """alpha=1 keeps everything; alpha=0 flattens toward the smallest
+    group in expectation; the smallest group ALWAYS keeps rate 1; and
+    kept sets nest as alpha falls (mixture_sample's threshold
+    monotonicity)."""
+    import pytest as _pytest
+
+    from dbqt_spark.operators.sampling import temperature_sample
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    full = temperature_sample(df, "lang", alpha=1.0).count()
+    assert full == 525  # natural distribution untouched
+
+    half = temperature_sample(df, "lang", alpha=0.5)
+    by_g = {
+        r["lang"]: r["n"]
+        for r in half.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_g["small"] == 25  # smallest group keeps rate 1
+    # rate(big) = sqrt(25/400) = 0.25, rate(mid) = sqrt(25/100) = 0.5 —
+    # hash-thresholded, so counts land near the expectation
+    assert 60 <= by_g["big"] <= 140
+    assert 30 <= by_g["mid"] <= 70
+
+    flat = temperature_sample(df, "lang", alpha=0.0)
+    flat_by_g = {
+        r["lang"]: r["n"]
+        for r in flat.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert flat_by_g["small"] == 25
+    assert flat_by_g["big"] <= by_g["big"]  # nested as alpha falls
+    kept_half = {r["doc_id"] for r in half.collect()}
+    kept_flat = {r["doc_id"] for r in flat.collect()}
+    assert kept_flat <= kept_half  # membership nests exactly
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "lang", alpha=1.5)
