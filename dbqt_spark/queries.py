@@ -3574,6 +3574,68 @@ ORDER BY doc_id
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (operators/linededup.py
+    duplicate_span_removal — Lee et al. 2022 ExactSubstr): every
+    5-token span occurring >= 2 times anywhere in the corpus is
+    removed, covered tokens with it; per-doc removal accounting."""
+    from .operators.linededup import duplicate_span_removal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        duplicate_span_removal(docs, k=5)
+        .select("doc_id", "text", "n_removed_tokens")
+        .orderBy("doc_id")
+    )
+
+
+SQL_SPAN_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, unnest(toks) AS tok
+  FROM t
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, len(toks) - 5 + 2)) AS p,
+         unnest(list_transform(range(1, len(toks) - 5 + 2),
+                               i -> array_to_string(toks[i : i + 4], ' ')))
+           AS gram
+  FROM t WHERE len(toks) >= 5
+),
+dup AS (
+  SELECT gram
+  FROM (SELECT gram, count(*) AS c FROM grams GROUP BY 1)
+  WHERE c >= 2
+),
+ds AS (
+  SELECT g.doc_id, g.p, 1 AS f FROM grams g JOIN dup USING (gram)
+),
+flags AS (
+  SELECT pos.doc_id, pos.p, pos.tok,
+         max(ds.f) OVER (PARTITION BY pos.doc_id ORDER BY pos.p
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cov
+  FROM pos LEFT JOIN ds ON pos.doc_id = ds.doc_id AND pos.p = ds.p
+),
+clean AS (
+  SELECT doc_id,
+         coalesce(string_agg(tok, ' ' ORDER BY p)
+                    FILTER (WHERE cov IS NULL), '') AS clean_text,
+         CAST(count(*) FILTER (WHERE cov IS NOT NULL) AS BIGINT) AS nrt
+  FROM flags GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN c.doc_id IS NULL THEN d.text ELSE c.clean_text END AS text,
+       CAST(coalesce(c.nrt, 0) AS BIGINT) AS n_removed_tokens
+FROM documents d LEFT JOIN clean c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-0.5 mixture rebalancing over lang (operators/
     sampling.temperature_sample): rate_g = sqrt(n_min / n_g) derived
@@ -3827,6 +3889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_cap_sample": q_group_cap_sample,
     "classifier_score": q_classifier_score,
     "temperature_sample": q_temperature_sample,
+    "span_dedup": q_span_dedup,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_clusters": q_minhash_clusters,
     "value_outliers": q_value_outliers,
@@ -3921,6 +3984,7 @@ ORACLES: dict[str, str] = {
     "group_cap_sample": SQL_GROUP_CAP_SAMPLE,
     "classifier_score": SQL_CLASSIFIER_SCORE,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
+    "span_dedup": SQL_SPAN_DEDUP,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "value_outliers": SQL_VALUE_OUTLIERS,

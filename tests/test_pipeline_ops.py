@@ -1904,3 +1904,61 @@ def test_temperature_sample_rates(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         temperature_sample(df, "lang", alpha=1.5)
+
+
+def test_duplicate_span_removal_semantics(spark):
+    """ExactSubstr surgery: a 5-gram shared across docs (or repeated
+    within one) is removed everywhere, covered tokens go with it,
+    short/NULL docs pass through, a fully-covered doc empties."""
+    import pytest as _pytest
+
+    from dbqt_spark.operators.linededup import duplicate_span_removal
+
+    rows = [
+        (1, "aa bb cc dd ee ff unique1 tail1"),
+        (2, "xx aa bb cc dd ee yy zz"),
+        (3, "totally different words here now"),
+        (4, "short"),
+        (5, None),
+        (6, "aa bb cc dd ee"),
+        (7, "rr ss tt uu vv filler rr ss tt uu vv"),  # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_removal(df, k=5).collect()}
+    assert out[1]["text"] == "ff unique1 tail1"
+    assert out[1]["n_removed_tokens"] == 5
+    assert out[2]["text"] == "xx yy zz"
+    assert out[3]["n_removed_tokens"] == 0
+    assert out[4]["text"] == "short"          # < k tokens: untouched
+    assert out[5]["text"] is None             # NULL passthrough
+    assert out[6]["text"] == "" and out[6]["n_removed_tokens"] == 5
+    # within-doc repetition counts as duplication (Lee et al. semantics)
+    assert out[7]["text"] == "filler"
+    assert out[7]["n_removed_tokens"] == 10
+
+    with _pytest.raises(ValueError, match="k must be"):
+        duplicate_span_removal(df, k=0)
+    with _pytest.raises(ValueError, match="min_count"):
+        duplicate_span_removal(df, k=5, min_count=1)
+
+
+def test_duplicate_span_removal_plan(spark, sf_dir):
+    """The gram frequency must come from a partial-aggregated groupBy
+    (hot grams collapse map-side), never a per-gram window over raw
+    start rows."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.linededup import duplicate_span_removal
+    from dbqt_spark.plans import formatted_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(duplicate_span_removal(docs, k=5))
+    # windows exist (per-doc gram build + cover), but none partitions
+    # by the gram
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "__gram" not in ln
+    # the dup-gram side partially aggregates before its exchange
+    assert any(
+        "partial_count" in blk and "__gram" in blk
+        for blk in plan.split("\n\n")
+    )
