@@ -533,7 +533,7 @@ def tool_dedup(argv: list[str]) -> int:
     p.add_argument(
         "--method",
         choices=["exact", "minhash", "simhash", "ngram", "embedding",
-                 "lines"],
+                 "lines", "spans"],
         default="exact",
     )
     p.add_argument("--threshold", type=float, default=0.8,
@@ -558,7 +558,14 @@ def tool_dedup(argv: list[str]) -> int:
                    help="lines method, drop_frequent policy: remove "
                    "lines occurring at least this often")
     p.add_argument("--output-parquet",
-                   help="lines method: write the rebuilt corpus here")
+                   help="lines/spans methods: write the rebuilt corpus "
+                   "here")
+    p.add_argument("--span-k", type=int, default=50,
+                   help="spans method: span length in tokens (Lee et "
+                   "al. ExactSubstr uses 50)")
+    p.add_argument("--span-min-count", type=int, default=2,
+                   help="spans method: remove spans occurring at least "
+                   "this often corpus-wide")
     args = p.parse_args(argv)
 
     cfg, db = _load_db(args.config)
@@ -629,6 +636,38 @@ def tool_dedup(argv: list[str]) -> int:
         out = args.output or _results_path("dedup")
         report.save(out)
         print(f"{len(removed_rows)} docs had lines removed")
+        print(f"Report saved to {out}")
+        return 0
+    elif args.method == "spans":
+        from pyspark.sql import functions as F
+
+        from .operators.linededup import duplicate_span_removal
+
+        if args.clusters:
+            p.error("--clusters applies to pair methods, not spans")
+        rebuilt = duplicate_span_removal(
+            df, k=args.span_k, text_col=args.text_column,
+            id_col=args.id_column, min_count=args.span_min_count,
+        )
+        if args.output_parquet:
+            rebuilt.write.mode("overwrite").parquet(args.output_parquet)
+            rebuilt = df.sparkSession.read.parquet(args.output_parquet)
+        removed_rows = (
+            rebuilt.filter(F.col("n_removed_tokens") > 0)
+            .select(args.id_column, "n_removed_tokens")
+            .collect()
+        )
+        report = HTMLReport("dedup (spans)")
+        report.add_dataframe_tab(
+            "Removed spans",
+            df.sparkSession.createDataFrame(
+                removed_rows,
+                f"{args.id_column} long, n_removed_tokens long",
+            ),
+        )
+        out = args.output or _results_path("dedup")
+        report.save(out)
+        print(f"{len(removed_rows)} docs had duplicated spans removed")
         print(f"Report saved to {out}")
         return 0
     else:

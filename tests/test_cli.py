@@ -550,6 +550,51 @@ def test_dedup_lines_cli(spark, sf_dir, tmp_path, capsys):
     assert rows == {1: "alpha\nboiler", 2: "beta", 3: ""}
 
 
+def test_dedup_spans_cli(spark, tmp_path, capsys):
+    """dedup --method spans end-to-end: the shared 3-token span is
+    removed from both docs, rebuilt corpus lands in parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "data"
+    root.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "aa bb cc unique one",
+                "two aa bb cc three",
+                "clean words only here",
+            ],
+        }),
+        str(root / "docs.parquet"),
+    )
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {root}\n",
+    )
+    outp = str(tmp_path / "rebuilt")
+    assert (
+        main(
+            [
+                "dedup", "--config", cfg, "--table", "docs",
+                "--method", "spans", "--span-k", "3",
+                "--output-parquet", outp,
+                "--output", str(tmp_path / "r.html"),
+            ]
+        )
+        == 0
+    )
+    assert "2 docs had duplicated spans removed" in capsys.readouterr().out
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert rows == {
+        1: "unique one", 2: "two three", 3: "clean words only here"
+    }
+
+
 def test_dedupindex_cli_lifecycle(spark, tmp_path, capsys):
     """dedupindex build -> append -> query -> compact end-to-end: the
     queried pairs match the live-frames cross operator on identical
