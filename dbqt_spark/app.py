@@ -45,6 +45,9 @@ TOOLS = [
     "dedupindex",
     "statstore",
     "datadiff",
+    "chunk",
+    "cluster",
+    "classify",
 ]
 
 
@@ -1201,6 +1204,113 @@ def tool_dedupindex(argv: list[str]) -> int:
     return 0
 
 
+def tool_chunk(argv: list[str]) -> int:
+    """Document chunking from the CLI (operators/chunking.py):
+    overlapping token windows with (doc_id, chunk_id, start_token)
+    provenance — the embedding/RAG unit — written to parquet."""
+    p = argparse.ArgumentParser(prog="chunk")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--chunk-tokens", type=int, default=256)
+    p.add_argument("--overlap", type=int, default=32)
+    p.add_argument("--output-parquet", required=True)
+    args = p.parse_args(argv)
+
+    from .operators.chunking import chunk_documents
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    out = chunk_documents(
+        df, chunk_tokens=args.chunk_tokens, overlap=args.overlap,
+        text_col=args.text_column, id_col=args.id_column,
+    )
+    out.write.mode("overwrite").parquet(args.output_parquet)
+    n = db.spark.read.parquet(args.output_parquet).count()
+    print(f"{n} chunks written to {args.output_parquet}")
+    return 0
+
+
+def tool_cluster(argv: list[str]) -> int:
+    """Distributed k-means over an embedding column from the CLI
+    (operators/kmeans.py): assignments to parquet, cluster
+    balance/quality rollup printed."""
+    p = argparse.ArgumentParser(prog="cluster")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--vec-column", default="embedding")
+    p.add_argument("--id-column", default="vec_id")
+    p.add_argument("--k", type=int, default=8)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--output-parquet", required=True)
+    args = p.parse_args(argv)
+
+    from .operators.kmeans import cluster_sizes, kmeans_assign
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    assigned = kmeans_assign(
+        df, k=args.k, iters=args.iters,
+        vec_col=args.vec_column, id_col=args.id_column,
+    )
+    assigned.write.mode("overwrite").parquet(args.output_parquet)
+    stored = db.spark.read.parquet(args.output_parquet)
+    print(f"{stored.count()} assignments written to {args.output_parquet}")
+    for r in cluster_sizes(stored).collect():
+        print(
+            f"cluster {r['cluster']}: {r['n_vecs']} vecs, "
+            f"mean_dist {r['mean_dist']}"
+        )
+    return 0
+
+
+def tool_classify(argv: list[str]) -> int:
+    """Linear classifier scoring/filtering from the CLI
+    (operators/classifier.py): weights come from a JSON file of
+    {token: weight} (the export shape of a trained linear model);
+    scores or the kept corpus go to parquet."""
+    import json as _json
+
+    p = argparse.ArgumentParser(prog="classify")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--weights-json", required=True,
+                   help="JSON file: {token: weight, ...}")
+    p.add_argument("--bias", type=float, default=0.0)
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--threshold", type=float,
+                   help="keep docs scoring >= threshold (omit to just "
+                   "write per-doc scores)")
+    p.add_argument("--output-parquet", required=True)
+    args = p.parse_args(argv)
+
+    with open(args.weights_json) as fh:
+        weights = {str(k): float(v) for k, v in _json.load(fh).items()}
+
+    from .operators.classifier import classifier_filter, classifier_score
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    if args.threshold is None:
+        out = classifier_score(
+            df, weights, bias=args.bias,
+            text_col=args.text_column, id_col=args.id_column,
+        )
+        what = "scores"
+    else:
+        out = classifier_filter(
+            df, weights, threshold=args.threshold, bias=args.bias,
+            text_col=args.text_column, id_col=args.id_column,
+        )
+        what = "kept docs"
+    out.write.mode("overwrite").parquet(args.output_parquet)
+    n = db.spark.read.parquet(args.output_parquet).count()
+    print(f"{n} {what} written to {args.output_parquet}")
+    return 0
+
+
 def tool_statstore(argv: list[str]) -> int:
     """Incremental profile store from the CLI
     (operators/statstore.py): `append` one segment of mergeable
@@ -1378,6 +1488,9 @@ def main(argv: list[str] | None = None) -> int:
         "dedupindex": tool_dedupindex,
         "statstore": tool_statstore,
         "datadiff": tool_datadiff,
+        "chunk": tool_chunk,
+        "cluster": tool_cluster,
+        "classify": tool_classify,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

@@ -754,3 +754,48 @@ def test_cli_datadiff_html_report(spark, tmp_path, capsys):
     ]) == 0
     html = open(out).read()
     assert "identical" in html and "Diff summary" in html
+
+
+def test_chunk_cluster_classify_cli(spark, sf_dir, tmp_path, capsys):
+    """The chunk / cluster / classify tools run end-to-end against the
+    testdata tables and write their parquet artifacts."""
+    import json
+
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n",
+    )
+    chunks = str(tmp_path / "chunks")
+    assert main(["chunk", "--config", cfg, "--table", "documents",
+                 "--chunk-tokens", "16", "--overlap", "4",
+                 "--output-parquet", chunks]) == 0
+    cdf = spark.read.parquet(chunks)
+    assert cdf.count() > 0
+    assert set(cdf.columns) == {
+        "doc_id", "chunk_id", "text", "start_token", "n_tokens"
+    }
+
+    assigns = str(tmp_path / "assigns")
+    assert main(["cluster", "--config", cfg, "--table", "embeddings",
+                 "--k", "3", "--iters", "1",
+                 "--output-parquet", assigns]) == 0
+    out = capsys.readouterr().out
+    assert "assignments written" in out and "cluster 0:" in out
+    adf = spark.read.parquet(assigns)
+    assert adf.select("cluster").distinct().count() <= 3
+
+    wpath = tmp_path / "w.json"
+    wpath.write_text(json.dumps({"the": 0.5, "and": 0.3}))
+    scores = str(tmp_path / "scores")
+    assert main(["classify", "--config", cfg, "--table", "documents",
+                 "--weights-json", str(wpath),
+                 "--output-parquet", scores]) == 0
+    sdf = spark.read.parquet(scores)
+    assert set(sdf.columns) == {"doc_id", "score"}
+    kept = str(tmp_path / "kept")
+    assert main(["classify", "--config", cfg, "--table", "documents",
+                 "--weights-json", str(wpath), "--threshold", "0.5",
+                 "--output-parquet", kept]) == 0
+    kdf = spark.read.parquet(kept)
+    assert 0 < kdf.count() <= sdf.count()
+    assert "text" in kdf.columns  # filter returns the docs, not scores
