@@ -79,9 +79,13 @@ def kmeans_assign(
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    # materialize the rounded projection ONCE (localCheckpoint): every
+    # iteration (and the final assignment) re-reads these partitions
+    # instead of re-scanning and re-rounding the source — the "persist
+    # the projected vectors" a real iterative deployment does
     base = df.select(
         F.col(id_col), _rounded_vec(vec_col).alias("__e")
-    )
+    ).localCheckpoint()
     init_rows = (
         base.orderBy(id_col).limit(k).select("__e").collect()
     )
