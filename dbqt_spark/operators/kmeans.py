@@ -150,3 +150,87 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def semantic_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = 10_000,
+    drop_stats: "dict | None" = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate PAIRS
+    found by clustering the embeddings (``kmeans_assign``) and
+    comparing cosines only WITHIN each cluster — the k-means cells are
+    the blocking structure, so the quadratic pair space shrinks from
+    n^2 to sum of cluster sizes squared (~n^2/k for balanced cells;
+    SemDeDup's insight is that semantic duplicates land in the same
+    cell at any reasonable k). Returns (id_a, id_b, cluster, cosine
+    rounded 4) with id_a < id_b.
+
+    This is deliberately a different recall/cost point than
+    ``similarity.embedding_near_dup_pairs`` (LSH-banded blocking): LSH
+    guarantees a collision-probability floor per pair; cluster blocking
+    guarantees intra-cell exhaustiveness and gives the cluster id as a
+    free grouping key for downstream keep-one-per-group policies.
+
+    Scale guard: a degenerate embedding space can collapse into one
+    giant cell, whose self-join is a quadratic bomb — cells over
+    ``max_cluster_size`` are EXCLUDED from pairing, observably
+    (``drop_stats['n_dropped_clusters']`` / ``['n_dropped_rows']``),
+    the same accounting contract as the dedup tiers' bucket caps.
+    The self-join shuffles on the cluster id; the kmeans assignment
+    itself is a narrow map (see ``kmeans_assign``).
+    """
+    assign = kmeans_assign(
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    ).select(F.col(id_col).alias("__id"), "cluster")
+    vecs = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    clustered = vecs.join(assign, "__id")
+    if max_cluster_size is not None:
+        sizes = clustered.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        big = sizes.filter(F.col("__n") > max_cluster_size)
+        if drop_stats is not None:
+            rows = big.agg(
+                F.count(F.lit(1)).alias("c"),
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("r"),
+            ).collect()[0]
+            drop_stats["n_dropped_clusters"] = int(rows["c"])
+            drop_stats["n_dropped_rows"] = int(rows["r"])
+        clustered = clustered.join(
+            big.select("cluster"), "cluster", "left_anti"
+        )
+    a = clustered.select(
+        F.col("cluster"),
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+    )
+    b = clustered.select(
+        F.col("cluster"),
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "__va", "__vb",
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from .similarity import _norm
+
+    cos = F.round(dot / (_norm(F.col("__va")) * _norm(F.col("__vb"))), 4)
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cluster", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -3541,6 +3541,21 @@ ORDER BY doc_id
 """
 
 
+def q_semantic_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/kmeans.semantic_near_dup_pairs): k-means
+    cells as the blocking structure, exhaustive cosine within each
+    cell. The oracle chains the unrolled k-means CTE with an
+    intra-cluster pair join — the whole pipeline (iterative clustering
+    INCLUDED) under one bit-for-bit hash gate."""
+    from .operators.kmeans import semantic_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_near_dup_pairs(
+        emb, threshold=0.35, k=4, iters=2
+    ).orderBy("id_a", "id_b")
+
+
+
 def q_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap in deterministic hash order (operators/
     sampling.py stratified_sample — the RefinedWeb per-domain cap),
@@ -3909,6 +3924,27 @@ FROM assign GROUP BY cluster ORDER BY cluster
 """
 
 
+SQL_SEMANTIC_NEAR_DUPS = f"""
+WITH assign AS ({SQL_KMEANS_CLUSTERS.replace("ORDER BY vec_id", "")})
+SELECT id_a, id_b, cluster, c AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, aa.cluster,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS c
+  FROM embeddings a
+  JOIN assign aa ON a.vec_id = aa.vec_id
+  JOIN assign bb ON aa.cluster = bb.cluster
+  JOIN embeddings b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+)
+WHERE c >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -3988,6 +4024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "chunk_documents": q_chunk_documents,
     "quantize_embeddings": q_quantize_embeddings,
+    "semantic_near_dups": q_semantic_near_dups,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_clusters": q_minhash_clusters,
     "value_outliers": q_value_outliers,
@@ -4085,6 +4122,7 @@ ORACLES: dict[str, str] = {
     "span_dedup": SQL_SPAN_DEDUP,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+    "semantic_near_dups": SQL_SEMANTIC_NEAR_DUPS,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "value_outliers": SQL_VALUE_OUTLIERS,

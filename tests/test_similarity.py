@@ -509,3 +509,34 @@ def test_quantize_embeddings_roundtrip_bound(spark, sf_dir):
     assert max(r["max_abs_err"] for r in rows) <= half_step + 1e-9
     emb.unpersist()
     q.unpersist()
+
+
+def test_semantic_near_dup_pairs(spark):
+    """SemDeDup: near-identical vectors in the same cell pair up;
+    an oversized cell is excluded observably, never paired."""
+    from dbqt_spark.operators.kmeans import semantic_near_dup_pairs
+
+    rows = (
+        # blob A: three near-identical vectors (pairwise cosine ~1)
+        [(1, [1.0, 0.01]), (2, [1.0, 0.012]), (3, [0.99, 0.011])]
+        # blob B: two near-identical, far from A
+        + [(10, [-1.0, 0.5]), (11, [-0.99, 0.5])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_near_dup_pairs(
+            df, threshold=0.99, k=2, iters=2
+        ).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3), (10, 11)}
+
+    # cap: with max_cluster_size=2 the 3-vector cell is dropped whole
+    stats: dict = {}
+    capped = semantic_near_dup_pairs(
+        df, threshold=0.99, k=2, iters=2, max_cluster_size=2,
+        drop_stats=stats,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(10, 11)}
+    assert stats["n_dropped_clusters"] == 1
+    assert stats["n_dropped_rows"] == 3
