@@ -863,6 +863,17 @@ def tool_split(argv: list[str]) -> int:
     return 0
 
 
+def _load_weights(path: "str | None") -> "dict[str, float] | None":
+    """{token: weight} JSON model export -> dict (shared by the curate
+    and classify tools)."""
+    if not path:
+        return None
+    import json as _json
+
+    with open(path) as fh:
+        return {str(k): float(v) for k, v in _json.load(fh).items()}
+
+
 def tool_curate(argv: list[str]) -> int:
     """The full curation chain from the CLI: per-group quality gate ->
     exact dedup -> PII redaction -> deterministic split, published
@@ -889,6 +900,15 @@ def tool_curate(argv: list[str]) -> int:
     p.add_argument("--report", action="store_true",
                    help="also print stage-wise drop accounting "
                    "(one count job per stage boundary)")
+    p.add_argument("--classifier-weights-json",
+                   help="optional {token: weight} JSON model: docs "
+                   "scoring below --classifier-threshold are dropped")
+    p.add_argument("--classifier-threshold", type=float, default=0.5)
+    p.add_argument("--classifier-bias", type=float, default=0.0)
+    p.add_argument("--span-k", type=int,
+                   help="optional ExactSubstr surgery: remove "
+                   "k-token spans occurring >= 2 times corpus-wide "
+                   "(after doc-level dedup)")
     args = p.parse_args(argv)
 
     try:
@@ -919,6 +939,10 @@ def tool_curate(argv: list[str]) -> int:
         split_weights=weights,
         eval_df=db.load(args.eval_table) if args.eval_table else None,
         decontam_n=args.decontam_ngram,
+        classifier_weights=_load_weights(args.classifier_weights_json),
+        classifier_threshold=args.classifier_threshold,
+        classifier_bias=args.classifier_bias,
+        span_k=args.span_k,
     )
     if args.report:
         # one chain: the report path finishes redact+split and writes,
@@ -1270,8 +1294,6 @@ def tool_classify(argv: list[str]) -> int:
     (operators/classifier.py): weights come from a JSON file of
     {token: weight} (the export shape of a trained linear model);
     scores or the kept corpus go to parquet."""
-    import json as _json
-
     p = argparse.ArgumentParser(prog="classify")
     p.add_argument("--config", required=True)
     p.add_argument("--table", required=True)
@@ -1286,8 +1308,7 @@ def tool_classify(argv: list[str]) -> int:
     p.add_argument("--output-parquet", required=True)
     args = p.parse_args(argv)
 
-    with open(args.weights_json) as fh:
-        weights = {str(k): float(v) for k, v in _json.load(fh).items()}
+    weights = _load_weights(args.weights_json)
 
     from .operators.classifier import classifier_filter, classifier_score
 

@@ -50,6 +50,17 @@ class CurateConfig:
     # texts; corpus docs sharing a decontam_n-gram with it are removed
     eval_df: "DataFrame | None" = None
     decontam_n: int = 13
+    # optional model-based quality filter (operators/classifier.py):
+    # a {token: weight} linear model; docs scoring below
+    # classifier_threshold are dropped (FineWeb-Edu-style top band)
+    classifier_weights: "dict[str, float] | None" = None
+    classifier_threshold: float = 0.5
+    classifier_bias: float = 0.0
+    # optional duplicated-span surgery (operators/linededup.py,
+    # ExactSubstr): spans of span_k tokens occurring >= 2 times
+    # corpus-wide are removed AFTER document-level dedup (the C4
+    # ordering — doc dedup first, then intra-text surgery)
+    span_k: "int | None" = None
 
 
 def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
@@ -79,6 +90,21 @@ def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
         keep_all=True,
     )
 
+    # 1b. optional model-based quality filter — the trained-classifier
+    # band on top of the heuristic gate (broadcast weight join + one
+    # doc-keyed semi-join; see operators/classifier.py)
+    if cfg.classifier_weights is not None:
+        from .classifier import classifier_filter
+
+        kept = classifier_filter(
+            kept,
+            cfg.classifier_weights,
+            threshold=cfg.classifier_threshold,
+            bias=cfg.classifier_bias,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        )
+
     # 2. dedup — exact (md5 keep-min-id) or MinHash near-dup with
     # TRANSITIVE cluster resolution: verified pairs -> connected
     # components (clusters.connected_components — driver union-find
@@ -105,6 +131,17 @@ def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
             F.col("id").alias(cfg.id_col)
         )
         kept = kept.join(drop, cfg.id_col, "left_anti")
+
+    # 2b. optional duplicated-span surgery AFTER doc-level dedup (C4
+    # ordering): removes the cross-doc boilerplate spans dedup's
+    # doc-granularity can't touch. n_removed_tokens rides along as
+    # observability.
+    if cfg.span_k is not None:
+        from .linededup import duplicate_span_removal
+
+        kept = duplicate_span_removal(
+            kept, k=cfg.span_k, text_col=cfg.text_col, id_col=cfg.id_col
+        )
 
     # 3. optional benchmark decontamination (broadcast eval n-gram
     # hashes; the corpus side never shuffles)

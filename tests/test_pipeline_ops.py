@@ -1962,3 +1962,46 @@ def test_duplicate_span_removal_plan(spark, sf_dir):
         "partial_count" in blk and "__gram" in blk
         for blk in plan.split("\n\n")
     )
+
+
+def test_curate_with_classifier_and_span_stages(spark):
+    """The optional classifier-filter and span-surgery stages compose
+    into the curation chain and equal the standalone operators applied
+    in the same order; defaults-off leaves the classic chain
+    unchanged."""
+    from dbqt_spark.operators.classifier import classifier_filter
+    from dbqt_spark.operators.linededup import duplicate_span_removal
+    from dbqt_spark.operators.pipeline import CurateConfig, curate
+
+    rows = [
+        (1, "en", "the good data aa bb cc dd ee with the fine words"),
+        (2, "en", "the good data xx aa bb cc dd ee yy more tokens"),
+        (3, "en", "click buy free subscribe spam spam spam junk"),
+        (4, "en", "the and of to a is in data with for clean prose"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = {"the": 1.0, "data": 0.8, "and": 0.6, "click": -2.0,
+         "buy": -2.0, "free": -2.0, "subscribe": -2.0}
+    cfg = CurateConfig(
+        quality_quantile=0.0,      # heuristic gate keeps everything
+        dedup="none", redact=False,
+        classifier_weights=w, classifier_threshold=0.5,
+        span_k=5,
+    )
+    got = {r["doc_id"]: r["text"] for r in curate(df, cfg).collect()}
+
+    # expected = classifier filter then span surgery on the survivors
+    kept = classifier_filter(df, w, threshold=0.5)
+    want = {
+        r["doc_id"]: r["text"]
+        for r in duplicate_span_removal(kept, k=5).collect()
+    }
+    assert got == want
+    assert 3 not in got                      # classifier dropped spam
+    assert "aa bb cc dd ee" not in got[1]    # span removed from both
+    assert "aa bb cc dd ee" not in got[2]
+
+    # defaults off -> classic chain untouched (row set identical)
+    base_cfg = CurateConfig(quality_quantile=0.0, dedup="none", redact=False)
+    base = {r["doc_id"] for r in curate(df, base_cfg).collect()}
+    assert base == {1, 2, 3, 4}
