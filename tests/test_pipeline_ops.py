@@ -2005,3 +2005,45 @@ def test_curate_with_classifier_and_span_stages(spark):
     base_cfg = CurateConfig(quality_quantile=0.0, dedup="none", redact=False)
     base = {r["doc_id"] for r in curate(df, base_cfg).collect()}
     assert base == {1, 2, 3, 4}
+
+
+def test_chunk_documents_randomized_reference(spark):
+    """Chunk boundaries over 120 random-length docs equal a driver-side
+    reference implementation: full coverage, exact window texts, no
+    chunk contained in its predecessor."""
+    import random
+
+    from dbqt_spark.operators.chunking import chunk_documents
+
+    rnd = random.Random(11)
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rnd.randint(0, 40))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    C, s = 7, 5  # chunk_tokens=7, overlap=2
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=C, overlap=C - s).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["text"], r["start_token"], r["n_tokens"])
+        )
+
+    for i, text in docs:
+        toks = text.split()
+        n = len(toks)
+        if n == 0:
+            assert i not in got
+            continue
+        starts = [0]
+        while starts[-1] + C < n:
+            starts.append(starts[-1] + s)
+        want = [
+            (c, " ".join(toks[st:st + C]), st, min(C, n - st))
+            for c, st in enumerate(starts)
+        ]
+        assert sorted(got[i]) == want, f"doc {i}"
+        # coverage: every token position inside some window
+        covered = set()
+        for _, _, st, ln in want:
+            covered.update(range(st, st + ln))
+        assert covered == set(range(n))

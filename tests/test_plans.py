@@ -295,3 +295,37 @@ def test_corpus_card_single_scan(spark, sf_dir):
     plan = corpus_card(docs, group_cols=["source", "lang"])._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"FileScan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_new_operators_prune_scan_columns(spark, sf_dir):
+    """Column pruning reaches the parquet scan for the r10 operators:
+    a text op must not read lang/source/n_chars; an embedding op must
+    not read label. A scan reading every column for a two-column
+    computation is wrong at 100 TB."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.chunking import chunk_documents
+    from dbqt_spark.operators.classifier import classifier_score
+    from dbqt_spark.operators.kmeans import kmeans_assign
+    from dbqt_spark.operators.linededup import duplicate_span_removal
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def read_schemas(df):
+        plan = _formatted_plan(df)
+        return [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+
+    for frame in (
+        chunk_documents(docs),
+        classifier_score(docs, {"the": 0.5}),
+    ):
+        for ln in read_schemas(frame):
+            assert "lang" not in ln and "source" not in ln, ln
+
+    # span removal keeps every input column by contract (it returns the
+    # full rows), so only the assignment path is checked for embeddings
+    spans = duplicate_span_removal(docs, k=5)
+    assert spans.columns[-1] == "n_removed_tokens"
+
+    for ln in read_schemas(kmeans_assign(emb, k=2, iters=0)):
+        assert "label" not in ln, ln
