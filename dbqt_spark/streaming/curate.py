@@ -121,6 +121,21 @@ def streaming_curate(
             )
             .drop("__g", "__thr")
         )
+        # optional model-based quality band — stateless per batch, so
+        # the stream inherits the batch stage unchanged (span surgery
+        # is deliberately NOT offered here: its duplicate counts are
+        # corpus-wide state a micro-batch cannot see)
+        if cfg.classifier_weights is not None:
+            from ..operators.classifier import classifier_filter
+
+            kept = classifier_filter(
+                kept,
+                cfg.classifier_weights,
+                threshold=cfg.classifier_threshold,
+                bias=cfg.classifier_bias,
+                text_col=cfg.text_col,
+                id_col=cfg.id_col,
+            )
         if cfg.dedup == "exact":
             kept = dedup_exact(
                 kept, text_col=cfg.text_col, id_col=cfg.id_col

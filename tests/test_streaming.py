@@ -709,3 +709,56 @@ def test_neardup_gate_adversarial_chain_both_paths_agree(spark, tmp_path):
         ).collect()
     )
     assert kept_driver == kept_dist == list(range(0, 24, 2))
+
+
+def test_streaming_curate_classifier_stage(spark, tmp_path):
+    """The optional classifier band applies identically in the
+    streaming sink (stateless per batch): docs the linear model scores
+    below threshold are dropped even when the heuristic gate kept
+    them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.operators.pipeline import CurateConfig
+    from dbqt_spark.streaming.curate import (
+        group_quality_thresholds,
+        streaming_curate,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog in a field today"
+    spam = "the quick brown fox says click buy free subscribe now today"
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2],
+            "text": [good, spam],
+            "lang": ["en", "en"],
+        }),
+        str(src / "b1.parquet"),
+    )
+    calib = spark.createDataFrame(
+        [(100, good, "en")], ["doc_id", "text", "lang"]
+    )
+    thresholds = group_quality_thresholds(calib, quantile=0.0)
+    w = {"click": -2.0, "buy": -2.0, "free": -2.0, "subscribe": -2.0,
+         "the": 0.3, "fox": 0.3}
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(str(src))
+    )
+    q = streaming_curate(
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        thresholds=thresholds,
+        config=CurateConfig(
+            classifier_weights=w, classifier_threshold=0.5, redact=False
+        ),
+    )
+    q.awaitTermination()
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert kept == {1}  # spam passed the heuristic gate, failed the model
