@@ -239,3 +239,89 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(run, schema)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    decode_stub: bool = True,
+    resizer=None,
+) -> DataFrame:
+    """Resize an image binary column to ``width x height`` — the batch
+    image-preprocessing stage (thumbnailing / model-input normalization)
+    as one Arrow-batched ``mapInPandas`` pass. Returns (media_id,
+    content, width, height) with the resized payload.
+
+    ``decode_stub=True`` (default — image codecs are optional here)
+    emits a deterministic fake: ``b"RSZ:<w>x<h>:" + md5(payload)
+    hexdigest`` — a pure function of (bytes, target dims) any SQL
+    engine reproduces, so the plumbing carries a DuckDB oracle exactly
+    like ``extract_features``'s stub. ``decode_stub=False`` resolves a
+    REAL resizer: ``resizer`` if given (``bytes -> bytes``), else
+    pillow's LANCZOS resample re-encoded as PNG, else a loud
+    driver-side NotImplementedError (``resolve_decoder`` contract).
+
+    NULL payloads pass through as NULL (width/height still reported) —
+    missing media is data, not an error."""
+    if width < 1 or height < 1:
+        raise ValueError(f"target dims must be >= 1, got {width}x{height}")
+    if not decode_stub and resizer is None:
+        try:
+            import io
+
+            from PIL import Image
+
+            def _pil_resize(payload: bytes) -> bytes:
+                img = Image.open(io.BytesIO(payload)).convert("RGB")
+                out = io.BytesIO()
+                img.resize((width, height), Image.LANCZOS).save(
+                    out, format="PNG"
+                )
+                return out.getvalue()
+
+            resizer = _pil_resize
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image resize requires pillow; install it, pass "
+                "resizer=, or use decode_stub=True"
+            ) from exc
+
+    def _stub(payload: bytes) -> bytes:
+        import hashlib
+
+        return (
+            f"RSZ:{width}x{height}:".encode()
+            + hashlib.md5(payload).hexdigest().encode()
+        )
+
+    fn = _stub if decode_stub else resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf[id_col].astype("int64"),
+                "content": [
+                    None if payload is None else fn(bytes(payload))
+                    for payload in pdf[content_col]
+                ],
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+            }
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(run, RESIZED_SCHEMA)

@@ -2583,6 +2583,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.resize_images):
+    Arrow-batched mapInPandas over binary payloads; the deterministic
+    stub payload (RSZ:<w>x<h>: + md5 hex) is reproduced byte-exactly by
+    the DuckDB oracle, proving the batch shape end-to-end."""
+    from .operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    out = resize_images(docs, width=64, height=48)
+    return out.select(
+        "media_id",
+        F.decode("content", "utf-8").alias("resized"),
+        "width",
+        "height",
+    ).orderBy("media_id")
+
+
+SQL_RESIZE_IMAGES = """
+SELECT doc_id AS media_id,
+       'RSZ:64x48:' || md5(text) AS resized,
+       CAST(64 AS INT) AS width,
+       CAST(48 AS INT) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4009,6 +4039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "keyfinder_search": q_keyfinder_search,
     "multimodal_features": q_multimodal_features,
+    "resize_images": q_resize_images,
     "stratified_sample": q_stratified_sample,
     "top_ngrams": q_top_ngrams,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -4106,6 +4137,7 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "resize_images": SQL_RESIZE_IMAGES,
     "keyfinder_search": SQL_KEYFINDER_SEARCH,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_ngrams": SQL_TOP_NGRAMS,

@@ -866,3 +866,39 @@ def test_first_wins_dropped_matches_driver_greedy(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         first_wins_dropped(chain, max_rounds=1, driver_fallback_edges=1)
+
+
+def test_resize_images_stub_and_contract(spark):
+    """Resize plumbing: deterministic stub payloads carry the target
+    dims + md5; NULL payloads pass through as NULL rows; a custom
+    resizer runs inside the batches; missing pillow fails loudly on
+    the driver for the real path."""
+    import hashlib
+
+    from dbqt_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"imagebytes"), (2, None)], "media_id long, content binary"
+    )
+    rows = {r["media_id"]: r for r in resize_images(df, 64, 48).collect()}
+    want = b"RSZ:64x48:" + hashlib.md5(b"imagebytes").hexdigest().encode()
+    assert bytes(rows[1]["content"]) == want
+    assert rows[1]["width"] == 64 and rows[1]["height"] == 48
+    assert rows[2]["content"] is None and rows[2]["width"] == 64
+
+    got = {
+        r["media_id"]: bytes(r["content"])
+        for r in resize_images(
+            df.filter("media_id = 1"), 8, 8,
+            decode_stub=False, resizer=lambda p: p[::-1],
+        ).collect()
+    }
+    assert got == {1: b"setybegami"}
+
+    with pytest.raises(ValueError, match="target dims"):
+        resize_images(df, 0, 8)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="pillow"):
+            resize_images(df, 8, 8, decode_stub=False)
