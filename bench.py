@@ -169,6 +169,14 @@ def main() -> None:
         "count_compare",
         "colcompare",
         "low_distinct",
+        # r10 additions measured >5 s pooled: the kmeans family is a
+        # sequential driver loop of small jobs (queueing-bound, like
+        # the other heavies), span_dedup windows the exploded corpus
+        "kmeans_clusters",
+        "kmeans_sizes",
+        "semantic_near_dups",
+        "span_dedup",
+        "quantile_histogram",
     ]
     longest_first = chains + [n for n in heavy if n not in chains]
     ordered = [n for n in longest_first if n in QUERIES] + [
@@ -224,7 +232,11 @@ def main() -> None:
         "simhash_near_dups,embedding_nn,rowcounts,"
         "cross_near_dups,ngram_jaccard_dups,"
         "cross_dedup_index,dedup_first_wins,"
-        "corr_matrix,profile_numeric,value_histogram",
+        "corr_matrix,profile_numeric,value_histogram,"
+        # r9 pooled movers with no anchor to attribute the delta
+        # (events_asof 1.39->2.98 s, schema_all_tables 1.14->2.63 s):
+        # anchored so ambient contention and engine cost separate
+        "events_asof,schema_all_tables,token_stats",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):
