@@ -2613,6 +2613,97 @@ ORDER BY doc_id
 """
 
 
+def q_impute_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL repair (operators/repair.impute_nulls): events.value NULLs
+    filled with the per-event-type exact median — the fix-it twin of
+    the nullcheck report. Spark percentile == DuckDB quantile_cont
+    (events_percentiles precedent)."""
+    from .operators.repair import impute_nulls
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        impute_nulls(ev, ["value"], strategy="median",
+                     group_col="event_type")
+        .select("event_id", "event_type", F.round("value", 6).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+SQL_IMPUTE_VALUES = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(coalesce(e.value, med.m), 6) AS value
+FROM events e
+LEFT JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type
+ORDER BY e.event_id
+"""
+
+
+def q_clip_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (operators/repair.clip_outliers): events.value
+    capped at the global exact [p05, p95] — the repair twin of the
+    z-outlier detector; NULLs stay NULL."""
+    from .operators.repair import clip_outliers
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        clip_outliers(ev, ["value"], lower_q=0.05, upper_q=0.95)
+        .select("event_id", F.round("value", 6).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+SQL_CLIP_VALUES = """
+WITH q AS (
+  SELECT round(quantile_cont(value, 0.05), 6) AS lo,
+         round(quantile_cont(value, 0.95), 6) AS hi
+  FROM events
+)
+SELECT event_id,
+       round(CASE WHEN value IS NULL THEN NULL
+                  ELSE least(greatest(value, lo), hi) END, 6) AS value
+FROM events, q
+ORDER BY event_id
+"""
+
+
+def q_cast_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-migration loss accounting (operators/repair.cast_report):
+    per column, how many present values would NOT survive a try_cast —
+    the repair twin of colcompare's Different Types verdict. props is
+    JSON text (every cast to double fails); value -> int is lossy-safe
+    (doubles truncate, none fail)."""
+    from .operators.repair import cast_report
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return cast_report(
+        ev, {"value": "int", "props": "double"}
+    ).orderBy("column")
+
+
+SQL_CAST_REPORT = """
+SELECT 'props' AS "column", 'double' AS target_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(props) AS BIGINT) AS n_nonnull,
+       CAST(count(props) - count(TRY_CAST(props AS DOUBLE)) AS BIGINT)
+         AS n_failed
+FROM events
+UNION ALL
+SELECT 'value', 'int',
+       CAST(count(*) AS BIGINT),
+       CAST(count(value) AS BIGINT),
+       CAST(count(value) - count(TRY_CAST(value AS INT)) AS BIGINT)
+FROM events
+ORDER BY "column"
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4040,6 +4131,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyfinder_search": q_keyfinder_search,
     "multimodal_features": q_multimodal_features,
     "resize_images": q_resize_images,
+    "impute_values": q_impute_values,
+    "clip_values": q_clip_values,
+    "cast_report": q_cast_report,
     "stratified_sample": q_stratified_sample,
     "top_ngrams": q_top_ngrams,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -4138,6 +4232,9 @@ ORACLES: dict[str, str] = {
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "resize_images": SQL_RESIZE_IMAGES,
+    "impute_values": SQL_IMPUTE_VALUES,
+    "clip_values": SQL_CLIP_VALUES,
+    "cast_report": SQL_CAST_REPORT,
     "keyfinder_search": SQL_KEYFINDER_SEARCH,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_ngrams": SQL_TOP_NGRAMS,

@@ -902,3 +902,71 @@ def test_resize_images_stub_and_contract(spark):
     except ImportError:
         with pytest.raises(NotImplementedError, match="pillow"):
             resize_images(df, 8, 8, decode_stub=False)
+
+
+# -- repair ------------------------------------------------------------------
+
+
+def test_impute_nulls_strategies(spark):
+    from dbqt_spark.operators.repair import impute_nulls
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "a", 20.0),
+         (4, "b", None), (5, "b", 100.0),
+         (6, None, None), (7, None, 7.0),
+         (8, "empty", None)],  # all-NULL group
+        "id long, g string, v double",
+    )
+    med = {r["id"]: r["v"] for r in impute_nulls(
+        df, ["v"], strategy="median", group_col="g").collect()}
+    assert med[2] == 15.0        # median of {10, 20}
+    assert med[4] == 100.0
+    assert med[6] == 7.0         # NULL group is its own group
+    assert med[8] is None        # all-NULL group: no fabrication
+
+    mean = {r["id"]: r["v"] for r in impute_nulls(
+        df, ["v"], strategy="mean").collect()}
+    # global mean of {10, 20, 100, 7} = 34.25
+    assert mean[2] == 34.25 and mean[4] == 34.25
+
+    const = {r["id"]: r["v"] for r in impute_nulls(
+        df, ["v"], strategy="constant", fill_value=-1).collect()}
+    assert const[2] == -1.0 and const[1] == 10.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        impute_nulls(df, ["v"], strategy="mode")
+    with _pytest.raises(ValueError, match="fill_value"):
+        impute_nulls(df, ["v"], strategy="constant")
+
+
+def test_clip_outliers(spark):
+    from dbqt_spark.operators.repair import clip_outliers
+
+    rows = [(i, float(i)) for i in range(101)] + [(200, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r["id"]: r["v"] for r in clip_outliers(
+        df, ["v"], lower_q=0.1, upper_q=0.9).collect()}
+    assert out[0] == 10.0 and out[100] == 90.0  # capped
+    assert out[50] == 50.0                      # interior untouched
+    assert out[200] is None                     # NULL stays NULL
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower_q"):
+        clip_outliers(df, ["v"], lower_q=0.9, upper_q=0.1)
+
+
+def test_safe_cast_and_report(spark):
+    from dbqt_spark.operators.repair import cast_report, safe_cast
+
+    df = spark.createDataFrame(
+        [(1, "12"), (2, "x"), (3, None), (4, "3.5")],
+        "id long, s string",
+    )
+    got = {r["id"]: r["s"] for r in safe_cast(df, {"s": "double"}).collect()}
+    assert got == {1: 12.0, 2: None, 3: None, 4: 3.5}
+    rep = cast_report(df, {"s": "double"}).collect()[0]
+    assert rep["n_rows"] == 4 and rep["n_nonnull"] == 3
+    assert rep["n_failed"] == 1  # only 'x' was present and lost
