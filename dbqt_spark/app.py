@@ -48,6 +48,7 @@ TOOLS = [
     "chunk",
     "cluster",
     "classify",
+    "repair",
 ]
 
 
@@ -1332,6 +1333,63 @@ def tool_classify(argv: list[str]) -> int:
     return 0
 
 
+def tool_repair(argv: list[str]) -> int:
+    """Data repair from the CLI (operators/repair.py): impute NULLs,
+    winsorize outliers, or report try_cast data loss for a type
+    migration."""
+    p = argparse.ArgumentParser(prog="repair")
+    p.add_argument("action", choices=["impute", "clip", "castreport"])
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--columns", required=True,
+                   help="comma-separated; castreport expects "
+                   "col:type pairs (e.g. value:int,props:double)")
+    p.add_argument("--strategy", choices=["median", "mean", "constant"],
+                   default="median")
+    p.add_argument("--fill-value", type=float)
+    p.add_argument("--group-column")
+    p.add_argument("--lower-q", type=float, default=0.01)
+    p.add_argument("--upper-q", type=float, default=0.99)
+    p.add_argument("--output-parquet",
+                   help="impute/clip: write the repaired table here")
+    args = p.parse_args(argv)
+
+    from .operators.repair import cast_report, clip_outliers, impute_nulls
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    if args.action == "castreport":
+        casts = {}
+        for part in args.columns.split(","):
+            if ":" not in part:
+                p.error(f"castreport expects col:type, got {part!r}")
+            c, _, t = part.partition(":")
+            casts[c.strip()] = t.strip()
+        for r in cast_report(df, casts).collect():
+            print(
+                f"{r['column']} -> {r['target_type']}: "
+                f"{r['n_failed']} of {r['n_nonnull']} present values lost"
+            )
+        return 0
+    cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+    if args.action == "impute":
+        out = impute_nulls(
+            df, cols, strategy=args.strategy,
+            group_col=args.group_column, fill_value=args.fill_value,
+        )
+    else:
+        out = clip_outliers(
+            df, cols, lower_q=args.lower_q, upper_q=args.upper_q,
+            group_col=args.group_column,
+        )
+    if not args.output_parquet:
+        p.error(f"{args.action} needs --output-parquet")
+    out.write.mode("overwrite").parquet(args.output_parquet)
+    n = db.spark.read.parquet(args.output_parquet).count()
+    print(f"{n} repaired rows written to {args.output_parquet}")
+    return 0
+
+
 def tool_statstore(argv: list[str]) -> int:
     """Incremental profile store from the CLI
     (operators/statstore.py): `append` one segment of mergeable
@@ -1512,6 +1570,7 @@ def main(argv: list[str] | None = None) -> int:
         "chunk": tool_chunk,
         "cluster": tool_cluster,
         "classify": tool_classify,
+        "repair": tool_repair,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

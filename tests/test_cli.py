@@ -799,3 +799,31 @@ def test_chunk_cluster_classify_cli(spark, sf_dir, tmp_path, capsys):
     kdf = spark.read.parquet(kept)
     assert 0 < kdf.count() <= sdf.count()
     assert "text" in kdf.columns  # filter returns the docs, not scores
+
+
+def test_repair_cli(spark, sf_dir, tmp_path, capsys):
+    """repair impute/clip/castreport end-to-end over events."""
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n",
+    )
+    fixed = str(tmp_path / "fixed")
+    assert main(["repair", "impute", "--config", cfg, "--table", "events",
+                 "--columns", "value", "--group-column", "event_type",
+                 "--output-parquet", fixed]) == 0
+    out_df = spark.read.parquet(fixed)
+    # imputation only fills groups that HAVE a median; with per-type
+    # grouping every type has values, so no NULLs remain
+    assert out_df.filter("value IS NULL").count() == 0
+
+    clipped = str(tmp_path / "clipped")
+    assert main(["repair", "clip", "--config", cfg, "--table", "events",
+                 "--columns", "value", "--lower-q", "0.1",
+                 "--upper-q", "0.9", "--output-parquet", clipped]) == 0
+    assert spark.read.parquet(clipped).count() == out_df.count()
+
+    assert main(["repair", "castreport", "--config", cfg,
+                 "--table", "events",
+                 "--columns", "value:int,props:double"]) == 0
+    out = capsys.readouterr().out
+    assert "props -> double:" in out and "value -> int:" in out
