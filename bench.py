@@ -236,7 +236,10 @@ def main() -> None:
         # r9 pooled movers with no anchor to attribute the delta
         # (events_asof 1.39->2.98 s, schema_all_tables 1.14->2.63 s):
         # anchored so ambient contention and engine cost separate
-        "events_asof,schema_all_tables,token_stats",
+        "events_asof,schema_all_tables,token_stats,"
+        # r10 driver-loop heavies (kmeans family): anchor the engine
+        # cost apart from pool queueing
+        "kmeans_clusters,semantic_near_dups,span_dedup",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

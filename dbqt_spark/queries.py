@@ -3671,8 +3671,10 @@ def q_semantic_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.kmeans import semantic_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # k=16 is the blocking knob: SemDeDup runs LARGE k precisely so
+    # cells stay small (sum of cell^2 is the pair budget)
     return semantic_near_dup_pairs(
-        emb, threshold=0.35, k=4, iters=2
+        emb, threshold=0.35, k=16, iters=2
     ).orderBy("id_a", "id_b")
 
 
@@ -4045,8 +4047,9 @@ FROM assign GROUP BY cluster ORDER BY cluster
 """
 
 
+# the embedded kmeans CTE re-parameterizes to the blocking k (LIMIT 16)
 SQL_SEMANTIC_NEAR_DUPS = f"""
-WITH assign AS ({SQL_KMEANS_CLUSTERS.replace("ORDER BY vec_id", "")})
+WITH assign AS ({SQL_KMEANS_CLUSTERS.replace("ORDER BY vec_id", "").replace("LIMIT 4", "LIMIT 16")})
 SELECT id_a, id_b, cluster, c AS cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, aa.cluster,
          round(
