@@ -136,7 +136,17 @@ def main() -> None:
     # the gate ALONE: sharing the pool dilutes its share exactly when
     # another chain runs — the other chains' queueing is tolerable in
     # `heavy`, the gate's is the bench tail
-    chains = ["streaming_neardup_gate"]
+    # the kmeans family are driver loops of small sequential jobs
+    # (init + per-iteration means + final assignment) — the same
+    # latency-bound shape: measured 2.4 s solo vs 12-16 s pooled in
+    # `heavy`. Their jobs are tiny (5k-row aggregates), so sharing the
+    # chain pool with the gate costs it little.
+    chains = [
+        "streaming_neardup_gate",
+        "kmeans_clusters",
+        "kmeans_sizes",
+        "semantic_near_dups",
+    ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
     arrow_heavy = [
