@@ -1396,15 +1396,24 @@ def tool_statstore(argv: list[str]) -> int:
     per-column statistics per ingest batch; `profile` merges all
     segments into the corpus profile without rescanning any data."""
     p = argparse.ArgumentParser(prog="statstore")
-    p.add_argument("action", choices=["append", "profile"])
+    p.add_argument("action", choices=["append", "profile", "trend"])
     p.add_argument("--store-path", required=True)
     p.add_argument("--config", help="required for append")
-    p.add_argument("--table", help="required for append")
+    p.add_argument("--table", help="required for append/trend")
     p.add_argument("--columns", help="comma-separated subset (append)")
-    p.add_argument("--output", help="profile: HTML report path")
+    p.add_argument("--segment-id",
+                   help="append: label this segment (ingest date / "
+                   "batch id) so `trend` can chart it")
+    p.add_argument("--z-threshold", type=float, default=3.0,
+                   help="trend: |z| flag level")
+    p.add_argument("--output", help="profile/trend: HTML report path")
     args = p.parse_args(argv)
 
-    from .operators.statstore import stats_store_append, stats_store_profile
+    from .operators.statstore import (
+        stats_store_append,
+        stats_store_profile,
+        stats_store_trend,
+    )
 
     if args.action == "append":
         if not (args.config and args.table):
@@ -1412,11 +1421,34 @@ def tool_statstore(argv: list[str]) -> int:
         cfg, db = _load_db(args.config)
         df = db.load(args.table)
         cols = args.columns.split(",") if args.columns else None
-        stats_store_append(df, args.store_path, args.table, columns=cols)
+        stats_store_append(
+            df, args.store_path, args.table, columns=cols,
+            segment_id=args.segment_id,
+        )
         print(f"Segment appended to {args.store_path}")
         return 0
     from .report.html import HTMLReport
 
+    if args.action == "trend":
+        if not args.table:
+            p.error("trend needs --table")
+        chart = stats_store_trend(
+            _spark(), args.store_path, args.table,
+            z_threshold=args.z_threshold,
+        )
+        rows = chart.collect()
+        flagged = [r for r in rows if r["is_anomaly"]]
+        report = HTMLReport("statstore (trend)")
+        report.add_dataframe_tab(
+            "Per-segment metrics",
+            _spark().createDataFrame(rows, chart.schema)
+            if rows else chart,
+        )
+        out = args.output or _results_path("statstore")
+        report.save(out)
+        print(f"{len(flagged)} anomalous segment metrics flagged")
+        print(f"Report saved to {out}")
+        return 0
     merged = stats_store_profile(_spark(), args.store_path)
     report = HTMLReport("statstore (merged profile)")
     report.add_dataframe_tab("Merged profile", merged)

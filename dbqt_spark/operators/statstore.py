@@ -35,11 +35,15 @@ def stats_store_append(
     path: str,
     table_name: str,
     columns: list[str] | None = None,
+    segment_id: str | None = None,
 ) -> None:
     """Append one segment of per-column partial statistics for ``df``
     (an ingest batch). Numeric columns carry min/max as double;
     non-numeric columns carry NULL min/max (their counts and distinct
-    sketch still merge)."""
+    sketch still merge). ``segment_id`` (e.g. the ingest date or batch
+    id) labels the segment so ``stats_store_trend`` can chart metrics
+    over time; segments written without one still merge into the
+    profile but are invisible to the trend report."""
     from pyspark.sql.types import NumericType
 
     fields = [
@@ -92,6 +96,7 @@ def stats_store_append(
         parts.append(
             wide.select(
                 F.lit(table_name).alias("table_name"),
+                F.lit(segment_id).cast("string").alias("segment_id"),
                 F.inline(F.array(*structs)),
             )
         )
@@ -105,7 +110,7 @@ def stats_store_profile(spark: SparkSession, path: str) -> DataFrame:
     is the unioned-HLL estimate (DataSketches HLL_4, ~2% typical
     relative error, exact-ish at small cardinalities). Cost: a scan of
     the segment rows only — never the profiled data."""
-    segs = spark.read.parquet(path)
+    segs = _read_segments(spark, path)
     return (
         segs.groupBy("table_name", "col_name")
         .agg(
@@ -121,3 +126,108 @@ def stats_store_profile(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("table_name", "col_name")
     )
+
+
+def _read_segments(spark: SparkSession, path: str) -> DataFrame:
+    """Segment rows with schema merging (stores written before
+    ``segment_id`` existed read as NULL-labeled segments)."""
+    segs = spark.read.option("mergeSchema", "true").parquet(path)
+    if "segment_id" not in segs.columns:
+        segs = segs.withColumn("segment_id", F.lit(None).cast("string"))
+    return segs
+
+
+def stats_store_trend(
+    spark: SparkSession,
+    path: str,
+    table_name: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-segment metric control chart — data quality OVER TIME from
+    the store alone (no corpus rescans): every labeled segment's row
+    count and NULL count z-score against a LEAVE-ONE-OUT baseline of
+    the column's other segments. LOO matters: a baseline that includes
+    the point under test bounds |z| by (n-1)/sqrt(n) (~2 at six
+    segments), so a 3-sigma threshold could never fire — the exact trap
+    this function's first draft shipped and its test caught. A feed
+    that suddenly shrinks, floods, or starts nulling a field flags here
+    the moment its batch's segment lands.
+
+    Determinism: both metrics are INTEGERS, so the baseline moments are
+    exact DECIMAL sums (order-independent) and x^2 stays exact in
+    double at any realistic segment size; the z chain is then the same
+    IEEE expression in any engine (the DuckDB oracle reproduces it).
+    Flat-baseline rule: when the other segments are constant
+    (std == 0), any deviation is flagged directly (z itself is NULL —
+    sigma-distance from a zero-variance baseline is undefined, but the
+    deviation is the clearest possible anomaly).
+
+    Scale shape: the input is segment rows (segments x columns —
+    kilobytes); one groupBy + one broadcast join back. Returns
+    (segment_id, col_name, n_rows, null_count, null_rate, z_rows,
+    z_nulls, is_anomaly) ordered by (col_name, segment_id)."""
+    segs = (
+        _read_segments(spark, path)
+        .filter(F.col("table_name") == table_name)
+        .filter(F.col("segment_id").isNotNull())
+        .select(
+            "segment_id",
+            "col_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("null_count").cast("long").alias("null_count"),
+        )
+    )
+
+    def _moments(c: str, out: str):
+        x = F.col(c).cast("decimal(38,0)")
+        return [
+            F.count(F.lit(1)).cast("double").alias(f"__n_{out}"),
+            F.sum(x).cast("double").alias(f"__s_{out}"),
+            F.sum(x * x).cast("double").alias(f"__q_{out}"),
+        ]
+
+    stats = segs.groupBy("col_name").agg(
+        *_moments("n_rows", "r"), *_moments("null_count", "m")
+    )
+    joined = segs.join(F.broadcast(stats), "col_name")
+
+    def _parts(value, n, s, q):
+        x = value.cast("double")
+        n1 = n - F.lit(1.0)
+        s1 = s - x
+        q1 = q - x * x
+        mean1 = s1 / n1
+        var1 = F.greatest(
+            (q1 - s1 * s1 / n1) / (n1 - F.lit(1.0)), F.lit(0.0)
+        )
+        std1 = F.sqrt(var1)
+        z = F.when((n1 >= 2) & (std1 > 0), (x - mean1) / std1)
+        flat_dev = (n1 >= 2) & (std1 == 0) & (x != mean1)
+        return z, flat_dev
+
+    z_r, flat_r = _parts(
+        F.col("n_rows"), F.col("__n_r"), F.col("__s_r"), F.col("__q_r")
+    )
+    z_m, flat_m = _parts(
+        F.col("null_count"), F.col("__n_m"), F.col("__s_m"),
+        F.col("__q_m"),
+    )
+    return joined.select(
+        "segment_id",
+        "col_name",
+        "n_rows",
+        "null_count",
+        F.round(
+            F.col("null_count").cast("double")
+            / F.col("n_rows").cast("double"),
+            8,
+        ).alias("null_rate"),
+        F.round(z_r, 4).alias("z_rows"),
+        F.round(z_m, 4).alias("z_nulls"),
+        (
+            F.coalesce(F.abs(z_r) > z_threshold, F.lit(False))
+            | F.coalesce(F.abs(z_m) > z_threshold, F.lit(False))
+            | flat_r
+            | flat_m
+        ).alias("is_anomaly"),
+    ).orderBy("col_name", "segment_id")

@@ -2613,6 +2613,108 @@ ORDER BY doc_id
 """
 
 
+def q_statstore_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ-over-time control chart (operators/statstore.py
+    stats_store_trend): four event slices append labeled segments to a
+    store, then every segment's row count and NULL rate z-score
+    against the column's history — a shrinking/flooding/nulling feed
+    flags when its batch lands, with no corpus rescans. The oracle
+    recomputes the segment stats and the identical z arithmetic from
+    the raw table."""
+    import shutil
+    import tempfile
+
+    from .operators.statstore import stats_store_append, stats_store_trend
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="statstore_trend_q_")
+    try:
+        for i in range(4):
+            stats_store_append(
+                ev.filter(F.col("user_id") % 4 == i), d, "events",
+                columns=["value", "props"], segment_id=f"s{i}",
+            )
+        return stats_store_trend(spark, d, "events").localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_STATSTORE_TREND = """
+WITH seg AS (
+  SELECT 's' || CAST(user_id % 4 AS VARCHAR) AS segment_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(props) AS BIGINT) AS nulls_props,
+         CAST(count(*) - count(value) AS BIGINT) AS nulls_value
+  FROM events GROUP BY 1
+),
+long AS (
+  SELECT segment_id, 'props' AS col_name, n_rows,
+         nulls_props AS null_count FROM seg
+  UNION ALL
+  SELECT segment_id, 'value', n_rows, nulls_value FROM seg
+),
+m AS (
+  SELECT col_name,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(n_rows AS DECIMAL(38,0))) AS DOUBLE) AS s_r,
+         CAST(sum(CAST(n_rows AS DECIMAL(38,0))
+                  * CAST(n_rows AS DECIMAL(38,0))) AS DOUBLE) AS q_r,
+         CAST(sum(CAST(null_count AS DECIMAL(38,0))) AS DOUBLE) AS s_m,
+         CAST(sum(CAST(null_count AS DECIMAL(38,0))
+                  * CAST(null_count AS DECIMAL(38,0))) AS DOUBLE) AS q_m
+  FROM long GROUP BY 1
+),
+scored AS (
+  SELECT segment_id, col_name, n_rows, null_count,
+         round(CAST(null_count AS DOUBLE) / n_rows, 8) AS null_rate,
+         CASE WHEN n - 1.0 >= 2
+               AND sqrt(greatest(((q_r - CAST(n_rows AS DOUBLE)
+                                          * CAST(n_rows AS DOUBLE))
+                 - (s_r - n_rows) * (s_r - n_rows) / (n - 1.0))
+                 / (n - 2.0), 0.0)) > 0
+         THEN (n_rows - (s_r - n_rows) / (n - 1.0))
+              / sqrt(greatest(((q_r - CAST(n_rows AS DOUBLE)
+                                       * CAST(n_rows AS DOUBLE))
+                 - (s_r - n_rows) * (s_r - n_rows) / (n - 1.0))
+                 / (n - 2.0), 0.0))
+         END AS z_rows_raw,
+         CASE WHEN n - 1.0 >= 2
+               AND sqrt(greatest(((q_m - CAST(null_count AS DOUBLE)
+                                          * CAST(null_count AS DOUBLE))
+                 - (s_m - null_count) * (s_m - null_count) / (n - 1.0))
+                 / (n - 2.0), 0.0)) > 0
+         THEN (null_count - (s_m - null_count) / (n - 1.0))
+              / sqrt(greatest(((q_m - CAST(null_count AS DOUBLE)
+                                       * CAST(null_count AS DOUBLE))
+                 - (s_m - null_count) * (s_m - null_count) / (n - 1.0))
+                 / (n - 2.0), 0.0))
+         END AS z_nulls_raw,
+         (n - 1.0 >= 2
+          AND sqrt(greatest(((q_r - CAST(n_rows AS DOUBLE)
+                                     * CAST(n_rows AS DOUBLE))
+              - (s_r - n_rows) * (s_r - n_rows) / (n - 1.0))
+              / (n - 2.0), 0.0)) = 0
+          AND n_rows <> (s_r - n_rows) / (n - 1.0)) AS flat_r,
+         (n - 1.0 >= 2
+          AND sqrt(greatest(((q_m - CAST(null_count AS DOUBLE)
+                                     * CAST(null_count AS DOUBLE))
+              - (s_m - null_count) * (s_m - null_count) / (n - 1.0))
+              / (n - 2.0), 0.0)) = 0
+          AND null_count <> (s_m - null_count) / (n - 1.0)) AS flat_m
+  FROM long JOIN m USING (col_name)
+)
+SELECT segment_id, col_name, n_rows, null_count, null_rate,
+       round(z_rows_raw, 4) AS z_rows,
+       round(z_nulls_raw, 4) AS z_nulls,
+       (coalesce(abs(z_rows_raw) > 3.0, FALSE)
+        OR coalesce(abs(z_nulls_raw) > 3.0, FALSE)
+        OR flat_r OR flat_m) AS is_anomaly
+FROM scored
+ORDER BY col_name, segment_id
+"""
+
+
 def q_impute_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL repair (operators/repair.impute_nulls): events.value NULLs
     filled with the per-event-type exact median — the fix-it twin of
@@ -4135,6 +4237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "resize_images": q_resize_images,
     "impute_values": q_impute_values,
+    "statstore_trend": q_statstore_trend,
     "clip_values": q_clip_values,
     "cast_report": q_cast_report,
     "stratified_sample": q_stratified_sample,
@@ -4236,6 +4339,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "resize_images": SQL_RESIZE_IMAGES,
     "impute_values": SQL_IMPUTE_VALUES,
+    "statstore_trend": SQL_STATSTORE_TREND,
     "clip_values": SQL_CLIP_VALUES,
     "cast_report": SQL_CAST_REPORT,
     "keyfinder_search": SQL_KEYFINDER_SEARCH,

@@ -2047,3 +2047,47 @@ def test_chunk_documents_randomized_reference(spark):
         for _, _, st, ln in want:
             covered.update(range(st, st + ln))
         assert covered == set(range(n))
+
+
+def test_statstore_trend_flags_anomalous_segment(spark, tmp_path):
+    """A segment whose feed zeroed a column (null spike) and shrank
+    must flag; steady segments must not. Unlabeled (legacy) segments
+    merge into the profile but stay out of the trend."""
+    from dbqt_spark.operators.statstore import (
+        stats_store_append,
+        stats_store_profile,
+        stats_store_trend,
+    )
+
+    store = str(tmp_path / "store")
+    steady = [(i, float(i)) for i in range(100)]
+    for s in range(5):
+        df = spark.createDataFrame(steady, "id long, v double")
+        stats_store_append(df, store, "t", segment_id=f"d{s}")
+    # broken batch: tiny and all-NULL v
+    broken = spark.createDataFrame(
+        [(i, None) for i in range(10)], "id long, v double"
+    )
+    stats_store_append(broken, store, "t", segment_id="d5")
+    # legacy unlabeled segment
+    stats_store_append(
+        spark.createDataFrame(steady, "id long, v double"), store, "t"
+    )
+
+    chart = {
+        (r["segment_id"], r["col_name"]): r
+        for r in stats_store_trend(spark, store, "t").collect()
+    }
+    assert ("d5", "v") in chart
+    bad = chart[("d5", "v")]
+    assert bad["is_anomaly"] and bad["null_rate"] == 1.0
+    assert all(
+        not chart[(f"d{s}", "v")]["is_anomaly"] for s in range(5)
+    )
+    # unlabeled segment absent from the chart, present in the profile
+    assert not any(k[0] is None for k in chart)
+    prof = {
+        r["col_name"]: r
+        for r in stats_store_profile(spark, store).collect()
+    }
+    assert prof["v"]["n_rows"] == 5 * 100 + 10 + 100
