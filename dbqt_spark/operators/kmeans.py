@@ -159,7 +159,7 @@ def semantic_near_dup_pairs(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_cluster_size: int | None = 10_000,
+    max_cluster_size: int | None = 4_000,
     drop_stats: "dict | None" = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate PAIRS
@@ -178,7 +178,9 @@ def semantic_near_dup_pairs(
     free grouping key for downstream keep-one-per-group policies.
 
     Scale guard: a degenerate embedding space can collapse into one
-    giant cell, whose self-join is a quadratic bomb — cells over
+    giant cell, whose scoring is a quadratic bomb — the per-cell matmul
+    materializes an n x n cosine matrix, so a 4k cell costs ~128 MB of
+    task memory and the default cap sits there; cells over
     ``max_cluster_size`` are EXCLUDED from pairing, observably
     (``drop_stats['n_dropped_clusters']`` / ``['n_dropped_rows']``),
     the same accounting contract as the dedup tiers' bucket caps.

@@ -83,11 +83,12 @@ def impute_nulls(
                     c, F.coalesce(F.col(c), F.lit(float(fill)))
                 )
         return out
+    # no broadcast hint: group stats are one row per group, usually
+    # tiny, but a high-cardinality group column must not become a
+    # forced driver-side broadcast — AQE picks from the measured size
     stats = df.groupBy(F.col(group_col).alias("__g")).agg(*aggs)
     joined = df.join(
-        F.broadcast(stats),
-        F.col(group_col).eqNullSafe(F.col("__g")),
-        "left",
+        stats, F.col(group_col).eqNullSafe(F.col("__g")), "left"
     )
     out_cols = []
     for c in df.columns:
@@ -144,9 +145,7 @@ def clip_outliers(
         return out
     stats = df.groupBy(F.col(group_col).alias("__g")).agg(*aggs)
     joined = df.join(
-        F.broadcast(stats),
-        F.col(group_col).eqNullSafe(F.col("__g")),
-        "left",
+        stats, F.col(group_col).eqNullSafe(F.col("__g")), "left"
     )
     out_cols = []
     for c in df.columns:
