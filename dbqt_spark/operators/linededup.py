@@ -166,20 +166,18 @@ def duplicate_span_removal(
             F.concat_ws(" ", *parts),
         ).alias("__gram"),
     )
-    starts = with_gram.filter(F.col("__gram").isNotNull()).select(
-        "__id", "__pos", "__gram"
-    )
     dup_grams = (
-        starts.groupBy("__gram")
+        with_gram.filter(F.col("__gram").isNotNull())
+        .groupBy("__gram")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= min_count)
-        .select("__gram")
+        .select("__gram", F.lit(1).alias("__dup_start"))
     )
-    dup_starts = starts.join(dup_grams, "__gram", "left_semi").select(
-        "__id", "__pos", F.lit(1).alias("__dup_start")
-    )
-    flagged = with_gram.select("__id", "__pos", "__tok").join(
-        dup_starts, ["__id", "__pos"], "left"
+    # ONE left join marks duplicated starts directly on the token rows
+    # (a semi-join + (doc,pos) join-back would consume the exploded
+    # window subtree a third time — one full extra corpus pass)
+    flagged = with_gram.join(dup_grams, "__gram", "left").select(
+        "__id", "__pos", "__tok", "__dup_start"
     )
     w_cov = (
         Window.partitionBy("__id")
