@@ -146,6 +146,9 @@ def main() -> None:
         "kmeans_clusters",
         "kmeans_sizes",
         "semantic_near_dups",
+        # statstore_trend builds its store with 4 sequential append
+        # writes before the (tiny) chart job — same latency-bound shape
+        "statstore_trend",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
