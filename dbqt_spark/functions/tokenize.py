@@ -74,7 +74,10 @@ def _counter_udf(fn: Callable) -> Callable[[Column], Column]:
 
     def _normalize(text: str) -> int:
         out = fn(text)
-        return int(out) if isinstance(out, int) else len(out)
+        try:
+            return len(out)  # encode-style: a sequence of token ids
+        except TypeError:
+            return int(out)  # count-style: int / numpy integer
 
     @F.pandas_udf("long")
     def _count(s: pd.Series) -> pd.Series:

@@ -45,8 +45,21 @@ def classifier_score(
     and a zero-token doc scores ``sigmoid(bias)``. Returns (id, score)
     with the score rounded to 6."""
     spark = df.sparkSession
+    # tokens are matched LOWERCASED — normalize the model's keys the
+    # same way so a weight exported as {"The": ...} cannot silently
+    # never match; a genuine case collision in the model is ambiguous
+    # and refused rather than summed
+    lowered: "dict[str, float]" = {}
+    for t, w in weights.items():
+        key = t.lower()
+        if key in lowered and lowered[key] != float(w):
+            raise ValueError(
+                f"classifier weights collide after lowercasing: {t!r} "
+                f"vs an earlier key for {key!r} with a different weight"
+            )
+        lowered[key] = float(w)
     rounded = [
-        (t, round(float(w), 6)) for t, w in sorted(weights.items())
+        (t, round(w, 6)) for t, w in sorted(lowered.items())
     ]
     toks = (
         df.select(

@@ -33,6 +33,24 @@ from pyspark.sql import functions as F
 _STRATEGIES = ("median", "mean", "constant")
 
 
+def _require_numeric(df: DataFrame, cols: "list[str]") -> None:
+    """Fail on the driver with the real reason instead of letting
+    ``percentile``/decimal sums surface an opaque analysis error mid-
+    job when a string column slips into a numeric repair."""
+    from pyspark.sql.types import NumericType
+
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"column {c!r} not found")
+        if not isinstance(types[c], NumericType):
+            raise ValueError(
+                f"column {c!r} is {types[c].simpleString()}; numeric "
+                "repair needs a numeric column (cast first — "
+                "safe_cast/cast_report are the migration tools)"
+            )
+
+
 def impute_nulls(
     df: DataFrame,
     cols: "list[str]",
@@ -51,6 +69,7 @@ def impute_nulls(
         raise ValueError(
             f"strategy must be one of {_STRATEGIES}, got {strategy!r}"
         )
+    _require_numeric(df, cols)
     if strategy == "constant":
         if fill_value is None:
             raise ValueError("strategy='constant' needs fill_value")
@@ -117,6 +136,7 @@ def clip_outliers(
         raise ValueError(
             f"need 0 <= lower_q < upper_q <= 1, got {lower_q}/{upper_q}"
         )
+    _require_numeric(df, cols)
     aggs = []
     for c in cols:
         aggs.append(

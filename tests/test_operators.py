@@ -970,3 +970,17 @@ def test_safe_cast_and_report(spark):
     rep = cast_report(df, {"s": "double"}).collect()[0]
     assert rep["n_rows"] == 4 and rep["n_nonnull"] == 3
     assert rep["n_failed"] == 1  # only 'x' was present and lost
+
+
+def test_repair_rejects_non_numeric(spark):
+    import pytest as _pytest
+
+    from dbqt_spark.operators.repair import clip_outliers, impute_nulls
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    with _pytest.raises(ValueError, match="numeric"):
+        impute_nulls(df, ["s"], strategy="median")
+    with _pytest.raises(ValueError, match="numeric"):
+        clip_outliers(df, ["s"])
+    with _pytest.raises(ValueError, match="not found"):
+        impute_nulls(df, ["missing"], strategy="mean")

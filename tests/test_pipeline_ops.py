@@ -2091,3 +2091,22 @@ def test_statstore_trend_flags_anomalous_segment(spark, tmp_path):
         for r in stats_store_profile(spark, store).collect()
     }
     assert prof["v"]["n_rows"] == 5 * 100 + 10 + 100
+
+
+def test_classifier_weight_key_normalization(spark):
+    """Model keys are matched against LOWERCASED tokens: mixed-case
+    exports still apply; genuinely colliding cased keys with different
+    weights are refused."""
+    import math
+
+    import pytest as _pytest
+
+    from dbqt_spark.operators.classifier import classifier_score
+
+    df = spark.createDataFrame([(1, "The THE the")], ["doc_id", "text"])
+    got = classifier_score(df, {"The": 1.0}).collect()[0]["score"]
+    assert got == round(1.0 / (1.0 + math.exp(-1.0)), 6)
+    # same weight under different cases is fine; different weights err
+    assert classifier_score(df, {"The": 1.0, "the": 1.0}).count() == 1
+    with _pytest.raises(ValueError, match="collide"):
+        classifier_score(df, {"The": 1.0, "the": 0.5})
