@@ -327,6 +327,53 @@ def ivf_search(
     )
 
 
+
+def _store_meta(path: str) -> dict:
+    """meta.json contents, or {} when absent (writers create it)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def _vectors_dir(path: str, meta: "dict | None" = None) -> str:
+    """The CURRENT generation's vectors directory, resolved through the
+    manifest: generation 0 keeps the legacy plain ``vectors`` name so
+    existing indexes read unchanged; compaction bumps to
+    ``vectors-<N>``. meta.json is the single commit point — data only
+    ever lands under generation-unique names, so no reader can observe
+    a half-swapped store and no ``os.rename`` is needed (object stores
+    have no atomic directory rename)."""
+    import os
+
+    g = int((meta if meta is not None else _store_meta(path)).get(
+        "generation", 0
+    ))
+    name = "vectors" if g == 0 else f"vectors-{g}"
+    return os.path.join(path, name)
+
+
+def _sweep_vector_orphans(path: str, keep: str) -> None:
+    """Best-effort removal of vectors* dirs the manifest no longer
+    references (old generations, crashed compactions)."""
+    import os
+    import shutil
+
+    keep_name = os.path.basename(keep)
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if (
+            os.path.isdir(full)
+            and (name == "vectors" or name.startswith("vectors-"))
+            and name != keep_name
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def lsh_write(
     df: DataFrame,
     path: str,
@@ -373,9 +420,11 @@ def lsh_write(
             ).alias("table", "bucket"),
         )
         part_cols = ["table", "bucket"]
-    banded.write.mode("overwrite").partitionBy(*part_cols).parquet(
-        os.path.join(path, "vectors")
-    )
+    generation = int(_store_meta(path).get("generation", 0))
+    target = _vectors_dir(path, {"generation": generation})
+    banded.write.mode("overwrite").partitionBy(*part_cols).parquet(target)
+    # manifest LAST — the commit point (fresh writes keep the current
+    # generation name; only compaction bumps it)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
@@ -383,9 +432,11 @@ def lsh_write(
                 "seed": seed,
                 "dim": dim,
                 "n_tables": int(n_tables),
+                "generation": generation,
             },
             f,
         )
+    _sweep_vector_orphans(path, target)
 
 
 def lsh_append(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
@@ -425,7 +476,7 @@ def lsh_append(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
         )
         part_cols = ["table", "bucket"]
     banded.write.mode("append").partitionBy(*part_cols).parquet(
-        os.path.join(path, "vectors")
+        _vectors_dir(path, meta)
     )
 
 
@@ -459,46 +510,48 @@ def lsh_compact(spark, path: str) -> None:
     cols = (
         ["table", "bucket"] if int(meta.get("n_tables", 1)) > 1 else ["bucket"]
     )
-    _compact_partitioned(spark, os.path.join(path, "vectors"), cols)
+    _compact_partitioned(spark, path, cols)
 
 
 def _compact_partitioned(
-    spark, data_path: str, partition_cols: "str | list[str]"
+    spark, path: str, partition_cols: "str | list[str]"
 ) -> None:
     """One file per partition-value directory: hash-repartition on the
     partition column(s) (each value lands in exactly ONE task, so the
-    partitionBy writer emits exactly one file per directory), stage to a
-    sibling dir, swap with one atomic rename. Offline maintenance — run
-    between ingest batches, not concurrently with one. Small-file
-    compaction is the standard lakehouse maintenance op (Delta OPTIMIZE /
-    Iceberg rewrite_data_files); partition pruning is untouched because
-    the directory layout is reproduced exactly. The swap is two renames
-    with crash recovery (roll back from ``.old`` on the next call), so
-    no crash window leaves the index silently absent."""
+    partitionBy writer emits exactly one file per directory). Offline
+    maintenance — run between ingest batches, not concurrently with
+    one. Small-file compaction is the standard lakehouse maintenance
+    op (Delta OPTIMIZE / Iceberg rewrite_data_files); partition pruning
+    is untouched because the directory layout is reproduced exactly.
+    Object-store safe: the compacted data lands under the NEXT
+    generation's directory name and the manifest (meta.json) is
+    rewritten LAST as the commit point — no ``os.rename``, which object
+    stores don't honor atomically. A crash anywhere leaves the manifest
+    pointing at a complete generation; half-written next-generation
+    dirs are orphans the next write/compact sweeps."""
+    import json
     import os
-    import shutil
 
-    old = data_path + ".old"
-    if not os.path.exists(data_path) and os.path.exists(old):
-        os.rename(old, data_path)  # crashed mid-swap: roll back
-    if not os.path.exists(data_path):
+    meta = _store_meta(path)
+    src = _vectors_dir(path, meta)
+    if not os.path.exists(src):
         return
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    new_gen = int(meta.get("generation", 0)) + 1
+    dst = os.path.join(path, f"vectors-{new_gen}")
     cols = (
         [partition_cols] if isinstance(partition_cols, str) else partition_cols
     )
-    df = spark.read.parquet(data_path)
-    tmp = data_path + ".compact"
     (
-        df.repartition(*cols)
+        spark.read.parquet(src)
+        .repartition(*cols)
         .write.mode("overwrite")
         .partitionBy(*cols)
-        .parquet(tmp)
+        .parquet(dst)
     )
-    os.rename(data_path, old)
-    os.rename(tmp, data_path)
-    shutil.rmtree(old)
+    meta["generation"] = new_gen
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    _sweep_vector_orphans(path, dst)
 
 
 def _hyperplanes_for(
@@ -569,7 +622,7 @@ def lsh_topk_from_index(
         raise ValueError(
             f"query dimension {len(query)} != index dimension {dim}"
         )
-    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    vectors = spark.read.parquet(_vectors_dir(path, meta))
     if n_tables <= 1:
         planes = _hyperplanes(len(query), n_planes, seed)
         qsig = _query_signature(query, planes)
@@ -617,13 +670,15 @@ def ivf_write(
     import json
     import os
 
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "vectors")
-    )
+    generation = int(_store_meta(path).get("generation", 0))
+    target = _vectors_dir(path, {"generation": generation})
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(target)
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(centroids, f)
     C = np.array(centroids, dtype=np.float64)
     qerr = _sample_quantization_error(assigned, C, vec_col)
+    # manifest LAST — the commit point (generation carried forward;
+    # only compaction bumps it)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
@@ -633,9 +688,11 @@ def ivf_write(
                 # re-apply it so probe recall stays uniform across the
                 # original corpus and every appended batch
                 "n_assign": int(n_assign),
+                "generation": generation,
             },
             f,
         )
+    _sweep_vector_orphans(path, target)
 
 
 _DRIFT_SAMPLE_ROWS = 10_000
@@ -708,7 +765,7 @@ def ivf_append(
     _assign_cells(
         df, C, vec_col, int(meta.get("n_assign", 1))
     ).write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, "vectors")
+        _vectors_dir(path, meta)
     )
 
 
@@ -717,7 +774,7 @@ def ivf_compact(spark, path: str) -> None:
     leave one file per cell per batch). See ``_compact_partitioned``."""
     import os
 
-    _compact_partitioned(spark, os.path.join(path, "vectors"), "cell")
+    _compact_partitioned(spark, path, "cell")
 
 
 def ivf_load(
@@ -727,7 +784,7 @@ def ivf_load(
     import json
     import os
 
-    assigned = spark.read.parquet(os.path.join(path, "vectors"))
+    assigned = spark.read.parquet(_vectors_dir(path))
     with open(os.path.join(path, "centroids.json")) as f:
         centroids = json.load(f)
     return assigned, centroids

@@ -13,6 +13,7 @@ from dbqt_spark.plans import formatted_plan
 
 from dbqt_spark.catalog import load_table
 from dbqt_spark.operators.similarity import (
+    _vectors_dir,
     ivf_append,
     ivf_build,
     ivf_compact,
@@ -67,11 +68,14 @@ def test_lsh_compact_one_file_per_bucket_prunes(spark, sf_dir, tmp_path):
     path = str(tmp_path / "lsh")
     lsh_write(emb.filter("vec_id % 2 = 0"), path, n_planes=8, seed=42)
     lsh_append(emb.filter("vec_id % 2 = 1"), path)
-    vectors = os.path.join(path, "vectors")
+    vectors = _vectors_dir(path)
     assert max(_files_per_dir(vectors).values()) > 1  # appends fragment
 
     lsh_compact(spark, path)
-    assert set(_files_per_dir(vectors).values()) == {1}
+    # compaction commits a NEW generation through the manifest
+    vectors2 = _vectors_dir(path)
+    assert vectors2 != vectors and not os.path.exists(vectors)
+    assert set(_files_per_dir(vectors2).values()) == {1}
 
     q = list(emb.filter("vec_id = 0").select("embedding").first()[0])
     topk = lsh_topk_from_index(spark, path, q, k=5)
@@ -91,7 +95,7 @@ def test_lsh_append_dim_mismatch_raises(spark, sf_dir, tmp_path):
     emb = load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "lsh")
     lsh_write(emb, path, n_planes=8, seed=42)
-    n_before = spark.read.parquet(os.path.join(path, "vectors")).count()
+    n_before = spark.read.parquet(_vectors_dir(path)).count()
     # only ONE late row is truncated — a first-row peek would miss it
     truncated = emb.withColumn(
         "embedding",
@@ -103,7 +107,7 @@ def test_lsh_append_dim_mismatch_raises(spark, sf_dir, tmp_path):
         (SparkRuntimeException, Py4JJavaError), match="dimension"
     ):
         lsh_append(truncated, path)
-    n_after = spark.read.parquet(os.path.join(path, "vectors")).count()
+    n_after = spark.read.parquet(_vectors_dir(path)).count()
     assert n_after == n_before
 
 
@@ -121,7 +125,7 @@ def test_lsh_append_skips_null_vectors_keeps_rest(spark, sf_dir, tmp_path):
     )
     lsh_append(batch, path)
     got = (
-        spark.read.parquet(os.path.join(path, "vectors"))
+        spark.read.parquet(_vectors_dir(path))
         .filter("vec_id < 100")
         .count()
     )
@@ -147,10 +151,12 @@ def test_ivf_append_within_drift_then_compact(spark, sf_dir, tmp_path):
     }
     assert top2 == {7, 1_000_007}  # original and its appended clone
 
-    vectors = os.path.join(path, "vectors")
+    vectors = _vectors_dir(path)
     assert max(_files_per_dir(vectors).values()) > 1
     ivf_compact(spark, path)
-    assert set(_files_per_dir(vectors).values()) == {1}
+    vectors2 = _vectors_dir(path)
+    assert vectors2 != vectors and not os.path.exists(vectors)
+    assert set(_files_per_dir(vectors2).values()) == {1}
 
     probe = ivf_search(*ivf_load(spark, path), q, k=2, n_probes=3)
     plan = formatted_plan(probe)
@@ -188,15 +194,24 @@ def test_ivf_append_requires_baseline(spark, sf_dir, tmp_path):
 
 
 def test_lsh_compact_crash_recovery(spark, sf_dir, tmp_path):
-    """lsh_compact rolls a mid-swap crash (vectors parked at .old) back
-    before compacting; the index is never silently absent."""
+    """A compaction that crashed after writing the next generation but
+    before the manifest commit leaves the old index fully live; the
+    next compaction sweeps the orphan — no os.rename anywhere (object
+    stores have no atomic directory rename)."""
     emb = load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "lsh")
     lsh_write(emb, path, n_planes=8, seed=42)
-    vectors = os.path.join(path, "vectors")
-    os.rename(vectors, vectors + ".old")  # simulate mid-swap crash
+    vectors = _vectors_dir(path)
+    # simulate the crash window: orphan next-gen dir, manifest unchanged
+    os.makedirs(os.path.join(path, "vectors-1"), exist_ok=True)
     lsh_compact(spark, path)
-    assert os.path.exists(vectors) and not os.path.exists(vectors + ".old")
+    new_vectors = _vectors_dir(path)
+    assert os.path.exists(new_vectors) and not os.path.exists(vectors)
+    leftover = {
+        d for d in os.listdir(path)
+        if d == "vectors" or d.startswith("vectors-")
+    }
+    assert leftover == {os.path.basename(new_vectors)}
     q = list(emb.filter("vec_id = 0").select("embedding").first()[0])
     assert lsh_topk_from_index(spark, path, q, k=1).collect()[0]["vec_id"] == 0
 
@@ -485,3 +500,42 @@ def test_minhash_index_corpus_pointer_and_stale_guard(spark, sf_dir, tmp_path):
     minhash_index_write(corpus, path2)
     with pytest.raises(ValueError, match="stores bands only"):
         minhash_index_query(crawl, path2, threshold=0.5)
+
+
+def test_minhash_index_rebuild_crash_keeps_old_generation(
+    spark, sf_dir, tmp_path
+):
+    """A REBUILD that crashed after writing its new generation's bands
+    but before the manifest commit leaves the OLD index fully live
+    (same probe results), and the next successful write sweeps the
+    orphan."""
+    import json
+
+    from dbqt_spark.operators.minhash_index import (
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    docs = _mh_docs(spark, sf_dir)
+    corpus = docs.filter("doc_id % 2 = 0")
+    crawl = docs.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "mhidx")
+    minhash_index_write(corpus, path)
+    with open(os.path.join(path, "meta.json")) as f:
+        gen = int(json.load(f)["generation"])
+    before = sorted(
+        map(tuple, minhash_index_query(
+            crawl, path, threshold=0.5, corpus=corpus).collect())
+    )
+    # simulate the crash: next-generation data exists, manifest doesn't
+    os.makedirs(os.path.join(path, f"bands-{gen + 1}"))
+    after = sorted(
+        map(tuple, minhash_index_query(
+            crawl, path, threshold=0.5, corpus=corpus).collect())
+    )
+    assert after == before  # probes resolve through the manifest only
+    minhash_index_write(corpus, path)  # successful rebuild
+    leftover = {d for d in os.listdir(path) if d.startswith("bands-")}
+    with open(os.path.join(path, "meta.json")) as f:
+        gen2 = int(json.load(f)["generation"])
+    assert leftover == {f"bands-{gen2}"}  # orphan + old gen swept
