@@ -827,3 +827,50 @@ def test_repair_cli(spark, sf_dir, tmp_path, capsys):
                  "--columns", "value:int,props:double"]) == 0
     out = capsys.readouterr().out
     assert "props -> double:" in out and "value -> int:" in out
+
+
+def test_curate_cli_classifier_and_span_flags(spark, tmp_path, capsys):
+    """curate --classifier-weights-json / --span-k run the optional
+    stages end-to-end from the CLI."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "data"
+    root.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3],
+            "lang": ["en", "en", "en"],
+            "text": [
+                "the good aa bb cc dd ee data words",
+                "more aa bb cc dd ee the good data",
+                "click buy free subscribe spam now junk here",
+            ],
+        }),
+        str(root / "docs.parquet"),
+    )
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {root}\n",
+    )
+    wpath = tmp_path / "w.json"
+    wpath.write_text(json.dumps({
+        "the": 1.0, "good": 1.0, "data": 1.0,
+        "click": -3.0, "buy": -3.0, "free": -3.0, "subscribe": -3.0,
+    }))
+    outp = str(tmp_path / "curated")
+    assert main([
+        "curate", "--config", cfg, "--table", "docs",
+        "--quality-quantile", "0.0", "--dedup", "none", "--no-redact",
+        "--classifier-weights-json", str(wpath),
+        "--classifier-threshold", "0.5", "--span-k", "5",
+        "--output-parquet", outp,
+    ]) == 0
+    rows = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(outp).collect()}
+    assert 3 not in rows                      # classifier dropped spam
+    assert set(rows) == {1, 2}
+    assert "aa bb cc dd ee" not in rows[1]    # span surgery applied
+    assert "aa bb cc dd ee" not in rows[2]
