@@ -219,11 +219,25 @@ def minhash_gate_batch(
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
     driver_pair_limit: int | None = None,
+    corpus: "DataFrame | None" = None,
 ) -> DataFrame:
     """Run one micro-batch through the near-dup gate; returns the KEPT
     rows (eagerly — the store append must happen inside the batch) and
     appends their bands + texts to ``store_dir``. Usable directly on
     batch frames for backfills, or inside ``foreachBatch``.
+
+    ``corpus`` switches the store to POINTER mode (the minhash-index
+    contract, r10): verify texts for store-side candidates come from
+    the supplied (id_col, text_col) frame — which must cover every
+    previously ACCEPTED doc — and the store keeps ONLY bands, never a
+    second copy of the corpus text (at 100 TB the text store would
+    duplicate the accepted corpus the caller already persists; the
+    streaming wiring points at its own published output). Candidates
+    whose text the corpus cannot supply drop at the verify's inner
+    join — the streaming wiring's marker protocol guarantees coverage
+    (an uncovered id can only belong to the CURRENT batch's crashed
+    attempt, whose pairs the within-batch candidates already carry);
+    standalone callers own that coverage contract.
 
     Fused shape (r7): the batch is band-hashed ONCE (one Arrow pass,
     persisted) and that frame feeds (a) the within-batch candidate
@@ -264,6 +278,7 @@ def minhash_gate_batch(
     spark = batch_df.sparkSession
     _check_store_params(store_dir, num_hashes, bands, shingle_n)
     band_path, doc_path = _store_paths(store_dir)
+    external_texts = corpus is not None
     docs = batch_df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
@@ -300,14 +315,23 @@ def minhash_gate_batch(
     #    dedup.BROADCAST_PAIR_LIMIT).
     cands = within_cand.withColumn("from_store", F.lit(False))
     store_docs = None
-    # doc_path is checked too: a first-batch retry after the bands append
-    # landed but the docs append did not must not die reading a missing
-    # docs dir (it skips the cross-store step — the store holds only this
-    # batch's own rows, which the self-pair exclusion discards anyway).
-    has_store = os.path.exists(band_path) and os.path.exists(doc_path)
+    # doc_path is checked too (stored-texts mode): a first-batch retry
+    # after the bands append landed but the docs append did not must not
+    # die reading a missing docs dir (it skips the cross-store step —
+    # the store holds only this batch's own rows, which the self-pair
+    # exclusion discards anyway). Pointer mode needs only the bands.
+    has_store = os.path.exists(band_path) and (
+        external_texts or os.path.exists(doc_path)
+    )
     if has_store:
         store_bands = spark.read.parquet(band_path)
-        store_docs = spark.read.parquet(doc_path)
+        store_docs = (
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("text")
+            )
+            if external_texts
+            else spark.read.parquet(doc_path)
+        )
         cross_cand = (
             F.broadcast(capped.select(F.col("id").alias("qid"), "band_key"))
             .join(store_bands, "band_key")
@@ -488,10 +512,13 @@ def minhash_gate_batch(
     def _do_docs() -> None:
         batch_kept.write.mode("append").parquet(doc_path)
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(_do_bands), pool.submit(_do_docs)]
-        for f in futs:
-            f.result()
+    if external_texts:
+        _do_bands()  # pointer mode: bands are the whole store
+    else:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_do_bands), pool.submit(_do_docs)]
+            for f in futs:
+                f.result()
     batch_bands.unpersist()
     return batch_kept
 
@@ -504,6 +531,7 @@ def streaming_minhash_dedup(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    store_texts: bool = True,
 ):
     """Wire the gate into a stream: every micro-batch flows through
     ``minhash_gate_batch``; survivors append to ``out_dir``. Returns the
@@ -520,15 +548,35 @@ def streaming_minhash_dedup(
     change a re-run's survivors. Read the output with
     ``publish.read_published`` (crash-consistent) or plain
     ``spark.read.parquet(out_dir)`` after a clean finish — both surface
-    ``batch_id`` as a lineage column."""
-    from .publish import publish_batch
+    ``batch_id`` as a lineage column.
+
+    ``store_texts=False`` switches the gate store to POINTER mode: the
+    accepted corpus already lives in ``out_dir``, so verify texts come
+    from the committed batches there (``read_published``) and the store
+    keeps only bands — no second copy of the corpus text. Coverage is
+    the marker protocol's guarantee: every accepted doc outside the
+    current batch belongs to a committed batch (a crashed attempt's
+    uncommitted docs can only collide with the retry of the SAME batch,
+    whose pairs the within-batch candidates already carry)."""
+    from .publish import committed_batches, publish_batch, read_published
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(store_dir, "_batches", f"{batch_id}.done")
         if os.path.exists(marker):
             return  # retried batch already fully processed
+        corpus = None
+        if not store_texts:
+            corpus = (
+                read_published(batch_df.sparkSession, out_dir)
+                if committed_batches(out_dir)
+                # first batch: nothing published yet — an EMPTY corpus
+                # keeps the gate in pointer mode (no docs dir is ever
+                # created); there is nothing to verify against anyway
+                else batch_df.select(id_col, text_col).limit(0)
+            )
         kept = minhash_gate_batch(
-            batch_df, store_dir, threshold, text_col, id_col
+            batch_df, store_dir, threshold, text_col, id_col,
+            corpus=corpus,
         )
         # publish the output, THEN write the gate marker: every crash
         # window re-runs into the same final state.

@@ -762,3 +762,59 @@ def test_streaming_curate_classifier_stage(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert kept == {1}  # spam passed the heuristic gate, failed the model
+
+
+def test_neardup_gate_pointer_mode_no_text_store(spark, tmp_path):
+    """store_texts=False: the gate verifies against its own published
+    output (pointer mode) — identical survivors to the stored-texts
+    run, and the store never holds a second copy of any document."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.streaming.neardup import streaming_minhash_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    uniq = "completely different content about other things entirely " * 5
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [1, 2],
+                  "text": [base, uniq]}),
+        str(src / "b1.parquet"),
+    )
+    time.sleep(1.1)
+    pq.write_table(
+        pa.table({"doc_id": [3, 4],
+                  "text": [base.replace("kappa", "kappaX", 1),  # x-batch dup
+                           "fresh independent words here now " * 5]}),
+        str(src / "b2.parquet"),
+    )
+
+    def run(store_texts, tag):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = streaming_minhash_dedup(
+            stream,
+            store_dir=str(tmp_path / f"store_{tag}"),
+            out_dir=str(tmp_path / f"out_{tag}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            threshold=0.5,
+            store_texts=store_texts,
+        )
+        q.awaitTermination()
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / f"out_{tag}"))
+            .collect()
+        )
+
+    with_texts = run(True, "t")
+    pointer = run(False, "p")
+    assert pointer == with_texts == [1, 2, 4]  # doc 3 dropped cross-batch
+    assert os.path.exists(str(tmp_path / "store_t" / "docs"))
+    assert not os.path.exists(str(tmp_path / "store_p" / "docs"))
