@@ -539,3 +539,41 @@ def test_minhash_index_rebuild_crash_keeps_old_generation(
     with open(os.path.join(path, "meta.json")) as f:
         gen2 = int(json.load(f)["generation"])
     assert leftover == {f"bands-{gen2}"}  # orphan + old gen swept
+
+
+def test_minhash_index_probe_never_shuffles_index(spark, sf_dir, tmp_path):
+    """The probe's candidate join must be a BroadcastHashJoin whose
+    ONLY exchange is the broadcast of the crawl's band keys — the index
+    band scan is read in place with no shuffle at any index size (the
+    same plan property as the streaming gate's store join)."""
+    import json
+    import re
+
+    from dbqt_spark.operators.minhash_index import (
+        _band_key_rows,
+        _bands_dir,
+        minhash_index_write,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _mh_docs(spark, sf_dir)
+    path = str(tmp_path / "mhidx")
+    minhash_index_write(docs.filter("doc_id % 2 = 0"), path)
+    with open(os.path.join(path, "meta.json")) as f:
+        gen = int(json.load(f)["generation"])
+    store_bands = spark.read.parquet(_bands_dir(path, gen))
+    crawl = docs.filter("doc_id % 2 = 1")
+    q_bands = _band_key_rows(crawl, "query_id", "text", "doc_id", 32, 16, 3)
+    plan = formatted_plan(
+        F.broadcast(q_bands).join(store_bands, "band_key")
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only shuffle is the crawl-side Arrow spread (RoundRobin);
+    # NOTHING hash-partitions on band_key — the index side would
+    # otherwise shuffle with the index's size
+    shuffle_specs = [
+        blk for blk in plan.split("\n\n")
+        if re.match(r"\(\d+\) Exchange", blk)
+    ]
+    assert all("RoundRobinPartitioning" in blk for blk in shuffle_specs)
+    assert "hashpartitioning(band_key" not in plan
