@@ -874,3 +874,25 @@ def test_curate_cli_classifier_and_span_flags(spark, tmp_path, capsys):
     assert set(rows) == {1, 2}
     assert "aa bb cc dd ee" not in rows[1]    # span surgery applied
     assert "aa bb cc dd ee" not in rows[2]
+
+
+def test_example_checks_suite_round_trip(spark, sf_dir):
+    """The shipped examples/checks_suite.yaml.example loads through the
+    real suite loader and every check runs green against the testdata
+    (onboarding parity with the connection examples)."""
+    import os as _os
+
+    from dbqt_spark.catalog import load_tables
+    from dbqt_spark.operators.checks import load_check_suite, run_checks
+
+    here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    suite = _os.path.join(here, "examples", "checks_suite.yaml.example")
+    checks = load_check_suite(suite)
+    assert len(checks) == 8
+    assert {c.kind for c in checks} == {
+        "not_null", "unique", "in_set", "range", "regex",
+        "stats_range", "ref_integrity", "drift",
+    }
+    out = run_checks(spark, load_tables(spark, sf_dir), checks).collect()
+    assert len(out) == 8
+    assert all(r["passed"] for r in out)
