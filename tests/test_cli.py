@@ -175,6 +175,8 @@ def test_example_configs_round_trip():
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     paths = sorted(glob.glob(os.path.join(here, "examples", "*.yaml.example")))
+    # the checks-suite example is not a connection config
+    paths = [p for p in paths if "checks_suite" not in p]
     assert len(paths) == 5  # athena, duckdb, mssql, oracle, snowflake
     supported = set(_JDBC_URLS) | {
         "parquet", "csv", "json", "orc", "duckdb", "s3parquet", "jdbc",
