@@ -16,6 +16,13 @@ CLASSIC distributed k-means shape:
 - the corpus is scanned once per iteration (persist the projected
   vectors upstream if iterating many times at scale).
 
+Knob bound: the assignment expression is O(k x dim) fused ops per row
+as a FLAT array of k fold-aggregates — fine through a few hundred
+centers; at the thousands-of-cells regime use the Arrow assignment
+kernel instead (``similarity._assign_cells``, the IVF path — one numpy
+matmul per batch), trading the bit-for-bit oracle for throughput (BLAS
+summation order differs in the last ulp).
+
 Determinism contract (what makes a bit-for-bit DuckDB oracle possible
 for an ITERATIVE algorithm): initial centers are the k lowest-id
 vectors (not random); iteration count is FIXED (no early-exit — an
