@@ -378,3 +378,114 @@ def first_wins_dropped(
     for part in dropped_parts[1:]:
         dropped = dropped.unionByName(part)
     return dropped
+
+
+def best_quality_kept(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware near-dup resolution: within every transitive
+    near-dup cluster keep the HIGHEST-scoring doc (ties -> lowest id),
+    drop the rest. This is the policy real curation pipelines want
+    between the two already shipped — ``near_dup_clusters``'s
+    canonical-min keeps an *arbitrary* member and the streaming gate's
+    first-wins keeps the *earliest-seen*; neither keeps the *best* one
+    when a quality signal exists (FineWeb/CCNet keep the
+    highest-quality duplicate, not the first).
+
+    Returns (id_col, cluster_id, score_col, is_kept) for every doc
+    appearing in a pair; singletons are implicitly kept (not emitted),
+    same contract as ``near_dup_clusters``.
+
+    A doc missing from ``scores`` (or scored NULL) loses to any scored
+    clustermate but still wins an all-unscored cluster by lowest id —
+    NULLs are coalesced to -Infinity before the argmax, never silently
+    dropped.
+
+    Scale shape: components via ``connected_components`` (hybrid
+    driver/star-contraction), one doc-keyed left join to attach scores
+    (the scores side is usually the same corpus scan that produced the
+    quality signal), then the per-cluster argmax as a map-side-
+    combinable ``max(struct(score, -id))`` — a window over
+    PARTITION BY cluster would put a mega-cluster (the realistic skew
+    shape: boilerplate that matches everything) into one partition;
+    max(struct) collapses it map-side. Winners (one row per cluster)
+    join back keyed by cluster_id; AQE picks broadcast when the
+    cluster count is small."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    pairs.unpersist()  # no-op unless dedup returned it persisted
+    scored = comp.withColumnRenamed("id", id_col).join(
+        scores.select(id_col, score_col), id_col, "left"
+    )
+    rank = F.coalesce(
+        F.col(score_col).cast("double"), F.lit(float("-inf"))
+    )
+    winners = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    rank.alias("__s"), (-F.col(id_col)).alias("__negid")
+                )
+            ).alias("__w")
+        )
+        .select("cluster_id", (-F.col("__w.__negid")).alias("__winner"))
+    )
+    return scored.join(winners, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        score_col,
+        (F.col(id_col) == F.col("__winner")).alias("is_kept"),
+    )
+
+
+def cluster_size_report(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Duplication-profile histogram: (cluster_size, n_clusters,
+    n_docs) — how much of the corpus sits in near-dup clusters of each
+    size, INCLUDING the size-1 row for singleton docs appearing in no
+    pair. The go/no-go observability readout before committing a dedup
+    policy: a corpus where one size-50k cluster holds 30% of the docs
+    needs boilerplate surgery, not doc dedup.
+
+    Scale shape: components -> per-cluster sizes (map-side-combinable
+    count) -> a size-keyed histogram whose cardinality is the number of
+    DISTINCT sizes (tiny). The singleton row is computed as two scalar
+    aggregates (corpus count minus paired-doc count) cross-joined into
+    one row — no driver collect, no second corpus scan beyond the
+    count. Rows with n_clusters = 0 are suppressed (an all-dup corpus
+    emits no size-1 row)."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    pairs.unpersist()
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+    total = corpus.agg(F.count(F.col(id_col)).alias("__total"))
+    paired = comp.agg(F.count(F.lit(1)).alias("__paired"))
+    singles = (
+        total.crossJoin(paired)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("__total") - F.col("__paired"))
+            .cast("long")
+            .alias("n_clusters"),
+            (F.col("__total") - F.col("__paired"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return hist.unionByName(singles).orderBy("cluster_size")

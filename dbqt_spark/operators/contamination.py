@@ -114,3 +114,72 @@ def decontaminate(
     return corpus.join(
         F.broadcast(hits.select(id_col)), id_col, "left_anti"
     )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    eval_df: DataFrame | None = None,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_hashes: DataFrame | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-doc contamination STRENGTH: (id_col, n_ngrams,
+    n_hit_ngrams, overlap_frac) for EVERY corpus doc — the fraction of
+    the doc's distinct word n-grams that appear in the eval set
+    (rounded to 4 places; 0.0 for clean docs and docs too short to
+    produce a gram). ``contamination_check``'s boolean flag is the
+    remove-it gate; the fraction is what decontamination REPORTS need
+    (GPT-3 appendix C grades 'dirty' docs by overlap level, and a
+    near-1.0 doc is an eval copy while a 0.01 doc shares one idiom).
+
+    Scale shape: ONE corpus scan and ONE doc-keyed shuffle. Each
+    exploded (doc, gram-hash) row is marked by a broadcast LEFT join
+    against the eval hash set, then a single map-side-combinable
+    groupBy(doc) counts total and hit grams together — the corpus is
+    never scanned twice (the naive totals-join-hits formulation pays a
+    second explode because the branches diverge before their
+    exchanges). The final left join back to the id list only moves
+    (id, counts) rows. ``broadcast_eval`` has the same contract as
+    ``contamination_check``."""
+    if eval_hashes is None:
+        if eval_df is None:
+            raise ValueError("pass eval_df or a precomputed eval_hashes")
+        eval_hashes = eval_ngram_hashes(eval_df, n, eval_text_col or text_col)
+    marked_side = eval_hashes.select("__h", F.lit(1).alias("__hit"))
+    if broadcast_eval:
+        marked_side = F.broadcast(marked_side)
+    per_doc = (
+        exploded_ngram_hashes(corpus, text_col, n, keep=[id_col])
+        .join(marked_side, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit_ngrams"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_hit_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_hit_ngrams"),
+            F.when(
+                F.coalesce(F.col("n_ngrams"), F.lit(0)) > 0,
+                F.round(
+                    F.col("n_hit_ngrams").cast("double")
+                    / F.col("n_ngrams"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap_frac"),
+        )
+    )

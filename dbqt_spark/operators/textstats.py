@@ -773,3 +773,70 @@ def dup_ngram_stats(
             ).alias("dup_ngram_frac"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon CHARACTER entropy in nats —
+    (id_col, n_chars, char_entropy), 0.0 for empty/NULL docs. The
+    gibberish/binary detector quality pipelines pair with the
+    word-level signals: base64 blobs, minified JS, and key-mash spam
+    have near-uniform character distributions (entropy -> ln alphabet
+    size) while hex dumps and repeated-padding junk collapse toward 0;
+    natural language sits in a narrow band (~2.9-3.3 nats for English)
+    that makes both tails cheap to gate on (cf. CCNet/Gopher-style
+    heuristic batteries, which this complements below the token level).
+
+    Identity used: H = ln(n) - (sum_c k_c ln k_c) / n over per-char
+    counts k_c — one log per DISTINCT char, no per-char division.
+    Cross-engine determinism: each k ln k term is rounded to 6 places
+    and canonicalized to DECIMAL(28,6) BEFORE the per-doc sum (exact
+    integer arithmetic, order-independent — the ``lm_score``
+    discipline); the final ln(n) - s/n runs once on identical inputs.
+
+    Scale shape: ONE text scan -> explode to characters -> (doc, char)
+    counts with map-side combine (a doc's explode output collapses to
+    <= alphabet-size rows per map partition BEFORE the exchange, so
+    the shuffle moves ~|alphabet| rows per doc, not n_chars) -> per-doc
+    rollup keyed by doc. The final left join back to the id list moves
+    (id, 2 numbers) rows. Characters are Unicode codepoints on both
+    engines (Spark split(''), DuckDB string_split(''))."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+        ).alias("__ch"),
+    ).filter(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__k").cast("long").alias("__n"),
+        F.sum(
+            F.round(
+                F.col("__k").cast("double") * F.log(F.col("__k").cast("double")),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("__s"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_chars"),
+            F.when(
+                F.coalesce(F.col("__n"), F.lit(0)) > 0,
+                F.round(
+                    F.log(F.col("__n").cast("double"))
+                    - F.col("__s").cast("double") / F.col("__n"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("char_entropy"),
+        )
+    )

@@ -4171,6 +4171,192 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_best_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution: within each transitive
+    MinHash cluster (threshold 0.5) keep the HIGHEST-quality doc —
+    n_chars as the quality signal here — ties to the lowest id. The
+    keep-the-best policy FineWeb-style curation applies between
+    canonical-min (arbitrary) and first-wins (earliest-seen)."""
+    from .operators.clusters import best_quality_kept
+    from .operators.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    return best_quality_kept(
+        pairs, docs, score_col="n_chars"
+    ).orderBy("doc_id")
+
+
+# DuckDB twin: the SQL_MINHASH_CLUSTERS reachability components, then
+# the per-cluster argmax via an ordered array_agg (score DESC, id ASC).
+SQL_DEDUP_BEST_WINS = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+scored AS (
+  SELECT comp.id AS doc_id, comp.cluster_id, d.n_chars
+  FROM comp JOIN documents d ON d.doc_id = comp.id
+),
+winners AS (
+  SELECT cluster_id,
+         (array_agg(doc_id ORDER BY n_chars DESC, doc_id ASC))[1] AS w
+  FROM scored GROUP BY cluster_id
+)
+SELECT s.doc_id, s.cluster_id, s.n_chars, s.doc_id = w.w AS is_kept
+FROM scored s JOIN winners w USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+def q_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-profile histogram over the MinHash near-dup graph:
+    (cluster_size, n_clusters, n_docs) including the singleton row —
+    the observability readout before committing a dedup policy."""
+    from .operators.clusters import cluster_size_report
+    from .operators.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    return cluster_size_report(pairs, docs)
+
+
+SQL_CLUSTER_REPORT = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, COUNT(*) AS cs FROM comp GROUP BY cluster_id),
+hist AS (
+  SELECT CAST(cs AS BIGINT) AS cluster_size,
+         CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(cs) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY cs
+),
+singles AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         CAST((SELECT COUNT(*) FROM documents)
+              - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_clusters,
+         CAST((SELECT COUNT(*) FROM documents)
+              - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_docs
+)
+SELECT * FROM (
+  SELECT * FROM hist
+  UNION ALL
+  SELECT * FROM singles WHERE n_clusters > 0
+) ORDER BY cluster_size
+"""
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc contamination STRENGTH vs the doc_id % 97 'eval set'
+    (same split and 3-gram window as `decontamination`): the fraction
+    of each doc's distinct grams hitting the eval set, 0.0 for clean
+    docs — one corpus scan, one doc-keyed shuffle."""
+    from .operators.contamination import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    ).orderBy("doc_id")
+
+
+SQL_CONTAMINATION_OVERLAP = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), ng AS (
+  SELECT DISTINCT doc_id,
+    unnest(CASE WHEN len(t) = 0 THEN []
+      ELSE list_transform(range(1, greatest(len(t) - 3 + 2, 2)),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS g
+  FROM toks
+), eval_g AS (
+  SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0
+), per AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+         CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit_ngrams
+  FROM (SELECT * FROM ng WHERE doc_id % 97 <> 0) c
+  LEFT JOIN eval_g e ON c.g = e.g
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(coalesce(n_hit_ngrams, 0) AS BIGINT) AS n_hit_ngrams,
+  CASE WHEN coalesce(n_ngrams, 0) > 0
+       THEN round(CAST(n_hit_ngrams AS DOUBLE) / n_ngrams, 4)
+       ELSE 0.0 END AS overlap_frac
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon character entropy (nats) — the below-token
+    gibberish/binary detector; decimal-exact k·ln k terms so the sum
+    is order-independent across engines."""
+    from .operators.textstats import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs).orderBy("doc_id")
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, c, COUNT(*) AS k FROM ch WHERE c <> '' GROUP BY doc_id, c
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+         SUM(CAST(round(k * ln(k), 6) AS DECIMAL(28,6))) AS s
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_chars,
+  CASE WHEN coalesce(n, 0) > 0
+       THEN round(ln(n) - CAST(s AS DOUBLE) / n, 4)
+       ELSE 0.0 END AS char_entropy
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4275,6 +4461,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_full_probe": q_lsh_full_probe,
     "ivf_full_probe": q_ivf_full_probe,
     "mixture_sample": q_mixture_sample,
+    "dedup_best_wins": q_dedup_best_wins,
+    "cluster_report": q_cluster_report,
+    "contamination_overlap": q_contamination_overlap,
+    "char_entropy": q_char_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -4380,6 +4570,10 @@ ORACLES: dict[str, str] = {
     "lsh_full_probe": SQL_COSINE_TOPK,
     "ivf_full_probe": SQL_COSINE_TOPK,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "dedup_best_wins": SQL_DEDUP_BEST_WINS,
+    "cluster_report": SQL_CLUSTER_REPORT,
+    "contamination_overlap": SQL_CONTAMINATION_OVERLAP,
+    "char_entropy": SQL_CHAR_ENTROPY,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -2110,3 +2110,126 @@ def test_classifier_weight_key_normalization(spark):
     assert classifier_score(df, {"The": 1.0, "the": 1.0}).count() == 1
     with _pytest.raises(ValueError, match="collide"):
         classifier_score(df, {"The": 1.0, "the": 0.5})
+
+
+def test_best_quality_kept_argmax_and_ties(spark):
+    from dbqt_spark.operators.clusters import best_quality_kept
+
+    # cluster {1,2,5}: 5 has the top score; cluster {10,11}: tied
+    # scores -> lowest id (10) wins
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 3.0), (2, 9.0), (5, 12.0), (10, 7.0), (11, 7.0)],
+        ["doc_id", "score"],
+    )
+    rows = {r["doc_id"]: r for r in best_quality_kept(pairs, scores).collect()}
+    assert set(rows) == {1, 2, 5, 10, 11}
+    assert [rows[i]["is_kept"] for i in (1, 2, 5, 10, 11)] == [
+        False, False, True, True, False,
+    ]
+    assert rows[5]["cluster_id"] == 1 and rows[10]["cluster_id"] == 10
+
+
+def test_best_quality_kept_null_scores_lose_but_can_win_unscored(spark):
+    from dbqt_spark.operators.clusters import best_quality_kept
+
+    # 2 unscored (missing from scores): loses to scored 1.
+    # cluster {20,21} entirely unscored: lowest id 20 still kept.
+    pairs = spark.createDataFrame([(1, 2), (20, 21)], ["id_a", "id_b"])
+    scores = spark.createDataFrame([(1, 0.5)], ["doc_id", "score"])
+    rows = {r["doc_id"]: r for r in best_quality_kept(pairs, scores).collect()}
+    assert rows[1]["is_kept"] is True and rows[2]["is_kept"] is False
+    assert rows[20]["is_kept"] is True and rows[21]["is_kept"] is False
+
+
+def test_cluster_size_report_histogram_and_singletons(spark):
+    from dbqt_spark.operators.clusters import cluster_size_report
+
+    # corpus of 8 docs: cluster {1,2,3}, cluster {4,5}, singletons 6,7,8
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(1, 9)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in cluster_size_report(pairs, corpus).collect()
+    }
+    assert got == {1: (3, 3), 2: (1, 2), 3: (1, 3)}
+
+
+def test_cluster_size_report_all_dup_corpus_has_no_singleton_row(spark):
+    from dbqt_spark.operators.clusters import cluster_size_report
+
+    corpus = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    got = cluster_size_report(pairs, corpus).collect()
+    assert [(r["cluster_size"], r["n_clusters"], r["n_docs"])
+            for r in got] == [(2, 1, 2)]
+
+
+def test_contamination_overlap_fraction_and_clean_docs(spark):
+    from dbqt_spark.operators.contamination import contamination_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 'the quick brown'
+            (2, "entirely disjoint words here"),
+            (3, ""),                              # no grams
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown cat")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_overlap(corpus, eval_df, n=3).collect()
+    }
+    # doc 1: grams {the quick brown, quick brown fox, brown fox jumps};
+    # eval grams {the quick brown, quick brown cat}; 1/3 hit
+    assert rows[1]["n_ngrams"] == 3 and rows[1]["n_hit_ngrams"] == 1
+    assert rows[1]["overlap_frac"] == round(1 / 3, 4)
+    assert rows[2]["n_hit_ngrams"] == 0 and rows[2]["overlap_frac"] == 0.0
+    # empty doc present with zeros, not dropped
+    assert rows[3]["n_ngrams"] == 0 and rows[3]["overlap_frac"] == 0.0
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from dbqt_spark.operators.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),      # one symbol -> 0
+            (2, "ab"),        # uniform 2 -> ln 2
+            (3, "aab"),       # 2/3, 1/3
+            (4, ""),          # empty -> 0, n=0
+            (5, None),        # NULL -> 0, n=0
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert rows[1]["n_chars"] == 4 and rows[1]["char_entropy"] == 0.0
+    assert rows[2]["char_entropy"] == round(math.log(2), 4)
+    expected3 = round(
+        math.log(3) - (round(2 * math.log(2), 6) + 0.0) / 3, 4
+    )
+    assert rows[3]["char_entropy"] == expected3
+    assert rows[4]["n_chars"] == 0 and rows[4]["char_entropy"] == 0.0
+    assert rows[5]["n_chars"] == 0 and rows[5]["char_entropy"] == 0.0
+
+
+def test_char_entropy_unicode_codepoints(spark):
+    import math
+
+    from dbqt_spark.operators.textstats import char_entropy
+
+    # 'éé' is 2 codepoints of one symbol: n=2, H=0
+    df = spark.createDataFrame([(1, "éé")], ["doc_id", "text"])
+    r = char_entropy(df).collect()[0]
+    assert r["n_chars"] == 2 and r["char_entropy"] == 0.0
