@@ -49,6 +49,7 @@ TOOLS = [
     "cluster",
     "classify",
     "repair",
+    "export",
 ]
 
 
@@ -1257,6 +1258,42 @@ def tool_chunk(argv: list[str]) -> int:
     return 0
 
 
+
+
+def tool_export(argv: list[str]) -> int:
+    """JSONL delivery export from the CLI (operators/export.py): any
+    configured table (or a column subset) written as JSON-Lines shards
+    — the hand-off format LLM training loaders ingest."""
+    p = argparse.ArgumentParser(prog="export")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--columns", default=None,
+                   help="comma-separated column subset")
+    p.add_argument("--compression", default=None,
+                   choices=["gzip", "bzip2", "deflate", "lz4",
+                            "snappy"])
+    p.add_argument("--shards", type=int, default=None)
+    p.add_argument("--shard-by", default=None)
+    p.add_argument("--overwrite", action="store_true")
+    args = p.parse_args(argv)
+
+    from .operators.export import export_jsonl
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    if args.columns:
+        df = df.select(*[c.strip() for c in args.columns.split(",")])
+    export_jsonl(
+        df, args.output, compression=args.compression,
+        n_shards=args.shards, shard_by=args.shard_by,
+        mode="overwrite" if args.overwrite else "error",
+    )
+    n = db.spark.read.json(args.output).count()
+    print(f"{n} rows exported to {args.output}")
+    return 0
+
+
 def tool_cluster(argv: list[str]) -> int:
     """Distributed k-means over an embedding column from the CLI
     (operators/kmeans.py): assignments to parquet, cluster
@@ -1603,6 +1640,7 @@ def main(argv: list[str] | None = None) -> int:
         "cluster": tool_cluster,
         "classify": tool_classify,
         "repair": tool_repair,
+        "export": tool_export,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

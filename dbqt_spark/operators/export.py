@@ -1,0 +1,87 @@
+"""Training-data export sinks — JSONL (and compressed JSONL) delivery.
+
+Beyond the reference surface (north star): curated corpora are handed to
+training frameworks as JSON-Lines shards (the lingua franca of LLM data
+loaders — HF datasets, Megatron/NeMo preprocessors, WebDataset-adjacent
+tooling all ingest `{"text": ...}\\n` records), not parquet. The write
+stays fully distributed: one shard file per partition, compression
+applied per shard by the JSON writer, no driver funnel.
+
+Spark-first notes: `df.write.json` is the whole engine here — Jackson
+serialization JVM-side, column pruning upstream, shard count =
+partition count. The only logic this module adds is delivery-shape
+control (shard sizing via a repartition contract, deterministic
+ordering within shards for reproducible hand-offs) and guardrails
+(refusing binary columns JSON cannot round-trip)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Spark's TEXT-format codec registry (JSON writes) — parquet-only
+# codecs (zstd) are NOT here; attempting one fails inside the JVM.
+_CODECS = {"gzip", "bzip2", "deflate", "lz4", "snappy"}
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = None,
+    n_shards: int | None = None,
+    shard_by: str | None = None,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` as JSON-Lines shards under ``path``.
+
+    - ``compression``: one of gzip/bzip2/deflate/lz4/snappy —
+      applied per shard by the JSON writer (gzip shards stay
+      independently decompressible, the property loaders rely on).
+    - ``n_shards``: target shard count. With ``shard_by`` the rows are
+      hash-partitioned on that column (all of one doc's rows in one
+      shard, stable under reruns); without it a plain repartition.
+      Sizing rule at scale: aim for 100-500 MB per compressed shard —
+      thousands of tiny shards slow every downstream open, one giant
+      shard serializes the loader.
+    - Binary columns are refused loudly: JSON cannot round-trip bytes;
+      base64 them explicitly upstream if intended (`F.base64`).
+
+    Within-shard order: when ``shard_by`` is set rows are sorted by it
+    within each shard (`sortWithinPartitions` — a local sort, no extra
+    exchange) so re-exports of the same frame are byte-comparable."""
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.BinaryType):
+            raise ValueError(
+                f"column {f.name!r} is binary — JSON cannot round-trip "
+                "raw bytes; encode explicitly (e.g. F.base64) before "
+                "export"
+            )
+    if compression is not None and compression not in _CODECS:
+        raise ValueError(
+            f"unknown compression {compression!r}; one of {sorted(_CODECS)}"
+        )
+    out = df
+    if n_shards is not None:
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        if shard_by is not None:
+            out = out.repartition(n_shards, F.col(shard_by))
+        else:
+            out = out.repartition(n_shards)
+    if shard_by is not None:
+        out = out.sortWithinPartitions(shard_by)
+    writer = out.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_jsonl(spark, path: str, schema: "T.StructType | None" = None):
+    """Read JSONL shards back (round-trip / validation path). Passing
+    ``schema`` skips the inference scan — at 100 TB the inference pass
+    IS a full read; production loads should always pass one."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

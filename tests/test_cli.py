@@ -898,3 +898,30 @@ def test_example_checks_suite_round_trip(spark, sf_dir):
     out = run_checks(spark, load_tables(spark, sf_dir), checks).collect()
     assert len(out) == 8
     assert all(r["passed"] for r in out)
+
+
+def test_cli_export_jsonl_roundtrip(spark, tmp_path, capsys):
+    import duckdb
+
+    cfg = _write(
+        tmp_path / "c.yaml",
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n",
+    )
+    out = str(tmp_path / "docs_jsonl")
+    assert main([
+        "export", "--config", cfg, "--table", "documents",
+        "--columns", "doc_id,text,lang", "--compression", "gzip",
+        "--shards", "3", "--shard-by", "doc_id",
+        "--output", out,
+    ]) == 0
+    assert "500 rows exported" in capsys.readouterr().out
+    # spark round-trip
+    back = spark.read.json(out)
+    assert back.count() == 500
+    assert set(back.columns) == {"doc_id", "text", "lang"}
+    # a foreign reader (duckdb) must agree — JSONL is the hand-off format
+    rows = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT doc_id) FROM "
+        f"read_json_auto('{out}/*.json.gz')"
+    ).fetchone()
+    assert rows == (500, 500)

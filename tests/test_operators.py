@@ -984,3 +984,23 @@ def test_repair_rejects_non_numeric(spark):
         clip_outliers(df, ["s"])
     with _pytest.raises(ValueError, match="not found"):
         impute_nulls(df, ["missing"], strategy="mean")
+
+
+def test_export_jsonl_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from dbqt_spark.operators.export import export_jsonl, read_jsonl
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "text"])
+    with _pytest.raises(ValueError, match="compression"):
+        export_jsonl(df, str(tmp_path / "x"), compression="zip")
+    with _pytest.raises(ValueError, match="n_shards"):
+        export_jsonl(df, str(tmp_path / "x"), n_shards=0)
+    bin_df = df.select("id", F.col("text").cast("binary").alias("b"))
+    with _pytest.raises(ValueError, match="binary"):
+        export_jsonl(bin_df, str(tmp_path / "x"))
+    # plain write + schema'd read-back (no inference scan)
+    p = str(tmp_path / "ok")
+    export_jsonl(df, p, n_shards=1)
+    back = read_jsonl(spark, p, schema=df.schema)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
