@@ -1053,15 +1053,17 @@ def tool_profile(argv: list[str]) -> int:
 
 def tool_sample(argv: list[str]) -> int:
     """Deterministic corpus sampling from the CLI: per-group stratified
-    cap, token-budget prefix, or mixture reweighting (per-group rates)
-    — all pure functions of (seed, corpus), rerun- and engine-stable
-    (never rand())."""
+    cap, token-budget prefix, mixture reweighting (per-group rates),
+    temperature rebalancing, or per-group top-k by score — all pure
+    functions of (seed, corpus), rerun- and engine-stable (never
+    rand())."""
     p = argparse.ArgumentParser(prog="sample")
     p.add_argument("--config", required=True)
     p.add_argument("--table", required=True)
     p.add_argument(
         "--method",
-        choices=["stratified", "budget", "mixture", "temperature"],
+        choices=["stratified", "budget", "mixture", "temperature",
+                 "topk"],
         required=True,
     )
     p.add_argument("--alpha", type=float, default=0.5,
@@ -1073,7 +1075,9 @@ def tool_sample(argv: list[str]) -> int:
     p.add_argument("--group-column", default="lang",
                    help="stratified: group to cap")
     p.add_argument("--per-group", type=int, default=1000,
-                   help="stratified: rows kept per group")
+                   help="stratified/topk: rows kept per group")
+    p.add_argument("--score-column", default=None,
+                   help="topk: rank groups by this column (descending)")
     p.add_argument("--text-column", default="text",
                    help="budget: tokens counted on this column")
     p.add_argument("--budget-tokens", type=int,
@@ -1100,6 +1104,8 @@ def tool_sample(argv: list[str]) -> int:
             p.error(f"--rate expects a numeric RATE, got {spec!r}")
     if args.method == "budget" and args.budget_tokens is None:
         p.error("--budget-tokens is required with --method budget")
+    if args.method == "topk" and not args.score_column:
+        p.error("--score-column is required with --method topk")
 
     cfg, db = _load_db(args.config)
     df = db.load(args.table)
@@ -1116,6 +1122,13 @@ def tool_sample(argv: list[str]) -> int:
 
         out = temperature_sample(
             df, args.group_column, alpha=args.alpha,
+            id_col=args.id_column, seed=args.seed,
+        )
+    elif args.method == "topk":
+        from .operators.sampling import topk_per_group
+
+        out = topk_per_group(
+            df, args.group_column, args.score_column, args.per_group,
             id_col=args.id_column, seed=args.seed,
         )
     elif args.method == "stratified":

@@ -4357,6 +4357,41 @@ ORDER BY doc_id
 """
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-40 docs per language by n_chars (ties by portable
+    hash, then id) — 'keep the best N per domain'. max_window_rows=64
+    forces the lexicographic-interval refinement path (score-range
+    buckets, hash splits on ties) rather than the small-data final
+    window, so the oracle checks the distributed machinery itself."""
+    from .operators.sampling import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        topk_per_group(
+            docs, "lang", "n_chars", 40, max_window_rows=64
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+      AS hh
+  FROM documents WHERE n_chars IS NOT NULL
+),
+r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, hh ASC, doc_id ASC) AS rn
+  FROM h
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 40 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4465,6 +4500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_report": q_cluster_report,
     "contamination_overlap": q_contamination_overlap,
     "char_entropy": q_char_entropy,
+    "topk_per_group": q_topk_per_group,
 }
 
 ORACLES: dict[str, str] = {
@@ -4574,6 +4610,7 @@ ORACLES: dict[str, str] = {
     "cluster_report": SQL_CLUSTER_REPORT,
     "contamination_overlap": SQL_CONTAMINATION_OVERLAP,
     "char_entropy": SQL_CHAR_ENTROPY,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -925,3 +925,32 @@ def test_cli_export_jsonl_roundtrip(spark, tmp_path, capsys):
         f"read_json_auto('{out}/*.json.gz')"
     ).fetchone()
     assert rows == (500, 500)
+
+
+def test_cli_sample_topk(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    cfg = _write(
+        tmp_path / "c.yaml",
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n",
+    )
+    out = str(tmp_path / "topk")
+    assert main([
+        "sample", "--config", cfg, "--table", "documents",
+        "--method", "topk", "--group-column", "lang",
+        "--score-column", "n_chars", "--per-group", "5",
+        "--output-parquet", out,
+    ]) == 0
+    assert "25 rows sampled" in capsys.readouterr().out  # 5 langs x 5
+    back = spark.read.parquet(out)
+    # each kept doc's length is within its language's top-5
+    kept = {(r["lang"], r["n_chars"]) for r in back.collect()}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for lang in [r["lang"] for r in docs.select("lang").distinct().collect()]:
+        top = sorted(
+            (r["n_chars"] for r in docs.filter(F.col("lang") == lang)
+             .select("n_chars").collect()),
+            reverse=True,
+        )
+        floor5 = top[4]
+        assert all(c >= floor5 for (lg, c) in kept if lg == lang)

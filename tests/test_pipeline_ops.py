@@ -2233,3 +2233,98 @@ def test_char_entropy_unicode_codepoints(spark):
     df = spark.createDataFrame([(1, "éé")], ["doc_id", "text"])
     r = char_entropy(df).collect()[0]
     assert r["n_chars"] == 2 and r["char_entropy"] == 0.0
+
+
+def _naive_topk(df, k, seed=42):
+    from pyspark.sql import Window
+
+    from dbqt_spark.operators.dedup import portable_token_hash
+
+    hkey = F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string"))
+    w = Window.partitionBy("g").orderBy(
+        F.col("score").cast("double").desc(),
+        portable_token_hash(hkey).asc(),
+        F.col("doc_id").asc(),
+    )
+    sd = F.col("score").cast("double")
+    return (
+        df.filter(sd.isNotNull() & ~F.isnan(sd))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _topk_fixture(spark):
+    import random
+
+    random.seed(7)
+    rows, i = [], 0
+    for g, n in [("a", 30), ("b", 7), ("hot", 400), (None, 20)]:
+        for _ in range(n):
+            # heavy ties: integer scores; 'hot' is 80% one tied score —
+            # the realistic classifier-bucket skew that forces the
+            # hash-split path
+            s = (
+                3.0
+                if (g == "hot" and random.random() < 0.8)
+                else float(random.randint(0, 4))
+            )
+            if random.random() < 0.05:
+                s = None
+            rows.append((i, g, s))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "g", "score"])
+
+
+def test_topk_per_group_matches_naive_window(spark):
+    from dbqt_spark.operators.sampling import topk_per_group
+
+    df = _topk_fixture(spark)
+    for k, mwr, mr in [(5, 2, 8), (40, 3, 8), (13, 2, 0), (400, 2, 8)]:
+        st: dict = {}
+        got = sorted(
+            r["doc_id"]
+            for r in topk_per_group(
+                df, "g", "score", k,
+                max_window_rows=mwr, max_rounds=mr, stats=st,
+            ).collect()
+        )
+        want = sorted(r["doc_id"] for r in _naive_topk(df, k).collect())
+        assert got == want, (k, mwr, mr, st)
+        assert "rounds" in st and "final_cells" in st
+    # max_rounds=0 forces everything through the final-window path and
+    # must still be exact
+    # (covered by the (13, 2, 0) case above: final_cells > 0)
+
+
+def test_topk_per_group_interval_resolution_no_giant_window(spark):
+    """With a tiny max_window_rows the tied-score hot group must be
+    resolved by interval refinement (hash splits), never by a window
+    over the whole group: final cells stay under the bound."""
+    from dbqt_spark.operators.sampling import topk_per_group
+
+    df = _topk_fixture(spark)
+    st: dict = {}
+    got = topk_per_group(
+        df, "g", "score", 40, max_window_rows=4, max_rounds=12, stats=st
+    ).collect()
+    want = {r["doc_id"] for r in _naive_topk(df, 40).collect()}
+    assert {r["doc_id"] for r in got} == want
+    assert st["rounds"] >= 2  # needed score AND hash rounds
+    assert st["final_rows_max"] is None or st["final_rows_max"] <= 4
+
+
+def test_topk_per_group_validation_and_null_scores(spark):
+    from dbqt_spark.operators.sampling import topk_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0)], ["doc_id", "g", "score"]
+    )
+    with pytest.raises(ValueError, match="k must be positive"):
+        topk_per_group(df, "g", "score", 0)
+    with pytest.raises(ValueError, match="max_rounds"):
+        topk_per_group(df, "g", "score", 1, max_rounds=-1)
+    # NULL scores are not eligible
+    got = topk_per_group(df, "g", "score", 5).collect()
+    assert [r["doc_id"] for r in got] == [2]
