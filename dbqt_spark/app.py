@@ -525,9 +525,9 @@ def tool_checks(argv: list[str]) -> int:
 
 def tool_dedup(argv: list[str]) -> int:
     """Document dedup from the CLI: exact fingerprint groups or one of
-    the near-dup tiers (minhash / simhash / ngram) over a configured
-    table's text column; pairs go to an HTML report and optionally to
-    parquet."""
+    the near-dup tiers (minhash / simhash / ngram / embedding / edit)
+    over a configured table's text column; pairs go to an HTML report
+    and optionally to parquet; lines/spans rewrite the corpus."""
     from .report.html import HTMLReport
 
     p = argparse.ArgumentParser(prog="dedup")
@@ -538,7 +538,7 @@ def tool_dedup(argv: list[str]) -> int:
     p.add_argument(
         "--method",
         choices=["exact", "minhash", "simhash", "ngram", "embedding",
-                 "lines", "spans"],
+                 "lines", "spans", "edit"],
         default="exact",
     )
     p.add_argument("--threshold", type=float, default=0.8,
@@ -546,6 +546,12 @@ def tool_dedup(argv: list[str]) -> int:
                    "threshold (embedding)")
     p.add_argument("--max-hamming", type=int, default=3,
                    help="Hamming radius (simhash)")
+    p.add_argument("--max-distance", type=int, default=1,
+                   help="edit method: Levenshtein radius (1 or 2)")
+    p.add_argument("--max-len", type=int, default=64,
+                   help="edit method: strings longer than this are "
+                   "excluded (short-string tier; docs belong to "
+                   "minhash)")
     p.add_argument("--vec-column", default="embedding",
                    help="array<float> column (embedding method)")
     p.add_argument("--output")
@@ -597,6 +603,12 @@ def tool_dedup(argv: list[str]) -> int:
         result = dd.simhash_near_duplicates(
             df, text_col=args.text_column, id_col=args.id_column,
             max_hamming=args.max_hamming, bands=bands, drop_stats=stats,
+        )
+    elif args.method == "edit":
+        result = dd.edit_distance_near_duplicates(
+            df, text_col=args.text_column, id_col=args.id_column,
+            max_distance=args.max_distance, max_len=args.max_len,
+            drop_stats=stats,
         )
     elif args.method == "embedding":
         from .operators.similarity import embedding_near_dup_pairs

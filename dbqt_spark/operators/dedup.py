@@ -1066,3 +1066,134 @@ def minhash_cross_near_duplicates(
     for frame in to_release:
         frame.unpersist()
     return result
+
+
+def _deletion_neighborhood_expr(col: str, d: int) -> "F.Column":
+    """Array of every string reachable from ``col`` by deleting up to
+    ``d`` characters (FastSS / Bocek et al. 2007 deletion
+    neighborhood), duplicates removed. For d <= 2 this is the exact
+    candidate generator for edit distance: edit(s, t) <= d implies the
+    two neighborhoods intersect — so an equi-join on neighborhood
+    members misses NOTHING, and the verify step discards the extras.
+    Sizes: 1 + len at d=1; + len*(len-1)/2 at d=2 — bounded by the
+    caller's max_len gate."""
+    s = f"coalesce({col}, '')"
+    parts = [f"array({s})"]
+    if d >= 1:
+        parts.append(
+            f"CASE WHEN length({s}) < 1 THEN array() ELSE "
+            f"transform(sequence(1, length({s})), i -> "
+            f"concat(substring({s}, 1, i - 1), "
+            f"substring({s}, i + 1, length({s})))) END"
+        )
+    if d >= 2:
+        parts.append(
+            f"CASE WHEN length({s}) < 2 THEN array() ELSE "
+            f"flatten(transform(sequence(1, length({s}) - 1), i -> "
+            f"transform(sequence(i + 1, length({s})), j -> "
+            f"concat(substring({s}, 1, i - 1), "
+            f"substring({s}, i + 1, j - i - 1), "
+            f"substring({s}, j + 1, length({s})))))) END"
+        )
+    return F.expr(f"array_distinct(concat({', '.join(parts)}))")
+
+
+def edit_distance_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 1,
+    max_len: int = 64,
+    max_bucket_size: int | None = 1000,
+    drop_stats: dict | None = None,
+) -> DataFrame:
+    """Near-duplicate SHORT-STRING pairs within Levenshtein distance
+    ``max_distance`` — the record-linkage tier (titles, names,
+    addresses, product SKUs) the token-level tiers can't serve:
+    MinHash/SimHash see word sets, but "iPhone 15 Pro" vs
+    "iPhone 15 Prq" is a CHARACTER edit. Returns (id_a, id_b,
+    distance), id_a < id_b, exact distances (0 = identical strings).
+
+    Candidates via FastSS deletion neighborhoods: each string expands
+    to every <= d-deletion variant (an exact generator — candidate
+    recall 1.0 by the neighborhood-intersection property), variants
+    hash to 8-byte xxhash64 join keys (collisions only ADD candidates;
+    the verify filters), and the same capped equi-self-join machinery
+    as the MinHash tier emits candidate pairs (hot variants — e.g. a
+    ubiquitous title — hit ``max_bucket_size`` caps with
+    ``drop_stats`` accounting, never a quadratic bucket). Verification
+    attaches both strings and runs JVM ``levenshtein(a, b, threshold)``
+    — with the threshold the JVM computation is O(d * len) banded, and
+    -1 marks above-threshold pairs for the filter. No Python in either
+    phase.
+
+    ``max_distance`` is gated to 1-2: the neighborhood is len+1
+    variants at d=1 and O(len^2/2) at d=2 — exactness has a cost
+    ceiling; beyond d=2 use token-level tiers. Strings LONGER than
+    ``max_len`` are excluded from pairing (edit distance on documents
+    is the wrong tool — near-dup docs belong to MinHash) and counted
+    in ``drop_stats['n_too_long']`` so the exclusion is observable.
+    NULL strings pair as empty strings."""
+    if not 1 <= max_distance <= 2:
+        raise ValueError(
+            f"max_distance must be 1 or 2, got {max_distance} — beyond "
+            "2 the deletion neighborhood is super-quadratic; use the "
+            "token-level tiers (minhash/simhash/ngram) for looser "
+            "matching"
+        )
+    if max_len < 1:
+        raise ValueError(f"max_len must be positive, got {max_len}")
+    eligible = df.filter(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) <= max_len
+    )
+    if drop_stats is not None:
+        n_all = df.count()
+        n_ok = eligible.count()
+        drop_stats["n_too_long"] = int(n_all - n_ok)
+    banded = _spread(eligible).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            _deletion_neighborhood_expr(text_col, max_distance)
+        ).alias("__v"),
+    ).select("id", F.xxhash64("__v").alias("__vh"))
+    pairs, n_pairs = _eager_pairs_from_banded(
+        banded,
+        ["__vh"],
+        lambda a, b: [
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        ],
+        max_bucket_size,
+        drop_stats,
+    )
+    docs = eligible.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    )
+    small = n_pairs <= BROADCAST_PAIR_LIMIT
+    pair_side = F.broadcast(pairs) if small else pairs
+    ta = docs.select(
+        F.col("__id").alias("id_a"), F.col("__t").alias("__ta")
+    )
+    tb = docs.select(
+        F.col("__id").alias("id_b"), F.col("__t").alias("__tb")
+    )
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_distance)
+    verified = (
+        pair_side.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") >= 0)
+        .select(
+            "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+        )
+    )
+    if pairs.is_cached:
+        verified = verified.persist()
+        verified.count()
+        pairs.unpersist()
+    return verified

@@ -4392,6 +4392,34 @@ SELECT doc_id, lang, n_chars FROM r WHERE rn <= 40 ORDER BY doc_id
 """
 
 
+def q_edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-string near-dup pairs within Levenshtein distance 2 over
+    12-char title prefixes — the record-linkage tier. FastSS deletion-
+    neighborhood candidates (exact generator), capped equi-join, JVM
+    thresholded-levenshtein verify."""
+    from .operators.dedup import edit_distance_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id", F.expr("substring(text, 1, 12)").alias("title")
+    )
+    return edit_distance_near_duplicates(
+        titles, text_col="title", max_distance=2
+    ).orderBy("id_a", "id_b")
+
+
+SQL_EDIT_DISTANCE_DUPS = """
+WITH t AS (
+  SELECT doc_id, substr(coalesce(text, ''), 1, 12) AS s FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS distance
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4501,6 +4529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_overlap": q_contamination_overlap,
     "char_entropy": q_char_entropy,
     "topk_per_group": q_topk_per_group,
+    "edit_distance_dups": q_edit_distance_dups,
 }
 
 ORACLES: dict[str, str] = {
@@ -4611,6 +4640,7 @@ ORACLES: dict[str, str] = {
     "contamination_overlap": SQL_CONTAMINATION_OVERLAP,
     "char_entropy": SQL_CHAR_ENTROPY,
     "topk_per_group": SQL_TOPK_PER_GROUP,
+    "edit_distance_dups": SQL_EDIT_DISTANCE_DUPS,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

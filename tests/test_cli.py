@@ -954,3 +954,22 @@ def test_cli_sample_topk(spark, tmp_path, capsys):
         )
         floor5 = top[4]
         assert all(c >= floor5 for (lg, c) in kept if lg == lang)
+
+
+def test_cli_dedup_edit(spark, tmp_path, capsys):
+    cfg = _write(
+        tmp_path / "c.yaml",
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n",
+    )
+    pairs = str(tmp_path / "pairs")
+    assert main([
+        "dedup", "--config", cfg, "--table", "documents",
+        "--method", "edit", "--max-distance", "2",
+        "--text-column", "text", "--max-len", "300",
+        "--output", str(tmp_path / "r.html"),
+        "--pairs-parquet", pairs,
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "pairs" in out
+    back = spark.read.parquet(pairs)
+    assert set(back.columns) == {"id_a", "id_b", "distance"}

@@ -1004,3 +1004,69 @@ def test_export_jsonl_guards(spark, tmp_path):
     export_jsonl(df, p, n_shards=1)
     back = read_jsonl(spark, p, schema=df.schema)
     assert sorted(r["id"] for r in back.collect()) == [1, 2]
+
+
+def _brute_lev(a, b):
+    a, b = a or "", b or ""
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[len(b)]
+
+
+def test_edit_distance_near_duplicates_exact_vs_brute_force(spark):
+    import itertools
+
+    from dbqt_spark.operators.dedup import edit_distance_near_duplicates
+
+    rows = [
+        (1, "iphone 15 pro"), (2, "iphone 15 prq"), (3, "iphone 15"),
+        (4, "iphone 15 pro"), (5, ""), (6, None), (7, "x" * 100),
+        (8, "a"), (9, "ab"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for d in (1, 2):
+        st: dict = {}
+        got = sorted(
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in edit_distance_near_duplicates(
+                df, max_distance=d, drop_stats=st
+            ).collect()
+        )
+        want = sorted(
+            (i, j, _brute_lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if len(a or "") <= 64 and len(b or "") <= 64
+            and _brute_lev(a, b) <= d
+        )
+        assert got == want
+        assert st["n_too_long"] == 1  # the 100-char row is excluded
+
+
+def test_edit_distance_near_duplicates_validation_and_caps(spark):
+    import pytest as _pytest
+
+    from dbqt_spark.operators.dedup import edit_distance_near_duplicates
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="max_distance"):
+        edit_distance_near_duplicates(df, max_distance=3)
+    with _pytest.raises(ValueError, match="max_len"):
+        edit_distance_near_duplicates(df, max_len=0)
+    # a ubiquitous identical title floods one bucket: the cap drops it
+    # with accounting instead of a quadratic self-join
+    hot = spark.createDataFrame(
+        [(i, "same title") for i in range(50)] + [(100, "uniq")],
+        ["doc_id", "text"],
+    )
+    st: dict = {}
+    got = edit_distance_near_duplicates(
+        hot, max_distance=1, max_bucket_size=10, drop_stats=st
+    ).collect()
+    assert got == []  # every bucket holding the hot title was capped
+    assert st["n_dropped_buckets"] > 0 and st["n_dropped_rows"] > 0
