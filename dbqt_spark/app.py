@@ -829,13 +829,17 @@ def tool_decontaminate(argv: list[str]) -> int:
 
 def tool_split(argv: list[str]) -> int:
     """Deterministic train/val/test assignment from the CLI: hash-mod
-    split on the id column (stable across runs/engines/appends), split
-    counts printed, assigned rows optionally written partitioned by
-    split."""
+    split on the id column — or on --by-column for a leakage-safe
+    grouped split — stable across runs/engines/appends; split counts
+    printed, assigned rows optionally written partitioned by split."""
     p = argparse.ArgumentParser(prog="split")
     p.add_argument("--config", required=True)
     p.add_argument("--table", required=True)
     p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--by-column", default=None,
+                   help="leakage-safe grouping: hash this column "
+                   "instead of the id, so every row sharing its value "
+                   "(one domain/source/user) lands in the SAME split")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--weights", default="train=0.8,val=0.1,test=0.1",
                    help="name=weight[,name=weight...] — order fixes the "
@@ -859,7 +863,8 @@ def tool_split(argv: list[str]) -> int:
     cfg, db = _load_db(args.config)
     df = db.load(args.table)
     assigned = hash_split(
-        df, id_col=args.id_column, weights=weights, seed=args.seed
+        df, id_col=args.id_column, weights=weights, seed=args.seed,
+        by_col=args.by_column,
     )
     counts = {
         r["split"]: r["n"]

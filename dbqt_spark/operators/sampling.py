@@ -40,10 +40,20 @@ def hash_split(
     weights: "list[tuple[str, float]] | None" = None,
     seed: int = 42,
     out_col: str = "split",
+    by_col: "str | None" = None,
 ) -> DataFrame:
     """Assign every row a split label by hash-mod (order of ``weights``
     fixes the threshold order; weights must sum to ~1). Default
-    80/10/10 train/val/test."""
+    80/10/10 train/val/test.
+
+    ``by_col`` makes the split LEAKAGE-SAFE at a grouping boundary: the
+    hash key becomes that column, so every row sharing its value (all
+    docs from one domain/source, all events of one user) lands in the
+    SAME split — per-doc splitting puts near-identical same-source docs on
+    both sides of train/test, the classic contamination no one sees
+    until eval day. Still a pure function of (seed, group value): no
+    shuffle, no group materialization, append-stable. NULL group values
+    form one group (hashed as the empty string)."""
     weights = weights or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
     total = sum(w for _, w in weights)
     if abs(total - 1.0) > 1e-9:
@@ -53,7 +63,7 @@ def hash_split(
         # a negative weight shifts every later threshold and silently
         # empties splits; a zero weight is a label that can never occur
         raise ValueError(f"split weights must be positive, got {bad}")
-    bucket = split_bucket_col(id_col, seed)
+    bucket = split_bucket_col(by_col or id_col, seed)
     expr = None
     cum = 0.0
     for name, w in weights[:-1]:

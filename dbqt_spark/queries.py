@@ -4420,6 +4420,32 @@ ORDER BY id_a, id_b
 """
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE 80/10/10 split keyed by source instead of doc id:
+    every doc from one source lands in the same split, so same-source
+    near-dups can never straddle train/test."""
+    from .operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, seed=42, by_col="source").select(
+        "doc_id", "source", "split"
+    ).orderBy("doc_id")
+
+
+SQL_GROUP_SPLIT = """
+SELECT doc_id, source,
+  CASE WHEN b < 8000 THEN 'train'
+       WHEN b < 9000 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('42:' || CAST(source AS VARCHAR)), 1, 15))::UBIGINT
+      % 10000 AS b
+  FROM documents
+) ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4530,6 +4556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "topk_per_group": q_topk_per_group,
     "edit_distance_dups": q_edit_distance_dups,
+    "group_split": q_group_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -4641,6 +4668,7 @@ ORACLES: dict[str, str] = {
     "char_entropy": SQL_CHAR_ENTROPY,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "edit_distance_dups": SQL_EDIT_DISTANCE_DUPS,
+    "group_split": SQL_GROUP_SPLIT,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

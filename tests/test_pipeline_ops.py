@@ -2328,3 +2328,23 @@ def test_topk_per_group_validation_and_null_scores(spark):
     # NULL scores are not eligible
     got = topk_per_group(df, "g", "score", 5).collect()
     assert [r["doc_id"] for r in got] == [2]
+
+
+def test_hash_split_by_col_groups_stay_together(spark):
+    from dbqt_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(i, f"domain{i % 7}") for i in range(200)] + [(999, None)],
+        ["doc_id", "source"],
+    )
+    got = hash_split(df, by_col="source").collect()
+    by_source: dict = {}
+    for r in got:
+        by_source.setdefault(r["source"], set()).add(r["split"])
+    # every source maps to exactly ONE split — no leakage boundary
+    assert all(len(v) == 1 for v in by_source.values())
+    # and the NULL source got a deterministic assignment too
+    assert len(by_source[None]) == 1
+    # per-doc split would differ: same frame keyed by id has >1 split
+    by_id = {r["split"] for r in hash_split(df).collect()}
+    assert len(by_id) > 1
