@@ -149,6 +149,9 @@ def main() -> None:
         # statstore_trend builds its store with 4 sequential append
         # writes before the (tiny) chart job — same latency-bound shape
         "statstore_trend",
+        # topk_per_group is a driver refinement loop (per-round
+        # classify + checkpoint + emptiness probe) — queueing-bound
+        "topk_per_group",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
@@ -160,6 +163,9 @@ def main() -> None:
         "dedup_first_wins",
         "simhash_near_dups",
         "ngram_jaccard_dups",
+        # both r10 cluster views rerun the full Arrow band pipeline
+        "dedup_best_wins",
+        "cluster_report",
     ]
     heavy = [
         "ngram_jaccard_dups",
@@ -190,6 +196,11 @@ def main() -> None:
         "semantic_near_dups",
         "span_dedup",
         "quantile_histogram",
+        # r10 late additions measured >5 s pooled
+        "dedup_best_wins",
+        "cluster_report",
+        "edit_distance_dups",
+        "topk_per_group",
     ]
     longest_first = chains + [n for n in heavy if n not in chains]
     ordered = [n for n in longest_first if n in QUERIES] + [

@@ -4176,11 +4176,16 @@ def q_dedup_best_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash cluster (threshold 0.5) keep the HIGHEST-quality doc —
     n_chars as the quality signal here — ties to the lowest id. The
     keep-the-best policy FineWeb-style curation applies between
-    canonical-min (arbitrary) and first-wins (earliest-seen)."""
+    canonical-min (arbitrary) and first-wins (earliest-seen). Docs are
+    capped at GATE_BENCH_MAX_DOC (the dedup_first_wins precedent): the
+    thing under test is the cluster resolution + argmax, not the band
+    pipeline minhash_near_dups already covers."""
     from .operators.clusters import best_quality_kept
     from .operators.dedup import minhash_near_duplicates
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < GATE_BENCH_MAX_DOC
+    )
     pairs = minhash_near_duplicates(docs, threshold=0.5)
     return best_quality_kept(
         pairs, docs, score_col="n_chars"
@@ -4194,7 +4199,8 @@ WITH RECURSIVE {_SQL_SHINGLES},
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+  WHERE b.doc_id < {GATE_BENCH_MAX_DOC}
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
 ),
 edges AS (
@@ -4226,11 +4232,16 @@ ORDER BY doc_id
 def q_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication-profile histogram over the MinHash near-dup graph:
     (cluster_size, n_clusters, n_docs) including the singleton row —
-    the observability readout before committing a dedup policy."""
+    the observability readout before committing a dedup policy. Docs
+    capped at GATE_BENCH_MAX_DOC (dedup_first_wins precedent): under
+    test is the histogram + singleton arithmetic, not the band
+    pipeline."""
     from .operators.clusters import cluster_size_report
     from .operators.dedup import minhash_near_duplicates
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < GATE_BENCH_MAX_DOC
+    )
     pairs = minhash_near_duplicates(docs, threshold=0.5)
     return cluster_size_report(pairs, docs)
 
@@ -4240,7 +4251,8 @@ WITH RECURSIVE {_SQL_SHINGLES},
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+  WHERE b.doc_id < {GATE_BENCH_MAX_DOC}
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
 ),
 edges AS (
@@ -4263,9 +4275,9 @@ hist AS (
 ),
 singles AS (
   SELECT CAST(1 AS BIGINT) AS cluster_size,
-         CAST((SELECT COUNT(*) FROM documents)
+         CAST((SELECT COUNT(*) FROM documents WHERE doc_id < {GATE_BENCH_MAX_DOC})
               - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_clusters,
-         CAST((SELECT COUNT(*) FROM documents)
+         CAST((SELECT COUNT(*) FROM documents WHERE doc_id < {GATE_BENCH_MAX_DOC})
               - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_docs
 )
 SELECT * FROM (
