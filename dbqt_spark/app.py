@@ -928,7 +928,21 @@ def tool_curate(argv: list[str]) -> int:
                    help="optional ExactSubstr surgery: remove "
                    "k-token spans occurring >= 2 times corpus-wide "
                    "(after doc-level dedup)")
+    p.add_argument("--blocklist", action="append", default=[],
+                   metavar="WORD", help="C4-style bad-words pre-gate: "
+                   "drop docs containing this word (repeatable; "
+                   "token-boundary, case-insensitive)")
+    p.add_argument("--blocklist-file",
+                   help="newline-delimited blocklist words (merged "
+                   "with --blocklist)")
     args = p.parse_args(argv)
+
+    block = list(args.blocklist)
+    if args.blocklist_file:
+        with open(args.blocklist_file) as fh:
+            block.extend(
+                w.strip() for w in fh if w.strip()
+            )
 
     try:
         weights = [
@@ -962,6 +976,7 @@ def tool_curate(argv: list[str]) -> int:
         classifier_threshold=args.classifier_threshold,
         classifier_bias=args.classifier_bias,
         span_k=args.span_k,
+        blocklist=block or None,
     )
     if args.report:
         # one chain: the report path finishes redact+split and writes,

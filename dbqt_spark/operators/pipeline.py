@@ -61,6 +61,13 @@ class CurateConfig:
     # corpus-wide are removed AFTER document-level dedup (the C4
     # ordering — doc dedup first, then intra-text surgery)
     span_k: "int | None" = None
+    # optional C4-style blocklist gate (operators/redact.py): docs
+    # containing any listed word (token-boundary, case-insensitive)
+    # are dropped BEFORE the quality gate — C4 applies its bad-words
+    # filter as a hard pre-gate, and dropping first keeps blocked docs
+    # out of the quality-quantile estimate
+    blocklist: "list[str] | None" = None
+    blocklist_mode: str = "token"
 
 
 def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
@@ -76,6 +83,17 @@ def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
     cfg = config or CurateConfig()
     if cfg.dedup not in ("exact", "minhash", "none"):
         raise ValueError(f"unknown dedup mode {cfg.dedup!r}")
+
+    # 0. optional blocklist pre-gate (C4 bad-words shape): hard drop
+    # before anything else so blocked docs never influence the
+    # quality-quantile thresholds
+    if cfg.blocklist is not None:
+        from .redact import blocklist_drop
+
+        df = blocklist_drop(
+            df, cfg.blocklist, text_col=cfg.text_col,
+            id_col=cfg.id_col, mode=cfg.blocklist_mode,
+        )
 
     # 1. quality gate — keep_all scores the full rows inline and
     # filters against the broadcast thresholds, so the corpus is never

@@ -4458,6 +4458,60 @@ FROM (
 """
 
 
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style bad-words gate (token mode): per-doc hit counts for a
+    blocklist — token-boundary matching, broadcast word list, corpus
+    never shuffled."""
+    from .operators.redact import blocklist_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_scan(docs, ["spark", "window"]).orderBy("doc_id")
+
+
+SQL_BLOCKLIST = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS w
+  FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocked
+FROM toks WHERE w IN ('spark', 'window')
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_blocklist_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-mode blocklist: token-adjacent multi-word matching via
+    padded literal position search — pure codegen string expressions,
+    zero shuffle."""
+    from .operators.redact import blocklist_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_scan(
+        docs, ["slow fast", "the line"], mode="phrase"
+    ).orderBy("doc_id")
+
+
+# Same padded-split occurrence count; split occurrences are
+# non-overlapping in both engines so the counts agree bit-for-bit.
+SQL_BLOCKLIST_PHRASE = r"""
+WITH padded AS (
+  SELECT doc_id,
+    ' ' || regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')
+        || ' ' AS p
+  FROM documents
+)
+SELECT doc_id,
+  CAST((len(string_split(p, ' slow fast ')) - 1)
+     + (len(string_split(p, ' the line ')) - 1) AS BIGINT) AS n_blocked
+FROM padded
+WHERE (len(string_split(p, ' slow fast ')) - 1)
+    + (len(string_split(p, ' the line ')) - 1) > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4569,6 +4623,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "edit_distance_dups": q_edit_distance_dups,
     "group_split": q_group_split,
+    "blocklist": q_blocklist,
+    "blocklist_phrase": q_blocklist_phrase,
 }
 
 ORACLES: dict[str, str] = {
@@ -4681,6 +4737,8 @@ ORACLES: dict[str, str] = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "edit_distance_dups": SQL_EDIT_DISTANCE_DUPS,
     "group_split": SQL_GROUP_SPLIT,
+    "blocklist": SQL_BLOCKLIST,
+    "blocklist_phrase": SQL_BLOCKLIST_PHRASE,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

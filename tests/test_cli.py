@@ -973,3 +973,27 @@ def test_cli_dedup_edit(spark, tmp_path, capsys):
     assert "pairs" in out
     back = spark.read.parquet(pairs)
     assert set(back.columns) == {"id_a", "id_b", "distance"}
+
+
+def test_cli_curate_blocklist(spark, tmp_path, capsys):
+    cfg = _write(
+        tmp_path / "c.yaml",
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n",
+    )
+    bl = tmp_path / "bad.txt"
+    bl.write_text("spark\n\nwindow\n")
+    out = str(tmp_path / "curated")
+    assert main([
+        "curate", "--config", cfg, "--table", "documents",
+        "--quality-quantile", "0.0", "--dedup", "none", "--no-redact",
+        "--blocklist", "hash", "--blocklist-file", str(bl),
+        "--output-parquet", out,
+    ]) == 0
+    back = spark.read.parquet(out)
+    # no surviving doc contains any blocked token
+    from pyspark.sql import functions as F
+    bad = back.filter(
+        F.expr(r"exists(split(lower(text), '\\s+'), "
+               r"x -> x IN ('spark', 'window', 'hash'))")
+    ).count()
+    assert bad == 0 and back.count() > 0

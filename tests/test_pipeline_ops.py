@@ -2348,3 +2348,76 @@ def test_hash_split_by_col_groups_stay_together(spark):
     # per-doc split would differ: same frame keyed by id has >1 split
     by_id = {r["split"] for r in hash_split(df).collect()}
     assert len(by_id) > 1
+
+
+def test_blocklist_token_boundaries_and_drop(spark):
+    from dbqt_spark.operators.redact import blocklist_drop, blocklist_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "This CLASS is great"),  # 'ass' must NOT match 'class'
+            (2, "what an ass move"),
+            (3, "buy  now   please"),
+            (4, "now buy later"),  # not adjacent -> no phrase hit
+            (5, None),
+            (6, "ass ass ass"),
+        ],
+        ["doc_id", "text"],
+    )
+    tok = {(r["doc_id"], r["n_blocked"])
+           for r in blocklist_scan(df, ["ass"]).collect()}
+    assert tok == {(2, 1), (6, 3)}
+    ph = {(r["doc_id"], r["n_blocked"])
+          for r in blocklist_scan(df, ["buy now"], mode="phrase").collect()}
+    assert ph == {(3, 1)}
+    kept = sorted(r["doc_id"] for r in blocklist_drop(df, ["ass"]).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_blocklist_validation(spark):
+    from dbqt_spark.operators.redact import blocklist_scan
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="adjacency"):
+        blocklist_scan(df, ["two words"])  # token mode rejects phrases
+    with pytest.raises(ValueError, match="non-empty"):
+        blocklist_scan(df, [])
+    with pytest.raises(ValueError, match="blank"):
+        blocklist_scan(df, ["  "])
+    with pytest.raises(ValueError, match="mode"):
+        blocklist_scan(df, ["x"], mode="regex")
+    with pytest.raises(ValueError, match="expression bound"):
+        blocklist_scan(df, [f"p {i}" for i in range(501)], mode="phrase")
+
+
+def test_blocklist_token_plan_broadcasts_list(spark, sf_dir):
+    from dbqt_spark.operators.redact import blocklist_scan
+    from dbqt_spark.plans import plan_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_summary(blocklist_scan(docs, ["spark"]))
+    assert plan["broadcast_joins"] >= 1
+    assert plan["sort_merge_joins"] == 0
+
+
+def test_curate_blocklist_pregate(spark):
+    from dbqt_spark.operators.pipeline import CurateConfig, curate
+    from dbqt_spark.operators.redact import blocklist_drop
+
+    rows = [
+        (i, f"clean document number {i} with plenty of words here")
+        for i in range(20)
+    ] + [(100, "this document says badword loudly and often")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # quantile 0 keeps everything at the gate; per-doc groups
+    cfg = CurateConfig(
+        quality_quantile=0.0, group_col="doc_id",
+        dedup="none", redact=False, blocklist=["badword"],
+    )
+    out = curate(df, cfg)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 100 not in ids and 0 in ids
+    # equivalent to the standalone drop + the rest of the chain
+    assert ids == {
+        r["doc_id"] for r in blocklist_drop(df, ["badword"]).collect()
+    }
