@@ -2421,3 +2421,52 @@ def test_curate_blocklist_pregate(spark):
     assert ids == {
         r["doc_id"] for r in blocklist_drop(df, ["badword"]).collect()
     }
+
+
+def test_contamination_overlap_single_scan_broadcast_plan(spark, sf_dir):
+    """overlap's at-scale contract: ONE corpus text scan (the mark join
+    happens on the exploded rows before the per-doc agg — the naive
+    totals-join-hits shape pays a second explode), eval side broadcast."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.contamination import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(
+        contamination_overlap(
+            docs.filter("doc_id % 97 != 0"),
+            docs.filter("doc_id % 97 = 0"),
+            n=3,
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    # exactly TWO parquet scans total: the exploded corpus pass and the
+    # id-list join back (the eval side reuses one of them via its own
+    # scan — count <= 3 keeps the assertion robust across reuse), and
+    # critically only ONE scan feeds a Generate (the explode)
+    n_generates = plan.count("Generate")
+    assert n_generates >= 1
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate explode") <= 2  # corpus + eval, never 3
+
+
+def test_char_entropy_partial_agg_before_shuffle(spark, sf_dir):
+    """The (doc, char) count must partial-aggregate map-side so the
+    shuffle moves ~alphabet rows per doc, not n_chars rows."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.textstats import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(char_entropy(docs))
+    tree = plan.split("\n\n")[0].splitlines()
+    # find the first Exchange above the Generate (explode): a partial
+    # HashAggregate must sit between them
+    gen_idx = max(
+        i for i, l in enumerate(tree) if "Generate" in l
+    )
+    between = tree[:gen_idx]
+    exch_above = [i for i, l in enumerate(between) if "Exchange" in l]
+    assert exch_above, "expected a shuffle above the explode"
+    closest_exch = max(exch_above)
+    assert any(
+        "HashAggregate" in l for l in tree[closest_exch + 1 : gen_idx]
+    ), "no map-side partial aggregate between explode and shuffle"
