@@ -98,6 +98,15 @@ def streaming_curate(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # blocklist pre-gate first (batch-twin order): stateless, so
+        # the stream inherits the batch stage unchanged
+        if cfg.blocklist is not None:
+            from ..operators.redact import blocklist_drop
+
+            batch_df = blocklist_drop(
+                batch_df, cfg.blocklist, text_col=cfg.text_col,
+                id_col=cfg.id_col, mode=cfg.blocklist_mode,
+            )
         thr = spark.createDataFrame(
             spark_thresholds, "__g string, __thr double"
         )

@@ -818,3 +818,46 @@ def test_neardup_gate_pointer_mode_no_text_store(spark, tmp_path):
     assert pointer == with_texts == [1, 2, 4]  # doc 3 dropped cross-batch
     assert os.path.exists(str(tmp_path / "store_t" / "docs"))
     assert not os.path.exists(str(tmp_path / "store_p" / "docs"))
+
+
+def test_streaming_curate_blocklist_stage(spark, tmp_path):
+    """The blocklist pre-gate applies per batch, ahead of the quality
+    gate — same order as the batch chain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.operators.pipeline import CurateConfig
+    from dbqt_spark.streaming.curate import (
+        group_quality_thresholds,
+        streaming_curate,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog in a field today"
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2],
+            "text": [good, good + " badword"],
+            "lang": ["en", "en"],
+        }),
+        str(src / "b1.parquet"),
+    )
+    thresholds = group_quality_thresholds(
+        spark.createDataFrame([(9, good, "en")], ["doc_id", "text", "lang"]),
+        quantile=0.0,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(str(src))
+    )
+    q = streaming_curate(
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        thresholds=thresholds,
+        config=CurateConfig(blocklist=["badword"], redact=False),
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert [r["doc_id"] for r in out.collect()] == [1]
