@@ -773,3 +773,75 @@ def quantile_histogram(
         )
         .orderBy("col_name", "bucket")
     )
+
+
+def robust_outliers(
+    df,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 20,
+    exact: bool = True,
+):
+    """Top-k rows by |robust z-score| (median/MAD) of ``value_col``
+    within its ``group_col`` population — the heavy-tail-safe companion
+    to ``zscore_outliers``: mean/stddev are themselves dragged by the
+    outliers they're meant to find (one 1e9 reading inflates sigma
+    until nothing else flags), while median and MAD have a 50%
+    breakdown point. rz = (x - median) / (1.4826 * MAD), the standard
+    normal-consistency scaling.
+
+    Two passes by construction (MAD is a median OF deviations FROM the
+    median — not decomposable into one aggregate): per-group exact
+    interpolated medians broadcast back (the ``events_percentiles``
+    precedent: Spark ``percentile`` == DuckDB ``quantile_cont``), then
+    per-group deviation medians broadcast back, then a narrow map +
+    TakeOrdered on (|rz| desc, id asc). The corpus never shuffles —
+    both aggregates move O(groups) rows. Groups with MAD = 0 (>= half
+    the values identical) emit no rows: rz is undefined there, and a
+    constant-heavy group needs ``frequent_values``, not an outlier
+    scan. ``exact=False`` swaps both medians for bounded-memory
+    ``approx_percentile`` (the 100 TB arm — exact percentile buffers
+    each group's values; same contract as
+    ``quality_quantile_filter``)."""
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pct = "approx_percentile" if not exact else "percentile"
+    v = F.col(value_col).try_cast("double")
+    canon = df.select(
+        F.col(id_col), F.col(group_col), v.alias("__v")
+    ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    med = canon.groupBy(group_col).agg(
+        F.expr(f"{pct}(__v, 0.5)").alias("__med")
+    ).select(F.col(group_col).alias("__g"), "__med")
+    dev = canon.join(
+        F.broadcast(med), F.col(group_col).eqNullSafe(F.col("__g"))
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        "__v",
+        "__med",
+        F.abs(F.col("__v") - F.col("__med")).alias("__d"),
+    )
+    mad = (
+        dev.groupBy(group_col)
+        .agg(F.expr(f"{pct}(__d, 0.5)").alias("__mad"))
+        .filter(F.col("__mad") > 0)
+        .select(F.col(group_col).alias("__g2"), "__mad")
+    )
+    rz = (F.col("__v") - F.col("__med")) / (F.lit(1.4826) * F.col("__mad"))
+    return (
+        dev.join(
+            F.broadcast(mad), F.col(group_col).eqNullSafe(F.col("__g2"))
+        )
+        .select(
+            id_col,
+            group_col,
+            F.round(F.col("__v"), 6).alias("value"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+        .orderBy(F.abs(F.col("robust_z")).desc(), F.col(id_col).asc())
+        .limit(k)
+    )

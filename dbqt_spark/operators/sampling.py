@@ -626,3 +626,37 @@ def topk_per_group(
     )
     base.unpersist(blocking=False)
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-ROW importance sampling: keep each row with probability =
+    its own ``weight_col`` value (clamped to [0, 1]; NULL = 0) — the
+    per-document generalization of ``mixture_sample``'s per-group
+    rates. The standard move when a quality/recency score should bias
+    the kept set smoothly instead of a hard threshold (FineWeb-style
+    soft quality sampling, recency-weighted replay buffers).
+
+    Same determinism contract as the whole sampler family: a row
+    survives iff its 60-bit portable hash < floor(weight * 2^60), so
+    membership is a pure function of (seed, id, weight) — append-
+    stable, engine-portable (floor() is exact IEEE in any engine;
+    never a double->int CAST, whose rounding mode differs across
+    engines), and MONOTONE in the weight: raising a doc's weight only
+    ever adds it, so re-weighted corpora are nested. Scale shape: one
+    narrow projection, no shuffle, no UDF, no join."""
+    w = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0), F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+        ),
+    )
+    from .dedup import portable_token_hash
+
+    key = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    threshold = F.floor(w * F.lit(float(_HASH_SPACE))).cast("long")
+    return df.filter(portable_token_hash(key) < threshold)

@@ -4512,6 +4512,72 @@ ORDER BY doc_id
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row importance sampling: keep each doc with probability
+    n_chars/200 (clamped) — deterministic hash-threshold membership,
+    monotone in the weight, zero shuffle."""
+    from .operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars") / F.lit(200.0)
+    )
+    return weighted_sample(docs, "w", seed=42).select(
+        "doc_id", "n_chars"
+    ).orderBy("doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+      AS h,
+    CAST(floor(least(1.0, greatest(0.0, n_chars / 200.0))
+               * 1152921504606846976.0) AS UBIGINT) AS t
+  FROM documents
+) WHERE h < t ORDER BY doc_id
+"""
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 events by |median/MAD robust z| of value within their
+    event_type — the heavy-tail-safe outlier scan (50% breakdown point
+    vs the mean/stddev z's 0%)."""
+    from .operators.profile import robust_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return robust_outliers(
+        events, value_col="value", group_col="event_type",
+        id_col="event_id", k=20,
+    )
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH canon AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+),
+med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS m
+  FROM canon GROUP BY event_type
+),
+dev AS (
+  SELECT event_id, canon.event_type AS event_type, v, m, abs(v - m) AS d
+  FROM canon JOIN med
+    ON canon.event_type IS NOT DISTINCT FROM med.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad
+  FROM dev GROUP BY event_type HAVING quantile_cont(d, 0.5) > 0
+)
+SELECT event_id, dev.event_type AS event_type,
+       round(v, 6) AS value,
+       round((v - m) / (1.4826 * mad), 4) AS robust_z
+FROM dev JOIN mad ON dev.event_type IS NOT DISTINCT FROM mad.event_type
+ORDER BY abs(round((v - m) / (1.4826 * mad), 4)) DESC, event_id ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4625,6 +4691,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_split": q_group_split,
     "blocklist": q_blocklist,
     "blocklist_phrase": q_blocklist_phrase,
+    "weighted_sample": q_weighted_sample,
+    "robust_outliers": q_robust_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -4739,6 +4807,8 @@ ORACLES: dict[str, str] = {
     "group_split": SQL_GROUP_SPLIT,
     "blocklist": SQL_BLOCKLIST,
     "blocklist_phrase": SQL_BLOCKLIST_PHRASE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "robust_outliers": SQL_ROBUST_OUTLIERS,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

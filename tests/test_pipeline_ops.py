@@ -2470,3 +2470,73 @@ def test_char_entropy_partial_agg_before_shuffle(spark, sf_dir):
     assert any(
         "HashAggregate" in l for l in tree[closest_exch + 1 : gen_idx]
     ), "no map-side partial aggregate between explode and shuffle"
+
+
+def test_weighted_sample_monotone_and_extremes(spark):
+    from dbqt_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(
+            [0.0, 1.0, 0.5, 0.25, None, -3.0, 7.0] * 30
+        )],
+        ["doc_id", "w"],
+    )
+    kept = {r["doc_id"] for r in weighted_sample(df, "w").collect()}
+    rows = {r["doc_id"]: r["w"] for r in df.collect()}
+    # weight 1 (and clamped >1) always kept; 0 / NULL / negative never
+    for i, w in rows.items():
+        if w is not None and w >= 1.0:
+            assert i in kept
+        if w is None or w <= 0.0:
+            assert i not in kept
+    # monotone nesting: survivors at half the weight are a subset
+    half = df.withColumn("w", F.col("w") / 2)
+    kept_half = {r["doc_id"] for r in weighted_sample(half, "w").collect()}
+    assert kept_half <= kept
+    # determinism
+    again = {r["doc_id"] for r in weighted_sample(df, "w").collect()}
+    assert again == kept
+
+
+def test_robust_outliers_known_values_and_mad_zero(spark):
+    from dbqt_spark.operators.profile import robust_outliers
+
+    # group a: median 3, deviations {2,1,0,1,2} -> MAD 1
+    # group b: >=half identical -> MAD 0 -> no rows
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "a", 4.0),
+         (5, "a", 5.0), (6, "b", 7.0), (7, "b", 7.0), (8, "b", 9.0),
+         (9, None, None)],
+        ["event_id", "g", "v"],
+    )
+    got = {r["event_id"]: r for r in robust_outliers(
+        df, "v", "g", "event_id", k=10
+    ).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}  # b's MAD=0 group excluded
+    assert got[1]["robust_z"] == round((1 - 3) / 1.4826, 4)
+    assert got[3]["robust_z"] == 0.0
+    # robust to a wild outlier: the mean-z would drag sigma, the
+    # robust z still flags it at a huge score
+    df2 = spark.createDataFrame(
+        [(i, "a", float(i % 7)) for i in range(50)] + [(99, "a", 1e9)],
+        ["event_id", "g", "v"],
+    )
+    top = robust_outliers(df2, "v", "g", "event_id", k=1).collect()[0]
+    assert top["event_id"] == 99 and abs(top["robust_z"]) > 1e6
+
+
+def test_robust_outliers_approx_mode_close(spark):
+    from dbqt_spark.operators.profile import robust_outliers
+
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(1000)], ["event_id", "g", "v"]
+    )
+    exact = {r["event_id"] for r in robust_outliers(
+        df, "v", "g", "event_id", k=20
+    ).collect()}
+    approx = {r["event_id"] for r in robust_outliers(
+        df, "v", "g", "event_id", k=20, exact=False
+    ).collect()}
+    # approx medians land near exact on a uniform ramp: the extreme
+    # tail ids should coincide almost entirely
+    assert len(exact & approx) >= 16
