@@ -178,3 +178,83 @@ def window_dedup(
         )
         .drop("__prev_us")
     )
+
+
+def feed_gaps(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per-key feed-coverage report over the hourly grid: between each
+    key's first and last active hour, how many hourly buckets exist,
+    how many have data, how many gap RUNS occur, and the longest gap —
+    the go-look-here companion to ``rolling_anomaly`` (which scores
+    counts hour by hour; this summarizes whole outage windows per
+    feed). Output: (key, first_hour, last_hour, n_hours_expected,
+    n_hours_present, n_hours_missing, n_gaps, longest_gap_hours,
+    coverage), hour bounds as 'yyyy-MM-dd HH:mm:ss' strings (the
+    engine-portable convention every hourly query here uses; the
+    session timezone is pinned UTC), coverage rounded to 4.
+
+    All arithmetic is exact integers on epoch hours. Scale shape: the
+    raw events collapse map-side to DISTINCT (key, hour) — the only
+    corpus-sized shuffle, keyed by (key, hour) so a hot feed spreads
+    across partitions. The consecutive-hour lag window then runs per
+    key over the DISTINCT grid (bounded by hours-in-range, ~9k rows
+    per key-year — never event volume), and one final per-key rollup
+    emits the report."""
+    hour = (F.unix_timestamp(F.col(ts_col)) / 3600).cast("long")
+    grid = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(F.col(key_col).alias("key"), hour.alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy("__h")
+    gaps = grid.select(
+        "key",
+        "__h",
+        (F.col("__h") - F.lag("__h", 1).over(w)).alias("__step"),
+    )
+    return (
+        gaps.groupBy("key")
+        .agg(
+            F.min("__h").alias("__lo"),
+            F.max("__h").alias("__hi"),
+            F.count(F.lit(1)).cast("long").alias("n_hours_present"),
+            F.sum(
+                F.when(F.col("__step") > 1, 1).otherwise(0)
+            ).cast("long").alias("n_gaps"),
+            F.coalesce(
+                F.max(
+                    F.when(F.col("__step") > 1, F.col("__step") - 1)
+                ),
+                F.lit(0),
+            ).cast("long").alias("longest_gap_hours"),
+        )
+        .select(
+            "key",
+            F.date_format(
+                F.timestamp_seconds(F.col("__lo") * 3600),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("first_hour"),
+            F.date_format(
+                F.timestamp_seconds(F.col("__hi") * 3600),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("last_hour"),
+            (F.col("__hi") - F.col("__lo") + 1)
+            .cast("long")
+            .alias("n_hours_expected"),
+            "n_hours_present",
+            (F.col("__hi") - F.col("__lo") + 1 - F.col("n_hours_present"))
+            .cast("long")
+            .alias("n_hours_missing"),
+            "n_gaps",
+            "longest_gap_hours",
+            F.round(
+                F.col("n_hours_present").cast("double")
+                / (F.col("__hi") - F.col("__lo") + 1),
+                4,
+            ).alias("coverage"),
+        )
+        .orderBy("key")
+    )

@@ -4578,6 +4578,40 @@ LIMIT 20
 """
 
 
+def q_feed_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed hourly coverage report: expected vs present buckets,
+    gap runs, longest outage — the whole-window companion to
+    events_anomaly's hour-by-hour scoring."""
+    from .operators.timeseries import feed_gaps
+
+    events = load_table(spark, sf_dir, "events")
+    return feed_gaps(events)
+
+
+SQL_FEED_GAPS = """
+WITH grid AS (
+  SELECT DISTINCT event_type AS key,
+         CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h
+  FROM events WHERE ts IS NOT NULL
+),
+steps AS (
+  SELECT key, h, h - lag(h) OVER (PARTITION BY key ORDER BY h) AS step
+  FROM grid
+)
+SELECT key,
+  strftime(to_timestamp(min(h) * 3600), '%Y-%m-%d %H:%M:%S') AS first_hour,
+  strftime(to_timestamp(max(h) * 3600), '%Y-%m-%d %H:%M:%S') AS last_hour,
+  CAST(max(h) - min(h) + 1 AS BIGINT) AS n_hours_expected,
+  CAST(COUNT(*) AS BIGINT) AS n_hours_present,
+  CAST(max(h) - min(h) + 1 - COUNT(*) AS BIGINT) AS n_hours_missing,
+  CAST(SUM(CASE WHEN step > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+  CAST(coalesce(MAX(CASE WHEN step > 1 THEN step - 1 END), 0) AS BIGINT)
+    AS longest_gap_hours,
+  round(CAST(COUNT(*) AS DOUBLE) / (max(h) - min(h) + 1), 4) AS coverage
+FROM steps GROUP BY key ORDER BY key
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4693,6 +4727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist_phrase": q_blocklist_phrase,
     "weighted_sample": q_weighted_sample,
     "robust_outliers": q_robust_outliers,
+    "feed_gaps": q_feed_gaps,
 }
 
 ORACLES: dict[str, str] = {
@@ -4809,6 +4844,7 @@ ORACLES: dict[str, str] = {
     "blocklist_phrase": SQL_BLOCKLIST_PHRASE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "robust_outliers": SQL_ROBUST_OUTLIERS,
+    "feed_gaps": SQL_FEED_GAPS,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

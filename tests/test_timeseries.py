@@ -267,3 +267,33 @@ def test_rolling_anomaly_densifies_dead_hours(spark):
     # densify=False preserves the old observed-buckets-only behavior
     sparse = rolling_anomaly(ev, lookback=24, densify=False).collect()
     assert len(sparse) == 31
+
+
+def test_feed_gaps_known_outage(spark):
+    from datetime import datetime
+
+    from dbqt_spark.operators.timeseries import feed_gaps
+
+    # feed 'a': hours 0,1,2, then a 3-hour outage, then 6,7 (two rows
+    # in hour 7 must collapse); feed 'b': continuous
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    rows = [
+        ("a", t(0)), ("a", t(1)), ("a", t(2)), ("a", t(6)),
+        ("a", t(7)), ("a", t(7, 30)),
+        ("b", t(0)), ("b", t(1)),
+        ("c", None),  # NULL ts rows contribute nothing
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {r["key"]: r for r in feed_gaps(df).collect()}
+    a = got["a"]
+    assert a["n_hours_expected"] == 8 and a["n_hours_present"] == 5
+    assert a["n_hours_missing"] == 3
+    assert a["n_gaps"] == 1 and a["longest_gap_hours"] == 3
+    assert a["coverage"] == round(5 / 8, 4)
+    assert a["first_hour"] == "2024-01-01 00:00:00"
+    assert a["last_hour"] == "2024-01-01 07:00:00"
+    b = got["b"]
+    assert b["n_gaps"] == 0 and b["coverage"] == 1.0
+    assert "c" not in got  # only NULL ts rows -> absent
