@@ -840,3 +840,76 @@ def char_entropy(
             .alias("char_entropy"),
         )
     )
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per doc — the
+    classic complexity signals educational-quality filters (the
+    FineWeb-Edu family) report next to model scores. Output:
+    (id_col, n_sentences, n_words, n_syllables, flesch_ease,
+    fk_grade); docs with no words emit NULL scores (undefined, not 0 —
+    a 0 grade means something).
+
+    Syllables use the standard vowel-GROUP heuristic: syllables(word)
+    ~= count of maximal [aeiouy]+ runs, min 1 per word — the same
+    approximation every readability library ships (exact
+    syllabification needs a pronouncing dictionary; the heuristic is
+    within ~5% on English prose, and the FILTER consumes relative
+    ranks, not absolute grades). Sentences = maximal runs ending in
+    [.!?] (min 1 if any word exists). Everything is regexp_count-style
+    codegen over one narrow projection — no UDF, no shuffle, no
+    explode; the regexes sit in the Java-regex/RE2 common dialect so
+    the DuckDB oracle reproduces counts bit-for-bit."""
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n_words = F.expr(
+        f"size(filter(split(lower(coalesce({text_col}, '')), "
+        f"'\\\\s+'), x -> x != ''))"
+    ).cast("long")
+    # one count per maximal vowel run anywhere + one floor-correction
+    # per word with NO vowel run (min-1 rule)
+    vowel_runs = F.size(
+        F.expr(f"regexp_extract_all(lower(coalesce({text_col}, '')), "
+               f"'[aeiouy]+', 0)")
+    ).cast("long")
+    novowel_words = F.expr(
+        f"size(filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
+        f"x -> x != '' AND x NOT RLIKE '[aeiouy]'))"
+    ).cast("long")
+    n_syll = (vowel_runs + novowel_words).alias("n_syllables")
+    n_sent_raw = F.size(
+        F.expr(f"regexp_extract_all(coalesce({text_col}, ''), "
+               f"'[.!?]+', 0)")
+    ).cast("long")
+    n_sent = F.when(n_words == 0, F.lit(0)).otherwise(
+        F.greatest(n_sent_raw, F.lit(1))
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        (vowel_runs + novowel_words).cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return out.select(
+        id_col,
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+            ),
+        ).alias("flesch_ease"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+            ),
+        ).alias("fk_grade"),
+    )

@@ -4612,6 +4612,42 @@ FROM steps GROUP BY key ORDER BY key
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch ease + FK grade per doc — vowel-run syllable heuristic,
+    pure codegen regex counts, one narrow projection."""
+    from .operators.textstats import readability
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability(docs).orderBy("doc_id")
+
+
+SQL_READABILITY = r"""
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                    x -> x <> '')) AS w,
+    len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+', 0))
+      + len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                           '\s+'),
+            x -> x <> '' AND NOT regexp_matches(x, '[aeiouy]'))) AS syl,
+    len(regexp_extract_all(coalesce(text, ''), '[.!?]+', 0)) AS sraw
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN w = 0 THEN 0 ELSE greatest(sraw, 1) END AS BIGINT)
+    AS n_sentences,
+  CAST(w AS BIGINT) AS n_words,
+  CAST(syl AS BIGINT) AS n_syllables,
+  CASE WHEN w > 0 THEN round(
+    206.835 - 1.015 * (CAST(w AS DOUBLE) / greatest(sraw, 1))
+            - 84.6 * (CAST(syl AS DOUBLE) / w), 4) END AS flesch_ease,
+  CASE WHEN w > 0 THEN round(
+    0.39 * (CAST(w AS DOUBLE) / greatest(sraw, 1))
+    + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59, 4) END AS fk_grade
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4728,6 +4764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "robust_outliers": q_robust_outliers,
     "feed_gaps": q_feed_gaps,
+    "readability": q_readability,
 }
 
 ORACLES: dict[str, str] = {
@@ -4845,6 +4882,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "robust_outliers": SQL_ROBUST_OUTLIERS,
     "feed_gaps": SQL_FEED_GAPS,
+    "readability": SQL_READABILITY,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -2540,3 +2540,31 @@ def test_robust_outliers_approx_mode_close(spark):
     # approx medians land near exact on a uniform ramp: the extreme
     # tail ids should coincide almost entirely
     assert len(exact & approx) >= 16
+
+
+def test_readability_known_values(spark):
+    from dbqt_spark.operators.textstats import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+            (2, "xyzzy brr"),                    # no vowels -> min-1 rule
+            (3, ""),                              # empty -> NULL scores
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # syllables: the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
+    assert r1["n_syllables"] == 6
+    wps, spw = 6 / 2, 6 / 6
+    assert r1["flesch_ease"] == round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+    assert r1["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 4)
+    # 'xyzzy' has two y-runs (2 syllables); vowel-less 'brr' floors at
+    # 1; no sentence marks but words exist -> 1 sentence floor
+    r2 = rows[2]
+    assert r2["n_syllables"] == 3 and r2["n_sentences"] == 1
+    assert rows[3]["flesch_ease"] is None and rows[3]["n_words"] == 0
+    assert rows[4]["fk_grade"] is None
