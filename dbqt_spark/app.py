@@ -1007,6 +1007,7 @@ def tool_profile(argv: list[str]) -> int:
         numeric_histogram,
         profile_columns,
         quantile_histogram,
+        robust_outliers,
         zscore_outliers,
     )
     from .report.html import HTMLReport
@@ -1071,6 +1072,18 @@ def tool_profile(argv: list[str]) -> int:
         report.add_dataframe_tab(
             "Outliers",
             zscore_outliers(
+                df,
+                value_col=args.outlier_value_column,
+                group_col=args.outlier_group_column,
+                id_col=args.outlier_id_column,
+            ),
+        )
+        # the heavy-tail-safe twin: median/MAD robust z next to the
+        # mean/stddev z, same columns, so divergence between the two
+        # tabs IS the heavy-tail diagnosis
+        report.add_dataframe_tab(
+            "Robust outliers",
+            robust_outliers(
                 df,
                 value_col=args.outlier_value_column,
                 group_col=args.outlier_group_column,

@@ -1070,3 +1070,33 @@ def test_edit_distance_near_duplicates_validation_and_caps(spark):
     ).collect()
     assert got == []  # every bucket holding the hot title was capped
     assert st["n_dropped_buckets"] > 0 and st["n_dropped_rows"] > 0
+
+
+def test_edit_distance_candidates_equi_join_never_cartesian(spark, sf_dir):
+    """The deletion-neighborhood self-join must be a hash-keyed
+    equi-join on the variant hash — a cartesian/nested-loop here would
+    be quadratic at corpus scale."""
+    from dbqt_spark.operators.dedup import (
+        _candidate_pair_plan,
+        _deletion_neighborhood_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    banded = docs.selectExpr(
+        "doc_id as id", "substring(text, 1, 12) as title"
+    ).select(
+        "id",
+        F.explode(_deletion_neighborhood_expr("title", 1)).alias("__v"),
+    ).select("id", F.xxhash64("__v").alias("__vh"))
+    plan = banded.sparkSession._jvm.PythonSQLUtils.explainString(
+        _candidate_pair_plan(
+            banded, ["__vh"],
+            lambda a, b: [F.col("a.id").alias("id_a"),
+                          F.col("b.id").alias("id_b")],
+        )._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
