@@ -263,7 +263,11 @@ def main() -> None:
         "events_asof,schema_all_tables,token_stats,"
         # r10 driver-loop heavies (kmeans family): anchor the engine
         # cost apart from pool queueing
-        "kmeans_clusters,semantic_near_dups,span_dedup",
+        "kmeans_clusters,semantic_near_dups,span_dedup,"
+        # late-r10 heavies: two more band pipelines, the FastSS tier,
+        # and the interval-refinement driver loop
+        "dedup_best_wins,cluster_report,edit_distance_dups,"
+        "topk_per_group",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):
