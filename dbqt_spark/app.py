@@ -560,6 +560,12 @@ def tool_dedup(argv: list[str]) -> int:
                    help="resolve pair output into transitive clusters "
                    "(doc, cluster, size, representative) — pair methods "
                    "only")
+    p.add_argument("--keep", choices=["min", "best"], default="min",
+                   help="--clusters keep policy: min id (default) or "
+                   "the highest --keep-score-column value per cluster")
+    p.add_argument("--keep-score-column",
+                   help="required with --keep best: per-doc quality "
+                   "column resolved from the source table")
     p.add_argument("--line-policy", choices=["keep_first", "drop_frequent"],
                    default="keep_first",
                    help="lines method: first-occurrence-wins "
@@ -711,9 +717,21 @@ def tool_dedup(argv: list[str]) -> int:
             result.unpersist()
             result = df.sparkSession.read.parquet(args.pairs_parquet)
         # every pair method emits (id_a, id_b, ...)
-        result = near_dup_clusters(
-            result, id_col=args.id_column
-        ).orderBy(args.id_column)
+        if args.keep == "best":
+            if not args.keep_score_column:
+                p.error("--keep best needs --keep-score-column")
+            from .operators.clusters import best_quality_kept
+
+            result = best_quality_kept(
+                result,
+                df.select(args.id_column, args.keep_score_column),
+                id_col=args.id_column,
+                score_col=args.keep_score_column,
+            ).orderBy(args.id_column)
+        else:
+            result = near_dup_clusters(
+                result, id_col=args.id_column
+            ).orderBy(args.id_column)
     with released(result) as result:
         if args.pairs_parquet and not args.clusters:
             result.write.mode("overwrite").parquet(args.pairs_parquet)

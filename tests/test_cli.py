@@ -997,3 +997,22 @@ def test_cli_curate_blocklist(spark, tmp_path, capsys):
                r"x -> x IN ('spark', 'window', 'hash'))")
     ).count()
     assert bad == 0 and back.count() > 0
+
+
+def test_cli_dedup_clusters_keep_best(spark, tmp_path, capsys):
+    cfg = _write(
+        tmp_path / "c.yaml",
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n",
+    )
+    assert main([
+        "dedup", "--config", cfg, "--table", "documents",
+        "--method", "minhash", "--threshold", "0.5",
+        "--clusters", "--keep", "best", "--keep-score-column", "n_chars",
+        "--output", str(tmp_path / "r.html"),
+        "--pairs-parquet", str(tmp_path / "pairs"),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "clustered docs" in out
+    # pairs contract still honored
+    back = spark.read.parquet(str(tmp_path / "pairs"))
+    assert {"id_a", "id_b"} <= set(back.columns)
