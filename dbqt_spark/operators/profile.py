@@ -845,3 +845,148 @@ def robust_outliers(
         .orderBy(F.abs(F.col("robust_z")).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def scalable_percentiles(
+    df,
+    value_col: str,
+    qs: "list[float]" = (0.25, 0.5, 0.75),
+    max_collect: int = 100_000,
+    max_rounds: int = 16,
+    stats: "dict | None" = None,
+):
+    """EXACT interpolated percentiles (``quantile_cont`` semantics —
+    identical to Spark's ``percentile``) WITHOUT buffering values:
+    Spark's exact ``percentile`` aggregate holds every value of a group
+    in executor memory, which is fine at millions of rows and fatal at
+    a 100 TB column; ``approx_percentile`` bounds memory but changes
+    the answer. This is the third arm: iterative RANGE REFINEMENT —
+    the classic distributed exact-median construction — returning a
+    DataFrame of (q, value) exactly equal to the buffering form.
+
+    Each needed rank (floor and ceiling neighbors of (n-1)*q per
+    quantile) is located by walking a 4096-bucket equi-width histogram
+    of the current value range: one map-side-combinable bucket-count
+    aggregate per round per DISTINCT contested range, after which the
+    rank's range shrinks ~4096x. Ranks sharing a range share the pass
+    (all of them do in round 1), so p25/p50/p75 cost ~1 + 3 passes
+    before their ranges fit ``max_collect`` and the survivors collect
+    + sort driver-side (bounded by construction). Bucket arithmetic in
+    doubles only has to be MONOTONE (it narrows ranges, never decides
+    a value); equal-boundary ties stay inside one bucket because the
+    bucket is a function of the value. NULL and NaN values are
+    excluded (SQL percentile semantics); an all-NULL column returns
+    NULL values for every q.
+
+    Scale shape: passes = 1 (bounds+count) + rounds x distinct-ranges
+    tiny aggregates over a persisted narrow projection — no window, no
+    sort, no buffering aggregate anywhere. ``stats`` records
+    ``rounds`` and ``collected_rows``."""
+    from pyspark.sql import functions as F
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    spark = df.sparkSession
+    v = F.col(value_col).try_cast("double")
+    base = (
+        df.select(v.alias("__v"))
+        .filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+        .persist()
+    )
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    ).collect()[0]
+    n, glo, ghi = row["n"], row["lo"], row["hi"]
+    if n == 0:
+        base.unpersist()
+        return spark.createDataFrame(
+            [(float(q), None) for q in qs], "q double, value double"
+        )
+    # the integer ranks every quantile interpolates between
+    needed: set = set()
+    for q in qs:
+        r = (n - 1) * q
+        needed.add(int(r))
+        needed.add(min(int(r) + 1, n - 1))
+    # rank -> (lo, hi, rank_within_range); start: all ranks in the full
+    # closed range with global rank
+    cells = {k: (glo, ghi, k) for k in sorted(needed)}
+    resolved: dict = {}
+    rounds = 0
+    collected = 0
+    while cells and rounds < max_rounds:
+        # group ranks by their contested range — one pass per range
+        by_range: dict = {}
+        for k, (lo, hi, kk) in cells.items():
+            by_range.setdefault((lo, hi), []).append((k, kk))
+        next_cells: dict = {}
+        for (lo, hi), ranks in by_range.items():
+            cell = base.filter(
+                (F.col("__v") >= lo) & (F.col("__v") <= hi)
+            )
+            if lo == hi:
+                for k, _ in ranks:
+                    resolved[k] = lo
+                continue
+            cnt_row = cell.count()
+            if cnt_row <= max_collect:
+                vals = sorted(r["__v"] for r in cell.collect())
+                collected += len(vals)
+                for k, kk in ranks:
+                    resolved[k] = vals[kk]
+                continue
+            width = max((hi - lo) / 4096.0, 4.9e-324)
+            bucket = F.least(
+                F.lit(4095),
+                F.greatest(
+                    F.lit(0), F.floor((F.col("__v") - lo) / width)
+                ),
+            ).cast("int")
+            hist = {
+                r["__b"]: r
+                for r in cell.groupBy(bucket.alias("__b"))
+                .agg(
+                    F.count(F.lit(1)).alias("bn"),
+                    F.min("__v").alias("bmin"),
+                    F.max("__v").alias("bmax"),
+                )
+                .collect()
+            }
+            order = sorted(hist)
+            for k, kk in ranks:
+                before = 0
+                for b in order:
+                    bn = hist[b]["bn"]
+                    if before + bn > kk:
+                        next_cells[k] = (
+                            hist[b]["bmin"],
+                            hist[b]["bmax"],
+                            kk - before,
+                        )
+                        break
+                    before += bn
+        cells = next_cells
+        rounds += 1
+    if cells:
+        base.unpersist()
+        raise RuntimeError(
+            f"scalable_percentiles did not converge in {max_rounds} "
+            "rounds — pathological value distribution; raise "
+            "max_rounds or max_collect"
+        )
+    base.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["collected_rows"] = collected
+    out = []
+    for q in qs:
+        r = (n - 1) * q
+        k = int(r)
+        k2 = min(k + 1, n - 1)
+        frac = r - k
+        val = resolved[k] + frac * (resolved[k2] - resolved[k])
+        out.append((float(q), float(val)))
+    return spark.createDataFrame(out, "q double, value double")

@@ -4648,6 +4648,38 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_scalable_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p25/p50/p75/p90 of events.value WITHOUT a
+    buffering percentile aggregate — iterative 4096-bucket range
+    refinement (the 100 TB arm; max_collect forced low so the oracle
+    checks the multi-round walk, not the collect shortcut)."""
+    from .operators.profile import scalable_percentiles
+
+    events = load_table(spark, sf_dir, "events")
+    out = scalable_percentiles(
+        events, "value", qs=(0.25, 0.5, 0.75, 0.9), max_collect=50
+    )
+    return out.select(
+        "q", F.round(F.col("value"), 6).alias("value")
+    ).orderBy("q")
+
+
+SQL_SCALABLE_PERCENTILES = """
+WITH c AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+)
+SELECT CAST(0.25 AS DOUBLE) AS q, round(quantile_cont(v, 0.25), 6) AS value FROM c
+UNION ALL
+SELECT 0.5, round(quantile_cont(v, 0.5), 6) FROM c
+UNION ALL
+SELECT 0.75, round(quantile_cont(v, 0.75), 6) FROM c
+UNION ALL
+SELECT 0.9, round(quantile_cont(v, 0.9), 6) FROM c
+ORDER BY q
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4765,6 +4797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_outliers": q_robust_outliers,
     "feed_gaps": q_feed_gaps,
     "readability": q_readability,
+    "scalable_percentiles": q_scalable_percentiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -4883,6 +4916,7 @@ ORACLES: dict[str, str] = {
     "robust_outliers": SQL_ROBUST_OUTLIERS,
     "feed_gaps": SQL_FEED_GAPS,
     "readability": SQL_READABILITY,
+    "scalable_percentiles": SQL_SCALABLE_PERCENTILES,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -2568,3 +2568,48 @@ def test_readability_known_values(spark):
     assert r2["n_syllables"] == 3 and r2["n_sentences"] == 1
     assert rows[3]["flesch_ease"] is None and rows[3]["n_words"] == 0
     assert rows[4]["fk_grade"] is None
+
+
+def test_scalable_percentiles_equals_buffering_percentile(spark):
+    from dbqt_spark.operators.profile import scalable_percentiles
+
+    import random
+
+    random.seed(11)
+    # heavy ties + a wild tail to stress bucket walking
+    vals = [float(random.randint(0, 9)) for _ in range(3000)] + [
+        1e9, -1e9, 0.123456789,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    st: dict = {}
+    got = {
+        r["q"]: r["value"]
+        for r in scalable_percentiles(
+            df, "value", qs=(0.0, 0.25, 0.5, 0.9, 1.0),
+            max_collect=16, stats=st,
+        ).collect()
+    }
+    want = {
+        q: df.selectExpr(f"percentile(value, {q}) AS p").collect()[0]["p"]
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0)
+    }
+    for q in want:
+        assert abs(got[q] - want[q]) < 1e-9, (q, got[q], want[q], st)
+    # the tiny max_collect forces real range-refinement rounds
+    assert st["rounds"] >= 2 and st["collected_rows"] <= 16 * 10
+
+
+def test_scalable_percentiles_edges(spark):
+    from dbqt_spark.operators.profile import scalable_percentiles
+
+    # all-NULL column
+    df = spark.createDataFrame([(None,), (None,)], "value double")
+    got = scalable_percentiles(df, "value", qs=(0.5,)).collect()
+    assert got[0]["value"] is None
+    # constant column: every quantile is the constant
+    df2 = spark.createDataFrame([(7.0,)] * 100, ["value"])
+    got2 = scalable_percentiles(df2, "value", qs=(0.1, 0.9),
+                                max_collect=5).collect()
+    assert all(r["value"] == 7.0 for r in got2)
+    with pytest.raises(ValueError, match="quantile"):
+        scalable_percentiles(df2, "value", qs=(1.5,))
