@@ -289,6 +289,33 @@ def _assign_cells(
     )
 
 
+def _apply_probe_filters(
+    pruned: DataFrame,
+    where,
+    allowed: "DataFrame | None",
+    id_col: str,
+) -> DataFrame:
+    """Shared filtered-ANN hook: restrict probe candidates BEFORE the
+    exact scoring. ``where`` is a SQL predicate string (or Column) over
+    columns the index/frame carries; ``allowed`` is an id frame
+    semi-joined in (AQE picks the strategy — an allowed set can be most
+    of the corpus, so it is never force-broadcast). The honest filtered
+    -ANN caveat applies: filtering AFTER a pruned probe lowers recall
+    in proportion to the filter's selectivity inside the probed cells —
+    with a FULL probe (n_probes = n_cells / probe_hamming = n_planes)
+    the result is exact top-k under the filter, which is what the
+    oracle checks."""
+    if where is not None:
+        pruned = pruned.filter(
+            where if isinstance(where, Column) else F.expr(where)
+        )
+    if allowed is not None:
+        pruned = pruned.join(
+            allowed.select(id_col).distinct(), id_col, "left_semi"
+        )
+    return pruned
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -297,13 +324,17 @@ def ivf_search(
     n_probes: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    where=None,
+    allowed: "DataFrame | None" = None,
 ) -> DataFrame:
     """Probe the ``n_probes`` cells whose centroids are closest to the
     query (cosine), then exact-score only those cells' vectors. A
     multi-assigned index (``ivf_build(n_assign>1)``) can surface the
     same vector from several probed cells — candidates dedupe by id
     before the top-k (replica rows are bit-identical, so the dedupe is
-    value-stable)."""
+    value-stable). ``where``/``allowed`` restrict candidates before
+    scoring (filtered ANN — see ``_apply_probe_filters`` for the
+    recall contract)."""
     qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
 
     def cos_to_query(c: list[float]) -> float:
@@ -318,7 +349,10 @@ def ivf_search(
             key=lambda t: -t[1],
         )[:n_probes]
     ]
-    pruned = assigned.filter(F.col("cell").isin(probe_cells))
+    pruned = _apply_probe_filters(
+        assigned.filter(F.col("cell").isin(probe_cells)),
+        where, allowed, id_col,
+    )
     return (
         cosine_scores(pruned, query, vec_col, id_col)
         .dropDuplicates([id_col])
@@ -602,12 +636,15 @@ def lsh_topk_from_index(
     probe_hamming: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    where=None,
+    allowed: "DataFrame | None" = None,
 ) -> DataFrame:
     """ANN over an index written by ``lsh_write``: enumerate the probe
     buckets driver-side, ``isin``-filter on the partition column (the
     scan prunes to those directories — same mechanism as
     ``test_ivf_probe_prunes_partitions``), exact-score only those
-    vectors."""
+    vectors. ``where``/``allowed`` restrict candidates before scoring
+    (filtered ANN — see ``_apply_probe_filters``)."""
     import json
     import os
 
@@ -639,6 +676,7 @@ def lsh_topk_from_index(
         # (table, bucket) directories; a vector found in several tables
         # dedupes by id before scoring
         pruned = vectors.filter(cond).dropDuplicates([id_col])
+    pruned = _apply_probe_filters(pruned, where, allowed, id_col)
     return (
         cosine_scores(pruned, query, vec_col, id_col)
         .orderBy(F.desc("cosine"), F.col(id_col))

@@ -4680,6 +4680,38 @@ ORDER BY q
 """
 
 
+def q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN: full-probe IVF top-10 restricted to even vec_ids —
+    exact under any filter when every cell is probed (the oracle is
+    brute-force cosine among the allowed ids)."""
+    from .operators.similarity import ivf_build, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    assigned, centroids = ivf_build(emb, n_cells=8)
+    out = ivf_search(
+        assigned, centroids, list(q), k=10, n_probes=8,
+        allowed=emb.filter(F.col("vec_id") % 2 == 0).select("vec_id"),
+    )
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_IVF_FILTERED_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qe),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+  FROM embeddings e, q
+  WHERE e.vec_id % 2 = 0
+)
+SELECT vec_id, round(c, 4) AS cosine
+FROM scored ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4798,6 +4830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feed_gaps": q_feed_gaps,
     "readability": q_readability,
     "scalable_percentiles": q_scalable_percentiles,
+    "ivf_filtered_topk": q_ivf_filtered_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -4917,6 +4950,7 @@ ORACLES: dict[str, str] = {
     "feed_gaps": SQL_FEED_GAPS,
     "readability": SQL_READABILITY,
     "scalable_percentiles": SQL_SCALABLE_PERCENTILES,
+    "ivf_filtered_topk": SQL_IVF_FILTERED_TOPK,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

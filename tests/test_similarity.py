@@ -540,3 +540,59 @@ def test_semantic_near_dup_pairs(spark):
     assert {(r["id_a"], r["id_b"]) for r in capped} == {(10, 11)}
     assert stats["n_dropped_clusters"] == 1
     assert stats["n_dropped_rows"] == 3
+
+
+def test_filtered_ann_probes(spark, tmp_path):
+    """where/allowed restrict candidates before scoring in both ANN
+    paths; every returned id satisfies the filter, and the full probe
+    under a filter equals brute force among the allowed set."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_search,
+        lsh_topk_from_index,
+        lsh_write,
+    )
+
+    random.seed(3)
+    rows = [
+        (i, [random.gauss(0, 1) for _ in range(8)], i % 3)
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = rows[0][1]
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+
+    # IVF full probe + allowed == brute force among allowed
+    assigned, centroids = ivf_build(emb, n_cells=4)
+    got = [
+        r["vec_id"]
+        for r in ivf_search(
+            assigned, centroids, q, k=5, n_probes=4, allowed=allowed
+        ).collect()
+    ]
+    want = [
+        r["vec_id"]
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") % 2 == 0), q, k=5
+        ).collect()
+    ]
+    assert got == want
+    # `where` on a carried column: only label-1 ids come back
+    # `assigned` carries the input's columns, label included
+    got_w = ivf_search(
+        assigned, centroids, q, k=5, n_probes=4, where="label = 1",
+    ).collect()
+    assert got_w and all(r["vec_id"] % 3 == 1 for r in got_w)
+
+    # LSH index probe honors `allowed` (pruned probe: subset contract)
+    path = str(tmp_path / "lshidx")
+    lsh_write(emb.select("vec_id", "embedding"), path, n_planes=8, seed=7)
+    got_l = lsh_topk_from_index(
+        spark, path, q, k=5, probe_hamming=8, allowed=allowed
+    ).collect()
+    assert [r["vec_id"] for r in got_l] == want
