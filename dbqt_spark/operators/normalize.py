@@ -59,3 +59,46 @@ def normalize_text(
     if collapse_whitespace:
         col = F.trim(F.regexp_replace(col, r"\s+", " "))
     return df.withColumn(out_col or text_col, col)
+
+
+# entity -> replacement, applied AFTER tag removal in a FIXED order
+# (numeric first so '&#38;' cannot re-introduce a matchable '&amp;';
+# '&amp;' LAST so the '&' it produces cannot reactivate any earlier
+# entity pattern — the same ordering discipline as redact_pii)
+_HTML_ENTITIES: "list[tuple[str, str]]" = [
+    (r"&#39;", "'"),
+    (r"&#38;", "&REF_AMP;"),  # placeholder, resolved at the end
+    (r"&nbsp;", " "),
+    (r"&quot;", '"'),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&amp;", "&REF_AMP;"),
+    (r"&REF_AMP;", "&"),
+]
+
+
+def strip_markup(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: "str | None" = None,
+) -> DataFrame:
+    """HTML/markup removal — the boilerplate-stripping step web-corpus
+    pipelines (C4, RefinedWeb's fallback path) run before any text
+    analysis: tags ``<...>`` (including ``<br/>`` and attributes)
+    drop, the common entities decode, whitespace collapses. NOT a
+    browser-grade extractor (no script/style content awareness — a
+    real crawl pipeline runs a DOM extractor upstream); it is the
+    deterministic, engine-portable cleanup for text that still carries
+    residual markup.
+
+    Pure ``regexp_replace`` chain in the Java-regex/RE2 common dialect
+    (``<[^>]*>`` never backtracks pathologically), zero UDF/shuffle.
+    Entity decoding is ORDERED so one replacement's output can never
+    re-activate an earlier pattern — ``&amp;lt;`` decodes to the
+    literal ``&lt;`` text, not to ``<`` (the double-escape trap)."""
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    col = F.regexp_replace(col, r"<[^>]*>", " ")
+    for pat, rep in _HTML_ENTITIES:
+        col = F.regexp_replace(col, pat, rep)
+    col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return df.withColumn(out_col or text_col, col)

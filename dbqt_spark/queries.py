@@ -4712,6 +4712,42 @@ FROM scored ORDER BY c DESC, vec_id LIMIT 10
 """
 
 
+def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping over a CONSTRUCTED markup wrapper (the corpus
+    itself is plain text, so the query wraps each doc in tags +
+    entities and strips them back — the transform, not a no-op, is
+    what the oracle replays byte-for-byte)."""
+    from .operators.normalize import strip_markup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat('<p class=\"d\">', text, '</p> &amp; <br/> &lt;end&gt;')"
+        ).alias("text"),
+    )
+    return strip_markup(docs, out_col="clean").select(
+        "doc_id", "clean"
+    ).orderBy("doc_id")
+
+
+SQL_STRIP_MARKUP = r"""
+WITH wrapped AS (
+  SELECT doc_id,
+    '<p class="d">' || text || '</p> &amp; <br/> &lt;end&gt;' AS t
+  FROM documents
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(replace(replace(
+      regexp_replace(t, '<[^>]*>', ' ', 'g'),
+      '&#39;', chr(39)), '&#38;', '&REF_AMP;'), '&nbsp;', ' '),
+      '&quot;', '"'), '&lt;', '<'), '&gt;', '>'),
+      '&amp;', '&REF_AMP;'), '&REF_AMP;', '&'),
+    '\s+', ' ', 'g')) AS clean
+FROM wrapped ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4831,6 +4867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "scalable_percentiles": q_scalable_percentiles,
     "ivf_filtered_topk": q_ivf_filtered_topk,
+    "strip_markup": q_strip_markup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4951,6 +4988,7 @@ ORACLES: dict[str, str] = {
     "readability": SQL_READABILITY,
     "scalable_percentiles": SQL_SCALABLE_PERCENTILES,
     "ivf_filtered_topk": SQL_IVF_FILTERED_TOPK,
+    "strip_markup": SQL_STRIP_MARKUP,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -2613,3 +2613,25 @@ def test_scalable_percentiles_edges(spark):
     assert all(r["value"] == 7.0 for r in got2)
     with pytest.raises(ValueError, match="quantile"):
         scalable_percentiles(df2, "value", qs=(1.5,))
+
+
+def test_strip_markup_tags_entities_and_double_escape(spark):
+    from dbqt_spark.operators.normalize import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>Hello <b>world</b></p>"),
+            (2, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;x"),
+            (3, "<br/><div class='x'>y</div>"),
+            (4, "&amp;lt; stays escaped-once"),  # the double-escape trap
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["text"] for r in strip_markup(df).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == 'a & b <tag> "q" \'s\' x'
+    assert got[3] == "y"
+    # &amp;lt; must decode to the literal text '&lt;', never to '<'
+    assert got[4] == "&lt; stays escaped-once"
+    assert got[5] == ""
