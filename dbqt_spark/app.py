@@ -1126,7 +1126,7 @@ def tool_sample(argv: list[str]) -> int:
     p.add_argument(
         "--method",
         choices=["stratified", "budget", "mixture", "temperature",
-                 "topk"],
+                 "topk", "weighted"],
         required=True,
     )
     p.add_argument("--alpha", type=float, default=0.5,
@@ -1141,6 +1141,9 @@ def tool_sample(argv: list[str]) -> int:
                    help="stratified/topk: rows kept per group")
     p.add_argument("--score-column", default=None,
                    help="topk: rank groups by this column (descending)")
+    p.add_argument("--weight-column", default=None,
+                   help="weighted: keep each row with probability = "
+                   "this column's value (clamped to [0, 1])")
     p.add_argument("--text-column", default="text",
                    help="budget: tokens counted on this column")
     p.add_argument("--budget-tokens", type=int,
@@ -1169,6 +1172,8 @@ def tool_sample(argv: list[str]) -> int:
         p.error("--budget-tokens is required with --method budget")
     if args.method == "topk" and not args.score_column:
         p.error("--score-column is required with --method topk")
+    if args.method == "weighted" and not args.weight_column:
+        p.error("--weight-column is required with --method weighted")
 
     cfg, db = _load_db(args.config)
     df = db.load(args.table)
@@ -1186,6 +1191,12 @@ def tool_sample(argv: list[str]) -> int:
         out = temperature_sample(
             df, args.group_column, alpha=args.alpha,
             id_col=args.id_column, seed=args.seed,
+        )
+    elif args.method == "weighted":
+        from .operators.sampling import weighted_sample
+
+        out = weighted_sample(
+            df, args.weight_column, id_col=args.id_column, seed=args.seed
         )
     elif args.method == "topk":
         from .operators.sampling import topk_per_group

@@ -1016,3 +1016,19 @@ def test_cli_dedup_clusters_keep_best(spark, tmp_path, capsys):
     # pairs contract still honored
     back = spark.read.parquet(str(tmp_path / "pairs"))
     assert {"id_a", "id_b"} <= set(back.columns)
+
+
+def test_cli_sample_weighted(spark, tmp_path, capsys):
+    cfg = _write(
+        tmp_path / "c.yaml",
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n",
+    )
+    out = str(tmp_path / "weighted")
+    assert main([
+        "sample", "--config", cfg, "--table", "documents",
+        "--method", "weighted", "--weight-column", "n_chars",
+        "--output-parquet", out,
+    ]) == 0
+    # n_chars >> 1, so every weight clamps to 1.0: all rows kept —
+    # the deterministic upper edge
+    assert "500 rows sampled" in capsys.readouterr().out
