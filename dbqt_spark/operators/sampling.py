@@ -660,3 +660,101 @@ def weighted_sample(
     key = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     threshold = F.floor(w * F.lit(float(_HASH_SPACE))).cast("long")
     return df.filter(portable_token_hash(key) < threshold)
+
+
+def group_token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    tokenizer=None,
+) -> DataFrame:
+    """PER-GROUP token budget: within every ``group_col`` value keep
+    the largest hash-order prefix whose token total stays within
+    ``budget_tokens`` — "at most 1B tokens per source", the budget
+    counterpart of ``stratified_sample``'s row cap (token budgets, not
+    doc counts, are what training mixes are denominated in). Same
+    prefix contract as ``token_budget_sample``: membership is a pure
+    function of (seed, group contents); a doc that would overflow the
+    remaining budget BLOCKS the prefix (deterministic, engine-
+    reproducible — not a knapsack).
+
+    Scale shape — the per-group version of the global sampler's
+    4096-bucket prefix, but SET-WISE (the global version's driver
+    collect would be O(groups x 4096) rows here): per-(group, bucket)
+    token sums aggregate map-side, the cumulative classification runs
+    over the AGGREGATED frame (<= 4096 rows per group at any group
+    size), wholly-kept buckets semi-join back with no window at all,
+    and only the ONE boundary bucket per group (~1/4096 of the group)
+    runs an exact within-bucket running sum. ``tokenizer`` follows the
+    shared hook contract (whitespace default; callable / hf:<name> /
+    built-in BPE)."""
+    from pyspark.sql import Window
+
+    from ..functions.tokenize import resolve_token_counter
+    from .dedup import portable_token_hash
+    from .textstats import tokens_col
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    key = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    h = portable_token_hash(key)
+    counter = resolve_token_counter(tokenizer)
+    n_tokens = (
+        counter(F.col(text_col))
+        if counter is not None
+        else F.size(tokens_col(F.coalesce(F.col(text_col), F.lit(""))))
+    ).cast("long")
+    g = F.coalesce(
+        F.concat(F.lit("v:"), F.col(group_col).cast("string")),
+        F.lit("null:"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        g.alias("__g"),
+        h.alias("__h"),
+        F.shiftright(h, _BUDGET_BUCKETS_SHIFT).alias("__bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+    counts = base.groupBy("__g", "__bucket").agg(
+        F.sum("n_tokens").alias("__s")
+    )
+    w_cum = (
+        Window.partitionBy("__g")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = counts.select(
+        "__g",
+        "__bucket",
+        "__s",
+        F.coalesce(F.sum("__s").over(w_cum), F.lit(0)).alias("__before"),
+    )
+    budget = int(budget_tokens)
+    whole = marked.filter(
+        F.col("__before") + F.col("__s") <= budget
+    ).select("__g", "__bucket")
+    boundary = marked.filter(
+        (F.col("__before") < budget)
+        & (F.col("__before") + F.col("__s") > budget)
+    ).select("__g", "__bucket", (budget - F.col("__before")).alias("__q"))
+    kept_whole = base.join(whole, ["__g", "__bucket"], "left_semi")
+    w_run = (
+        Window.partitionBy("__g", "__bucket")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept_boundary = (
+        base.join(boundary, ["__g", "__bucket"])
+        .withColumn("__run", F.sum("n_tokens").over(w_run))
+        .filter(F.col("__run") <= F.col("__q"))
+        .drop("__run", "__q")
+    )
+    return (
+        kept_whole.unionByName(kept_boundary)
+        .select(id_col, group_col, "n_tokens")
+        .orderBy(id_col)
+    )

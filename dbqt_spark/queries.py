@@ -4748,6 +4748,34 @@ FROM wrapped ORDER BY doc_id
 """
 
 
+def q_group_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget: within each source, the largest
+    hash-order prefix of docs totalling <= 10k whitespace tokens —
+    set-wise bucketed prefix sums, window only on boundary buckets."""
+    from .operators.sampling import group_token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_token_budget_sample(docs, "source", 10_000)
+
+
+SQL_GROUP_TOKEN_BUDGET = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens,
+    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      ::UBIGINT AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum <= 10000 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4868,6 +4896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalable_percentiles": q_scalable_percentiles,
     "ivf_filtered_topk": q_ivf_filtered_topk,
     "strip_markup": q_strip_markup,
+    "group_token_budget": q_group_token_budget,
 }
 
 ORACLES: dict[str, str] = {
@@ -4989,6 +5018,7 @@ ORACLES: dict[str, str] = {
     "scalable_percentiles": SQL_SCALABLE_PERCENTILES,
     "ivf_filtered_topk": SQL_IVF_FILTERED_TOPK,
     "strip_markup": SQL_STRIP_MARKUP,
+    "group_token_budget": SQL_GROUP_TOKEN_BUDGET,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

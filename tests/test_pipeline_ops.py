@@ -2635,3 +2635,45 @@ def test_strip_markup_tags_entities_and_double_escape(spark):
     # &amp;lt; must decode to the literal text '&lt;', never to '<'
     assert got[4] == "&lt; stays escaped-once"
     assert got[5] == ""
+
+
+def test_group_token_budget_matches_naive_per_group(spark):
+    from pyspark.sql import Window
+
+    from dbqt_spark.operators.dedup import portable_token_hash
+    from dbqt_spark.operators.sampling import group_token_budget_sample
+    from dbqt_spark.operators.textstats import tokens_col
+
+    import random
+
+    random.seed(5)
+    rows = [
+        (i, f"s{i % 3}", " ".join(["w"] * random.randint(0, 30)))
+        for i in range(300)
+    ] + [(900, None, "a b c")]  # NULL group forms its own budget
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = sorted(
+        r["doc_id"]
+        for r in group_token_budget_sample(df, "source", 400).collect()
+    )
+    key = F.concat_ws(":", F.lit("42"), F.col("doc_id").cast("string"))
+    naive = (
+        df.select(
+            "doc_id",
+            "source",
+            F.size(tokens_col(F.coalesce("text", F.lit("")))).alias("n"),
+            portable_token_hash(key).alias("h"),
+        )
+        .withColumn(
+            "cum",
+            F.sum("n").over(
+                Window.partitionBy("source").orderBy("h", "doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("cum") <= 400)
+    )
+    want = sorted(r["doc_id"] for r in naive.collect())
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="budget_tokens"):
+        group_token_budget_sample(df, "source", -1)
