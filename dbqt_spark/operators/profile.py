@@ -878,10 +878,11 @@ def scalable_percentiles(
     excluded (SQL percentile semantics); an all-NULL column returns
     NULL values for every q.
 
-    Scale shape: passes = 1 (bounds+count) + rounds x distinct-ranges
-    tiny aggregates over a persisted narrow projection — no window, no
-    sort, no buffering aggregate anywhere. ``stats`` records
-    ``rounds`` and ``collected_rows``."""
+    Scale shape: passes = 1 (bounds+count) + ONE histogram aggregate
+    per distinct contested range per round (its bucket sums double as
+    the cell count, so the collect decision is free) + a bounded leaf
+    collect — no window, no sort, no buffering aggregate anywhere.
+    ``stats`` records ``rounds`` and ``collected_rows``."""
     from pyspark.sql import functions as F
 
     for q in qs:
@@ -931,13 +932,9 @@ def scalable_percentiles(
                 for k, _ in ranks:
                     resolved[k] = lo
                 continue
-            cnt_row = cell.count()
-            if cnt_row <= max_collect:
-                vals = sorted(r["__v"] for r in cell.collect())
-                collected += len(vals)
-                for k, kk in ranks:
-                    resolved[k] = vals[kk]
-                continue
+            # ONE pass per contested range per round: the histogram's
+            # bucket sums double as the cell count, so the
+            # small-enough-to-collect decision costs no extra job
             width = max((hi - lo) / 4096.0, 4.9e-324)
             bucket = F.least(
                 F.lit(4095),
@@ -955,6 +952,12 @@ def scalable_percentiles(
                 )
                 .collect()
             }
+            if sum(r["bn"] for r in hist.values()) <= max_collect:
+                vals = sorted(r["__v"] for r in cell.collect())
+                collected += len(vals)
+                for k, kk in ranks:
+                    resolved[k] = vals[kk]
+                continue
             order = sorted(hist)
             for k, kk in ranks:
                 before = 0
