@@ -152,6 +152,8 @@ def main() -> None:
         # topk_per_group is a driver refinement loop (per-round
         # classify + checkpoint + emptiness probe) — queueing-bound
         "topk_per_group",
+        # scalable_percentiles: driver rank-walk rounds, same shape
+        "scalable_percentiles",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
