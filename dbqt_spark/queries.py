@@ -4776,6 +4776,35 @@ SELECT doc_id, source, n_tokens FROM c WHERE cum <= 10000 ORDER BY doc_id
 """
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE totals over (orderstatus, orderpriority) — all four
+    grouping combinations in one pass (Expand + one shuffle), the
+    multi-dim rollup surface next to ROLLUP/PIVOT."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4897,6 +4926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_filtered_topk": q_ivf_filtered_topk,
     "strip_markup": q_strip_markup,
     "group_token_budget": q_group_token_budget,
+    "cube_orders": q_cube_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -5019,6 +5049,7 @@ ORACLES: dict[str, str] = {
     "ivf_filtered_topk": SQL_IVF_FILTERED_TOPK,
     "strip_markup": SQL_STRIP_MARKUP,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,
+    "cube_orders": SQL_CUBE_ORDERS,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).
