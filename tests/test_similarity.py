@@ -596,3 +596,47 @@ def test_filtered_ann_probes(spark, tmp_path):
         spark, path, q, k=5, probe_hamming=8, allowed=allowed
     ).collect()
     assert [r["vec_id"] for r in got_l] == want
+
+
+def test_filtered_pruned_probe_recall_floor(spark, sf_dir):
+    """Filtered ANN under a PRUNED probe: with a 50% id filter the
+    probed cells still deliver >= 0.9 mean recall@10 against the
+    filtered brute-force truth at the shipped IVF parameterization —
+    the filter drops candidates uniformly (it is independent of cell
+    geometry), so recall tracks the unfiltered bound."""
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    assigned, centroids = ivf_build(emb, n_cells=8, n_assign=2)
+    assigned = assigned.persist()
+    recalls = []
+    for qid in range(6):
+        q = list(
+            emb.filter(f"vec_id = {qid}").select("embedding").collect()[0][0]
+        )
+        truth = {
+            r["vec_id"]
+            for r in cosine_topk(
+                emb.filter(F.col("vec_id") % 2 == 0), q, k=10
+            ).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in ivf_search(
+                assigned, centroids, q, k=10, n_probes=5, allowed=allowed
+            ).collect()
+        }
+        assert all(v % 2 == 0 for v in got)
+        recalls.append(len(got & truth) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.9, recalls
+    emb.unpersist()
+    assigned.unpersist()
