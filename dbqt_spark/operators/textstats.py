@@ -913,3 +913,90 @@ def readability(
             ),
         ).alias("fk_grade"),
     )
+
+
+def lm_score_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document BIGRAM language-model score — the order-aware
+    upgrade of ``lm_score``: a unigram model cannot tell "the cat sat"
+    from "sat the cat", while shuffled/templated word salad is exactly
+    what the perplexity gate should catch (CCNet's KenLM is a 5-gram;
+    a bigram is the first rung of that ladder and the last one whose
+    model still fits a broadcast at web scale). Output: (doc_id,
+    n_bigrams, avg_logprob, perplexity), one row per document with
+    >= 2 tokens.
+
+    Model contract (self-fit, engine-reproducible): p(t | prev) =
+    (c(prev, t) + 1) / (c(prev) + V) with c(·) corpus bigram counts
+    and V = the number of DISTINCT second-position tokens — a
+    self-consistent add-one denominator derived from the same bigram
+    aggregate (the true unigram vocabulary would need a second corpus
+    explode; the constant only shifts all scores monotonically and the
+    gate consumes relative ranks). Per-bigram ln p rounds to
+    DECIMAL(18,6) before the exact per-doc sum — the ``lm_score``
+    order-independence discipline.
+
+    Scale shape: ONE text scan -> bigram explode -> (doc, bigram)
+    counts with map-side combine -> bigram vocabulary and
+    prev-totals derived from THAT aggregate (never a re-explode) ->
+    per-bigram log-probs joined back (broadcast by default; pass
+    ``broadcast_model=False`` when the bigram vocabulary outgrows a
+    broadcast — the join becomes a bigram-keyed shuffle of (doc,
+    bigram, tf) rows, never of text)."""
+    toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    grams = F.expr(
+        "CASE WHEN size(__toks) < 2 THEN array() "
+        "ELSE transform(sequence(2, size(__toks)), "
+        "i -> struct(__toks[i-2] AS p, __toks[i-1] AS t)) END"
+    )
+    doc_bi = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, F.explode(grams).alias("__g"))
+        .select(id_col, F.col("__g.p").alias("p"), F.col("__g.t").alias("t"))
+        .groupBy(id_col, "p", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bi_vocab = doc_bi.groupBy("p", "t").agg(F.sum("tf").alias("__c"))
+    prev_tot = bi_vocab.groupBy("p").agg(F.sum("__c").alias("__cp"))
+    totals = bi_vocab.agg(F.countDistinct("t").alias("__v"))
+    lp = (
+        bi_vocab.join(prev_tot, "p")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "p",
+            "t",
+            F.round(
+                F.log(
+                    (F.col("__c") + 1).cast("double")
+                    / (F.col("__cp") + F.col("__v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("__lp"),
+        )
+    )
+    model_side = F.broadcast(lp) if broadcast_model else lp
+    agg = (
+        doc_bi.join(model_side, ["p", "t"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf").cast("decimal(18,0)") * F.col("__lp")).alias(
+                "__s"
+            ),
+        )
+    )
+    avg = F.round(
+        F.col("__s").cast("double") / F.col("n_bigrams").cast("double"), 6
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        avg.alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("perplexity"),
+    ).orderBy(id_col)

@@ -4805,6 +4805,54 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def q_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity per doc — the order-aware rung above the
+    unigram gate; self-fit add-one model, decimal-exact per-doc sums."""
+    from .operators.textstats import lm_score_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_score_bigram(docs)
+
+
+SQL_LM_SCORE_BIGRAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                x -> x <> '') AS ts
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN []
+    ELSE list_transform(range(2, len(ts) + 1),
+         i -> struct_pack(p := ts[i-1], t := ts[i])) END) AS g
+  FROM toks
+),
+doc_bi AS (
+  SELECT doc_id, g.p AS p, g.t AS t, COUNT(*) AS tf
+  FROM bi GROUP BY doc_id, g.p, g.t
+),
+bv AS (SELECT p, t, SUM(tf) AS c FROM doc_bi GROUP BY p, t),
+pt AS (SELECT p, SUM(c) AS cp FROM bv GROUP BY p),
+v AS (SELECT COUNT(DISTINCT t) AS vv FROM bv),
+lp AS (
+  SELECT bv.p, bv.t,
+    CAST(round(ln(CAST(bv.c + 1 AS DOUBLE) / (pt.cp + v.vv)), 6)
+         AS DECIMAL(18,6)) AS lp
+  FROM bv JOIN pt USING (p), v
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         SUM(CAST(tf AS DECIMAL(18,0)) * lp.lp) AS s
+  FROM doc_bi JOIN lp ON doc_bi.p = lp.p AND doc_bi.t = lp.t
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logprob,
+  round(exp(-round(CAST(s AS DOUBLE) / n_bigrams, 6)), 4) AS perplexity
+FROM agg ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4927,6 +4975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_markup": q_strip_markup,
     "group_token_budget": q_group_token_budget,
     "cube_orders": q_cube_orders,
+    "lm_score_bigram": q_lm_score_bigram,
 }
 
 ORACLES: dict[str, str] = {
@@ -5050,6 +5099,7 @@ ORACLES: dict[str, str] = {
     "strip_markup": SQL_STRIP_MARKUP,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,
     "cube_orders": SQL_CUBE_ORDERS,
+    "lm_score_bigram": SQL_LM_SCORE_BIGRAM,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

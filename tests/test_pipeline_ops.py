@@ -2677,3 +2677,38 @@ def test_group_token_budget_matches_naive_per_group(spark):
     assert got == want and len(got) > 0
     with pytest.raises(ValueError, match="budget_tokens"):
         group_token_budget_sample(df, "source", -1)
+
+
+def test_lm_score_bigram_known_values_and_order_sensitivity(spark):
+    import math
+
+    from dbqt_spark.operators.textstats import lm_score_bigram
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),      # bigrams: (a,b) x2, (b,a) x1
+            (2, "b a b a"),      # same tokens, different order
+            (3, "one"),          # < 2 tokens -> no row
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in lm_score_bigram(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 3
+    # corpus model: c(a,b)=3, c(b,a)=3, c(a)=3 prev-total... compute:
+    # bv: (a,b)->3, (b,a)->3; pt: a->3, b->3; V=2 (distinct t)
+    lp_ab = round(math.log(4 / 5), 6)  # (3+1)/(3+2)
+    lp_ba = lp_ab
+    s1 = 2 * lp_ab + 1 * lp_ba
+    avg = round(s1 / 3, 6)
+    assert rows[1]["avg_logprob"] == avg
+    assert rows[1]["perplexity"] == round(math.exp(-avg), 4)
+    # a doc with an UNSEEN-order bigram scores lower than natural order
+    df2 = spark.createDataFrame(
+        [(i, "the cat sat") for i in range(9)] + [(100, "sat cat the")],
+        ["doc_id", "text"],
+    )
+    r2 = {r["doc_id"]: r["avg_logprob"]
+          for r in lm_score_bigram(df2).collect()}
+    assert r2[100] < r2[0]  # unigram LM could never separate these
