@@ -375,6 +375,7 @@ def topk_per_group(
     max_window_rows: int = 1_000_000,
     max_rounds: int = 8,
     broadcast_descriptors: bool = True,
+    descending: bool = True,
     stats: "dict | None" = None,
 ) -> DataFrame:
     """EXACT deterministic top-``k`` rows per group by score — "keep
@@ -441,7 +442,8 @@ def topk_per_group(
                 F.lit("null:"),
             ),
         )
-        .withColumn("__kd", -score_d)  # ascending __kd == score DESC
+        # ascending __kd == score DESC (top-k) or ASC (bottom-k)
+        .withColumn("__kd", -score_d if descending else score_d)
         .withColumn("__kh", portable_token_hash(hkey))
         .persist()
     )

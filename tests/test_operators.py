@@ -1100,3 +1100,41 @@ def test_edit_distance_candidates_equi_join_never_cartesian(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_deletion_neighborhood_completeness_randomized(spark):
+    """FastSS completeness, randomized: for 150 random (s, t) pairs
+    with edit(s, t) <= 2, the <=2-deletion neighborhoods must
+    intersect — one Spark batch, seeded."""
+    import random
+
+    from dbqt_spark.operators.dedup import _deletion_neighborhood_expr
+
+    random.seed(23)
+    alphabet = "abcde"
+
+    def mutate(s, n_edits):
+        for _ in range(n_edits):
+            ops = ["del", "ins", "sub"] if s else ["ins"]
+            op = random.choice(ops)
+            i = random.randrange(len(s) + (op == "ins"))
+            if op == "del":
+                s = s[:i] + s[i + 1:]
+            elif op == "ins":
+                s = s[:i] + random.choice(alphabet) + s[i:]
+            else:
+                s = s[:i] + random.choice(alphabet) + s[i + 1:]
+        return s
+
+    rows = []
+    for i in range(150):
+        s = "".join(random.choice(alphabet)
+                    for _ in range(random.randint(0, 10)))
+        rows.append((i, s, mutate(s, random.randint(0, 2))))
+    df = spark.createDataFrame(rows, ["pid", "s", "t"])
+    nd_s = _deletion_neighborhood_expr("s", 2)
+    nd_t = _deletion_neighborhood_expr("t", 2)
+    bad = df.select(
+        "pid", F.size(F.array_intersect(nd_s, nd_t)).alias("n")
+    ).filter(F.col("n") == 0).collect()
+    assert bad == [], bad

@@ -2712,3 +2712,19 @@ def test_lm_score_bigram_known_values_and_order_sensitivity(spark):
     r2 = {r["doc_id"]: r["avg_logprob"]
           for r in lm_score_bigram(df2).collect()}
     assert r2[100] < r2[0]  # unigram LM could never separate these
+
+
+def test_topk_per_group_bottom_k(spark):
+    from dbqt_spark.operators.sampling import topk_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(50)], ["doc_id", "g", "score"]
+    )
+    worst = {r["doc_id"] for r in topk_per_group(
+        df, "g", "score", 5, descending=False, max_window_rows=2
+    ).collect()}
+    assert worst == {0, 1, 2, 3, 4}
+    best = {r["doc_id"] for r in topk_per_group(
+        df, "g", "score", 5, max_window_rows=2
+    ).collect()}
+    assert best == {45, 46, 47, 48, 49}
