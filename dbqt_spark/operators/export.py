@@ -85,3 +85,39 @@ def read_jsonl(spark, path: str, schema: "T.StructType | None" = None):
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: "str | list[str]",
+) -> None:
+    """Idempotent partition-level backfill: rewrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched — the
+    reprocess-one-day operation a date-partitioned corpus needs
+    (a plain ``mode("overwrite")`` would truncate the whole dataset; an
+    ``append`` would duplicate the reprocessed day).
+
+    Implementation is Spark's dynamic partition-overwrite: the session
+    conf flips to ``dynamic`` for THIS write and is restored after
+    (the static default stays in force for everyone else — the global
+    flip is the classic foot-gun: any concurrent plain overwrite in the
+    same session would silently become partial). Re-running the same
+    backfill is a no-op-equivalent rewrite — idempotent by
+    construction. NOTE committed per partition directory, not
+    transactionally across partitions: a mid-write crash can leave a
+    subset of the targeted partitions rewritten (each one internally
+    consistent); re-run the backfill to converge. Cross-partition
+    atomicity needs a table format (Delta/Iceberg) — out of scope for
+    plain parquet."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(
+        partition_by
+    )
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

@@ -1138,3 +1138,32 @@ def test_deletion_neighborhood_completeness_randomized(spark):
         "pid", F.size(F.array_intersect(nd_s, nd_t)).alias("n")
     ).filter(F.col("n") == 0).collect()
     assert bad == [], bad
+
+
+def test_overwrite_partitions_rewrites_only_present(spark, tmp_path):
+    from dbqt_spark.operators.export import overwrite_partitions
+
+    path = str(tmp_path / "part")
+    full = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-02", "b"),
+         (3, "2024-01-03", "c")],
+        ["id", "day", "v"],
+    )
+    overwrite_partitions(full, path, "day")
+    # backfill day 2 only, with corrected values and a NEW row
+    fix = spark.createDataFrame(
+        [(2, "2024-01-02", "B"), (9, "2024-01-02", "B2")],
+        ["id", "day", "v"],
+    )
+    overwrite_partitions(fix, path, "day")
+    back = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # days 1 and 3 untouched; day 2 fully replaced (old row 2 gone)
+    assert back == {(1, "a"), (3, "c"), (2, "B"), (9, "B2")}
+    # idempotent re-run
+    overwrite_partitions(fix, path, "day")
+    back2 = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert back2 == back
+    # the session conf is restored
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode"
+    ).lower() != "dynamic"
