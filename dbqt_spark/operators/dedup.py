@@ -1197,3 +1197,35 @@ def edit_distance_near_duplicates(
         verified.count()
         pairs.unpersist()
     return verified
+
+
+def corpus_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-ROW corpus-level overlap report: distinct-text counts of
+    each side, their exact intersection, and the Jaccard — the triage
+    question ("how much of crawl B is already in corpus A?") answered
+    BEFORE committing to a full near-dup pass. Output: (n_a, n_b,
+    n_common, jaccard).
+
+    Exact by content fingerprint (md5 of the raw text — the
+    ``dedup_exact`` key): each side collapses map-side to distinct
+    16-byte hashes (the only corpus-sized shuffle, hash-keyed), the
+    intersection is one equi-join of two fingerprint sets, and the
+    output is a single row. Near-dup-aware overlap needs the MinHash
+    tiers; this is the exact-dup ceiling on containment (a LOWER bound
+    on true overlap)."""
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    a = df_a.select(fp.alias("__fp")).distinct()
+    b = df_b.select(fp.alias("__fp")).distinct()
+    n_a = a.count()
+    n_b = b.count()
+    n_common = a.join(b, "__fp").count()
+    union = n_a + n_b - n_common
+    jacc = round(n_common / union, 6) if union else 0.0
+    return df_a.sparkSession.createDataFrame(
+        [(n_a, n_b, n_common, float(jacc))],
+        "n_a long, n_b long, n_common long, jaccard double",
+    )

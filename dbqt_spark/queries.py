@@ -4853,6 +4853,43 @@ FROM agg ORDER BY doc_id
 """
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup overlap triage between the odd-id and even-id halves
+    of the corpus, on 12-char title prefixes (the whole-doc texts are
+    all-unique by construction, so titles give a non-trivial
+    intersection): distinct counts, exact intersection, Jaccard."""
+    from .operators.dedup import corpus_overlap
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 12)").alias("title")
+    )
+    return corpus_overlap(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        text_col="title",
+    )
+
+
+SQL_CORPUS_OVERLAP = """
+WITH a AS (
+  SELECT DISTINCT md5(coalesce(substr(text, 1, 12), '')) AS fp
+  FROM documents WHERE doc_id % 2 = 1
+),
+b AS (
+  SELECT DISTINCT md5(coalesce(substr(text, 1, 12), '')) AS fp
+  FROM documents WHERE doc_id % 2 = 0
+),
+c AS (SELECT COUNT(*) AS n_common FROM a JOIN b USING (fp))
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(CAST(n_common AS DOUBLE) /
+             ((SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+              - n_common), 6) AS jaccard
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -4976,6 +5013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_token_budget": q_group_token_budget,
     "cube_orders": q_cube_orders,
     "lm_score_bigram": q_lm_score_bigram,
+    "corpus_overlap": q_corpus_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -5100,6 +5138,7 @@ ORACLES: dict[str, str] = {
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,
     "cube_orders": SQL_CUBE_ORDERS,
     "lm_score_bigram": SQL_LM_SCORE_BIGRAM,
+    "corpus_overlap": SQL_CORPUS_OVERLAP,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

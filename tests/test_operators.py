@@ -1167,3 +1167,20 @@ def test_overwrite_partitions_rewrites_only_present(spark, tmp_path):
     assert spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode"
     ).lower() != "dynamic"
+
+
+def test_corpus_overlap_exact_counts(spark):
+    from dbqt_spark.operators.dedup import corpus_overlap
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "y"), (4, None)], ["doc_id", "text"]
+    )  # distinct texts: {x, y, ''} -> 3
+    b = spark.createDataFrame(
+        [(5, "y"), (6, "z")], ["doc_id", "text"]
+    )  # {y, z} -> 2; common {y} -> 1; union 4
+    r = corpus_overlap(a, b).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 2, 1)
+    assert r["jaccard"] == 0.25
+    # disjoint corpora -> 0
+    r2 = corpus_overlap(a, b.select("doc_id", F.lit("q").alias("text")))
+    assert r2.collect()[0]["jaccard"] == 0.0
