@@ -473,7 +473,10 @@ def cluster_size_report(
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
-    total = corpus.agg(F.count(F.col(id_col)).alias("__total"))
+    # COUNT(*) — a NULL-id doc is still a corpus doc (it can never
+    # join a pair, so it lands in the singleton row, matching the
+    # oracle's COUNT(*))
+    total = corpus.agg(F.count(F.lit(1)).alias("__total"))
     paired = comp.agg(F.count(F.lit(1)).alias("__paired"))
     singles = (
         total.crossJoin(paired)
