@@ -464,17 +464,38 @@ def tfidf_keywords(
     )
 
 
+def lm_vocabulary(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(term, count) unigram vocabulary of a REFERENCE corpus — fit
+    once, persist, and pass to ``lm_score(vocab=...)`` to score any
+    number of incoming corpora against the same frozen model (the
+    CCNet deployment shape). One scan, map-side-combined counts."""
+    toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    return (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+
+
 def lm_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: "DataFrame | None" = None,
 ) -> DataFrame:
     """Per-document unigram language-model score — the perplexity-style
     quality signal corpus-curation pipelines (e.g. CCNet-style filtering)
     gate on: documents whose tokens are improbable under the corpus
     unigram distribution score low and surface as boilerplate/gibberish
     candidates. Output: (doc_id, n_tokens, avg_logprob, perplexity),
-    one row per document with >= 1 token.
+    one row per document with >= 1 token. Pass ``vocab`` — a
+    (term, count) frame from ``lm_vocabulary`` over a REFERENCE corpus
+    — to score against a frozen model instead of self-fitting (the
+    production shape: fit once on the clean reference, score every
+    incoming crawl against it; tokens unseen in the reference get the
+    add-one floor 1 / (T + V) like any other unseen event).
 
     Model: add-one-smoothed unigram probabilities over lowercased
     whitespace tokens, p(t) = (c_t + 1) / (T + V) with T = total tokens,
@@ -503,7 +524,10 @@ def lm_score(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    vocab = doc_terms.groupBy("term").agg(F.sum("tf").alias("__c"))
+    if vocab is None:
+        vocab = doc_terms.groupBy("term").agg(F.sum("tf").alias("__c"))
+    else:
+        vocab = vocab.select("term", F.col("count").alias("__c"))
     totals = vocab.agg(
         F.sum("__c").alias("__t"), F.count(F.lit(1)).alias("__v")
     )
@@ -519,14 +543,28 @@ def lm_score(
         .cast("decimal(18,6)")
         .alias("__lp"),
     )
+    floor_lp = (
+        F.round(
+            F.log(
+                F.lit(1.0)
+                / (F.col("__t") + F.col("__v")).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("__floor")
+    )
+    floor_row = totals.select(floor_lp)
     agg = (
-        doc_terms.join(F.broadcast(lp), "term")
+        doc_terms.join(F.broadcast(lp), "term", "left")
+        .crossJoin(F.broadcast(floor_row))
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
-            F.sum(F.col("tf").cast("decimal(18,0)") * F.col("__lp")).alias(
-                "__s"
-            ),
+            F.sum(
+                F.col("tf").cast("decimal(18,0)")
+                * F.coalesce(F.col("__lp"), F.col("__floor"))
+            ).alias("__s"),
         )
     )
     avg = F.round(

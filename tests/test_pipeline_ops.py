@@ -2728,3 +2728,28 @@ def test_topk_per_group_bottom_k(spark):
         df, "g", "score", 5, max_window_rows=2
     ).collect()}
     assert best == {45, 46, 47, 48, 49}
+
+
+def test_lm_score_frozen_vocab_and_unseen_floor(spark):
+    import math
+
+    from dbqt_spark.operators.textstats import lm_score, lm_vocabulary
+
+    ref = spark.createDataFrame(
+        [(1, "a a a b")], ["doc_id", "text"]
+    )  # T=4, V=2; p(a)=(3+1)/6, p(b)=(1+1)/6, floor=1/6
+    vocab = lm_vocabulary(ref)
+    assert {(r["term"], r["count"]) for r in vocab.collect()} == {
+        ("a", 3), ("b", 1),
+    }
+    new = spark.createDataFrame([(10, "a zzz")], ["doc_id", "text"])
+    r = lm_score(new, vocab=vocab).collect()[0]
+    lp_a = round(math.log(4 / 6), 6)
+    lp_floor = round(math.log(1 / 6), 6)
+    want_avg = round((lp_a + lp_floor) / 2, 6)
+    assert r["n_tokens"] == 2 and r["avg_logprob"] == want_avg
+    # self-fit arm unchanged: frozen-vocab scoring of the reference
+    # against itself == self-fit scoring
+    self_fit = lm_score(ref).collect()[0]
+    frozen = lm_score(ref, vocab=vocab).collect()[0]
+    assert self_fit == frozen
