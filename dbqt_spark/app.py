@@ -50,6 +50,7 @@ TOOLS = [
     "classify",
     "repair",
     "export",
+    "layout",
 ]
 
 
@@ -1381,6 +1382,52 @@ def tool_export(argv: list[str]) -> int:
     return 0
 
 
+def tool_layout(argv: list[str]) -> int:
+    """Physical-layout tools from the CLI (operators/partitioning.py):
+    Z-order clustered rewrite for multi-column file skipping, or a
+    per-file layout report (small files / stragglers) over an existing
+    parquet dataset."""
+    p = argparse.ArgumentParser(prog="layout")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--mode", choices=["zorder", "filestats"],
+                   required=True)
+    p.add_argument("--zorder-columns",
+                   help="zorder: comma-separated cluster columns")
+    p.add_argument("--files", type=int, default=32,
+                   help="zorder: target file count")
+    p.add_argument("--output-parquet",
+                   help="zorder: rewrite destination")
+    p.add_argument("--output", help="filestats: HTML report path")
+    args = p.parse_args(argv)
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    if args.mode == "zorder":
+        if not (args.zorder_columns and args.output_parquet):
+            p.error("zorder needs --zorder-columns and --output-parquet")
+        from .operators.partitioning import write_zordered
+
+        cols = [c.strip() for c in args.zorder_columns.split(",")]
+        write_zordered(df, args.output_parquet, cols, n_files=args.files)
+        n = db.spark.read.parquet(args.output_parquet).count()
+        print(f"{n} rows rewritten z-ordered on {cols} "
+              f"to {args.output_parquet}")
+        return 0
+    from .operators.partitioning import file_stats
+    from .report.html import HTMLReport
+
+    stats = file_stats(df)
+    report = HTMLReport("layout (file stats)")
+    report.add_dataframe_tab("Files", stats)
+    out = args.output or _results_path("layout")
+    report.save(out)
+    n = stats.count()
+    print(f"{n} files profiled")
+    print(f"Report saved to {out}")
+    return 0
+
+
 def tool_cluster(argv: list[str]) -> int:
     """Distributed k-means over an embedding column from the CLI
     (operators/kmeans.py): assignments to parquet, cluster
@@ -1728,6 +1775,7 @@ def main(argv: list[str] | None = None) -> int:
         "classify": tool_classify,
         "repair": tool_repair,
         "export": tool_export,
+        "layout": tool_layout,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

@@ -1032,3 +1032,24 @@ def test_cli_sample_weighted(spark, tmp_path, capsys):
     # n_chars >> 1, so every weight clamps to 1.0: all rows kept —
     # the deterministic upper edge
     assert "500 rows sampled" in capsys.readouterr().out
+
+
+def test_cli_layout(spark, tmp_path, capsys):
+    cfg = _write(
+        tmp_path / "c.yaml",
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n",
+    )
+    out = str(tmp_path / "zordered")
+    assert main([
+        "layout", "--config", cfg, "--table", "events",
+        "--mode", "zorder", "--zorder-columns", "user_id,value",
+        "--files", "4", "--output-parquet", out,
+    ]) == 0
+    assert "rows rewritten z-ordered" in capsys.readouterr().out
+    import glob as _glob
+    assert len(_glob.glob(out + "/part-*.parquet")) == 4
+    assert main([
+        "layout", "--config", cfg, "--table", "events",
+        "--mode", "filestats", "--output", str(tmp_path / "f.html"),
+    ]) == 0
+    assert "files profiled" in capsys.readouterr().out
