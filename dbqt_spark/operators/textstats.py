@@ -464,6 +464,22 @@ def tfidf_keywords(
     )
 
 
+def _avg6_expr(sum_col: str, n_col: str) -> "F.Column":
+    """round(sum/n, 6) with EXACT half-away-from-zero semantics:
+    integer division over the DECIMAL(18,6) sum's micro units, so no
+    engine's float round() gets a say at .5e-6 boundaries."""
+    s_micro = (F.col(sum_col) * 1_000_000).cast("long")
+    n = F.col(n_col)
+    q = F.expr(
+        f"CASE WHEN ({sum_col} * 1000000) < 0 "
+        f"THEN -((2 * cast(-({sum_col} * 1000000) as bigint) + {n_col}) "
+        f"div (2 * {n_col})) "
+        f"ELSE ((2 * cast(({sum_col} * 1000000) as bigint) + {n_col}) "
+        f"div (2 * {n_col})) END"
+    )
+    return (q / F.lit(1_000_000.0)).cast("double")
+
+
 def lm_vocabulary(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -567,9 +583,13 @@ def lm_score(
             ).alias("__s"),
         )
     )
-    avg = F.round(
-        F.col("__s").cast("double") / F.col("n_tokens").cast("double"), 6
-    )
+    # EXACT half-away-from-zero rounding of s/n at 6 places, in integer
+    # micros: engines' round() can disagree on a double quotient sitting
+    # exactly on a .5e-6 boundary (caught by the sf0.1 sweep); integer
+    # div on the DECIMAL(18,6) sum's exact micro units never does. The
+    # final /1e6 is one IEEE division of identical operands — correctly
+    # rounded, hence engine-identical.
+    avg = _avg6_expr("__s", "n_tokens")
     return agg.select(
         id_col,
         "n_tokens",
@@ -1029,9 +1049,8 @@ def lm_score_bigram(
             ),
         )
     )
-    avg = F.round(
-        F.col("__s").cast("double") / F.col("n_bigrams").cast("double"), 6
-    )
+    # same exact integer rounding as lm_score (see _avg6_expr)
+    avg = _avg6_expr("__s", "n_bigrams")
     return agg.select(
         id_col,
         "n_bigrams",

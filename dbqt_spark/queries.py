@@ -1113,10 +1113,20 @@ WITH toks AS (
   FROM doc_terms JOIN lp USING (term) GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       round(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob,
-       round(exp(-round(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)), 4)
-         AS perplexity
-FROM agg ORDER BY doc_id
+       avg6 / 1000000.0 AS avg_logprob,
+       round(exp(-(avg6 / 1000000.0)), 4) AS perplexity
+FROM (
+  -- EXACT half-away-from-zero rounding of s/n at 6 places in integer
+  -- micros: engines' round() disagree on exact .5e-6 boundaries of a
+  -- double quotient (caught at sf0.1), integer div never does
+  SELECT doc_id, n_tokens,
+    CASE WHEN s < 0
+         THEN -((2 * CAST(-s * 1000000 AS BIGINT) + n_tokens)
+                // (2 * n_tokens))
+         ELSE ((2 * CAST(s * 1000000 AS BIGINT) + n_tokens)
+               // (2 * n_tokens)) END AS avg6
+  FROM agg
+) ORDER BY doc_id
 """
 
 
@@ -3349,9 +3359,9 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(load_table(spark, sf_dir, "documents"))
 
 
-# the lm_score oracle reused as a CTE body (its trailing ORDER BY is
-# redundant inside a CTE)
-_SQL_LM_CORE = SQL_LM_SCORE.replace("FROM agg ORDER BY doc_id", "FROM agg")
+# the lm_score oracle reused as a CTE body (the trailing ORDER BY is
+# stripped — it is redundant inside a CTE)
+_SQL_LM_CORE = SQL_LM_SCORE.replace(") ORDER BY doc_id", ")")
 
 SQL_PPL_BUCKETS = f"""
 WITH scored AS ({_SQL_LM_CORE}),
@@ -4847,9 +4857,17 @@ agg AS (
   GROUP BY doc_id
 )
 SELECT doc_id, n_bigrams,
-  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logprob,
-  round(exp(-round(CAST(s AS DOUBLE) / n_bigrams, 6)), 4) AS perplexity
-FROM agg ORDER BY doc_id
+  avg6 / 1000000.0 AS avg_logprob,
+  round(exp(-(avg6 / 1000000.0)), 4) AS perplexity
+FROM (
+  SELECT doc_id, n_bigrams,
+    CASE WHEN s < 0
+         THEN -((2 * CAST(-s * 1000000 AS BIGINT) + n_bigrams)
+                // (2 * n_bigrams))
+         ELSE ((2 * CAST(s * 1000000 AS BIGINT) + n_bigrams)
+               // (2 * n_bigrams)) END AS avg6
+  FROM agg
+) ORDER BY doc_id
 """
 
 
