@@ -106,6 +106,39 @@ def _union_all(parts: list[DataFrame]) -> DataFrame:
     return out
 
 
+def _avg_exact_spark(sum_col: str, n_col: str, digits: int) -> F.Column:
+    """round(sum/n, digits) with EXACT half-away-from-zero semantics —
+    integer division over the DECIMAL(18,6) sum's micro units. Engines'
+    float round() disagree when the double quotient lands exactly on a
+    .5 boundary of the target scale (the sf0.1 sweep caught this on
+    events_hourly and the LM scorers); integer div never does. The
+    final /10^digits is one IEEE division of identical operands —
+    correctly rounded, engine-identical."""
+    scale = 10 ** (6 - digits)
+    q = (
+        f"CASE WHEN ({sum_col} * 1000000) < 0 "
+        f"THEN -((2 * cast(-({sum_col} * 1000000) as bigint) "
+        f"+ {n_col} * {scale}) div (2 * {n_col} * {scale})) "
+        f"ELSE ((2 * cast(({sum_col} * 1000000) as bigint) "
+        f"+ {n_col} * {scale}) div (2 * {n_col} * {scale})) END"
+    )
+    return (F.expr(q) / F.lit(float(10 ** digits))).cast("double")
+
+
+def _avg_exact_sql(sum_sql: str, n_sql: str, digits: int) -> str:
+    """DuckDB twin of ``_avg_exact_spark`` (// = floor division, equal
+    to truncation on the non-negative operands the CASE arranges)."""
+    scale = 10 ** (6 - digits)
+    return (
+        f"(CASE WHEN ({sum_sql} * 1000000) < 0 "
+        f"THEN -((2 * CAST(-({sum_sql} * 1000000) AS BIGINT) "
+        f"+ {n_sql} * {scale}) // (2 * {n_sql} * {scale})) "
+        f"ELSE ((2 * CAST(({sum_sql} * 1000000) AS BIGINT) "
+        f"+ {n_sql} * {scale}) // (2 * {n_sql} * {scale})) END "
+        f"/ {float(10 ** digits)})"
+    )
+
+
 def _dsum(col_sql: str) -> str:
     """Order-independent double sum (DuckDB side)."""
     return f"CAST(SUM(CAST({col_sql} AS {_DEC})) AS DOUBLE)"
@@ -1300,13 +1333,18 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour = F.date_format(
         F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
     )
-    return ev.groupBy(
-        F.col("event_type"), hour.alias("hour_ts")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            _dsum_spark(F.col("value")) / F.count(F.lit(1)), 4
-        ).alias("avg_value"),
+    return (
+        ev.groupBy(F.col("event_type"), hour.alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC.lower())).alias("__s"),
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            "n_events",
+            _avg_exact_spark("__s", "n_events", 4).alias("avg_value"),
+        )
     )
 
 
@@ -1342,11 +1380,15 @@ GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'),
 
 
 SQL_EVENTS_HOURLY = f"""
-SELECT event_type,
-       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       round({_dsum("value")} / COUNT(*), 4) AS avg_value
-FROM events GROUP BY 1, 2
+SELECT event_type, hour_ts, n_events,
+       {_avg_exact_sql("s", "n_events", 4)} AS avg_value
+FROM (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1, 2
+)
 """
 
 # ---------------------------------------------------------------------------
