@@ -2753,3 +2753,35 @@ def test_lm_score_frozen_vocab_and_unseen_floor(spark):
     self_fit = lm_score(ref).collect()[0]
     frozen = lm_score(ref, vocab=vocab).collect()[0]
     assert self_fit == frozen
+
+
+def test_avg_exact_rounding_half_boundaries(spark):
+    """The exact integer avg rounding: .5 boundaries round HALF AWAY
+    FROM ZERO identically in both engines (a double round() would be
+    at the mercy of the engine's boundary behavior)."""
+    import duckdb
+
+    from dbqt_spark.queries import _avg_exact_spark, _avg_exact_sql
+
+    # s/n in micro units: 1/2 micro = exactly .0000005 -> rounds to
+    # 1e-6; negative twin rounds to -1e-6 (away from zero)
+    df = spark.createDataFrame(
+        [(1, 0.000001, 2), (2, -0.000001, 2), (3, 0.000003, 2)],
+        "id long, s double, n long",
+    ).select("id", F.col("s").cast("decimal(18,6)").alias("s"), "n")
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", _avg_exact_spark("s", "n", 6).alias("v")
+        ).collect()
+    }
+    assert got == {1: 1e-06, 2: -1e-06, 3: 2e-06}
+    o = duckdb.sql(
+        "SELECT " + _avg_exact_sql("CAST(0.000001 AS DECIMAL(18,6))", "2", 6)
+        + " AS v, "
+        + _avg_exact_sql("CAST(-0.000001 AS DECIMAL(18,6))", "2", 6)
+        + " AS w, "
+        + _avg_exact_sql("CAST(0.000003 AS DECIMAL(18,6))", "2", 6)
+        + " AS x"
+    ).fetchone()
+    assert o == (1e-06, -1e-06, 2e-06)
