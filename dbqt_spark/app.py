@@ -771,10 +771,12 @@ def tool_textstats(argv: list[str]) -> int:
     cfg, db = _load_db(args.config)
     df = db.load(args.table)
     from .operators.textstats import (
+        char_entropy,
         fingerprint,
         language_id,
         lm_score,
         quality_scores,
+        readability,
         token_stats,
     )
 
@@ -785,6 +787,8 @@ def tool_textstats(argv: list[str]) -> int:
         ("Language ID", language_id),
         ("Fingerprints", fingerprint),
         ("LM Score", lm_score),
+        ("Char Entropy", char_entropy),
+        ("Readability", readability),
     ]
     for title, op in tabs:
         frame = op(df, text_col=args.text_column, id_col=args.id_column)
