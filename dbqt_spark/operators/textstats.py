@@ -467,7 +467,9 @@ def tfidf_keywords(
 def _avg6_expr(sum_col: str, n_col: str) -> "F.Column":
     """round(sum/n, 6) with EXACT half-away-from-zero semantics:
     integer division over the DECIMAL(18,6) sum's micro units, so no
-    engine's float round() gets a say at .5e-6 boundaries."""
+    engine's float round() gets a say at .5e-6 boundaries. Domain:
+    |sum| < ~4.6e12 (2x micro units in a signed 64-bit int) — logprob
+    sums are bounded by ~30 x doc tokens, far below."""
     s_micro = (F.col(sum_col) * 1_000_000).cast("long")
     n = F.col(n_col)
     q = F.expr(

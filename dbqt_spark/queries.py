@@ -113,7 +113,10 @@ def _avg_exact_spark(sum_col: str, n_col: str, digits: int) -> F.Column:
     .5 boundary of the target scale (the sf0.1 sweep caught this on
     events_hourly and the LM scorers); integer div never does. The
     final /10^digits is one IEEE division of identical operands —
-    correctly rounded, engine-identical."""
+    correctly rounded, engine-identical. Domain: |sum| < ~4.6e12
+    (2 * micro units must fit a signed 64-bit int under ANSI); every
+    caller's sums are bounded far below that (value sums over a group,
+    logprob sums over a doc)."""
     scale = 10 ** (6 - digits)
     q = (
         f"CASE WHEN ({sum_col} * 1000000) < 0 "
