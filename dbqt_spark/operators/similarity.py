@@ -1197,3 +1197,94 @@ def label_centroids(
         )
         .orderBy("label", "dim")
     )
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: "list[list[float]]",
+    k: int = 10,
+    n_probes: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: "str | None" = None,
+) -> DataFrame:
+    """Batch kNN JOIN through the IVF structure: top-``k`` corpus
+    neighbors for EVERY query row — the missing shape next to the
+    single-vector probes (``ivf_search`` enumerates one query's cells
+    driver-side; a million-query batch needs the assignment to stay in
+    the cluster). Semantic retrieval eval sets, cross-corpus semantic
+    dedup, and embedding-join enrichment are all this operator.
+
+    Scale shape: the query side gets its ``n_probes`` nearest cells
+    from the SAME Arrow assignment kernel the index build uses
+    (centroids ship in the task closure — one batch pass, no shuffle),
+    explodes to (query, cell), and equi-joins the cell-partitioned
+    corpus — both sides hash on ``cell``, so the join moves each
+    corpus vector once per probing query CELL, never all-pairs.
+    Scoring is JVM ``zip_with`` cosine; the per-query top-k window
+    runs over each query's candidates (bounded by its probed cells'
+    sizes — the IVF contract), never over the corpus. Multi-assigned
+    replicas (``ivf_build(n_assign>1)``) dedupe by (query, candidate)
+    before ranking. Ties break (cosine DESC, candidate id ASC).
+
+    Exactness contract mirrors ``ivf_search``: with ``n_probes =
+    n_cells`` the result is exact brute-force kNN per query; pruned
+    probes trade recall for the probed fraction."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qid = query_id_col or id_col
+    C = np.array(centroids, dtype=np.float64)
+    probes = _assign_cells(
+        queries.select(
+            F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
+        ),
+        C,
+        "__qv",
+        n_probes,
+    )
+    cand = (
+        probes.join(
+            assigned.select(
+                "cell",
+                F.col(id_col).alias("__cid"),
+                F.col(vec_col).alias("__cv"),
+            ),
+            "cell",
+        )
+        .dropDuplicates(["query_id", "__cid"])
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "__qv", "__cv", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("__cid").alias(id_col),
+        F.round(dot / (norm(F.col("__qv")) * norm(F.col("__cv"))), 4).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", F.col("rank").cast("int"))
+        .orderBy("query_id", "rank")
+    )

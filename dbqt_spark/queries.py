@@ -4953,6 +4953,47 @@ FROM c
 """
 
 
+def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: top-5 corpus neighbors for every vec_id < 40
+    query through the IVF structure at FULL probe (n_probes = n_cells
+    == exact brute-force kNN per query — the oracle is the per-query
+    window over all pairs)."""
+    from .operators.similarity import ivf_build, ivf_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=8)
+    return ivf_knn_join(
+        emb.filter(F.col("vec_id") < 40),
+        assigned,
+        centroids,
+        k=5,
+        n_probes=8,
+    )
+
+
+SQL_IVF_KNN_JOIN = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(q.embedding, e.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS c
+  FROM embeddings q JOIN embeddings e ON q.vec_id < 40
+),
+r AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, vec_id, c AS cosine, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= 5 ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -5077,6 +5118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": q_cube_orders,
     "lm_score_bigram": q_lm_score_bigram,
     "corpus_overlap": q_corpus_overlap,
+    "ivf_knn_join": q_ivf_knn_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -5202,6 +5244,7 @@ ORACLES: dict[str, str] = {
     "cube_orders": SQL_CUBE_ORDERS,
     "lm_score_bigram": SQL_LM_SCORE_BIGRAM,
     "corpus_overlap": SQL_CORPUS_OVERLAP,
+    "ivf_knn_join": SQL_IVF_KNN_JOIN,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -640,3 +640,66 @@ def test_filtered_pruned_probe_recall_floor(spark, sf_dir):
     assert mean >= 0.9, recalls
     emb.unpersist()
     assigned.unpersist()
+
+
+def test_ivf_knn_join_full_probe_exact_and_pruned_subset(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_knn_join,
+    )
+
+    random.seed(9)
+    rows = [
+        (i, [random.gauss(0, 1) for _ in range(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, centroids = ivf_build(emb, n_cells=4)
+    qs = emb.filter(F.col("vec_id") < 5)
+    full = ivf_knn_join(qs, assigned, centroids, k=3, n_probes=4).collect()
+    by_q: dict = {}
+    for r in full:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    # full probe == per-query brute force (incl. the query row itself)
+    for qid in range(5):
+        want = [
+            r["vec_id"]
+            for r in cosine_topk(emb, rows[qid][1], k=3).collect()
+        ]
+        assert by_q[qid] == want
+    # pruned probe returns a ranked subset with correct rank ordering
+    pruned = ivf_knn_join(qs, assigned, centroids, k=3, n_probes=1).collect()
+    for r in pruned:
+        assert 1 <= r["rank"] <= 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        ivf_knn_join(qs, assigned, centroids, k=0)
+
+
+def test_ivf_knn_join_multi_assign_dedupes_replicas(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.operators.similarity import ivf_build, ivf_knn_join
+
+    random.seed(4)
+    emb = spark.createDataFrame(
+        [(i, [random.gauss(0, 1) for _ in range(6)]) for i in range(80)],
+        ["vec_id", "embedding"],
+    )
+    assigned, centroids = ivf_build(emb, n_cells=4, n_assign=2)
+    out = ivf_knn_join(
+        emb.filter(F.col("vec_id") < 3), assigned, centroids,
+        k=10, n_probes=4,
+    ).collect()
+    seen = {}
+    for r in out:
+        key = (r["query_id"], r["vec_id"])
+        assert key not in seen  # replicas never rank twice
+        seen[key] = True
