@@ -154,6 +154,8 @@ def main() -> None:
         "topk_per_group",
         # scalable_percentiles: driver rank-walk rounds, same shape
         "scalable_percentiles",
+        # ivf_knn_join runs an ivf_build (kmeans driver loop) first
+        "ivf_knn_join",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
