@@ -50,10 +50,30 @@ def export_jsonl(
     Within-shard order: when ``shard_by`` is set rows are sorted by it
     within each shard (`sortWithinPartitions` — a local sort, no extra
     exchange) so re-exports of the same frame are byte-comparable."""
+    def _find_binary(dt: "T.DataType", where: str) -> "str | None":
+        # recursive walk — a BinaryType NESTED in a struct/array/map is
+        # just as silently base64'd by the JSON writer as a top-level
+        # one (ADVICE r10), so the guard must see through containers
+        if isinstance(dt, T.BinaryType):
+            return where
+        if isinstance(dt, T.StructType):
+            for sub in dt.fields:
+                hit = _find_binary(sub.dataType, f"{where}.{sub.name}")
+                if hit:
+                    return hit
+        elif isinstance(dt, T.ArrayType):
+            return _find_binary(dt.elementType, f"{where}[]")
+        elif isinstance(dt, T.MapType):
+            return _find_binary(
+                dt.keyType, f"{where}<key>"
+            ) or _find_binary(dt.valueType, f"{where}<value>")
+        return None
+
     for f in df.schema.fields:
-        if isinstance(f.dataType, T.BinaryType):
+        hit = _find_binary(f.dataType, f.name)
+        if hit:
             raise ValueError(
-                f"column {f.name!r} is binary — JSON cannot round-trip "
+                f"column {hit!r} is binary — JSON cannot round-trip "
                 "raw bytes; encode explicitly (e.g. F.base64) before "
                 "export"
             )

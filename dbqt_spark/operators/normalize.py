@@ -64,16 +64,22 @@ def normalize_text(
 # entity -> replacement, applied AFTER tag removal in a FIXED order
 # (numeric first so '&#38;' cannot re-introduce a matchable '&amp;';
 # '&amp;' LAST so the '&' it produces cannot reactivate any earlier
-# entity pattern — the same ordering discipline as redact_pii)
+# entity pattern — the same ordering discipline as redact_pii).
+# The ampersand placeholder is U+FFFF, a Unicode NONCHARACTER that is
+# invalid in interchange text — unlike an ASCII sentinel string it
+# cannot legitimately occur in input, and strip_markup removes any
+# stray occurrence up front so a hostile document cannot inject it
+# (ADVICE r10: '&REF_AMP;' was valid input text and got corrupted).
+_AMP_SENTINEL = "￿"
 _HTML_ENTITIES: "list[tuple[str, str]]" = [
     (r"&#39;", "'"),
-    (r"&#38;", "&REF_AMP;"),  # placeholder, resolved at the end
+    (r"&#38;", _AMP_SENTINEL),  # placeholder, resolved at the end
     (r"&nbsp;", " "),
     (r"&quot;", '"'),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
-    (r"&amp;", "&REF_AMP;"),
-    (r"&REF_AMP;", "&"),
+    (r"&amp;", _AMP_SENTINEL),
+    (_AMP_SENTINEL, "&"),
 ]
 
 
@@ -97,6 +103,10 @@ def strip_markup(
     re-activate an earlier pattern — ``&amp;lt;`` decodes to the
     literal ``&lt;`` text, not to ``<`` (the double-escape trap)."""
     col = F.coalesce(F.col(text_col), F.lit(""))
+    # drop stray U+FFFF noncharacters BEFORE the sentinel round-trip:
+    # they are invalid in interchange text, and removing them is what
+    # makes the sentinel collision-free by construction
+    col = F.regexp_replace(col, _AMP_SENTINEL, "")
     col = F.regexp_replace(col, r"<[^>]*>", " ")
     for pat, rep in _HTML_ENTITIES:
         col = F.regexp_replace(col, pat, rep)

@@ -27,10 +27,17 @@ def split_bucket_col(id_col: str, seed: int) -> Column:
     """Deterministic bucket in [0, HASH_BUCKETS): portable 60-bit
     md5-prefix hash (``dedup.portable_token_hash``, the single canonical
     statement of the portability contract) of ``"<seed>:<id>"`` mod
-    10_000."""
+    10_000. NULL ids coalesce to the empty string BEFORE hashing —
+    without it concat_ws silently drops the NULL arg (key ``"<seed>"``,
+    no colon) while a ``||``-based oracle yields NULL and falls through
+    to the last split: a latent cross-engine divergence (ADVICE r10)."""
     from .dedup import portable_token_hash
 
-    key = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    key = F.concat_ws(
+        ":",
+        F.lit(str(seed)),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+    )
     return (portable_token_hash(key) % HASH_BUCKETS).alias("bucket")
 
 

@@ -391,13 +391,46 @@ def _vectors_dir(path: str, meta: "dict | None" = None) -> str:
     return os.path.join(path, name)
 
 
+def _centroids_path(path: str, meta: "dict | None" = None) -> str:
+    """The CURRENT generation's centroids file, resolved through the
+    manifest exactly like ``_vectors_dir``: generation 0 keeps the
+    legacy plain ``centroids.json`` name; later generations are
+    ``centroids-<N>.json`` so a rebuild never overwrites the file the
+    live manifest still points at."""
+    import os
+
+    g = int((meta if meta is not None else _store_meta(path)).get(
+        "generation", 0
+    ))
+    name = "centroids.json" if g == 0 else f"centroids-{g}.json"
+    return os.path.join(path, name)
+
+
+def _next_generation(path: str) -> int:
+    """Generation for a (re)build: a fresh store starts at 0; rebuilding
+    over an existing manifest BUMPS the generation so new data/params
+    land under generation-unique names and the old manifest keeps
+    pointing at a complete, consistent store until the new meta.json
+    commits (the same protocol as ``minhash_index_write`` /
+    ``_compact_partitioned`` — never overwrite the live generation in
+    place)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        return 0
+    return int(_store_meta(path).get("generation", 0)) + 1
+
+
 def _sweep_vector_orphans(path: str, keep: str) -> None:
-    """Best-effort removal of vectors* dirs the manifest no longer
-    references (old generations, crashed compactions)."""
+    """Best-effort removal of vectors* dirs and centroids*.json files
+    the manifest no longer references (old generations, crashed
+    compactions/rebuilds)."""
     import os
     import shutil
 
     keep_name = os.path.basename(keep)
+    g = int(_store_meta(path).get("generation", 0))
+    keep_centroids = os.path.basename(_centroids_path(path, {"generation": g}))
     for name in os.listdir(path):
         full = os.path.join(path, name)
         if (
@@ -406,6 +439,15 @@ def _sweep_vector_orphans(path: str, keep: str) -> None:
             and name != keep_name
         ):
             shutil.rmtree(full, ignore_errors=True)
+        elif (
+            os.path.isfile(full)
+            and (name == "centroids.json" or name.startswith("centroids-"))
+            and name != keep_centroids
+        ):
+            try:
+                os.remove(full)
+            except OSError:
+                pass
 
 
 def lsh_write(
@@ -454,11 +496,13 @@ def lsh_write(
             ).alias("table", "bucket"),
         )
         part_cols = ["table", "bucket"]
-    generation = int(_store_meta(path).get("generation", 0))
+    # rebuild over an existing store bumps the generation (ADVICE r10):
+    # data lands in a fresh generation dir while the old manifest still
+    # points at the complete old one; meta.json below is the only commit
+    generation = _next_generation(path)
     target = _vectors_dir(path, {"generation": generation})
     banded.write.mode("overwrite").partitionBy(*part_cols).parquet(target)
-    # manifest LAST — the commit point (fresh writes keep the current
-    # generation name; only compaction bumps it)
+    # manifest LAST — the commit point
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
@@ -582,6 +626,18 @@ def _compact_partitioned(
         .partitionBy(*cols)
         .parquet(dst)
     )
+    # carry centroids (IVF stores only) to the new generation name
+    # BEFORE the manifest commits, so the new meta never points at a
+    # missing centroids file
+    old_centroids = _centroids_path(path, {"generation": meta.get(
+        "generation", 0
+    )})
+    if os.path.exists(old_centroids):
+        import shutil
+
+        shutil.copyfile(
+            old_centroids, _centroids_path(path, {"generation": new_gen})
+        )
     meta["generation"] = new_gen
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -708,15 +764,18 @@ def ivf_write(
     import json
     import os
 
-    generation = int(_store_meta(path).get("generation", 0))
+    # rebuild over an existing store bumps the generation (ADVICE r10):
+    # vectors AND centroids land under generation-unique names so the
+    # old manifest keeps describing a complete, param-consistent store
+    # until the new meta.json commits
+    generation = _next_generation(path)
     target = _vectors_dir(path, {"generation": generation})
     assigned.write.mode("overwrite").partitionBy("cell").parquet(target)
-    with open(os.path.join(path, "centroids.json"), "w") as f:
+    with open(_centroids_path(path, {"generation": generation}), "w") as f:
         json.dump(centroids, f)
     C = np.array(centroids, dtype=np.float64)
     qerr = _sample_quantization_error(assigned, C, vec_col)
-    # manifest LAST — the commit point (generation carried forward;
-    # only compaction bumps it)
+    # manifest LAST — the commit point
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
@@ -784,7 +843,7 @@ def ivf_append(
         )
     with open(meta_path) as f:
         meta = json.load(f)
-    with open(os.path.join(path, "centroids.json")) as f:
+    with open(_centroids_path(path, meta)) as f:
         centroids = json.load(f)
     C = np.array(centroids, dtype=np.float64)
     df = _checked_vectors(df, vec_col, int(meta["dim"]))
@@ -822,8 +881,9 @@ def ivf_load(
     import json
     import os
 
-    assigned = spark.read.parquet(_vectors_dir(path))
-    with open(os.path.join(path, "centroids.json")) as f:
+    meta = _store_meta(path)
+    assigned = spark.read.parquet(_vectors_dir(path, meta))
+    with open(_centroids_path(path, meta)) as f:
         centroids = json.load(f)
     return assigned, centroids
 

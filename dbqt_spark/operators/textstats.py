@@ -470,15 +470,18 @@ def _avg6_expr(sum_col: str, n_col: str) -> "F.Column":
     engine's float round() gets a say at .5e-6 boundaries. Domain:
     |sum| < ~4.6e12 (2x micro units in a signed 64-bit int) — logprob
     sums are bounded by ~30 x doc tokens, far below."""
-    s_micro = (F.col(sum_col) * 1_000_000).cast("long")
-    n = F.col(n_col)
-    q = F.expr(
-        f"CASE WHEN ({sum_col} * 1000000) < 0 "
-        f"THEN -((2 * cast(-({sum_col} * 1000000) as bigint) + {n_col}) "
-        f"div (2 * {n_col})) "
-        f"ELSE ((2 * cast(({sum_col} * 1000000) as bigint) + {n_col}) "
-        f"div (2 * {n_col})) END"
+    s_scaled = F.col(sum_col) * 1_000_000
+    # `div` is integer division — only reachable via expr() in the
+    # Column API, so build it from the shared bindings
+    pos = F.expr(
+        f"(2 * cast(({sum_col} * 1000000) as bigint) + {n_col}) "
+        f"div (2 * {n_col})"
     )
+    neg = -F.expr(
+        f"(2 * cast(-({sum_col} * 1000000) as bigint) + {n_col}) "
+        f"div (2 * {n_col})"
+    )
+    q = F.when(s_scaled < 0, neg).otherwise(pos)
     return (q / F.lit(1_000_000.0)).cast("double")
 
 

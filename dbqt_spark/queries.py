@@ -4506,7 +4506,8 @@ SELECT doc_id, source,
        ELSE 'test' END AS split
 FROM (
   SELECT doc_id, source,
-    ('0x' || substr(md5('42:' || CAST(source AS VARCHAR)), 1, 15))::UBIGINT
+    ('0x' || substr(md5('42:' || coalesce(CAST(source AS VARCHAR), '')),
+                    1, 15))::UBIGINT
       % 10000 AS b
   FROM documents
 ) ORDER BY doc_id
@@ -4794,10 +4795,10 @@ WITH wrapped AS (
 SELECT doc_id,
   trim(regexp_replace(
     replace(replace(replace(replace(replace(replace(replace(replace(
-      regexp_replace(t, '<[^>]*>', ' ', 'g'),
-      '&#39;', chr(39)), '&#38;', '&REF_AMP;'), '&nbsp;', ' '),
+      regexp_replace(replace(t, chr(65535), ''), '<[^>]*>', ' ', 'g'),
+      '&#39;', chr(39)), '&#38;', chr(65535)), '&nbsp;', ' '),
       '&quot;', '"'), '&lt;', '<'), '&gt;', '>'),
-      '&amp;', '&REF_AMP;'), '&REF_AMP;', '&'),
+      '&amp;', chr(65535)), chr(65535), '&'),
     '\s+', ' ', 'g')) AS clean
 FROM wrapped ORDER BY doc_id
 """

@@ -577,3 +577,55 @@ def test_minhash_index_probe_never_shuffles_index(spark, sf_dir, tmp_path):
     ]
     assert all("RoundRobinPartitioning" in blk for blk in shuffle_specs)
     assert "hashpartitioning(band_key" not in plan
+
+
+def test_rebuild_bumps_generation_no_inplace_overwrite(
+    spark, sf_dir, tmp_path
+):
+    """Rebuilding an EXISTING lsh/ivf store must bump the generation
+    (ADVICE r11): data + centroids land under generation-unique names
+    before meta.json commits, so a crash mid-rebuild can never leave the
+    live manifest pointing at a half-overwritten dir or at new-param
+    vectors under old params. After a clean rebuild the old generation
+    is swept and probes serve the NEW params."""
+    import json
+
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh")
+    lsh_write(emb, path, n_planes=8, seed=42)
+    assert os.path.exists(os.path.join(path, "vectors"))
+    # rebuild with DIFFERENT params — the stale-params hazard case
+    lsh_write(emb, path, n_planes=12, seed=7)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["generation"] == 1 and meta["n_planes"] == 12
+    assert os.path.exists(os.path.join(path, "vectors-1"))
+    assert not os.path.exists(os.path.join(path, "vectors"))
+    q = list(emb.filter("vec_id = 3").select("embedding").first()[0])
+    assert (
+        lsh_topk_from_index(spark, path, q, k=1).collect()[0]["vec_id"] == 3
+    )
+
+    ipath = str(tmp_path / "ivf")
+    assigned, cents = ivf_build(emb, n_cells=4)
+    ivf_write(assigned, cents, ipath)
+    assert os.path.exists(os.path.join(ipath, "centroids.json"))
+    assigned2, cents2 = ivf_build(emb, n_cells=8)
+    ivf_write(assigned2, cents2, ipath)
+    with open(os.path.join(ipath, "meta.json")) as f:
+        imeta = json.load(f)
+    assert imeta["generation"] == 1
+    # centroids travel with the generation: the new file exists, the
+    # old plain name was swept, and the loader resolves via meta
+    assert os.path.exists(os.path.join(ipath, "centroids-1.json"))
+    assert not os.path.exists(os.path.join(ipath, "centroids.json"))
+    loaded, loaded_cents = ivf_load(spark, ipath)
+    assert len(loaded_cents) == len(cents2)
+    n_before = loaded.count()  # materialize BEFORE compaction sweeps
+    # compaction after a rebuild carries the centroids forward again
+    ivf_compact(spark, ipath)
+    assert os.path.exists(os.path.join(ipath, "centroids-2.json"))
+    loaded2, loaded_cents2 = ivf_load(spark, ipath)
+    assert loaded_cents2 == loaded_cents
+    assert loaded2.count() == n_before

@@ -999,6 +999,25 @@ def test_export_jsonl_guards(spark, tmp_path):
     bin_df = df.select("id", F.col("text").cast("binary").alias("b"))
     with _pytest.raises(ValueError, match="binary"):
         export_jsonl(bin_df, str(tmp_path / "x"))
+    # NESTED binary must be refused too (ADVICE r11): struct field,
+    # array element, and map value were silently base64'd before
+    nested_struct = df.select(
+        "id",
+        F.struct(F.col("text").cast("binary").alias("raw")).alias("payload"),
+    )
+    with _pytest.raises(ValueError, match=r"payload\.raw.*binary"):
+        export_jsonl(nested_struct, str(tmp_path / "x"))
+    nested_arr = df.select(
+        "id", F.array(F.col("text").cast("binary")).alias("blobs")
+    )
+    with _pytest.raises(ValueError, match=r"blobs\[\].*binary"):
+        export_jsonl(nested_arr, str(tmp_path / "x"))
+    nested_map = df.select(
+        "id",
+        F.create_map(F.lit("k"), F.col("text").cast("binary")).alias("m"),
+    )
+    with _pytest.raises(ValueError, match="binary"):
+        export_jsonl(nested_map, str(tmp_path / "x"))
     # plain write + schema'd read-back (no inference scan)
     p = str(tmp_path / "ok")
     export_jsonl(df, p, n_shards=1)

@@ -115,6 +115,30 @@ def test_hash_split_bad_weights(spark):
         hash_split(d, weights=[("a", 0.5), ("b", 0.2)])
 
 
+def test_hash_split_null_group_hashes_as_empty_string(spark):
+    """NULL group values form ONE group hashed as the empty string
+    (ADVICE r10: concat_ws silently dropped the NULL arg, diverging
+    from the ||-based oracle). A NULL-source row must land in the same
+    split as an explicit-empty-string source, and all NULL rows must
+    agree with each other."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "web")],
+        ["doc_id", "source"],
+    )
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, by_col="source").collect()
+    }
+    assert got[1] == got[2] == got[3]
+    # and the assignment is the portable md5('42:') bucket, matching
+    # what the DuckDB oracle computes with coalesce(..., '')
+    import hashlib
+
+    b = int(hashlib.md5(b"42:").hexdigest()[:15], 16) % 10_000
+    expected = "train" if b < 8000 else ("val" if b < 9000 else "test")
+    assert got[1] == expected
+
+
 def test_repetition_stats_known_values(spark):
     df = _docs(
         spark,
@@ -2625,6 +2649,11 @@ def test_strip_markup_tags_entities_and_double_escape(spark):
             (3, "<br/><div class='x'>y</div>"),
             (4, "&amp;lt; stays escaped-once"),  # the double-escape trap
             (5, None),
+            # a literal sentinel-lookalike string in INPUT must survive
+            # verbatim (ADVICE r10: the old ASCII sentinel corrupted it)
+            (6, "the token &REF_AMP; is ordinary text"),
+            # a stray U+FFFF noncharacter is dropped, never turned into &
+            (7, "pre￿mid &amp; post"),
         ],
         ["doc_id", "text"],
     )
@@ -2635,6 +2664,8 @@ def test_strip_markup_tags_entities_and_double_escape(spark):
     # &amp;lt; must decode to the literal text '&lt;', never to '<'
     assert got[4] == "&lt; stays escaped-once"
     assert got[5] == ""
+    assert got[6] == "the token &REF_AMP; is ordinary text"
+    assert got[7] == "premid & post"
 
 
 def test_group_token_budget_matches_naive_per_group(spark):
