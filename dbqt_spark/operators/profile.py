@@ -148,7 +148,10 @@ def profile_tables(
 
 
 def profile_numeric(
-    df: DataFrame, table_name: str, columns: list[str] | None = None
+    df: DataFrame,
+    table_name: str,
+    columns: list[str] | None = None,
+    percentile_mode: str = "auto",
 ) -> DataFrame:
     """Numeric statistical profile, ONE scan for every column:
     (table_name, col_name, non_null_count, null_count, min_value,
@@ -157,11 +160,21 @@ def profile_numeric(
     A dbstats-style extension the reference lacks. Means are computed as
     DECIMAL(38,10) sums divided once at the end — exact, order-independent
     arithmetic any SQL engine reproduces bit-for-bit (float sums are
-    shuffle-order dependent). Percentiles use Spark's exact interpolating
-    ``percentile`` (the ``quantile_cont`` semantics); at corpus scale
-    swap in ``approx_percentile`` — the output contract is unchanged.
-    The wide one-row aggregate is unpivoted with ``stack`` (driver-cheap:
-    one row in, n_cols rows out)."""
+    shuffle-order dependent). The wide one-row aggregate is unpivoted
+    with ``stack`` (driver-cheap: one row in, n_cols rows out).
+
+    Percentiles are SIZE-GATED (``percentile_mode``, default "auto"):
+    small inputs use Spark's exact interpolating ``percentile`` inside
+    the same single scan; inputs whose plan-size estimate exceeds
+    ``PERCENTILE_BUFFER_BYTES_BOUND`` route through
+    ``scalable_percentiles`` — the bounded-memory range-refinement
+    engine, BIT-IDENTICAL values (same interpolation arithmetic as the
+    buffering aggregate) — because the buffering ``percentile`` holds
+    every value of the column on one task, which no executor survives
+    at a 100 TB column. The scalable arm spends one bounded refinement
+    per column plus the (percentile-free) stats scan; the routing
+    decision itself costs nothing (Catalyst sizeInBytes, no probe
+    job). "buffer"/"scalable" force an arm."""
     from pyspark.sql.types import DecimalType, NumericType
 
     cols = [
@@ -178,6 +191,27 @@ def profile_numeric(
         )
         return df.sparkSession.createDataFrame([], empty_schema)
 
+    scalable = route_percentiles_scalable(df, percentile_mode)
+    pct_lits: dict = {}
+    if scalable:
+        # one bounded refinement per column (exact, never buffering);
+        # values splice into the SAME stack arithmetic as literals, so
+        # rounding stays Spark-side and the output is bit-identical
+        for c in cols:
+            vals = {
+                r["q"]: r["value"]
+                for r in scalable_percentiles(
+                    df, c, qs=(0.25, 0.5, 0.75)
+                ).collect()
+            }
+            pct_lits[c] = [
+                # explicit cast: a bare float literal parses as DECIMAL
+                "CAST(NULL AS DOUBLE)"
+                if vals[q] is None
+                else f"CAST({vals[q]!r} AS DOUBLE)"
+                for q in (0.25, 0.5, 0.75)
+            ]
+
     parts = []
     for chunk in _chunk(cols, 6):
         aggs = []
@@ -190,16 +224,30 @@ def profile_numeric(
                 F.min(col).cast("double").alias(f"__min_{c}"),
                 F.max(col).cast("double").alias(f"__max_{c}"),
                 F.sum(dec).alias(f"__sum_{c}"),
-                F.percentile(
-                    col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-                ).alias(f"__pct_{c}"),
             ]
+            if not scalable:
+                aggs.append(
+                    F.percentile(
+                        col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+                    ).alias(f"__pct_{c}")
+                )
         wide = df.agg(*aggs)
+
+        def _pcts(c: str) -> str:
+            if scalable:
+                p25, p50, p75 = pct_lits[c]
+                return (
+                    f"round({p25}, 4), round({p50}, 4), round({p75}, 4)"
+                )
+            return (
+                f"round(`__pct_{c}`[0], 4), round(`__pct_{c}`[1], 4), "
+                f"round(`__pct_{c}`[2], 4)"
+            )
+
         stack_args = ", ".join(
             f"'{c}', `__n_{c}`, `__nn_{c}`, `__min_{c}`, `__max_{c}`, "
             f"round(CAST(`__sum_{c}` AS DOUBLE) / `__n_{c}`, 4), "
-            f"round(`__pct_{c}`[0], 4), round(`__pct_{c}`[1], 4), "
-            f"round(`__pct_{c}`[2], 4)"
+            + _pcts(c)
             for c in chunk
         )
         parts.append(
@@ -782,6 +830,7 @@ def robust_outliers(
     id_col: str,
     k: int = 20,
     exact: bool = True,
+    percentile_mode: str = "auto",
 ):
     """Top-k rows by |robust z-score| (median/MAD) of ``value_col``
     within its ``group_col`` population — the heavy-tail-safe companion
@@ -809,13 +858,22 @@ def robust_outliers(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     pct = "approx_percentile" if not exact else "percentile"
+    # size-gated exact arm: above the plan-size bound the per-group
+    # buffering percentile (every value of each group on one task)
+    # swaps for the grouped refinement engine — bit-identical medians
+    scalable = exact and route_percentiles_scalable(df, percentile_mode)
     v = F.col(value_col).try_cast("double")
     canon = df.select(
         F.col(id_col), F.col(group_col), v.alias("__v")
     ).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
-    med = canon.groupBy(group_col).agg(
-        F.expr(f"{pct}(__v, 0.5)").alias("__med")
-    ).select(F.col(group_col).alias("__g"), "__med")
+    if scalable:
+        med = scalable_group_percentiles(
+            canon, "__v", group_col, qs=(0.5,)
+        ).select(F.col(group_col).alias("__g"), F.col("value").alias("__med"))
+    else:
+        med = canon.groupBy(group_col).agg(
+            F.expr(f"{pct}(__v, 0.5)").alias("__med")
+        ).select(F.col(group_col).alias("__g"), "__med")
     dev = canon.join(
         F.broadcast(med), F.col(group_col).eqNullSafe(F.col("__g"))
     ).select(
@@ -825,12 +883,22 @@ def robust_outliers(
         "__med",
         F.abs(F.col("__v") - F.col("__med")).alias("__d"),
     )
-    mad = (
-        dev.groupBy(group_col)
-        .agg(F.expr(f"{pct}(__d, 0.5)").alias("__mad"))
-        .filter(F.col("__mad") > 0)
-        .select(F.col(group_col).alias("__g2"), "__mad")
-    )
+    if scalable:
+        mad = (
+            scalable_group_percentiles(dev, "__d", group_col, qs=(0.5,))
+            .filter(F.col("value") > 0)
+            .select(
+                F.col(group_col).alias("__g2"),
+                F.col("value").alias("__mad"),
+            )
+        )
+    else:
+        mad = (
+            dev.groupBy(group_col)
+            .agg(F.expr(f"{pct}(__d, 0.5)").alias("__mad"))
+            .filter(F.col("__mad") > 0)
+            .select(F.col(group_col).alias("__g2"), "__mad")
+        )
     rz = (F.col("__v") - F.col("__med")) / (F.lit(1.4826) * F.col("__mad"))
     return (
         dev.join(
@@ -990,6 +1058,279 @@ def scalable_percentiles(
         k = int(r)
         k2 = min(k + 1, n - 1)
         frac = r - k
-        val = resolved[k] + frac * (resolved[k2] - resolved[k])
+        # Spark Percentile's exact arithmetic (lo*(1-f) + hi*f) — NOT
+        # the algebraically-equal lo + f*(hi-lo), which differs at the
+        # ULP; bit-identity with the buffering aggregate is what lets
+        # size-gated routing swap arms without changing any answer
+        val = resolved[k] * (1.0 - frac) + resolved[k2] * frac
         out.append((float(q), float(val)))
     return spark.createDataFrame(out, "q double, value double")
+
+
+# auto-routing bound for exact percentiles: inputs whose Catalyst
+# sizeInBytes estimate exceeds this go through the range-refinement
+# engine instead of Spark's buffering `percentile` aggregate (whose
+# final merge holds EVERY value of the group on one task — fine at
+# gigabytes, fatal at a 100 TB column). 1 GiB of source bytes is far
+# below where buffering breaks, which is the right side to err on:
+# the refinement engine is exact, just more passes.
+PERCENTILE_BUFFER_BYTES_BOUND = 1 << 30
+
+_PCT_MODES = ("auto", "buffer", "scalable")
+
+
+def _plan_size_bytes(df) -> "int | None":
+    """Catalyst's sizeInBytes estimate for the frame's optimized plan —
+    file size for parquet scans, free (no job). None if unavailable."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes())
+        )
+    except Exception:
+        return None
+
+
+def route_percentiles_scalable(
+    df,
+    mode: str = "auto",
+    bytes_bound: int = PERCENTILE_BUFFER_BYTES_BOUND,
+) -> bool:
+    """True -> exact percentiles should run through the bounded-memory
+    refinement engine (``scalable_percentiles`` /
+    ``scalable_group_percentiles``) instead of the buffering
+    ``percentile`` aggregate. ``mode``: "buffer" and "scalable" force
+    an arm; "auto" routes on the plan-size estimate (zero cost — no
+    probe job). Both arms return BIT-IDENTICAL values (same
+    quantile_cont interpolation), so routing never changes an answer,
+    only the memory shape."""
+    if mode not in _PCT_MODES:
+        raise ValueError(f"percentile_mode must be one of {_PCT_MODES}")
+    if mode == "buffer":
+        return False
+    if mode == "scalable":
+        return True
+    size = _plan_size_bytes(df)
+    return size is not None and size > bytes_bound
+
+
+def scalable_group_percentiles(
+    df,
+    value_col: str,
+    group_col: str,
+    qs: "list[float]" = (0.5,),
+    n_buckets: int = 1024,
+    max_collect: int = 100_000,
+    max_rounds: int = 16,
+    max_groups: int = 100_000,
+    driver_cells: int = 2_000_000,
+    stats: "dict | None" = None,
+):
+    """PER-GROUP exact interpolated percentiles (``quantile_cont``
+    semantics, identical to ``percentile(...) GROUP BY``) without the
+    buffering aggregate — the grouped twin of ``scalable_percentiles``
+    and the 100 TB arm behind ``impute_nulls`` / ``clip_outliers`` /
+    ``robust_outliers``: Spark's exact grouped ``percentile`` holds
+    every value OF EACH GROUP on the task that merges it, so one hot
+    group (half the corpus is one language) recreates the whole-column
+    buffering problem group-wise.
+
+    Same range-refinement construction as the global engine, run for
+    ALL groups jointly: ONE aggregate per round covers every contested
+    (group, range) cell — a broadcast join against the tiny range
+    table, an equi-width bucket count, a driver walk that shrinks each
+    rank's range ~n_buckets x. Per round the collect is bounded by
+    ``driver_cells`` (bucket width auto-shrinks when many ranges are
+    contested); leaf ranges (<= ``max_collect`` rows) resolve by a
+    bounded value collect. Driver state is O(groups x ranks), gated by
+    ``max_groups`` — group cardinality at or above 100k is metadata,
+    not a percentile population, and the caller should aggregate
+    differently.
+
+    Returns a DataFrame ``(<group_col>, q double, value double)`` with
+    one row per non-empty group per q. NULL group values form their own
+    group (eqNullSafe join semantics); NULL/NaN values are excluded per
+    SQL percentile semantics; all-NULL groups emit no rows (a LEFT join
+    against the result treats them as no-statistic, exactly like the
+    buffering arm's NULL)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    spark = df.sparkSession
+    gfield = df.schema[group_col]
+    v = F.col(value_col).try_cast("double")
+    base = (
+        df.select(F.col(group_col).alias("__g"), v.alias("__v"))
+        .filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+        .persist()
+    )
+    try:
+        bounds = base.groupBy("__g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        ).collect()
+        if len(bounds) > max_groups:
+            raise ValueError(
+                f"{group_col!r} has {len(bounds)} groups (> max_groups="
+                f"{max_groups}); per-group percentiles at that "
+                "cardinality are not a statistic worth a refinement "
+                "engine — aggregate differently or raise max_groups"
+            )
+        groups = [r["__g"] for r in bounds]
+        n_of = {i: r["n"] for i, r in enumerate(bounds)}
+        # (gidx, rank) -> (lo, hi, rank_within_range)
+        cells: dict = {}
+        resolved: dict = {}
+        for i, r in enumerate(bounds):
+            needed = set()
+            for q in qs:
+                rk = (r["n"] - 1) * q
+                needed.add(int(rk))
+                needed.add(min(int(rk) + 1, r["n"] - 1))
+            for k in needed:
+                cells[(i, k)] = (r["lo"], r["hi"], k)
+        g_schema = T.StructType([
+            T.StructField("__rg", gfield.dataType, True),
+            T.StructField("__rid", T.IntegerType(), False),
+            T.StructField("__rlo", T.DoubleType(), False),
+            T.StructField("__rhi", T.DoubleType(), False),
+        ])
+        rounds = 0
+        collected = 0
+        while cells and rounds < max_rounds:
+            # dedupe contested ranges per group: ranks sharing a range
+            # share the pass (round 1: all of a group's ranks do);
+            # distinct ranges within a group are DISJOINT by
+            # construction (bucket spans), so the join below matches
+            # each row at most once per group
+            by_range: dict = {}
+            for (gi, k), (lo, hi, kk) in cells.items():
+                by_range.setdefault((gi, lo, hi), []).append((k, kk))
+            range_rows = []
+            leaf_meta: dict = {}
+            refine_meta: dict = {}
+            rid = 0
+            for (gi, lo, hi), ranks in sorted(
+                by_range.items(), key=lambda t: (t[0][0], t[0][1])
+            ):
+                if lo == hi:
+                    for k, _ in ranks:
+                        resolved[(gi, k)] = lo
+                    continue
+                range_rows.append((groups[gi], rid, lo, hi))
+                refine_meta[rid] = (gi, lo, hi, ranks)
+                rid += 1
+            cells = {}
+            if not range_rows:
+                rounds += 1
+                continue
+            nb = max(16, min(n_buckets, driver_cells // len(range_rows)))
+            ranges_df = spark.createDataFrame(range_rows, g_schema)
+            joined = base.join(
+                F.broadcast(ranges_df),
+                F.col("__g").eqNullSafe(F.col("__rg"))
+                & (F.col("__v") >= F.col("__rlo"))
+                & (F.col("__v") <= F.col("__rhi")),
+            )
+            width = F.greatest(
+                (F.col("__rhi") - F.col("__rlo")) / F.lit(float(nb)),
+                F.lit(4.9e-324),
+            )
+            bucket = F.least(
+                F.lit(nb - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("__v") - F.col("__rlo")) / width),
+                ),
+            ).cast("int")
+            hist_rows = (
+                joined.groupBy(F.col("__rid"), bucket.alias("__b"))
+                .agg(
+                    F.count(F.lit(1)).alias("bn"),
+                    F.min("__v").alias("bmin"),
+                    F.max("__v").alias("bmax"),
+                )
+                .collect()
+            )
+            hists: dict = {}
+            for r in hist_rows:
+                hists.setdefault(r["__rid"], {})[r["__b"]] = r
+            leaf_rids = []
+            for rid2, (gi, lo, hi, ranks) in refine_meta.items():
+                hist = hists.get(rid2, {})
+                total = sum(r["bn"] for r in hist.values())
+                if total <= max_collect:
+                    leaf_rids.append(rid2)
+                    leaf_meta[rid2] = (gi, ranks)
+                    continue
+                order = sorted(hist)
+                for k, kk in ranks:
+                    before = 0
+                    for b in order:
+                        bn = hist[b]["bn"]
+                        if before + bn > kk:
+                            cells[(gi, k)] = (
+                                hist[b]["bmin"],
+                                hist[b]["bmax"],
+                                kk - before,
+                            )
+                            break
+                        before += bn
+            if leaf_rids:
+                leaf_df = spark.createDataFrame(
+                    [r for r in range_rows if r[1] in set(leaf_rids)],
+                    g_schema,
+                )
+                leaf_rows = (
+                    base.join(
+                        F.broadcast(leaf_df),
+                        F.col("__g").eqNullSafe(F.col("__rg"))
+                        & (F.col("__v") >= F.col("__rlo"))
+                        & (F.col("__v") <= F.col("__rhi")),
+                    )
+                    .select("__rid", "__v")
+                    .collect()
+                )
+                by_rid: dict = {}
+                for r in leaf_rows:
+                    by_rid.setdefault(r["__rid"], []).append(r["__v"])
+                collected += len(leaf_rows)
+                for rid2, (gi, ranks) in leaf_meta.items():
+                    vals = sorted(by_rid.get(rid2, []))
+                    for k, kk in ranks:
+                        resolved[(gi, k)] = vals[kk]
+            rounds += 1
+        if cells:
+            raise RuntimeError(
+                f"scalable_group_percentiles did not converge in "
+                f"{max_rounds} rounds — pathological value "
+                "distribution; raise max_rounds or max_collect"
+            )
+    finally:
+        base.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["collected_rows"] = collected
+    out_rows = []
+    for gi, g in enumerate(groups):
+        n = n_of[gi]
+        for q in qs:
+            r = (n - 1) * q
+            k = int(r)
+            k2 = min(k + 1, n - 1)
+            frac = r - k
+            # Spark Percentile's exact form — see scalable_percentiles
+            val = resolved[(gi, k)] * (1.0 - frac) + resolved[
+                (gi, k2)
+            ] * frac
+            out_rows.append((g, float(q), float(val)))
+    out_schema = T.StructType([
+        T.StructField(group_col, gfield.dataType, True),
+        T.StructField("q", T.DoubleType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    return spark.createDataFrame(out_rows, out_schema)

@@ -33,6 +33,82 @@ from pyspark.sql import functions as F
 _STRATEGIES = ("median", "mean", "constant")
 
 
+def _spark_round(spark, vals: "list[float | None]", round_to: int):
+    """Round driver-held doubles with SPARK's round (HALF_UP over the
+    shortest-decimal form) via one local-relation job — Python's
+    round() is banker's and diverges at .5 boundaries, which would
+    break the bit-for-bit routing contract."""
+    idx = [i for i, v in enumerate(vals) if v is not None]
+    if not idx:
+        return list(vals)
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.round(F.lit(vals[i]), round_to).alias(f"c{i}")
+                for i in idx
+            ]
+        )
+        .collect()[0]
+    )
+    out = list(vals)
+    for i in idx:
+        out[i] = row[f"c{i}"]
+    return out
+
+
+def _group_quantile_stats(
+    df: DataFrame,
+    cols: "list[str]",
+    group_col: str,
+    qs: "list[float]",
+    aliases,
+    round_to: int,
+) -> DataFrame:
+    """Per-group exact quantiles for several columns via the
+    bounded-memory grouped refinement engine, shaped like the buffering
+    ``groupBy().agg()`` frame: one row per group ``__g`` with
+    ``aliases(col, q)``-named, Spark-rounded stat columns. Groups where
+    a column is all-NULL simply lack that column's rows — the outer
+    assembly leaves NULL, matching the buffering aggregate."""
+    from .profile import scalable_group_percentiles
+
+    stats = None
+    for c in cols:
+        part = scalable_group_percentiles(df, c, group_col, qs=qs)
+        wide = None
+        for q in qs:
+            one = part.filter(F.col("q") == F.lit(float(q))).select(
+                F.col(group_col).alias("__g"),
+                F.round(F.col("value"), round_to).alias(aliases(c, q)),
+            )
+            wide = one if wide is None else wide.join(
+                one.withColumnRenamed("__g", "__g_r"),
+                F.col("__g").eqNullSafe(F.col("__g_r")),
+                "full",
+            ).select(
+                F.coalesce(F.col("__g"), F.col("__g_r")).alias("__g"),
+                *[
+                    x
+                    for x in (wide.columns + one.columns)
+                    if x not in ("__g", "__g_r")
+                ],
+            )
+        stats = wide if stats is None else stats.join(
+            wide.withColumnRenamed("__g", "__g_r"),
+            F.col("__g").eqNullSafe(F.col("__g_r")),
+            "full",
+        ).select(
+            F.coalesce(F.col("__g"), F.col("__g_r")).alias("__g"),
+            *[
+                x
+                for x in (stats.columns + wide.columns)
+                if x not in ("__g", "__g_r")
+            ],
+        )
+    return stats
+
+
 def _require_numeric(df: DataFrame, cols: "list[str]") -> None:
     """Fail on the driver with the real reason instead of letting
     ``percentile``/decimal sums surface an opaque analysis error mid-
@@ -58,18 +134,30 @@ def impute_nulls(
     group_col: "str | None" = None,
     fill_value: "float | None" = None,
     round_to: int = 6,
+    percentile_mode: str = "auto",
 ) -> DataFrame:
     """Replace NULLs in numeric ``cols`` with the column's statistic —
     per ``group_col`` value when given (a NULL group is its own group),
     global otherwise. ``strategy="constant"`` uses ``fill_value``. A
     group whose statistic is itself NULL (all-NULL column in that
     group) leaves its NULLs in place — inventing a value there would
-    be fabrication, not repair."""
+    be fabrication, not repair.
+
+    Medians are SIZE-GATED (``percentile_mode``, ``profile.
+    route_percentiles_scalable``): above the plan-size bound the
+    buffering ``percentile`` swaps for the bounded-memory refinement
+    engine — bit-identical values, so the repair output is the same
+    either way."""
     if strategy not in _STRATEGIES:
         raise ValueError(
             f"strategy must be one of {_STRATEGIES}, got {strategy!r}"
         )
     _require_numeric(df, cols)
+    from .profile import route_percentiles_scalable
+
+    scalable = strategy == "median" and route_percentiles_scalable(
+        df, percentile_mode
+    )
     if strategy == "constant":
         if fill_value is None:
             raise ValueError("strategy='constant' needs fill_value")
@@ -93,10 +181,21 @@ def impute_nulls(
 
     aggs = [_stat(c).alias(f"__fill_{c}") for c in cols]
     if group_col is None:
-        row = df.agg(*aggs).collect()[0]
+        if scalable:
+            from .profile import scalable_percentiles
+
+            raw = [
+                scalable_percentiles(df, c, qs=(0.5,)).collect()[0][
+                    "value"
+                ]
+                for c in cols
+            ]
+            fills = _spark_round(df.sparkSession, raw, round_to)
+        else:
+            row = df.agg(*aggs).collect()[0]
+            fills = [row[f"__fill_{c}"] for c in cols]
         out = df
-        for c in cols:
-            fill = row[f"__fill_{c}"]
+        for c, fill in zip(cols, fills):
             if fill is not None:
                 out = out.withColumn(
                     c, F.coalesce(F.col(c), F.lit(float(fill)))
@@ -105,7 +204,13 @@ def impute_nulls(
     # no broadcast hint: group stats are one row per group, usually
     # tiny, but a high-cardinality group column must not become a
     # forced driver-side broadcast — AQE picks from the measured size
-    stats = df.groupBy(F.col(group_col).alias("__g")).agg(*aggs)
+    if scalable:
+        stats = _group_quantile_stats(
+            df, cols, group_col, [0.5],
+            lambda c, q: f"__fill_{c}", round_to,
+        )
+    else:
+        stats = df.groupBy(F.col(group_col).alias("__g")).agg(*aggs)
     joined = df.join(
         stats, F.col(group_col).eqNullSafe(F.col("__g")), "left"
     )
@@ -127,16 +232,21 @@ def clip_outliers(
     upper_q: float = 0.99,
     group_col: "str | None" = None,
     round_to: int = 6,
+    percentile_mode: str = "auto",
 ) -> DataFrame:
     """Winsorize: cap each column at its exact [lower_q, upper_q]
     quantiles (per group when ``group_col`` is given) — the standard
     heavy-tail repair before aggregation/training. NULLs stay NULL
-    (clipping is not imputation)."""
+    (clipping is not imputation). Quantiles are SIZE-GATED exactly
+    like ``impute_nulls`` — the big arm never buffers a column."""
     if not 0.0 <= lower_q < upper_q <= 1.0:
         raise ValueError(
             f"need 0 <= lower_q < upper_q <= 1, got {lower_q}/{upper_q}"
         )
     _require_numeric(df, cols)
+    from .profile import route_percentiles_scalable
+
+    scalable = route_percentiles_scalable(df, percentile_mode)
     aggs = []
     for c in cols:
         aggs.append(
@@ -156,14 +266,44 @@ def clip_outliers(
         ).otherwise(x)
 
     if group_col is None:
-        row = df.agg(*aggs).collect()[0]
+        if scalable:
+            from .profile import scalable_percentiles
+
+            raw = []
+            for c in cols:
+                vals = {
+                    r["q"]: r["value"]
+                    for r in scalable_percentiles(
+                        df, c, qs=(lower_q, upper_q)
+                    ).collect()
+                }
+                raw += [vals[float(lower_q)], vals[float(upper_q)]]
+            rounded = _spark_round(df.sparkSession, raw, round_to)
+            bounds = {
+                c: (rounded[2 * i], rounded[2 * i + 1])
+                for i, c in enumerate(cols)
+            }
+        else:
+            row = df.agg(*aggs).collect()[0]
+            bounds = {
+                c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols
+            }
         out = df
         for c in cols:
-            lo = F.lit(row[f"__lo_{c}"]).cast("double")
-            hi = F.lit(row[f"__hi_{c}"]).cast("double")
+            lo = F.lit(bounds[c][0]).cast("double")
+            hi = F.lit(bounds[c][1]).cast("double")
             out = out.withColumn(c, _clip(c, lo, hi))
         return out
-    stats = df.groupBy(F.col(group_col).alias("__g")).agg(*aggs)
+    if scalable:
+        stats = _group_quantile_stats(
+            df, cols, group_col, [lower_q, upper_q],
+            lambda c, q: (
+                f"__lo_{c}" if q == lower_q else f"__hi_{c}"
+            ),
+            round_to,
+        )
+    else:
+        stats = df.groupBy(F.col(group_col).alias("__g")).agg(*aggs)
     joined = df.join(
         stats, F.col(group_col).eqNullSafe(F.col("__g")), "left"
     )

@@ -4720,6 +4720,46 @@ def q_scalable_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q")
 
 
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact interpolated p25/p50/p75 of events.value via the
+    grouped range-refinement engine (the size-gated big arm behind
+    impute_nulls/clip_outliers/robust_outliers) — max_collect forced
+    low so the oracle checks the multi-round per-group walk, never a
+    buffering percentile."""
+    from .operators.profile import scalable_group_percentiles
+
+    _ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    out = scalable_group_percentiles(
+        events, "value", "event_type", qs=(0.25, 0.5, 0.75),
+        max_collect=50, n_buckets=64,
+    )
+    return out.select(
+        "event_type", "q", F.round(F.col("value"), 6).alias("value")
+    ).orderBy("event_type", "q")
+
+
+SQL_GROUP_PERCENTILES = """
+WITH c AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+),
+g AS (
+  SELECT event_type,
+         quantile_cont(v, 0.25) AS p25,
+         quantile_cont(v, 0.5) AS p50,
+         quantile_cont(v, 0.75) AS p75
+  FROM c GROUP BY event_type
+)
+SELECT event_type, q, round(p, 6) AS value FROM (
+  SELECT event_type, CAST(0.25 AS DOUBLE) AS q, p25 AS p FROM g
+  UNION ALL SELECT event_type, 0.5, p50 FROM g
+  UNION ALL SELECT event_type, 0.75, p75 FROM g
+)
+ORDER BY event_type, q
+"""
+
+
 SQL_SCALABLE_PERCENTILES = """
 WITH c AS (
   SELECT CAST(value AS DOUBLE) AS v FROM events
@@ -5113,6 +5153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feed_gaps": q_feed_gaps,
     "readability": q_readability,
     "scalable_percentiles": q_scalable_percentiles,
+    "group_percentiles": q_group_percentiles,
     "ivf_filtered_topk": q_ivf_filtered_topk,
     "strip_markup": q_strip_markup,
     "group_token_budget": q_group_token_budget,
@@ -5239,6 +5280,7 @@ ORACLES: dict[str, str] = {
     "feed_gaps": SQL_FEED_GAPS,
     "readability": SQL_READABILITY,
     "scalable_percentiles": SQL_SCALABLE_PERCENTILES,
+    "group_percentiles": SQL_GROUP_PERCENTILES,
     "ivf_filtered_topk": SQL_IVF_FILTERED_TOPK,
     "strip_markup": SQL_STRIP_MARKUP,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,

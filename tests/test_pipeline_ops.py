@@ -2618,7 +2618,10 @@ def test_scalable_percentiles_equals_buffering_percentile(spark):
         for q in (0.0, 0.25, 0.5, 0.9, 1.0)
     }
     for q in want:
-        assert abs(got[q] - want[q]) < 1e-9, (q, got[q], want[q], st)
+        # BIT-identical, not merely close: the engine uses Spark
+        # Percentile's exact interpolation arithmetic (lo*(1-f)+hi*f),
+        # which is what lets size-gated routing swap arms silently
+        assert got[q] == want[q], (q, got[q], want[q], st)
     # the tiny max_collect forces real range-refinement rounds
     assert st["rounds"] >= 2 and st["collected_rows"] <= 16 * 10
 
@@ -2637,6 +2640,119 @@ def test_scalable_percentiles_edges(spark):
     assert all(r["value"] == 7.0 for r in got2)
     with pytest.raises(ValueError, match="quantile"):
         scalable_percentiles(df2, "value", qs=(1.5,))
+
+
+def test_scalable_group_percentiles_equals_buffering(spark):
+    """The grouped refinement engine must return BIT-identical values
+    to `percentile(...) GROUP BY` — forced through real multi-round
+    refinement, with a NULL group and an all-NULL group in play."""
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.operators.profile import scalable_group_percentiles
+
+    import random
+
+    random.seed(17)
+    rows = []
+    for g in ("a", "b", None):
+        rows += [
+            (g, float(random.randint(0, 999)) / 7.0) for _ in range(900)
+        ]
+    rows += [("empty", None)] * 10  # all-NULL group: no output rows
+    df = spark.createDataFrame(rows, "g string, v double")
+    st: dict = {}
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in scalable_group_percentiles(
+            df, "v", "g", qs=(0.25, 0.5, 0.75),
+            max_collect=20, n_buckets=16, stats=st,
+        ).collect()
+    }
+    assert st["rounds"] >= 2
+    want = {}
+    for r in (
+        df.filter("v IS NOT NULL")
+        .groupBy("g")
+        .agg(
+            F.percentile(
+                "v", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("p")
+        )
+        .collect()
+    ):
+        for q, val in zip((0.25, 0.5, 0.75), r["p"]):
+            want[(r["g"], q)] = val
+    assert got == want  # includes the NULL group; 'empty' absent
+    assert not any(g == "empty" for g, _ in got)
+    # guards
+    with pytest.raises(ValueError, match="quantile"):
+        scalable_group_percentiles(df, "v", "g", qs=(-0.1,))
+    with pytest.raises(ValueError, match="max_groups"):
+        scalable_group_percentiles(df, "v", "g", qs=(0.5,), max_groups=2)
+
+
+def test_percentile_size_gated_routing(spark, sf_dir):
+    """VERDICT r10 ask #1: the exact-percentile default must not buffer
+    whole columns at scale. Forced-scalable plans carry NO buffering
+    `percentile` aggregate; auto-routing trips on the plan-size bound;
+    and both arms agree bit-for-bit on every operator."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.profile import (
+        profile_numeric,
+        robust_outliers,
+        route_percentiles_scalable,
+    )
+    from dbqt_spark.operators.repair import clip_outliers, impute_nulls
+    from dbqt_spark.plans import formatted_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    # routing decision: zero-cost plan-size estimate, forced by bound
+    assert route_percentiles_scalable(li, "auto", bytes_bound=1) is True
+    assert route_percentiles_scalable(li, "auto") is False  # tiny sf
+    assert route_percentiles_scalable(li, "buffer", bytes_bound=1) is False
+    assert route_percentiles_scalable(li, "scalable") is True
+    with pytest.raises(ValueError, match="percentile_mode"):
+        route_percentiles_scalable(li, "exact")
+
+    # the big arm's PLAN contains no buffering percentile anywhere
+    cols = ["l_quantity", "l_extendedprice"]
+    big = profile_numeric(li, "lineitem", columns=cols,
+                          percentile_mode="scalable")
+    assert "percentile" not in formatted_plan(big).lower()
+    small = profile_numeric(li, "lineitem", columns=cols,
+                            percentile_mode="buffer")
+    assert "percentile" in formatted_plan(small).lower()
+    assert sorted(map(tuple, big.collect())) == sorted(
+        map(tuple, small.collect())
+    )
+
+    pairs = [
+        robust_outliers(ev, "value", "event_type", "event_id", k=20,
+                        percentile_mode=m)
+        for m in ("buffer", "scalable")
+    ]
+    assert "percentile" not in formatted_plan(pairs[1]).lower()
+    assert [tuple(r) for r in pairs[0].collect()] == [
+        tuple(r) for r in pairs[1].collect()
+    ]
+
+    for kwargs in ({}, {"group_col": "event_type"}):
+        a, b = [
+            impute_nulls(ev, ["value"], strategy="median",
+                         percentile_mode=m, **kwargs)
+            .orderBy("event_id").collect()
+            for m in ("buffer", "scalable")
+        ]
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        a, b = [
+            clip_outliers(ev, ["value"], 0.05, 0.95,
+                          percentile_mode=m, **kwargs)
+            .orderBy("event_id").collect()
+            for m in ("buffer", "scalable")
+        ]
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
 def test_strip_markup_tags_entities_and_double_escape(spark):
