@@ -18,10 +18,16 @@ CLASSIC distributed k-means shape:
 
 Knob bound: the assignment expression is O(k x dim) fused ops per row
 as a FLAT array of k fold-aggregates — fine through a few hundred
-centers; at the thousands-of-cells regime use the Arrow assignment
-kernel instead (``similarity._assign_cells``, the IVF path — one numpy
-matmul per batch), trading the bit-for-bit oracle for throughput (BLAS
-summation order differs in the last ulp).
+centers, a plan explosion at SemDeDup-scale k (tens of thousands of
+cells). Assignment is therefore SIZE-GATED (``assign_mode``, default
+"auto"): above ``ARROW_ASSIGN_KDIM`` the expression array swaps for
+an Arrow kernel (the ``similarity._assign_cells`` shape — centers in
+the task closure, ONE numpy matmul per batch, still a narrow
+shuffle-free map), trading the bit-for-bit oracle for throughput
+(BLAS summation order differs in the last ulp; argmin assignments
+agree except on exact distance ties, which both arms break to the
+lowest cluster id). The oracled small-k queries stay on the
+expression arm.
 
 Determinism contract (what makes a bit-for-bit DuckDB oracle possible
 for an ITERATIVE algorithm): initial centers are the k lowest-id
@@ -38,6 +44,8 @@ the same fixed iterations as chained CTEs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,18 +78,66 @@ def _assign_expr(centers: list[list[float]]):
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
+# k x dim above which the flat expression array stops being a plan and
+# starts being a codegen bomb — the Arrow kernel takes over there
+ARROW_ASSIGN_KDIM = 2048
+
+_ASSIGN_MODES = ("auto", "expr", "arrow")
+
+
+def _use_arrow_assign(centers: "list[list[float]]", mode: str) -> bool:
+    if mode not in _ASSIGN_MODES:
+        raise ValueError(f"assign_mode must be one of {_ASSIGN_MODES}")
+    if mode == "expr":
+        return False
+    if mode == "arrow":
+        return True
+    return len(centers) * len(centers[0]) > ARROW_ASSIGN_KDIM
+
+
+def _arrow_assign(centers: "list[list[float]]"):
+    """[cluster, dist] pair column via one Arrow matmul per batch —
+    centers ship in the task closure like ``similarity._assign_cells``
+    (cited shape: one n x dim @ dim x k BLAS call, |M|^2+|C|^2-2MC^T
+    expansion). np.argmin takes the FIRST minimum, the same
+    lowest-index tie rule as the expression arm. Returned as
+    ``array<double>`` (cluster ids are exact in a double) because the
+    scalar pandas_udf signature has no struct form."""
+    C = np.array(centers, dtype=np.float64)
+    Cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf("array<double>")
+    def assign(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(embs.tolist(), dtype=np.float64)
+        D = (M * M).sum(axis=1)[:, None] + Cn[None, :] - 2.0 * (M @ C.T)
+        c = D.argmin(axis=1)
+        d = D[np.arange(len(M)), c]
+        # the expansion form can dip epsilon-negative on exact matches
+        return pd.Series(
+            np.stack([c.astype(np.float64), np.maximum(d, 0.0)], axis=1)
+            .tolist()
+        )
+
+    return assign
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 8,
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """Cluster the vectors and return (id, cluster, dist) — the
     assignment against the centers after ``iters`` Lloyd's updates,
     with ``dist`` the squared distance (rounded to 6) to the assigned
-    center. See module docstring for the determinism contract and the
-    100 TB plan shape."""
+    center. See module docstring for the determinism contract, the
+    100 TB plan shape, and the ``assign_mode`` size gate (large k
+    assigns via the Arrow matmul kernel instead of a k x dim
+    expression array)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 0:
@@ -100,8 +156,17 @@ def kmeans_assign(
         raise ValueError("kmeans_assign needs a non-empty input")
     centers = [list(r["__e"]) for r in init_rows]  # k_eff <= k
     dim = len(centers[0])
+    arrow = _use_arrow_assign(centers, assign_mode)
     for _ in range(iters):
-        assigned = base.withColumn("__c", _assign_expr(centers))
+        if arrow:
+            assigned = base.withColumn(
+                "__c",
+                F.element_at(
+                    _arrow_assign(centers)(F.col("__e")), 1
+                ).cast("int"),
+            )
+        else:
+            assigned = base.withColumn("__c", _assign_expr(centers))
         # exact decimal element means per (cluster, dim): map-side
         # partial sums; k x dim rows reach the driver
         means = (
@@ -127,6 +192,13 @@ def kmeans_assign(
         centers = [
             by_cluster.get(ci, centers[ci]) for ci in range(len(centers))
         ]
+    if arrow:
+        s = _arrow_assign(centers)(F.col("__e"))
+        return base.select(
+            id_col,
+            F.element_at(s, 1).cast("int").alias("cluster"),
+            F.round(F.element_at(s, 2), 6).alias("dist"),
+        )
     return base.select(
         id_col,
         _assign_expr(centers).alias("cluster"),
@@ -168,6 +240,7 @@ def semantic_near_dup_pairs(
     id_col: str = "vec_id",
     max_cluster_size: int | None = 4_000,
     drop_stats: "dict | None" = None,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate PAIRS
     found by clustering the embeddings (``kmeans_assign``) and
@@ -195,7 +268,8 @@ def semantic_near_dup_pairs(
     itself is a narrow map (see ``kmeans_assign``).
     """
     assign = kmeans_assign(
-        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+        assign_mode=assign_mode,
     ).select(F.col(id_col).alias("__id"), "cluster")
     vecs = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")

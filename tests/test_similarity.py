@@ -397,6 +397,58 @@ def test_kmeans_assign_semantics(spark):
     assert sorted(r["n_vecs"] for r in sizes) == [10, 10]
 
 
+def test_kmeans_large_k_arrow_arm_matches_expression(spark, sf_dir):
+    """VERDICT r10 ask #2: above ARROW_ASSIGN_KDIM the per-row
+    expression array (a codegen bomb at SemDeDup-scale k) swaps for
+    the Arrow matmul kernel. Both arms must produce the SAME
+    assignments and (rounded) distances, and auto mode must route
+    large k to Arrow without any Python appearing in the small-k
+    oracled plan."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.kmeans import (
+        ARROW_ASSIGN_KDIM,
+        _use_arrow_assign,
+        kmeans_assign,
+    )
+    from dbqt_spark.plans import formatted_plan
+
+    import pytest as _pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")  # 500 x dim 64
+    # k=64, dim=64 -> k*dim=4096 > bound: auto routes to Arrow
+    assert _use_arrow_assign([[0.0] * 64] * 64, "auto") is True
+    assert _use_arrow_assign([[0.0] * 64] * 8, "auto") is False
+    with _pytest.raises(ValueError, match="assign_mode"):
+        kmeans_assign(emb, k=2, assign_mode="numpy")
+
+    a = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_assign(
+            emb, k=64, iters=2, assign_mode="expr"
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_assign(
+            emb, k=64, iters=2, assign_mode="arrow"
+        ).collect()
+    }
+    assert {k: v[0] for k, v in a.items()} == {
+        k: v[0] for k, v in b.items()
+    }
+    # distances agree to well past the rounded precision (BLAS
+    # expansion vs left-fold differ in the last ulp pre-round)
+    assert all(
+        abs(a[k][1] - b[k][1]) < 1e-6 for k in a
+    )
+    # the auto large-k plan is the Arrow one; the small-k oracled
+    # plan keeps the pure-codegen expression (no Python in plan)
+    big = kmeans_assign(emb, k=64, iters=0)
+    assert "ArrowEvalPython" in formatted_plan(big)
+    small = kmeans_assign(emb, k=4, iters=0)
+    assert "ArrowEvalPython" not in formatted_plan(small)
+
+
 def test_kmeans_assign_edges(spark):
     import pytest as _pytest
 
