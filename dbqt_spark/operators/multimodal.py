@@ -325,3 +325,211 @@ def resize_images(
     return df.select(
         F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
     ).mapInPandas(run, RESIZED_SCHEMA)
+
+
+# --- image content near-dup tier (pHash/dHash) ------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def _stub_phash(payload: bytes) -> "int | None":
+    """Deterministic 64-bit stand-in for a perceptual hash, pure
+    function of the BYTES so a SQL engine replays it bit-for-bit
+    (the ``resize_images``-stub contract): bucket each byte by
+    ``(value + position) % 64``, set bit b when bucket b's count is
+    strictly above the uniform average (count*64 > total), pack
+    two's-complement into int64. Perceptual in the only sense bytes
+    allow: a small edit moves a handful of buckets (small Hamming
+    step), while unrelated payloads land ~32 bits apart."""
+    total = len(payload)
+    counts = [0] * 64
+    for i, b in enumerate(payload):
+        counts[(b + i) % 64] += 1
+    fp = 0
+    for k in range(64):
+        if counts[k] * 64 > total:
+            fp |= 1 << k
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def _pil_phash(width: int = 32, dct_keep: int = 8):
+    """Real pHash (pillow): grayscale -> ``width x width`` -> 2-D
+    orthonormal DCT-II (numpy matmul, no scipy) -> top-left
+    ``dct_keep x dct_keep`` block minus the DC term -> median
+    threshold -> 64-bit fingerprint. The standard construction
+    (imagehash library semantics)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    n = width
+    k = np.arange(n)
+    # orthonormal DCT-II basis: D @ A @ D.T is the 2-D transform
+    D = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n)
+    )
+    D[0] /= np.sqrt(2.0)
+
+    def hash_bytes(payload: bytes) -> int:
+        img = Image.open(io.BytesIO(payload)).convert("L").resize(
+            (width, width), Image.LANCZOS
+        )
+        A = np.asarray(img, dtype=np.float64)
+        coef = (D @ A @ D.T)[:dct_keep, :dct_keep].flatten()[1:]
+        med = np.median(coef)
+        fp = 0
+        for i, c in enumerate(coef > med):
+            if c:
+                fp |= 1 << i
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    return hash_bytes
+
+
+def _pil_dhash():
+    """Real dHash (pillow): grayscale 9x8, horizontal gradient bits."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    def hash_bytes(payload: bytes) -> int:
+        img = Image.open(io.BytesIO(payload)).convert("L").resize(
+            (9, 8), Image.LANCZOS
+        )
+        A = np.asarray(img, dtype=np.float64)
+        bits = (A[:, 1:] > A[:, :-1]).flatten()
+        fp = 0
+        for i, c in enumerate(bits):
+            if c:
+                fp |= 1 << i
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    return hash_bytes
+
+
+def image_fingerprints(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    decode_stub: bool = True,
+    method: str = "phash",
+    hasher=None,
+) -> DataFrame:
+    """(media_id, phash) — 64-bit perceptual fingerprints of an image
+    binary column, one Arrow-batched pass (``mapInPandas``, the
+    ``extract_features`` shape: column-pruned batches, amortized
+    per-row Python). ``hasher`` (bytes -> int64) plugs in any codec;
+    ``decode_stub=False`` resolves pillow pHash/dHash per ``method``
+    and fails fast on the DRIVER when pillow is absent
+    (``resolve_decoder`` contract); the default stub is the
+    SQL-replayable byte-bucket hash. NULL payloads yield NULL
+    fingerprints (filtered by the pairing step, like
+    ``simhash_fingerprints``'s zero-token docs)."""
+    if method not in ("phash", "dhash"):
+        raise ValueError(f"method must be phash|dhash, got {method!r}")
+    if hasher is None:
+        if decode_stub:
+            hasher = _stub_phash
+        else:
+            try:
+                hasher = _pil_phash() if method == "phash" else _pil_dhash()
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "real image hashing requires pillow; install it, "
+                    "pass hasher=, or use decode_stub=True"
+                ) from exc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "phash": [
+                        None if p is None else hasher(bytes(p))
+                        for p in pdf[content_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, PHASH_SCHEMA
+    ).filter(F.col("phash").isNotNull())
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_bucket_size: "int | None" = 1000,
+    decode_stub: bool = True,
+    method: str = "phash",
+    hasher=None,
+    drop_stats: "dict | None" = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) image pairs whose perceptual fingerprints
+    are within ``max_hamming`` bits — the missing content-dedup tier
+    for the image modality (raw bytes previously only deduped by exact
+    hash): re-encodes, thumbnails, and small edits keep tiny pHash
+    Hamming distance while md5 changes completely.
+
+    Same Manku pigeonhole banding as ``dedup.simhash_near_duplicates``
+    (cited shape): any pair within ``bands - 1`` bits agrees exactly on
+    one of ``bands`` fingerprint chunks, so candidates come from exact
+    hash-bucket joins — never a cross join — then exact Hamming
+    verification runs JVM-side (``bit_count(xor)``). Exhaustive by
+    pigeonhole with the cap disabled (== brute force, property-tested);
+    hot buckets cap at ``max_bucket_size`` with
+    ``drop_stats['n_dropped_buckets'/'n_dropped_rows']`` accounting —
+    the drop-accounting contract every dedup tier shares."""
+    from .dedup import _eager_pairs_from_banded
+
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    fp = image_fingerprints(
+        df, id_col, content_col, decode_stub=decode_stub,
+        method=method, hasher=hasher,
+    )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        F.col("media_id").alias("id"),
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("phash", b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    pairs, _ = _eager_pairs_from_banded(
+        banded,
+        ["band", "chunk"],
+        lambda a, b: [
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        ],
+        max_bucket_size,
+        drop_stats,
+        pair_filter=hamming <= max_hamming,
+    )
+    return pairs

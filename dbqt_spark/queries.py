@@ -2668,6 +2668,85 @@ ORDER BY doc_id
 """
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints (operators/multimodal.
+    image_fingerprints): document bytes stand in for image payloads;
+    the deterministic stub hash — positional byte-bucket histogram,
+    above-average threshold, 64 bits two's-complement — is a pure
+    function of the bytes the DuckDB oracle replays bit-for-bit
+    (the ``resize_images`` stub contract)."""
+    from .operators.multimodal import image_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return image_fingerprints(docs).orderBy("media_id")
+
+
+_SQL_IMAGE_PHASH_FP = """
+pos AS (
+  SELECT doc_id, length(text) AS total, text,
+         unnest(generate_series(1, length(text))) AS i
+  FROM documents WHERE length(text) > 0
+),
+bk AS (
+  SELECT doc_id, total,
+         (ord(substr(text, i, 1)) + i - 1) % 64 AS bucket
+  FROM pos
+),
+cnt AS (
+  SELECT doc_id, total, bucket, count(*) AS c
+  FROM bk GROUP BY doc_id, total, bucket
+),
+fp AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN c * 64 > total THEN
+      CASE WHEN bucket = 63 THEN -9223372036854775807 - 1
+           ELSE (CAST(1 AS BIGINT) << bucket) END
+      ELSE 0 END) AS BIGINT) AS phash
+  FROM cnt GROUP BY doc_id
+)"""
+
+SQL_IMAGE_PHASH = f"""
+WITH {_SQL_IMAGE_PHASH_FP}
+SELECT doc_id AS media_id, phash FROM fp ORDER BY media_id
+"""
+
+
+def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image content near-dup pairs (operators/multimodal.
+    image_near_duplicates): Manku pigeonhole banding over the
+    perceptual fingerprints — exhaustive for max_hamming < bands, so
+    the brute-force Hamming oracle is an exact twin (the
+    ``simhash_near_dups`` precedent, on the image modality)."""
+    from .operators.multimodal import image_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return _localized(
+        image_near_duplicates(
+            docs, max_hamming=3, bands=4, max_bucket_size=None
+        )
+    ).orderBy("id_a", "id_b")
+
+
+SQL_IMAGE_PHASH_DUPS = f"""
+WITH {_SQL_IMAGE_PHASH_FP}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q_statstore_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ-over-time control chart (operators/statstore.py
     stats_store_trend): four event slices append labeled segments to a
@@ -5100,6 +5179,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyfinder_search": q_keyfinder_search,
     "multimodal_features": q_multimodal_features,
     "resize_images": q_resize_images,
+    "image_phash": q_image_phash,
+    "image_phash_dups": q_image_phash_dups,
     "impute_values": q_impute_values,
     "statstore_trend": q_statstore_trend,
     "clip_values": q_clip_values,
@@ -5224,6 +5305,8 @@ ORACLES: dict[str, str] = {
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "resize_images": SQL_RESIZE_IMAGES,
+    "image_phash": SQL_IMAGE_PHASH,
+    "image_phash_dups": SQL_IMAGE_PHASH_DUPS,
     "impute_values": SQL_IMPUTE_VALUES,
     "statstore_trend": SQL_STATSTORE_TREND,
     "clip_values": SQL_CLIP_VALUES,

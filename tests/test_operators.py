@@ -904,6 +904,109 @@ def test_resize_images_stub_and_contract(spark):
             resize_images(df, 8, 8, decode_stub=False)
 
 
+def test_image_near_dup_matches_brute_force(spark):
+    """VERDICT r10 ask #3: pHash/dHash image content-dedup tier.
+    Pigeonhole banding is exhaustive — with the cap off the banded
+    pairs must equal brute-force Hamming over the fingerprints, and
+    near-identical payloads (small edits) must land within the
+    threshold while unrelated ones stay far."""
+    import itertools
+    import random
+
+    from dbqt_spark.operators.multimodal import (
+        _stub_phash,
+        image_fingerprints,
+        image_near_duplicates,
+    )
+
+    random.seed(23)
+    payloads = {}
+    mid = 0
+    for _ in range(12):
+        base = bytes(random.randrange(256) for _ in range(400))
+        payloads[mid] = base
+        mid += 1
+        # a near-duplicate: flip a few bytes
+        edited = bytearray(base)
+        for _ in range(3):
+            edited[random.randrange(len(edited))] = random.randrange(256)
+        payloads[mid] = bytes(edited)
+        mid += 1
+    df = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()] + [(999, None)],
+        "media_id long, content binary",
+    )
+    fps = {
+        r["media_id"]: r["phash"]
+        for r in image_fingerprints(df).collect()
+    }
+    assert 999 not in fps  # NULL payload filtered
+    assert fps == {k: _stub_phash(v) for k, v in payloads.items()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    got = sorted(
+        tuple(r)
+        for r in image_near_duplicates(
+            df, max_hamming=3, bands=4, max_bucket_size=None
+        ).collect()
+    )
+    brute = sorted(
+        (a, b, ham(fps[a], fps[b]))
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if ham(fps[a], fps[b]) <= 3
+    )
+    assert got == brute
+    # every edited twin was caught
+    caught = {(a, b) for a, b, _ in got}
+    assert all((2 * i, 2 * i + 1) in caught for i in range(12))
+
+
+def test_image_near_dup_cap_and_contract(spark):
+    from dbqt_spark.operators.multimodal import (
+        image_fingerprints,
+        image_near_duplicates,
+    )
+
+    # identical payloads -> one hot bucket; cap drops it observably
+    df = spark.createDataFrame(
+        [(i, b"same payload bytes") for i in range(10)],
+        "media_id long, content binary",
+    )
+    stats: dict = {}
+    got = image_near_duplicates(
+        df, max_hamming=3, bands=4, max_bucket_size=5, drop_stats=stats
+    ).collect()
+    assert got == []
+    assert stats["n_dropped_buckets"] >= 1
+    assert stats["n_dropped_rows"] >= 10
+
+    with pytest.raises(ValueError, match="max_hamming < bands"):
+        image_near_duplicates(df, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        image_near_duplicates(df, max_hamming=2, bands=5)
+    with pytest.raises(ValueError, match="phash|dhash"):
+        image_fingerprints(df, method="md5")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="pillow"):
+            image_fingerprints(df, decode_stub=False)
+    # custom hasher plugs in (the real-codec seam, like resize's
+    # resizer=): constant hash -> all pairs at hamming 0 via banding
+    small = spark.createDataFrame(
+        [(1, b"x"), (2, b"y"), (3, b"z")], "media_id long, content binary"
+    )
+    got = sorted(
+        tuple(r)
+        for r in image_near_duplicates(
+            small, max_hamming=1, bands=2, hasher=lambda p: 7
+        ).collect()
+    )
+    assert got == [(1, 2, 0), (1, 3, 0), (2, 3, 0)]
+
+
 # -- repair ------------------------------------------------------------------
 
 
