@@ -117,3 +117,108 @@ def resolve_token_counter(
         f"unrecognized tokenizer spec {tokenizer!r}: use None, "
         "'whitespace', 'hf:<name>', or a callable text -> int/sequence"
     )
+
+
+def _bpe_parts(word: str, ranks: "dict[tuple[str, str], int]") -> list[str]:
+    """Greedy lowest-rank merges of a word's characters — the shared
+    kernel of ``simple_bpe`` (counts) and ``simple_bpe_segmenter``
+    (pieces)."""
+    parts = list(word)
+    while len(parts) > 1:
+        best, best_rank = None, None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        parts[best: best + 2] = [parts[best] + parts[best + 1]]
+    return parts
+
+
+def simple_bpe_segmenter(
+    merges: list[tuple[str, str]],
+) -> Callable[[str], list[str]]:
+    """The SEGMENTER twin of ``simple_bpe``: ``text -> list of string
+    pieces`` under the lossless-concatenation contract
+    (``resolve_token_segmenter``) — each word's leading whitespace is
+    attached to its first piece (the GPT-2 convention), so
+    ``"".join(pieces) == text`` up to trailing whitespace, and
+    ``len(pieces)`` equals ``simple_bpe(merges)(text)``."""
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _segment(text: str) -> list[str]:
+        out: list[str] = []
+        for m in re.finditer(r"(\s*)(\S+)", text or ""):
+            ws, word = m.group(1), m.group(2)
+            parts = _bpe_parts(word, ranks)
+            parts[0] = ws + parts[0]
+            out += parts
+        return out
+
+    return _segment
+
+
+def _segmenter_udf(fn: Callable) -> Callable[[Column], Column]:
+    """Wrap a per-text segmenter (``text -> list[str]`` pieces) into an
+    Arrow-batched pandas_udf producing ``array<string>``."""
+
+    @F.pandas_udf("array<string>")
+    def _seg(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(lambda t: list(fn(t)))
+
+    return lambda col: _seg(col)
+
+
+def resolve_token_segmenter(
+    tokenizer: str | Callable | None,
+) -> Callable[[Column], Column] | None:
+    """Resolve a ``tokenizer=`` spec to a Column->Column SEGMENTER
+    factory (``array<string>`` of token pieces), or ``None`` for the
+    default whitespace arm. Same resolution rules and driver-side
+    fail-fast as ``resolve_token_counter``, but for operators that
+    need token BOUNDARIES, not just counts (``chunk_documents``):
+    chunks must start and end on real token indices, which whitespace
+    windows cannot guarantee under a BPE budget.
+
+    Piece contract (encode-slice-decode without a decode round-trip):
+    the segmenter returns string pieces whose CONCATENATION reproduces
+    the input text up to trailing whitespace — each token carries its
+    preceding separator (the GPT-2 space-attachment convention), so
+    slicing a window of pieces and joining with '' yields exactly the
+    text that window of tokens decodes to. The ``hf:`` arm derives
+    pieces from the fast tokenizer's char offsets (piece i spans from
+    the previous token's end through token i's end, so skipped
+    whitespace rides with the following token)."""
+    if tokenizer is None or tokenizer == "whitespace":
+        return None
+    if callable(tokenizer):
+        return _segmenter_udf(tokenizer)
+    if isinstance(tokenizer, str) and tokenizer.startswith("hf:"):
+        name = tokenizer[3:]
+        try:
+            from tokenizers import Tokenizer  # type: ignore
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"tokenizer={tokenizer!r} needs the 'tokenizers' package; "
+                "install it, or pass a callable text -> list[str] (e.g. "
+                "functions.tokenize.simple_bpe_segmenter(merges))"
+            ) from exc
+        tok = Tokenizer.from_pretrained(name)
+
+        def _hf_segment(text: str) -> list[str]:
+            text = text or ""
+            enc = tok.encode(text)
+            pieces, prev = [], 0
+            for _, end in enc.offsets:
+                pieces.append(text[prev:end])
+                prev = end
+            return pieces
+
+        return _segmenter_udf(_hf_segment)
+    raise ValueError(
+        f"unrecognized tokenizer spec {tokenizer!r}: use None, "
+        "'whitespace', 'hf:<name>', or a callable text -> list[str]"
+    )

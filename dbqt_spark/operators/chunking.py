@@ -29,6 +29,7 @@ def chunk_documents(
     overlap: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
 ) -> DataFrame:
     """Split each doc into overlapping token windows: chunk c covers
     tokens [c*stride, c*stride + chunk_tokens) with
@@ -36,7 +37,20 @@ def chunk_documents(
     shorter) remainder, and no chunk STARTS inside the previous
     chunk's tail beyond the overlap (starts past n_tokens never
     emit). Zero-token/NULL docs produce no chunks. Returns
-    (id, chunk_id, chunk text, start_token, n_tokens)."""
+    (id, chunk_id, chunk text, start_token, n_tokens).
+
+    ``tokenizer`` (``functions.tokenize.resolve_token_segmenter``
+    rules) makes boundaries fall on REAL tokenizer tokens: RAG /
+    embedding budgets are BPE-denominated, and a whitespace window can
+    overshoot a model's context by 2-3x on code or CJK text. The
+    default stays the whitespace arm (pure JVM, oracle bit-for-bit);
+    a segmenter swaps ``__toks`` for an Arrow-batched piece array —
+    pieces carry their separators (lossless concatenation), so a
+    sliced window joined with '' is exactly the text those tokens
+    decode to. Same plan shape either way: tokenize once, explode the
+    start offsets, slice per chunk."""
+    from ..functions.tokenize import resolve_token_segmenter
+
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     if not 0 <= overlap < chunk_tokens:
@@ -44,10 +58,16 @@ def chunk_documents(
             f"overlap must be in [0, chunk_tokens), got {overlap}"
         )
     stride = chunk_tokens - overlap
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda t: t != "",
-    )
+    seg = resolve_token_segmenter(tokenizer)
+    if seg is None:
+        toks = F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda t: t != "",
+        )
+        joiner = " "
+    else:
+        toks = seg(F.coalesce(F.col(text_col), F.lit("")))
+        joiner = ""
     n = F.size(toks)
     # start offsets 0, stride, 2*stride, ...; the last chunk is the
     # first one whose window reaches n, so no chunk is ever fully
@@ -82,7 +102,7 @@ def chunk_documents(
                 F.slice(
                     "__toks", F.col("__start") + 1, F.lit(chunk_tokens)
                 ),
-                " ",
+                joiner,
             ).alias(text_col),
             F.col("__start").cast("long").alias("start_token"),
             F.least(
