@@ -4799,6 +4799,112 @@ def q_scalable_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q")
 
 
+def q_streaming_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch-mode run of the STREAMING semantic ingest
+    gate (streaming/semgate.py, the foreachBatch operator): embeddings
+    split by vec_id parity into two 'micro-batches', gated sequentially
+    against a fresh IVF index — returns the ACCEPTED ids. Run in its
+    EXACT configuration (exhaustive within-batch pairing + full probe,
+    n_probes >= n_cells) so the DuckDB brute-force-cosine + recursive
+    first-wins oracle is an exact twin; the blocked/pruned
+    configuration is the production default and is covered by the
+    stream==batch twin tests."""
+    import shutil
+    import tempfile
+
+    from .streaming.semgate import semantic_gate_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="semgate_q_")
+    try:
+        ids: list[int] = []
+        for parity in (0, 1):
+            kept = semantic_gate_batch(
+                emb.filter(F.col("vec_id") % 2 == parity),
+                idx,
+                threshold=0.42,
+                vec_col="embedding",
+                id_col="vec_id",
+                n_probes=64,
+                n_cells=8,
+                exhaustive_within=True,
+            )
+            ids.extend(r["vec_id"] for r in kept.select("vec_id").collect())
+        return spark.createDataFrame(
+            [(i,) for i in sorted(ids)], "vec_id bigint"
+        ).orderBy("vec_id")
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+SQL_STREAMING_SEMANTIC_GATE = """
+WITH RECURSIVE
+v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cosg AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 4) AS c
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM cosg WHERE c >= 0.42
+),
+ids1 AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+ids2 AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+nbrs AS MATERIALIZED (
+  SELECT id_b AS vec_id, list(id_a) AS smaller FROM pairs GROUP BY id_b
+),
+g1(rn, kept) AS (
+  SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT g.rn + 1,
+         CASE WHEN list_has_any(g.kept, coalesce(n.smaller, []))
+              THEN g.kept ELSE list_append(g.kept, i.vec_id) END
+  FROM g1 g
+  JOIN ids1 i ON i.rn = g.rn + 1
+  LEFT JOIN nbrs n ON n.vec_id = i.vec_id
+),
+kept1 AS MATERIALIZED (
+  SELECT unnest(kept) AS vec_id FROM g1
+  WHERE rn = (SELECT max(rn) FROM ids1)
+),
+g2(rn, kept) AS (
+  SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT g.rn + 1,
+         CASE WHEN list_has_any(g.kept, coalesce(n.smaller, []))
+              THEN g.kept ELSE list_append(g.kept, i.vec_id) END
+  FROM g2 g
+  JOIN ids2 i ON i.rn = g.rn + 1
+  LEFT JOIN nbrs n ON n.vec_id = i.vec_id
+),
+kept2a AS (
+  SELECT unnest(kept) AS vec_id FROM g2
+  WHERE rn = (SELECT max(rn) FROM ids2)
+),
+kept2 AS (
+  SELECT k.vec_id FROM kept2a k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p JOIN kept1 s
+      ON (p.id_a = s.vec_id AND p.id_b = k.vec_id)
+      OR (p.id_b = s.vec_id AND p.id_a = k.vec_id))
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id FROM kept1
+UNION ALL
+SELECT CAST(vec_id AS BIGINT) AS vec_id FROM kept2
+ORDER BY vec_id
+"""
+
+
 def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-GROUP exact interpolated p25/p50/p75 of events.value via the
     grouped range-refinement engine (the size-gated big arm behind
@@ -5167,6 +5273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_discovery": q_table_discovery,
     "minhash_near_dups": q_minhash_near_dups,
     "streaming_neardup_gate": q_streaming_neardup_gate,
+    "streaming_semantic_gate": q_streaming_semantic_gate,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "doc_fingerprints": q_doc_fingerprints,
     "repetition_stats": q_repetition_stats,
@@ -5296,6 +5403,7 @@ ORACLES: dict[str, str] = {
     "table_discovery": SQL_TABLE_DISCOVERY,
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
     "streaming_neardup_gate": SQL_STREAMING_NEARDUP_GATE,
+    "streaming_semantic_gate": SQL_STREAMING_SEMANTIC_GATE,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "repetition_stats": SQL_REPETITION_STATS,

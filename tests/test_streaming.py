@@ -861,3 +861,137 @@ def test_streaming_curate_blocklist_stage(spark, tmp_path):
     q.awaitTermination()
     out = spark.read.parquet(str(tmp_path / "out"))
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def _unit(*coords):
+    import math
+
+    n = math.sqrt(sum(c * c for c in coords))
+    return [c / n for c in coords]
+
+
+def test_streaming_semantic_gate(spark, tmp_path):
+    """VERDICT r10 ask #6: the semantic ingest gate drops arriving
+    embeddings that cosine-near-duplicate anything already ACCEPTED —
+    within a micro-batch (earlier ids win) and across batches (via the
+    persisted IVF index) — and the streamed output equals the
+    one-batch twin."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.streaming.semgate import (
+        semantic_gate_batch,
+        streaming_semantic_dedup,
+    )
+
+    e1 = _unit(1.0, 0.02, 0.0, 0.0)
+    e1_rot = _unit(1.0, 0.1, 0.05, 0.0)     # cos(e1, e1_rot) ~ 0.997
+    e2 = _unit(0.0, 1.0, 0.0, 0.0)
+    e3 = _unit(0.0, 0.0, 1.0, 0.0)
+    e3_rot = _unit(0.02, 0.0, 1.0, 0.08)
+    e1_rot2 = _unit(1.0, 0.05, 0.0, 0.06)   # near-dup of e1, batch 2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3],
+                  "embedding": [e1, e1_rot, e2]}),
+        str(src / "b1.parquet"),
+    )
+    time.sleep(1.1)
+    pq.write_table(
+        pa.table({"doc_id": [4, 5, 6],
+                  "embedding": [e1_rot2, e3, e3_rot]}),
+        str(src / "b2.parquet"),
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, embedding array<double>"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = streaming_semantic_dedup(
+        stream,
+        index_dir=str(tmp_path / "idx"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.95,
+    )
+    q.awaitTermination()
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert kept == [1, 3, 5]
+    # the index holds exactly the accepted vectors (no text, no drops)
+    from dbqt_spark.operators.similarity import ivf_load
+
+    idx, cents = ivf_load(spark, str(tmp_path / "idx"))
+    assert sorted(r["vec_id"] for r in idx.collect()) == [1, 3, 5]
+
+    # stream == batch twin: all six rows through ONE gate call on a
+    # fresh index give the same survivors (first-wins by id)
+    allrows = spark.createDataFrame(
+        [(1, e1), (2, e1_rot), (3, e2), (4, e1_rot2), (5, e3),
+         (6, e3_rot)],
+        "doc_id long, embedding array<double>",
+    )
+    twin = sorted(
+        r["doc_id"]
+        for r in semantic_gate_batch(
+            allrows, str(tmp_path / "idx_twin"), threshold=0.95
+        ).collect()
+    )
+    assert twin == kept
+
+
+def test_semantic_gate_retry_and_drift_guard(spark, tmp_path):
+    """Retry safety (self-match exclusion keeps a re-run's survivors
+    identical after the index append landed) and the drift guard:
+    a batch the stored centroids no longer describe is REFUSED with
+    the retrain message, not silently appended."""
+    import pytest as _pytest
+
+    from dbqt_spark.streaming.semgate import semantic_gate_batch
+
+    # more vectors than cells (n_cells=2) so the index stores a
+    # NONZERO quantization baseline — the drift guard is inert at
+    # baseline 0 (k_eff == n puts every vector on its own centroid)
+    rows = [
+        (1, _unit(1.0, 0.0, 0.0, 0.0)),
+        (2, _unit(0.0, 1.0, 0.0, 0.0)),
+        (3, _unit(0.0, 0.0, 1.0, 0.0)),
+        (4, _unit(0.0, 0.0, 0.0, 1.0)),
+        (5, _unit(1.0, 1.0, 0.0, 0.0)),
+        (6, _unit(0.0, 1.0, 1.0, 0.0)),
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "idx")
+    kept1 = sorted(
+        r["doc_id"]
+        for r in semantic_gate_batch(batch, idx, n_cells=2).collect()
+    )
+    assert kept1 == [1, 2, 3, 4, 5, 6]
+    # retry after the index write landed: own stored copies (cosine
+    # 1.0) must not knock the batch out
+    kept2 = sorted(
+        r["doc_id"]
+        for r in semantic_gate_batch(batch, idx, n_cells=2).collect()
+    )
+    assert kept2 == [1, 2, 3, 4, 5, 6]
+
+    # drifted batch: magnitudes far outside the stored quantization
+    # baseline -> append refused, retrain named
+    drifted = spark.createDataFrame(
+        [(10, [1000.0, -2000.0, 1500.0, 900.0]),
+         (11, [-1800.0, 1200.0, -900.0, 2000.0])],
+        "doc_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="re-train"):
+        semantic_gate_batch(drifted, idx)
