@@ -41,10 +41,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return counts.join(prof, "table_name", "left").orderBy("table_name")
 
 
+def _driver_checked_names() -> set:
+    """Union of query keys every committed driver correctness file has
+    already hard-verified (CORRECTNESS_r*.json). Used to ROTATE the
+    registry order below; empty on any read problem."""
+    import glob
+    import json
+    import os
+
+    seen: set = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                seen.update(json.load(f).keys())
+        except Exception:
+            continue
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ordered for DRIVER-GATE ROTATION (VERDICT r10 process
+    note: the driver samples a prefix of this dict, and its key set had
+    not rotated since r9, leaving new queries covered only by the local
+    sweeps). Queries the driver has never hard-verified interleave 1:1
+    with already-verified ones, never-verified first — any prefix
+    window now samples both new surface and regression coverage, and
+    the ordering self-maintains as driver files accumulate."""
+    from itertools import zip_longest
+
     from dbqt_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    seen = _driver_checked_names()
+    fresh = [n for n in QUERIES if n not in seen]
+    checked = [n for n in QUERIES if n in seen]
+    out: dict = {}
+    for a, b in zip_longest(fresh, checked):
+        if a is not None:
+            out[a] = QUERIES[a]
+        if b is not None:
+            out[b] = QUERIES[b]
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
