@@ -767,3 +767,56 @@ def group_token_budget_sample(
         .select(id_col, group_col, "n_tokens")
         .orderBy(id_col)
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: "list[tuple[str, float]] | None" = None,
+    seed: int = 42,
+    out_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/val/test split that is LEAKAGE-SAFE at NEAR-DUPLICATE
+    boundaries: the split key is each document's near-dup CLUSTER
+    representative (minimum reachable id through the ``pairs`` graph —
+    ``clusters.connected_components``), so every member of a near-dup
+    cluster lands in the SAME split. ``hash_split(by_col=...)`` stops
+    leakage at a metadata boundary (domain, source); this stops it at
+    the CONTENT boundary the dedup tiers actually measure — the
+    canonical eval-contamination failure is a near-identical pair
+    straddling train/test that no source column reveals.
+
+    ``pairs`` is any near-dup pair frame (MinHash / SimHash / semantic
+    / edit-distance tiers all produce one), so the leakage definition
+    is exactly the tier's similarity definition. Docs in no pair key on
+    their own id — identical to ``hash_split``. Membership stays a
+    pure function of (seed, cluster representative): append-stable for
+    new SINGLETON docs; a new doc that joins an existing cluster
+    adopts that cluster's split (its representative), and only a pair
+    MERGING two existing clusters can move previously-assigned rows —
+    the unavoidable price of the no-straddle invariant.
+
+    Scale shape: components resolve via the hybrid driver/distributed
+    walk (bounded pair sets — the dedup-tier contract — localize), one
+    left join attaches representatives, and the split itself is the
+    same no-shuffle hash-mod projection as ``hash_split``."""
+    from .clusters import connected_components
+
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("id").alias("__cc_id"),
+        F.col("cluster_id").alias("__cc_rep"),
+    )
+    joined = df.join(
+        comp, F.col(id_col).eqNullSafe(F.col("__cc_id")), "left"
+    ).withColumn(
+        "__split_key",
+        F.coalesce(F.col("__cc_rep"), F.col(id_col)).cast("string"),
+    )
+    out = hash_split(
+        joined, id_col=id_col, weights=weights, seed=seed,
+        out_col=out_col, by_col="__split_key",
+    )
+    return out.drop("__cc_id", "__cc_rep", "__split_key")

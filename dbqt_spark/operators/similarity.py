@@ -1268,6 +1268,7 @@ def ivf_knn_join(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: "str | None" = None,
+    min_cosine: "float | None" = None,
 ) -> DataFrame:
     """Batch kNN JOIN through the IVF structure: top-``k`` corpus
     neighbors for EVERY query row — the missing shape next to the
@@ -1275,6 +1276,15 @@ def ivf_knn_join(
     driver-side; a million-query batch needs the assignment to stay in
     the cluster). Semantic retrieval eval sets, cross-corpus semantic
     dedup, and embedding-join enrichment are all this operator.
+
+    ``min_cosine`` filters scored candidates BEFORE the per-query
+    ranking window: when the caller only wants matches above a
+    threshold (the semantic-gate shape — "is anything accepted this
+    close?"), the window's shuffle input shrinks from every candidate
+    to the qualifying few, which at scale is the difference between
+    ranking the probed corpus and ranking the answer. Top-k semantics
+    become "top-k among candidates at or above the threshold";
+    queries with none emit no rows.
 
     Scale shape: the query side gets its ``n_probes`` nearest cells
     from the SAME Arrow assignment kernel the index build uses
@@ -1337,6 +1347,8 @@ def ivf_knn_join(
             "cosine"
         ),
     )
+    if min_cosine is not None:
+        scored = scored.filter(F.col("cosine") >= float(min_cosine))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(

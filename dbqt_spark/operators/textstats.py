@@ -1062,3 +1062,101 @@ def lm_score_bigram(
         avg.alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("perplexity"),
     ).orderBy(id_col)
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: "list[str]",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 keyword retrieval over the corpus: top-``k`` docs by
+    BM25 score for ``query_terms`` — the lexical-search baseline every
+    retrieval/RAG pipeline keeps next to its ANN index (hybrid search),
+    and the standard relevance-ranking companion to
+    ``tfidf_keywords``'s per-doc extraction.
+
+    Formula (Robertson/Sparck-Jones with the Lucene non-negative idf):
+    ``score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b +
+    b*dl/avgdl))`` with ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``dl`` the doc's token count and ``avgdl`` the corpus mean.
+
+    Scale shape: tokens are lowercased whitespace terms; the per-doc
+    scan keeps ONLY query-term token rows (the filter happens inside
+    the projection, so the exploded frame is |matches|, not corpus
+    tokens), one groupBy(doc, term) for tf, two tiny broadcast joins
+    fold in df(t) and the (N, avgdl) scalars; final ranking is a
+    TakeOrdered top-k, never a full sort. Determinism: per-term
+    contributions round to 7 and sum as DECIMAL(25,8) (the
+    order-independent float trick every avg in this module uses), so
+    a DuckDB oracle reproduces scores bit-for-bit. Ties break
+    (score DESC, id ASC); docs matching no term emit nothing."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = sorted({t.lower() for t in query_terms if t})
+    if not terms:
+        raise ValueError("query_terms must contain at least one term")
+    spark = df.sparkSession
+    toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    base = df.select(
+        F.col(id_col), toks.alias("__toks")
+    ).select(
+        id_col,
+        F.size("__toks").alias("__dl"),
+        F.filter(
+            F.col("__toks"), lambda t: t.isin(*terms)
+        ).alias("__hits"),
+    )
+    # corpus scalars in the same scan shape: N and avgdl
+    stats_row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__dl").alias("tot"),
+    ).collect()[0]
+    n_docs, total_len = stats_row["n"], stats_row["tot"] or 0
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} long, score double"
+        )
+    avgdl = total_len / n_docs
+    tf = (
+        base.filter(F.size("__hits") > 0)
+        .select(id_col, "__dl", F.explode("__hits").alias("__t"))
+        .groupBy(id_col, "__dl", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    dfreq = (
+        tf.groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("__tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("__tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("__dl") / F.lit(float(avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .select(
+            id_col,
+            F.round(contrib, 7).cast("decimal(25,8)").alias("__c"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("__c").cast("double"), 4).alias("score")
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)

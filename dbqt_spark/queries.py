@@ -4905,6 +4905,137 @@ ORDER BY vec_id
 """
 
 
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split at NEAR-DUP CLUSTER boundaries
+    (operators/sampling.cluster_safe_split): exact brute-force cosine
+    pairs at 0.42 over the embeddings -> connected components -> split
+    keyed on each doc's cluster representative, so no near-dup pair
+    straddles train/test. Pairs are built EXACTLY (JVM zip_with brute
+    force at this SF) so the DuckDB reachability + md5-split oracle is
+    a bit-for-bit twin."""
+    from .operators.sampling import cluster_safe_split
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__e")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.__e", "b.__e", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = F.round(dot / (norm(F.col("a.__e")) * norm(F.col("b.__e"))), 4)
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("__c"),
+        )
+        .filter(F.col("__c") >= 0.42)
+        .select("id_a", "id_b")
+    )
+    return cluster_safe_split(emb, pairs, id_col="vec_id").select(
+        "vec_id", "split"
+    ).orderBy("vec_id")
+
+
+SQL_CLUSTER_SAFE_SPLIT = """
+WITH RECURSIVE
+v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.42
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+keyed AS (
+  SELECT emb.vec_id,
+         CAST(coalesce(comp.rep, emb.vec_id) AS VARCHAR) AS k
+  FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
+)
+SELECT vec_id,
+  CASE WHEN b < 8000 THEN 'train'
+       WHEN b < 9000 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT vec_id,
+    ('0x' || substr(md5('42:' || k), 1, 15))::UBIGINT % 10000 AS b
+  FROM keyed
+) ORDER BY vec_id
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval (operators/textstats.bm25_search):
+    top-20 docs for a 3-term query — matched-token-only explode, tiny
+    broadcast df(t)/corpus-stats joins, TakeOrdered top-k; per-term
+    contributions round-7/decimal-sum so DuckDB reproduces every score
+    bit-for-bit."""
+    from .operators.textstats import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, ["spark", "data", "window"], k=20)
+
+
+SQL_BM25_SEARCH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(len(list_filter(string_split_regex(lower(text),
+                                                        '\s+'),
+                                     x -> x <> '')))
+          FROM documents) AS tot
+),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks
+  WHERE t IN ('data', 'spark', 'window') GROUP BY doc_id, t
+),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+sc AS (
+  SELECT tf.doc_id,
+    CAST(round(
+      ln(1 + (c.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        * (tf.tf * 2.2)
+        / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl
+                          / (CAST(c.tot AS DOUBLE) / c.n))),
+      7) AS DECIMAL(25,8)) AS contrib
+  FROM tf JOIN dfreq USING (t) JOIN dl d ON d.doc_id = tf.doc_id, corpus c
+)
+SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 4) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-GROUP exact interpolated p25/p50/p75 of events.value via the
     grouped range-refinement engine (the size-gated big arm behind
@@ -5342,6 +5473,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "scalable_percentiles": q_scalable_percentiles,
     "group_percentiles": q_group_percentiles,
+    "bm25_search": q_bm25_search,
+    "cluster_safe_split": q_cluster_safe_split,
     "ivf_filtered_topk": q_ivf_filtered_topk,
     "strip_markup": q_strip_markup,
     "group_token_budget": q_group_token_budget,
@@ -5472,6 +5605,8 @@ ORACLES: dict[str, str] = {
     "readability": SQL_READABILITY,
     "scalable_percentiles": SQL_SCALABLE_PERCENTILES,
     "group_percentiles": SQL_GROUP_PERCENTILES,
+    "bm25_search": SQL_BM25_SEARCH,
+    "cluster_safe_split": SQL_CLUSTER_SAFE_SPLIT,
     "ivf_filtered_topk": SQL_IVF_FILTERED_TOPK,
     "strip_markup": SQL_STRIP_MARKUP,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,

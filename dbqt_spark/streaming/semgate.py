@@ -225,13 +225,18 @@ def semantic_gate_batch(
                 ),
                 assigned,
                 centroids,
-                k=1,
+                # k covers the retried batch's own stored copy (excluded
+                # below) plus one genuine neighbor; min_cosine prunes
+                # everything below the gate threshold BEFORE the
+                # ranking window — the window then shuffles matches,
+                # not the probed corpus
+                k=2,
                 n_probes=n_probes,
                 query_id_col="query_id",
+                min_cosine=threshold,
             )
             # self-match exclusion: a retried batch's own appended copy
             .filter(F.col("query_id") != F.col("vec_id"))
-            .filter(F.col("cosine") >= threshold)
             .select(F.col("query_id").alias("__hit"))
         )
         survivors = survivors.join(

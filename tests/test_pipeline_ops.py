@@ -3012,3 +3012,104 @@ def test_avg_exact_rounding_half_boundaries(spark):
         + " AS x"
     ).fetchone()
     assert o == (1e-06, -1e-06, 2e-06)
+
+
+def test_bm25_search_known_values(spark):
+    """BM25 scores against a hand-replicated reference on a tiny
+    corpus: formula arithmetic (Lucene idf, k1/b saturation), doc
+    matching, tie-break, guards."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from dbqt_spark.operators.textstats import bm25_search
+
+    docs = [
+        (1, "spark data spark engine"),
+        (2, "data pipeline"),
+        (3, "nothing relevant here"),
+        (4, None),
+        (5, "spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_search(
+        df, ["Spark", "data"], k=10, k1=1.2, b=0.75
+    ).collect()}
+    assert 3 not in got and 4 not in got
+
+    # reference implementation (python floats mirror the JVM doubles)
+    n = 5
+    lens = {1: 4, 2: 2, 3: 3, 4: 0, 5: 1}
+    avgdl = sum(lens.values()) / n
+    tfs = {1: {"spark": 2, "data": 1}, 2: {"data": 1}, 5: {"spark": 1}}
+    dfreq = {"spark": 2, "data": 2}
+    want = {}
+    for d, terms in tfs.items():
+        s = Decimal(0)
+        for t, tf in sorted(terms.items()):
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            c = idf * (tf * 2.2) / (
+                tf + 1.2 * (0.25 + 0.75 * lens[d] / avgdl)
+            )
+            s += Decimal(repr(round(c, 7)))
+        want[d] = float(
+            Decimal(repr(float(s))).quantize(
+                Decimal("0.0001"), ROUND_HALF_UP
+            )
+        )
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        bm25_search(df, ["spark"], k=0)
+    with _pytest.raises(ValueError, match="at least one term"):
+        bm25_search(df, [])
+    # empty corpus -> empty result, stable schema
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_search(empty, ["spark"]).collect() == []
+
+
+def test_cluster_safe_split_no_straddle(spark):
+    """The leakage invariant: every near-dup pair (and every chained
+    cluster) lands wholly inside ONE split; singletons match plain
+    hash_split; appending singletons never moves existing rows."""
+    from dbqt_spark.operators.sampling import cluster_safe_split, hash_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    # chain 0-1-2 (no 0-2 pair), pair 10-11, and everything else single
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["split"]
+        for r in cluster_safe_split(docs, pairs).collect()
+    }
+    assert len(got) == 40
+    assert got[0] == got[1] == got[2]       # transitive chain together
+    assert got[10] == got[11]
+    # singletons == hash_split keyed on their own id (string key)
+    base = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs.withColumn(
+                "k", docs["doc_id"].cast("string")
+            ),
+            by_col="k",
+        ).collect()
+    }
+    clustered = {0, 1, 2, 10, 11}
+    assert all(
+        got[i] == base[i] for i in range(40) if i not in clustered
+    )
+    # the cluster's shared split is the REPRESENTATIVE's own split
+    assert got[0] == base[0] and got[10] == base[10]
+    # append-stability: a bigger frame with extra singletons keeps
+    # every existing assignment
+    docs2 = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    got2 = {
+        r["doc_id"]: r["split"]
+        for r in cluster_safe_split(docs2, pairs).collect()
+    }
+    assert all(got2[i] == got[i] for i in range(40))
