@@ -1099,7 +1099,6 @@ def bm25_search(
     terms = sorted({t.lower() for t in query_terms if t})
     if not terms:
         raise ValueError("query_terms must contain at least one term")
-    spark = df.sparkSession
     toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     base = df.select(
         F.col(id_col), toks.alias("__toks")
@@ -1110,17 +1109,17 @@ def bm25_search(
             F.col("__toks"), lambda t: t.isin(*terms)
         ).alias("__hits"),
     )
-    # corpus scalars in the same scan shape: N and avgdl
-    stats_row = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("__dl").alias("tot"),
-    ).collect()[0]
-    n_docs, total_len = stats_row["n"], stats_row["tot"] or 0
-    if n_docs == 0:
-        return spark.createDataFrame(
-            [], f"{id_col} long, score double"
-        )
-    avgdl = total_len / n_docs
+    # corpus scalars (N, avgdl) as a broadcast one-row frame — kept
+    # LAZY (cross join) so the whole search is one plan and the corpus
+    # is scanned once for stats and once for matches, with no driver
+    # sync point between them
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (
+            F.coalesce(F.sum("__dl"), F.lit(0)).cast("double")
+            / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
+        ).alias("__avgdl"),
+    )
     tf = (
         base.filter(F.size("__hits") > 0)
         .select(id_col, "__dl", F.explode("__hits").alias("__t"))
@@ -1133,7 +1132,7 @@ def bm25_search(
     )
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        + (F.col("__n") - F.col("__df") + F.lit(0.5))
         / (F.col("__df") + F.lit(0.5))
     )
     contrib = idf * (
@@ -1143,11 +1142,12 @@ def bm25_search(
         + F.lit(k1)
         * (
             F.lit(1.0 - b)
-            + F.lit(b) * F.col("__dl") / F.lit(float(avgdl))
+            + F.lit(b) * F.col("__dl") / F.col("__avgdl")
         )
     )
     scored = (
         tf.join(F.broadcast(dfreq), "__t")
+        .crossJoin(F.broadcast(stats))
         .select(
             id_col,
             F.round(contrib, 7).cast("decimal(25,8)").alias("__c"),
