@@ -1160,3 +1160,132 @@ def bm25_search(
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021, Table A1) —
+    the canonical pre-training document filter downstream of
+    language-ID: per-doc structural signals plus a ``passes`` verdict
+    under the paper's default thresholds (every threshold a
+    parameter). Complements the continuous ``quality_scores``
+    composite with the hard gates production corpus pipelines
+    (Gopher, RefinedWeb, Dolma) actually apply.
+
+    Signals: word count bounds; mean word length bounds; symbol-to-
+    word ratio ('#' characters and '...' occurrences per word);
+    bullet-point line fraction; ellipsis-terminated line fraction;
+    fraction of words containing an alphabetic character; and the two
+    line-repetition signals — duplicate-line fraction (non-first
+    occurrences over non-empty lines) and duplicate-line CHARACTER
+    fraction (characters inside those repeated occurrences).
+
+    Scale shape: pure JVM expressions over the token/line arrays —
+    one narrow scan, no shuffle, no UDF, O(tokens + lines) per doc
+    (the repetition signals reduce to distinct-count identities, not
+    per-distinct rescans). All ratios round to 4 and ``passes`` is
+    evaluated on the ROUNDED values, so a SQL oracle reproduces every
+    verdict bit-for-bit."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = tokens_col(text)
+    n_words = F.size(words)
+    total_word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(
+        n_words > 0, total_word_chars.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = (
+        F.length(text)
+        - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.rlike(r"^[-*•]"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(
+            F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
+        ).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    distinct_lines = F.array_distinct(lines)
+    # non-first occurrences == n_lines - n_distinct (O(L), no
+    # per-distinct rescan)
+    dup_occurrences = n_lines - F.size(distinct_lines)
+    dup_line_frac = F.when(
+        n_lines > 0, dup_occurrences.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    total_line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+    # chars inside repeated occurrences == total - one copy of each
+    # distinct line
+    dup_chars = total_line_chars - F.aggregate(
+        distinct_lines, F.lit(0), lambda acc, d: acc + F.length(d)
+    )
+    dup_line_char_frac = F.when(
+        total_line_chars > 0,
+        dup_chars.cast("double") / total_line_chars,
+    ).otherwise(F.lit(0.0))
+
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        F.round(dup_line_char_frac, 4).alias("dup_line_char_frac"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+    )
+    return out.withColumn("passes", passes)

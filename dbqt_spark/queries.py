@@ -4905,6 +4905,94 @@ ORDER BY vec_id
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule bundle (operators/textstats.gopher_rules)
+    over a CONSTRUCTED multi-line wrapper (the corpus is single-line,
+    so the query appends bullet lines, a duplicated line pair, and an
+    ellipsis terminator — every rule fires on real structure the
+    oracle replays byte-for-byte)."""
+    from .operators.textstats import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text, '\n- first bullet\n* second bullet\n', "
+            "substr(text, 1, 40), '\n', substr(text, 1, 40), "
+            "'\nto be continued...')"
+        ).alias("text"),
+    )
+    return gopher_rules(docs).orderBy("doc_id")
+
+
+SQL_GOPHER_RULES = r"""
+WITH wrapped AS (
+  SELECT doc_id,
+    text || chr(10) || '- first bullet' || chr(10) || '* second bullet'
+         || chr(10) || substr(text, 1, 40) || chr(10)
+         || substr(text, 1, 40) || chr(10) || 'to be continued...' AS t
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS words,
+    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lines,
+    strlen(t) - strlen(replace(t, '#', '')) AS n_hash,
+    (strlen(t) - strlen(replace(t, '...', ''))) / 3 AS n_ell
+  FROM wrapped
+),
+calc AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    CASE WHEN len(words) > 0 THEN
+      CAST(list_aggregate(list_transform(words, w -> strlen(w)), 'sum')
+           AS DOUBLE) / len(words) ELSE 0.0 END AS mwl,
+    CASE WHEN len(words) > 0 THEN
+      CAST(n_hash + n_ell AS DOUBLE) / len(words) ELSE 0.0 END AS sym,
+    CASE WHEN len(lines) > 0 THEN
+      CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+           AS DOUBLE) / len(lines) ELSE 0.0 END AS bullet,
+    CASE WHEN len(lines) > 0 THEN
+      CAST(len(list_filter(lines,
+                           l -> regexp_matches(l, '(\.\.\.|…)$')))
+           AS DOUBLE) / len(lines) ELSE 0.0 END AS ell,
+    CASE WHEN len(words) > 0 THEN
+      CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+           AS DOUBLE) / len(words) ELSE 0.0 END AS alpha,
+    CASE WHEN len(lines) > 0 THEN
+      CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        / len(lines) ELSE 0.0 END AS dlf,
+    CASE WHEN list_aggregate(list_transform(lines, l -> strlen(l)),
+                             'sum') > 0 THEN
+      CAST(list_aggregate(list_transform(lines, l -> strlen(l)), 'sum')
+           - list_aggregate(list_transform(list_distinct(lines),
+                                           l -> strlen(l)), 'sum')
+           AS DOUBLE)
+        / list_aggregate(list_transform(lines, l -> strlen(l)), 'sum')
+      ELSE 0.0 END AS dlcf
+  FROM sig
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  round(mwl, 4) AS mean_word_len,
+  round(sym, 4) AS symbol_word_ratio,
+  round(bullet, 4) AS bullet_line_frac,
+  round(ell, 4) AS ellipsis_line_frac,
+  round(alpha, 4) AS alpha_word_frac,
+  round(dlf, 4) AS dup_line_frac,
+  round(dlcf, 4) AS dup_line_char_frac,
+  (n_words >= 50 AND n_words <= 100000
+   AND round(mwl, 4) >= 3.0 AND round(mwl, 4) <= 10.0
+   AND round(sym, 4) <= 0.1
+   AND round(bullet, 4) <= 0.9
+   AND round(ell, 4) <= 0.3
+   AND round(alpha, 4) >= 0.8
+   AND round(dlf, 4) <= 0.3
+   AND round(dlcf, 4) <= 0.2) AS passes
+FROM calc ORDER BY doc_id
+"""
+
+
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe split at NEAR-DUP CLUSTER boundaries
     (operators/sampling.cluster_safe_split): exact brute-force cosine
@@ -5475,6 +5563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_percentiles": q_group_percentiles,
     "bm25_search": q_bm25_search,
     "cluster_safe_split": q_cluster_safe_split,
+    "gopher_rules": q_gopher_rules,
     "ivf_filtered_topk": q_ivf_filtered_topk,
     "strip_markup": q_strip_markup,
     "group_token_budget": q_group_token_budget,
@@ -5607,6 +5696,7 @@ ORACLES: dict[str, str] = {
     "group_percentiles": SQL_GROUP_PERCENTILES,
     "bm25_search": SQL_BM25_SEARCH,
     "cluster_safe_split": SQL_CLUSTER_SAFE_SPLIT,
+    "gopher_rules": SQL_GOPHER_RULES,
     "ivf_filtered_topk": SQL_IVF_FILTERED_TOPK,
     "strip_markup": SQL_STRIP_MARKUP,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,

@@ -3113,3 +3113,53 @@ def test_cluster_safe_split_no_straddle(spark):
         for r in cluster_safe_split(docs2, pairs).collect()
     }
     assert all(got2[i] == got[i] for i in range(40))
+
+
+def test_gopher_rules_known_values(spark):
+    """Each Gopher gate fires on a purpose-built doc; signals match
+    hand computation; empty/NULL docs fail closed with zeroed
+    ratios."""
+    from dbqt_spark.operators.textstats import gopher_rules
+
+    good = " ".join(["word"] * 60)  # 60 words, mwl 4, all-alpha
+    docs = [
+        (1, good),
+        (2, "short doc"),                          # too few words
+        (3, " ".join(["a"] * 60)),                 # mwl 1 < 3
+        (4, " ".join(["####word"] * 60)),          # symbol ratio 4.0
+        # 3 DISTINCT bullets (identical ones would trip the dup-line
+        # gate) -> 3/4 bullet lines, under the 0.9 cap
+        (5, "- b1\n- b2\n- b3\n" + good),
+        (6, good + "\nline\nline\nline"),          # dup lines
+        (7, " ".join(["123"] * 60)),               # no alpha words
+        (8, ""),
+        (9, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+
+    r1 = rows[1]
+    assert r1["n_words"] == 60 and r1["mean_word_len"] == 4.0
+    assert r1["alpha_word_frac"] == 1.0 and r1["passes"] is True
+    assert rows[2]["passes"] is False
+    assert rows[3]["mean_word_len"] == 1.0 and not rows[3]["passes"]
+    assert rows[4]["symbol_word_ratio"] == 4.0 and not rows[4]["passes"]
+    r5 = rows[5]
+    assert r5["bullet_line_frac"] == 0.75 and r5["passes"] is True
+    r6 = rows[6]
+    # 4 lines, 'line' repeated 3x -> 2 non-first occurrences / 4
+    assert r6["dup_line_frac"] == 0.5 and not r6["passes"]
+    # dup chars: 2 * len('line') = 8 over total line chars
+    total = len(good) + 3 * 4
+    assert r6["dup_line_char_frac"] == round(8 / total, 4)
+    assert rows[7]["alpha_word_frac"] == 0.0 and not rows[7]["passes"]
+    for i in (8, 9):
+        assert rows[i]["n_words"] == 0 and rows[i]["passes"] is False
+        assert rows[i]["dup_line_frac"] == 0.0
+
+    # threshold parameters are live
+    relaxed = {
+        r["doc_id"]: r["passes"]
+        for r in gopher_rules(df, min_words=2).collect()
+    }
+    assert relaxed[2] is True
