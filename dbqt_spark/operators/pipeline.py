@@ -68,6 +68,13 @@ class CurateConfig:
     # out of the quality-quantile estimate
     blocklist: "list[str] | None" = None
     blocklist_mode: str = "token"
+    # optional Gopher structural gate (operators/textstats.
+    # gopher_rules): docs failing the rule bundle are dropped BEFORE
+    # the quality-quantile gate (same reasoning as the blocklist —
+    # structurally-broken docs must not shape the quantile
+    # thresholds). The dict overrides individual thresholds
+    # (e.g. {"min_words": 20}); {} applies the paper defaults.
+    gopher: "dict | None" = None
 
 
 def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
@@ -94,6 +101,17 @@ def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
             df, cfg.blocklist, text_col=cfg.text_col,
             id_col=cfg.id_col, mode=cfg.blocklist_mode,
         )
+
+    # 0b. optional Gopher structural pre-gate: same hard-drop position
+    # as the blocklist — a semi-join on passing ids keeps the chain's
+    # single-scan shape (the rules frame is a narrow projection)
+    if cfg.gopher is not None:
+        from .textstats import gopher_rules
+
+        passing = gopher_rules(
+            df, text_col=cfg.text_col, id_col=cfg.id_col, **cfg.gopher
+        ).filter(F.col("passes")).select(cfg.id_col)
+        df = df.join(passing, cfg.id_col, "left_semi")
 
     # 1. quality gate — keep_all scores the full rows inline and
     # filters against the broadcast thresholds, so the corpus is never

@@ -358,6 +358,21 @@ def test_curate_chain_semantics(spark):
     gated = curate(df, CurateConfig(quality_quantile=0.5))
     assert 3 not in {r["doc_id"] for r in gated.collect()}
 
+    # Gopher structural pre-gate: with a word-count floor only doc
+    # lengths decide — docs 1/2 have 10 words, 5/6 have 11, 3 has 3
+    # and 4 has 8, so the floor selects exactly by length (and the
+    # gate composes with dedup/redact/split unchanged)
+    kept10 = curate(
+        df,
+        CurateConfig(quality_quantile=0.0, gopher={"min_words": 10}),
+    )
+    assert {r["doc_id"] for r in kept10.collect()} == {1, 5, 6}
+    kept11 = curate(
+        df,
+        CurateConfig(quality_quantile=0.0, gopher={"min_words": 11}),
+    )
+    assert {r["doc_id"] for r in kept11.collect()} == {5, 6}
+
 
 def test_curate_single_corpus_scan(spark, sf_dir):
     from dbqt_spark.catalog import load_table
