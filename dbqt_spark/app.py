@@ -51,6 +51,7 @@ TOOLS = [
     "repair",
     "export",
     "layout",
+    "search",
 ]
 
 
@@ -773,6 +774,7 @@ def tool_textstats(argv: list[str]) -> int:
     from .operators.textstats import (
         char_entropy,
         fingerprint,
+        gopher_rules,
         language_id,
         lm_score,
         quality_scores,
@@ -789,6 +791,7 @@ def tool_textstats(argv: list[str]) -> int:
         ("LM Score", lm_score),
         ("Char Entropy", char_entropy),
         ("Readability", readability),
+        ("Gopher Rules", gopher_rules),
     ]
     for title, op in tabs:
         frame = op(df, text_col=args.text_column, id_col=args.id_column)
@@ -798,6 +801,47 @@ def tool_textstats(argv: list[str]) -> int:
     out = args.output or _results_path("textstats")
     report.save(out)
     print(f"Report saved to {out}")
+    return 0
+
+
+def tool_search(argv: list[str]) -> int:
+    """BM25 keyword retrieval from the CLI: rank a table's documents
+    against query terms (operators/textstats.bm25_search) — results to
+    stdout and optionally an HTML report."""
+    p = argparse.ArgumentParser(prog="search")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--query", required=True,
+                   help="space-separated query terms")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("-k", type=int, default=20)
+    p.add_argument("--k1", type=float, default=1.2)
+    p.add_argument("--b", type=float, default=0.75)
+    p.add_argument("--output", help="optional HTML report path")
+    args = p.parse_args(argv)
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    from .operators.textstats import bm25_search
+
+    hits = bm25_search(
+        df, args.query.split(), k=args.k, k1=args.k1, b=args.b,
+        text_col=args.text_column, id_col=args.id_column,
+    ).collect()
+    for r in hits:
+        print(f"{r[args.id_column]}\t{r['score']}")
+    if args.output:
+        from .report.html import HTMLReport
+
+        report = HTMLReport("search")
+        report.add_dataframe_tab(
+            "BM25", db.spark.createDataFrame(
+                hits, f"{args.id_column} long, score double"
+            )
+        )
+        report.save(args.output)
+        print(f"Report saved to {args.output}")
     return 0
 
 
@@ -1780,6 +1824,7 @@ def main(argv: list[str] | None = None) -> int:
         "repair": tool_repair,
         "export": tool_export,
         "layout": tool_layout,
+        "search": tool_search,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

@@ -241,8 +241,29 @@ def test_textstats_tool(tmp_path, capsys):
     assert rc == 0 and os.path.exists(out)
     html = open(out).read()
     for tab in ("Token Stats", "Quality", "Language ID", "Fingerprints",
-                "LM Score"):
+                "LM Score", "Gopher Rules"):
         assert tab in html
+
+
+def test_search_tool_bm25(tmp_path, capsys):
+    cfg = tmp_path / "conn.yaml"
+    cfg.write_text(
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n"
+    )
+    out = str(tmp_path / "s.html")
+    rc = main(
+        ["search", "--config", str(cfg), "--table", "documents",
+         "--query", "spark data", "-k", "5", "--output", out]
+    )
+    assert rc == 0 and os.path.exists(out)
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if "\t" in ln
+    ]
+    assert 0 < len(lines) <= 5
+    # ranked descending by score
+    scores = [float(ln.split("\t")[1]) for ln in lines]
+    assert scores == sorted(scores, reverse=True)
 
 
 def test_dedup_tool_embedding(tmp_path, capsys):
