@@ -208,6 +208,36 @@ def test_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert full == truth
 
 
+def test_ivf_knn_join_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """The batch kNN JOIN's cell equi-join must reach the
+    cell-partitioned index scan as DYNAMIC partition pruning: the
+    broadcast of the probe side installs a runtime
+    dynamicpruningexpression on the partition column, so at any index
+    size the scan reads only the cells the batch actually probes —
+    never the whole index. Pins Catalyst DPP on this plan shape (a
+    broadcast regression to shuffle join would silently drop it)."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.similarity import (
+        ivf_build,
+        ivf_knn_join,
+        ivf_load,
+        ivf_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=8)
+    ivf_write(assigned, centroids, str(tmp_path / "ivf"))
+    loaded, c2 = ivf_load(spark, str(tmp_path / "ivf"))
+    out = ivf_knn_join(
+        emb.filter("vec_id < 10"), loaded, c2, k=5, n_probes=2
+    )
+    plan = _formatted_plan(out)
+    assert "dynamicpruningexpression" in plan.lower()
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "cell" in part_lines[0]
+    assert "SortMergeJoin" not in plan  # probe side broadcasts
+
+
 def test_lsh_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     """Multi-probe search over a written LSH index enumerates the probe
     buckets driver-side and the scan prunes to those partitions; the
