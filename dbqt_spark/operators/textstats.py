@@ -1289,3 +1289,82 @@ def gopher_rules(
         & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
     )
     return out.withColumn("passes", passes)
+
+
+def script_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc Unicode SCRIPT composition — the triage signal next to
+    ``language_id`` when corpora mix writing systems (a stopword vote
+    cannot tell Cyrillic spam inside an English crawl, a script count
+    can): fraction of script-classified letters in Latin / Cyrillic /
+    Greek / Han / Arabic, plus digit and whitespace fractions over all
+    chars, and the dominant script (argmax; ties break to the
+    lexicographically-last script name, the ``language_id`` tie rule).
+
+    Counts are length-difference regex counts over literal char-range
+    classes (chars, not bytes — Spark ``length`` == DuckDB
+    ``length``), pure codegen, one narrow scan, no shuffle; fractions
+    round to 4. Docs with no script-classified letters report zero
+    fractions and dominant_script NULL."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(text)
+
+    def cnt(cls: str):
+        return n_chars - F.length(F.regexp_replace(text, cls, ""))
+
+    scripts = {
+        "arabic": "[؀-ۿ]",
+        "cyrillic": "[Ѐ-ӿ]",
+        "greek": "[Ͱ-Ͽ]",
+        "han": "[一-鿿]",
+        "latin": "[A-Za-zÀ-ɏ]",
+    }
+    counts = {name: cnt(cls) for name, cls in scripts.items()}
+    letters = None
+    for c in counts.values():
+        letters = c if letters is None else letters + c
+    digit_cnt = cnt("[0-9]")
+    ws_cnt = cnt(r"\s")
+
+    def frac(c):
+        return F.round(
+            F.when(letters > 0, c.cast("double") / letters).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        )
+
+    dominant = F.when(
+        letters > 0,
+        F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        counts[name].cast("long").alias("n"),
+                        F.lit(name).alias("script"),
+                    )
+                    for name in sorted(scripts)
+                ]
+            )
+        )["script"],
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        *[
+            frac(counts[name]).alias(f"{name}_frac")
+            for name in sorted(scripts)
+        ],
+        F.round(
+            F.when(n_chars > 0, digit_cnt.cast("double") / n_chars)
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("digit_frac"),
+        F.round(
+            F.when(n_chars > 0, ws_cnt.cast("double") / n_chars)
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("whitespace_frac"),
+        dominant.alias("dominant_script"),
+    )

@@ -4905,6 +4905,76 @@ ORDER BY vec_id
 """
 
 
+def q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script composition (operators/textstats.script_stats)
+    over a mixed-script wrapper (the corpus is Latin-only, so the
+    query appends Cyrillic/Greek/Han/Arabic spans + digits — every
+    fraction and the dominant-script argmax go live; the oracle
+    replays the same char-class counts)."""
+    from .operators.textstats import script_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' Привет αβγ 你好世界 مرحبا 12345')"
+        ).alias("text"),
+    )
+    return script_stats(docs).orderBy("doc_id")
+
+
+SQL_SCRIPT_STATS = """
+WITH wrapped AS (
+  SELECT doc_id, text || ' Привет αβγ 你好世界 مرحبا 12345' AS t
+  FROM documents
+),
+cnts AS (
+  SELECT doc_id, length(t) AS n_chars,
+    length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS c_ar,
+    length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS c_cy,
+    length(t) - length(regexp_replace(t, '[Ͱ-Ͽ]', '', 'g')) AS c_gr,
+    length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS c_ha,
+    length(t) - length(regexp_replace(t, '[A-Za-zÀ-ɏ]', '', 'g')) AS c_la,
+    length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS c_dg,
+    length(t) - length(regexp_replace(t, '\\s', '', 'g')) AS c_ws
+  FROM wrapped
+),
+calc AS (
+  SELECT *, c_ar + c_cy + c_gr + c_ha + c_la AS letters FROM cnts
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  round(CASE WHEN letters > 0
+             THEN CAST(c_ar AS DOUBLE) / letters ELSE 0.0 END, 4)
+    AS arabic_frac,
+  round(CASE WHEN letters > 0
+             THEN CAST(c_cy AS DOUBLE) / letters ELSE 0.0 END, 4)
+    AS cyrillic_frac,
+  round(CASE WHEN letters > 0
+             THEN CAST(c_gr AS DOUBLE) / letters ELSE 0.0 END, 4)
+    AS greek_frac,
+  round(CASE WHEN letters > 0
+             THEN CAST(c_ha AS DOUBLE) / letters ELSE 0.0 END, 4)
+    AS han_frac,
+  round(CASE WHEN letters > 0
+             THEN CAST(c_la AS DOUBLE) / letters ELSE 0.0 END, 4)
+    AS latin_frac,
+  round(CASE WHEN n_chars > 0
+             THEN CAST(c_dg AS DOUBLE) / n_chars ELSE 0.0 END, 4)
+    AS digit_frac,
+  round(CASE WHEN n_chars > 0
+             THEN CAST(c_ws AS DOUBLE) / n_chars ELSE 0.0 END, 4)
+    AS whitespace_frac,
+  CASE WHEN letters > 0 THEN list_max([
+    struct_pack(n := c_ar, s := 'arabic'),
+    struct_pack(n := c_cy, s := 'cyrillic'),
+    struct_pack(n := c_gr, s := 'greek'),
+    struct_pack(n := c_ha, s := 'han'),
+    struct_pack(n := c_la, s := 'latin')
+  ]).s END AS dominant_script
+FROM calc ORDER BY doc_id
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule bundle (operators/textstats.gopher_rules)
     over a CONSTRUCTED multi-line wrapper (the corpus is single-line,
@@ -5564,6 +5634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "cluster_safe_split": q_cluster_safe_split,
     "gopher_rules": q_gopher_rules,
+    "script_stats": q_script_stats,
     "ivf_filtered_topk": q_ivf_filtered_topk,
     "strip_markup": q_strip_markup,
     "group_token_budget": q_group_token_budget,
@@ -5697,6 +5768,7 @@ ORACLES: dict[str, str] = {
     "bm25_search": SQL_BM25_SEARCH,
     "cluster_safe_split": SQL_CLUSTER_SAFE_SPLIT,
     "gopher_rules": SQL_GOPHER_RULES,
+    "script_stats": SQL_SCRIPT_STATS,
     "ivf_filtered_topk": SQL_IVF_FILTERED_TOPK,
     "strip_markup": SQL_STRIP_MARKUP,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,

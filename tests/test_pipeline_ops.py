@@ -3178,3 +3178,31 @@ def test_gopher_rules_known_values(spark):
         for r in gopher_rules(df, min_words=2).collect()
     }
     assert relaxed[2] is True
+
+
+def test_script_stats_known_values(spark):
+    from dbqt_spark.operators.textstats import script_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello мир"),       # 5 latin letters, 3 cyrillic
+            (2, "你好"),             # pure han
+            (3, "12345 !!"),        # no letters
+            (4, None),
+            (5, "αα яя"),           # greek/cyrillic tie -> 'greek'
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in script_stats(df).collect()}
+    r1 = rows[1]
+    assert r1["latin_frac"] == 0.625 and r1["cyrillic_frac"] == 0.375
+    assert r1["dominant_script"] == "latin"
+    assert r1["whitespace_frac"] == round(1 / 9, 4)
+    assert rows[2]["han_frac"] == 1.0
+    assert rows[2]["dominant_script"] == "han"
+    r3 = rows[3]
+    assert r3["latin_frac"] == 0.0 and r3["dominant_script"] is None
+    assert r3["digit_frac"] == round(5 / 8, 4)
+    assert rows[4]["n_chars"] == 0 and rows[4]["dominant_script"] is None
+    # equal counts: lexicographically-last script wins (documented)
+    assert rows[5]["dominant_script"] == "greek"
