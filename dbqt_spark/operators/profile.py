@@ -194,23 +194,34 @@ def profile_numeric(
     scalable = route_percentiles_scalable(df, percentile_mode)
     pct_lits: dict = {}
     if scalable:
-        # one bounded refinement per column (exact, never buffering);
-        # values splice into the SAME stack arithmetic as literals, so
-        # rounding stays Spark-side and the output is bit-identical
-        for c in cols:
-            vals = {
-                r["q"]: r["value"]
-                for r in scalable_percentiles(
-                    df, c, qs=(0.25, 0.5, 0.75)
-                ).collect()
-            }
-            pct_lits[c] = [
+        # ONE joint refinement for every column (exact, never
+        # buffering): the columns unpivot to (col_name, value) and the
+        # GROUPED engine walks all of them together — one bounds pass
+        # + ~1-2 histogram aggregates total, instead of a full
+        # refinement per column. Values splice into the SAME stack
+        # arithmetic as literals, so rounding stays Spark-side and the
+        # output is bit-identical to the buffering arm.
+        stack_src = ", ".join(
+            f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols
+        )
+        unpivot = df.selectExpr(
+            f"stack({len(cols)}, {stack_src}) AS (__col, __val)"
+        )
+        vals: dict = {c: {} for c in cols}
+        for r in scalable_group_percentiles(
+            unpivot, "__val", "__col", qs=(0.25, 0.5, 0.75)
+        ).collect():
+            vals[r["__col"]][r["q"]] = r["value"]
+        pct_lits = {
+            c: [
                 # explicit cast: a bare float literal parses as DECIMAL
                 "CAST(NULL AS DOUBLE)"
-                if vals[q] is None
-                else f"CAST({vals[q]!r} AS DOUBLE)"
+                if vals[c].get(q) is None
+                else f"CAST({vals[c][q]!r} AS DOUBLE)"
                 for q in (0.25, 0.5, 0.75)
             ]
+            for c in cols
+        }
 
     parts = []
     for chunk in _chunk(cols, 6):
