@@ -1218,6 +1218,110 @@ def knn_join_brute(
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_size: int = 1024,
+    n_blocks: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT all-pairs cosine pairs above ``threshold`` (compared on the
+    value ROUNDED to 4 decimals, matching the oracle convention of the
+    other pair tiers) via a BLOCKED matmul: rows hash into ``n_blocks``
+    blocks, and every block PAIR (i <= j) becomes ONE Arrow task that
+    scores its slab of the cosine matrix in a single BLAS call. Every
+    row pair falls in exactly one block pair, so exactness is
+    structural — this is the exact sibling of
+    ``embedding_near_dup_pairs`` (LSH blocking, probabilistic recall
+    floor) and ``kmeans.semantic_near_dup_pairs`` (cluster blocking,
+    intra-cell only).
+
+    Cost is the honest O(n^2) FLOPs of exact all-pairs, organized as
+    (n/B choose 2) + n/B tasks of O(B^2 d) each with shuffle volume
+    n x n_blocks rows (each row is replicated to every block pair that
+    touches its block). That is the right SHAPE for exactness-contract
+    workloads (split-leakage audits, brute-force recall twins,
+    oracle baselines) — at corpus scale prefer the LSH/SemDeDup tiers.
+    The JVM alternative (cross join + per-pair ``zip_with`` fold)
+    re-evaluates a d-element lambda chain per candidate — measured
+    ~25x slower at sf0.1 (68 s -> 2.6 s for cluster_safe_split).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b; ids must be unique
+    int64. ``n_blocks=None`` derives ceil(n / block_size) via one
+    count job."""
+    if n_blocks is None:
+        n_blocks = max(1, math.ceil(df.count() / float(block_size)))
+    spark = df.sparkSession
+    rows = df.select(
+        F.col(id_col).cast("long").alias("__pid"),
+        F.col(vec_col).alias("__pv"),
+        F.pmod(
+            F.xxhash64(F.concat_ws(":", F.lit(int(seed)),
+                                   F.col(id_col).cast("string"))),
+            F.lit(int(n_blocks)),
+        ).cast("int").alias("__blk"),
+    )
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "__bi int, __bj int",
+    )
+    # tiny non-equi join: every row lands in each block pair touching
+    # its block (once for the diagonal pair __bi == __bj)
+    rep = rows.join(
+        F.broadcast(bp),
+        (F.col("__blk") == F.col("__bi")) | (F.col("__blk") == F.col("__bj")),
+    )
+
+    def pair_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        bi = int(pdf["__bi"].iloc[0])
+        bj = int(pdf["__bj"].iloc[0])
+        ids = pdf["__pid"].to_numpy()
+        M = np.array(pdf["__pv"].tolist(), dtype=np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        if bi == bj:
+            C = (M @ M.T) / np.outer(norms, norms)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            a_ids, b_ids = ids[iu], ids[ju]
+            vals = C[iu, ju]
+        else:
+            lmask = (pdf["__blk"] == bi).to_numpy()
+            L, R = M[lmask], M[~lmask]
+            if not len(L) or not len(R):
+                return empty
+            C = (L @ R.T) / np.outer(norms[lmask], norms[~lmask])
+            a_ids = np.repeat(ids[lmask], len(R))
+            b_ids = np.tile(ids[~lmask], len(L))
+            vals = C.ravel()
+        rounded = np.round(vals, 4)
+        keep = rounded >= threshold
+        if not keep.any():
+            return empty
+        a, b = a_ids[keep], b_ids[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "id_a": lo.astype("int64"),
+                "id_b": hi.astype("int64"),
+                "cosine": rounded[keep],
+            }
+        )
+
+    return rep.groupBy("__bi", "__bj").applyInPandas(
+        pair_slab, "id_a long, id_b long, cosine double"
+    )
+
+
 def label_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

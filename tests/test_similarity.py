@@ -755,3 +755,75 @@ def test_ivf_knn_join_multi_assign_dedupes_replicas(spark):
         key = (r["query_id"], r["vec_id"])
         assert key not in seen  # replicas never rank twice
         seen[key] = True
+
+
+def test_cosine_pairs_exact_matches_brute_force(spark):
+    """Blocked exact all-pairs == numpy brute force, with multi-block
+    splitting forced (n_blocks=4) so the off-diagonal slab path runs;
+    pair orientation id_a < id_b; compare on the rounded cosine the
+    same way the operator filters."""
+    import random
+
+    import numpy as np
+
+    from dbqt_spark.operators.similarity import cosine_pairs_exact
+
+    random.seed(11)
+    rows = [
+        (i, [random.gauss(0, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    M = np.array(
+        [np.array(v, dtype=np.float32) for _, v in rows], dtype=np.float64
+    )
+    norms = np.sqrt((M * M).sum(axis=1))
+    C = (M @ M.T) / np.outer(norms, norms)
+    iu, ju = np.triu_indices(len(rows), k=1)
+    rounded = np.round(C[iu, ju], 4)
+    keep = rounded >= 0.5
+    truth = {
+        (int(iu[t]), int(ju[t])): float(rounded[t])
+        for t in np.flatnonzero(keep)
+    }
+    assert truth  # the threshold must actually select something
+
+    for n_blocks in (1, 4):
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in cosine_pairs_exact(
+                df, threshold=0.5, n_blocks=n_blocks
+            ).collect()
+        }
+        assert set(got) == set(truth), n_blocks
+        for k in truth:
+            assert abs(got[k] - truth[k]) < 1e-9
+        assert all(a < b for a, b in got)
+
+
+def test_cosine_pairs_exact_edge_inputs(spark):
+    """Empty and single-row inputs return an empty, correctly-typed
+    frame; auto n_blocks derives from block_size."""
+    from dbqt_spark.operators.similarity import cosine_pairs_exact
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    out = cosine_pairs_exact(empty, threshold=0.9)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+
+    one = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert cosine_pairs_exact(one, threshold=-1.0).count() == 0
+
+    # two identical vectors pair at cosine 1.0 regardless of blocking
+    two = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = cosine_pairs_exact(two, threshold=0.99, block_size=1).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == [
+        (1, 2, 1.0)
+    ]
