@@ -180,3 +180,100 @@ def sequence_pack(
             "seq_offset"
         ),
     )
+
+
+def packed_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_token: str = "<|eos|>",
+    sep_tokens: int = 1,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """MATERIALIZE the packed training sequences ``sequence_pack``
+    places: concatenate every doc's whitespace tokens (plus
+    ``sep_tokens`` copies of ``sep_token``) in ``id_col`` order and
+    chunk the stream into ``seq_len``-token rows — the loader side of
+    GPT-style packing, as a DataFrame program instead of a driver
+    loop. Output: (seq_id, text, n_tokens); the final partial
+    sequence is included with its true length.
+
+    Scale shape: placement comes from ``sequence_pack`` (two-phase
+    distributed prefix sum — rows shuffle once); each doc then
+    EXPLODES to only the sequences its span intersects (a doc touches
+    ceil(span/seq_len)+1 sequences, not the stream), contributes the
+    token slice that falls inside each, and one groupBy(seq_id)
+    assembles pieces with an order-deterministic
+    array_sort(collect_list(struct(start, piece))) — the per-sequence
+    state is bounded by seq_len tokens, never a corpus axis. No
+    global window anywhere."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    placed = sequence_pack(
+        df, seq_len, text_col=text_col, id_col=id_col,
+        sep_tokens=sep_tokens, n_buckets=n_buckets,
+    ).select(id_col, "n_tokens", "global_start")
+    toks_plus = F.concat(
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))),
+        F.array_repeat(F.lit(sep_token), sep_tokens),
+    )
+    base = df.select(F.col(id_col), toks_plus.alias("__tp")).join(
+        placed, id_col
+    )
+    span = F.col("n_tokens") + F.lit(int(sep_tokens))
+    # integer `div` (the module's 2^53 rule — double division loses
+    # exactness at ~20T-token offsets)
+    L = int(seq_len)
+    first_seq = F.expr(f"global_start div {L}")
+    last_seq = F.expr(
+        f"(global_start + n_tokens + {int(sep_tokens)} - 1) div {L}"
+    )
+    exploded = (
+        base.withColumn("__span", span)
+        # span-0 rows (empty doc, sep_tokens=0) occupy no sequence —
+        # and would otherwise make F.sequence(first, last) run
+        # BACKWARDS (first > last emits a descending range)
+        .filter(F.col("__span") > 0)
+        .select(
+            F.col(id_col),
+            "__tp",
+            "global_start",
+            "__span",
+            F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        )
+    )
+    seg_start = F.greatest(
+        F.col("global_start"), F.col("seq_id") * F.lit(L)
+    )
+    seg_end = F.least(
+        F.col("global_start") + F.col("__span"),
+        (F.col("seq_id") + 1) * F.lit(L),
+    )
+    piece = F.slice(
+        "__tp",
+        (seg_start - F.col("global_start") + 1).cast("int"),
+        (seg_end - seg_start).cast("int"),
+    )
+    return (
+        exploded.select(
+            "seq_id",
+            F.struct(
+                F.col("global_start").alias("s"), piece.alias("p")
+            ).alias("__sp"),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("__sp")),
+                    lambda x: x["p"],
+                )
+            ).alias("__toks")
+        )
+        .select(
+            F.col("seq_id").cast("long").alias("seq_id"),
+            F.array_join("__toks", " ").alias(text_col),
+            F.size("__toks").cast("long").alias("n_tokens"),
+        )
+    )

@@ -3618,6 +3618,47 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(docs, seq_len=512).orderBy("doc_id")
 
 
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence MATERIALIZATION (operators/packing.py
+    packed_sequences): the loader side of GPT packing — concatenate
+    every doc's whitespace tokens + one EOS in doc_id order, chunk at
+    seq_len=512, return (seq_id, text, n_tokens) per training
+    sequence. Docs explode only to the sequences their span touches
+    (never a global window); the oracle rebuilds the identical stream
+    with a window cumsum + zipped unnest + positional group-concat."""
+    from .operators.packing import packed_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packed_sequences(docs, seq_len=512).orderBy("seq_id")
+
+
+SQL_PACKED_SEQUENCES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_concat(
+           list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                       x -> x <> ''),
+           ['<|eos|>']) AS tp
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, tp,
+         CAST(coalesce(SUM(len(tp)) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS gs
+  FROM toks
+),
+flat AS (
+  SELECT gs + unnest(range(len(tp))) AS pos, unnest(tp) AS tok
+  FROM placed
+)
+SELECT CAST(pos // 512 AS BIGINT) AS seq_id,
+       string_agg(tok, ' ' ORDER BY pos) AS text,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM flat GROUP BY 1 ORDER BY seq_id
+"""
+
+
 SQL_SEQUENCE_PACK = r"""
 WITH counted AS (
   SELECT doc_id,
@@ -5584,6 +5625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_first_wins": q_dedup_first_wins,
     "line_dedup": q_line_dedup,
     "sequence_pack": q_sequence_pack,
+    "packed_sequences": q_packed_sequences,
     "quantile_histogram": q_quantile_histogram,
     "ppl_buckets": q_ppl_buckets,
     "incremental_profile": q_incremental_profile,
@@ -5717,6 +5759,7 @@ ORACLES: dict[str, str] = {
     "dedup_first_wins": SQL_DEDUP_FIRST_WINS,
     "line_dedup": SQL_LINE_DEDUP,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "packed_sequences": SQL_PACKED_SEQUENCES,
     "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "ppl_buckets": SQL_PPL_BUCKETS,
     "incremental_profile": SQL_INCREMENTAL_PROFILE,

@@ -1495,6 +1495,58 @@ def test_sequence_pack_plan_size_bounded(spark, sf_dir):
     assert "element_at" in big
 
 
+def test_packed_sequences_roundtrip(spark):
+    """Materialized sequences re-concatenate to EXACTLY the packed
+    token stream: tokens in doc order with one EOS after each doc,
+    chunked at seq_len; every sequence but the last is full; a doc
+    spanning a boundary is split at the right token."""
+    from dbqt_spark.operators.packing import packed_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, " ".join(f"t{i}" for i in range(12))),
+            (3, "   "),
+            (4, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = packed_sequences(df, seq_len=10, n_buckets=2).orderBy(
+        "seq_id"
+    ).collect()
+    stream = []
+    for toks in (["a", "b", "c", "d"],
+                 [f"t{i}" for i in range(12)], [], ["x", "y", "z"]):
+        stream += toks + ["<|eos|>"]
+    want = [
+        " ".join(stream[i:i + 10]) for i in range(0, len(stream), 10)
+    ]
+    assert [r["seq_id"] for r in rows] == list(range(len(want)))
+    assert [r["text"] for r in rows] == want
+    assert [r["n_tokens"] for r in rows] == [
+        len(w.split()) for w in want
+    ]
+    # full sequences everywhere except the tail
+    assert all(n == 10 for n in [r["n_tokens"] for r in rows][:-1])
+
+
+def test_packed_sequences_zero_span_guard(spark):
+    """sep_tokens=0 + an empty doc -> span 0: the doc must occupy NO
+    sequence (the unguarded explode would emit a descending
+    F.sequence range and fabricate empty rows)."""
+    from dbqt_spark.operators.packing import packed_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "c d")], ["doc_id", "text"]
+    )
+    rows = packed_sequences(
+        df, seq_len=3, sep_tokens=0, n_buckets=1
+    ).orderBy("seq_id").collect()
+    assert [(r["seq_id"], r["text"], r["n_tokens"]) for r in rows] == [
+        (0, "a b c", 3), (1, "d", 1)
+    ]
+
+
 def test_quantile_histogram_equi_depth_and_ties(spark):
     """Quantile buckets split by rank (a skewed column spreads across
     buckets instead of collapsing into one fixed-width bucket), and a
