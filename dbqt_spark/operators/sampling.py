@@ -820,3 +820,54 @@ def cluster_safe_split(
         out_col=out_col, by_col="__split_key",
     )
     return out.drop("__cc_id", "__cc_rep", "__split_key")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic GLOBAL TRAINING-ORDER SHUFFLE, sharded: every row
+    gets (shard, pos) such that reading shards in order and rows by
+    ``pos`` within each shard visits the corpus in a reproducible
+    pseudo-random permutation — the materialized form of the "shuffle
+    once, stream forever" step before pretraining. ``rand()`` cannot do
+    this (re-runs reshuffle); sorting by a salted builtin hash cannot
+    either (executor-dependent). The permutation key is the portable
+    md5-prefix hash of ``"<seed>:<id>"`` (``hash_split``'s family), so
+    ANY engine reproduces the exact same order and a DuckDB oracle
+    verifies every (shard, pos) bit-for-bit.
+
+    Scale shape: one narrow projection computes the hash, one shuffle
+    on the shard key, and per-shard ``row_number`` windows bounded at
+    ~n/n_shards rows each — ``n_shards`` is the parallelism knob (a
+    100 TB corpus wants tens of thousands; each shard is one training
+    data file). Ties (60-bit hash collisions) break on the id, keeping
+    the order total."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    from .dedup import portable_token_hash
+
+    h = portable_token_hash(
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
+    )
+    w = Window.partitionBy(shard_col).orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn(
+            shard_col, (F.col("__h") % F.lit(int(n_shards))).cast("long")
+        )
+        .withColumn(
+            pos_col, (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+        .drop("__h")
+    )

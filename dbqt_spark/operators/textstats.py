@@ -1368,3 +1368,81 @@ def script_stats(
         ).alias("whitespace_frac"),
         dominant.alias("dominant_script"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    cutoffs: "tuple[int, ...]" = (100, 1_000, 10_000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-V vocabulary COVERAGE curve: for each requested vocabulary
+    size V, what fraction of all corpus tokens the V most frequent
+    (lowercased whitespace) types cover — the tokenizer-budget /
+    OOV-rate planning signal (BPE vocab sizing, stopword budgets,
+    UNK-rate forecasts all read off this curve). One row per cutoff:
+    (vocab_size, n_types, covered_tokens, total_tokens, total_types,
+    coverage, oov_rate), ranked by count desc then term asc (total
+    order -> deterministic cut).
+
+    Scale shape: explode -> map-side-combined term counts (vocabulary-
+    sized, not corpus-sized); the top-max(V) cut is a TakeOrdered
+    (never a full vocab sort); the running-coverage window runs over
+    that BOUNDED max(V)-row frame only; corpus totals are one scalar
+    aggregate folded back by a broadcast cross join. Nothing driver-
+    side, nothing proportional to the corpus."""
+    if not cutoffs or any(int(v) < 1 for v in cutoffs):
+        raise ValueError(f"cutoffs must be positive, got {cutoffs!r}")
+    from pyspark.sql import Window
+
+    cuts = sorted({int(v) for v in cutoffs})
+    toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("__c"))
+    )
+    totals = counts.agg(
+        F.sum("__c").cast("long").alias("__t"),
+        F.count("*").cast("long").alias("__types"),
+    )
+    top = counts.orderBy(F.col("__c").desc(), F.col("term").asc()).limit(
+        cuts[-1]
+    )
+    w = Window.orderBy(F.col("__c").desc(), F.col("term").asc())
+    ranked = top.select(
+        "__c",
+        F.row_number().over(w).alias("__r"),
+        F.sum("__c")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cum"),
+    )
+    spark = df.sparkSession
+    cut_df = spark.createDataFrame(
+        [(int(v),) for v in cuts], "vocab_size long"
+    )
+    per_cut = (
+        ranked.join(
+            F.broadcast(cut_df), F.col("__r") <= F.col("vocab_size")
+        )
+        .groupBy("vocab_size")
+        .agg(
+            F.max("__r").cast("long").alias("n_types"),
+            F.max("__cum").cast("long").alias("covered_tokens"),
+        )
+    )
+    cov = F.col("covered_tokens") / F.col("__t")
+    return (
+        per_cut.crossJoin(F.broadcast(totals))
+        .select(
+            "vocab_size",
+            "n_types",
+            "covered_tokens",
+            F.col("__t").alias("total_tokens"),
+            F.col("__types").alias("total_types"),
+            F.round(cov, 6).alias("coverage"),
+            F.round(
+                (F.col("__t") - F.col("covered_tokens")) / F.col("__t"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("vocab_size")
+    )

@@ -5528,6 +5528,82 @@ FROM r WHERE rn <= 5 ORDER BY query_id, rank
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary coverage curve (operators/textstats.py
+    vocab_coverage): covered-token fraction and OOV rate at vocab
+    sizes 100 / 1000 / 10000 over the lowercased whitespace types —
+    the tokenizer-budget planning signal. Counts collapse map-side;
+    the cumulative window runs only over the bounded top-max(V)
+    frame."""
+    from .operators.textstats import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, cutoffs=(100, 1_000, 10_000))
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS ty
+  FROM counts
+),
+ranked AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c DESC, term ASC) AS r,
+         SUM(c) OVER (ORDER BY c DESC, term ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM counts
+),
+cuts(vocab_size) AS (VALUES (100), (1000), (10000))
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(max(r) AS BIGINT) AS n_types,
+       CAST(max(cum) AS BIGINT) AS covered_tokens,
+       t AS total_tokens,
+       ty AS total_types,
+       round(max(cum) * 1.0 / t, 6) AS coverage,
+       round((t - max(cum)) * 1.0 / t, 6) AS oov_rate
+FROM cuts JOIN ranked ON r <= vocab_size CROSS JOIN tot
+GROUP BY vocab_size, t, ty
+ORDER BY vocab_size
+"""
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training-order shuffle
+    (operators/sampling.shuffle_shards): (shard, pos) from the
+    portable md5-prefix hash of (seed, doc_id) at 8 shards — the
+    reproducible global permutation before pretraining. Pure function
+    of (seed, id): the oracle reproduces every position bit-for-bit."""
+    from .operators.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    ).orderBy("shard", "pos")
+
+
+SQL_SHUFFLE_SHARDS = r"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS UBIGINT) AS hh
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hh % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % 8
+                               ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+FROM h ORDER BY shard, pos
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -5626,6 +5702,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "sequence_pack": q_sequence_pack,
     "packed_sequences": q_packed_sequences,
+    "vocab_coverage": q_vocab_coverage,
+    "shuffle_shards": q_shuffle_shards,
     "quantile_histogram": q_quantile_histogram,
     "ppl_buckets": q_ppl_buckets,
     "incremental_profile": q_incremental_profile,
@@ -5760,6 +5838,8 @@ ORACLES: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "packed_sequences": SQL_PACKED_SEQUENCES,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "ppl_buckets": SQL_PPL_BUCKETS,
     "incremental_profile": SQL_INCREMENTAL_PROFILE,

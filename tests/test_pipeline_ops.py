@@ -3258,3 +3258,69 @@ def test_script_stats_known_values(spark):
     assert rows[4]["n_chars"] == 0 and rows[4]["dominant_script"] is None
     # equal counts: lexicographically-last script wins (documented)
     assert rows[5]["dominant_script"] == "greek"
+
+
+def test_shuffle_shards_permutation_contract(spark):
+    """(shard, pos) is a total, gap-free permutation: every shard's
+    positions are 0..n_s-1; assignment is a pure function of
+    (seed, id) — re-runs and row-order changes reproduce it; a
+    different seed yields a different permutation."""
+    from dbqt_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], ["doc_id", "text"]
+    )
+    out = shuffle_shards(df, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # determinism across input order
+    again = shuffle_shards(
+        df.orderBy(F.col("doc_id").desc()), n_shards=4
+    ).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+    other = shuffle_shards(df, n_shards=4, seed=7).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in other} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+    # n_shards=1 degenerates to one global reproducible order
+    one = shuffle_shards(df, n_shards=1).collect()
+    assert sorted(r["pos"] for r in one) == list(range(200))
+
+
+def test_vocab_coverage_known_answer(spark):
+    """Hand-checkable corpus: counts a:5 b:3 c:1 d:1 (total 10,
+    4 types); ranking ties break term-asc, so V=3 covers a+b+c=9."""
+    from dbqt_spark.operators.textstats import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a A b a"), (2, "b a c b"), (3, "a d")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["vocab_size"]: r
+        for r in vocab_coverage(df, cutoffs=(1, 3, 10)).collect()
+    }
+    assert rows[1]["n_types"] == 1
+    assert rows[1]["covered_tokens"] == 5
+    assert rows[1]["total_tokens"] == 10
+    assert rows[1]["total_types"] == 4
+    assert rows[1]["coverage"] == 0.5
+    assert rows[1]["oov_rate"] == 0.5
+    assert rows[3]["covered_tokens"] == 9  # a + b + c (tie c<d)
+    # cutoff beyond the vocab covers everything with all 4 types
+    assert rows[10]["n_types"] == 4
+    assert rows[10]["coverage"] == 1.0 and rows[10]["oov_rate"] == 0.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        vocab_coverage(df, cutoffs=())
+    with pytest.raises(ValueError):
+        vocab_coverage(df, cutoffs=(0, 5))
