@@ -39,6 +39,7 @@ TOOLS = [
     "textstats",
     "decontaminate",
     "split",
+    "shuffle",
     "curate",
     "sample",
     "profile",
@@ -798,6 +799,12 @@ def tool_textstats(argv: list[str]) -> int:
         report.add_dataframe_tab(
             title, frame.orderBy(args.id_column).limit(args.sample)
         )
+    # corpus-level tab (rows per cutoff, not per doc)
+    from .operators.textstats import vocab_coverage
+
+    report.add_dataframe_tab(
+        "Vocab Coverage", vocab_coverage(df, text_col=args.text_column)
+    )
     out = args.output or _results_path("textstats")
     report.save(out)
     print(f"Report saved to {out}")
@@ -946,6 +953,47 @@ def tool_split(argv: list[str]) -> int:
             args.output_parquet
         )
         print(f"assigned rows written to {args.output_parquet}")
+    return 0
+
+
+def tool_shuffle(argv: list[str]) -> int:
+    """Deterministic sharded training-order shuffle from the CLI
+    (operators/sampling.shuffle_shards): every row gets (shard, pos)
+    from the portable hash of (seed, id) — a reproducible global
+    permutation; rows optionally written partitioned by shard (one
+    directory per training data shard, readable in pos order)."""
+    p = argparse.ArgumentParser(prog="shuffle")
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--n-shards", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output-parquet",
+                   help="write shuffled rows here, partitionBy(shard)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import shuffle_shards
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    out = shuffle_shards(
+        df, n_shards=args.n_shards, id_col=args.id_column, seed=args.seed
+    )
+    stats = out.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sorted(
+        (r["shard"], r["n"]) for r in stats.collect()
+    )
+    total = sum(n for _, n in sizes)
+    print(f"{total} rows -> {len(sizes)} shards "
+          f"(min {min((n for _, n in sizes), default=0)}, "
+          f"max {max((n for _, n in sizes), default=0)})")
+    if args.output_parquet:
+        out.write.mode("overwrite").partitionBy("shard").parquet(
+            args.output_parquet
+        )
+        print(f"shuffled rows written to {args.output_parquet}")
     return 0
 
 
@@ -1812,6 +1860,7 @@ def main(argv: list[str] | None = None) -> int:
         "textstats": tool_textstats,
         "decontaminate": tool_decontaminate,
         "split": tool_split,
+        "shuffle": tool_shuffle,
         "curate": tool_curate,
         "sample": tool_sample,
         "profile": tool_profile,

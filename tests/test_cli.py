@@ -1074,3 +1074,37 @@ def test_cli_layout(spark, tmp_path, capsys):
         "--mode", "filestats", "--output", str(tmp_path / "f.html"),
     ]) == 0
     assert "files profiled" in capsys.readouterr().out
+
+
+def test_cli_shuffle(spark, tmp_path, capsys):
+    """shuffle tool: shard-size summary printed; written parquet is
+    partitioned by shard with gap-free per-shard positions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    db = tmp_path / "db"
+    db.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(20)),
+            "text": [f"doc {i}" for i in range(20)],
+        }),
+        str(db / "corpus.parquet"),
+    )
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {db}\n",
+    )
+    out = str(tmp_path / "shards")
+    assert main([
+        "shuffle", "--config", cfg, "--table", "corpus",
+        "--n-shards", "4", "--output-parquet", out,
+    ]) == 0
+    assert "20 rows -> " in capsys.readouterr().out
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 20
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(int(r["shard"]), []).append(r["pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
