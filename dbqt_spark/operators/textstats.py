@@ -1446,3 +1446,40 @@ def vocab_coverage(
         )
         .orderBy("vocab_size")
     )
+
+
+def vocab_drift(
+    source: DataFrame,
+    target: DataFrame,
+    top_k: int = 100,
+    eps: float = 1e-6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-distribution DRIFT between two corpora: PSI over the
+    source's ``top_k`` most frequent (lowercased whitespace) types,
+    tail folded into ``__other__`` — the text sibling of
+    ``datadiff.psi_drift_categorical``, which it composes DIRECTLY on
+    the exploded token frames (same eps floor, same rounding, same
+    top-k total order), so the drift ladder reads the same for a
+    column and for a corpus: a new-source ingestion shifting the
+    vocabulary shows up exactly like a schema column shifting its
+    category mix. Output: (term, n_source, n_target, frac_diff,
+    psi_contrib); total PSI = SUM(psi_contrib).
+
+    Scale shape: the explodes collapse into map-side-combined
+    vocabulary-sized aggregates inside ``psi_drift_categorical``; the
+    top-k cut is a TakeOrdered; output is O(top_k)."""
+    from .datadiff import psi_drift_categorical
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(
+                tokens_col(
+                    F.lower(F.coalesce(F.col(text_col), F.lit("")))
+                )
+            ).alias("term")
+        )
+
+    return psi_drift_categorical(
+        toks(source), toks(target), "term", top_k=top_k, eps=eps
+    ).withColumnRenamed("category", "term")

@@ -5604,6 +5604,73 @@ FROM h ORDER BY shard, pos
 """
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus term-distribution PSI (operators/textstats.py
+    vocab_drift, composing datadiff.psi_drift_categorical on exploded
+    token frames): sources src0-src4 vs the rest, top-50 source types
+    + __other__ fold, eps-floored fractions. Total drift =
+    SUM(psi_contrib)."""
+    from .operators.textstats import vocab_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    a_side = docs.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    b_side = docs.filter(
+        ~F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    return vocab_drift(a_side, b_side, top_k=50).orderBy("term")
+
+
+SQL_VOCAB_DRIFT = r"""
+WITH a_tok AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS term
+  FROM documents
+  WHERE source IN ('src0','src1','src2','src3','src4')
+),
+b_tok AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS term
+  FROM documents
+  WHERE source NOT IN ('src0','src1','src2','src3','src4')
+),
+top AS (
+  SELECT term FROM a_tok GROUP BY term
+  ORDER BY count(*) DESC, term ASC LIMIT 50
+),
+ac AS (
+  SELECT CASE WHEN t.term IS NOT NULL THEN a_tok.term
+              ELSE '__other__' END AS term, count(*) AS n
+  FROM a_tok LEFT JOIN top t ON a_tok.term = t.term GROUP BY 1
+),
+bc AS (
+  SELECT CASE WHEN t.term IS NOT NULL THEN b_tok.term
+              ELSE '__other__' END AS term, count(*) AS n
+  FROM b_tok LEFT JOIN top t ON b_tok.term = t.term GROUP BY 1
+),
+j AS (
+  SELECT coalesce(ac.term, bc.term) AS term,
+         coalesce(ac.n, 0) AS sn, coalesce(bc.n, 0) AS tn
+  FROM ac FULL OUTER JOIN bc ON ac.term = bc.term
+),
+tot AS (SELECT SUM(sn) AS st, SUM(tn) AS tt FROM j)
+SELECT term,
+       CAST(sn AS BIGINT) AS n_source,
+       CAST(tn AS BIGINT) AS n_target,
+       round(greatest(sn * 1.0 / st, 1e-6)
+             - greatest(tn * 1.0 / tt, 1e-6), 6) AS frac_diff,
+       round((greatest(sn * 1.0 / st, 1e-6)
+              - greatest(tn * 1.0 / tt, 1e-6))
+             * ln(greatest(sn * 1.0 / st, 1e-6)
+                  / greatest(tn * 1.0 / tt, 1e-6)), 6) AS psi_contrib
+FROM j CROSS JOIN tot
+ORDER BY term
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -5704,6 +5771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packed_sequences": q_packed_sequences,
     "vocab_coverage": q_vocab_coverage,
     "shuffle_shards": q_shuffle_shards,
+    "vocab_drift": q_vocab_drift,
     "quantile_histogram": q_quantile_histogram,
     "ppl_buckets": q_ppl_buckets,
     "incremental_profile": q_incremental_profile,
@@ -5840,6 +5908,7 @@ ORACLES: dict[str, str] = {
     "packed_sequences": SQL_PACKED_SEQUENCES,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
+    "vocab_drift": SQL_VOCAB_DRIFT,
     "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "ppl_buckets": SQL_PPL_BUCKETS,
     "incremental_profile": SQL_INCREMENTAL_PROFILE,

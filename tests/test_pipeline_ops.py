@@ -3324,3 +3324,27 @@ def test_vocab_coverage_known_answer(spark):
         vocab_coverage(df, cutoffs=())
     with pytest.raises(ValueError):
         vocab_coverage(df, cutoffs=(0, 5))
+
+
+def test_vocab_drift_semantics(spark):
+    """Identical corpora -> zero PSI everywhere; a term present only
+    in the target shows a negative frac_diff on __other__ or its own
+    row depending on the top-k cut; output is O(top_k + 1)."""
+    from dbqt_spark.operators.textstats import vocab_drift
+
+    a = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z")], ["doc_id", "text"]
+    )
+    same = vocab_drift(a, a, top_k=10).collect()
+    assert all(r["psi_contrib"] == 0.0 for r in same)
+    assert {r["term"] for r in same} == {"x", "y", "z"}
+
+    b = spark.createDataFrame(
+        [(3, "x q q q")], ["doc_id", "text"]
+    )
+    rows = {r["term"]: r for r in vocab_drift(a, b, top_k=2).collect()}
+    # source top-2 = x (3), y (1; tie y<z) -> z folds into __other__
+    assert set(rows) == {"x", "y", "__other__"}
+    assert rows["__other__"]["n_source"] == 1  # z
+    assert rows["__other__"]["n_target"] == 3  # q q q
+    assert rows["x"]["psi_contrib"] > 0  # x rarer in target
