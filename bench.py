@@ -156,6 +156,17 @@ def main() -> None:
         "scalable_percentiles",
         # ivf_knn_join runs an ivf_build (kmeans driver loop) first
         "ivf_knn_join",
+        # r11 chain-shaped additions: the semantic gate is the
+        # registry's heaviest lifecycle (IVF build + partitioned
+        # publish + two drift-guarded probe/append batches — ~20
+        # sequential jobs); group_percentiles is a driver
+        # rank-refinement walk; cluster_safe_split runs the
+        # connected-components driver walk after its pair matmul;
+        # incremental_profile builds its store with sequential appends
+        "streaming_semantic_gate",
+        "group_percentiles",
+        "cluster_safe_split",
+        "incremental_profile",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
@@ -170,6 +181,8 @@ def main() -> None:
         # both r10 cluster views rerun the full Arrow band pipeline
         "dedup_best_wins",
         "cluster_report",
+        # the pHash tier reruns the banded Hamming pipeline
+        "image_phash_dups",
     ]
     heavy = [
         "ngram_jaccard_dups",
@@ -205,6 +218,12 @@ def main() -> None:
         "cluster_report",
         "edit_distance_dups",
         "topk_per_group",
+        # r11 additions measured >5 s pooled at 132 queries
+        "script_stats",
+        "gopher_rules",
+        "image_phash_dups",
+        "repetition_stats",
+        "lsh_full_probe",
     ]
     longest_first = chains + [n for n in heavy if n not in chains]
     ordered = [n for n in longest_first if n in QUERIES] + [
@@ -271,7 +290,12 @@ def main() -> None:
         # late-r10 heavies: two more band pipelines, the FastSS tier,
         # and the interval-refinement driver loop
         "dedup_best_wins,cluster_report,edit_distance_dups,"
-        "topk_per_group",
+        "topk_per_group,"
+        # r11 heavies: the gate lifecycle, the exact-pair split, the
+        # two new single-scan text heavies, the grouped refinement
+        # walk, and the store-append chain
+        "streaming_semantic_gate,cluster_safe_split,script_stats,"
+        "gopher_rules,group_percentiles,incremental_profile",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):
