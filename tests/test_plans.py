@@ -359,3 +359,38 @@ def test_new_operators_prune_scan_columns(spark, sf_dir):
 
     for ln in read_schemas(kmeans_assign(emb, k=2, iters=0)):
         assert "label" not in ln, ln
+
+
+def test_vocab_coverage_reuses_counts_exchange(spark, sf_dir):
+    """The term-counts aggregation feeds BOTH the top-k cut and the
+    corpus totals; AQE must reuse its exchange so the explode + partial
+    aggregate runs ONCE — a second full tokenize pass at 100 TB would
+    double the query's cost."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.textstats import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = vocab_coverage(docs, cutoffs=(100, 1000))
+    df.collect()  # AQE reuse only materializes in the executed plan
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "ReusedExchange" in plan
+
+
+def test_shuffle_shards_single_shuffle(spark, sf_dir):
+    """One exchange (the shard key) and one window — the permutation
+    must never add a second data shuffle or a global sort."""
+    import re
+
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.sampling import shuffle_shards
+    from dbqt_spark.plans import formatted_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(shuffle_shards(docs, n_shards=8))
+    body = plan.split("\n\n")[0]  # tree section only, not node details
+    assert len(re.findall(r"\bExchange\b", body)) == 1
+    assert len(re.findall(r"\bWindow\b", body)) == 1
