@@ -1253,7 +1253,6 @@ def cosine_pairs_exact(
     count job."""
     if n_blocks is None:
         n_blocks = max(1, math.ceil(df.count() / float(block_size)))
-    spark = df.sparkSession
     rows = df.select(
         F.col(id_col).cast("long").alias("__pid"),
         F.col(vec_col).alias("__pv"),
@@ -1263,16 +1262,24 @@ def cosine_pairs_exact(
             F.lit(int(n_blocks)),
         ).cast("int").alias("__blk"),
     )
-    bp = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "__bi int, __bj int",
+    # each row explodes DIRECTLY to its n_blocks block pairs — as the
+    # left member of (b, j>=b) and the right member of (i<b, b) — a
+    # pure-codegen sequence/transform, never a nested-loop join whose
+    # predicate scan would cost n x n_blocks^2/2 evaluations at scale
+    nb = int(n_blocks)
+    pair_list = F.expr(
+        f"concat("
+        f"  transform(sequence(__blk, {nb - 1}),"
+        f"            j -> struct(__blk as __bi, j as __bj)),"
+        f"  CASE WHEN __blk = 0 THEN array()"
+        f"       ELSE transform(sequence(0, __blk - 1),"
+        f"                      i -> struct(i as __bi, __blk as __bj))"
+        f"  END)"
     )
-    # tiny non-equi join: every row lands in each block pair touching
-    # its block (once for the diagonal pair __bi == __bj)
-    rep = rows.join(
-        F.broadcast(bp),
-        (F.col("__blk") == F.col("__bi")) | (F.col("__blk") == F.col("__bj")),
-    )
+    rep = rows.select(
+        "__pid", "__pv", "__blk",
+        F.explode(pair_list).alias("__bp"),
+    ).select("__pid", "__pv", "__blk", "__bp.__bi", "__bp.__bj")
 
     def pair_slab(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
