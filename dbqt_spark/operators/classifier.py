@@ -107,3 +107,172 @@ def classifier_filter(
         df, weights, bias=bias, text_col=text_col, id_col=id_col
     ).filter(F.col("score") >= threshold)
     return df.join(kept.select(id_col), id_col, "left_semi")
+
+
+def nb_fit(
+    train: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+) -> "tuple[DataFrame, DataFrame]":
+    """Fit a multinomial NAIVE BAYES text classifier — the training
+    side of model-based filtering (``classifier_score`` applies an
+    externally-trained linear model; this trains one ON the engine,
+    the bootstrap move when no fastText export exists yet: label a
+    small seed set, fit, score the corpus, keep the top band).
+
+    Returns ``(model, class_stats)``:
+
+    - ``model``: (label, term, log_prob) — add-one-smoothed
+      ``ln((count(term, label) + 1) / (N_label + V))`` over the
+      lowercased whitespace tokens, rounded to 6 as DECIMAL so
+      downstream sums are order-independent (the lm_score
+      discipline);
+    - ``class_stats``: (label, log_prior, log_floor) — document-count
+      prior and the unseen-term floor ``ln(1 / (N_label + V))``.
+
+    Scale shape: one corpus scan -> map-side-combined (label, term)
+    counts (vocabulary x classes, never corpus-sized); totals and the
+    vocab size fold back via broadcast joins. Rows with a NULL label
+    are refused (a silently dropped class skews every prior).
+    NULL/empty texts contribute their prior only."""
+    lbl = F.col(label_col)
+    toks = train.select(
+        lbl.alias("label"),
+        F.explode_outer(
+            tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("term"),
+    )
+    ct = (
+        toks.filter(F.col("term").isNotNull())
+        .groupBy("label", "term")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    totals = ct.groupBy("label").agg(F.sum("__n").alias("__lt"))
+    vocab_n = ct.select("term").distinct().agg(
+        F.count(F.lit(1)).alias("__V")
+    )
+    docs = train.select(lbl.alias("label"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__dt"))
+    priors = (
+        docs.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    if priors.filter(F.col("label").isNull()).limit(1).count():
+        raise ValueError(
+            f"nb_fit: NULL values in label column {label_col!r} — "
+            "label or filter them before fitting"
+        )
+    model = (
+        ct.join(F.broadcast(totals), "label")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "label",
+            "term",
+            F.round(
+                F.log(
+                    (F.col("__n") + 1).cast("double")
+                    / (F.col("__lt") + F.col("__V")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("log_prob"),
+        )
+    )
+    class_stats = (
+        priors.join(F.broadcast(totals), "label", "left")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "label",
+            F.round(
+                F.log(F.col("__d").cast("double") / F.col("__dt")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("log_prior"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    / (F.coalesce(F.col("__lt"), F.lit(0)) + F.col("__V"))
+                    .cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("log_floor"),
+        )
+    )
+    return model, class_stats
+
+
+def nb_predict(
+    df: DataFrame,
+    model: DataFrame,
+    class_stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classify each doc with a fitted ``nb_fit`` model: per class,
+    ``log_prior + sum over token occurrences of log_prob`` with
+    unseen terms at the class floor. Returns (id, label, log_posterior)
+    — the argmax class, ties broken label-ascending, log_posterior
+    the exact decimal sum cast to double.
+
+    Scale shape: the corpus explodes ONCE; the (term -> per-class
+    log_prob) lookup is a broadcast join (models are vocab x classes —
+    KBs to MBs); the per-(doc, class) rollup is map-side combined via
+    the algebraic identity score = prior + n_tokens * floor +
+    sum(matched log_prob - floor) — unseen terms never materialize
+    rows. The final argmax window partitions by doc over exactly
+    n_classes rows."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("term"),
+    )
+    n_per_doc = toks.groupBy(id_col).agg(
+        F.count("term").cast("long").alias("__nt")
+    )
+    # matched (doc, class) adjustments: each token row joins only the
+    # classes whose vocab contains the term
+    matched = (
+        toks.join(F.broadcast(model), "term")
+        .groupBy(id_col, "label")
+        .agg(F.sum("log_prob").alias("__s"), F.count(F.lit(1)).alias("__m"))
+    )
+    scored = (
+        n_per_doc.crossJoin(F.broadcast(class_stats))
+        .join(matched, [id_col, "label"], "left")
+        .select(
+            F.col(id_col),
+            "label",
+            (
+                F.col("log_prior").cast("decimal(28,6)")
+                + (F.col("__nt") * F.col("log_floor")).cast("decimal(28,6)")
+                + F.coalesce(
+                    (
+                        F.col("__s").cast("decimal(28,6)")
+                        - (F.col("__m") * F.col("log_floor")).cast(
+                            "decimal(28,6)"
+                        )
+                    ),
+                    F.lit(0).cast("decimal(28,6)"),
+                )
+            ).alias("__post"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__post").desc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            "label",
+            F.col("__post").cast("double").alias("log_posterior"),
+        )
+    )

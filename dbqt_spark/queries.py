@@ -5671,6 +5671,100 @@ ORDER BY term
 """
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes fit + predict ON the engine
+    (operators/classifier.nb_fit / nb_predict): train on even doc_ids
+    labeled by source-name length (src0-9 vs src10-19), classify the
+    odd docs. Add-one multinomial model with per-term DECIMAL(18,6)
+    log-probs (order-independent sums), unseen terms at the class
+    floor via the algebraic prior + n*floor + sum(matched - floor)
+    identity — the oracle replays the entire fit + predict chain."""
+    from .operators.classifier import nb_fit, nb_predict
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.when(F.length("source") == 4, F.lit("short"))
+        .otherwise(F.lit("long"))
+        .alias("label"),
+        "text",
+    )
+    test = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    model, stats = nb_fit(train, label_col="label")
+    return nb_predict(test, model, stats).orderBy("doc_id")
+
+
+SQL_NB_CLASSIFY = r"""
+WITH train AS (
+  SELECT CASE WHEN length(source) = 4 THEN 'short' ELSE 'long' END
+           AS label, text
+  FROM documents WHERE doc_id % 2 = 0
+),
+test AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+ttok AS (
+  SELECT label,
+         unnest(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS term
+  FROM train
+),
+ct AS (SELECT label, term, count(*) AS n FROM ttok GROUP BY 1, 2),
+tot AS (SELECT label, SUM(n) AS N FROM ct GROUP BY 1),
+voc AS (SELECT count(DISTINCT term) AS V FROM ct),
+pri AS (SELECT label, count(*) AS d FROM train GROUP BY 1),
+dd AS (SELECT count(*) AS D FROM train),
+cs AS (
+  SELECT p.label,
+         CAST(round(ln(p.d * 1.0 / dd.D), 6) AS DECIMAL(18,6))
+           AS log_prior,
+         CAST(round(ln(1.0 / (coalesce(t.N, 0) + voc.V)), 6)
+              AS DECIMAL(18,6)) AS log_floor
+  FROM pri p CROSS JOIN dd
+  LEFT JOIN tot t ON p.label = t.label CROSS JOIN voc
+),
+model AS (
+  SELECT ct.label, ct.term,
+         CAST(round(ln((ct.n + 1) * 1.0 / (tot.N + voc.V)), 6)
+              AS DECIMAL(18,6)) AS log_prob
+  FROM ct JOIN tot ON ct.label = tot.label CROSS JOIN voc
+),
+stok AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS term
+  FROM test
+),
+npd AS (
+  SELECT t.doc_id, coalesce(c.nt, 0) AS nt
+  FROM test t LEFT JOIN (
+    SELECT doc_id, count(*) AS nt FROM stok GROUP BY 1
+  ) c ON t.doc_id = c.doc_id
+),
+matched AS (
+  SELECT s.doc_id, m.label, SUM(m.log_prob) AS ms, count(*) AS mc
+  FROM stok s JOIN model m ON s.term = m.term GROUP BY 1, 2
+),
+scored AS (
+  SELECT n.doc_id, c.label,
+         CAST(c.log_prior AS DECIMAL(28,6))
+         + CAST(n.nt * c.log_floor AS DECIMAL(28,6))
+         + coalesce(CAST(ma.ms AS DECIMAL(28,6))
+                    - CAST(ma.mc * c.log_floor AS DECIMAL(28,6)),
+                    CAST(0 AS DECIMAL(28,6))) AS post
+  FROM npd n CROSS JOIN cs c
+  LEFT JOIN matched ma
+    ON ma.doc_id = n.doc_id AND ma.label = c.label
+)
+SELECT doc_id, label, CAST(post AS DOUBLE) AS log_posterior
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY post DESC, label ASC) AS rn
+  FROM scored
+)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -5772,6 +5866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "shuffle_shards": q_shuffle_shards,
     "vocab_drift": q_vocab_drift,
+    "nb_classify": q_nb_classify,
     "quantile_histogram": q_quantile_histogram,
     "ppl_buckets": q_ppl_buckets,
     "incremental_profile": q_incremental_profile,
@@ -5909,6 +6004,7 @@ ORACLES: dict[str, str] = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "vocab_drift": SQL_VOCAB_DRIFT,
+    "nb_classify": SQL_NB_CLASSIFY,
     "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "ppl_buckets": SQL_PPL_BUCKETS,
     "incremental_profile": SQL_INCREMENTAL_PROFILE,

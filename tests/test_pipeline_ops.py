@@ -3348,3 +3348,50 @@ def test_vocab_drift_semantics(spark):
     assert rows["__other__"]["n_source"] == 1  # z
     assert rows["__other__"]["n_target"] == 3  # q q q
     assert rows["x"]["psi_contrib"] > 0  # x rarer in target
+
+
+def test_nb_fit_predict_separable(spark):
+    """A clearly separable two-class corpus classifies correctly;
+    zero-token docs fall back to the (log) prior argmax; NULL labels
+    are refused."""
+    from dbqt_spark.operators.classifier import nb_fit, nb_predict
+
+    train = spark.createDataFrame(
+        [
+            ("spam", "buy cheap pills now buy"),
+            ("spam", "cheap pills cheap offer"),
+            ("ham", "meeting notes for the team"),
+            ("ham", "team lunch notes tomorrow"),
+            ("ham", "quarterly team meeting"),
+        ],
+        ["label", "text"],
+    )
+    model, stats = nb_fit(train)
+    # model log-probs are finite decimals; floors below every log_prob
+    assert model.filter(F.col("log_prob") >= 0).count() == 0
+    s = {r["label"]: r for r in stats.collect()}
+    assert set(s) == {"spam", "ham"}
+    # ham has 3 of 5 docs -> larger prior
+    assert s["ham"]["log_prior"] > s["spam"]["log_prior"]
+
+    test = spark.createDataFrame(
+        [
+            (1, "cheap pills offer"),
+            (2, "team meeting notes"),
+            (3, ""),  # prior-only -> ham (the larger prior)
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["label"]
+        for r in nb_predict(test, model, stats).collect()
+    }
+    assert got == {1: "spam", 2: "ham", 3: "ham"}
+
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(None, "x"), ("a", "y")], "label string, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        nb_fit(bad)
