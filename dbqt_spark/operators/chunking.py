@@ -187,3 +187,50 @@ def quantize_embeddings(
         qvec.alias("qvec"),
         err.alias("max_abs_err"),
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION embedding profile: (dim, n, mean, std, min_val,
+    max_val) — the embedding-QA scan that catches dead dimensions
+    (std ~ 0), scale drift between batches (per-dim mean/std shifts),
+    and ragged arrays (a dim whose n differs from dim 0's has vectors
+    of inconsistent length — the upstream bug worth failing on before
+    an ANN build).
+
+    ORDER-INDEPENDENT arithmetic (the correlation_matrix contract):
+    values canonicalize to DECIMAL(18,6); n / sum / sum-of-squares
+    accumulate as exact decimals with map-side partial aggregation;
+    mean and population std compute ONCE in double from the exact
+    sums, rounded to 6 — any engine reproduces them bit-for-bit.
+    Zero-variance dims emit std = 0.0; negative radicands from double
+    rounding clamp at 0. One scan, one posexplode, one dim-keyed
+    aggregate (output = dim rows)."""
+    x = F.col("__v").cast("decimal(18,6)")
+    agg = (
+        df.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "__v")
+        )
+        .groupBy("dim")
+        .agg(
+            F.count("__v").cast("long").alias("n"),
+            F.sum(x).alias("__s"),
+            F.sum(x * x).alias("__ss"),
+            F.min(F.col("__v").cast("double")).alias("min_val"),
+            F.max(F.col("__v").cast("double")).alias("max_val"),
+        )
+    )
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    n = F.col("n").cast("double")
+    var = F.greatest(ss / n - (s / n) * (s / n), F.lit(0.0))
+    return agg.select(
+        "dim",
+        "n",
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+        "min_val",
+        "max_val",
+    ).orderBy("dim")

@@ -5765,6 +5765,43 @@ WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA profile
+    (operators/chunking.embedding_dim_stats): n / mean / population
+    std / min / max per dim from decimal-exact order-independent sums
+    — dead-dim and scale-drift triage before an ANN build."""
+    from .operators.chunking import embedding_dim_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb)
+
+
+SQL_EMBEDDING_DIM_STATS = r"""
+WITH e AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+agg AS (
+  SELECT dim,
+         CAST(count(v) AS BIGINT) AS n,
+         SUM(CAST(CAST(v AS DECIMAL(18,6)) AS DECIMAL(38,6))) AS s,
+         SUM(CAST(CAST(v AS DECIMAL(18,6)) AS DECIMAL(18,6))
+             * CAST(v AS DECIMAL(18,6))) AS ss,
+         MIN(v) AS min_val, MAX(v) AS max_val
+  FROM e GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, n,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean,
+       round(sqrt(greatest(
+         CAST(ss AS DOUBLE) / n
+         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)), 6)
+         AS std,
+       min_val, max_val
+FROM agg ORDER BY dim
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -5867,6 +5904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards": q_shuffle_shards,
     "vocab_drift": q_vocab_drift,
     "nb_classify": q_nb_classify,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "quantile_histogram": q_quantile_histogram,
     "ppl_buckets": q_ppl_buckets,
     "incremental_profile": q_incremental_profile,
@@ -6005,6 +6043,7 @@ ORACLES: dict[str, str] = {
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "vocab_drift": SQL_VOCAB_DRIFT,
     "nb_classify": SQL_NB_CLASSIFY,
+    "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "ppl_buckets": SQL_PPL_BUCKETS,
     "incremental_profile": SQL_INCREMENTAL_PROFILE,

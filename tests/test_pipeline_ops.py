@@ -3395,3 +3395,28 @@ def test_nb_fit_predict_separable(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         nb_fit(bad)
+
+
+def test_embedding_dim_stats_semantics(spark):
+    """Known moments per dim; a ragged vector surfaces as a dim with a
+    smaller n (the upstream-bug signal); dead dims report std 0."""
+    from dbqt_spark.operators.chunking import embedding_dim_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 5.0, 2.0]),
+            (2, [3.0, 5.0, 4.0]),
+            (3, [5.0, 5.0]),  # ragged: missing dim 2
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    assert [rows[d]["n"] for d in (0, 1, 2)] == [3, 3, 2]
+    assert rows[0]["mean"] == 3.0
+    assert rows[0]["min_val"] == 1.0 and rows[0]["max_val"] == 5.0
+    # population std of (1,3,5) = sqrt(8/3)
+    import math
+
+    assert abs(rows[0]["std"] - round(math.sqrt(8 / 3), 6)) < 1e-9
+    assert rows[1]["std"] == 0.0  # dead dim
+    assert rows[2]["n"] == 2 and rows[2]["mean"] == 3.0
