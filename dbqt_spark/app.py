@@ -1565,8 +1565,14 @@ def tool_classify(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="classify")
     p.add_argument("--config", required=True)
     p.add_argument("--table", required=True)
-    p.add_argument("--weights-json", required=True,
-                   help="JSON file: {token: weight, ...}")
+    p.add_argument("--weights-json",
+                   help="JSON file: {token: weight, ...} (apply mode)")
+    p.add_argument("--fit-label-column",
+                   help="TRAIN instead of apply: fit a multinomial "
+                   "Naive Bayes on this label column, print per-class "
+                   "train accuracy, write the model (label, term, "
+                   "log_prob) + per-class stats to --output-parquet "
+                   "as model/ and class_stats/ subdirs")
     p.add_argument("--bias", type=float, default=0.0)
     p.add_argument("--text-column", default="text")
     p.add_argument("--id-column", default="doc_id")
@@ -1576,12 +1582,63 @@ def tool_classify(argv: list[str]) -> int:
     p.add_argument("--output-parquet", required=True)
     args = p.parse_args(argv)
 
-    weights = _load_weights(args.weights_json)
+    if bool(args.weights_json) == bool(args.fit_label_column):
+        p.error("exactly one of --weights-json (apply) or "
+                "--fit-label-column (train) is required")
 
     from .operators.classifier import classifier_filter, classifier_score
 
     cfg, db = _load_db(args.config)
     df = db.load(args.table)
+
+    if args.fit_label_column:
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from .operators.classifier import nb_fit, nb_predict
+
+        model, stats = nb_fit(
+            df, label_col=args.fit_label_column, text_col=args.text_column
+        )
+        model_dir = _os.path.join(args.output_parquet, "model")
+        stats_dir = _os.path.join(args.output_parquet, "class_stats")
+        model.write.mode("overwrite").parquet(model_dir)
+        stats.write.mode("overwrite").parquet(stats_dir)
+        model_b = db.spark.read.parquet(model_dir)
+        stats_b = db.spark.read.parquet(stats_dir)
+        pred = nb_predict(
+            df.select(F.col(args.id_column), F.col(args.text_column)),
+            model_b, stats_b,
+            text_col=args.text_column, id_col=args.id_column,
+        )
+        truth = df.select(
+            F.col(args.id_column),
+            F.col(args.fit_label_column).alias("__truth"),
+        )
+        per_class = (
+            pred.join(truth, args.id_column)
+            .groupBy("__truth")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("label") == F.col("__truth"), 1)
+                    .otherwise(0)
+                ).alias("hit"),
+            )
+            .orderBy("__truth")
+            .collect()
+        )
+        total = sum(r["n"] for r in per_class)
+        hits = sum(r["hit"] for r in per_class)
+        for r in per_class:
+            print(f"{r['__truth']}: {r['hit']}/{r['n']} train accuracy")
+        print(f"overall: {hits}/{total} "
+              f"({(hits / total if total else 0.0):.3f})")
+        print(f"model written to {args.output_parquet}")
+        return 0
+
+    weights = _load_weights(args.weights_json)
     if args.threshold is None:
         out = classifier_score(
             df, weights, bias=args.bias,

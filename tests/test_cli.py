@@ -1108,3 +1108,47 @@ def test_cli_shuffle(spark, tmp_path, capsys):
         by_shard.setdefault(int(r["shard"]), []).append(r["pos"])
     for positions in by_shard.values():
         assert sorted(positions) == list(range(len(positions)))
+
+
+def test_cli_classify_fit(spark, tmp_path, capsys):
+    """classify --fit-label-column trains NB on the table, persists
+    model/ + class_stats/ parquet, and reports per-class + overall
+    train accuracy; a separable corpus fits to 100%."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    db = tmp_path / "db"
+    db.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["buy cheap pills", "cheap offer pills now",
+                     "team meeting notes", "quarterly team notes"],
+            "label": ["spam", "spam", "ham", "ham"],
+        }),
+        str(db / "corpus.parquet"),
+    )
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {db}\n",
+    )
+    out = str(tmp_path / "nbmodel")
+    assert main([
+        "classify", "--config", cfg, "--table", "corpus",
+        "--fit-label-column", "label", "--output-parquet", out,
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "overall: 4/4" in text
+    model = spark.read.parquet(out + "/model")
+    assert {r["label"] for r in model.select("label").distinct().collect()} == {
+        "spam", "ham"
+    }
+    stats = spark.read.parquet(out + "/class_stats")
+    assert stats.count() == 2
+
+    # exactly one mode must be chosen
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["classify", "--config", cfg, "--table", "corpus",
+              "--output-parquet", out])
