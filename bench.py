@@ -224,6 +224,8 @@ def main() -> None:
         "image_phash_dups",
         "repetition_stats",
         "lsh_full_probe",
+        # NB fit+predict chain: two explodes + model joins, 13 s cold
+        "nb_classify",
     ]
     longest_first = chains + [n for n in heavy if n not in chains]
     ordered = [n for n in longest_first if n in QUERIES] + [
@@ -295,7 +297,7 @@ def main() -> None:
         # two new single-scan text heavies, the grouped refinement
         # walk, and the store-append chain
         "streaming_semantic_gate,cluster_safe_split,script_stats,"
-        "gopher_rules,group_percentiles,incremental_profile",
+        "gopher_rules,group_percentiles,incremental_profile,nb_classify",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):
