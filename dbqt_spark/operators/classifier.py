@@ -211,6 +211,7 @@ def nb_predict(
     class_stats: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Classify each doc with a fitted ``nb_fit`` model: per class,
     ``log_prior + sum over token occurrences of log_prob`` with
@@ -220,7 +221,10 @@ def nb_predict(
 
     Scale shape: the corpus explodes ONCE; the (term -> per-class
     log_prob) lookup is a broadcast join (models are vocab x classes —
-    KBs to MBs); the per-(doc, class) rollup is map-side combined via
+    KBs to MBs; pass ``broadcast_model=False`` for a web-scale vocab,
+    where the lookup becomes a term-keyed shuffle join — the
+    ``lm_score_bigram`` knob); the per-(doc, class) rollup is
+    map-side combined via
     the algebraic identity score = prior + n_tokens * floor +
     sum(matched log_prob - floor) — unseen terms never materialize
     rows. The final argmax window partitions by doc over exactly
@@ -238,8 +242,9 @@ def nb_predict(
     )
     # matched (doc, class) adjustments: each token row joins only the
     # classes whose vocab contains the term
+    model_side = F.broadcast(model) if broadcast_model else model
     matched = (
-        toks.join(F.broadcast(model), "term")
+        toks.join(model_side, "term")
         .groupBy(id_col, "label")
         .agg(F.sum("log_prob").alias("__s"), F.count(F.lit(1)).alias("__m"))
     )
