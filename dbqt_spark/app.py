@@ -541,7 +541,7 @@ def tool_dedup(argv: list[str]) -> int:
     p.add_argument(
         "--method",
         choices=["exact", "minhash", "simhash", "ngram", "embedding",
-                 "lines", "spans", "edit"],
+                 "embedding-exact", "lines", "spans", "edit"],
         default="exact",
     )
     p.add_argument("--threshold", type=float, default=0.8,
@@ -626,6 +626,16 @@ def tool_dedup(argv: list[str]) -> int:
             df, args.threshold, vec_col=args.vec_column,
             id_col=args.id_column, max_block_size=100_000,
             drop_stats=stats,
+        )
+    elif args.method == "embedding-exact":
+        # the exactness-contract tier (audits, recall twins): blocked
+        # all-pairs matmul — honest O(n^2) FLOPs, prefer `embedding`
+        # (LSH) at corpus scale
+        from .operators.similarity import cosine_pairs_exact
+
+        result = cosine_pairs_exact(
+            df, args.threshold, vec_col=args.vec_column,
+            id_col=args.id_column,
         )
     elif args.method == "lines":
         from pyspark.sql import functions as F

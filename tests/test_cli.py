@@ -279,6 +279,15 @@ def test_dedup_tool_embedding(tmp_path, capsys):
     )
     assert rc == 0 and os.path.exists(out)
 
+    # exactness-contract tier: blocked all-pairs matmul, same report
+    out2 = str(tmp_path / "dedup_emb_exact.html")
+    rc = main(
+        ["dedup", "--config", str(cfg), "--table", "embeddings",
+         "--method", "embedding-exact", "--id-column", "vec_id",
+         "--threshold", "0.3", "--output", out2]
+    )
+    assert rc == 0 and os.path.exists(out2)
+
 
 def test_cli_decontaminate_and_split(spark, sf_dir, tmp_path, capsys):
     import pyarrow as pa
