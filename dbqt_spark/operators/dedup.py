@@ -1229,3 +1229,63 @@ def corpus_overlap(
         [(n_a, n_b, n_common, float(jacc))],
         "n_a long, n_b long, n_common long, jaccard double",
     )
+
+
+def pair_tier_eval(
+    truth_pairs: DataFrame,
+    candidate_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Precision / recall / F1 of one near-dup TIER against another —
+    the tuning report for threshold, band, and bit choices (e.g. "at
+    64 bands x 2 bits, what fraction of the exact-Jaccard pairs does
+    SimHash find, and how much of what it finds is noise?"). Compares
+    the pair SETS as unordered edges: both frames canonicalize to
+    (min, max) before the set algebra, so orientation differences
+    never count as misses.
+
+    One row: (n_truth, n_candidates, n_common, precision, recall,
+    f1), ratios rounded 6 with the house 0/0 -> 0 rule. Scale shape:
+    pair frames are output-sized (the tiers' own caps bound them);
+    two distinct-aggregates and one equi-join on the canonical edge,
+    scalar counts to the driver, a one-row result."""
+
+    def canon(df: DataFrame) -> DataFrame:
+        lo = F.least(F.col(id_a), F.col(id_b))
+        hi = F.greatest(F.col(id_a), F.col(id_b))
+        return df.select(lo.alias("__ea"), hi.alias("__eb")).distinct()
+
+    t = canon(truth_pairs)
+    c = canon(candidate_pairs)
+    n_t = t.count()
+    n_c = c.count()
+    n_common = t.join(c, ["__ea", "__eb"]).count()
+    spark = truth_pairs.sparkSession
+    base = spark.createDataFrame(
+        [(n_t, n_c, n_common)],
+        "n_truth long, n_candidates long, n_common long",
+    )
+    # ratios in ENGINE round() semantics (half away from zero), not
+    # Python's half-even round — the one place they disagree is the
+    # exact .5e-6 boundary an oracle diff would catch
+    prec = F.when(
+        F.col("n_candidates") > 0,
+        F.round(F.col("n_common") / F.col("n_candidates"), 6),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_truth") > 0,
+        F.round(F.col("n_common") / F.col("n_truth"), 6),
+    ).otherwise(F.lit(0.0))
+    scored = base.select(
+        "*", prec.alias("precision"), rec.alias("recall")
+    )
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0,
+        F.round(
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return scored.select("*", f1.alias("f1"))

@@ -5802,6 +5802,85 @@ FROM agg ORDER BY dim
 """
 
 
+def q_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tier dedup evaluation (operators/dedup.pair_tier_eval):
+    precision/recall/F1 of the SimHash tier (Hamming <= 3) against the
+    exact n-gram-Jaccard tier (>= 0.6) on the first 1000 docs — the
+    threshold/band tuning report. Both pair constructions are the
+    individually-oracled tiers' own, so the oracle is pure set
+    algebra between two SQL twins."""
+    from .operators.dedup import (
+        ngram_jaccard_near_duplicates,
+        pair_tier_eval,
+        simhash_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 1000
+    )
+    truth = ngram_jaccard_near_duplicates(docs, threshold=0.6)
+    cand = simhash_near_duplicates(docs, max_hamming=3, portable=True)
+    return pair_tier_eval(truth, cand)
+
+
+def _tier_eval_oracle_sql() -> str:
+    """Compose the two tiers' existing SQL twins, filtered to
+    doc_id < 1000 (bounding the brute-force joins) with the simhash
+    fragment's CTE names prefixed to avoid colliding with the shingle
+    fragment's ``toks``."""
+    shingles = _SQL_SHINGLES.replace(
+        "FROM documents", "FROM documents WHERE doc_id < 1000"
+    )
+    sim = _SQL_SIMHASH_FP.replace(
+        "FROM documents", "FROM documents WHERE doc_id < 1000"
+    )
+    for name in ("toks", "h", "sums", "fp"):
+        sim = sim.replace(f"{name} AS (", f"sx_{name} AS (")
+        sim = sim.replace(f"FROM {name}", f"FROM sx_{name}")
+        sim = sim.replace(f"FROM {name} GROUP", f"FROM sx_{name} GROUP")
+    return f"""
+WITH {shingles},
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+),
+{sim},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sx_fp a JOIN sx_fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+counts AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM truth t JOIN cand c
+            ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_common
+),
+pr AS (
+  SELECT CAST(n_truth AS BIGINT) AS n_truth,
+         CAST(n_candidates AS BIGINT) AS n_candidates,
+         CAST(n_common AS BIGINT) AS n_common,
+         CASE WHEN n_candidates > 0
+              THEN round(n_common * 1.0 / n_candidates, 6)
+              ELSE 0.0 END AS precision,
+         CASE WHEN n_truth > 0
+              THEN round(n_common * 1.0 / n_truth, 6)
+              ELSE 0.0 END AS recall
+  FROM counts
+)
+SELECT *, CASE WHEN precision + recall > 0
+               THEN round(2 * precision * recall
+                          / (precision + recall), 6)
+               ELSE 0.0 END AS f1
+FROM pr
+"""
+
+
+SQL_TIER_EVAL = _tier_eval_oracle_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -5905,6 +5984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_drift": q_vocab_drift,
     "nb_classify": q_nb_classify,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "tier_eval": q_tier_eval,
     "quantile_histogram": q_quantile_histogram,
     "ppl_buckets": q_ppl_buckets,
     "incremental_profile": q_incremental_profile,
@@ -6044,6 +6124,7 @@ ORACLES: dict[str, str] = {
     "vocab_drift": SQL_VOCAB_DRIFT,
     "nb_classify": SQL_NB_CLASSIFY,
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+    "tier_eval": SQL_TIER_EVAL,
     "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "ppl_buckets": SQL_PPL_BUCKETS,
     "incremental_profile": SQL_INCREMENTAL_PROFILE,

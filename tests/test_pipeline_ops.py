@@ -3420,3 +3420,27 @@ def test_embedding_dim_stats_semantics(spark):
     assert abs(rows[0]["std"] - round(math.sqrt(8 / 3), 6)) < 1e-9
     assert rows[1]["std"] == 0.0  # dead dim
     assert rows[2]["n"] == 2 and rows[2]["mean"] == 3.0
+
+
+def test_pair_tier_eval_set_algebra(spark):
+    """Canonical-edge comparison: orientation and duplicates never
+    count; known precision/recall; empty sides follow the 0/0 -> 0
+    rule."""
+    from dbqt_spark.operators.dedup import pair_tier_eval
+
+    truth = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    # (2,1) duplicates (1,2) after canonicalization; (9,8) is noise
+    cand = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (9, 8)], ["id_a", "id_b"]
+    )
+    r = pair_tier_eval(truth, cand).collect()[0]
+    assert (r["n_truth"], r["n_candidates"], r["n_common"]) == (3, 3, 2)
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == round(2 / 3, 6)
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    z = pair_tier_eval(empty, empty).collect()[0]
+    assert (z["precision"], z["recall"], z["f1"]) == (0.0, 0.0, 0.0)
