@@ -63,13 +63,34 @@ def main(only=None):
     oracles = entrymod.oracle_sql()
     results = {}
     records = {}
-    for name, fn in qs.items():
+    # CORRECTNESS_SHARD=i/n partitions the registry round-robin so a
+    # full sweep can run as n parallel processes (the handful of
+    # brute-force 18M-pair DuckDB oracles otherwise serialize an
+    # sf0.1 sweep into hours); merge the per-shard artifacts after.
+    shard_env = os.environ.get("CORRECTNESS_SHARD", "")
+    shard_i, shard_n = 0, 1
+    if shard_env:
+        shard_i, shard_n = (int(x) for x in shard_env.split("/"))
+    out_file = os.environ.get("CORRECTNESS_OUT", "CORRECTNESS_LOCAL.json")
+
+    def flush():
+        # incremental: a killed sweep still leaves a complete record
+        # of everything it finished
+        if out_file and not only:
+            with open(out_file, "w") as fh:
+                json.dump(records, fh, indent=1, default=str)
+                fh.write("\n")
+
+    for idx, (name, fn) in enumerate(qs.items()):
+        if shard_n > 1 and idx % shard_n != shard_i:
+            continue
         if only and name not in only:
             continue
         if name not in oracles:
             results[name] = "no_oracle"
             records[name] = {"status": "no_oracle"}
             print(f"{name}: no_oracle")
+            flush()
             continue
         try:
             sdf = fn(spark, SF_DIR)
@@ -101,6 +122,7 @@ def main(only=None):
                 "err": None,
             }
             print(f"{name}: {status}", flush=True)
+            flush()
         except Exception as e:  # noqa: BLE001
             results[name] = f"ERR {e}"
             records[name] = {
@@ -112,18 +134,13 @@ def main(only=None):
                 "err": f"{type(e).__name__}: {e}",
             }
             print(f"{name}: ERR {type(e).__name__}: {e}", flush=True)
+            flush()
     bad = {k: v for k, v in results.items() if v not in ("OK", "no_oracle")}
     print(json.dumps({"n": len(results), "bad": bad}, default=str))
     # persist the full-registry record as a committable artifact (the
     # driver's own sweep runs a pinned query list that can lag the live
     # registry) — same per-query shape as CORRECTNESS_r{N}.json
-    if not only:
-        out_file = os.environ.get(
-            "CORRECTNESS_OUT", "CORRECTNESS_LOCAL.json"
-        )
-        with open(out_file, "w") as fh:
-            json.dump(records, fh, indent=1, default=str)
-            fh.write("\n")
+    flush()
     return 1 if bad else 0
 
 
