@@ -183,6 +183,8 @@ def main() -> None:
         "cluster_report",
         # the pHash tier reruns the banded Hamming pipeline
         "image_phash_dups",
+        # tier_eval runs the ngram inverted-index + simhash pipelines
+        "tier_eval",
     ]
     heavy = [
         "ngram_jaccard_dups",
@@ -226,6 +228,8 @@ def main() -> None:
         "lsh_full_probe",
         # NB fit+predict chain: two explodes + model joins, 13 s cold
         "nb_classify",
+        # cross-tier eval: two full dedup pipelines + set algebra
+        "tier_eval",
     ]
     longest_first = chains + [n for n in heavy if n not in chains]
     ordered = [n for n in longest_first if n in QUERIES] + [
@@ -297,7 +301,8 @@ def main() -> None:
         # two new single-scan text heavies, the grouped refinement
         # walk, and the store-append chain
         "streaming_semantic_gate,cluster_safe_split,script_stats,"
-        "gopher_rules,group_percentiles,incremental_profile,nb_classify",
+        "gopher_rules,group_percentiles,incremental_profile,nb_classify,"
+        "tier_eval",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):
