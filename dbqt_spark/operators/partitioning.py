@@ -301,3 +301,76 @@ def skew_report(
         .orderBy(F.col("n_rows").desc(), F.col("key").asc())
         .limit(top_k)
     )
+
+
+def rowgroup_stats(spark, paths: "list[str]") -> DataFrame:
+    """Per-ROW-GROUP parquet layout report: (file_name, row_group_id,
+    n_rows, n_cols, compressed_bytes, uncompressed_bytes,
+    n_stats_cols) — the level below ``file_stats`` and the knob that
+    actually decides 100 TB scan behavior: row-group size vs
+    ``spark.sql.files.maxPartitionBytes`` sets split granularity,
+    per-column min/max presence (``n_stats_cols``) decides whether
+    predicate pushdown can prune the group at all, and a file whose
+    groups are tiny pays footer+seek overhead per group.
+
+    Scale shape: the FILE LIST distributes (one row per file,
+    repartitioned), and each task reads only its files' FOOTERS via
+    pyarrow (``ParquetFile.metadata`` — no data pages touched), so the
+    cost is one metadata RPC per file regardless of data volume. No
+    SQL-view oracle exists for footer internals (the ``file_bytes``
+    precedent) — the unit test cross-checks every value against
+    DuckDB's ``parquet_metadata()`` instead.
+
+    ``paths`` are individual parquet FILES (expand directories with
+    the caller's listing; ``df.inputFiles()`` is the usual source)."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "file_path string"
+    ).repartition(max(1, min(len(paths), 64)))
+
+    def read_footers(batches):
+        import os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {
+                "file_name": [], "row_group_id": [], "n_rows": [],
+                "n_cols": [], "compressed_bytes": [],
+                "uncompressed_bytes": [], "n_stats_cols": [],
+            }
+            for path in pdf["file_path"]:
+                local = path
+                for prefix in ("file://", "file:"):
+                    if local.startswith(prefix):
+                        local = local[len(prefix):]
+                        break
+                meta = pq.ParquetFile(local).metadata
+                base = os.path.basename(local)
+                for g in range(meta.num_row_groups):
+                    rg = meta.row_group(g)
+                    comp = unc = stats = 0
+                    for c in range(rg.num_columns):
+                        col = rg.column(c)
+                        comp += col.total_compressed_size
+                        unc += col.total_uncompressed_size
+                        st = col.statistics
+                        if st is not None and st.has_min_max:
+                            stats += 1
+                    out["file_name"].append(base)
+                    out["row_group_id"].append(g)
+                    out["n_rows"].append(rg.num_rows)
+                    out["n_cols"].append(rg.num_columns)
+                    out["compressed_bytes"].append(comp)
+                    out["uncompressed_bytes"].append(unc)
+                    out["n_stats_cols"].append(stats)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        read_footers,
+        "file_name string, row_group_id int, n_rows long, n_cols int, "
+        "compressed_bytes long, uncompressed_bytes long, "
+        "n_stats_cols int",
+    ).orderBy("file_name", "row_group_id")

@@ -5881,6 +5881,28 @@ FROM pr
 SQL_TIER_EVAL = _tier_eval_oracle_sql()
 
 
+def q_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row-group parquet layout report
+    (operators/partitioning.rowgroup_stats): footer-only distributed
+    read over every test table's files — split granularity vs
+    maxPartitionBytes, stats presence for pruning, tiny-group
+    detection. Rows-only check: footer internals are unreachable
+    through a SQL view (the file_bytes precedent); the unit test
+    cross-checks every value against DuckDB parquet_metadata()."""
+    import os
+
+    from .operators.partitioning import rowgroup_stats
+
+    paths = [
+        os.path.join(sf_dir, f"{t}.parquet")
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]
+    ]
+    return rowgroup_stats(spark, paths)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -5985,6 +6007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_classify": q_nb_classify,
     "embedding_dim_stats": q_embedding_dim_stats,
     "tier_eval": q_tier_eval,
+    "rowgroup_stats": q_rowgroup_stats,
     "quantile_histogram": q_quantile_histogram,
     "ppl_buckets": q_ppl_buckets,
     "incremental_profile": q_incremental_profile,

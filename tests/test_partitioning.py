@@ -235,3 +235,59 @@ def test_skew_report_takeordered_not_full_sort(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plan = _plan(skew_report(ev, ["user_id"], top_k=20))
     assert "TakeOrderedAndProject" in plan  # top-k cut, no global Sort
+
+
+def test_rowgroup_stats_matches_duckdb_parquet_metadata(spark, tmp_path):
+    """Every reported value cross-checks against DuckDB's
+    parquet_metadata() on the same files — the engine-independent
+    truth a SQL-view oracle cannot reach (file_bytes precedent).
+    Multi-row-group layout forced via a small row_group_size."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(
+        pa.table({"x": list(range(1000)), "s": [f"v{i}" for i in range(1000)]}),
+        p1, row_group_size=300,
+    )
+    pq.write_table(pa.table({"x": [1, 2, 3]}), p2)
+
+    from dbqt_spark.operators.partitioning import rowgroup_stats
+
+    got = rowgroup_stats(spark, [p1, p2]).collect()
+    assert [(r["file_name"], r["row_group_id"]) for r in got] == [
+        ("a.parquet", 0), ("a.parquet", 1), ("a.parquet", 2),
+        ("a.parquet", 3), ("b.parquet", 0),
+    ]
+    con = duckdb.connect()
+    for path in (p1, p2):
+        rows = {
+            r[0]: r
+            for r in con.execute(
+                """
+                SELECT row_group_id,
+                       any_value(row_group_num_rows),
+                       count(*),
+                       SUM(total_compressed_size),
+                       SUM(total_uncompressed_size),
+                       SUM(CASE WHEN stats_min_value IS NOT NULL
+                                THEN 1 ELSE 0 END)
+                FROM parquet_metadata(?) GROUP BY 1
+                """,
+                [path],
+            ).fetchall()
+        }
+        import os
+
+        base = os.path.basename(path)
+        for r in got:
+            if r["file_name"] != base:
+                continue
+            d = rows[r["row_group_id"]]
+            assert r["n_rows"] == d[1]
+            assert r["n_cols"] == d[2]
+            assert r["compressed_bytes"] == d[3]
+            assert r["uncompressed_bytes"] == d[4]
+            assert r["n_stats_cols"] == d[5]
