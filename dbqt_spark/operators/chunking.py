@@ -234,3 +234,91 @@ def embedding_dim_stats(
         "min_val",
         "max_val",
     ).orderBy("dim")
+
+
+def clean_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: "int | None" = None,
+    normalize: bool = True,
+    drop_stats: "dict | None" = None,
+) -> DataFrame:
+    """Pre-ANN embedding HYGIENE: drop rows whose vector is NULL, has
+    the wrong dimension, contains NaN/Inf, or (when normalizing) has
+    zero norm — the four corruptions that poison an index build
+    silently (a NaN cosine propagates through every comparison it
+    touches) — and L2-normalize the survivors. Returns
+    (id, dim, norm, unit) with the norm and unit components rounded
+    to 6 (engine-portable).
+
+    ``dim=None`` infers the MAJORITY dimension (most frequent
+    ``size(vec)``, ties to the smaller — one tiny aggregate), so one
+    truncated batch cannot silently redefine the corpus shape. Pass
+    ``drop_stats`` (dict) to receive per-reason drop counts — the
+    observability contract of the dedup caps (costs one extra
+    aggregate job over the corpus).
+
+    Scale shape: one narrow projection (size/NaN checks and the
+    normalize are JVM lambda expressions over the array — no UDF, no
+    shuffle, no explode)."""
+    size_c = F.size(F.col(vec_col))
+    if dim is None:
+        top = (
+            df.filter(F.col(vec_col).isNotNull())
+            .groupBy(size_c.alias("__d"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col("__d").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            dim = 0
+        else:
+            dim = int(top[0]["__d"])
+    bad_el = F.exists(
+        F.col(vec_col),
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == float("inf")),
+    )
+    norm_sq = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    is_null = F.col(vec_col).isNull()
+    wrong_dim = ~is_null & (size_c != F.lit(int(dim)))
+    has_nan = ~is_null & ~wrong_dim & bad_el
+    zero_norm = (
+        ~is_null & ~wrong_dim & ~has_nan & (norm_sq == 0.0)
+        if normalize
+        else F.lit(False)
+    )
+    if drop_stats is not None:
+        row = df.agg(
+            F.sum(is_null.cast("long")).alias("n_null"),
+            F.sum(wrong_dim.cast("long")).alias("n_wrong_dim"),
+            F.sum(has_nan.cast("long")).alias("n_nonfinite"),
+            F.sum(zero_norm.cast("long")).alias("n_zero_norm"),
+        ).collect()[0]
+        drop_stats.update(
+            {k: int(row[k] or 0) for k in (
+                "n_null", "n_wrong_dim", "n_nonfinite", "n_zero_norm"
+            )}
+        )
+        drop_stats["dim"] = int(dim)
+    kept = df.filter(~is_null & ~wrong_dim & ~has_nan & ~zero_norm)
+    norm = F.sqrt(norm_sq)
+    unit = (
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") / norm, 6)
+        )
+        if normalize
+        else F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    return kept.select(
+        F.col(id_col),
+        F.lit(int(dim)).alias("dim"),
+        F.round(norm, 6).alias("norm"),
+        unit.alias("unit"),
+    )

@@ -5903,6 +5903,81 @@ def q_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rowgroup_stats(spark, paths)
 
 
+def q_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene gate (operators/chunking.clean_embeddings):
+    deterministic corruption injected over the clean synthetic
+    embeddings (NULL at id%97=0, truncation at id%89=0, NaN at
+    id%83=0), then the four-way filter + L2 normalize. The oracle
+    replays the corruption AND the cleaning, unit components rounded
+    6 — bit-for-bit."""
+    from .operators.chunking import clean_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corrupted = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 97 == 0, F.lit(None))
+        .when(
+            F.col("vec_id") % 89 == 0,
+            F.slice(F.col("embedding"), 1, 10),
+        )
+        .when(
+            F.col("vec_id") % 83 == 0,
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.expr("CAST('NaN' AS FLOAT)"),
+            ),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return clean_embeddings(corrupted).orderBy("vec_id")
+
+
+SQL_CLEAN_EMBEDDINGS = r"""
+WITH corrupted AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 97 = 0 THEN NULL
+              WHEN vec_id % 89 = 0 THEN embedding[1:10]
+              WHEN vec_id % 83 = 0
+                THEN list_transform(embedding,
+                                    x -> CAST('NaN' AS FLOAT))
+              ELSE embedding END AS embedding
+  FROM embeddings
+),
+dims AS (
+  SELECT len(embedding) AS d, count(*) AS n FROM corrupted
+  WHERE embedding IS NOT NULL GROUP BY 1
+  ORDER BY n DESC, d ASC LIMIT 1
+),
+checked AS (
+  SELECT vec_id, embedding,
+         list_aggregate(
+           list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           'sum') AS norm_sq
+  FROM corrupted, dims
+  WHERE embedding IS NOT NULL
+    AND len(embedding) = dims.d
+    AND NOT EXISTS (
+      SELECT 1 FROM unnest(embedding) AS u(x)
+      WHERE isnan(CAST(x AS DOUBLE))
+         OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE)
+    )
+    AND list_aggregate(
+          list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          'sum') <> 0.0
+)
+SELECT vec_id,
+       CAST((SELECT d FROM dims) AS INT) AS dim,
+       round(sqrt(norm_sq), 6) AS norm,
+       list_transform(embedding,
+                      x -> round(CAST(x AS DOUBLE) / sqrt(norm_sq), 6))
+         AS unit
+FROM checked ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -6008,6 +6083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "tier_eval": q_tier_eval,
     "rowgroup_stats": q_rowgroup_stats,
+    "clean_embeddings": q_clean_embeddings,
     "quantile_histogram": q_quantile_histogram,
     "ppl_buckets": q_ppl_buckets,
     "incremental_profile": q_incremental_profile,
@@ -6148,6 +6224,7 @@ ORACLES: dict[str, str] = {
     "nb_classify": SQL_NB_CLASSIFY,
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     "tier_eval": SQL_TIER_EVAL,
+    "clean_embeddings": SQL_CLEAN_EMBEDDINGS,
     "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "ppl_buckets": SQL_PPL_BUCKETS,
     "incremental_profile": SQL_INCREMENTAL_PROFILE,

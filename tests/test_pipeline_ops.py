@@ -3444,3 +3444,45 @@ def test_pair_tier_eval_set_algebra(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     z = pair_tier_eval(empty, empty).collect()[0]
     assert (z["precision"], z["recall"], z["f1"]) == (0.0, 0.0, 0.0)
+
+
+def test_clean_embeddings_four_way_filter(spark):
+    """Each corruption class drops for its own reason with per-reason
+    accounting; survivors are unit-normalized; majority-dim inference
+    resists a truncated batch."""
+    import math
+
+    from dbqt_spark.operators.chunking import clean_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),
+            (2, [1.0, 0.0]),
+            (3, None),
+            (4, [1.0, 2.0, 3.0]),      # wrong dim (majority is 2)
+            (5, [float("nan"), 1.0]),  # non-finite
+            (6, [0.0, 0.0]),           # zero norm
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    stats: dict = {}
+    rows = {
+        r["vec_id"]: r
+        for r in clean_embeddings(df, drop_stats=stats).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert stats == {
+        "n_null": 1, "n_wrong_dim": 1, "n_nonfinite": 1,
+        "n_zero_norm": 1, "dim": 2,
+    }
+    assert rows[1]["norm"] == 5.0
+    assert rows[1]["unit"] == [0.6, 0.8]
+    assert rows[2]["unit"] == [1.0, 0.0]
+    assert all(
+        abs(math.hypot(*r["unit"]) - 1.0) < 1e-5 for r in rows.values()
+    )
+
+    # normalize=False keeps raw (double-cast) components, zero-norm
+    # rows survive
+    kept = clean_embeddings(df, normalize=False).collect()
+    assert {r["vec_id"] for r in kept} == {1, 2, 6}
