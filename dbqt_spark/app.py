@@ -1496,7 +1496,7 @@ def tool_layout(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="layout")
     p.add_argument("--config", required=True)
     p.add_argument("--table", required=True)
-    p.add_argument("--mode", choices=["zorder", "filestats"],
+    p.add_argument("--mode", choices=["zorder", "filestats", "rowgroups"],
                    required=True)
     p.add_argument("--zorder-columns",
                    help="zorder: comma-separated cluster columns")
@@ -1520,8 +1520,20 @@ def tool_layout(argv: list[str]) -> int:
         print(f"{n} rows rewritten z-ordered on {cols} "
               f"to {args.output_parquet}")
         return 0
-    from .operators.partitioning import file_stats
     from .report.html import HTMLReport
+
+    if args.mode == "rowgroups":
+        # footer-only: split granularity + pruning readiness per group
+        from .operators.partitioning import rowgroup_stats
+
+        stats = rowgroup_stats(db.spark, list(df.inputFiles()))
+        report = HTMLReport("layout (row groups)")
+        report.add_dataframe_tab("Row groups", stats)
+        out = args.output or _results_path("layout")
+        report.save(out)
+        print(f"{stats.count()} row groups reported to {out}")
+        return 0
+    from .operators.partitioning import file_stats
 
     stats = file_stats(df)
     report = HTMLReport("layout (file stats)")

@@ -1083,6 +1083,11 @@ def test_cli_layout(spark, tmp_path, capsys):
         "--mode", "filestats", "--output", str(tmp_path / "f.html"),
     ]) == 0
     assert "files profiled" in capsys.readouterr().out
+    assert main([
+        "layout", "--config", cfg, "--table", "events",
+        "--mode", "rowgroups", "--output", str(tmp_path / "rg.html"),
+    ]) == 0
+    assert "row groups reported" in capsys.readouterr().out
 
 
 def test_cli_shuffle(spark, tmp_path, capsys):
