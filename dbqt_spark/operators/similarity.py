@@ -1471,3 +1471,76 @@ def ivf_knn_join(
         .select("query_id", id_col, "cosine", F.col("rank").cast("int"))
         .orderBy("query_id", "rank")
     )
+
+
+def nearest_centroid_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Tag every vector with its nearest LABEL CENTROID by cosine —
+    the apply side of ``label_centroids`` (the weak-supervision move:
+    label a seed set, fit centroids, tag the corpus; also the class
+    side of drift monitoring). ``centroids`` is the exploded
+    (label, dim, centroid) frame ``label_centroids`` returns.
+
+    Returns (id, label, cosine) — argmax label per vector, cosine
+    rounded 6, ties broken label-ascending. ORDER-INDEPENDENT
+    arithmetic: elements round to 7 and sum as exact decimals (the
+    label_centroids discipline), the cosine computed once in double
+    from exact sums — any engine reproduces every assignment.
+
+    Scale shape: one posexplode, a dim-keyed join against the
+    (labels x dims) centroid frame (broadcast — class counts are
+    small), one map-side-combined (id, label) aggregate, and an
+    argmax window over exactly n_labels rows per vector. The
+    intermediate is corpus x labels rows — fine for the tens of
+    classes this is for; at SemDeDup-scale k use ``kmeans_assign``'s
+    Arrow arm instead."""
+    from pyspark.sql import Window
+
+    ev = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).select(
+        id_col,
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("__v").cast("double"), 7)
+        .cast("decimal(20,8)")
+        .alias("__v"),
+    )
+    c = centroids.select(
+        "label",
+        "dim",
+        F.col("centroid").cast("decimal(18,6)").alias("__c"),
+    )
+    scored = (
+        ev.join(F.broadcast(c), "dim")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum(F.col("__v") * F.col("__c")).alias("__dot"),
+            F.sum(F.col("__v") * F.col("__v")).alias("__vn"),
+            F.sum(F.col("__c") * F.col("__c")).alias("__cn"),
+        )
+        .select(
+            F.col(id_col),
+            "label",
+            F.round(
+                F.col("__dot").cast("double")
+                / F.sqrt(
+                    F.col("__vn").cast("double")
+                    * F.col("__cn").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

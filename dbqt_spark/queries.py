@@ -5978,6 +5978,64 @@ FROM checked ORDER BY vec_id
 """
 
 
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid tagging (similarity.nearest_centroid_assign):
+    centroids fit on even vec_ids via label_centroids, odd vec_ids
+    assigned by cosine argmax — the weak-supervision propagation step.
+    Decimal-exact sums; the oracle replays fit + assignment."""
+    from .operators.similarity import (
+        label_centroids,
+        nearest_centroid_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb.filter(F.col("vec_id") % 2 == 0))
+    return nearest_centroid_assign(
+        emb.filter(F.col("vec_id") % 2 == 1), cents
+    ).orderBy("vec_id")
+
+
+SQL_CENTROID_ASSIGN = """
+WITH cents AS (
+  SELECT label, i AS dim,
+    CAST(round(
+      CAST(SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE), 7)
+                    AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)
+      AS DOUBLE) AS centroid
+  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+  WHERE vec_id % 2 = 0
+  GROUP BY label, i
+),
+ev AS (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(embedding[i+1] AS DOUBLE), 7)
+              AS DECIMAL(20,8)) AS v
+  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+  WHERE vec_id % 2 = 1
+),
+scored AS (
+  SELECT ev.vec_id, c.label,
+         round(
+           CAST(SUM(ev.v * CAST(c.centroid AS DECIMAL(18,6)))
+                AS DOUBLE)
+           / sqrt(CAST(SUM(ev.v * ev.v) AS DOUBLE)
+                  * CAST(SUM(CAST(c.centroid AS DECIMAL(18,6))
+                             * CAST(c.centroid AS DECIMAL(18,6)))
+                         AS DOUBLE)),
+           6) AS cosine
+  FROM ev JOIN cents c ON ev.dim = c.dim
+  GROUP BY ev.vec_id, c.label
+)
+SELECT vec_id, label, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, label ASC) AS rn
+  FROM scored
+)
+WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -6084,6 +6142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tier_eval": q_tier_eval,
     "rowgroup_stats": q_rowgroup_stats,
     "clean_embeddings": q_clean_embeddings,
+    "centroid_assign": q_centroid_assign,
     "quantile_histogram": q_quantile_histogram,
     "ppl_buckets": q_ppl_buckets,
     "incremental_profile": q_incremental_profile,
@@ -6225,6 +6284,7 @@ ORACLES: dict[str, str] = {
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     "tier_eval": SQL_TIER_EVAL,
     "clean_embeddings": SQL_CLEAN_EMBEDDINGS,
+    "centroid_assign": SQL_CENTROID_ASSIGN,
     "quantile_histogram": SQL_QUANTILE_HISTOGRAM,
     "ppl_buckets": SQL_PPL_BUCKETS,
     "incremental_profile": SQL_INCREMENTAL_PROFILE,

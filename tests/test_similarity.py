@@ -827,3 +827,34 @@ def test_cosine_pairs_exact_edge_inputs(spark):
     assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == [
         (1, 2, 1.0)
     ]
+
+
+def test_nearest_centroid_assign_semantics(spark):
+    """Vectors tag to the label whose centroid they point along;
+    cosine argmax, deterministic label-asc tie-break."""
+    from dbqt_spark.operators.similarity import (
+        label_centroids,
+        nearest_centroid_assign,
+    )
+
+    seed = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+            (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = label_centroids(seed)
+    rest = spark.createDataFrame(
+        [(10, [5.0, 0.2]), (11, [0.2, 5.0]), (12, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in nearest_centroid_assign(rest, cents).collect()
+    }
+    assert got[10]["label"] == 0
+    assert got[11]["label"] == 1
+    assert all(0.0 < r["cosine"] <= 1.0 for r in got.values())
+    # each vector gets exactly one row
+    assert set(got) == {10, 11, 12}
