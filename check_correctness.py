@@ -71,7 +71,15 @@ def main(only=None):
     shard_i, shard_n = 0, 1
     if shard_env:
         shard_i, shard_n = (int(x) for x in shard_env.split("/"))
-    out_file = os.environ.get("CORRECTNESS_OUT", "CORRECTNESS_LOCAL.json")
+    # per-shard default: parallel shards must not clobber one another's
+    # artifact — an unset CORRECTNESS_OUT under sharding would leave the
+    # last writer's partial file masquerading as a full-registry record
+    default_out = (
+        f"CORRECTNESS_LOCAL.{shard_i}of{shard_n}.json"
+        if shard_n > 1
+        else "CORRECTNESS_LOCAL.json"
+    )
+    out_file = os.environ.get("CORRECTNESS_OUT", default_out)
 
     def flush():
         # incremental: a killed sweep still leaves a complete record

@@ -212,14 +212,28 @@ def profile_numeric(
             unpivot, "__val", "__col", qs=(0.25, 0.5, 0.75)
         ).collect():
             vals[r["__col"]][r["q"]] = r["value"]
+        import math
+
+        def _pct_lit(v: "float | None") -> str:
+            # explicit cast: a bare float literal parses as DECIMAL;
+            # non-finite values have no bare-literal spelling at all —
+            # repr() would splice `inf`/`nan` identifiers into the
+            # expression and fail analysis — so they go through the
+            # string cast Spark defines for them. NOTE: the scalable
+            # refinement engine EXCLUDES NaN from the ordered walk
+            # (NaN has no rank) while Spark's buffering `percentile`
+            # sorts NaN greater than every number; columns containing
+            # NaN are the one input where the two arms can differ.
+            if v is None:
+                return "CAST(NULL AS DOUBLE)"
+            if math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            if math.isinf(v):
+                return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+            return f"CAST({v!r} AS DOUBLE)"
+
         pct_lits = {
-            c: [
-                # explicit cast: a bare float literal parses as DECIMAL
-                "CAST(NULL AS DOUBLE)"
-                if vals[c].get(q) is None
-                else f"CAST({vals[c][q]!r} AS DOUBLE)"
-                for q in (0.25, 0.5, 0.75)
-            ]
+            c: [_pct_lit(vals[c].get(q)) for q in (0.25, 0.5, 0.75)]
             for c in cols
         }
 

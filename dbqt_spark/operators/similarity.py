@@ -1473,11 +1473,47 @@ def ivf_knn_join(
     )
 
 
+def _arrow_centroid_assign(C: "np.ndarray"):
+    """Cosine-argmax tagging as ONE numpy matmul per Arrow batch —
+    the ``kmeans._arrow_assign`` shape (centers in the task closure,
+    narrow shuffle-free map). Vector elements round to 7 first (the
+    expression arm's decimal input), the cosine matrix rounds to 6
+    BEFORE the argmax, and ``np.argmax`` takes the FIRST maximum —
+    rows of ``C`` are label-ascending, so ties break label-ascending
+    exactly like the expression arm's window. float64 dot/norm sums
+    can differ from the decimal-exact arm in the last ulp, so the two
+    arms agree except on values sitting exactly on a round-6
+    boundary (the ``kmeans_assign`` Arrow-arm contract)."""
+    Cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf("struct<label_idx: int, cosine: double>")
+    def assign(embs: pd.Series) -> pd.DataFrame:
+        if len(embs) == 0:
+            return pd.DataFrame({"label_idx": [], "cosine": []}).astype(
+                {"label_idx": "int32", "cosine": "float64"}
+            )
+        M = np.round(np.array(embs.tolist(), dtype=np.float64), 7)
+        Mn = (M * M).sum(axis=1)
+        S = np.round(
+            (M @ C.T) / np.sqrt(np.outer(Mn, Cn)), 6
+        )
+        idx = S.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "label_idx": idx.astype("int32"),
+                "cosine": S[np.arange(len(M)), idx],
+            }
+        )
+
+    return assign
+
+
 def nearest_centroid_assign(
     df: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """Tag every vector with its nearest LABEL CENTROID by cosine —
     the apply side of ``label_centroids`` (the weak-supervision move:
@@ -1491,14 +1527,65 @@ def nearest_centroid_assign(
     label_centroids discipline), the cosine computed once in double
     from exact sums — any engine reproduces every assignment.
 
-    Scale shape: one posexplode, a dim-keyed join against the
-    (labels x dims) centroid frame (broadcast — class counts are
-    small), one map-side-combined (id, label) aggregate, and an
-    argmax window over exactly n_labels rows per vector. The
-    intermediate is corpus x labels rows — fine for the tens of
-    classes this is for; at SemDeDup-scale k use ``kmeans_assign``'s
-    Arrow arm instead."""
+    Assignment is SIZE-GATED (``assign_mode``, default "auto" —
+    mirroring ``kmeans_assign``): the join arm posexplodes the corpus
+    and dim-joins the broadcast (labels x dims) centroid frame — an
+    n·dim·n_labels intermediate before the map-side combine, exact
+    decimal arithmetic, perfect for the tens of classes it was built
+    for; above ``kmeans.ARROW_ASSIGN_KDIM`` (labels x dims) "auto"
+    routes to an Arrow matmul kernel (centroids in the task closure,
+    one BLAS call per batch, still a narrow shuffle-free map) that
+    avoids the volume blow-up at SemDeDup/retrieval-scale label
+    counts, trading decimal-exactness for float64 (last-ulp
+    differences only surface on exact round-6 boundaries; ties break
+    label-ascending in both arms). "join"/"arrow" force an arm."""
     from pyspark.sql import Window
+
+    from .kmeans import ARROW_ASSIGN_KDIM
+
+    modes = ("auto", "join", "arrow")
+    if assign_mode not in modes:
+        raise ValueError(f"assign_mode must be one of {modes}")
+    use_arrow = assign_mode == "arrow" or (
+        assign_mode == "auto"
+        # the centroid frame is (labels x dims) rows and broadcast-
+        # small by contract — counting it is a scalar agg, not a scan
+        # of the corpus
+        and centroids.count() > ARROW_ASSIGN_KDIM
+    )
+    if use_arrow:
+        by_label: dict = {}
+        for r in centroids.select("label", "dim", "centroid").collect():
+            by_label.setdefault(r["label"], {})[int(r["dim"])] = (
+                float(r["centroid"]) if r["centroid"] is not None else 0.0
+            )
+        labels = sorted(by_label)
+        dim = 1 + max(d for dims in by_label.values() for d in dims)
+        C = np.array(
+            [
+                [by_label[lb].get(d, 0.0) for d in range(dim)]
+                for lb in labels
+            ],
+            dtype=np.float64,
+        )
+        label_type = dict(centroids.dtypes)["label"]
+        assign = _arrow_centroid_assign(C)
+        tagged = (
+            df.filter(
+                F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+            )
+            .select(
+                F.col(id_col), assign(F.col(vec_col)).alias("__a")
+            )
+        )
+        label_arr = F.array(*[F.lit(lb) for lb in labels])
+        return tagged.select(
+            id_col,
+            F.element_at(label_arr, F.col("__a.label_idx") + 1)
+            .cast(label_type)
+            .alias("label"),
+            F.col("__a.cosine").alias("cosine"),
+        )
 
     ev = df.select(
         F.col(id_col),

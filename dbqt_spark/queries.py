@@ -2687,6 +2687,11 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_IMAGE_PHASH_FP = """
+-- NOTE: this oracle counts CHARACTERS (ord(substr), length(text))
+-- while the Spark side hashes the UTF-8 BYTES of encode(text,'utf-8');
+-- the two agree exactly on the ASCII-only synthetic documents table
+-- this oracle runs against. A non-ASCII corpus would need the oracle
+-- rebuilt over the encoded blob's bytes instead.
 pos AS (
   SELECT doc_id, length(text) AS total, text,
          unnest(generate_series(1, length(text))) AS i
@@ -5834,10 +5839,15 @@ def _tier_eval_oracle_sql() -> str:
     sim = _SQL_SIMHASH_FP.replace(
         "FROM documents", "FROM documents WHERE doc_id < 1000"
     )
+    import re
+
     for name in ("toks", "h", "sums", "fp"):
-        sim = sim.replace(f"{name} AS (", f"sx_{name} AS (")
-        sim = sim.replace(f"FROM {name}", f"FROM sx_{name}")
-        sim = sim.replace(f"FROM {name} GROUP", f"FROM sx_{name} GROUP")
+        # word-boundary rename: plain str.replace would also rewrite
+        # any future identifier that merely STARTS with one of these
+        # names (e.g. `FROM h` matching `FROM hll`), silently
+        # corrupting the composed oracle
+        sim = re.sub(rf"\b{name}\b(?= AS \()", f"sx_{name}", sim)
+        sim = re.sub(rf"(?<=FROM ){name}\b", f"sx_{name}", sim)
     return f"""
 WITH {shingles},
 truth AS (

@@ -77,6 +77,7 @@ def _cell_blocked_pairs(
     threshold: float,
     max_cell_size: "int | None",
     k: int,
+    drop_stats: "dict | None" = None,
 ) -> DataFrame:
     """(id_a, id_b) within-batch pairs at cosine >= threshold.
     With stored centroids: one Arrow cell assignment + one matmul per
@@ -98,6 +99,7 @@ def _cell_blocked_pairs(
                 vecs, threshold=threshold, k=k, iters=2,
                 vec_col="__v", id_col="__id",
                 max_cluster_size=max_cell_size,
+                drop_stats=drop_stats,
             ).select("id_a", "id_b")
         clustered = vecs.withColumn("cell", F.lit(0))
     else:
@@ -115,6 +117,16 @@ def _cell_blocked_pairs(
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_cell_size)
         )
+        if drop_stats is not None:
+            # the dedup tiers' drop contract: an over-cap cell that
+            # skips verification must be VISIBLE, never silent —
+            # hot-cell recall loss in production is an ops decision
+            rows = big.agg(
+                F.count(F.lit(1)).alias("c"),
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("r"),
+            ).collect()[0]
+            drop_stats["n_dropped_cells"] = int(rows["c"])
+            drop_stats["n_dropped_rows"] = int(rows["r"])
         clustered = clustered.join(
             big.select("cell"), "cell", "left_anti"
         )
@@ -160,6 +172,7 @@ def semantic_gate_batch(
     max_cell_size: "int | None" = 4_000,
     max_drift: float = 4.0,
     exhaustive_within: bool = False,
+    drop_stats: "dict | None" = None,
 ) -> DataFrame:
     """Run one micro-batch through the semantic gate; returns the KEPT
     rows (eagerly — the index append must happen inside the batch) and
@@ -203,11 +216,13 @@ def semantic_gate_batch(
                 "use the blocked default"
             )
         pairs = _cell_blocked_pairs(
-            vecs, None, threshold, max_cell_size, k=min(n_cells, 8)
+            vecs, None, threshold, max_cell_size, k=min(n_cells, 8),
+            drop_stats=drop_stats,
         ).collect()
     else:
         pairs = _cell_blocked_pairs(
-            vecs, centroids, threshold, max_cell_size, k=min(n_cells, 8)
+            vecs, centroids, threshold, max_cell_size, k=min(n_cells, 8),
+            drop_stats=drop_stats,
         ).collect()
     dropped: set = set()
     for r in sorted(pairs, key=lambda r: (r["id_a"], r["id_b"])):

