@@ -190,14 +190,28 @@ def packed_sequences(
     sep_token: str = "<|eos|>",
     sep_tokens: int = 1,
     n_buckets: int = 64,
+    tokenizer=None,
 ) -> DataFrame:
     """MATERIALIZE the packed training sequences ``sequence_pack``
-    places: concatenate every doc's whitespace tokens (plus
-    ``sep_tokens`` copies of ``sep_token``) in ``id_col`` order and
-    chunk the stream into ``seq_len``-token rows — the loader side of
-    GPT-style packing, as a DataFrame program instead of a driver
-    loop. Output: (seq_id, text, n_tokens); the final partial
-    sequence is included with its true length.
+    places: concatenate every doc's tokens (plus ``sep_tokens`` copies
+    of ``sep_token``) in ``id_col`` order and chunk the stream into
+    ``seq_len``-token rows — the loader side of GPT-style packing, as
+    a DataFrame program instead of a driver loop. Output: (seq_id,
+    text, n_tokens); the final partial sequence is included with its
+    true length.
+
+    ``tokenizer=`` swaps the whitespace denomination for real (BPE)
+    token PIECES — the same hook ``sequence_pack`` has, resolved
+    through ``functions.tokenize.resolve_token_segmenter`` (so "hf:"
+    specs and segmenter callables ``text -> list[str]`` work; a
+    callable passed here must be a SEGMENTER — e.g.
+    ``simple_bpe_segmenter(merges)`` — because materialization needs
+    the pieces, and placement then counts ``len(pieces)``, keeping
+    the two sides in the same denomination by construction). BPE
+    pieces carry their preceding separator (the segmenter contract),
+    so sequences join with '' — slicing the stream reproduces exactly
+    the text those tokens decode to; the whitespace default keeps the
+    ' ' join (oracle unchanged).
 
     Scale shape: placement comes from ``sequence_pack`` (two-phase
     distributed prefix sum — rows shuffle once); each doc then
@@ -210,12 +224,22 @@ def packed_sequences(
     global window anywhere."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    from ..functions.tokenize import resolve_token_segmenter
+
+    segmenter = resolve_token_segmenter(tokenizer)
     placed = sequence_pack(
         df, seq_len, text_col=text_col, id_col=id_col,
         sep_tokens=sep_tokens, n_buckets=n_buckets,
+        tokenizer=tokenizer,
     ).select(id_col, "n_tokens", "global_start")
+    doc_toks = (
+        tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+        if segmenter is None
+        else segmenter(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    join_sep = " " if segmenter is None else ""
     toks_plus = F.concat(
-        tokens_col(F.coalesce(F.col(text_col), F.lit(""))),
+        doc_toks,
         F.array_repeat(F.lit(sep_token), sep_tokens),
     )
     base = df.select(F.col(id_col), toks_plus.alias("__tp")).join(
@@ -273,7 +297,7 @@ def packed_sequences(
         )
         .select(
             F.col("seq_id").cast("long").alias("seq_id"),
-            F.array_join("__toks", " ").alias(text_col),
+            F.array_join("__toks", join_sep).alias(text_col),
             F.size("__toks").cast("long").alias("n_tokens"),
         )
     )
