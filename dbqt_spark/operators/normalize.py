@@ -112,3 +112,133 @@ def strip_markup(
         col = F.regexp_replace(col, pat, rep)
     col = F.trim(F.regexp_replace(col, r"\s+", " "))
     return df.withColumn(out_col or text_col, col)
+
+
+def _block_text(b):
+    """Tag-stripped, whitespace-collapsed text of one block — staged
+    ONCE into a struct by the caller (duplicated regexp trees
+    re-evaluate per use site; codegen CSE does not collapse them)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(b, r"<[^>]*>", " "), r"\s+", " "
+        )
+    )
+
+
+# block-level HTML elements whose tags delimit text-density blocks —
+# the jusText/trafilatura segmentation unit (inline tags like <a>/<b>
+# do NOT split a paragraph)
+_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|dl|dt|dd|h1|h2|h3|h4|h5|h6|table|thead|tbody|"
+    "tr|td|th|blockquote|pre|section|article|aside|header|footer|nav|"
+    "form|fieldset|figure|figcaption|main|hr|center|title"
+)
+
+
+def extract_main_content(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: "str | None" = None,
+    min_text_chars: int = 25,
+    max_link_density: float = 0.5,
+    block_sep: str = "\n",
+    with_stats: bool = False,
+) -> DataFrame:
+    """MAIN-CONTENT extraction — the boilerplate-removal stage between
+    raw HTML and the quality gates (the trafilatura/jusText position;
+    ``strip_markup`` deliberately is NOT this — it strips residual
+    tags but keeps nav/footer text). Line/block text-density
+    classification, the core heuristic those extractors share:
+
+    1. script/style/comment CONTENT drops entirely (their text is
+       code, not prose);
+    2. the document splits into BLOCKS at block-level tag boundaries
+       (``_BLOCK_TAGS``) and newlines — inline markup never splits a
+       paragraph;
+    3. each block keeps iff its tag-stripped text has at least
+       ``min_text_chars`` characters AND its LINK DENSITY (anchor-text
+       chars / text chars) is at most ``max_link_density`` — short
+       and/or link-dominated blocks are menus, breadcrumbs, footers,
+       cookie banners;
+    4. kept blocks' texts (entities decoded by the ``strip_markup``
+       ordered chain) join with ``block_sep``.
+
+    DETERMINISTIC + engine-portable by construction: the density
+    compare is integer arithmetic (``link_chars * 1000 <= text_chars
+    * round(max_link_density*1000)``) — no float boundary to diverge
+    on — and every regex stays in the Java-regex/RE2 common dialect
+    (no backreferences, bounded ``[^>]*`` / lazy ``.*?`` forms), so a
+    DuckDB twin reproduces the extraction bit-for-bit.
+
+    Scale shape: one pure-codegen projection per row — regexp chain +
+    split + ONE ``transform`` staging each block's (text, link_chars)
+    struct (evaluated once, the regexp-staging house rule) + filter +
+    array_join. No UDF, no shuffle, no state; 100 TB is a map.
+
+    ``with_stats=True`` appends ``n_blocks_total`` / ``n_blocks_kept``
+    for drop accounting."""
+    thr_mil = int(round(float(max_link_density) * 1000))
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    # 1. drop script/style/comment content (separate patterns: RE2 has
+    # no backreferences, so one <(script|style)>.*?</\1> is off-limits)
+    cleaned = raw
+    for pat in (
+        r"(?is)<script[^>]*>.*?</script\s*>",
+        r"(?is)<style[^>]*>.*?</style\s*>",
+        r"(?s)<!--.*?-->",
+    ):
+        cleaned = F.regexp_replace(cleaned, pat, " ")
+    # 2. block segmentation: block-level tags become newlines
+    boundary = F.regexp_replace(
+        cleaned, rf"(?i)</?({_BLOCK_TAGS})\b[^>]*>", "\n"
+    )
+    blocks = F.split(boundary, "\n")
+    # 3. stage (text, link_chars) per block ONCE
+    stats = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _block_text(b).alias("t"),
+            F.aggregate(
+                F.transform(
+                    F.regexp_extract_all(
+                        b, F.lit(r"(?is)<a[^>]*>(.*?)</a\s*>"), F.lit(1)
+                    ),
+                    lambda a: F.length(_block_text(a)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("lk"),
+        ),
+    )
+    # STAGE the per-block struct array as a named column (the
+    # script_stats discipline): the whole regexp+transform tree feeds
+    # content and (optionally) both stats columns, and CollapseProject
+    # keeps a non-cheap multi-consumer alias in its own projection —
+    # the tree evaluates exactly once per row
+    staged = df.withColumn("__mc_stats", stats)
+    sc = F.col("__mc_stats")
+
+    def _keep(s):
+        return (F.length(s["t"]) >= F.lit(int(min_text_chars))) & (
+            s["lk"] * F.lit(1000) <= F.length(s["t"]) * F.lit(thr_mil)
+        )
+
+    content = F.array_join(
+        F.transform(F.filter(sc, _keep), lambda s: s["t"]), block_sep
+    )
+    # 4. entity decode (the strip_markup ordered chain, same sentinel
+    # discipline) on the assembled content
+    content = F.regexp_replace(content, _AMP_SENTINEL, "")
+    for pat, rep in _HTML_ENTITIES:
+        content = F.regexp_replace(content, pat, rep)
+    out = staged.withColumn(out_col or text_col, content)
+    if with_stats:
+        out = out.withColumn(
+            "n_blocks_total",
+            F.size(
+                F.filter(sc, lambda s: F.length(s["t"]) > 0)
+            ).cast("long"),
+        ).withColumn(
+            "n_blocks_kept", F.size(F.filter(sc, _keep)).cast("long")
+        )
+    return out.drop("__mc_stats")

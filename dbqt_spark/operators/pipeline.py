@@ -75,6 +75,14 @@ class CurateConfig:
     # thresholds). The dict overrides individual thresholds
     # (e.g. {"min_words": 20}); {} applies the paper defaults.
     gopher: "dict | None" = None
+    # optional main-content extraction (operators/normalize.
+    # extract_main_content): boilerplate removal runs FIRST — raw
+    # HTML must become prose before any text gate sees it (nav/footer
+    # link text would otherwise poison quality scores, dedup
+    # shingles, and blocklist hits). The dict overrides the
+    # extractor's thresholds (e.g. {"min_text_chars": 30}); {}
+    # applies the defaults.
+    extract_main: "dict | None" = None
 
 
 def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
@@ -90,6 +98,15 @@ def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
     cfg = config or CurateConfig()
     if cfg.dedup not in ("exact", "minhash", "none"):
         raise ValueError(f"unknown dedup mode {cfg.dedup!r}")
+
+    # -1. optional main-content extraction: raw HTML -> prose before
+    # ANY gate (a pure narrow map, so it fuses into the single scan)
+    if cfg.extract_main is not None:
+        from .normalize import extract_main_content
+
+        df = extract_main_content(
+            df, text_col=cfg.text_col, **cfg.extract_main
+        )
 
     # 0. optional blocklist pre-gate (C4 bad-words shape): hard drop
     # before anything else so blocked docs never influence the

@@ -5342,6 +5342,112 @@ FROM wrapped ORDER BY doc_id
 """
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (normalize.extract_main_content): each
+    doc wraps in a CONSTRUCTED page — title/script/nav boilerplate, the
+    real text as the main paragraph (plus an entity), a variable-link-
+    density div keyed off doc_id % 60 (so BOTH the keep and the drop
+    branch of the density rule fire across the corpus), a related-links
+    list, and a footer — and the extractor must recover exactly the
+    prose blocks. The oracle replays block segmentation, the integer
+    link-density rule, and the entity decode chain byte-for-byte."""
+    from .operators.normalize import extract_main_content
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>Doc</title><script type="text/'
+                'javascript">var nav=1;</script></head><body><nav>'
+                '<a href="/">Home</a> | <a href="/about">About our '
+                'site</a> | <a href="/contact">Contact page link</a>'
+                "</nav><p>"
+            ),
+            F.col("text"),
+            F.lit(' &amp; more</p><div><a href="/x">'),
+            F.expr("substring(text, 1, cast(doc_id % 60 as int))"),
+            F.lit(
+                "</a> mixed tail prose for density checks</div><ul>"
+                '<li><a href="/r1">First related article link</a></li>'
+                '<li><a href="/r2">Second related article link</a>'
+                '</li></ul><footer>&copy; 2026 <a href="/privacy">'
+                'Privacy</a> <a href="/terms">Terms</a></footer>'
+                "</body></html>"
+            ),
+        ).alias("text"),
+    )
+    return (
+        extract_main_content(docs, with_stats=True)
+        .select(
+            "doc_id",
+            F.col("text").alias("content"),
+            "n_blocks_total",
+            "n_blocks_kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_MAIN_CONTENT = r"""
+WITH wrapped AS (
+  SELECT doc_id,
+    '<html><head><title>Doc</title><script type="text/javascript">var nav=1;</script></head><body><nav><a href="/">Home</a> | <a href="/about">About our site</a> | <a href="/contact">Contact page link</a></nav><p>'
+    || text || ' &amp; more</p><div><a href="/x">'
+    || substring(text, 1, CAST(doc_id % 60 AS INT))
+    || '</a> mixed tail prose for density checks</div><ul><li><a href="/r1">First related article link</a></li><li><a href="/r2">Second related article link</a></li></ul><footer>&copy; 2026 <a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer></body></html>'
+    AS raw
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, string_split(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(raw,
+            '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+      '(?i)</?(p|div|br|li|ul|ol|dl|dt|dd|h1|h2|h3|h4|h5|h6|table|thead|tbody|tr|td|th|blockquote|pre|section|article|aside|header|footer|nav|form|fieldset|figure|figcaption|main|hr|center|title)\b[^>]*>',
+      chr(10), 'g'),
+    chr(10)) AS bl
+  FROM wrapped
+),
+st AS (
+  SELECT doc_id, list_transform(bl, x -> struct_pack(
+    t := trim(regexp_replace(
+           regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+    lk := coalesce(list_sum(list_transform(
+            regexp_extract_all(x, '(?is)<a[^>]*>(.*?)</a\s*>', 1),
+            a -> length(trim(regexp_replace(
+                   regexp_replace(a, '<[^>]*>', ' ', 'g'),
+                   '\s+', ' ', 'g'))))), 0)
+  )) AS st
+  FROM blocks
+),
+sel AS (
+  SELECT doc_id,
+    array_to_string(list_transform(
+      list_filter(st, s -> length(s.t) >= 25
+                           AND s.lk * 1000 <= length(s.t) * 500),
+      s -> s.t), chr(10)) AS joined,
+    CAST(len(list_filter(st, s -> length(s.t) > 0)) AS BIGINT)
+      AS n_blocks_total,
+    CAST(len(list_filter(st, s -> length(s.t) >= 25
+                AND s.lk * 1000 <= length(s.t) * 500)) AS BIGINT)
+      AS n_blocks_kept
+  FROM st
+)
+SELECT doc_id,
+  replace(replace(replace(replace(replace(replace(replace(replace(
+    replace(joined, chr(65535), ''),
+    '&#39;', chr(39)), '&#38;', chr(65535)), '&nbsp;', ' '),
+    '&quot;', '"'), '&lt;', '<'), '&gt;', '>'),
+    '&amp;', chr(65535)), chr(65535), '&') AS content,
+  n_blocks_total, n_blocks_kept
+FROM sel ORDER BY doc_id
+"""
+
+
 def q_group_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budget: within each source, the largest
     hash-order prefix of docs totalling <= 10k whitespace tokens —
@@ -6184,6 +6290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_stats": q_script_stats,
     "ivf_filtered_topk": q_ivf_filtered_topk,
     "strip_markup": q_strip_markup,
+    "main_content": q_main_content,
     "group_token_budget": q_group_token_budget,
     "cube_orders": q_cube_orders,
     "lm_score_bigram": q_lm_score_bigram,
@@ -6327,6 +6434,7 @@ ORACLES: dict[str, str] = {
     "script_stats": SQL_SCRIPT_STATS,
     "ivf_filtered_topk": SQL_IVF_FILTERED_TOPK,
     "strip_markup": SQL_STRIP_MARKUP,
+    "main_content": SQL_MAIN_CONTENT,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,
     "cube_orders": SQL_CUBE_ORDERS,
     "lm_score_bigram": SQL_LM_SCORE_BIGRAM,

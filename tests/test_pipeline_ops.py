@@ -3544,3 +3544,100 @@ def test_packed_sequences_tokenizer_consistency(spark):
         assert placed[did]["n_tokens"] == n
         if n > 0:
             assert placed[did]["first_seq"] == starts[did] // L
+
+
+def test_extract_main_content_density_classifier(spark):
+    """VERDICT r11 ask #3: boilerplate removal between raw HTML and
+    the quality gates — script/style content vanishes, link-dense
+    blocks (nav, related-links lists, footers) drop, prose paragraphs
+    survive with entities decoded, inline tags never split a
+    paragraph, and drop accounting reports total vs kept blocks."""
+    from dbqt_spark.operators.normalize import extract_main_content
+
+    page = (
+        '<html><head><title>T</title><style>p{color:red}</style>'
+        '<script>var boilerplate = "menu";</script></head><body>'
+        '<nav><a href="/">Home</a> | <a href="/a">About page</a> | '
+        '<a href="/c">Contact us here</a></nav>'
+        "<p>This paragraph is the real article content and easily "
+        "clears the minimum length gate.</p>"
+        '<p>Inline <b>bold</b> and a <a href="x">tiny link</a> do '
+        "not split or sink this second real paragraph.</p>"
+        '<ul><li><a href="1">Related link one</a></li>'
+        '<li><a href="2">Related link two</a></li></ul>'
+        "<!-- hidden comment longer than the gate would pass -->"
+        '<footer><a href="/p">Privacy policy</a> '
+        '<a href="/t">Terms of service</a></footer></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, None), (3, "short"), (4, "a" * 30)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_main_content(df, with_stats=True).collect()
+    }
+    lines = out[1]["text"].split("\n")
+    assert lines == [
+        "This paragraph is the real article content and easily "
+        "clears the minimum length gate.",
+        "Inline bold and a tiny link do not split or sink this "
+        "second real paragraph.",
+    ]
+    assert "menu" not in out[1]["text"]          # script content gone
+    assert "color" not in out[1]["text"]         # style content gone
+    assert "hidden comment" not in out[1]["text"]
+    assert out[1]["n_blocks_kept"] == 2
+    assert out[1]["n_blocks_total"] > 2          # dropped blocks counted
+    assert out[2]["text"] == "" and out[2]["n_blocks_total"] == 0
+    assert out[3]["text"] == ""                  # under min_text_chars
+    assert out[4]["text"] == "a" * 30            # plain text passes
+
+    # threshold knobs: a half-link block keeps at density 0.9,
+    # drops at 0.3 (integer-arithmetic boundary, no float compare)
+    half = (
+        '<p><a href="x">linked half of this block</a> and plain '
+        "other half of it</p>"
+    )
+    hdf = spark.createDataFrame([(1, half)], "doc_id long, text string")
+    keep = extract_main_content(hdf, max_link_density=0.9).collect()[0]
+    drop = extract_main_content(hdf, max_link_density=0.3).collect()[0]
+    assert "linked half" in keep["text"]
+    assert drop["text"] == ""
+
+    # entity decode on the survivors (ordered chain: double-escape
+    # stays literal)
+    ent = "<p>Tom &amp; Jerry &lt;3 the &amp;lt; literal escapes</p>"
+    edf = spark.createDataFrame([(1, ent)], "doc_id long, text string")
+    got = extract_main_content(edf).collect()[0]["text"]
+    assert got == "Tom & Jerry <3 the &lt; literal escapes"
+
+
+def test_curate_extract_main_pre_stage(spark):
+    """extract_main runs FIRST: nav/footer boilerplate never reaches
+    the quality gate, dedup, or the output text."""
+    from dbqt_spark.operators.pipeline import CurateConfig, curate
+
+    nav = (
+        '<nav><a href="/">Home</a> | <a href="/a">About page</a> | '
+        '<a href="/c">Contact us now</a></nav>'
+    )
+    body = (
+        "<p>Genuine prose content long enough to clear every heuristic "
+        "gate in the curation chain without trouble.</p>"
+    )
+    df = spark.createDataFrame(
+        [(1, nav + body, "en"), (2, nav + body + body, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = curate(
+        df,
+        CurateConfig(
+            quality_quantile=0.0, dedup="none", redact=False,
+            extract_main={},
+        ),
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert "Home" not in r["text"]
+        assert "Genuine prose content" in r["text"]
