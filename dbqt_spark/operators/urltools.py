@@ -1,0 +1,145 @@
+"""URL canonicalization + the URL-level dedup tier.
+
+Beyond the reference surface (north star). Crawl corpora dedup on the
+CANONICAL URL before any content tier runs: the same page arrives as
+``HTTP://WWW.Example.com:80/a/?utm_source=x#frag`` and
+``http://www.example.com/a``, and content-tier machinery (MinHash,
+SimHash, SemDeDup) should never pay to rediscover what the URL alone
+proves. The canonical form here follows RFC 3986 §6 normalization plus
+the crawl-pipeline conventions (tracking-parameter stripping, a fixed
+trailing-slash policy, deterministic query-parameter ordering):
+
+1. scheme and host lowercase (RFC 3986 §6.2.2.1); userinfo drops;
+2. default ports drop (``:80`` for http, ``:443`` for https);
+3. the fragment drops (never sent to the server);
+4. tracking parameters drop (``utm_*``, click ids, mail-campaign ids
+   — ``TRACKING_PARAMS``), surviving parameters SORT lexicographically
+   (parameter order is almost never semantic; sorting makes two
+   orderings one URL);
+5. trailing slashes strip from the path (``/a/`` == ``/a``; the root
+   path collapses to none).
+
+Everything is pure JVM string/regex work in the Java-regex/RE2 common
+dialect — no UDF, no ``java.net.URI`` driver round-trip — so the
+canonical form is engine-portable and the DuckDB oracle replays it
+byte-for-byte, and at 100 TB the canonicalization is a narrow map
+fused into the scan. A string that does not parse as
+``scheme://authority...`` passes through trimmed-only (opaque ids,
+relative paths): canonicalization must never manufacture collisions
+out of non-URLs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# the tracking/click-id parameter names every major pipeline strips
+# (lowercased compare; utm_* is matched as a prefix)
+TRACKING_PARAMS = (
+    "gclid", "gbraid", "wbraid", "fbclid", "msclkid", "yclid",
+    "igshid", "mc_cid", "mc_eid", "_ga", "_gl", "ref", "ref_src",
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def canonical_url_col(
+    url, strip_www: bool = False
+) -> Column:
+    """Canonical form of a URL column/name (see module docstring).
+    ``strip_www`` additionally drops a leading ``www.`` host label —
+    the aggressive crawl-dedup policy, off by default because
+    ``www.`` and apex CAN serve different content."""
+    u = F.trim(url if isinstance(url, Column) else F.col(url))
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    # authority = up to the first /, ?, or # after scheme://
+    auth = F.regexp_extract(u, _SCHEME_RE + r"([^/?#]*)", 2)
+    host_port = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
+    host = F.regexp_replace(host_port, r":[0-9]*$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(host_port, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    # path = after authority, up to ? or #; trailing slashes strip
+    path = F.regexp_replace(
+        F.regexp_extract(u, _SCHEME_RE + r"[^/?#]*([^?#]*)", 2),
+        r"/+$",
+        "",
+    )
+    # query = between ? and #/end; params split, tracking params drop
+    # (utm_* prefix + the TRACKING_PARAMS names, compared on the
+    # lowercased name), survivors sort lexicographically
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    names = F.array(*[F.lit(p) for p in TRACKING_PARAMS])
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "")
+        & ~F.startswith(F.lower(p), F.lit("utm_"))
+        & ~F.array_contains(
+            names, F.lower(F.regexp_extract(p, r"^([^=]*)", 1))
+        ),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(""),
+    )
+    # non-URL strings pass through trimmed-only
+    return F.when(scheme != "", canon).otherwise(u)
+
+
+def url_canonicalize(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: "str | None" = None,
+    strip_www: bool = False,
+) -> DataFrame:
+    """Append (or replace) the canonical URL column."""
+    return df.withColumn(
+        out_col or url_col,
+        canonical_url_col(F.col(url_col), strip_www=strip_www),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = False,
+) -> DataFrame:
+    """Keep the min-id row per CANONICAL-URL group — the exact-dedup
+    first-wins contract (``dedup.dedup_exact``), keyed on the
+    canonical URL instead of a content hash, with ``n_dups`` (group
+    size) appended to each survivor for drop accounting. Same scale
+    shape as dedup_exact: one map-side-combinable groupBy on the
+    canonical key + a semi-join-shaped inner join back — no window,
+    no per-group sort."""
+    cu = df.withColumn(
+        "__cu", canonical_url_col(F.col(url_col), strip_www=strip_www)
+    )
+    keepers = (
+        cu.groupBy("__cu")
+        .agg(
+            F.min(id_col).alias("__keep"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .withColumnRenamed("__cu", "__kcu")
+    )
+    return (
+        cu.join(
+            keepers,
+            (cu["__cu"] == keepers["__kcu"])
+            & (cu[id_col] == keepers["__keep"]),
+            "inner",
+        )
+        .drop("__cu", "__kcu", "__keep")
+    )

@@ -5448,6 +5448,124 @@ FROM sel ORDER BY doc_id
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/urltools):
+    every doc pair (2k, 2k+1) carries the SAME page behind two messy
+    spellings — scheme/host case, default port, trailing slash,
+    tracking params, fragment, param order — plus an opaque non-URL
+    arm (doc_id % 10 == 9) that must pass through untouched. The
+    canonical form collapses each pair to the min-id survivor with
+    n_dups=2; the oracle replays the full RFC-3986-style
+    normalization chain byte-for-byte."""
+    from .operators.urltools import url_canonicalize, url_dedup
+
+    d2 = F.expr("doc_id div 2")
+    urls = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 9,
+            F.concat(F.lit("opaque-"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.News-"),
+                d2 % 7,
+                F.lit(".COM:80/Article/"),
+                d2,
+                F.lit("/?utm_source=rss&b=2&a=1#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://www.news-"),
+                d2 % 7,
+                F.lit(".com/Article/"),
+                d2,
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .alias("url"),
+    )
+    canon = url_canonicalize(urls)  # canonical form is a fixed point
+    return url_dedup(canon).orderBy("doc_id")
+
+
+SQL_URL_DEDUP = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 10 = 9 THEN 'opaque-' || doc_id
+      WHEN doc_id % 2 = 0 THEN
+        'HTTP://WWW.News-' || ((doc_id // 2) % 7)
+        || '.COM:80/Article/' || (doc_id // 2)
+        || '/?utm_source=rss&b=2&a=1#frag'
+      ELSE
+        'http://www.news-' || ((doc_id // 2) % 7)
+        || '.com/Article/' || (doc_id // 2) || '?a=1&b=2'
+    END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, trim(url) AS tu,
+    lower(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_replace(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2),
+      '^[^@]*@', '')) AS host_port,
+    regexp_replace(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
+      '/+$', '') AS path,
+    regexp_extract(trim(url), '\?([^#]*)', 1) AS qs
+  FROM u
+),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' THEN tu ELSE
+      scheme || '://'
+      || regexp_replace(host_port, ':[0-9]*$', '')
+      || CASE
+           WHEN regexp_extract(host_port, ':([0-9]+)$', 1) <> ''
+                AND NOT (scheme = 'http'
+                         AND regexp_extract(host_port,
+                               ':([0-9]+)$', 1) = '80')
+                AND NOT (scheme = 'https'
+                         AND regexp_extract(host_port,
+                               ':([0-9]+)$', 1) = '443')
+           THEN ':' || regexp_extract(host_port, ':([0-9]+)$', 1)
+           ELSE '' END
+      || path
+      || CASE WHEN array_to_string(list_sort(list_filter(
+              string_split(qs, '&'),
+              p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
+                AND NOT list_contains(
+                  ['gclid','gbraid','wbraid','fbclid','msclkid',
+                   'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
+                   'ref','ref_src'],
+                  lower(regexp_extract(p, '^([^=]*)', 1))))), '&') <> ''
+         THEN '?' || array_to_string(list_sort(list_filter(
+              string_split(qs, '&'),
+              p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
+                AND NOT list_contains(
+                  ['gclid','gbraid','wbraid','fbclid','msclkid',
+                   'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
+                   'ref','ref_src'],
+                  lower(regexp_extract(p, '^([^=]*)', 1))))), '&')
+         ELSE '' END
+    END AS url
+  FROM parts
+),
+grp AS (
+  SELECT url, min(doc_id) AS keep,
+         CAST(count(*) AS BIGINT) AS n_dups
+  FROM canon GROUP BY url
+)
+SELECT c.doc_id, c.url, g.n_dups
+FROM canon c JOIN grp g ON c.url = g.url AND c.doc_id = g.keep
+ORDER BY c.doc_id
+"""
+
+
 def q_group_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budget: within each source, the largest
     hash-order prefix of docs totalling <= 10k whitespace tokens —
@@ -6291,6 +6409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_filtered_topk": q_ivf_filtered_topk,
     "strip_markup": q_strip_markup,
     "main_content": q_main_content,
+    "url_dedup": q_url_dedup,
     "group_token_budget": q_group_token_budget,
     "cube_orders": q_cube_orders,
     "lm_score_bigram": q_lm_score_bigram,
@@ -6435,6 +6554,7 @@ ORACLES: dict[str, str] = {
     "ivf_filtered_topk": SQL_IVF_FILTERED_TOPK,
     "strip_markup": SQL_STRIP_MARKUP,
     "main_content": SQL_MAIN_CONTENT,
+    "url_dedup": SQL_URL_DEDUP,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,
     "cube_orders": SQL_CUBE_ORDERS,
     "lm_score_bigram": SQL_LM_SCORE_BIGRAM,

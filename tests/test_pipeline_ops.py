@@ -3641,3 +3641,66 @@ def test_curate_extract_main_pre_stage(spark):
     for r in out:
         assert "Home" not in r["text"]
         assert "Genuine prose content" in r["text"]
+
+
+def test_url_canonicalization_table(spark):
+    """VERDICT r11 ask #7: the canonicalization table — scheme/host
+    lowering, userinfo and default-port drop, non-default port kept,
+    fragment drop, tracking-param strip (utm_* prefix + click ids),
+    param sort, trailing-slash strip, non-URL passthrough."""
+    from dbqt_spark.operators.urltools import (
+        url_canonicalize,
+        url_dedup,
+    )
+
+    table = [
+        ("HTTP://WWW.Example.com:80/a/b/?utm_source=x&z=1&a=2#f",
+         "http://www.example.com/a/b?a=2&z=1"),
+        ("http://www.example.com/a/b?a=2&z=1",
+         "http://www.example.com/a/b?a=2&z=1"),
+        ("https://Example.com:443/", "https://example.com"),
+        ("https://example.com", "https://example.com"),
+        ("https://u:p@example.com:8443/Path/?fbclid=a&GCLID=b",
+         "https://example.com:8443/Path"),
+        ("  not a url  ", "not a url"),
+        ("ftp://Files.example.com:21/x//", "ftp://files.example.com:21/x"),
+        ("https://e.com/s?q=Hello%20World&UTM_CAMPAIGN=y&ref=tw&Ref_Src=z",
+         "https://e.com/s?q=Hello%20World"),
+        ("https://e.com/?", "https://e.com"),
+        ("http://e.com:8080/p#only-frag", "http://e.com:8080/p"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(table)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["canon"]
+        for r in url_canonicalize(df, out_col="canon").collect()
+    }
+    for i, (u, want) in enumerate(table):
+        assert got[i] == want, (u, got[i], want)
+    # canonicalization is idempotent (url_dedup relies on it)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in got.items()], "doc_id long, url string"
+    )
+    got2 = {
+        r["doc_id"]: r["canon"]
+        for r in url_canonicalize(cdf, out_col="canon").collect()
+    }
+    assert got2 == got
+
+    # strip_www option
+    w = url_canonicalize(
+        spark.createDataFrame(
+            [(1, "https://WWW.example.com/x/")], "doc_id long, url string"
+        ),
+        out_col="canon",
+        strip_www=True,
+    ).collect()[0]["canon"]
+    assert w == "https://example.com/x"
+
+    # dedup: rows 0/1 and 2/3 collapse to min-id survivors
+    out = {r["doc_id"]: r["n_dups"] for r in url_dedup(df).collect()}
+    assert 1 not in out and 3 not in out
+    assert out[0] == 2 and out[2] == 2
+    assert out[5] == 1
