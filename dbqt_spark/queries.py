@@ -5566,6 +5566,105 @@ ORDER BY c.doc_id
 """
 
 
+def q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprints (operators/multimodal.audio_fingerprints):
+    document bytes stand in for audio payloads; the deterministic stub
+    — 9 positional frames x 8 byte-value bands, energy-GRADIENT bits
+    across frame transitions (the chromaprint construction on fake
+    energies), 64 bits two's-complement — is a pure function of the
+    bytes the DuckDB oracle replays bit-for-bit."""
+    from .operators.multimodal import audio_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return audio_fingerprints(docs).orderBy("media_id")
+
+
+_SQL_AUDIO_FP = """
+-- NOTE: counts CHARACTERS (ord/substr) while Spark hashes the UTF-8
+-- BYTES of encode(text,'utf-8') — identical on this ASCII-only corpus
+-- (the SQL_IMAGE_PHASH assumption).
+pos AS (
+  SELECT doc_id, length(text) AS total, text,
+         unnest(generate_series(1, length(text))) AS i
+  FROM documents WHERE length(text) > 0
+),
+fb AS (
+  SELECT doc_id, ((i - 1) * 9) // total AS f,
+         ord(substr(text, i, 1)) % 8 AS b
+  FROM pos
+),
+cnt AS (
+  SELECT doc_id, f, b, count(*) AS c FROM fb GROUP BY doc_id, f, b
+),
+grid AS (
+  SELECT d.doc_id, fr.f, bd.b
+  FROM (SELECT DISTINCT doc_id FROM pos) d,
+       (SELECT unnest(range(9)) AS f) fr,
+       (SELECT unnest(range(8)) AS b) bd
+),
+filled AS (
+  SELECT g.doc_id, g.f, g.b, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN cnt c
+    ON g.doc_id = c.doc_id AND g.f = c.f AND g.b = c.b
+),
+bits AS (
+  SELECT cur.doc_id, (cur.f - 1) * 8 + cur.b AS k
+  FROM filled cur JOIN filled prev
+    ON cur.doc_id = prev.doc_id AND cur.b = prev.b
+       AND prev.f = cur.f - 1
+  WHERE cur.f >= 1 AND cur.c > prev.c
+),
+afp AS (
+  SELECT ids.doc_id,
+    CAST(coalesce(sum(CASE WHEN k = 63 THEN -9223372036854775807 - 1
+         ELSE (CAST(1 AS BIGINT) << k) END), 0) AS BIGINT) AS afp
+  FROM (SELECT DISTINCT doc_id FROM pos) ids
+  LEFT JOIN bits ON ids.doc_id = bits.doc_id
+  GROUP BY ids.doc_id
+)"""
+
+SQL_AUDIO_FP = f"""
+WITH {_SQL_AUDIO_FP}
+SELECT doc_id AS media_id, afp FROM afp ORDER BY media_id
+"""
+
+
+def q_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio content near-dup pairs (operators/multimodal.
+    audio_near_duplicates): Manku pigeonhole banding over the acoustic
+    fingerprints — exhaustive for max_hamming < bands, so the
+    brute-force Hamming oracle is an exact twin (the
+    ``image_phash_dups`` precedent, on the audio modality)."""
+    from .operators.multimodal import audio_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return _localized(
+        audio_near_duplicates(
+            docs, max_hamming=3, bands=4, max_bucket_size=None
+        )
+    ).orderBy("id_a", "id_b")
+
+
+SQL_AUDIO_FP_DUPS = f"""
+WITH {_SQL_AUDIO_FP}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q_group_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budget: within each source, the largest
     hash-order prefix of docs totalling <= 10k whitespace tokens —
@@ -6410,6 +6509,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_markup": q_strip_markup,
     "main_content": q_main_content,
     "url_dedup": q_url_dedup,
+    "audio_fp": q_audio_fp,
+    "audio_fp_dups": q_audio_fp_dups,
     "group_token_budget": q_group_token_budget,
     "cube_orders": q_cube_orders,
     "lm_score_bigram": q_lm_score_bigram,
@@ -6555,6 +6656,8 @@ ORACLES: dict[str, str] = {
     "strip_markup": SQL_STRIP_MARKUP,
     "main_content": SQL_MAIN_CONTENT,
     "url_dedup": SQL_URL_DEDUP,
+    "audio_fp": SQL_AUDIO_FP,
+    "audio_fp_dups": SQL_AUDIO_FP_DUPS,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,
     "cube_orders": SQL_CUBE_ORDERS,
     "lm_score_bigram": SQL_LM_SCORE_BIGRAM,

@@ -1306,3 +1306,129 @@ def test_corpus_overlap_exact_counts(spark):
     # disjoint corpora -> 0
     r2 = corpus_overlap(a, b.select("doc_id", F.lit("q").alias("text")))
     assert r2.collect()[0]["jaccard"] == 0.0
+
+
+def test_audio_near_dup_matches_brute_force(spark):
+    """VERDICT r11 ask #4: acoustic-fingerprint audio content-dedup
+    tier. With the cap off the banded pairs equal brute-force Hamming
+    over the fingerprints; small byte edits stay within threshold."""
+    import itertools
+    import random
+
+    from dbqt_spark.operators.multimodal import (
+        _stub_audio_fp,
+        audio_fingerprints,
+        audio_near_duplicates,
+    )
+
+    random.seed(29)
+    payloads = {}
+    mid = 0
+    for _ in range(12):
+        base = bytes(random.randrange(256) for _ in range(400))
+        payloads[mid] = base
+        mid += 1
+        edited = bytearray(base)
+        for _ in range(3):
+            edited[random.randrange(len(edited))] = random.randrange(256)
+        payloads[mid] = bytes(edited)
+        mid += 1
+    df = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()]
+        + [(998, None), (999, b"")],
+        "media_id long, content binary",
+    )
+    fps = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprints(df).collect()
+    }
+    assert 998 not in fps and 999 not in fps  # NULL/empty filtered
+    assert fps == {k: _stub_audio_fp(v) for k, v in payloads.items()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    got = sorted(
+        tuple(r)
+        for r in audio_near_duplicates(
+            df, max_hamming=3, bands=4, max_bucket_size=None
+        ).collect()
+    )
+    brute = sorted(
+        (a, b, ham(fps[a], fps[b]))
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if ham(fps[a], fps[b]) <= 3
+    )
+    assert got == brute
+
+
+def test_audio_near_dup_cap_contract_and_real_wav(spark):
+    import io
+    import math
+    import wave
+
+    from dbqt_spark.operators.multimodal import (
+        _wav_spectral_fp,
+        audio_near_duplicates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, b"same audio payload") for i in range(10)],
+        "media_id long, content binary",
+    )
+    stats: dict = {}
+    got = audio_near_duplicates(
+        df, max_hamming=3, bands=4, max_bucket_size=5, drop_stats=stats
+    ).collect()
+    assert got == []
+    assert stats["n_dropped_buckets"] >= 1
+    assert stats["n_dropped_rows"] >= 10
+
+    with pytest.raises(ValueError, match="max_hamming < bands"):
+        audio_near_duplicates(df, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        audio_near_duplicates(df, max_hamming=2, bands=5)
+
+    # the REAL arm (stdlib wave + rfft, no optional dep): a loudness
+    # change scales every band energy by the same factor, so the
+    # GRADIENT bits — hence the fingerprint — are identical; a
+    # different tone lands far away
+    def tone(freq: float, amp: float) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            frames = bytearray()
+            for i in range(4000):
+                # a little chirp so frame energies actually vary
+                v = int(
+                    amp * 30000
+                    * math.sin(2 * math.pi * freq * i * (1 + i / 8000) / 8000)
+                )
+                frames += int(v).to_bytes(2, "little", signed=True)
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    fp = _wav_spectral_fp()
+    a, quiet, other = (
+        fp(tone(440, 1.0)), fp(tone(440, 0.25)), fp(tone(1900, 1.0))
+    )
+    assert a == quiet
+
+    def ham(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    assert ham(a, other) > 8
+
+    # custom hasher seam
+    small = spark.createDataFrame(
+        [(1, b"x"), (2, b"y"), (3, b"z")], "media_id long, content binary"
+    )
+    got = sorted(
+        tuple(r)
+        for r in audio_near_duplicates(
+            small, max_hamming=1, bands=2, hasher=lambda p: 7
+        ).collect()
+    )
+    assert got == [(1, 2, 0), (1, 3, 0), (2, 3, 0)]
