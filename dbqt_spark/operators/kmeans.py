@@ -123,6 +123,119 @@ def _arrow_assign(centers: "list[list[float]]"):
     return assign
 
 
+def _kmeanspar_init(
+    base: DataFrame,
+    k: int,
+    id_col: str,
+    seed: int,
+    rounds: int = 2,
+    oversample: "int | None" = None,
+) -> "list[list[float]]":
+    """Fixed-seed k-means|| initialization (Bahmani et al. 2012,
+    VLDB): oversample candidates in ``rounds`` distributed passes —
+    each point joins the candidate set with probability
+    ``min(1, l * d²(x,C) / φ(C))`` — then weight every candidate by
+    the points nearest it and reduce to ``k`` driver-side with
+    weighted k-means++. DETERMINISM: the per-point coin is
+    ``xxhash64(id, seed, round)`` mapped to [0,1) (portable, no RNG
+    state on executors) and the driver reduction uses
+    ``random.Random(seed)`` — the same (corpus, k, seed) always
+    yields the same centers, which is what keeps downstream
+    IVF/SemDeDup builds reproducible. Candidate sets stay O(l·rounds)
+    rows (l defaults to 2k) — the only collects are those vectors and
+    one scalar cost per round."""
+    import random
+
+    l = oversample or 2 * k
+    first = (
+        base.orderBy(id_col).limit(1).select("__e").collect()
+    )
+    cands: "list[list[float]]" = [list(first[0]["__e"])]
+    cur = base.withColumn("__d2", _dist_to(cands[0]))
+    for r in range(rounds):
+        phi = cur.agg(F.sum("__d2").alias("s")).collect()[0]["s"]
+        if not phi or phi <= 0:
+            break  # every point sits on a candidate already
+        u = (
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(seed), F.lit(r)),
+                F.lit(1_000_000_007),
+            ).cast("double")
+            / 1_000_000_007.0
+        )
+        p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("__d2") / phi)
+        new = [
+            list(row["__e"])
+            for row in cur.filter(u < p).select("__e").collect()
+        ]
+        new = [c for c in new if c not in cands]
+        if not new:
+            continue
+        cands += new
+        cur = cur.withColumn(
+            "__d2",
+            F.least(
+                F.col("__d2"),
+                F.array_min(F.array(*[_dist_to(c) for c in new])),
+            ),
+        )
+    # weight candidates by nearest-point counts (one assignment pass;
+    # the Arrow kernel above the expression bound, like assignment)
+    if _use_arrow_assign(cands, "auto"):
+        acol = F.element_at(
+            _arrow_assign(cands)(F.col("__e")), 1
+        ).cast("int")
+    else:
+        acol = _assign_expr(cands)
+    wrows = (
+        base.withColumn("__c", acol)
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    weights = [0.0] * len(cands)
+    for row in wrows:
+        weights[row["__c"]] = float(row["w"])
+
+    # driver-side weighted k-means++ reduction to k (standard tail of
+    # k-means||) — all in Python over O(l·rounds) candidate vectors
+    rng = random.Random(seed)
+
+    def d2(a: "list[float]", b: "list[float]") -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    chosen = [max(range(len(cands)), key=lambda i: (weights[i], -i))]
+    dist = [d2(c, cands[chosen[0]]) for c in cands]
+    while len(chosen) < min(k, len(cands)):
+        total = sum(w * d for w, d in zip(weights, dist))
+        if total <= 0:
+            # remaining candidates coincide with chosen ones: fill by
+            # weight order for determinism
+            rest = [i for i in range(len(cands)) if i not in chosen]
+            rest.sort(key=lambda i: (-weights[i], i))
+            chosen += rest[: k - len(chosen)]
+            break
+        pick = rng.random() * total
+        acc = 0.0
+        idx = len(cands) - 1
+        for i in range(len(cands)):
+            acc += weights[i] * dist[i]
+            if acc >= pick:
+                idx = i
+                break
+        if idx in chosen:
+            idx = max(
+                range(len(cands)),
+                key=lambda i: (weights[i] * dist[i], -i),
+            )
+        chosen.append(idx)
+        dist = [
+            min(dist[i], d2(cands[i], cands[idx]))
+            for i in range(len(cands))
+        ]
+    return [cands[i] for i in chosen]
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 8,
@@ -130,6 +243,8 @@ def kmeans_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign_mode: str = "auto",
+    init: str = "lowest",
+    seed: int = 42,
 ) -> DataFrame:
     """Cluster the vectors and return (id, cluster, dist) — the
     assignment against the centers after ``iters`` Lloyd's updates,
@@ -137,11 +252,23 @@ def kmeans_assign(
     center. See module docstring for the determinism contract, the
     100 TB plan shape, and the ``assign_mode`` size gate (large k
     assigns via the Arrow matmul kernel instead of a k x dim
-    expression array)."""
+    expression array).
+
+    ``init``: "lowest" (default — the k lowest-id vectors; what the
+    bit-for-bit DuckDB oracles replay) or "kmeanspar" — fixed-seed
+    k-means|| (``_kmeanspar_init``): still fully deterministic for a
+    given ``seed``, but SQL-inexpressible, so use it where cluster
+    QUALITY matters more than an oracle twin (SemDeDup/IVF builds at
+    large k, where lowest-id init can start k centers inside one
+    blob)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    if init not in ("lowest", "kmeanspar"):
+        raise ValueError(
+            f"init must be lowest|kmeanspar, got {init!r}"
+        )
     # materialize the rounded projection ONCE (localCheckpoint): every
     # iteration (and the final assignment) re-reads these partitions
     # instead of re-scanning and re-rounding the source — the "persist
@@ -149,12 +276,17 @@ def kmeans_assign(
     base = df.select(
         F.col(id_col), _rounded_vec(vec_col).alias("__e")
     ).localCheckpoint()
-    init_rows = (
-        base.orderBy(id_col).limit(k).select("__e").collect()
-    )
-    if not init_rows:
-        raise ValueError("kmeans_assign needs a non-empty input")
-    centers = [list(r["__e"]) for r in init_rows]  # k_eff <= k
+    if init == "kmeanspar":
+        centers = _kmeanspar_init(base, k, id_col, seed)
+        if not centers:
+            raise ValueError("kmeans_assign needs a non-empty input")
+    else:
+        init_rows = (
+            base.orderBy(id_col).limit(k).select("__e").collect()
+        )
+        if not init_rows:
+            raise ValueError("kmeans_assign needs a non-empty input")
+        centers = [list(r["__e"]) for r in init_rows]  # k_eff <= k
     dim = len(centers[0])
     arrow = _use_arrow_assign(centers, assign_mode)
     for _ in range(iters):
@@ -241,6 +373,7 @@ def semantic_near_dup_pairs(
     max_cluster_size: int | None = 4_000,
     drop_stats: "dict | None" = None,
     assign_mode: str = "auto",
+    init: str = "lowest",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate PAIRS
     found by clustering the embeddings (``kmeans_assign``) and
@@ -269,7 +402,7 @@ def semantic_near_dup_pairs(
     """
     assign = kmeans_assign(
         df, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
-        assign_mode=assign_mode,
+        assign_mode=assign_mode, init=init,
     ).select(F.col(id_col).alias("__id"), "cluster")
     vecs = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
