@@ -301,3 +301,82 @@ def packed_sequences(
             F.size("__toks").cast("long").alias("n_tokens"),
         )
     )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    seq_lens: "list[int]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_tokens: int = 1,
+    n_buckets: int = 64,
+    tokenizer=None,
+) -> DataFrame:
+    """Packing-efficiency report — the seq_len SELECTION tool next to
+    ``sequence_pack``: for each candidate length, what the packed
+    corpus would look like. Per ``seq_lens`` entry:
+
+    - ``n_sequences``: ceil(stream / L) training rows;
+    - ``fill_rate``: stream / (n_sequences * L) — 1 minus the padding
+      waste of the final partial sequence (packed training pads
+      nothing else);
+    - ``n_split_docs`` / ``split_frac``: documents whose OWN tokens
+      cross a sequence boundary — the attention-fragmentation cost a
+      longer L amortizes (the fill/fragmentation trade this report
+      exists to expose).
+
+    One corpus scan: placement comes from ``sequence_pack``'s
+    two-phase prefix sum ONCE (global_start is L-independent), then
+    every candidate L is a handful of integer aggregate expressions
+    over that frame — integer ``div`` arithmetic end-to-end (the
+    module's 2^53 rule), ratios rounded to 6, engine-exact."""
+    if not seq_lens or any(int(L) < 1 for L in seq_lens):
+        raise ValueError(f"seq_lens must be positive, got {seq_lens}")
+    placed = sequence_pack(
+        df, seq_len=max(int(L) for L in seq_lens), text_col=text_col,
+        id_col=id_col, sep_tokens=sep_tokens, n_buckets=n_buckets,
+        tokenizer=tokenizer,
+    ).select("n_tokens", "global_start")
+    aggs = [
+        F.sum(F.col("n_tokens") + F.lit(int(sep_tokens))).alias("__stream"),
+        F.count(F.when(F.col("n_tokens") > 0, 1)).alias("__nonempty"),
+    ]
+    for L in seq_lens:
+        L = int(L)
+        split = (F.col("n_tokens") > 0) & (
+            F.expr(f"global_start div {L}")
+            != F.expr(f"(global_start + n_tokens - 1) div {L}")
+        )
+        aggs.append(
+            F.count(F.when(split, 1)).alias(f"__split_{L}")
+        )
+    row = placed.agg(*aggs)
+    parts = []
+    for L in seq_lens:
+        L = int(L)
+        nseq = F.expr(f"(__stream + {L} - 1) div {L}")
+        parts.append(
+            row.select(
+                F.lit(L).cast("long").alias("seq_len"),
+                nseq.cast("long").alias("n_sequences"),
+                F.round(
+                    F.col("__stream").cast("double") / (nseq * F.lit(L)),
+                    6,
+                ).alias("fill_rate"),
+                F.col(f"__split_{L}").cast("long").alias("n_split_docs"),
+                F.when(
+                    F.col("__nonempty") > 0,
+                    F.round(
+                        F.col(f"__split_{L}").cast("double")
+                        / F.col("__nonempty"),
+                        6,
+                    ),
+                )
+                .otherwise(0.0)
+                .alias("split_frac"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("seq_len")

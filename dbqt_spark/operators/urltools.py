@@ -143,3 +143,76 @@ def url_dedup(
         )
         .drop("__cu", "__kcu", "__keep")
     )
+
+
+def host_col(url, strip_www: bool = False) -> Column:
+    """Lowercase host of a URL column/name (userinfo and port
+    stripped; empty string for non-URLs) — the grouping key for
+    domain-level corpus policy."""
+    u = F.trim(url if isinstance(url, Column) else F.col(url))
+    auth = F.regexp_extract(u, _SCHEME_RE + r"([^/?#]*)", 2)
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(auth, r"^[^@]*@", "")),
+        r":[0-9]*$",
+        "",
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: "str | None" = None,
+    strip_www: bool = True,
+) -> DataFrame:
+    """Per-DOMAIN corpus composition — the report behind domain-level
+    curation policy (top-domain caps, per-domain mixture weights,
+    single-domain-dominance alarms every crawl pipeline runs before
+    training): (host, n_docs, n_urls, doc_share) plus, with
+    ``text_col``, exact-decimal n_chars_total / avg_chars. ``n_urls``
+    counts DISTINCT canonical URLs (``canonical_url_col``), so
+    tracking-param spam inflates n_docs but not n_urls — the gap
+    between the two IS the URL-dup signal per domain. Non-URL rows
+    group under the empty host.
+
+    Scale shape: one groupBy(host) with map-side combine (distinct
+    canonical URLs partial-aggregate per host); the corpus total
+    folds back as a broadcast scalar for doc_share — no window, one
+    shuffle on the host key."""
+    h = host_col(F.col(url_col), strip_www=strip_www)
+    base = df.withColumn("__h", h).withColumn(
+        "__cu", canonical_url_col(F.col(url_col), strip_www=strip_www)
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("__cu").cast("long").alias("n_urls"),
+    ]
+    if text_col is not None:
+        aggs += [
+            F.sum(F.length(text_col).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("n_chars_total"),
+            F.round(
+                F.sum(F.length(text_col).cast("decimal(38,0)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_chars"),
+        ]
+    grouped = base.groupBy(F.col("__h").alias("host")).agg(*aggs)
+    total = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__total")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .withColumn(
+            "doc_share",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__total"), 6
+            ),
+        )
+        .drop("__total")
+        .orderBy(F.desc("n_docs"), "host")
+    )

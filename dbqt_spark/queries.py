@@ -5665,6 +5665,183 @@ ORDER BY id_a, id_b
 """
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (operators/packing.
+    packing_efficiency): for candidate seq_lens 128/512/2048, the
+    sequences, fill rate (padding waste), and boundary-split doc
+    fraction the packed corpus would have — ONE placement prefix sum
+    + integer aggregates per candidate; the oracle replays the window
+    cumsum and every integer-div boundary test."""
+    from .operators.packing import packing_efficiency
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_efficiency(docs, seq_lens=[128, 512, 2048])
+
+
+SQL_PACKING_EFFICIENCY = r"""
+WITH counted AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         CAST(coalesce(SUM(n + 1) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start
+  FROM counted
+),
+tot AS (
+  SELECT CAST(SUM(n + 1) AS BIGINT) AS stream,
+         CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS nonempty
+  FROM counted
+),
+per AS (
+  SELECT l.seq_len,
+         CAST(count(*) FILTER (WHERE n > 0 AND
+              start // l.seq_len <> (start + n - 1) // l.seq_len)
+           AS BIGINT) AS n_split_docs
+  FROM c CROSS JOIN (VALUES (128), (512), (2048)) l(seq_len)
+  GROUP BY l.seq_len
+)
+SELECT CAST(p.seq_len AS BIGINT) AS seq_len,
+  CAST((t.stream + p.seq_len - 1) // p.seq_len AS BIGINT)
+    AS n_sequences,
+  round(CAST(t.stream AS DOUBLE)
+        / (((t.stream + p.seq_len - 1) // p.seq_len) * p.seq_len), 6)
+    AS fill_rate,
+  p.n_split_docs,
+  CASE WHEN t.nonempty > 0
+       THEN round(CAST(p.n_split_docs AS DOUBLE) / t.nonempty, 6)
+       ELSE 0.0 END AS split_frac
+FROM per p CROSS JOIN tot t
+ORDER BY seq_len
+"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus composition (operators/urltools.
+    domain_stats) over the same constructed URL corpus as
+    ``url_dedup``: doc counts vs DISTINCT canonical URLs per host
+    (the gap is the per-domain URL-dup signal), exact-decimal char
+    totals, and doc share — the report behind top-domain caps and
+    per-domain mixture weights."""
+    from .operators.urltools import domain_stats
+
+    d2 = F.expr("doc_id div 2")
+    urls = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 9,
+            F.concat(F.lit("opaque-"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.News-"),
+                d2 % 7,
+                F.lit(".COM:80/Article/"),
+                d2,
+                F.lit("/?utm_source=rss&b=2&a=1#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://www.news-"),
+                d2 % 7,
+                F.lit(".com/Article/"),
+                d2,
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .alias("url"),
+    )
+    return domain_stats(urls, text_col="text", strip_www=False)
+
+
+SQL_DOMAIN_STATS = r"""
+WITH u AS (
+  SELECT doc_id, text,
+    CASE
+      WHEN doc_id % 10 = 9 THEN 'opaque-' || doc_id
+      WHEN doc_id % 2 = 0 THEN
+        'HTTP://WWW.News-' || ((doc_id // 2) % 7)
+        || '.COM:80/Article/' || (doc_id // 2)
+        || '/?utm_source=rss&b=2&a=1#frag'
+      ELSE
+        'http://www.news-' || ((doc_id // 2) % 7)
+        || '.com/Article/' || (doc_id // 2) || '?a=1&b=2'
+    END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, text, trim(url) AS tu,
+    lower(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_replace(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2),
+      '^[^@]*@', '')) AS host_port,
+    regexp_replace(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
+      '/+$', '') AS path,
+    regexp_extract(trim(url), '\?([^#]*)', 1) AS qs
+  FROM u
+),
+canon AS (
+  SELECT doc_id, text,
+    regexp_replace(host_port, ':[0-9]*$', '') AS host,
+    CASE WHEN scheme = '' THEN tu ELSE
+      scheme || '://'
+      || regexp_replace(host_port, ':[0-9]*$', '')
+      || CASE
+           WHEN regexp_extract(host_port, ':([0-9]+)$', 1) <> ''
+                AND NOT (scheme = 'http'
+                         AND regexp_extract(host_port,
+                               ':([0-9]+)$', 1) = '80')
+                AND NOT (scheme = 'https'
+                         AND regexp_extract(host_port,
+                               ':([0-9]+)$', 1) = '443')
+           THEN ':' || regexp_extract(host_port, ':([0-9]+)$', 1)
+           ELSE '' END
+      || path
+      || CASE WHEN array_to_string(list_sort(list_filter(
+              string_split(qs, '&'),
+              p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
+                AND NOT list_contains(
+                  ['gclid','gbraid','wbraid','fbclid','msclkid',
+                   'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
+                   'ref','ref_src'],
+                  lower(regexp_extract(p, '^([^=]*)', 1))))), '&') <> ''
+         THEN '?' || array_to_string(list_sort(list_filter(
+              string_split(qs, '&'),
+              p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
+                AND NOT list_contains(
+                  ['gclid','gbraid','wbraid','fbclid','msclkid',
+                   'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
+                   'ref','ref_src'],
+                  lower(regexp_extract(p, '^([^=]*)', 1))))), '&')
+         ELSE '' END
+    END AS cu
+  FROM parts
+),
+grouped AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT cu) AS BIGINT) AS n_urls,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars_total,
+         round(CAST(SUM(length(text)) AS DOUBLE) / count(*), 6)
+           AS avg_chars
+  FROM canon GROUP BY host
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM canon)
+SELECT g.host, g.n_docs, g.n_urls, g.n_chars_total, g.avg_chars,
+       round(CAST(g.n_docs AS DOUBLE) / t.total, 6) AS doc_share
+FROM grouped g CROSS JOIN tot t
+ORDER BY g.n_docs DESC, g.host
+"""
+
+
 def q_group_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budget: within each source, the largest
     hash-order prefix of docs totalling <= 10k whitespace tokens —
@@ -6511,6 +6688,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": q_url_dedup,
     "audio_fp": q_audio_fp,
     "audio_fp_dups": q_audio_fp_dups,
+    "packing_efficiency": q_packing_efficiency,
+    "domain_stats": q_domain_stats,
     "group_token_budget": q_group_token_budget,
     "cube_orders": q_cube_orders,
     "lm_score_bigram": q_lm_score_bigram,
@@ -6658,6 +6837,8 @@ ORACLES: dict[str, str] = {
     "url_dedup": SQL_URL_DEDUP,
     "audio_fp": SQL_AUDIO_FP,
     "audio_fp_dups": SQL_AUDIO_FP_DUPS,
+    "packing_efficiency": SQL_PACKING_EFFICIENCY,
+    "domain_stats": SQL_DOMAIN_STATS,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,
     "cube_orders": SQL_CUBE_ORDERS,
     "lm_score_bigram": SQL_LM_SCORE_BIGRAM,

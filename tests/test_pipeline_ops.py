@@ -3704,3 +3704,64 @@ def test_url_canonicalization_table(spark):
     assert 1 not in out and 3 not in out
     assert out[0] == 2 and out[2] == 2
     assert out[5] == 1
+
+
+def test_packing_efficiency_known_answer(spark):
+    """Fill rate and boundary-split accounting against hand-computed
+    values; empty docs advance the stream but never count as split."""
+    import pytest as _pytest
+
+    from dbqt_spark.operators.packing import packing_efficiency
+
+    # tokens+sep per doc: 5, 1, 9 -> stream 15; starts 0, 5, 6
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, ""), (3, "t1 t2 t3 t4 t5 t6 t7 t8")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["seq_len"]: r
+        for r in packing_efficiency(df, seq_lens=[4, 10]).collect()
+    }
+    # L=4: n_seq = ceil(15/4) = 4, fill 15/16; doc1 spans tokens 0-3
+    # (seqs 0-0, not split... 4 tokens at start 0 -> last own token 3,
+    # 0//4 == 3//4 -> unsplit); doc3 tokens 6..13 -> 6//4=1, 13//4=3
+    # -> split. Empty doc2 never splits.
+    assert out[4]["n_sequences"] == 4
+    assert out[4]["fill_rate"] == round(15 / 16, 6)
+    assert out[4]["n_split_docs"] == 1
+    assert out[4]["split_frac"] == 0.5
+    # L=10: n_seq=2, fill 15/20; doc3 tokens 6..13 crosses 10 -> split
+    assert out[10]["n_sequences"] == 2
+    assert out[10]["fill_rate"] == 0.75
+    assert out[10]["n_split_docs"] == 1
+
+    with _pytest.raises(ValueError, match="seq_lens"):
+        packing_efficiency(df, seq_lens=[])
+    with _pytest.raises(ValueError, match="seq_lens"):
+        packing_efficiency(df, seq_lens=[0])
+
+
+def test_domain_stats_composition(spark):
+    """Doc counts vs distinct canonical URLs per host (the URL-dup
+    gap), exact char totals, share; non-URLs group under ''."""
+    from dbqt_spark.operators.urltools import domain_stats
+
+    rows = [
+        (1, "aaaa", "https://A.com/x?utm_source=1"),
+        (2, "bbbb", "https://a.com/x/"),           # same canonical
+        (3, "cccccc", "https://a.com/y"),
+        (4, "dd", "http://b.org/only"),
+        (5, "e", "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = {r["host"]: r for r in domain_stats(df, text_col="text").collect()}
+    assert out["a.com"]["n_docs"] == 3
+    assert out["a.com"]["n_urls"] == 2        # the dup gap
+    assert out["a.com"]["n_chars_total"] == 14
+    assert out["a.com"]["avg_chars"] == round(14 / 3, 6)
+    assert out["a.com"]["doc_share"] == 0.6
+    assert out["b.org"]["n_docs"] == 1
+    assert out[""]["n_docs"] == 1             # non-URL bucket
+    # ordering: biggest domain first
+    first = domain_stats(df).collect()[0]
+    assert first["host"] == "a.com"
