@@ -302,7 +302,15 @@ def main() -> None:
         # walk, and the store-append chain
         "streaming_semantic_gate,cluster_safe_split,script_stats,"
         "gopher_rules,group_percentiles,incremental_profile,nb_classify,"
-        "tier_eval",
+        "tier_eval,"
+        # r12: the seven r11 movers VERDICT asked anchors for, plus
+        # the new r12 queries (first-run figures are codegen-cold —
+        # centroid_assign/url_dedup warm at ~2.2/1.5 s, BENCH_NOTES
+        # #31)
+        "centroid_assign,ppl_buckets,packed_sequences,clean_embeddings,"
+        "cast_report,image_phash_dups,corpus_card,main_content,"
+        "url_dedup,audio_fp,audio_fp_dups,domain_stats,"
+        "packing_efficiency",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

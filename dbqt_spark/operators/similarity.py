@@ -1546,16 +1546,29 @@ def nearest_centroid_assign(
     modes = ("auto", "join", "arrow")
     if assign_mode not in modes:
         raise ValueError(f"assign_mode must be one of {modes}")
+    crows = None
+    if assign_mode != "join":
+        # COLLECT the centroid frame once (it is broadcast-small by
+        # contract — labels x dims rows): the routing decision, the
+        # Arrow kernel, AND the join arm's broadcast side all come
+        # from this one materialization. A count()-based probe would
+        # re-run the upstream centroid FIT (typically an aggregate
+        # over the corpus) once for the probe and again for the
+        # chosen arm — at 100 TB that doubles the fit.
+        proj = centroids.select("label", "dim", "centroid")
+        crows = proj.collect()
+        if assign_mode == "auto" and len(crows) <= ARROW_ASSIGN_KDIM:
+            # join arm, but from the already-collected rows: a local
+            # relation broadcasts without recomputing the fit
+            centroids = centroids.sparkSession.createDataFrame(
+                crows, proj.schema
+            )
     use_arrow = assign_mode == "arrow" or (
-        assign_mode == "auto"
-        # the centroid frame is (labels x dims) rows and broadcast-
-        # small by contract — counting it is a scalar agg, not a scan
-        # of the corpus
-        and centroids.count() > ARROW_ASSIGN_KDIM
+        assign_mode == "auto" and len(crows) > ARROW_ASSIGN_KDIM
     )
     if use_arrow:
         by_label: dict = {}
-        for r in centroids.select("label", "dim", "centroid").collect():
+        for r in crows:
             by_label.setdefault(r["label"], {})[int(r["dim"])] = (
                 float(r["centroid"]) if r["centroid"] is not None else 0.0
             )

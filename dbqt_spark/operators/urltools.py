@@ -115,6 +115,7 @@ def url_dedup(
     url_col: str = "url",
     id_col: str = "doc_id",
     strip_www: bool = False,
+    pre_canonicalized: bool = False,
 ) -> DataFrame:
     """Keep the min-id row per CANONICAL-URL group — the exact-dedup
     first-wins contract (``dedup.dedup_exact``), keyed on the
@@ -122,9 +123,15 @@ def url_dedup(
     size) appended to each survivor for drop accounting. Same scale
     shape as dedup_exact: one map-side-combinable groupBy on the
     canonical key + a semi-join-shaped inner join back — no window,
-    no per-group sort."""
+    no per-group sort. ``pre_canonicalized=True`` skips the
+    (idempotent but ~40-regex) canonicalization when ``url_col``
+    already holds ``url_canonicalize`` output — don't pay the chain
+    twice in a canonicalize-then-dedup pipeline."""
     cu = df.withColumn(
-        "__cu", canonical_url_col(F.col(url_col), strip_www=strip_www)
+        "__cu",
+        F.col(url_col)
+        if pre_canonicalized
+        else canonical_url_col(F.col(url_col), strip_www=strip_www),
     )
     keepers = (
         cu.groupBy("__cu")

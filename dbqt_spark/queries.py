@@ -5487,8 +5487,8 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("url"),
     )
-    canon = url_canonicalize(urls)  # canonical form is a fixed point
-    return url_dedup(canon).orderBy("doc_id")
+    canon = url_canonicalize(urls)
+    return url_dedup(canon, pre_canonicalized=True).orderBy("doc_id")
 
 
 SQL_URL_DEDUP = r"""
