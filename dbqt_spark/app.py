@@ -53,6 +53,8 @@ TOOLS = [
     "export",
     "layout",
     "search",
+    "urls",
+    "pack",
 ]
 
 
@@ -1060,6 +1062,12 @@ def tool_curate(argv: list[str]) -> int:
     p.add_argument("--blocklist-file",
                    help="newline-delimited blocklist words (merged "
                    "with --blocklist)")
+    p.add_argument("--extract-main", action="store_true",
+                   help="boilerplate removal pre-stage: raw HTML -> "
+                   "main content before any gate (normalize."
+                   "extract_main_content)")
+    p.add_argument("--extract-main-min-chars", type=int, default=25)
+    p.add_argument("--max-link-density", type=float, default=0.5)
     args = p.parse_args(argv)
 
     block = list(args.blocklist)
@@ -1102,6 +1110,14 @@ def tool_curate(argv: list[str]) -> int:
         classifier_bias=args.classifier_bias,
         span_k=args.span_k,
         blocklist=block or None,
+        extract_main=(
+            {
+                "min_text_chars": args.extract_main_min_chars,
+                "max_link_density": args.max_link_density,
+            }
+            if args.extract_main
+            else None
+        ),
     )
     if args.report:
         # one chain: the report path finishes redact+split and writes,
@@ -1914,6 +1930,123 @@ def tool_datadiff(argv: list[str]) -> int:
     return 1 if diffs else 0
 
 
+def tool_urls(argv: list[str]) -> int:
+    """URL tooling from the CLI (operators/urltools.py):
+    ``canonicalize`` rewrites the url column to canonical form,
+    ``dedup`` keeps the min-id row per canonical URL (n_dups
+    appended), ``domains`` prints the per-domain composition report —
+    the crawl-corpus front door before any content dedup tier."""
+    p = argparse.ArgumentParser(prog="urls")
+    p.add_argument("action", choices=["canonicalize", "dedup", "domains"])
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--url-column", default="url")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--text-column",
+                   help="domains: also report exact char totals")
+    p.add_argument("--strip-www", action="store_true")
+    p.add_argument("--output-parquet",
+                   help="canonicalize/dedup: destination (required); "
+                   "domains: optional (prints top rows otherwise)")
+    p.add_argument("--top", type=int, default=20,
+                   help="domains: rows to print")
+    args = p.parse_args(argv)
+
+    from .operators.urltools import (
+        domain_stats,
+        url_canonicalize,
+        url_dedup,
+    )
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    if args.action == "domains":
+        out = domain_stats(
+            df, url_col=args.url_column, text_col=args.text_column,
+            strip_www=args.strip_www,
+        )
+        if args.output_parquet:
+            out.write.mode("overwrite").parquet(args.output_parquet)
+            print(f"domain stats written to {args.output_parquet}")
+        else:
+            for r in out.limit(args.top).collect():
+                print(
+                    f"{r['host'] or '<non-url>'}: {r['n_docs']} docs, "
+                    f"{r['n_urls']} urls, share {r['doc_share']}"
+                )
+        return 0
+    if not args.output_parquet:
+        p.error(f"--output-parquet is required for {args.action}")
+    if args.action == "canonicalize":
+        out = url_canonicalize(
+            df, url_col=args.url_column, strip_www=args.strip_www
+        )
+    else:
+        out = url_dedup(
+            df, url_col=args.url_column, id_col=args.id_column,
+            strip_www=args.strip_www,
+        )
+    out.write.mode("overwrite").parquet(args.output_parquet)
+    n_in = df.count()
+    n_out = db.spark.read.parquet(args.output_parquet).count()
+    print(f"{args.action}: {n_in} rows in, {n_out} out "
+          f"-> {args.output_parquet}")
+    return 0
+
+
+def tool_pack(argv: list[str]) -> int:
+    """Sequence packing from the CLI (operators/packing.py):
+    ``place`` writes per-doc placements (sequence_pack), ``write``
+    materializes the packed training sequences (packed_sequences),
+    ``efficiency`` prints the fill-rate / boundary-split report for
+    candidate seq_lens — the seq_len selection step."""
+    p = argparse.ArgumentParser(prog="pack")
+    p.add_argument("action", choices=["place", "write", "efficiency"])
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--seq-lens", default="512,1024,2048,4096",
+                   help="efficiency: comma-separated candidates")
+    p.add_argument("--sep-tokens", type=int, default=1)
+    p.add_argument("--output-parquet",
+                   help="place/write: destination (required)")
+    args = p.parse_args(argv)
+
+    from .operators.packing import (
+        packed_sequences,
+        packing_efficiency,
+        sequence_pack,
+    )
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    if args.action == "efficiency":
+        lens = [int(x) for x in args.seq_lens.split(",") if x.strip()]
+        for r in packing_efficiency(
+            df, seq_lens=lens, text_col=args.text_column,
+            id_col=args.id_column, sep_tokens=args.sep_tokens,
+        ).collect():
+            print(
+                f"seq_len {r['seq_len']}: {r['n_sequences']} sequences, "
+                f"fill {r['fill_rate']}, split docs "
+                f"{r['n_split_docs']} ({r['split_frac']})"
+            )
+        return 0
+    if not args.output_parquet:
+        p.error(f"--output-parquet is required for {args.action}")
+    fn = sequence_pack if args.action == "place" else packed_sequences
+    out = fn(
+        df, seq_len=args.seq_len, text_col=args.text_column,
+        id_col=args.id_column, sep_tokens=args.sep_tokens,
+    )
+    out.write.mode("overwrite").parquet(args.output_parquet)
+    n = db.spark.read.parquet(args.output_parquet).count()
+    print(f"{args.action}: {n} rows -> {args.output_parquet}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -1953,6 +2086,8 @@ def main(argv: list[str] | None = None) -> int:
         "export": tool_export,
         "layout": tool_layout,
         "search": tool_search,
+        "urls": tool_urls,
+        "pack": tool_pack,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

@@ -1166,3 +1166,90 @@ def test_cli_classify_fit(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["classify", "--config", cfg, "--table", "corpus",
               "--output-parquet", out])
+
+
+def test_urls_and_pack_cli(spark, sf_dir, tmp_path, capsys):
+    """The urls (canonicalize/dedup/domains) and pack (place/write/
+    efficiency) tools run end-to-end; curate accepts --extract-main."""
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.A.com:80/x/?utm_source=f&q=1#t", "aaaa"),
+            (2, "http://www.a.com/x?q=1", "bbbb"),
+            (3, "https://b.org/y", "cc"),
+        ],
+        "doc_id long, url string, text string",
+    ).write.parquet(os.path.join(data, "pages.parquet"))
+    cfg = _write(
+        tmp_path / "u.yaml",
+        f"connection:\n  type: parquet\n  path: {data}\n",
+    )
+
+    canon = str(tmp_path / "canon")
+    assert main(["urls", "canonicalize", "--config", cfg, "--table",
+                 "pages", "--output-parquet", canon]) == 0
+    got = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(canon).collect()
+    }
+    assert got[1] == got[2] == "http://www.a.com/x?q=1"
+
+    dedup = str(tmp_path / "dedup")
+    assert main(["urls", "dedup", "--config", cfg, "--table", "pages",
+                 "--output-parquet", dedup]) == 0
+    ddf = spark.read.parquet(dedup)
+    assert sorted(r["doc_id"] for r in ddf.collect()) == [1, 3]
+
+    assert main(["urls", "domains", "--config", cfg, "--table",
+                 "pages", "--text-column", "text"]) == 0
+    out = capsys.readouterr().out
+    assert "a.com: 2 docs, 1 urls" in out
+
+    # pack against the real documents table
+    scfg = _write(
+        tmp_path / "s.yaml",
+        f"connection:\n  type: parquet\n  path: {sf_dir}\n",
+    )
+    assert main(["pack", "efficiency", "--config", scfg, "--table",
+                 "documents", "--seq-lens", "128,512"]) == 0
+    out = capsys.readouterr().out
+    assert "seq_len 128:" in out and "seq_len 512:" in out
+
+    packed = str(tmp_path / "packed")
+    assert main(["pack", "write", "--config", scfg, "--table",
+                 "documents", "--seq-len", "256",
+                 "--output-parquet", packed]) == 0
+    pdf = spark.read.parquet(packed)
+    assert set(pdf.columns) == {"seq_id", "text", "n_tokens"}
+    assert pdf.filter("n_tokens = 256").count() >= pdf.count() - 1
+
+
+def test_curate_extract_main_cli(spark, tmp_path, capsys):
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    nav = (
+        '<nav><a href="/">Home</a> | <a href="/a">About page</a> | '
+        '<a href="/c">Contact us now</a></nav>'
+    )
+    rows = [
+        (i, nav + f"<p>Genuine prose document number {i} long enough "
+         "to clear every heuristic gate in the chain.</p>", "en")
+        for i in range(8)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(os.path.join(data, "docs.parquet"))
+    cfg = _write(
+        tmp_path / "c.yaml",
+        f"connection:\n  type: parquet\n  path: {data}\n",
+    )
+    outp = str(tmp_path / "curated")
+    assert main(["curate", "--config", cfg, "--table", "docs",
+                 "--quality-quantile", "0.0", "--dedup", "none",
+                 "--no-redact", "--extract-main",
+                 "--output-parquet", outp]) == 0
+    cdf = spark.read.parquet(outp)
+    texts = [r["text"] for r in cdf.collect()]
+    assert texts and all("Home" not in t for t in texts)
+    assert all("Genuine prose document" in t for t in texts)
