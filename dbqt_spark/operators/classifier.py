@@ -281,3 +281,53 @@ def nb_predict(
             F.col("__post").cast("double").alias("log_posterior"),
         )
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a [0,1] quality/classifier score
+    against a labeled subset — the calibration check that decides
+    whether a FineWeb-Edu-style threshold gate (``classifier_filter``)
+    actually means what its score says: per equal-width bin,
+    (bin, n, mean_score, pos_rate). A well-calibrated model has
+    pos_rate tracking mean_score; systematic gaps say "rescale before
+    thresholding".
+
+    Engine-exact: bin = clamp(floor(score*n_bins)) in integer/double
+    arithmetic both engines share; mean_score sums scores ROUNDED TO 6
+    (DECIMAL(18,6), order-independent) and both ratios go through the
+    ``_avg6_expr`` integer micro-unit rounding — a double round() at a
+    .5e-6 quotient boundary is exactly where the sf0.1 sweep catches
+    engines disagreeing. NULL scores/labels are excluded (count rows,
+    not guesses). One groupBy over n_bins keys — map-side combine, no
+    window, a narrow map + tiny shuffle at any corpus size."""
+    from .textstats import _avg6_expr
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    lbl = F.col(label_col).cast("double")
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n_bins - 1), F.floor(s * n_bins).cast("int")),
+    )
+    return (
+        df.filter(s.isNotNull() & lbl.isNotNull())
+        .groupBy(b.cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(s, 6).cast("decimal(18,6)")).alias("__s"),
+            F.count(F.when(lbl > 0, 1)).cast("long").alias("__p"),
+        )
+        .select(
+            "bin",
+            "n",
+            _avg6_expr("__s", "n").alias("mean_score"),
+            _avg6_expr("__p", "n").alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -4241,6 +4241,47 @@ ORDER BY d.doc_id
 )
 
 
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration bins (operators/classifier.
+    calibration_report): the classifier_score model scored over the
+    corpus, labeled by a deterministic rule (doc_id % 3 == 0), binned
+    into 10 reliability buckets — per bin n / decimal-exact mean
+    score / positive rate. The oracle replays scoring AND binning."""
+    from .operators.classifier import calibration_report, classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier_score(docs, _CLS_WEIGHTS, bias=-0.2)
+    lab = scored.withColumn(
+        "label", (F.col("doc_id") % 3 == 0).cast("int")
+    )
+    return calibration_report(lab)
+
+
+SQL_CALIBRATION_REPORT = f"""
+WITH scored AS ({SQL_CLASSIFIER_SCORE.replace("ORDER BY d.doc_id", "")}),
+lab AS (
+  SELECT doc_id, score,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+  FROM scored
+),
+b AS (
+  SELECT greatest(0, least(9, CAST(floor(score * 10) AS INT))) AS bin,
+         score, label
+  FROM lab WHERE score IS NOT NULL
+),
+g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(score, 6) AS DECIMAL(18,6))) AS s,
+         CAST(count(*) FILTER (WHERE label > 0) AS BIGINT) AS p
+  FROM b GROUP BY bin
+)
+SELECT CAST(bin AS INT) AS bin, n,
+  CAST({_avg_exact_sql("s", "n", 6)} AS DOUBLE) AS mean_score,
+  CAST({_avg_exact_sql("p", "n", 6)} AS DOUBLE) AS pos_rate
+FROM g ORDER BY bin
+"""
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings (operators/
     kmeans.py): deterministic init (k lowest ids), FIXED 2 iterations,
@@ -6690,6 +6731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_fp_dups": q_audio_fp_dups,
     "packing_efficiency": q_packing_efficiency,
     "domain_stats": q_domain_stats,
+    "calibration_report": q_calibration_report,
     "group_token_budget": q_group_token_budget,
     "cube_orders": q_cube_orders,
     "lm_score_bigram": q_lm_score_bigram,
@@ -6839,6 +6881,7 @@ ORACLES: dict[str, str] = {
     "audio_fp_dups": SQL_AUDIO_FP_DUPS,
     "packing_efficiency": SQL_PACKING_EFFICIENCY,
     "domain_stats": SQL_DOMAIN_STATS,
+    "calibration_report": SQL_CALIBRATION_REPORT,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,
     "cube_orders": SQL_CUBE_ORDERS,
     "lm_score_bigram": SQL_LM_SCORE_BIGRAM,

@@ -3765,3 +3765,78 @@ def test_domain_stats_composition(spark):
     # ordering: biggest domain first
     first = domain_stats(df).collect()[0]
     assert first["host"] == "a.com"
+
+
+def test_calibration_report_bins(spark):
+    """Known-answer reliability bins: clamping of out-of-range scores,
+    NULL exclusion, integer micro-unit rounding at a .5e-6 boundary
+    (the sf0.1 divergence class), and a calibrated-vs-not signal."""
+    import pytest as _pytest
+
+    from dbqt_spark.operators.classifier import calibration_report
+
+    rows = [
+        (0.05, 0), (0.08, 0),           # bin 0: pos_rate 0
+        (0.55, 1), (0.52, 0),           # bin 5: pos_rate 0.5
+        (0.95, 1), (0.97, 1),           # bin 9: pos_rate 1
+        (1.0, 1),                       # clamps into bin 9
+        (-0.2, 0),                      # clamps into bin 0
+        (None, 1), (0.4, None),         # excluded
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in calibration_report(df).collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0]["n"] == 3 and out[0]["pos_rate"] == 0.0
+    assert out[5]["n"] == 2 and out[5]["pos_rate"] == 0.5
+    assert out[9]["n"] == 3 and out[9]["pos_rate"] == 1.0
+    assert out[5]["mean_score"] == 0.535
+
+    # .5e-6 quotient boundary: mean of 0.505498 and 0.505499 is
+    # 0.5054985 -> must round HALF AWAY to 0.505499 (not float-round
+    # to whatever the nearest double is)
+    tie = spark.createDataFrame(
+        [(0.505498, 1), (0.505499, 0)], "score double, label int"
+    )
+    got = calibration_report(tie).collect()[0]
+    assert got["mean_score"] == 0.505499
+    assert got["pos_rate"] == 0.5
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_report(df, n_bins=0)
+
+
+def test_url_canonicalization_fuzz_idempotent(spark):
+    """Property sweep in ONE Spark pass: over 400 adversarial
+    URL-shaped strings, canonicalization never throws and is
+    IDEMPOTENT (canon(canon(x)) == canon(x)) — the invariant
+    url_dedup's pre_canonicalized fast path rests on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.operators.urltools import canonical_url_col
+
+    rng = random.Random(17)
+    pieces = [
+        "http://", "HTTPS://", "ftp://", "", "user:p@", "WWW.", "",
+        "ex-AMPLE", ".com", ".ORG", ":80", ":443", ":8080", ":",
+        "/", "/a/B/", "//x//", "/a b", "?", "?a=1", "&", "&&",
+        "?utm_source=x", "&UTM_x=1&z=9&a", "#frag", "#", "=v", "a=",
+        "%20", "??", "://", "@", "\t", " ", "....", "?ref=1&REF=2",
+    ]
+    strs = [
+        "".join(rng.choice(pieces) for _ in range(rng.randrange(1, 8)))
+        for _ in range(400)
+    ] + ["", " ", "http://", "https://:443", "x://y"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i long, u string"
+    )
+    once = canonical_url_col(F.col("u"))
+    out = df.select(
+        "i",
+        once.alias("c1"),
+        canonical_url_col(once).alias("c2"),
+    ).collect()
+    assert len(out) == len(strs)
+    bad = [(strs[r["i"]], r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
