@@ -195,6 +195,24 @@ def resolve_token_segmenter(
     if tokenizer is None or tokenizer == "whitespace":
         return None
     if callable(tokenizer):
+        # DRIVER-side probe (the module's fail-fast contract): a
+        # COUNT-style callable (``simple_bpe``) works in the counter
+        # seats but would die executor-side here with an opaque
+        # "'int' object is not iterable" Py4J traceback — refuse it
+        # with the fix in the message before any job launches
+        probe = tokenizer("a b")
+        if not (
+            isinstance(probe, (list, tuple))
+            and all(isinstance(p, str) for p in probe)
+        ):
+            raise ValueError(
+                "this operator needs a SEGMENTER callable "
+                "(text -> list[str] pieces, e.g. "
+                "simple_bpe_segmenter(merges)); got one returning "
+                f"{type(probe).__name__} — a count-style tokenizer "
+                "(simple_bpe) only fits count seats (token_stats, "
+                "sequence_pack)"
+            )
         return _segmenter_udf(tokenizer)
     if isinstance(tokenizer, str) and tokenizer.startswith("hf:"):
         name = tokenizer[3:]

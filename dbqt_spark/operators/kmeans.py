@@ -147,9 +147,15 @@ def _kmeanspar_init(
     import random
 
     l = oversample or 2 * k
+    # NULL/empty vectors can't seed or weight candidates (the lowest-id
+    # arm tolerates them by assigning NULL clusters; this arm must
+    # too, by leaving them out of initialization entirely)
+    base = base.filter(F.col("__e").isNotNull() & (F.size("__e") > 0))
     first = (
         base.orderBy(id_col).limit(1).select("__e").collect()
     )
+    if not first:
+        raise ValueError("kmeans_assign needs a non-empty input")
     cands: "list[list[float]]" = [list(first[0]["__e"])]
     cur = base.withColumn("__d2", _dist_to(cands[0]))
     for r in range(rounds):
@@ -195,7 +201,8 @@ def _kmeanspar_init(
     )
     weights = [0.0] * len(cands)
     for row in wrows:
-        weights[row["__c"]] = float(row["w"])
+        if row["__c"] is not None:
+            weights[row["__c"]] = float(row["w"])
 
     # driver-side weighted k-means++ reduction to k (standard tail of
     # k-means||) — all in Python over O(l·rounds) candidate vectors

@@ -463,6 +463,62 @@ def image_fingerprints(
     ).filter(F.col("phash").isNotNull())
 
 
+def _fp_band_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    max_hamming: int,
+    bands: int,
+    max_bucket_size: "int | None",
+    drop_stats: "dict | None",
+) -> DataFrame:
+    """Shared Manku pigeonhole pairing over a (media_id, <fp_col>)
+    64-bit fingerprint frame — ONE copy of the banding machinery for
+    every perceptual tier (image pHash/dHash, acoustic fingerprints):
+    validation, band split, exact JVM ``bit_count(xor)`` verify,
+    capped buckets with the drop-accounting contract."""
+    from .dedup import _eager_pairs_from_banded
+
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        F.col("media_id").alias("id"),
+        fp_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(fp_col, b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    hamming = F.bit_count(
+        F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))
+    )
+    pairs, _ = _eager_pairs_from_banded(
+        banded,
+        ["band", "chunk"],
+        lambda a, b: [
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        ],
+        max_bucket_size,
+        drop_stats,
+        pair_filter=hamming <= max_hamming,
+    )
+    return pairs
+
+
 def image_near_duplicates(
     df: DataFrame,
     max_hamming: int = 3,
@@ -490,49 +546,13 @@ def image_near_duplicates(
     hot buckets cap at ``max_bucket_size`` with
     ``drop_stats['n_dropped_buckets'/'n_dropped_rows']`` accounting —
     the drop-accounting contract every dedup tier shares."""
-    from .dedup import _eager_pairs_from_banded
-
-    if max_hamming >= bands:
-        raise ValueError(
-            f"pigeonhole banding needs max_hamming < bands "
-            f"({max_hamming} >= {bands})"
-        )
-    if 64 % bands != 0:
-        raise ValueError(f"bands must divide 64, got {bands}")
     fp = image_fingerprints(
         df, id_col, content_col, decode_stub=decode_stub,
         method=method, hasher=hasher,
     )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = fp.select(
-        F.col("media_id").alias("id"),
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("phash", b * width).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "chunk"),
+    return _fp_band_pairs(
+        fp, "phash", max_hamming, bands, max_bucket_size, drop_stats
     )
-    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-    pairs, _ = _eager_pairs_from_banded(
-        banded,
-        ["band", "chunk"],
-        lambda a, b: [
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming.cast("int").alias("hamming"),
-        ],
-        max_bucket_size,
-        drop_stats,
-        pair_filter=hamming <= max_hamming,
-    )
-    return pairs
 
 
 AFP_SCHEMA = T.StructType(
@@ -667,45 +687,9 @@ def audio_near_duplicates(
     brute-force Hamming oracle is an exact twin), exact JVM
     ``bit_count(xor)`` verification, hot buckets capped with the
     shared ``drop_stats`` accounting."""
-    from .dedup import _eager_pairs_from_banded
-
-    if max_hamming >= bands:
-        raise ValueError(
-            f"pigeonhole banding needs max_hamming < bands "
-            f"({max_hamming} >= {bands})"
-        )
-    if 64 % bands != 0:
-        raise ValueError(f"bands must divide 64, got {bands}")
     fp = audio_fingerprints(
         df, id_col, content_col, decode_stub=decode_stub, hasher=hasher
     )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = fp.select(
-        F.col("media_id").alias("id"),
-        "afp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("afp", b * width).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "chunk"),
+    return _fp_band_pairs(
+        fp, "afp", max_hamming, bands, max_bucket_size, drop_stats
     )
-    hamming = F.bit_count(F.col("a.afp").bitwiseXOR(F.col("b.afp")))
-    pairs, _ = _eager_pairs_from_banded(
-        banded,
-        ["band", "chunk"],
-        lambda a, b: [
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming.cast("int").alias("hamming"),
-        ],
-        max_bucket_size,
-        drop_stats,
-        pair_filter=hamming <= max_hamming,
-    )
-    return pairs

@@ -200,8 +200,11 @@ def extract_main_content(
             _block_text(b).alias("t"),
             F.aggregate(
                 F.transform(
+                    # \b after the tag name: without it the pattern
+                    # also opens at <abbr>/<address>/<audio>..., counts
+                    # their prose as link text, and sinks real blocks
                     F.regexp_extract_all(
-                        b, F.lit(r"(?is)<a[^>]*>(.*?)</a\s*>"), F.lit(1)
+                        b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1)
                     ),
                     lambda a: F.length(_block_text(a)),
                 ),

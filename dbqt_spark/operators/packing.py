@@ -350,27 +350,33 @@ def packing_efficiency(
         aggs.append(
             F.count(F.when(split, 1)).alias(f"__split_{L}")
         )
+    from .textstats import _ratio6_wide_expr
+
     row = placed.agg(*aggs)
     parts = []
     for L in seq_lens:
         L = int(L)
         nseq = F.expr(f"(__stream + {L} - 1) div {L}")
+        # ratios via the wide integer micro-unit rounding: double
+        # round() diverges across engines on .5e-6 quotient
+        # boundaries, and a 100 TB stream's token total outgrows the
+        # int64 micro-unit trick
         parts.append(
             row.select(
                 F.lit(L).cast("long").alias("seq_len"),
                 nseq.cast("long").alias("n_sequences"),
-                F.round(
-                    F.col("__stream").cast("double") / (nseq * F.lit(L)),
-                    6,
-                ).alias("fill_rate"),
+                F.col("__stream").alias("__num"),
+                (nseq * F.lit(L)).cast("long").alias("__den"),
                 F.col(f"__split_{L}").cast("long").alias("n_split_docs"),
+                F.col("__nonempty").alias("__ne"),
+            ).select(
+                "seq_len",
+                "n_sequences",
+                _ratio6_wide_expr("__num", "__den").alias("fill_rate"),
+                "n_split_docs",
                 F.when(
-                    F.col("__nonempty") > 0,
-                    F.round(
-                        F.col(f"__split_{L}").cast("double")
-                        / F.col("__nonempty"),
-                        6,
-                    ),
+                    F.col("__ne") > 0,
+                    _ratio6_wide_expr("n_split_docs", "__ne"),
                 )
                 .otherwise(0.0)
                 .alias("split_frac"),

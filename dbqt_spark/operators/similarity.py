@@ -1567,6 +1567,12 @@ def nearest_centroid_assign(
         assign_mode == "auto" and len(crows) > ARROW_ASSIGN_KDIM
     )
     if use_arrow:
+        if not crows:
+            raise ValueError(
+                "nearest_centroid_assign got an EMPTY centroid frame "
+                "(did the label_centroids seed set filter to zero "
+                "rows?) — there is no label to assign"
+            )
         by_label: dict = {}
         for r in crows:
             by_label.setdefault(r["label"], {})[int(r["dim"])] = (

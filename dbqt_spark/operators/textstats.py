@@ -485,6 +485,23 @@ def _avg6_expr(sum_col: str, n_col: str) -> "F.Column":
     return (q / F.lit(1_000_000.0)).cast("double")
 
 
+def _ratio6_wide_expr(num_col: str, den_col: str) -> "F.Column":
+    """round(num/den, 6) with EXACT half-away semantics for
+    NON-NEGATIVE INTEGER columns at any magnitude a DECIMAL(38,0)
+    holds — the ``_avg6_expr`` trick without its int64 micro-unit
+    bound (|sum| < ~4.6e12), for ratios whose numerators are corpus
+    totals (chars per domain, stream tokens): Spark integral ``div``
+    on DECIMAL(38,0) and DuckDB ``//`` on HUGEINT produce the same
+    quotient, and the final double conversion is the same IEEE op
+    (verified operand-for-operand at 1e13-scale numerators)."""
+    q = F.expr(
+        f"CAST((2 * CAST({num_col} AS DECIMAL(38,0)) * 1000000 "
+        f"+ {den_col}) div (2 * CAST({den_col} AS DECIMAL(38,0))) "
+        f"AS DOUBLE)"
+    )
+    return (q / F.lit(1_000_000.0)).cast("double")
+
+
 def lm_vocabulary(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

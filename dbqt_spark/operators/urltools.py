@@ -44,6 +44,20 @@ TRACKING_PARAMS = (
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 
 
+def _host_port_col(u: Column) -> Column:
+    """Lowercased authority minus userinfo ("host" or "host:port") —
+    the ONE extraction chain canonical form and host grouping share."""
+    auth = F.regexp_extract(u, _SCHEME_RE + r"([^/?#]*)", 2)
+    return F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
+
+
+def _host_of(host_port: Column, strip_www: bool) -> Column:
+    host = F.regexp_replace(host_port, r":[0-9]*$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
+
+
 def canonical_url_col(
     url, strip_www: bool = False
 ) -> Column:
@@ -53,12 +67,8 @@ def canonical_url_col(
     ``www.`` and apex CAN serve different content."""
     u = F.trim(url if isinstance(url, Column) else F.col(url))
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    # authority = up to the first /, ?, or # after scheme://
-    auth = F.regexp_extract(u, _SCHEME_RE + r"([^/?#]*)", 2)
-    host_port = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
-    host = F.regexp_replace(host_port, r":[0-9]*$", "")
-    if strip_www:
-        host = F.regexp_replace(host, r"^www\.", "")
+    host_port = _host_port_col(u)
+    host = _host_of(host_port, strip_www)
     port = F.regexp_extract(host_port, r":([0-9]+)$", 1)
     keep_port = (
         (port != "")
@@ -155,17 +165,11 @@ def url_dedup(
 def host_col(url, strip_www: bool = False) -> Column:
     """Lowercase host of a URL column/name (userinfo and port
     stripped; empty string for non-URLs) — the grouping key for
-    domain-level corpus policy."""
+    domain-level corpus policy. Shares the extraction chain with
+    ``canonical_url_col``, so the two can never disagree on what a
+    URL's host is."""
     u = F.trim(url if isinstance(url, Column) else F.col(url))
-    auth = F.regexp_extract(u, _SCHEME_RE + r"([^/?#]*)", 2)
-    host = F.regexp_replace(
-        F.lower(F.regexp_replace(auth, r"^[^@]*@", "")),
-        r":[0-9]*$",
-        "",
-    )
-    if strip_www:
-        host = F.regexp_replace(host, r"^www\.", "")
-    return host
+    return _host_of(_host_port_col(u), strip_www)
 
 
 def domain_stats(
@@ -192,33 +196,34 @@ def domain_stats(
     base = df.withColumn("__h", h).withColumn(
         "__cu", canonical_url_col(F.col(url_col), strip_www=strip_www)
     )
+    from .textstats import _ratio6_wide_expr
+
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("__cu").cast("long").alias("n_urls"),
     ]
     if text_col is not None:
-        aggs += [
+        aggs.append(
             F.sum(F.length(text_col).cast("decimal(38,0)"))
             .cast("long")
-            .alias("n_chars_total"),
-            F.round(
-                F.sum(F.length(text_col).cast("decimal(38,0)"))
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_chars"),
-        ]
+            .alias("n_chars_total")
+        )
     grouped = base.groupBy(F.col("__h").alias("host")).agg(*aggs)
+    if text_col is not None:
+        # integer micro-unit rounding (wide arm): a double round() of
+        # sum/count diverges across engines on .5e-6 quotient
+        # boundaries, and per-domain char totals outgrow the int64
+        # micro-unit trick
+        grouped = grouped.withColumn(
+            "avg_chars", _ratio6_wide_expr("n_chars_total", "n_docs")
+        )
     total = base.agg(
         F.count(F.lit(1)).cast("long").alias("__total")
     )
     return (
         grouped.crossJoin(F.broadcast(total))
         .withColumn(
-            "doc_share",
-            F.round(
-                F.col("n_docs").cast("double") / F.col("__total"), 6
-            ),
+            "doc_share", _ratio6_wide_expr("n_docs", "__total")
         )
         .drop("__total")
         .orderBy(F.desc("n_docs"), "host")

@@ -128,6 +128,17 @@ def _avg_exact_spark(sum_col: str, n_col: str, digits: int) -> F.Column:
     return (F.expr(q) / F.lit(float(10 ** digits))).cast("double")
 
 
+def _ratio6_wide_sql(num_sql: str, den_sql: str) -> str:
+    """DuckDB twin of ``textstats._ratio6_wide_expr``: HUGEINT ``//``
+    reproduces Spark's DECIMAL(38,0) integral ``div`` quotient
+    exactly; final double conversion is the same IEEE op."""
+    return (
+        f"(CAST((2 * CAST({num_sql} AS HUGEINT) * 1000000 "
+        f"+ {den_sql}) // (2 * CAST({den_sql} AS HUGEINT)) "
+        f"AS DOUBLE) / 1000000.0)"
+    )
+
+
 def _avg_exact_sql(sum_sql: str, n_sql: str, digits: int) -> str:
     """DuckDB twin of ``_avg_exact_spark`` (// = floor division, equal
     to truncation on the non-negative operands the CASE arranges)."""
@@ -5458,7 +5469,7 @@ st AS (
     t := trim(regexp_replace(
            regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
     lk := coalesce(list_sum(list_transform(
-            regexp_extract_all(x, '(?is)<a[^>]*>(.*?)</a\s*>', 1),
+            regexp_extract_all(x, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
             a -> length(trim(regexp_replace(
                    regexp_replace(a, '<[^>]*>', ' ', 'g'),
                    '\s+', ' ', 'g'))))), 0)
@@ -5719,7 +5730,7 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_efficiency(docs, seq_lens=[128, 512, 2048])
 
 
-SQL_PACKING_EFFICIENCY = r"""
+SQL_PACKING_EFFICIENCY = rf"""
 WITH counted AS (
   SELECT doc_id,
          CAST(len(list_filter(string_split_regex(text, '\s+'),
@@ -5749,12 +5760,13 @@ per AS (
 SELECT CAST(p.seq_len AS BIGINT) AS seq_len,
   CAST((t.stream + p.seq_len - 1) // p.seq_len AS BIGINT)
     AS n_sequences,
-  round(CAST(t.stream AS DOUBLE)
-        / (((t.stream + p.seq_len - 1) // p.seq_len) * p.seq_len), 6)
-    AS fill_rate,
+  {_ratio6_wide_sql(
+      "t.stream",
+      "(((t.stream + p.seq_len - 1) // p.seq_len) * p.seq_len)",
+  )} AS fill_rate,
   p.n_split_docs,
   CASE WHEN t.nonempty > 0
-       THEN round(CAST(p.n_split_docs AS DOUBLE) / t.nonempty, 6)
+       THEN {_ratio6_wide_sql("p.n_split_docs", "t.nonempty")}
        ELSE 0.0 END AS split_frac
 FROM per p CROSS JOIN tot t
 ORDER BY seq_len
@@ -5802,7 +5814,7 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(urls, text_col="text", strip_www=False)
 
 
-SQL_DOMAIN_STATS = r"""
+SQL_DOMAIN_STATS = rf"""
 WITH u AS (
   SELECT doc_id, text,
     CASE
@@ -5870,14 +5882,13 @@ canon AS (
 grouped AS (
   SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(count(DISTINCT cu) AS BIGINT) AS n_urls,
-         CAST(SUM(length(text)) AS BIGINT) AS n_chars_total,
-         round(CAST(SUM(length(text)) AS DOUBLE) / count(*), 6)
-           AS avg_chars
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars_total
   FROM canon GROUP BY host
 ),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM canon)
-SELECT g.host, g.n_docs, g.n_urls, g.n_chars_total, g.avg_chars,
-       round(CAST(g.n_docs AS DOUBLE) / t.total, 6) AS doc_share
+SELECT g.host, g.n_docs, g.n_urls, g.n_chars_total,
+       {_ratio6_wide_sql("g.n_chars_total", "g.n_docs")} AS avg_chars,
+       {_ratio6_wide_sql("g.n_docs", "t.total")} AS doc_share
 FROM grouped g CROSS JOIN tot t
 ORDER BY g.n_docs DESC, g.host
 """

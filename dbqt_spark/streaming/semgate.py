@@ -95,12 +95,25 @@ def _cell_blocked_pairs(
             vecs.limit(bound + 1).count() <= bound
         )
         if not small:
-            return semantic_near_dup_pairs(
+            inner: "dict | None" = {} if drop_stats is not None else None
+            pairs = semantic_near_dup_pairs(
                 vecs, threshold=threshold, k=k, iters=2,
                 vec_col="__v", id_col="__id",
                 max_cluster_size=max_cell_size,
-                drop_stats=drop_stats,
+                drop_stats=inner,
             ).select("id_a", "id_b")
+            if drop_stats is not None:
+                # one drop_stats contract per gate, whichever arm ran:
+                # the SemDeDup operator reports clusters, this module
+                # reports cells — same thing here (its clusters ARE the
+                # blocking cells)
+                drop_stats["n_dropped_cells"] = inner.get(
+                    "n_dropped_clusters", 0
+                )
+                drop_stats["n_dropped_rows"] = inner.get(
+                    "n_dropped_rows", 0
+                )
+            return pairs
         clustered = vecs.withColumn("cell", F.lit(0))
     else:
         # multi-probe blocking (n_assign=2): each batch vector lands in
@@ -112,24 +125,28 @@ def _cell_blocked_pairs(
         C = np.array(centroids, dtype=np.float64)
         clustered = _assign_cells(vecs, C, "__v", min(2, len(C)))
     if max_cell_size is not None:
-        big = (
+        # ONE bounded probe job: the over-cap cell list is at most
+        # n_cells rows, so COLLECT it — stats come free from the same
+        # rows (the dedup drop contract: an over-cap cell that skips
+        # verification must be VISIBLE), and the exclusion becomes a
+        # literal isin filter instead of an anti-join whose bucket
+        # aggregate would re-run the Arrow cell assignment inside the
+        # pair job (the r6 _cap_buckets_eager lesson)
+        big_rows = (
             clustered.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_cell_size)
+            .collect()
         )
         if drop_stats is not None:
-            # the dedup tiers' drop contract: an over-cap cell that
-            # skips verification must be VISIBLE, never silent —
-            # hot-cell recall loss in production is an ops decision
-            rows = big.agg(
-                F.count(F.lit(1)).alias("c"),
-                F.coalesce(F.sum("__n"), F.lit(0)).alias("r"),
-            ).collect()[0]
-            drop_stats["n_dropped_cells"] = int(rows["c"])
-            drop_stats["n_dropped_rows"] = int(rows["r"])
-        clustered = clustered.join(
-            big.select("cell"), "cell", "left_anti"
-        )
+            drop_stats["n_dropped_cells"] = len(big_rows)
+            drop_stats["n_dropped_rows"] = int(
+                sum(r["__n"] for r in big_rows)
+            )
+        if big_rows:
+            clustered = clustered.filter(
+                ~F.col("cell").isin([r["cell"] for r in big_rows])
+            )
 
     def pair_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(

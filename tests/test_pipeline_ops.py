@@ -3840,3 +3840,104 @@ def test_url_canonicalization_fuzz_idempotent(spark):
     assert len(out) == len(strs)
     bad = [(strs[r["i"]], r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
     assert not bad, bad[:5]
+
+
+def test_extract_main_anchor_regex_not_greedy_on_a_tags(spark):
+    """Regression (r12 self-review): tags that merely START with 'a'
+    (<address>, <abbr>) are NOT anchors — their prose must not count
+    as link text and sink the block."""
+    from dbqt_spark.operators.normalize import extract_main_content
+
+    page = (
+        "<p><abbr>HTML</abbr> is what this mostly-prose paragraph "
+        'explains at length, with one real <a href="/x">link</a> '
+        "inside it somewhere.</p>"
+        "<address>123 Main Street, Springfield, Countryland, with "
+        'contact <a href="/c">email us</a> appended</address>'
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    out = extract_main_content(df).collect()[0]["text"]
+    assert "mostly-prose paragraph" in out
+    assert "123 Main Street" in out
+
+
+def test_kmeanspar_null_and_empty_inputs(spark):
+    """Regression (r12 self-review): NULL/empty vectors must not crash
+    k-means|| init (they carry NULL clusters like the lowest-id arm),
+    and an empty input raises the documented ValueError."""
+    import pytest as _pytest
+
+    from dbqt_spark.operators.kmeans import kmeans_assign
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]), (4, [0.1, 0.9]),
+        (5, None), (6, []),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(
+            df, k=2, iters=1, init="kmeanspar"
+        ).collect()
+    }
+    assert out[5] is None and out[6] is None
+    assert out[1] == out[2] and out[3] == out[4] and out[1] != out[3]
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="non-empty"):
+        kmeans_assign(empty, k=2, init="kmeanspar")
+
+
+def test_nearest_centroid_arrow_empty_centroids(spark):
+    import pytest as _pytest
+
+    from dbqt_spark.operators.similarity import nearest_centroid_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [], "label int, dim long, centroid double"
+    )
+    with _pytest.raises(ValueError, match="EMPTY centroid frame"):
+        nearest_centroid_assign(df, cents, assign_mode="arrow")
+
+
+def test_segmenter_rejects_count_callable_on_driver(spark):
+    """Regression (r12 self-review): a count-style callable
+    (simple_bpe) passed where a segmenter is needed fails FAST on the
+    driver with the fix named, not executor-side with a Py4J
+    TypeError."""
+    import pytest as _pytest
+
+    from dbqt_spark.functions.tokenize import (
+        resolve_token_segmenter,
+        simple_bpe,
+    )
+    from dbqt_spark.operators.packing import packed_sequences
+
+    count = simple_bpe([("l", "o")])
+    with _pytest.raises(ValueError, match="SEGMENTER"):
+        resolve_token_segmenter(count)
+    df = spark.createDataFrame([(1, "low lo")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="SEGMENTER"):
+        packed_sequences(df, seq_len=4, tokenizer=count)
+
+
+def test_semgate_bootstrap_arm_drop_keys(spark):
+    """Regression (r12 self-review): the FIRST-batch big-backfill arm
+    (SemDeDup fallback) reports drops under the gate's own
+    n_dropped_cells/n_dropped_rows keys, not the inner operator's
+    cluster keys."""
+    from dbqt_spark.streaming.semgate import _cell_blocked_pairs
+
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(12)]
+    vecs = spark.createDataFrame(rows, "__id long, __v array<double>")
+    stats: dict = {}
+    pairs = _cell_blocked_pairs(
+        vecs, None, threshold=0.999, max_cell_size=4, k=2,
+        drop_stats=stats,
+    )
+    pairs.collect()
+    assert "n_dropped_cells" in stats and "n_dropped_rows" in stats
