@@ -1485,6 +1485,116 @@ SQL_STREAMING_DEDUP = """
 SELECT DISTINCT user_id, event_type, props FROM events
 """
 
+
+def q_streaming_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-dedup gate (streaming/dedup.url_first_seen):
+    events re-announce pages behind messy spellings (case, default
+    port, utm params, fragment — keyed off user_id/event_type), the
+    gate drains them through a canonical-URL first-occurrence filter;
+    the oracle replays canonicalization + DISTINCT."""
+    from .catalog import table_path
+    from .streaming.checks import run_stream_once, stream_events_from_parquet
+    from .streaming.dedup import url_first_seen
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    stream = stream_events_from_parquet(spark, path, schema=raw_schema)
+
+    def with_urls(df: DataFrame) -> DataFrame:
+        d7 = F.expr("user_id div 7")
+        url = F.when(
+            F.col("user_id") % 2 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Site-"),
+                F.col("user_id") % 5,
+                F.lit(".COM:80/"),
+                F.col("event_type"),
+                F.lit("/"),
+                d7,
+                F.lit("/?utm_source=feed&x=1#top"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("http://www.site-"),
+                F.col("user_id") % 5,
+                F.lit(".com/"),
+                F.col("event_type"),
+                F.lit("/"),
+                d7,
+                F.lit("?x=1"),
+            ),
+        )
+        return url_first_seen(df.withColumn("url", url))
+
+    rows = run_stream_once(stream, with_urls, output_mode="append")
+    return spark.createDataFrame(rows, "url_canon string").orderBy(
+        "url_canon"
+    )
+
+
+SQL_STREAMING_URL_GATE = r"""
+WITH u AS (
+  SELECT CASE
+    WHEN user_id % 2 = 0 THEN
+      'HTTP://WWW.Site-' || (user_id % 5) || '.COM:80/' || event_type
+      || '/' || (user_id // 7) || '/?utm_source=feed&x=1#top'
+    ELSE
+      'http://www.site-' || (user_id % 5) || '.com/' || event_type
+      || '/' || (user_id // 7) || '?x=1'
+  END AS url
+  FROM events
+),
+parts AS (
+  SELECT trim(url) AS tu,
+    lower(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_replace(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2),
+      '^[^@]*@', '')) AS host_port,
+    regexp_replace(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
+      '/+$', '') AS path,
+    regexp_extract(trim(url), '\?([^#]*)', 1) AS qs
+  FROM u
+)
+SELECT DISTINCT
+  CASE WHEN scheme = '' THEN tu ELSE
+    scheme || '://'
+    || regexp_replace(host_port, ':[0-9]*$', '')
+    || CASE
+         WHEN regexp_extract(host_port, ':([0-9]+)$', 1) <> ''
+              AND NOT (scheme = 'http'
+                       AND regexp_extract(host_port,
+                             ':([0-9]+)$', 1) = '80')
+              AND NOT (scheme = 'https'
+                       AND regexp_extract(host_port,
+                             ':([0-9]+)$', 1) = '443')
+         THEN ':' || regexp_extract(host_port, ':([0-9]+)$', 1)
+         ELSE '' END
+    || path
+    || CASE WHEN array_to_string(list_sort(list_filter(
+            string_split(qs, '&'),
+            p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
+              AND NOT list_contains(
+                ['gclid','gbraid','wbraid','fbclid','msclkid',
+                 'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
+                 'ref','ref_src'],
+                lower(regexp_extract(p, '^([^=]*)', 1))))), '&') <> ''
+       THEN '?' || array_to_string(list_sort(list_filter(
+            string_split(qs, '&'),
+            p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
+              AND NOT list_contains(
+                ['gclid','gbraid','wbraid','fbclid','msclkid',
+                 'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
+                 'ref','ref_src'],
+                lower(regexp_extract(p, '^([^=]*)', 1))))), '&')
+       ELSE '' END
+  END AS url_canon
+FROM parts
+ORDER BY url_canon
+"""
+
 # ---------------------------------------------------------------------------
 # TPC-H-style analytics (bench headliners)
 # ---------------------------------------------------------------------------
@@ -6743,6 +6853,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packing_efficiency": q_packing_efficiency,
     "domain_stats": q_domain_stats,
     "calibration_report": q_calibration_report,
+    "streaming_url_gate": q_streaming_url_gate,
     "group_token_budget": q_group_token_budget,
     "cube_orders": q_cube_orders,
     "lm_score_bigram": q_lm_score_bigram,
@@ -6893,6 +7004,7 @@ ORACLES: dict[str, str] = {
     "packing_efficiency": SQL_PACKING_EFFICIENCY,
     "domain_stats": SQL_DOMAIN_STATS,
     "calibration_report": SQL_CALIBRATION_REPORT,
+    "streaming_url_gate": SQL_STREAMING_URL_GATE,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,
     "cube_orders": SQL_CUBE_ORDERS,
     "lm_score_bigram": SQL_LM_SCORE_BIGRAM,

@@ -81,3 +81,35 @@ def first_seen(
     return keyed.dropDuplicates(["fingerprint"]).select(
         "fingerprint", id_col, ts_col
     )
+
+
+def url_first_seen(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    strip_www: bool = False,
+) -> DataFrame:
+    """Streaming URL-dedup gate — the frontier front door a live crawl
+    runs BEFORE fetching/processing content: arrivals dedup on their
+    CANONICAL URL (``urltools.canonical_url_col`` — tracking params,
+    case, default ports, fragments all collapse), so re-announced
+    spellings of an already-seen page never reach the content tiers.
+    State rows carry md5(canonical) — the ``first_seen`` fixed-32-byte
+    state discipline, not arbitrarily long URLs. Emits the canonical
+    URL of each first occurrence; with ``watermark`` state is
+    time-bounded (``dropDuplicatesWithinWatermark``), without it
+    global. On a batch frame this degenerates to DISTINCT canonical
+    URLs (the oracle twin)."""
+    from ..operators.urltools import canonical_url_col
+
+    keyed = df.withColumn(
+        "url_canon",
+        canonical_url_col(F.col(url_col), strip_www=strip_www),
+    ).withColumn("__fp", F.md5("url_canon"))
+    if keyed.isStreaming and watermark:
+        keyed = keyed.withWatermark(ts_col, watermark)
+        return keyed.dropDuplicatesWithinWatermark(["__fp"]).select(
+            "url_canon"
+        )
+    return keyed.dropDuplicates(["__fp"]).select("url_canon")

@@ -1031,3 +1031,60 @@ def test_semantic_gate_drop_accounting(spark, tmp_path):
     assert stats.get("n_dropped_cells", 0) >= 1
     assert stats.get("n_dropped_rows", 0) >= 3
     kept.collect()
+
+
+def test_url_first_seen_stream_equals_batch(spark, tmp_path):
+    """The streaming canonical-URL gate drains two micro-batches of
+    messy re-announcements to exactly the batch DISTINCT-canonical
+    set; the watermark arm bounds state without changing this
+    corpus's survivors."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.streaming.dedup import url_first_seen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000  # micros
+    b1 = ["HTTP://WWW.A.com:80/x/?utm_source=f", "http://b.org/y?q=1"]
+    b2 = ["http://www.a.com/x", "http://b.org/y?q=1&fbclid=z",
+          "https://new.example/z"]
+    pq.write_table(
+        pa.table({"ts": [t0, t0 + 1], "url": b1}), str(src / "b1.parquet")
+    )
+    time.sleep(1.1)
+    pq.write_table(
+        pa.table({"ts": [t0 + 2, t0 + 3, t0 + 4], "url": b2}),
+        str(src / "b2.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("ts long, url string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        url_first_seen(stream, ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("urlgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["url_canon"] for r in spark.sql("SELECT * FROM urlgate").collect()
+    )
+    batch = spark.createDataFrame(
+        [(t0 + i, u) for i, u in enumerate(b1 + b2)], "ts long, url string"
+    )
+    want = sorted(
+        r["url_canon"] for r in url_first_seen(batch).collect()
+    )
+    assert got == want
+    assert got == [
+        "http://b.org/y?q=1",
+        "http://www.a.com/x",
+        "https://new.example/z",
+    ]
