@@ -157,6 +157,7 @@ def _kmeanspar_init(
     if not first:
         raise ValueError("kmeans_assign needs a non-empty input")
     cands: "list[list[float]]" = [list(first[0]["__e"])]
+    seen = {tuple(cands[0])}  # O(1) dedup, not O(|cands|) list scans
     cur = base.withColumn("__d2", _dist_to(cands[0]))
     for r in range(rounds):
         phi = cur.agg(F.sum("__d2").alias("s")).collect()[0]["s"]
@@ -170,20 +171,26 @@ def _kmeanspar_init(
             / 1_000_000_007.0
         )
         p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("__d2") / phi)
-        new = [
-            list(row["__e"])
-            for row in cur.filter(u < p).select("__e").collect()
-        ]
-        new = [c for c in new if c not in cands]
+        new = []
+        for row in cur.filter(u < p).select("__e").collect():
+            t = tuple(row["__e"])
+            if t not in seen:
+                seen.add(t)
+                new.append(list(t))
         if not new:
             continue
         cands += new
+        # the per-round d² update is itself SIZE-GATED like assignment:
+        # ~2k new candidates per round would otherwise splice a
+        # |new| x dim expression array into the plan — the exact
+        # codegen bomb the module docstring warns about at large k.
+        # The Arrow kernel's dist output IS min-over-these-centers.
+        if _use_arrow_assign(new, "auto"):
+            dmin_new = F.element_at(_arrow_assign(new)(F.col("__e")), 2)
+        else:
+            dmin_new = F.array_min(F.array(*[_dist_to(c) for c in new]))
         cur = cur.withColumn(
-            "__d2",
-            F.least(
-                F.col("__d2"),
-                F.array_min(F.array(*[_dist_to(c) for c in new])),
-            ),
+            "__d2", F.least(F.col("__d2"), dmin_new)
         )
     # weight candidates by nearest-point counts (one assignment pass;
     # the Arrow kernel above the expression bound, like assignment)
