@@ -1289,3 +1289,58 @@ def pair_tier_eval(
         ),
     ).otherwise(F.lit(0.0))
     return scored.select("*", f1.alias("f1"))
+
+
+def pair_source_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-SOURCE duplication attribution — which corpus slices
+    duplicate into which: any tier's (id_a, id_b) pair frame joins
+    both sides to their ``group_col`` and rolls up to one row per
+    unordered group pair, (source_a, source_b, n_pairs) with
+    source_a <= source_b. The corpus-forensics report behind "drop
+    the mirror crawl, not the original" decisions — a heavy diagonal
+    is within-slice duplication (re-posts), a heavy off-diagonal a
+    mirrored/aggregator slice.
+
+    Scale shape: the doc->group projection is two columns and joins
+    the PAIR frame (already bounded by the tier's banding/caps) —
+    broadcast when small; the rollup is one map-side-combinable
+    groupBy over at most n_groups^2 keys. Pairs whose ids are missing
+    from ``docs`` group under NULL rather than vanishing (a pair the
+    attribution cannot place is a finding, not noise)."""
+    g = docs.select(
+        F.col(id_col).alias("__gid"), F.col(group_col).alias("__g")
+    )
+    a = g.withColumnRenamed("__gid", "__ga_id").withColumnRenamed(
+        "__g", "__ga"
+    )
+    b = g.withColumnRenamed("__gid", "__gb_id").withColumnRenamed(
+        "__g", "__gb"
+    )
+    # least/greatest skip NULLs, which would silently turn a
+    # one-sided-NULL pair into (known, known) — keep the NULL visible
+    # on the b side instead
+    any_null = F.col("__ga").isNull() | F.col("__gb").isNull()
+    tagged = (
+        pairs.join(a, pairs["id_a"] == a["__ga_id"], "left")
+        .join(b, pairs["id_b"] == b["__gb_id"], "left")
+        .select(
+            F.when(any_null, F.coalesce("__ga", "__gb"))
+            .otherwise(F.least("__ga", "__gb"))
+            .alias("source_a"),
+            F.when(any_null, F.lit(None))
+            .otherwise(F.greatest("__ga", "__gb"))
+            .alias("source_b"),
+        )
+    )
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(
+            F.desc("n_pairs"), "source_a", "source_b"
+        )
+    )

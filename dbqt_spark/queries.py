@@ -4403,6 +4403,39 @@ FROM g ORDER BY bin
 """
 
 
+def q_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication attribution (dedup.pair_source_matrix):
+    the SimHash tier's pair frame joined to each side's source slice
+    and rolled up to (source_a, source_b, n_pairs) — the forensics
+    behind 'drop the mirror, not the original'. Oracle composes the
+    SimHash brute-force twin with the same least/greatest rollup."""
+    from .operators.dedup import pair_source_matrix, simhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_duplicates(docs, max_hamming=3, portable=True)
+    return pair_source_matrix(pairs, docs)
+
+
+SQL_SOURCE_MATRIX = f"""
+WITH {_SQL_SIMHASH_FP},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM cand c
+  JOIN documents da ON c.id_a = da.doc_id
+  JOIN documents db ON c.id_b = db.doc_id
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM tagged GROUP BY source_a, source_b
+ORDER BY n_pairs DESC, source_a, source_b
+"""
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings (operators/
     kmeans.py): deterministic init (k lowest ids), FIXED 2 iterations,
@@ -6854,6 +6887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_stats": q_domain_stats,
     "calibration_report": q_calibration_report,
     "streaming_url_gate": q_streaming_url_gate,
+    "source_matrix": q_source_matrix,
     "group_token_budget": q_group_token_budget,
     "cube_orders": q_cube_orders,
     "lm_score_bigram": q_lm_score_bigram,
@@ -7005,6 +7039,7 @@ ORACLES: dict[str, str] = {
     "domain_stats": SQL_DOMAIN_STATS,
     "calibration_report": SQL_CALIBRATION_REPORT,
     "streaming_url_gate": SQL_STREAMING_URL_GATE,
+    "source_matrix": SQL_SOURCE_MATRIX,
     "group_token_budget": SQL_GROUP_TOKEN_BUDGET,
     "cube_orders": SQL_CUBE_ORDERS,
     "lm_score_bigram": SQL_LM_SCORE_BIGRAM,

@@ -3941,3 +3941,30 @@ def test_semgate_bootstrap_arm_drop_keys(spark):
     )
     pairs.collect()
     assert "n_dropped_cells" in stats and "n_dropped_rows" in stats
+
+
+def test_pair_source_matrix_attribution(spark):
+    """Unordered group-pair rollup; diagonal = within-slice dup;
+    unplaceable ids keep a visible NULL side instead of vanishing
+    or duplicating the known group."""
+    from dbqt_spark.operators.dedup import pair_source_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 1), (1, 4), (5, 99), (98, 97)],
+        "id_a long, id_b long",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in pair_source_matrix(pairs, docs).collect()
+    }
+    assert out[("a", "a")] == 1          # diagonal
+    assert out[("a", "b")] == 2          # orientation-normalized
+    assert out[("c", None)] == 1         # one side unplaceable
+    assert out[(None, None)] == 1        # both unplaceable
+    # biggest pair count first
+    first = pair_source_matrix(pairs, docs).collect()[0]
+    assert (first["source_a"], first["source_b"]) == ("a", "b")
