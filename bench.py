@@ -167,6 +167,9 @@ def main() -> None:
         "group_percentiles",
         "cluster_safe_split",
         "incremental_profile",
+        # r12: the canonical-URL gate is an availableNow drain chain
+        # (per-micro-batch latency, not volume)
+        "streaming_url_gate",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
@@ -185,6 +188,10 @@ def main() -> None:
         "image_phash_dups",
         # tier_eval runs the ngram inverted-index + simhash pipelines
         "tier_eval",
+        # the audio tier and the source-attribution rollup each rerun
+        # a full banded Hamming pipeline
+        "audio_fp_dups",
+        "source_matrix",
     ]
     heavy = [
         "ngram_jaccard_dups",

@@ -1309,9 +1309,15 @@ def pair_source_matrix(
     Scale shape: the doc->group projection is two columns and joins
     the PAIR frame (already bounded by the tier's banding/caps) —
     broadcast when small; the rollup is one map-side-combinable
-    groupBy over at most n_groups^2 keys. Pairs whose ids are missing
-    from ``docs`` group under NULL rather than vanishing (a pair the
-    attribution cannot place is a finding, not noise)."""
+    groupBy over at most n_groups^2 keys. Pairs whose ids are MISSING
+    from ``docs`` (no row at all) group under a NULL side rather than
+    vanishing (a pair the attribution cannot place is a finding, not
+    noise) — detected on the join KEY, so a placed doc whose
+    ``group_col`` VALUE is NULL is not confused with a missing doc
+    (such values flow through least/greatest, which skip NULLs —
+    normalize a nullable source column upstream if that matters).
+    Precondition: ``docs`` is unique on ``id_col`` (a duplicate id
+    would multiply its pairs through the 1:N join)."""
     g = docs.select(
         F.col(id_col).alias("__gid"), F.col(group_col).alias("__g")
     )
@@ -1321,18 +1327,16 @@ def pair_source_matrix(
     b = g.withColumnRenamed("__gid", "__gb_id").withColumnRenamed(
         "__g", "__gb"
     )
-    # least/greatest skip NULLs, which would silently turn a
-    # one-sided-NULL pair into (known, known) — keep the NULL visible
-    # on the b side instead
-    any_null = F.col("__ga").isNull() | F.col("__gb").isNull()
+    # unplaceable = the JOIN missed (key NULL), not a NULL group value
+    missed = F.col("__ga_id").isNull() | F.col("__gb_id").isNull()
     tagged = (
         pairs.join(a, pairs["id_a"] == a["__ga_id"], "left")
         .join(b, pairs["id_b"] == b["__gb_id"], "left")
         .select(
-            F.when(any_null, F.coalesce("__ga", "__gb"))
+            F.when(missed, F.coalesce("__ga", "__gb"))
             .otherwise(F.least("__ga", "__gb"))
             .alias("source_a"),
-            F.when(any_null, F.lit(None))
+            F.when(missed, F.lit(None))
             .otherwise(F.greatest("__ga", "__gb"))
             .alias("source_b"),
         )

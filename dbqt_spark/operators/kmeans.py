@@ -130,6 +130,7 @@ def _kmeanspar_init(
     seed: int,
     rounds: int = 2,
     oversample: "int | None" = None,
+    assign_mode: str = "auto",
 ) -> "list[list[float]]":
     """Fixed-seed k-means|| initialization (Bahmani et al. 2012,
     VLDB): oversample candidates in ``rounds`` distributed passes —
@@ -185,7 +186,7 @@ def _kmeanspar_init(
         # |new| x dim expression array into the plan — the exact
         # codegen bomb the module docstring warns about at large k.
         # The Arrow kernel's dist output IS min-over-these-centers.
-        if _use_arrow_assign(new, "auto"):
+        if _use_arrow_assign(new, assign_mode):
             dmin_new = F.element_at(_arrow_assign(new)(F.col("__e")), 2)
         else:
             dmin_new = F.array_min(F.array(*[_dist_to(c) for c in new]))
@@ -194,7 +195,7 @@ def _kmeanspar_init(
         )
     # weight candidates by nearest-point counts (one assignment pass;
     # the Arrow kernel above the expression bound, like assignment)
-    if _use_arrow_assign(cands, "auto"):
+    if _use_arrow_assign(cands, assign_mode):
         acol = F.element_at(
             _arrow_assign(cands)(F.col("__e")), 1
         ).cast("int")
@@ -291,7 +292,9 @@ def kmeans_assign(
         F.col(id_col), _rounded_vec(vec_col).alias("__e")
     ).localCheckpoint()
     if init == "kmeanspar":
-        centers = _kmeanspar_init(base, k, id_col, seed)
+        centers = _kmeanspar_init(
+            base, k, id_col, seed, assign_mode=assign_mode
+        )
         if not centers:
             raise ValueError("kmeans_assign needs a non-empty input")
     else:

@@ -139,6 +139,61 @@ def _ratio6_wide_sql(num_sql: str, den_sql: str) -> str:
     )
 
 
+def _sql_url_canon_ctes(src_cte: str, carry: str = "") -> str:
+    """parts/staged/canon CTE text canonicalizing column ``url`` of
+    CTE ``src_cte`` — the ONE DuckDB twin of
+    ``urltools.canonical_url_col`` (tracking-param list generated from
+    ``urltools.TRACKING_PARAMS``, so the oracles can never desync from
+    the operator), shared by the url_dedup / domain_stats /
+    streaming_url_gate oracles. The filtered-sorted query string and
+    the port stage ONCE (``staged``) — the heavy list expression is
+    evaluated one time, not once per CASE branch. ``canon`` exposes
+    ``{carry}, host, cu``."""
+    from .operators.urltools import TRACKING_PARAMS
+
+    track = ",".join(f"'{p}'" for p in TRACKING_PARAMS)
+    carry_sel = (carry + ", ") if carry else ""
+    return f"""
+parts AS (
+  SELECT {carry_sel}trim(url) AS tu,
+    lower(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_replace(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2),
+      '^[^@]*@', '')) AS host_port,
+    regexp_replace(regexp_extract(trim(url),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
+      '/+$', '') AS path,
+    regexp_extract(trim(url), '\\?([^#]*)', 1) AS qs
+  FROM {src_cte}
+),
+staged AS (
+  SELECT *,
+    regexp_extract(host_port, ':([0-9]+)$', 1) AS port,
+    array_to_string(list_sort(list_filter(
+      string_split(qs, '&'),
+      p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
+        AND NOT list_contains([{track}],
+              lower(regexp_extract(p, '^([^=]*)', 1))))), '&') AS cq
+  FROM parts
+),
+canon AS (
+  SELECT {carry_sel}
+    regexp_replace(host_port, ':[0-9]*$', '') AS host,
+    CASE WHEN scheme = '' THEN tu ELSE
+      scheme || '://'
+      || regexp_replace(host_port, ':[0-9]*$', '')
+      || CASE WHEN port <> ''
+              AND NOT (scheme = 'http' AND port = '80')
+              AND NOT (scheme = 'https' AND port = '443')
+         THEN ':' || port ELSE '' END
+      || path
+      || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+    END AS cu
+  FROM staged
+)"""
+
+
 def _avg_exact_sql(sum_sql: str, n_sql: str, digits: int) -> str:
     """DuckDB twin of ``_avg_exact_spark`` (// = floor division, equal
     to truncation on the non-negative operands the CASE arranges)."""
@@ -1533,7 +1588,7 @@ def q_streaming_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_STREAMING_URL_GATE = r"""
+SQL_STREAMING_URL_GATE = f"""
 WITH u AS (
   SELECT CASE
     WHEN user_id % 2 = 0 THEN
@@ -1545,54 +1600,8 @@ WITH u AS (
   END AS url
   FROM events
 ),
-parts AS (
-  SELECT trim(url) AS tu,
-    lower(regexp_extract(trim(url),
-      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_replace(regexp_extract(trim(url),
-      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2),
-      '^[^@]*@', '')) AS host_port,
-    regexp_replace(regexp_extract(trim(url),
-      '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
-      '/+$', '') AS path,
-    regexp_extract(trim(url), '\?([^#]*)', 1) AS qs
-  FROM u
-)
-SELECT DISTINCT
-  CASE WHEN scheme = '' THEN tu ELSE
-    scheme || '://'
-    || regexp_replace(host_port, ':[0-9]*$', '')
-    || CASE
-         WHEN regexp_extract(host_port, ':([0-9]+)$', 1) <> ''
-              AND NOT (scheme = 'http'
-                       AND regexp_extract(host_port,
-                             ':([0-9]+)$', 1) = '80')
-              AND NOT (scheme = 'https'
-                       AND regexp_extract(host_port,
-                             ':([0-9]+)$', 1) = '443')
-         THEN ':' || regexp_extract(host_port, ':([0-9]+)$', 1)
-         ELSE '' END
-    || path
-    || CASE WHEN array_to_string(list_sort(list_filter(
-            string_split(qs, '&'),
-            p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
-              AND NOT list_contains(
-                ['gclid','gbraid','wbraid','fbclid','msclkid',
-                 'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
-                 'ref','ref_src'],
-                lower(regexp_extract(p, '^([^=]*)', 1))))), '&') <> ''
-       THEN '?' || array_to_string(list_sort(list_filter(
-            string_split(qs, '&'),
-            p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
-              AND NOT list_contains(
-                ['gclid','gbraid','wbraid','fbclid','msclkid',
-                 'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
-                 'ref','ref_src'],
-                lower(regexp_extract(p, '^([^=]*)', 1))))), '&')
-       ELSE '' END
-  END AS url_canon
-FROM parts
-ORDER BY url_canon
+{_sql_url_canon_ctes("u")}
+SELECT DISTINCT cu AS url_canon FROM canon ORDER BY url_canon
 """
 
 # ---------------------------------------------------------------------------
@@ -4412,7 +4421,13 @@ def q_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import pair_source_matrix, simhash_near_duplicates
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_near_duplicates(docs, max_hamming=3, portable=True)
+    # _localized: the tier returns a PERSISTED frame on the over-limit
+    # path with a caller-release contract — the harness never
+    # unpersists, so pull the bounded pair set through the driver
+    # (the q_simhash_near_dups precedent)
+    pairs = _localized(
+        simhash_near_duplicates(docs, max_hamming=3, portable=True)
+    )
     return pair_source_matrix(pairs, docs)
 
 
@@ -4424,11 +4439,17 @@ cand AS (
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ),
 tagged AS (
-  SELECT least(da.source, db.source) AS source_a,
-         greatest(da.source, db.source) AS source_b
+  -- faithful twin of the operator's placement rule: LEFT joins, a
+  -- MISSING id (join key NULL) keeps a visible NULL b-side
+  SELECT CASE WHEN da.doc_id IS NULL OR db.doc_id IS NULL
+              THEN coalesce(da.source, db.source)
+              ELSE least(da.source, db.source) END AS source_a,
+         CASE WHEN da.doc_id IS NULL OR db.doc_id IS NULL
+              THEN NULL
+              ELSE greatest(da.source, db.source) END AS source_b
   FROM cand c
-  JOIN documents da ON c.id_a = da.doc_id
-  JOIN documents db ON c.id_b = db.doc_id
+  LEFT JOIN documents da ON c.id_a = da.doc_id
+  LEFT JOIN documents db ON c.id_b = db.doc_id
 )
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
 FROM tagged GROUP BY source_a, source_b
@@ -5686,7 +5707,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(canon, pre_canonicalized=True).orderBy("doc_id")
 
 
-SQL_URL_DEDUP = r"""
+SQL_URL_DEDUP = f"""
 WITH u AS (
   SELECT doc_id,
     CASE
@@ -5701,62 +5722,14 @@ WITH u AS (
     END AS url
   FROM documents
 ),
-parts AS (
-  SELECT doc_id, trim(url) AS tu,
-    lower(regexp_extract(trim(url),
-      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_replace(regexp_extract(trim(url),
-      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2),
-      '^[^@]*@', '')) AS host_port,
-    regexp_replace(regexp_extract(trim(url),
-      '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
-      '/+$', '') AS path,
-    regexp_extract(trim(url), '\?([^#]*)', 1) AS qs
-  FROM u
-),
-canon AS (
-  SELECT doc_id,
-    CASE WHEN scheme = '' THEN tu ELSE
-      scheme || '://'
-      || regexp_replace(host_port, ':[0-9]*$', '')
-      || CASE
-           WHEN regexp_extract(host_port, ':([0-9]+)$', 1) <> ''
-                AND NOT (scheme = 'http'
-                         AND regexp_extract(host_port,
-                               ':([0-9]+)$', 1) = '80')
-                AND NOT (scheme = 'https'
-                         AND regexp_extract(host_port,
-                               ':([0-9]+)$', 1) = '443')
-           THEN ':' || regexp_extract(host_port, ':([0-9]+)$', 1)
-           ELSE '' END
-      || path
-      || CASE WHEN array_to_string(list_sort(list_filter(
-              string_split(qs, '&'),
-              p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
-                AND NOT list_contains(
-                  ['gclid','gbraid','wbraid','fbclid','msclkid',
-                   'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
-                   'ref','ref_src'],
-                  lower(regexp_extract(p, '^([^=]*)', 1))))), '&') <> ''
-         THEN '?' || array_to_string(list_sort(list_filter(
-              string_split(qs, '&'),
-              p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
-                AND NOT list_contains(
-                  ['gclid','gbraid','wbraid','fbclid','msclkid',
-                   'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
-                   'ref','ref_src'],
-                  lower(regexp_extract(p, '^([^=]*)', 1))))), '&')
-         ELSE '' END
-    END AS url
-  FROM parts
-),
+{_sql_url_canon_ctes("u", "doc_id")},
 grp AS (
-  SELECT url, min(doc_id) AS keep,
+  SELECT cu, min(doc_id) AS keep,
          CAST(count(*) AS BIGINT) AS n_dups
-  FROM canon GROUP BY url
+  FROM canon GROUP BY cu
 )
-SELECT c.doc_id, c.url, g.n_dups
-FROM canon c JOIN grp g ON c.url = g.url AND c.doc_id = g.keep
+SELECT c.doc_id, c.cu AS url, g.n_dups
+FROM canon c JOIN grp g ON c.cu = g.cu AND c.doc_id = g.keep
 ORDER BY c.doc_id
 """
 
@@ -5957,7 +5930,7 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(urls, text_col="text", strip_www=False)
 
 
-SQL_DOMAIN_STATS = rf"""
+SQL_DOMAIN_STATS = f"""
 WITH u AS (
   SELECT doc_id, text,
     CASE
@@ -5972,56 +5945,7 @@ WITH u AS (
     END AS url
   FROM documents
 ),
-parts AS (
-  SELECT doc_id, text, trim(url) AS tu,
-    lower(regexp_extract(trim(url),
-      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_replace(regexp_extract(trim(url),
-      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2),
-      '^[^@]*@', '')) AS host_port,
-    regexp_replace(regexp_extract(trim(url),
-      '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
-      '/+$', '') AS path,
-    regexp_extract(trim(url), '\?([^#]*)', 1) AS qs
-  FROM u
-),
-canon AS (
-  SELECT doc_id, text,
-    regexp_replace(host_port, ':[0-9]*$', '') AS host,
-    CASE WHEN scheme = '' THEN tu ELSE
-      scheme || '://'
-      || regexp_replace(host_port, ':[0-9]*$', '')
-      || CASE
-           WHEN regexp_extract(host_port, ':([0-9]+)$', 1) <> ''
-                AND NOT (scheme = 'http'
-                         AND regexp_extract(host_port,
-                               ':([0-9]+)$', 1) = '80')
-                AND NOT (scheme = 'https'
-                         AND regexp_extract(host_port,
-                               ':([0-9]+)$', 1) = '443')
-           THEN ':' || regexp_extract(host_port, ':([0-9]+)$', 1)
-           ELSE '' END
-      || path
-      || CASE WHEN array_to_string(list_sort(list_filter(
-              string_split(qs, '&'),
-              p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
-                AND NOT list_contains(
-                  ['gclid','gbraid','wbraid','fbclid','msclkid',
-                   'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
-                   'ref','ref_src'],
-                  lower(regexp_extract(p, '^([^=]*)', 1))))), '&') <> ''
-         THEN '?' || array_to_string(list_sort(list_filter(
-              string_split(qs, '&'),
-              p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
-                AND NOT list_contains(
-                  ['gclid','gbraid','wbraid','fbclid','msclkid',
-                   'yclid','igshid','mc_cid','mc_eid','_ga','_gl',
-                   'ref','ref_src'],
-                  lower(regexp_extract(p, '^([^=]*)', 1))))), '&')
-         ELSE '' END
-    END AS cu
-  FROM parts
-),
+{_sql_url_canon_ctes("u", "doc_id, text")},
 grouped AS (
   SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(count(DISTINCT cu) AS BIGINT) AS n_urls,

@@ -108,6 +108,20 @@ def url_first_seen(
         canonical_url_col(F.col(url_col), strip_www=strip_www),
     ).withColumn("__fp", F.md5("url_canon"))
     if keyed.isStreaming and watermark:
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if not isinstance(
+            df.schema[ts_col].dataType, (TimestampType, TimestampNTZType)
+        ):
+            # fail on the DRIVER with the fix named: withWatermark on
+            # a long/micros column raises an opaque AnalysisException
+            # mid-stream — raw event feeds normalize first
+            # (streaming.checks.normalize_event_ts)
+            raise ValueError(
+                f"watermark needs a timestamp {ts_col!r} column; got "
+                f"{df.schema[ts_col].dataType.simpleString()} — pass "
+                "the frame through streaming.checks.normalize_event_ts"
+            )
         keyed = keyed.withWatermark(ts_col, watermark)
         return keyed.dropDuplicatesWithinWatermark(["__fp"]).select(
             "url_canon"

@@ -1036,8 +1036,7 @@ def test_semantic_gate_drop_accounting(spark, tmp_path):
 def test_url_first_seen_stream_equals_batch(spark, tmp_path):
     """The streaming canonical-URL gate drains two micro-batches of
     messy re-announcements to exactly the batch DISTINCT-canonical
-    set; the watermark arm bounds state without changing this
-    corpus's survivors."""
+    set (global arm; the watermark arm has its own test below)."""
     import time
 
     import pyarrow as pa
@@ -1088,3 +1087,56 @@ def test_url_first_seen_stream_equals_batch(spark, tmp_path):
         "http://www.a.com/x",
         "https://new.example/z",
     ]
+
+
+def test_url_first_seen_watermark_arm(spark, tmp_path):
+    """The watermark arm: state is time-bounded via
+    dropDuplicatesWithinWatermark over TIMESTAMP events — in-window
+    respellings dedup; a long ts column is refused on the DRIVER with
+    the normalize_event_ts fix named."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.streaming.dedup import url_first_seen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2026, 8, 15, 12, 0, 0)
+    rows = {
+        "ts": [t0, t0 + dt.timedelta(seconds=30),
+               t0 + dt.timedelta(seconds=60)],
+        "url": ["HTTP://WWW.A.com:80/x/?utm_source=f",
+                "http://www.a.com/x",
+                "https://b.org/y"],
+    }
+    pq.write_table(pa.table(rows), str(src / "b1.parquet"))
+    stream = (
+        spark.readStream.schema("ts timestamp, url string")
+        .parquet(str(src))
+    )
+    q = (
+        url_first_seen(stream, ts_col="ts", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("urlgate_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["url_canon"]
+        for r in spark.sql("SELECT * FROM urlgate_wm").collect()
+    )
+    assert got == ["http://www.a.com/x", "https://b.org/y"]
+
+    # long ts + watermark: driver-side refusal naming the fix
+    raw = (
+        spark.readStream.schema("ts long, url string")
+        .parquet(str(src))
+    )
+    with _pytest.raises(ValueError, match="normalize_event_ts"):
+        url_first_seen(raw, ts_col="ts", watermark="10 minutes")
