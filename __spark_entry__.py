@@ -42,9 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _driver_checked_names() -> set:
-    """Union of query keys every committed driver correctness file has
-    already hard-verified (CORRECTNESS_r*.json). Used to ROTATE the
-    registry order below; empty on any read problem."""
+    """Query keys some committed driver correctness file
+    (CORRECTNESS_r*.json) has already hard-verified — rows AND schema
+    AND hash green, no error (VERDICT r12 #2: a driver FAIL must stay
+    in the never-verified front half until it actually passes). Used
+    to ROTATE the registry order below; empty on any read problem."""
     import glob
     import json
     import os
@@ -54,7 +56,15 @@ def _driver_checked_names() -> set:
     for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(p) as f:
-                seen.update(json.load(f).keys())
+                for name, row in json.load(f).items():
+                    if (
+                        isinstance(row, dict)
+                        and row.get("rows_match")
+                        and row.get("schema_match")
+                        and row.get("hash_match")
+                        and not row.get("err")
+                    ):
+                        seen.add(name)
         except Exception:
             continue
     return seen
@@ -67,20 +77,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sweeps). Queries the driver has never hard-verified interleave 1:1
     with already-verified ones, never-verified first — any prefix
     window now samples both new surface and regression coverage, and
-    the ordering self-maintains as driver files accumulate."""
+    the ordering self-maintains as driver files accumulate. The
+    rows-only-by-construction queries (no oracle_sql entry — the
+    driver can only count their rows) sort LAST so every driver
+    prefix slot goes to a hash-checkable query (VERDICT r12 #2)."""
     from itertools import zip_longest
 
-    from dbqt_spark.queries import QUERIES
+    from dbqt_spark.queries import ORACLES, QUERIES
 
     seen = _driver_checked_names()
-    fresh = [n for n in QUERIES if n not in seen]
-    checked = [n for n in QUERIES if n in seen]
+    fresh = [n for n in QUERIES if n not in seen and n in ORACLES]
+    checked = [n for n in QUERIES if n in seen and n in ORACLES]
+    rows_only = [n for n in QUERIES if n not in ORACLES]
     out: dict = {}
     for a, b in zip_longest(fresh, checked):
         if a is not None:
             out[a] = QUERIES[a]
         if b is not None:
             out[b] = QUERIES[b]
+    for n in rows_only:
+        out[n] = QUERIES[n]
     return out
 
 

@@ -317,7 +317,13 @@ def main() -> None:
         "centroid_assign,ppl_buckets,packed_sequences,clean_embeddings,"
         "cast_report,image_phash_dups,corpus_card,main_content,"
         "url_dedup,audio_fp,audio_fp_dups,domain_stats,"
-        "packing_efficiency",
+        "packing_efficiency,"
+        # r13: the four r12 movers VERDICT #3 asked anchors for
+        # (source_matrix 4.45 s pooled — above the 4 s house bar;
+        # calibration_report 3.67; lm_score_bigram 3.35; the url gate
+        # is an availableNow drain chain)
+        "source_matrix,calibration_report,lm_score_bigram,"
+        "streaming_url_gate",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):
@@ -371,6 +377,25 @@ def main() -> None:
         with open(out_file, "w") as fh:
             fh.write(result_json + "\n")
     print(result_json)
+    # VERDICT r12 #6: the driver's tail capture truncated the long line
+    # above at 151 per-query timings (BENCH_r12.json "parsed": null) —
+    # emit a compact summary LAST so whatever window the driver keeps,
+    # the final stdout line is short and parseable. Full per-query map
+    # lives in the line above and in $SPARK_GRAFT_BENCH_OUT.
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_all_queries",
+                "value": best_total,
+                "unit": "sec",
+                "n_queries": len(best_timings),
+                "workers": workers,
+                "trials": trial_totals,
+                "sum_query_sec": query_sum,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

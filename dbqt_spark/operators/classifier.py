@@ -302,9 +302,13 @@ def calibration_report(
     (DECIMAL(18,6), order-independent) and both ratios go through the
     ``_avg6_expr`` integer micro-unit rounding — a double round() at a
     .5e-6 quotient boundary is exactly where the sf0.1 sweep catches
-    engines disagreeing. NULL scores/labels are excluded (count rows,
-    not guesses). One groupBy over n_bins keys — map-side combine, no
-    window, a narrow map + tiny shuffle at any corpus size."""
+    engines disagreeing. NULL **and NaN** scores and NULL labels are
+    excluded (count rows, not guesses — r12 ADVICE: a NaN score
+    passes isNotNull, floor(NaN) casts to NULL, and greatest/least
+    skip NULLs, so NaN rows silently inflated bin n_bins-1 with a
+    NULL-excluded mean). One groupBy over n_bins keys — map-side
+    combine, no window, a narrow map + tiny shuffle at any corpus
+    size."""
     from .textstats import _avg6_expr
 
     if n_bins < 1:
@@ -316,7 +320,7 @@ def calibration_report(
         F.least(F.lit(n_bins - 1), F.floor(s * n_bins).cast("int")),
     )
     return (
-        df.filter(s.isNotNull() & lbl.isNotNull())
+        df.filter(s.isNotNull() & ~F.isnan(s) & lbl.isNotNull())
         .groupBy(b.cast("int").alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

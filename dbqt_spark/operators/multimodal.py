@@ -93,10 +93,15 @@ def _decode_image_features(payload: bytes) -> list[float]:
     return [round(x, 6) for x in feats[:_FEATURE_DIM]]
 
 
-def _decode_wav_features(payload: bytes) -> list[float]:
-    """Real audio decode for WAV payloads via the stdlib ``wave`` module
-    (no external deps): amplitude stats + stream shape, _FEATURE_DIM
-    values. PCM width 1/2/4 bytes; multi-channel is mean-mixed."""
+def _wav_samples(payload: bytes):
+    """Decode a PCM WAV payload to mean-mixed float64 samples in
+    [-1, 1): returns (x, channels, rate). Widths 1/2/3/4 bytes —
+    8-bit PCM is UNSIGNED (centered at 128) and 24-bit packs 3
+    little-endian bytes per sample with no numpy dtype, so widen to
+    int32 and sign-extend (r12 ADVICE: the old {1,2,4} signed map
+    crashed on sampwidth=3 and skewed 8-bit energies). Shared by the
+    feature decoder and the spectral fingerprint so the two real-WAV
+    arms can never diverge on sample decode."""
     import io
     import wave
 
@@ -106,11 +111,38 @@ def _decode_wav_features(payload: bytes) -> list[float]:
         n, ch, width = w.getnframes(), w.getnchannels(), w.getsampwidth()
         rate = w.getframerate()
         raw = w.readframes(n)
-    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
-    arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        arr -= 128.0
+    elif width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        i = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        arr = np.where(i >= 1 << 23, i - (1 << 24), i).astype(np.float64)
+    elif width in (2, 4):
+        arr = np.frombuffer(
+            raw, dtype=np.int16 if width == 2 else np.int32
+        ).astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported WAV sample width {width} bytes — PCM widths "
+            "1/2/3/4 are decodable; pass hasher=/decoder= for others"
+        )
     if ch > 1:
         arr = arr.reshape(-1, ch).mean(axis=1)
-    x = arr / float(2 ** (8 * width - 1))
+    return arr / float(2 ** (8 * width - 1)), ch, rate
+
+
+def _decode_wav_features(payload: bytes) -> list[float]:
+    """Real audio decode for WAV payloads via the stdlib ``wave`` module
+    (no external deps): amplitude stats + stream shape, _FEATURE_DIM
+    values. PCM width 1/2/3/4 bytes; multi-channel is mean-mixed."""
+    import numpy as np
+
+    x, ch, rate = _wav_samples(payload)
     feats = [
         float(x.mean()) if len(x) else 0.0,
         float(x.std()) if len(x) else 0.0,
@@ -595,23 +627,12 @@ def _wav_spectral_fp():
     magnitude energy per frame, gradient bit per (transition, band) —
     the chromaprint construction with linear instead of chroma
     bands. Returned lazily so import cost stays off the driver when
-    the stub arm runs."""
-    import io
-    import wave
-
+    the stub arm runs. Sample decode (incl. the unsigned-8-bit and
+    24-bit cases, r12 ADVICE) is the shared ``_wav_samples``."""
     import numpy as np
 
     def hash_bytes(payload: bytes) -> int:
-        with wave.open(io.BytesIO(payload)) as w:
-            n, ch, width = (
-                w.getnframes(), w.getnchannels(), w.getsampwidth()
-            )
-            raw = w.readframes(n)
-        dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
-        arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-        if ch > 1:
-            arr = arr.reshape(-1, ch).mean(axis=1)
-        x = arr / float(2 ** (8 * width - 1))
+        x, _, _ = _wav_samples(payload)
         E = np.zeros((_AFP_FRAMES, 8))
         for f, fr in enumerate(np.array_split(x, _AFP_FRAMES)):
             if len(fr) == 0:

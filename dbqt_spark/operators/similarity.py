@@ -1483,7 +1483,16 @@ def _arrow_centroid_assign(C: "np.ndarray"):
     exactly like the expression arm's window. float64 dot/norm sums
     can differ from the decimal-exact arm in the last ulp, so the two
     arms agree except on values sitting exactly on a round-6
-    boundary (the ``kmeans_assign`` Arrow-arm contract)."""
+    boundary (the ``kmeans_assign`` Arrow-arm contract).
+
+    ZERO-NORM GUARD (r12 ADVICE): the join arm's decimal divide
+    returns NULL on a zero divisor, so a zero-norm centroid gets NULL
+    cosine for every row and sorts LAST in its window (desc, NULLs
+    last) — it can never win. Here the same centroid's column is
+    pinned to -inf pre-argmax (never wins), and a zero-norm VECTOR
+    (all columns -inf, argmax=0) returns label index 0 with NaN
+    cosine — Arrow maps the NaN to SQL NULL, which is exactly the
+    join arm's (first-label-ascending, NULL cosine) row."""
     Cn = (C * C).sum(axis=1)
 
     @F.pandas_udf("struct<label_idx: int, cosine: double>")
@@ -1494,14 +1503,19 @@ def _arrow_centroid_assign(C: "np.ndarray"):
             )
         M = np.round(np.array(embs.tolist(), dtype=np.float64), 7)
         Mn = (M * M).sum(axis=1)
-        S = np.round(
-            (M @ C.T) / np.sqrt(np.outer(Mn, Cn)), 6
-        )
+        denom = np.sqrt(np.outer(Mn, Cn))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(
+                denom > 0,
+                np.round((M @ C.T) / np.where(denom > 0, denom, 1.0), 6),
+                -np.inf,
+            )
         idx = S.argmax(axis=1)
+        cos = S[np.arange(len(M)), idx]
         return pd.DataFrame(
             {
                 "label_idx": idx.astype("int32"),
-                "cosine": S[np.arange(len(M)), idx],
+                "cosine": np.where(np.isfinite(cos), cos, np.nan),
             }
         )
 
@@ -1632,11 +1646,17 @@ def nearest_centroid_assign(
         .select(
             F.col(id_col),
             "label",
+            # try_divide: a zero-norm vector or centroid yields NULL
+            # cosine (sorts last in the window below) instead of an
+            # ANSI DIVIDE_BY_ZERO abort — the semantics the Arrow
+            # arm's -inf/NaN guard mirrors (r12 ADVICE)
             F.round(
-                F.col("__dot").cast("double")
-                / F.sqrt(
-                    F.col("__vn").cast("double")
-                    * F.col("__cn").cast("double")
+                F.try_divide(
+                    F.col("__dot").cast("double"),
+                    F.sqrt(
+                        F.col("__vn").cast("double")
+                        * F.col("__cn").cast("double")
+                    ),
                 ),
                 6,
             ).alias("cosine"),

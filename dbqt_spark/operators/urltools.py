@@ -35,11 +35,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # the tracking/click-id parameter names every major pipeline strips
-# (lowercased compare; utm_* is matched as a prefix)
+# (lowercased compare; utm_* is matched as a prefix). Only UNAMBIGUOUS
+# click/campaign ids live here — names that are sometimes semantic
+# (``ref`` is a branch on code hosts, a post ref on forums) are the
+# aggressive opt-in below (r12 ADVICE: default canonicalization must
+# never merge genuinely different pages).
 TRACKING_PARAMS = (
     "gclid", "gbraid", "wbraid", "fbclid", "msclkid", "yclid",
-    "igshid", "mc_cid", "mc_eid", "_ga", "_gl", "ref", "ref_src",
+    "igshid", "mc_cid", "mc_eid", "_ga", "_gl",
 )
+
+# frequently-tracking-but-sometimes-semantic names, stripped only with
+# strip_ref=True (the strip_www-style aggressive policy)
+AGGRESSIVE_TRACKING_PARAMS = ("ref", "ref_src")
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 
@@ -59,12 +67,15 @@ def _host_of(host_port: Column, strip_www: bool) -> Column:
 
 
 def canonical_url_col(
-    url, strip_www: bool = False
+    url, strip_www: bool = False, strip_ref: bool = False
 ) -> Column:
     """Canonical form of a URL column/name (see module docstring).
     ``strip_www`` additionally drops a leading ``www.`` host label —
     the aggressive crawl-dedup policy, off by default because
-    ``www.`` and apex CAN serve different content."""
+    ``www.`` and apex CAN serve different content. ``strip_ref``
+    additionally drops ``AGGRESSIVE_TRACKING_PARAMS`` (``ref``,
+    ``ref_src``) — off by default because ``ref`` is often semantic
+    (a branch name, a forum post id)."""
     u = F.trim(url if isinstance(url, Column) else F.col(url))
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     host_port = _host_port_col(u)
@@ -85,7 +96,10 @@ def canonical_url_col(
     # (utm_* prefix + the TRACKING_PARAMS names, compared on the
     # lowercased name), survivors sort lexicographically
     qs = F.regexp_extract(u, r"\?([^#]*)", 1)
-    names = F.array(*[F.lit(p) for p in TRACKING_PARAMS])
+    drop_names = TRACKING_PARAMS + (
+        AGGRESSIVE_TRACKING_PARAMS if strip_ref else ()
+    )
+    names = F.array(*[F.lit(p) for p in drop_names])
     params = F.filter(
         F.split(qs, "&"),
         lambda p: (p != "")
@@ -112,11 +126,14 @@ def url_canonicalize(
     url_col: str = "url",
     out_col: "str | None" = None,
     strip_www: bool = False,
+    strip_ref: bool = False,
 ) -> DataFrame:
     """Append (or replace) the canonical URL column."""
     return df.withColumn(
         out_col or url_col,
-        canonical_url_col(F.col(url_col), strip_www=strip_www),
+        canonical_url_col(
+            F.col(url_col), strip_www=strip_www, strip_ref=strip_ref
+        ),
     )
 
 
@@ -125,6 +142,7 @@ def url_dedup(
     url_col: str = "url",
     id_col: str = "doc_id",
     strip_www: bool = False,
+    strip_ref: bool = False,
     pre_canonicalized: bool = False,
 ) -> DataFrame:
     """Keep the min-id row per CANONICAL-URL group — the exact-dedup
@@ -136,22 +154,30 @@ def url_dedup(
     no per-group sort. ``pre_canonicalized=True`` skips the
     (idempotent but ~40-regex) canonicalization when ``url_col``
     already holds ``url_canonicalize`` output — don't pay the chain
-    twice in a canonicalize-then-dedup pipeline."""
+    twice in a canonicalize-then-dedup pipeline.
+
+    NULL-url rows are NOT duplicates of each other (no url is no
+    signal, not the same signal): every one survives with
+    ``n_dups=1`` (r12 ADVICE — the plain equi-join silently dropped
+    them, losing real content with no accounting)."""
     cu = df.withColumn(
         "__cu",
         F.col(url_col)
         if pre_canonicalized
-        else canonical_url_col(F.col(url_col), strip_www=strip_www),
+        else canonical_url_col(
+            F.col(url_col), strip_www=strip_www, strip_ref=strip_ref
+        ),
     )
     keepers = (
-        cu.groupBy("__cu")
+        cu.filter(F.col("__cu").isNotNull())
+        .groupBy("__cu")
         .agg(
             F.min(id_col).alias("__keep"),
             F.count(F.lit(1)).cast("long").alias("n_dups"),
         )
         .withColumnRenamed("__cu", "__kcu")
     )
-    return (
+    survivors = (
         cu.join(
             keepers,
             (cu["__cu"] == keepers["__kcu"])
@@ -160,6 +186,12 @@ def url_dedup(
         )
         .drop("__cu", "__kcu", "__keep")
     )
+    null_rows = (
+        cu.filter(F.col("__cu").isNull())
+        .drop("__cu")
+        .withColumn("n_dups", F.lit(1).cast("long"))
+    )
+    return survivors.unionByName(null_rows)
 
 
 def host_col(url, strip_www: bool = False) -> Column:

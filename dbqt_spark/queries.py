@@ -6538,7 +6538,11 @@ def q_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (NULL at id%97=0, truncation at id%89=0, NaN at
     id%83=0), then the four-way filter + L2 normalize. The oracle
     replays the corruption AND the cleaning, unit components rounded
-    6 — bit-for-bit."""
+    6 — bit-for-bit. The REGISTERED query projects ``unit`` through a
+    fixed-point DECIMAL(18,6) string (VERDICT r12 #1: the driver's
+    canonicalizer cannot hash raw array columns); the operator itself
+    still returns the real array<double> — see
+    tests/test_chunking.py for the array-form checks."""
     from .operators.chunking import clean_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -6559,7 +6563,18 @@ def q_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("embedding"))
         .alias("embedding"),
     )
-    return clean_embeddings(corrupted).orderBy("vec_id")
+    cleaned = clean_embeddings(corrupted)
+    return cleaned.select(
+        "vec_id",
+        "dim",
+        "norm",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "unit", lambda x: x.cast("decimal(18,6)").cast("string")
+            ),
+        ).alias("unit"),
+    ).orderBy("vec_id")
 
 
 SQL_CLEAN_EMBEDDINGS = r"""
@@ -6600,9 +6615,12 @@ checked AS (
 SELECT vec_id,
        CAST((SELECT d FROM dims) AS INT) AS dim,
        round(sqrt(norm_sq), 6) AS norm,
-       list_transform(embedding,
-                      x -> round(CAST(x AS DOUBLE) / sqrt(norm_sq), 6))
-         AS unit
+       array_to_string(
+         list_transform(
+           embedding,
+           x -> CAST(CAST(round(CAST(x AS DOUBLE) / sqrt(norm_sq), 6)
+                          AS DECIMAL(18,6)) AS VARCHAR)),
+         ',') AS unit
 FROM checked ORDER BY vec_id
 """
 

@@ -1416,6 +1416,58 @@ def test_audio_near_dup_cap_contract_and_real_wav(spark):
     )
     assert a == quiet
 
+    # r12 ADVICE: 8-bit PCM is UNSIGNED (silence = 0x80) and 24-bit
+    # has no numpy dtype — both must decode, and the decoded samples
+    # must match the 16-bit rendering of the same tone (gradient bits
+    # are scale-invariant, so the fingerprints agree exactly)
+    import numpy as np
+
+    from dbqt_spark.operators.multimodal import _wav_samples
+
+    def tone_w(width: int) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            frames = bytearray()
+            full = (1 << (8 * width - 1)) - 1
+            for i in range(4000):
+                v = int(
+                    0.9 * full
+                    * math.sin(2 * math.pi * 440 * i * (1 + i / 8000) / 8000)
+                )
+                if width == 1:
+                    frames += bytes([v + 128])
+                else:
+                    frames += int(v).to_bytes(width, "little", signed=True)
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    x16, _, _ = _wav_samples(tone_w(2))
+    for width in (1, 3, 4):
+        xw, ch, rate = _wav_samples(tone_w(width))
+        assert ch == 1 and rate == 8000
+        # same waveform at different bit depths: samples agree to
+        # the coarser depth's quantization step
+        assert np.abs(xw - x16).max() < 2.0 / (1 << 7)
+        assert fp(tone_w(width)) == fp(tone_w(2))
+    # 8-bit silence decodes to exactly zero (unsigned, 128-centered)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128] * 100))
+    xs, _, _ = _wav_samples(buf.getvalue())
+    assert np.all(xs == 0.0)
+    with pytest.raises(ValueError, match="sample width"):
+        _wav_samples_bad = bytearray(tone_w(2))
+        # forge an unsupported 5-byte width in the fmt chunk
+        _wav_samples_bad[32:34] = (5).to_bytes(2, "little")
+        _wav_samples_bad[34:36] = (40).to_bytes(2, "little")
+        _wav_samples(bytes(_wav_samples_bad))
+
     def ham(x, y):
         return bin((x ^ y) & (2**64 - 1)).count("1")
 

@@ -3664,8 +3664,11 @@ def test_url_canonicalization_table(spark):
          "https://example.com:8443/Path"),
         ("  not a url  ", "not a url"),
         ("ftp://Files.example.com:21/x//", "ftp://files.example.com:21/x"),
+        # ref/ref_src are often SEMANTIC (?ref=<branch> on code hosts)
+        # — kept by default, stripped only with strip_ref=True below
+        # (r12 ADVICE)
         ("https://e.com/s?q=Hello%20World&UTM_CAMPAIGN=y&ref=tw&Ref_Src=z",
-         "https://e.com/s?q=Hello%20World"),
+         "https://e.com/s?Ref_Src=z&q=Hello%20World&ref=tw"),
         ("https://e.com/?", "https://e.com"),
         ("http://e.com:8080/p#only-frag", "http://e.com:8080/p"),
     ]
@@ -3699,11 +3702,49 @@ def test_url_canonicalization_table(spark):
     ).collect()[0]["canon"]
     assert w == "https://example.com/x"
 
+    # strip_ref option (the aggressive arm): ref/ref_src drop
+    sr = url_canonicalize(
+        spark.createDataFrame(
+            [(1, "https://e.com/s?q=a&ref=tw&Ref_Src=z")],
+            "doc_id long, url string",
+        ),
+        out_col="canon",
+        strip_ref=True,
+    ).collect()[0]["canon"]
+    assert sr == "https://e.com/s?q=a"
+
     # dedup: rows 0/1 and 2/3 collapse to min-id survivors
     out = {r["doc_id"]: r["n_dups"] for r in url_dedup(df).collect()}
     assert 1 not in out and 3 not in out
     assert out[0] == 2 and out[2] == 2
     assert out[5] == 1
+
+
+def test_url_dedup_null_urls_survive(spark):
+    """r12 ADVICE: NULL-url rows are NOT duplicates of each other —
+    every one survives url_dedup with n_dups=1 (the plain equi-join
+    used to silently drop them all)."""
+    from dbqt_spark.operators.urltools import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://e.com/a"),
+            (2, "https://e.com/a/"),
+            (3, None),
+            (4, None),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r["n_dups"] for r in url_dedup(df).collect()}
+    assert out == {1: 2, 3: 1, 4: 1}
+    # same contract on the pre-canonicalized fast path (raw strings
+    # pass through: 1 and 2 differ byte-wise, so no collapse — the
+    # NULLs still survive individually)
+    out2 = {
+        r["doc_id"]: r["n_dups"]
+        for r in url_dedup(df, pre_canonicalized=True).collect()
+    }
+    assert out2 == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
 def test_packing_efficiency_known_answer(spark):
@@ -3782,6 +3823,9 @@ def test_calibration_report_bins(spark):
         (1.0, 1),                       # clamps into bin 9
         (-0.2, 0),                      # clamps into bin 0
         (None, 1), (0.4, None),         # excluded
+        (float("nan"), 1),              # excluded too (r12 ADVICE:
+        # NaN passed isNotNull, floor(NaN)->NULL, greatest/least skip
+        # NULLs -> it used to inflate bin 9's n with a NULL sum)
     ]
     df = spark.createDataFrame(rows, "score double, label int")
     out = {r["bin"]: r for r in calibration_report(df).collect()}

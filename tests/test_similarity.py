@@ -921,6 +921,33 @@ def test_nearest_centroid_assign_large_k_arrow_matches_join(spark, sf_dir):
     assert "ArrowEvalPython" not in formatted_plan(small)
 
 
+def test_nearest_centroid_assign_zero_norm_arms_agree(spark):
+    """r12 ADVICE: a zero-norm centroid must never win the argmax in
+    EITHER arm (the join arm's decimal divide NULLs it; the Arrow arm
+    pins its column to -inf pre-argmax), and a zero-norm vector
+    returns the first-ascending label with NULL cosine in both."""
+    from dbqt_spark.operators.similarity import nearest_centroid_assign
+
+    cents = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 0.0), (1, 0, 0.0), (1, 1, 0.0)],
+        "label int, dim long, centroid double",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    for mode in ("join", "arrow"):
+        got = {
+            r["vec_id"]: (r["label"], r["cosine"])
+            for r in nearest_centroid_assign(
+                vecs, cents, assign_mode=mode
+            ).collect()
+        }
+        assert got[1] == (0, 1.0), (mode, got)
+        # zero-norm vector: label-ascending first, cosine NULL
+        assert got[2][0] == 0 and got[2][1] is None, (mode, got)
+
+
 def test_kmeans_kmeanspar_init_quality_and_determinism(spark):
     """VERDICT r11 ask #6: fixed-seed k-means|| init. On a blob
     fixture built so lowest-id init starts EVERY center inside one
