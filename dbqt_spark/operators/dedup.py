@@ -1296,6 +1296,7 @@ def pair_source_matrix(
     docs: DataFrame,
     group_col: str = "source",
     id_col: str = "doc_id",
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Cross-SOURCE duplication attribution — which corpus slices
     duplicate into which: any tier's (id_a, id_b) pair frame joins
@@ -1306,10 +1307,17 @@ def pair_source_matrix(
     is within-slice duplication (re-posts), a heavy off-diagonal a
     mirrored/aggregator slice.
 
-    Scale shape: the doc->group projection is two columns and joins
-    the PAIR frame (already bounded by the tier's banding/caps) —
-    broadcast when small; the rollup is one map-side-combinable
-    groupBy over at most n_groups^2 keys. Pairs whose ids are MISSING
+    Scale shape (VERDICT r12 #7): attribution costs O(pairs), never
+    O(corpus). The pair-id set (<= 2x the tier-capped pair frame)
+    BROADCASTS into a semi-join that shrinks the two-column
+    doc->group projection to pair participants as a narrow map fused
+    into the corpus scan — the full ``docs`` frame is never
+    shuffled; the shrunken projection (<= 2·pairs rows) then
+    broadcasts into the two pair joins, and the rollup is one
+    map-side-combinable groupBy over at most n_groups^2 keys.
+    ``broadcast_pairs=False`` drops the hints for the rare
+    uncapped-pair-frame caller (shuffle joins, corpus-sized — but
+    correct at any pair count). Pairs whose ids are MISSING
     from ``docs`` (no row at all) group under a NULL side rather than
     vanishing (a pair the attribution cannot place is a finding, not
     noise) — detected on the join KEY, so a placed doc whose
@@ -1321,12 +1329,22 @@ def pair_source_matrix(
     g = docs.select(
         F.col(id_col).alias("__gid"), F.col(group_col).alias("__g")
     )
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("__pid"))
+        .unionByName(pairs.select(F.col("id_b").alias("__pid")))
+        .distinct()
+    )
+    if broadcast_pairs:
+        pair_ids = F.broadcast(pair_ids)
+    g = g.join(pair_ids, g["__gid"] == pair_ids["__pid"], "left_semi")
     a = g.withColumnRenamed("__gid", "__ga_id").withColumnRenamed(
         "__g", "__ga"
     )
     b = g.withColumnRenamed("__gid", "__gb_id").withColumnRenamed(
         "__g", "__gb"
     )
+    if broadcast_pairs:
+        a, b = F.broadcast(a), F.broadcast(b)
     # unplaceable = the JOIN missed (key NULL), not a NULL group value
     missed = F.col("__ga_id").isNull() | F.col("__gb_id").isNull()
     tagged = (

@@ -4012,3 +4012,39 @@ def test_pair_source_matrix_attribution(spark):
     # biggest pair count first
     first = pair_source_matrix(pairs, docs).collect()[0]
     assert (first["source_a"], first["source_b"]) == ("a", "b")
+
+
+def test_pair_source_matrix_no_corpus_shuffle(spark, sf_dir):
+    """VERDICT r12 #7: with a tier-capped pair frame, attribution
+    must cost O(pairs) — the corpus projection semi-joins to the
+    BROADCAST pair-id set and the shrunken projection broadcasts
+    into the pair joins, so the plan has no shuffle join anywhere
+    (the only Exchanges are pairs-sized: the id distinct and the
+    <= n_groups^2 rollup). broadcast_pairs=False keeps the shuffle
+    arm available and agreeing."""
+    from dbqt_spark.catalog import load_table
+    from dbqt_spark.operators.dedup import pair_source_matrix
+    from dbqt_spark.plans import formatted_plan
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("source")
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 999999)], "id_a long, id_b long"
+    )
+    fast = pair_source_matrix(pairs, docs)
+    plan = formatted_plan(fast)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    def rows(df):
+        return sorted(
+            (
+                (r["source_a"], r["source_b"], r["n_pairs"])
+                for r in df.collect()
+            ),
+            key=lambda t: (t[0] or "", t[1] or "", t[2]),
+        )
+
+    got = rows(fast)
+    slow = rows(pair_source_matrix(pairs, docs, broadcast_pairs=False))
+    assert got == slow and len(got) >= 1
