@@ -12,9 +12,12 @@ promoted to a first-class write/append/query/compact lifecycle
 Layout at ``path`` (v2)::
 
     meta.json       banding parameters + format tag + generation N +
-                    optional corpus_location — the MANIFEST: readers
-                    resolve data dirs through it
+                    optional corpus_location + tombstone generation —
+                    the MANIFEST: readers resolve data dirs through it
     bands-<N>/      parquet (corpus_id, band_key)
+    tombstones-<T>/ parquet (deleted_id) — the live takedown set
+                    (``minhash_index_delete``); probes anti-join it,
+                    compaction physically drops the rows and retires it
 
 The index stores NO corpus content. v1 kept a ``docs/`` directory of
 ``(corpus_id, text)`` for the exact-Jaccard verify — a second copy of
@@ -123,13 +126,31 @@ def _load_meta(path: str) -> dict:
     return meta
 
 
+def _tombstones_dir(path: str, t: int) -> str:
+    return os.path.join(path, f"tombstones-{t}")
+
+
 def _sweep_orphans(path: str, keep_generation: int) -> None:
-    """Best-effort removal of band dirs not referenced by the manifest
-    (crashed writes/compactions). Never touches the current generation."""
+    """Best-effort removal of band/tombstone dirs not referenced by the
+    manifest (crashed writes/compactions/deletes). Never touches the
+    current generation or the live tombstone set."""
     keep = os.path.basename(_bands_dir(path, keep_generation))
+    t = 0
+    try:
+        with open(_meta_path(path)) as f:
+            t = int(json.load(f).get("tombstone_generation", 0))
+    except (OSError, ValueError, json.JSONDecodeError):
+        pass
+    keep_tombs = f"tombstones-{t}" if t else None
     for name in os.listdir(path):
         full = os.path.join(path, name)
         if os.path.isdir(full) and name.startswith("bands-") and name != keep:
+            shutil.rmtree(full, ignore_errors=True)
+        elif (
+            os.path.isdir(full)
+            and name.startswith("tombstones-")
+            and name != keep_tombs
+        ):
             shutil.rmtree(full, ignore_errors=True)
 
 
@@ -243,6 +264,66 @@ def minhash_index_append(
         banded.unpersist()
 
 
+def minhash_index_delete(spark: SparkSession, path: str, ids) -> None:
+    """Takedown/opt-out verb (VERDICT r12 #4): record corpus ids as
+    TOMBSTONES so ``minhash_index_query`` never returns a pair
+    involving them again; the next ``minhash_index_compact``
+    physically drops their band rows (and the tombstones with them).
+    ``ids`` is a DataFrame (first column) or an iterable of id values.
+
+    Same manifest discipline as every other mutation here: the union
+    of the live tombstone set and the new ids lands under the NEXT
+    tombstone-generation directory, meta.json rewrites LAST as the
+    single commit point, unreferenced tombstone dirs are swept. A
+    crash before the meta write leaves the old manifest pointing at
+    the old complete set — re-submitting after a crash unions in
+    idempotently. Exactly ONE live tombstone dir exists, so a probe
+    pays one bounded broadcast anti-join.
+
+    Semantics: deletion wins over later appends of the same id —
+    to re-admit an id, compact first (clears tombstones), then
+    append."""
+    meta = _load_meta(path)
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias("deleted_id"))
+    else:
+        vals = list(ids)
+        if not vals:
+            return
+        ids_df = spark.createDataFrame(
+            [(v,) for v in vals], ["deleted_id"]
+        )
+    t_old = int(meta.get("tombstone_generation", 0))
+    if t_old:
+        ids_df = ids_df.unionByName(
+            spark.read.parquet(_tombstones_dir(path, t_old))
+        )
+    t_new = t_old + 1
+    ids_df.distinct().coalesce(1).write.mode("overwrite").parquet(
+        _tombstones_dir(path, t_new)
+    )
+    # COMMIT POINT
+    meta["tombstone_generation"] = t_new
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta, f)
+    _sweep_orphans(path, int(meta["generation"]))
+
+
+def _without_deleted(
+    spark: SparkSession, path: str, meta: dict, df: DataFrame, col: str
+) -> DataFrame:
+    """Anti-join ``col`` against the live tombstone set (no-op when
+    none). The tombstone side broadcasts — deletes are tiny relative
+    to the corpus, the store scan never shuffles for them."""
+    t = int(meta.get("tombstone_generation", 0))
+    if not t:
+        return df
+    tombs = spark.read.parquet(_tombstones_dir(path, t)).select(
+        F.col("deleted_id").alias(col)
+    )
+    return df.join(F.broadcast(tombs), col, "left_anti")
+
+
 def minhash_index_compact(spark: SparkSession, path: str) -> None:
     """Rewrite bands into ``MINHASH_INDEX_BUCKETS`` band_key-clustered,
     key-sorted files (appends leave files per batch). Offline
@@ -255,14 +336,24 @@ def minhash_index_compact(spark: SparkSession, path: str) -> None:
     meta = _load_meta(path)
     old_generation = int(meta["generation"])
     new_generation = old_generation + 1
+    # compaction also PHYSICALLY drops tombstoned corpus ids (storage
+    # reclaim for the takedown verb) — the same manifest commit below
+    # publishes the clean generation and retires the tombstone set
+    bands = _without_deleted(
+        spark,
+        path,
+        meta,
+        spark.read.parquet(_bands_dir(path, old_generation)),
+        "corpus_id",
+    )
     (
-        spark.read.parquet(_bands_dir(path, old_generation))
-        .repartition(MINHASH_INDEX_BUCKETS, "band_key")
+        bands.repartition(MINHASH_INDEX_BUCKETS, "band_key")
         .sortWithinPartitions("band_key")
         .write.mode("overwrite")
         .parquet(_bands_dir(path, new_generation))
     )
     meta["generation"] = new_generation
+    meta.pop("tombstone_generation", None)
     with open(_meta_path(path), "w") as f:
         json.dump(meta, f)
     _sweep_orphans(path, new_generation)
@@ -341,7 +432,11 @@ def minhash_index_query(
             }
     else:
         q_capped = q_bands
-    store_bands = spark.read.parquet(band_path)
+    # tombstoned corpus ids never become candidates (deleted docs are
+    # invisible the moment the delete commits, pre-compaction)
+    store_bands = _without_deleted(
+        spark, path, meta, spark.read.parquet(band_path), "corpus_id"
+    )
     q_side = F.broadcast(q_capped) if broadcast_query else q_capped
     cands = (
         q_side.join(store_bands, "band_key")

@@ -422,21 +422,30 @@ def _next_generation(path: str) -> int:
 
 
 def _sweep_vector_orphans(path: str, keep: str) -> None:
-    """Best-effort removal of vectors* dirs and centroids*.json files
-    the manifest no longer references (old generations, crashed
-    compactions/rebuilds)."""
+    """Best-effort removal of vectors* dirs, centroids*.json files and
+    tombstones-* dirs the manifest no longer references (old
+    generations, crashed compactions/rebuilds/deletes)."""
     import os
     import shutil
 
     keep_name = os.path.basename(keep)
-    g = int(_store_meta(path).get("generation", 0))
+    meta = _store_meta(path)
+    g = int(meta.get("generation", 0))
     keep_centroids = os.path.basename(_centroids_path(path, {"generation": g}))
+    t = int(meta.get("tombstone_generation", 0))
+    keep_tombs = f"tombstones-{t}" if t else None
     for name in os.listdir(path):
         full = os.path.join(path, name)
         if (
             os.path.isdir(full)
             and (name == "vectors" or name.startswith("vectors-"))
             and name != keep_name
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+        elif (
+            os.path.isdir(full)
+            and name.startswith("tombstones-")
+            and name != keep_tombs
         ):
             shutil.rmtree(full, ignore_errors=True)
         elif (
@@ -448,6 +457,102 @@ def _sweep_vector_orphans(path: str, keep: str) -> None:
                 os.remove(full)
             except OSError:
                 pass
+
+
+def _tombstones_dir(path: str, t: int) -> str:
+    import os
+
+    return os.path.join(path, f"tombstones-{t}")
+
+
+def _store_delete(spark, path: str, ids, id_col: str = "vec_id") -> None:
+    """Takedown/opt-out verb for the persisted ANN stores (VERDICT r12
+    #4): record ``ids`` as TOMBSTONES so no probe ever returns them
+    again; the next compaction physically drops their rows (and the
+    tombstones with them). ``ids`` is a DataFrame (first column) or an
+    iterable of id values.
+
+    Commit protocol (the store's manifest discipline): the union of
+    the current tombstone set and the new ids lands under the NEXT
+    tombstone-generation directory name, meta.json is rewritten LAST
+    as the single commit point, and unreferenced tombstone dirs are
+    swept. A crash before the meta write leaves the old manifest
+    pointing at the old (complete) tombstone set — ids re-submitted
+    after a crash simply union in idempotently. Exactly ONE live
+    tombstone dir exists at any time, so probes pay one bounded
+    anti-join, never a read-side merge of per-delete files.
+
+    Semantics: deletion wins over later appends of the same id
+    (takedown is per-id and permanent for this store's lifetime) —
+    to genuinely re-admit an id, compact first (clears tombstones)
+    and then append."""
+    import json
+    import os
+
+    meta = _store_meta(path)
+    if not meta:
+        raise ValueError(
+            f"no index at {path} (meta.json missing) — nothing to "
+            "delete from"
+        )
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias("deleted_id"))
+    else:
+        vals = list(ids)
+        if not vals:
+            return
+        ids_df = spark.createDataFrame(
+            [(v,) for v in vals], ["deleted_id"]
+        )
+    t_old = int(meta.get("tombstone_generation", 0))
+    if t_old:
+        ids_df = ids_df.unionByName(
+            spark.read.parquet(_tombstones_dir(path, t_old))
+        )
+    t_new = t_old + 1
+    ids_df.distinct().coalesce(1).write.mode("overwrite").parquet(
+        _tombstones_dir(path, t_new)
+    )
+    # manifest LAST — the commit point
+    meta["tombstone_generation"] = t_new
+    meta["tombstone_id_col"] = id_col
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    _sweep_vector_orphans(path, _vectors_dir(path, meta))
+
+
+def _without_tombstones(
+    spark, path: str, meta: dict, df: DataFrame
+) -> DataFrame:
+    """Anti-join the store frame against the live tombstone set (no-op
+    when none): one bounded join keyed on the id column recorded at
+    delete time. The tombstone side is read in place — deletes are
+    tiny relative to the corpus, and the anti-join hashes THEM, never
+    the store scan."""
+    t = int(meta.get("tombstone_generation", 0))
+    if not t:
+        return df
+    id_col = meta.get("tombstone_id_col", "vec_id")
+    tombs = (
+        spark.read.parquet(_tombstones_dir(path, t))
+        .select(F.col("deleted_id").alias(id_col))
+    )
+    return df.join(F.broadcast(tombs), id_col, "left_anti")
+
+
+def lsh_delete(spark, path: str, ids, id_col: str = "vec_id") -> None:
+    """Tombstone ``ids`` in an ``lsh_write`` index — see
+    ``_store_delete``. Probes (``lsh_topk_from_index``) exclude them
+    immediately; ``lsh_compact`` drops their rows physically."""
+    _store_delete(spark, path, ids, id_col)
+
+
+def ivf_delete(spark, path: str, ids, id_col: str = "vec_id") -> None:
+    """Tombstone ``ids`` in an ``ivf_write`` index — see
+    ``_store_delete``. ``ivf_load`` (hence every probe and the
+    streaming semantic gate) excludes them immediately;
+    ``ivf_compact`` drops their rows physically."""
+    _store_delete(spark, path, ids, id_col)
 
 
 def lsh_write(
@@ -619,8 +724,11 @@ def _compact_partitioned(
     cols = (
         [partition_cols] if isinstance(partition_cols, str) else partition_cols
     )
+    # compaction PHYSICALLY drops tombstoned rows (the takedown verb's
+    # storage reclaim): the new generation is written post-anti-join
+    # and the same manifest commit clears the tombstone pointer
     (
-        spark.read.parquet(src)
+        _without_tombstones(spark, path, meta, spark.read.parquet(src))
         .repartition(*cols)
         .write.mode("overwrite")
         .partitionBy(*cols)
@@ -639,6 +747,10 @@ def _compact_partitioned(
             old_centroids, _centroids_path(path, {"generation": new_gen})
         )
     meta["generation"] = new_gen
+    # the commit below both publishes the compacted (tombstone-free)
+    # generation and retires the tombstone set — one atomic meta write
+    meta.pop("tombstone_generation", None)
+    meta.pop("tombstone_id_col", None)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
     _sweep_vector_orphans(path, dst)
@@ -715,7 +827,9 @@ def lsh_topk_from_index(
         raise ValueError(
             f"query dimension {len(query)} != index dimension {dim}"
         )
-    vectors = spark.read.parquet(_vectors_dir(path, meta))
+    vectors = _without_tombstones(
+        spark, path, meta, spark.read.parquet(_vectors_dir(path, meta))
+    )
     if n_tables <= 1:
         planes = _hyperplanes(len(query), n_planes, seed)
         qsig = _query_signature(query, planes)
@@ -882,7 +996,9 @@ def ivf_load(
     import os
 
     meta = _store_meta(path)
-    assigned = spark.read.parquet(_vectors_dir(path, meta))
+    assigned = _without_tombstones(
+        spark, path, meta, spark.read.parquet(_vectors_dir(path, meta))
+    )
     with open(_centroids_path(path, meta)) as f:
         centroids = json.load(f)
     return assigned, centroids

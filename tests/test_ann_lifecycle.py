@@ -629,3 +629,224 @@ def test_rebuild_bumps_generation_no_inplace_overwrite(
     loaded2, loaded_cents2 = ivf_load(spark, ipath)
     assert loaded_cents2 == loaded_cents
     assert loaded2.count() == n_before
+
+
+def _dir_bytes(root: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def test_lsh_delete_probe_excludes_and_compact_reclaims(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r12 #4, LSH arm: delete -> probes never return the id
+    (even if it is appended again — takedown wins); compact ->
+    tombstoned rows physically gone, store bytes shrink, tombstone
+    dirs retired; post-compact append re-admits."""
+    import json
+
+    from dbqt_spark.operators.similarity import lsh_delete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh")
+    lsh_write(emb, path, n_planes=8, seed=42)
+    q = list(emb.filter("vec_id = 1").select("embedding").first()[0])
+    assert lsh_topk_from_index(spark, path, q, k=1).collect()[0][
+        "vec_id"
+    ] == 1
+
+    lsh_delete(spark, path, [1, 3])
+    got = [
+        r["vec_id"]
+        for r in lsh_topk_from_index(spark, path, q, k=5).collect()
+    ]
+    assert 1 not in got and 3 not in got and len(got) == 5
+    # a second delete unions into ONE live tombstone dir
+    lsh_delete(spark, path, [5])
+    got = [
+        r["vec_id"]
+        for r in lsh_topk_from_index(spark, path, q, k=5).collect()
+    ]
+    assert not {1, 3, 5} & set(got)
+    tomb_dirs = [
+        d for d in os.listdir(path) if d.startswith("tombstones-")
+    ]
+    assert tomb_dirs == ["tombstones-2"]
+
+    # takedown wins over a later append of the same id
+    lsh_append(emb.filter("vec_id = 1"), path)
+    got = [
+        r["vec_id"]
+        for r in lsh_topk_from_index(spark, path, q, k=5).collect()
+    ]
+    assert 1 not in got
+
+    # compact: physical drop + tombstone retirement + bytes shrink
+    n_all = emb.count()
+    bytes_before = _dir_bytes(path)
+    lsh_compact(spark, path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    assert "tombstone_generation" not in meta
+    assert not any(
+        d.startswith("tombstones-") for d in os.listdir(path)
+    )
+    stored = spark.read.parquet(_vectors_dir(path))
+    assert stored.count() == n_all - 3  # 1 (x2 rows), 3, 5 dropped
+    assert stored.filter("vec_id in (1, 3, 5)").count() == 0
+    assert _dir_bytes(path) < bytes_before
+    got = [
+        r["vec_id"]
+        for r in lsh_topk_from_index(spark, path, q, k=5).collect()
+    ]
+    assert not {1, 3, 5} & set(got)
+
+    # post-compact append genuinely re-admits
+    lsh_append(emb.filter("vec_id = 1"), path)
+    assert lsh_topk_from_index(spark, path, q, k=1).collect()[0][
+        "vec_id"
+    ] == 1
+
+
+def test_lsh_delete_crash_safe_commit(spark, sf_dir, tmp_path):
+    """A delete that crashed after writing its tombstone dir but before
+    the manifest commit leaves the store fully live (nothing deleted);
+    the next delete overwrites/sweeps the orphan."""
+    from dbqt_spark.operators.similarity import lsh_delete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh")
+    lsh_write(emb, path, n_planes=8, seed=42)
+    # simulate the crash window: orphan tombstone dirs, manifest unchanged
+    os.makedirs(os.path.join(path, "tombstones-1"), exist_ok=True)
+    os.makedirs(os.path.join(path, "tombstones-7"), exist_ok=True)
+    q = list(emb.filter("vec_id = 1").select("embedding").first()[0])
+    # unreferenced tombstones are invisible: nothing is deleted
+    assert lsh_topk_from_index(spark, path, q, k=1).collect()[0][
+        "vec_id"
+    ] == 1
+    # the next delete re-lands on tombstones-1 (overwrite) and sweeps
+    lsh_delete(spark, path, [1])
+    tomb_dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("tombstones-")
+    )
+    assert tomb_dirs == ["tombstones-1"]
+    got = [
+        r["vec_id"]
+        for r in lsh_topk_from_index(spark, path, q, k=3).collect()
+    ]
+    assert 1 not in got
+
+
+def test_ivf_delete_lifecycle(spark, sf_dir, tmp_path):
+    """VERDICT r12 #4, IVF arm: ivf_delete hides ids from ivf_load
+    (hence every probe and the semantic gate); ivf_compact drops the
+    rows physically and retires the tombstones; DataFrame-valued ids
+    work; empty delete is a no-op; delete on a missing store fails
+    loudly."""
+    import json
+
+    from dbqt_spark.operators.similarity import ivf_delete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = ivf_build(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, cents, path)
+    n_all = emb.count()
+
+    with pytest.raises(ValueError, match="meta.json missing"):
+        ivf_delete(spark, str(tmp_path / "nope"), [1])
+
+    ivf_delete(spark, path, [])  # no-op
+    loaded, _ = ivf_load(spark, path)
+    assert loaded.count() == n_all
+
+    # DataFrame-valued ids (takedown lists arrive as frames at scale)
+    ids_df = emb.filter("vec_id in (2, 4)").select("vec_id")
+    ivf_delete(spark, path, ids_df)
+    loaded, _ = ivf_load(spark, path)
+    assert loaded.count() == n_all - 2
+    assert loaded.filter("vec_id in (2, 4)").count() == 0
+    q = list(emb.filter("vec_id = 2").select("embedding").first()[0])
+    top = ivf_search(loaded, cents, q, k=3, n_probes=8).collect()
+    assert 2 not in [r["vec_id"] for r in top]
+
+    ivf_compact(spark, path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    assert "tombstone_generation" not in meta
+    stored = spark.read.parquet(_vectors_dir(path))
+    assert stored.count() == n_all - 2
+    assert stored.filter("vec_id in (2, 4)").count() == 0
+
+
+def test_minhash_index_delete_lifecycle(spark, tmp_path):
+    """VERDICT r12 #4, MinHash arm: deleted corpus ids stop appearing
+    in probe pairs immediately; compact physically drops their band
+    rows and retires the tombstones; a rebuild (write) clears any
+    live tombstones."""
+    import json
+
+    from dbqt_spark.operators.minhash_index import (
+        minhash_index_compact,
+        minhash_index_delete,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the band plays on through the long summer evening hours"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base + " alpha"),
+            (2, base + " beta"),
+            (3, "a completely different text about spark shuffles and "
+                "partition pruning strategies for columnar scan engines"),
+        ],
+        "doc_id long, text string",
+    )
+    crawl = spark.createDataFrame(
+        [(101, base + " gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mhidx")
+    minhash_index_write(corpus, path)
+
+    def probe_ids():
+        return {
+            r["corpus_id"]
+            for r in minhash_index_query(
+                crawl, path, threshold=0.5, corpus=corpus
+            ).collect()
+        }
+
+    assert probe_ids() == {1, 2}
+    minhash_index_delete(spark, path, [1])
+    assert probe_ids() == {2}
+
+    from dbqt_spark.operators.minhash_index import _bands_dir
+
+    with open(os.path.join(path, "meta.json")) as f:
+        gen = json.load(f)["generation"]
+    rows_before = spark.read.parquet(_bands_dir(path, gen)).count()
+    minhash_index_compact(spark, path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    assert "tombstone_generation" not in meta
+    bands = spark.read.parquet(_bands_dir(path, meta["generation"]))
+    assert bands.count() < rows_before
+    assert bands.filter("corpus_id = 1").count() == 0
+    assert probe_ids() == {2}
+
+    # a rebuild clears tombstones (fresh manifest, swept dirs)
+    minhash_index_delete(spark, path, [2])
+    assert probe_ids() == set()
+    minhash_index_write(corpus, path)
+    assert not any(
+        d.startswith("tombstones-") for d in os.listdir(path)
+    )
+    assert probe_ids() == {1, 2}
