@@ -1025,13 +1025,20 @@ def tool_curate(argv: list[str]) -> int:
     exact dedup -> PII redaction -> deterministic split, published
     partitionBy(split). One composed plan; per-split counts printed."""
     p = argparse.ArgumentParser(prog="curate")
-    p.add_argument("--config", required=True)
-    p.add_argument("--table", required=True)
+    p.add_argument("--config")
+    p.add_argument("--table")
+    p.add_argument("--from-warc", metavar="PATH",
+                   help="ingest directly from web-crawl archives: a "
+                   "*.warc[.gz] file or directory (sources/warc). "
+                   "Replaces --config/--table; the frame gets doc_id/"
+                   "url/host/fetch_ts/text columns and the quality "
+                   "group defaults to host")
     p.add_argument("--output-parquet", required=True)
     p.add_argument("--text-column", default="text")
     p.add_argument("--id-column", default="doc_id")
-    p.add_argument("--group-column", default="lang",
-                   help="quality thresholds are computed per group")
+    p.add_argument("--group-column", default=None,
+                   help="quality thresholds are computed per group "
+                   "(default: lang, or host with --from-warc)")
     p.add_argument("--quality-quantile", type=float, default=0.5)
     p.add_argument("--dedup", choices=["exact", "minhash", "none"],
                    default="exact")
@@ -1091,11 +1098,25 @@ def tool_curate(argv: list[str]) -> int:
         curate_report,
     )
 
-    cfg, db = _load_db(args.config)
-    df = db.load(args.table)
+    if bool(args.from_warc) == bool(args.config and args.table):
+        p.error("pass either --from-warc PATH or --config + --table")
+    if args.from_warc:
+        from .sources.warc import warc_text_corpus
+
+        db = None
+        if args.eval_table:
+            if not args.config:
+                p.error("--eval-table needs --config for its source")
+            _, db = _load_db(args.config)
+        df = warc_text_corpus(_spark(), args.from_warc)
+        group_col = args.group_column or "host"
+    else:
+        cfg, db = _load_db(args.config)
+        df = db.load(args.table)
+        group_col = args.group_column or "lang"
     curate_cfg = CurateConfig(
         quality_quantile=args.quality_quantile,
-        group_col=args.group_column,
+        group_col=group_col,
         text_col=args.text_column,
         id_col=args.id_column,
         dedup=args.dedup,

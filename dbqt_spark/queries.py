@@ -6683,6 +6683,151 @@ WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def _warc_synth_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WARC round-trip frame shared by warc_ingest /
+    warc_hosts: every documents row is serialized into a REAL
+    gzip-per-record WARC stream (``sources/warc.build_warc`` +
+    ``warc_response_record``) and parsed back by the REAL reader row
+    builder (``rows_from_stream``) inside one mapInPandas pass — the
+    oracle replays the synthesis arithmetic in SQL, so a hash match
+    certifies the whole serialize -> gzip -> parse -> HTTP-split
+    pipeline, not a stub. URL/date are pure functions of (doc_id,
+    lang); the body wraps text in a fixed HTML shell."""
+    from .sources.warc import (
+        WARC_ROW_SCHEMA,
+        build_warc,
+        rows_from_stream,
+        warc_response_record,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "text", "lang")
+    )
+    cols = [c.split()[0] for c in WARC_ROW_SCHEMA.split(", ")]
+
+    def round_trip(batches):
+        import io as _io
+
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for doc_id, text, lang in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"]
+            ):
+                i = int(doc_id)
+                s = i % 86400
+                date = "2024-01-01T%02d:%02d:%02dZ" % (
+                    s // 3600,
+                    (s // 60) % 60,
+                    s % 60,
+                )
+                url = "https://crawl-%d.example/%s/doc/%d" % (
+                    i % 5,
+                    lang,
+                    i,
+                )
+                body = ("<html><body>%s</body></html>" % text).encode(
+                    "utf-8"
+                )
+                recs.append(warc_response_record(url, date, body))
+            blob = build_warc(recs, gzip_per_record=True)
+            rows = list(
+                rows_from_stream(
+                    _io.BytesIO(blob), "synth.warc.gz", ("response",)
+                )
+            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(round_trip, schema=WARC_ROW_SCHEMA)
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion front door (sources/warc): serialize -> parse
+    round trip per document; the output is what ``read_warc`` hands
+    the curate chain — url, WARC date, HTTP-split mime/status, body
+    length and md5 — all derivable by the oracle from the synthesis
+    spec. md5 certifies the body BYTES survived gzip + HTTP framing
+    bit-for-bit."""
+    parsed = _warc_synth_parsed(spark, sf_dir)
+    return parsed.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "url",
+        "warc_date",
+        "mime",
+        "http_status",
+        F.length("payload").cast("long").alias("payload_len"),
+        F.md5("payload").alias("body_md5"),
+    ).orderBy("doc_id")
+
+
+SQL_WARC_INGEST = """
+WITH src AS (
+  SELECT doc_id, lang,
+         '<html><body>' || text || '</body></html>' AS body
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+)
+SELECT doc_id,
+  'https://crawl-' || (doc_id % 5) || '.example/' || lang
+    || '/doc/' || doc_id AS url,
+  '2024-01-01T'
+    || lpad(CAST((doc_id % 86400) // 3600 AS VARCHAR), 2, '0') || ':'
+    || lpad(CAST(((doc_id % 86400) // 60) % 60 AS VARCHAR), 2, '0')
+    || ':'
+    || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+  'text/html' AS mime,
+  CAST(200 AS INTEGER) AS http_status,
+  CAST(strlen(body) AS BIGINT) AS payload_len,
+  md5(body) AS body_md5
+FROM src ORDER BY doc_id
+"""
+
+
+def q_warc_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-host rollup over the WARC round-trip frame: pages, body
+    bytes, distinct path languages per host — the first aggregation a
+    crawl-curation pipeline runs to budget per-domain quotas. Host and
+    lang are re-EXTRACTED from the parsed url (JVM regex), not carried
+    through Python, so the rollup certifies the parsed frame."""
+    parsed = _warc_synth_parsed(spark, sf_dir)
+    return (
+        parsed.select(
+            F.regexp_extract("url", r"^https://([^/]+)/", 1).alias(
+                "host"
+            ),
+            F.regexp_extract("url", r"^https://[^/]+/([^/]+)/", 1).alias(
+                "lang"
+            ),
+            F.length("payload").cast("long").alias("nbytes"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("nbytes").alias("total_bytes"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_WARC_HOSTS = """
+WITH src AS (
+  SELECT 'crawl-' || (doc_id % 5) || '.example' AS host, lang,
+         strlen('<html><body>' || text || '</body></html>') AS nbytes
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+)
+SELECT host,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM src GROUP BY host ORDER BY host
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -6835,6 +6980,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score_bigram": q_lm_score_bigram,
     "corpus_overlap": q_corpus_overlap,
     "ivf_knn_join": q_ivf_knn_join,
+    "warc_ingest": q_warc_ingest,
+    "warc_hosts": q_warc_hosts,
 }
 
 ORACLES: dict[str, str] = {
@@ -6987,6 +7134,8 @@ ORACLES: dict[str, str] = {
     "lm_score_bigram": SQL_LM_SCORE_BIGRAM,
     "corpus_overlap": SQL_CORPUS_OVERLAP,
     "ivf_knn_join": SQL_IVF_KNN_JOIN,
+    "warc_ingest": SQL_WARC_INGEST,
+    "warc_hosts": SQL_WARC_HOSTS,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -16,6 +16,7 @@ engine.
 | mysql/postgresql/sqlserver/oracle/snowflake | ``spark.read.format("jdbc")`` with the dialect's URL; Spark pushes filters and (where enabled) aggregates down (S4) |
 | athena | read the underlying S3 data directly, or JDBC (S5) |
 | jdbc (generic) | verbatim ``url`` + ``driver`` from the config — any engine with a JDBC jar; live-tested against embedded Derby |
+| warc | web-crawl archives (ISO 28500): one "table" per ``*.warc[.gz]`` file, parsed by the pure-stdlib streaming reader in ``sources/warc.py`` — a source the reference lacks entirely |
 
 JDBC/S3 paths require the corresponding driver jars/filesystem on the
 cluster; in this container they raise a clear error when exercised, and
@@ -79,6 +80,15 @@ class Database:
 
     def list_tables(self) -> list[str]:
         """S8: table discovery."""
+        if self.kind == "warc":
+            root = self._root()
+            if os.path.isfile(root):
+                return [self._warc_stem(os.path.basename(root))]
+            return sorted(
+                self._warc_stem(f)
+                for f in os.listdir(root)
+                if f.endswith((".warc", ".warc.gz"))
+            )
         if self.kind in ("parquet", "csv", "duckdb", "json", "orc"):
             root = self._root()
             if os.path.isfile(root):
@@ -134,9 +144,37 @@ class Database:
             return self.spark.read.json(self._table_path(table, ".json"))
         if self.kind == "orc":
             return self.spark.read.orc(self._table_path(table, ".orc"))
+        if self.kind == "warc":
+            from .warc import read_warc
+
+            root = self._root()
+            if os.path.isfile(root):
+                path = root
+            else:
+                plain = os.path.join(root, f"{table}.warc")
+                path = (
+                    plain if os.path.exists(plain) else plain + ".gz"
+                )
+            # connection-level knobs: record_types (default: responses
+            # only — the rows a curation pipeline wants), via (stream /
+            # binary / auto, see read_warc)
+            types = self.connection.get("record_types", ("response",))
+            return read_warc(
+                self.spark,
+                path,
+                record_types=tuple(types) if types is not None else None,
+                via=self.connection.get("via", "auto"),
+            )
         if self.kind in _JDBC_URLS:
             return self._jdbc_table(table)
         raise ValueError(f"unsupported connection type: {self.kind}")
+
+    @staticmethod
+    def _warc_stem(fname: str) -> str:
+        for suffix in (".warc.gz", ".warc"):
+            if fname.endswith(suffix):
+                return fname[: -len(suffix)]
+        return os.path.splitext(fname)[0]
 
     def _athena_table_path(self, table: str) -> str:
         """<s3_location>/<table>/ through Hadoop's s3a connector (the s3://

@@ -1,0 +1,462 @@
+"""WARC (ISO 28500) ingestion front door — web-crawl archives as a source.
+
+The reference has no crawl-archive reader; this is a north-star
+extension: WARC is the interchange format every large-scale
+training-data pipeline starts from (Common Crawl publishes ~100 TB
+per monthly snapshot as ``.warc.gz``), and this module is the front
+of the existing url-canonicalize -> extract_main_content -> curate
+chain (``operators/urltools.py``, ``operators/normalize.py``,
+``operators/pipeline.py``).
+
+Everything here is pure stdlib — no warcio dependency, no optional
+arm: the format is a public ISO standard (28500:2017) and the GZIP
+member framing is RFC 1952, so the parser is ~150 lines of real,
+testable code instead of an import-gated stub.
+
+Scale model (the part that matters at 100 TB):
+
+- **A WARC file is not splittable.** Records are independently
+  gzipped members concatenated into one ``.warc.gz``; there is no
+  sync marker a generic splitter could find, so the unit of
+  parallelism is the FILE — exactly how Common Crawl is laid out
+  (~1 GB/file, ~80k files/snapshot, far more files than executors).
+  ``read_warc`` therefore parallelizes over the file listing, one
+  file per task (``repartition(n_files)``), and each task parses its
+  file as a STREAM: memory is O(largest record), never O(file).
+- **Two read arms.** ``via="stream"`` opens local paths directly
+  (O(record) memory — the arm this container exercises);
+  ``via="binary"`` goes through Spark's ``binaryFile`` source so any
+  Hadoop filesystem (s3a://, hdfs://) works without a Python-side
+  filesystem client, at the cost of one whole file materialized per
+  task (~1 GB — fine under the usual 4-8 GB executor sizing).
+  ``via="auto"`` picks stream for local paths, binary otherwise.
+- **Parse once, filter early.** ``record_types`` drops request /
+  metadata / warcinfo records inside the generator before a row is
+  ever built; the downstream frame only carries response payloads.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+import zlib
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "WarcRecord",
+    "iter_warc_records",
+    "warc_response_record",
+    "build_warc",
+    "read_warc",
+    "warc_text_corpus",
+]
+
+_CRLF = b"\r\n"
+
+#: Spark schema of one parsed WARC row. ``warc_date`` stays the raw
+#: ISO-8601 header string (timezone-exact by construction);
+#: ``warc_text_corpus`` derives a typed timestamp JVM-side.
+WARC_ROW_SCHEMA = (
+    "warc_file string, record_id string, record_type string, "
+    "url string, warc_date string, mime string, http_status int, "
+    "payload binary"
+)
+
+
+@dataclass
+class WarcRecord:
+    """One WARC record: version, case-preserved headers, raw payload."""
+
+    version: str
+    headers: dict
+    payload: bytes
+
+    def header(self, name: str, default=None):
+        low = name.lower()
+        for k, v in self.headers.items():
+            if k.lower() == low:
+                return v
+        return default
+
+
+# --------------------------------------------------------------------------
+# parsing: bytes -> records
+# --------------------------------------------------------------------------
+
+
+def _open_stream(fileobj) -> io.BufferedReader:
+    """Wrap a binary stream, transparently de-gzipping (multi-member:
+    Python's GzipFile reads concatenated RFC 1952 members — the
+    record-per-member layout of ``.warc.gz`` — as one stream)."""
+    buffered = io.BufferedReader(fileobj)  # type: ignore[arg-type]
+    magic = buffered.peek(2)[:2]
+    if magic == b"\x1f\x8b":
+        return io.BufferedReader(gzip.GzipFile(fileobj=buffered))  # type: ignore[arg-type]
+    return buffered
+
+
+def _read_header_block(stream) -> "list[bytes] | None":
+    """Read up to the first non-blank line, then lines until the blank
+    terminator. Returns None at clean EOF."""
+    line = stream.readline()
+    while line in (_CRLF, b"\n"):  # inter-record padding
+        line = stream.readline()
+    if not line:
+        return None
+    lines = [line]
+    while True:
+        line = stream.readline()
+        if not line:
+            raise ValueError("truncated WARC: EOF inside header block")
+        if line in (_CRLF, b"\n"):
+            return lines
+        lines.append(line)
+
+
+def _parse_headers(lines: "list[bytes]") -> "tuple[str, dict]":
+    version = lines[0].decode("utf-8", "replace").strip()
+    if not version.upper().startswith("WARC/"):
+        raise ValueError(f"not a WARC record: first line {version!r}")
+    headers: dict = {}
+    last = None
+    for raw in lines[1:]:
+        text = raw.decode("utf-8", "replace").rstrip("\r\n")
+        if text[:1] in (" ", "\t") and last is not None:
+            headers[last] += " " + text.strip()  # RFC 822 continuation
+            continue
+        name, _, value = text.partition(":")
+        last = name.strip()
+        headers[last] = value.strip()
+    return version, headers
+
+
+def iter_warc_records(fileobj) -> Iterator[WarcRecord]:
+    """Stream records out of an open binary file object (plain or
+    gzipped — sniffed from the magic bytes). Memory is O(one record).
+
+    Raises ``ValueError`` on framing errors (missing/invalid
+    Content-Length, payload truncated) naming the offending record —
+    the repo's fail-fast contract, not silent row loss."""
+    stream = _open_stream(fileobj)
+    while True:
+        lines = _read_header_block(stream)
+        if lines is None:
+            return
+        version, headers = _parse_headers(lines)
+        rec = WarcRecord(version, headers, b"")
+        length_s = rec.header("Content-Length")
+        try:
+            length = int(length_s)  # type: ignore[arg-type]
+        except (TypeError, ValueError):
+            raise ValueError(
+                "WARC record %s has no integral Content-Length (%r)"
+                % (rec.header("WARC-Record-ID", "?"), length_s)
+            ) from None
+        payload = stream.read(length)
+        if len(payload) != length:
+            raise ValueError(
+                "truncated WARC: record %s declared %d payload bytes, "
+                "got %d" % (rec.header("WARC-Record-ID", "?"), length, len(payload))
+            )
+        rec.payload = payload
+        yield rec
+
+
+# --------------------------------------------------------------------------
+# HTTP payload split (response records carry application/http blocks)
+# --------------------------------------------------------------------------
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer encoding (crawlers store the
+    wire bytes verbatim, so real WARC bodies are frequently chunked)."""
+    out = []
+    view = memoryview(body)
+    pos = 0
+    while pos < len(view):
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            break
+        size_token = bytes(view[pos:eol]).split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            break  # not actually chunked — return what we decoded
+        if size == 0:
+            break
+        out.append(bytes(view[eol + 2 : eol + 2 + size]))
+        pos = eol + 2 + size + 2  # skip chunk + trailing CRLF
+    return b"".join(out) if out else body
+
+
+def split_http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]":
+    """(status, media type, body) from an ``application/http`` block.
+
+    Non-HTTP payloads come back as (None, None, payload). The body is
+    de-chunked and de-gzipped per the HTTP headers so downstream text
+    extraction sees document bytes, not wire framing."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head, sep, body = payload.partition(_CRLF + _CRLF)
+    if not sep:
+        head, sep, body = payload.partition(b"\n\n")
+    lines = head.split(b"\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    mime = None
+    chunked = False
+    gzipped = False
+    for raw in lines[1:]:
+        text = raw.decode("latin-1").strip()
+        name, _, value = text.partition(":")
+        key = name.strip().lower()
+        if key == "content-type":
+            mime = value.split(";", 1)[0].strip().lower() or None
+        elif key == "transfer-encoding" and "chunked" in value.lower():
+            chunked = True
+        elif key == "content-encoding" and value.strip().lower() in (
+            "gzip",
+            "x-gzip",
+            "deflate",
+        ):
+            gzipped = True
+    if chunked:
+        body = _dechunk(body)
+    if gzipped and body:
+        try:
+            body = (
+                gzip.decompress(body)
+                if body[:2] == b"\x1f\x8b"
+                else zlib.decompress(body)
+            )
+        except (OSError, zlib.error):
+            pass  # keep wire bytes; better than dropping the record
+    return status, mime, body
+
+
+# --------------------------------------------------------------------------
+# writing: records -> bytes (the sink side + the test/oracle round-trip)
+# --------------------------------------------------------------------------
+
+
+def warc_response_record(
+    url: str,
+    date: str,
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+    record_id: "str | None" = None,
+) -> bytes:
+    """Serialize one ``response`` record wrapping an HTTP/1.1 block.
+
+    ``record_id`` defaults to a DETERMINISTIC urn:uuid derived from
+    (url, date) — same input, same bytes — so round-trip tests and the
+    SQL-replayable synth queries stay reproducible."""
+    if record_id is None:
+        digest = hashlib.md5(f"{url}\x00{date}".encode()).hexdigest()
+        record_id = (
+            f"<urn:uuid:{digest[:8]}-{digest[8:12]}-{digest[12:16]}"
+            f"-{digest[16:20]}-{digest[20:32]}>"
+        )
+    http = (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("latin-1") + body
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: {record_id}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("latin-1")
+    return head + http + _CRLF + _CRLF
+
+
+def build_warc(records: Iterable[bytes], gzip_per_record: bool = True) -> bytes:
+    """Concatenate serialized records into one WARC stream.
+
+    ``gzip_per_record=True`` is the standard ``.warc.gz`` layout (one
+    RFC 1952 member per record — what makes per-file streaming reads
+    possible without decompressing unrelated records)."""
+    if not gzip_per_record:
+        return b"".join(records)
+    out = []
+    for rec in records:
+        # mtime=0: byte-deterministic output for same input
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+        out.append(buf.getvalue())
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
+# Spark reader
+# --------------------------------------------------------------------------
+
+
+def rows_from_stream(
+    fileobj,
+    warc_file: str,
+    record_types: "tuple[str, ...] | None",
+) -> Iterator[tuple]:
+    """The ONE row builder both read arms share: parse a stream, split
+    HTTP blocks, emit tuples in WARC_ROW_SCHEMA order."""
+    wanted = (
+        None if record_types is None else {t.lower() for t in record_types}
+    )
+    for rec in iter_warc_records(fileobj):
+        rtype = (rec.header("WARC-Type") or "").lower()
+        if wanted is not None and rtype not in wanted:
+            continue
+        status, mime, body = split_http_payload(rec.payload)
+        if mime is None:
+            # fall back to the WARC-level content type for non-HTTP
+            # records (resource/conversion store bodies directly)
+            ct = rec.header("Content-Type")
+            if ct and not ct.lower().startswith("application/http"):
+                mime = ct.split(";", 1)[0].strip().lower()
+        yield (
+            warc_file,
+            rec.header("WARC-Record-ID"),
+            rtype,
+            rec.header("WARC-Target-URI"),
+            rec.header("WARC-Date"),
+            mime,
+            status,
+            body,
+        )
+
+
+def _list_warc_files(path: "str | list[str]") -> "list[str]":
+    """Expand a path / directory / explicit list into WARC file paths."""
+    if isinstance(path, (list, tuple)):
+        return [str(p) for p in path]
+    if os.path.isdir(path):
+        found = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".warc", ".warc.gz", ".arc.gz"))
+        )
+        if not found:
+            raise FileNotFoundError(f"no *.warc / *.warc.gz under {path}")
+        return found
+    return [path]
+
+
+_BATCH_ROWS = 1024  # rows per yielded Arrow batch: bounds task memory
+
+
+def read_warc(
+    spark: SparkSession,
+    path: "str | list[str]",
+    record_types: "tuple[str, ...] | None" = ("response",),
+    via: str = "auto",
+) -> DataFrame:
+    """Distributed WARC scan: one task per file, streaming parse.
+
+    Columns: ``warc_file, record_id, record_type, url, warc_date,
+    mime, http_status, payload`` (body bytes after chunked/gzip HTTP
+    decoding). ``record_types=None`` keeps every record type.
+
+    ``via``: ``stream`` (open local paths; O(record) memory),
+    ``binary`` (Spark ``binaryFile`` — any Hadoop FS, whole file per
+    task), ``auto`` (stream when every path is local, else binary).
+    """
+    import pandas as pd
+
+    if via not in ("auto", "stream", "binary"):
+        raise ValueError(f"via must be auto|stream|binary, got {via!r}")
+    types = tuple(record_types) if record_types is not None else None
+
+    def _emit(row_iter) -> Iterator["pd.DataFrame"]:
+        cols = [c.split()[0] for c in WARC_ROW_SCHEMA.split(", ")]
+        batch: list[tuple] = []
+        for row in row_iter:
+            batch.append(row)
+            if len(batch) >= _BATCH_ROWS:
+                yield pd.DataFrame(batch, columns=cols)
+                batch = []
+        if batch:
+            yield pd.DataFrame(batch, columns=cols)
+
+    is_remote = isinstance(path, str) and "://" in path
+    if via == "binary" or (via == "auto" and is_remote):
+
+        def parse_binary(batches):
+            for pdf in batches:
+                for fname, content in zip(pdf["path"], pdf["content"]):
+                    yield from _emit(
+                        rows_from_stream(io.BytesIO(content), fname, types)
+                    )
+
+        binary = spark.read.format("binaryFile").load(path).select(
+            "path", "content"
+        )
+        return binary.mapInPandas(parse_binary, schema=WARC_ROW_SCHEMA)
+
+    files = _list_warc_files(path)
+
+    def parse_stream(batches):
+        for pdf in batches:
+            for fname in pdf["path"]:
+                with open(fname, "rb") as fh:
+                    yield from _emit(rows_from_stream(fh, fname, types))
+
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files))
+    return paths_df.mapInPandas(parse_stream, schema=WARC_ROW_SCHEMA)
+
+
+def warc_text_corpus(
+    spark: SparkSession,
+    path: "str | list[str]",
+    min_status: int = 200,
+    max_status: int = 299,
+    via: str = "auto",
+) -> DataFrame:
+    """WARC responses as a curate-ready document frame.
+
+    Keeps 2xx text-like responses and produces the columns the
+    downstream chain expects: ``doc_id`` (xxhash64 of url+date —
+    stable across re-reads, unlike a row number), ``url``, ``host``,
+    ``fetch_ts`` (typed timestamp), ``mime``, ``http_status``,
+    ``text`` (UTF-8 decode with replacement). All derivation is
+    JVM-side on top of the parsed frame — one Python pass total."""
+    raw = read_warc(spark, path, record_types=("response",), via=via)
+    textish = raw.filter(
+        F.col("http_status").between(min_status, max_status)
+        & (
+            F.col("mime").startswith("text/")
+            | F.col("mime").isin(
+                "application/xhtml+xml", "application/json"
+            )
+        )
+        & F.col("url").isNotNull()
+    )
+    return textish.select(
+        F.xxhash64("url", "warc_date").alias("doc_id"),
+        "url",
+        F.lower(
+            F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)
+        ).alias("host"),
+        F.to_timestamp(
+            F.regexp_replace("warc_date", r"[TZ]", " ")
+        ).alias("fetch_ts"),
+        "mime",
+        "http_status",
+        F.decode("payload", "UTF-8").alias("text"),
+    )

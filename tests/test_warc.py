@@ -1,0 +1,249 @@
+"""WARC front door: stdlib parser, both Spark read arms, source
+registry integration, curate-ready corpus view."""
+
+import gzip
+import io
+import os
+
+import pytest
+
+from dbqt_spark.sources.warc import (
+    build_warc,
+    iter_warc_records,
+    read_warc,
+    rows_from_stream,
+    split_http_payload,
+    warc_response_record,
+    warc_text_corpus,
+)
+
+# A WARC stream written BY HAND (not via the writer) so the parser is
+# verified independently of its own serializer: a warcinfo record, a
+# request record, and one response with an HTTP block.
+_HAND_HTTP = (
+    b"HTTP/1.1 404 Not Found\r\n"
+    b"Content-Type: text/html; charset=UTF-8\r\n\r\n"
+    b"<html>gone</html>"
+)
+_HAND_WARC = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: warcinfo\r\n"
+    b"WARC-Record-ID: <urn:uuid:info-1>\r\n"
+    b"WARC-Date: 2024-03-04T05:06:07Z\r\n"
+    b"Content-Type: application/warc-fields\r\n"
+    b"Content-Length: 18\r\n\r\n"
+    b"software: test 1\r\n"
+    b"\r\n\r\n"
+    b"WARC/1.0\r\n"
+    b"WARC-Type: request\r\n"
+    b"WARC-Record-ID: <urn:uuid:req-1>\r\n"
+    b"WARC-Target-URI: http://h.example/p\r\n"
+    b"WARC-Date: 2024-03-04T05:06:07Z\r\n"
+    b"Content-Type: application/http; msgtype=request\r\n"
+    b"Content-Length: 36\r\n\r\n"
+    b"GET /p HTTP/1.1\r\nHost: h.example\r\n\r\n"
+    b"\r\n\r\n"
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Record-ID: <urn:uuid:resp-1>\r\n"
+    b"WARC-Target-URI: http://h.example/p\r\n"
+    b"WARC-Date: 2024-03-04T05:06:07Z\r\n"
+    b"Content-Type: application/http; msgtype=response\r\n"
+    + f"Content-Length: {len(_HAND_HTTP)}\r\n\r\n".encode()
+    + _HAND_HTTP
+    + b"\r\n\r\n"
+)
+
+
+def _sample_records():
+    return [
+        warc_response_record(
+            "https://a.example/x",
+            "2024-01-01T00:00:01Z",
+            b"<html><body>alpha</body></html>",
+        ),
+        warc_response_record(
+            "https://b.example/y?q=1",
+            "2024-01-01T00:00:02Z",
+            "café 中文".encode(),
+            content_type="text/plain; charset=utf-8",
+        ),
+        warc_response_record(
+            "https://a.example/z",
+            "2024-01-01T00:00:03Z",
+            b"{}",
+            status=500,
+            content_type="application/json",
+        ),
+    ]
+
+
+def test_parser_hand_written_stream():
+    recs = list(iter_warc_records(io.BytesIO(_HAND_WARC)))
+    assert [r.header("WARC-Type") for r in recs] == [
+        "warcinfo",
+        "request",
+        "response",
+    ]
+    status, mime, body = split_http_payload(recs[2].payload)
+    assert (status, mime, body) == (404, "text/html", b"<html>gone</html>")
+    # whole-stream gzip (not per-record) parses identically
+    recs_gz = list(
+        iter_warc_records(io.BytesIO(gzip.compress(_HAND_WARC)))
+    )
+    assert [r.headers for r in recs_gz] == [r.headers for r in recs]
+
+
+def test_writer_parser_round_trip_both_layouts():
+    recs = _sample_records()
+    for per_record in (False, True):
+        blob = build_warc(recs, gzip_per_record=per_record)
+        out = list(iter_warc_records(io.BytesIO(blob)))
+        assert len(out) == 3
+        status, mime, body = split_http_payload(out[1].payload)
+        assert (status, mime) == (200, "text/plain")
+        assert body.decode() == "café 中文"
+    # byte-deterministic: same records -> same .warc.gz bytes
+    assert build_warc(recs) == build_warc(recs)
+
+
+def test_http_block_chunked_and_gzip_decode():
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    )
+    assert split_http_payload(chunked) == (200, "text/plain", b"hello world")
+    gzipped = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(b"<p>deep</p>")
+    )
+    assert split_http_payload(gzipped)[2] == b"<p>deep</p>"
+    # non-HTTP payload passes through untouched
+    assert split_http_payload(b"raw bytes") == (None, None, b"raw bytes")
+
+
+def test_parser_fail_fast_on_truncation_and_garbage():
+    blob = build_warc(_sample_records(), gzip_per_record=False)
+    with pytest.raises(ValueError, match="truncated WARC"):
+        list(iter_warc_records(io.BytesIO(blob[:-40])))
+    with pytest.raises(ValueError, match="not a WARC record"):
+        list(iter_warc_records(io.BytesIO(b"PK\x03\x04zipfile\r\n\r\n")))
+
+
+def _write_fixture_dir(tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg-00000.warc.gz").write_bytes(build_warc(_sample_records()))
+    (d / "seg-00001.warc").write_bytes(_HAND_WARC)
+    return str(d)
+
+
+def test_read_warc_both_arms_agree(spark, tmp_path):
+    d = _write_fixture_dir(tmp_path)
+
+    def fetch(via):
+        df = read_warc(spark, d, via=via)
+        return sorted(
+            df.select(
+                "record_id", "url", "mime", "http_status", "payload"
+            ).collect()
+        )
+
+    stream, binary = fetch("stream"), fetch("binary")
+    assert stream == binary
+    assert len(stream) == 4  # 3 writer responses + 1 hand-written
+    by_url = {r.url: r for r in stream}
+    assert by_url["http://h.example/p"].http_status == 404
+    assert bytes(by_url["https://a.example/x"].payload) == (
+        b"<html><body>alpha</body></html>"
+    )
+    # record_types=None keeps request/warcinfo rows too
+    all_rows = read_warc(spark, d, record_types=None, via="stream")
+    assert all_rows.count() == 6
+    # one task per file: the stream arm repartitions the listing
+    assert read_warc(spark, d, via="stream").rdd.getNumPartitions() == 2
+
+
+def test_warc_text_corpus_columns(spark, tmp_path):
+    d = _write_fixture_dir(tmp_path)
+    corpus = warc_text_corpus(spark, d)
+    rows = {r.url: r for r in corpus.collect()}
+    # 500-status json and 404 hand-written rows are gated out
+    assert set(rows) == {"https://a.example/x", "https://b.example/y?q=1"}
+    row = rows["https://b.example/y?q=1"]
+    assert row.host == "b.example"
+    assert row.text == "café 中文"
+    assert str(row.fetch_ts).startswith("2024-01-01 00:00:02")
+    assert dict(corpus.dtypes)["fetch_ts"] == "timestamp"
+    assert dict(corpus.dtypes)["doc_id"] == "bigint"
+    # doc_id is stable across re-reads (content-derived, not row order)
+    again = {r.url: r.doc_id for r in warc_text_corpus(spark, d).collect()}
+    assert {u: r.doc_id for u, r in rows.items()} == again
+
+
+def test_database_kind_warc(spark, tmp_path):
+    from dbqt_spark.sources.database import connect
+
+    d = _write_fixture_dir(tmp_path)
+    db = connect(spark, {"type": "warc", "path": d})
+    assert db.list_tables() == ["seg-00000", "seg-00001"]
+    df = db.load("seg-00001")
+    assert [r.http_status for r in df.collect()] == [404]
+    # record_types knob flows through the connection config
+    db_all = connect(
+        spark, {"type": "warc", "path": d, "record_types": None}
+    )
+    assert db_all.load("seg-00001").count() == 3
+
+
+def test_rows_from_stream_mime_fallback():
+    # resource records (no HTTP block) fall back to the WARC-level
+    # Content-Type for the mime column
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:res-1>\r\n"
+        b"WARC-Target-URI: http://h.example/styles.css\r\n"
+        b"WARC-Date: 2024-03-04T05:06:07Z\r\n"
+        b"Content-Type: text/css\r\n"
+        b"Content-Length: 10\r\n\r\n"
+        b"body{eee:}"
+        b"\r\n\r\n"
+    )
+    rows = list(rows_from_stream(io.BytesIO(rec), "f", ("resource",)))
+    assert rows[0][5] == "text/css" and rows[0][6] is None
+
+
+def test_curate_from_warc_cli(spark, tmp_path):
+    from dbqt_spark.app import main
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = [
+        warc_response_record(
+            f"https://site-{i % 2}.example/page/{i}",
+            f"2024-01-01T00:00:{i:02d}Z",
+            f"<html><body>document number {i} with enough words to "
+            f"pass the gate and some more filler text</body></html>".encode(),
+        )
+        for i in range(20)
+    ]
+    (d / "c.warc.gz").write_bytes(build_warc(recs))
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "curate",
+            "--from-warc",
+            str(d),
+            "--output-parquet",
+            out,
+            "--quality-quantile",
+            "0.0",
+            "--no-redact",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert {"doc_id", "url", "host", "text", "split"} <= set(got.columns)
