@@ -6828,6 +6828,76 @@ FROM src GROUP BY host ORDER BY host
 """
 
 
+def q_streaming_warc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WARC ingest lifecycle (streaming/crawl): segment 0
+    (clean URL spellings, one page per even doc_id pair) is drained
+    into the corpus; segment 1 — dropped BETWEEN runs — re-crawls
+    every page behind a messy spelling (scheme/host case, :443,
+    utm param, fragment). The second availableNow run parses only the
+    new segment (file-source checkpoint) and the canonical-URL gate
+    state carried across runs drops every re-crawl, so the published
+    corpus holds exactly one row per page. The synthesis scaffolding
+    (driver-side segment build from collected doc_ids) is test rig;
+    the operator surface under certification is warc_stream ->
+    corpus_view -> warc_ingest_gate -> parquet publish."""
+    import os
+    import tempfile
+
+    from .sources.warc import build_warc, warc_response_record
+    from .streaming.crawl import run_warc_ingest
+
+    ids = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    )
+
+    def seg(id_subset, messy: bool) -> bytes:
+        recs = []
+        for d in id_subset:
+            page = d // 2
+            url = (
+                "HTTPS://CRAWL-%d.EXAMPLE:443/doc/%d?utm_source=feed#x"
+                % (page % 5, page)
+                if messy
+                else "https://crawl-%d.example/doc/%d" % (page % 5, page)
+            )
+            recs.append(
+                warc_response_record(
+                    url,
+                    "2024-0%d-01T00:00:00Z" % (2 if messy else 1),
+                    b"<html><body>p</body></html>",
+                )
+            )
+        return build_warc(recs)
+
+    root = tempfile.mkdtemp(prefix="warc_gate_q_")
+    drop = os.path.join(root, "drop")
+    os.makedirs(drop)
+    out = os.path.join(root, "corpus")
+    ckpt = os.path.join(root, "ckpt")
+    with open(os.path.join(drop, "seg-0.warc.gz"), "wb") as fh:
+        fh.write(seg([d for d in ids if d % 2 == 0], messy=False))
+    run_warc_ingest(spark, drop, out, ckpt)
+    with open(os.path.join(drop, "seg-1.warc.gz"), "wb") as fh:
+        fh.write(seg([d for d in ids if d % 2 == 1], messy=True))
+    run_warc_ingest(spark, drop, out, ckpt)
+    return (
+        spark.read.parquet(out)
+        .select("url_canon")
+        .orderBy("url_canon")
+    )
+
+
+SQL_STREAMING_WARC_GATE = """
+SELECT DISTINCT
+  'https://crawl-' || ((doc_id // 2) % 5) || '.example/doc/'
+    || (doc_id // 2) AS url_canon
+FROM documents ORDER BY url_canon
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -6982,6 +7052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_knn_join": q_ivf_knn_join,
     "warc_ingest": q_warc_ingest,
     "warc_hosts": q_warc_hosts,
+    "streaming_warc_gate": q_streaming_warc_gate,
 }
 
 ORACLES: dict[str, str] = {
@@ -7136,6 +7207,7 @@ ORACLES: dict[str, str] = {
     "ivf_knn_join": SQL_IVF_KNN_JOIN,
     "warc_ingest": SQL_WARC_INGEST,
     "warc_hosts": SQL_WARC_HOSTS,
+    "streaming_warc_gate": SQL_STREAMING_WARC_GATE,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -54,6 +54,7 @@ __all__ = [
     "warc_response_record",
     "build_warc",
     "read_warc",
+    "corpus_view",
     "warc_text_corpus",
 ]
 
@@ -421,23 +422,18 @@ def read_warc(
     return paths_df.mapInPandas(parse_stream, schema=WARC_ROW_SCHEMA)
 
 
-def warc_text_corpus(
-    spark: SparkSession,
-    path: "str | list[str]",
-    min_status: int = 200,
-    max_status: int = 299,
-    via: str = "auto",
+def corpus_view(
+    parsed: DataFrame, min_status: int = 200, max_status: int = 299
 ) -> DataFrame:
-    """WARC responses as a curate-ready document frame.
-
-    Keeps 2xx text-like responses and produces the columns the
-    downstream chain expects: ``doc_id`` (xxhash64 of url+date —
-    stable across re-reads, unlike a row number), ``url``, ``host``,
-    ``fetch_ts`` (typed timestamp), ``mime``, ``http_status``,
-    ``text`` (UTF-8 decode with replacement). All derivation is
-    JVM-side on top of the parsed frame — one Python pass total."""
-    raw = read_warc(spark, path, record_types=("response",), via=via)
-    textish = raw.filter(
+    """Project a parsed WARC frame (WARC_ROW_SCHEMA) into the
+    curate-ready document shape — shared by the batch reader
+    (``warc_text_corpus``) and the streaming ingest gate
+    (``streaming/crawl.py``), so both execution modes run ONE logical
+    plan. Keeps 2xx text-like responses; all derivation is JVM-side:
+    ``doc_id`` (xxhash64 of url+date — stable across re-reads, unlike
+    a row number), ``url``, ``host``, ``fetch_ts`` (typed timestamp),
+    ``mime``, ``http_status``, ``text`` (UTF-8 decode)."""
+    textish = parsed.filter(
         F.col("http_status").between(min_status, max_status)
         & (
             F.col("mime").startswith("text/")
@@ -460,3 +456,16 @@ def warc_text_corpus(
         "http_status",
         F.decode("payload", "UTF-8").alias("text"),
     )
+
+
+def warc_text_corpus(
+    spark: SparkSession,
+    path: "str | list[str]",
+    min_status: int = 200,
+    max_status: int = 299,
+    via: str = "auto",
+) -> DataFrame:
+    """WARC responses as a curate-ready document frame — one Python
+    parse pass, then the shared JVM-side ``corpus_view`` projection."""
+    raw = read_warc(spark, path, record_types=("response",), via=via)
+    return corpus_view(raw, min_status=min_status, max_status=max_status)

@@ -247,3 +247,117 @@ def test_curate_from_warc_cli(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 20
     assert {"doc_id", "url", "host", "text", "split"} <= set(got.columns)
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest (streaming/crawl.py)
+# ---------------------------------------------------------------------------
+
+
+def _segment(urls, stamp="2024-05-05T00:00:00Z"):
+    return build_warc(
+        [
+            warc_response_record(
+                u, stamp, f"<html><body>content of {u}</body></html>".encode()
+            )
+            for u in urls
+        ]
+    )
+
+
+def test_warc_ingest_gate_batch_twin(spark, tmp_path):
+    """Batch frame through the gate == DISTINCT canonical URLs."""
+    from dbqt_spark.streaming.crawl import warc_ingest_gate
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    # messy spellings of 3 pages + 1 unique page
+    (d / "a.warc.gz").write_bytes(
+        _segment(
+            [
+                "https://s.example/p/1",
+                "HTTPS://S.EXAMPLE:443/p/1?utm_source=x",
+                "https://s.example/p/2",
+                "https://s.example/p/2#frag",
+                "https://s.example/p/3",
+                "https://s.example/only",
+            ]
+        )
+    )
+    out = warc_ingest_gate(warc_text_corpus(spark, str(d)))
+    rows = out.collect()
+    assert len(rows) == 4
+    assert sorted(r.url_canon for r in rows) == [
+        "https://s.example/only",
+        "https://s.example/p/1",
+        "https://s.example/p/2",
+        "https://s.example/p/3",
+    ]
+    # the gate emits full document rows, not just the key
+    assert {"doc_id", "text", "host"} <= set(out.columns)
+
+
+def test_streaming_warc_ingest_two_run_lifecycle(spark, tmp_path):
+    """Segments dropped between runs: second run parses only the NEW
+    file and the URL-gate state persists across runs (already-seen
+    pages in the new segment are dropped)."""
+    from dbqt_spark.streaming.crawl import run_warc_ingest
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    (drop / "seg-0.warc.gz").write_bytes(
+        _segment([f"https://c.example/p/{i}" for i in range(10)])
+    )
+    run_warc_ingest(spark, str(drop), out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 10
+
+    # second segment: 5 re-crawled pages (different fetch time + messy
+    # spelling) + 5 new ones
+    (drop / "seg-1.warc.gz").write_bytes(
+        _segment(
+            [f"HTTPS://C.EXAMPLE:443/p/{i}?utm_campaign=re" for i in range(5)]
+            + [f"https://c.example/p/{i}" for i in range(10, 15)],
+            stamp="2024-05-06T00:00:00Z",
+        )
+    )
+    run_warc_ingest(spark, str(drop), out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 15
+    canon = sorted(r.url_canon for r in got.collect())
+    assert canon == sorted(f"https://c.example/p/{i}" for i in range(15))
+
+
+def test_warc_stream_equals_batch_read(spark, tmp_path):
+    """The streaming parse path and the batch reader produce identical
+    parsed rows for the same files (shared row builder)."""
+    from dbqt_spark.streaming.crawl import warc_stream
+
+    d = _write_fixture_dir(tmp_path)
+    batch = sorted(
+        (r.record_id, r.url, r.mime, r.http_status, bytes(r.payload))
+        for r in read_warc(spark, d, via="stream").collect()
+    )
+    import uuid
+
+    name = f"warc_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        warc_stream(spark, d)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    streamed = sorted(
+        (r.record_id, r.url, r.mime, r.http_status, bytes(r.payload))
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert streamed == batch
