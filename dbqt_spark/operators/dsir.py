@@ -1,0 +1,251 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., 2023).
+
+Beyond the reference surface (north-star LLM-pipeline operator): given a
+RAW crawl corpus and a small TARGET corpus that exemplifies the desired
+distribution (Wikipedia+books in the paper), estimate per-document
+importance weights in a hashed n-gram feature space and resample raw
+documents proportionally — the published, widely-used recipe for
+"make 100 TB of crawl look like the target" (arXiv:2302.03169).
+
+Method (public paper, public math):
+
+1. Featurize each document into a bag of HASHED n-grams: unigrams +
+   bigrams of lowercased whitespace tokens, hashed into ``n_buckets``
+   counters (the paper uses 10k buckets).
+2. Fit multinomial bucket distributions p̂ (target) and q̂ (raw) with
+   Laplace smoothing.
+3. Per raw document: ``log w = Σ_b count_b · (ln p̂_b − ln q̂_b)``.
+4. Select: Gumbel-top-k over ``log w`` (sampling without replacement
+   from the importance distribution — the paper's estimator) or plain
+   top-k for a deterministic greedy variant.
+
+Engine determinism (the house contract): the bucket hash is the
+portable 60-bit md5-prefix (``dedup.portable_token_hash`` family), each
+bucket's log-ratio is rounded to 6 places and canonicalized to
+DECIMAL(18,6) BEFORE the per-doc sum, so the aggregation is exact
+integer arithmetic and a DuckDB oracle reproduces every weight
+bit-for-bit (the ``textstats.lm_score`` discipline). Gumbel noise is a
+pure function of (seed, doc id) via the same md5 construction — no RNG
+state, append-stable, reproducible across engines.
+
+Scale shape: ONE text scan per corpus -> explode -> (doc, bucket)
+counts with map-side combine -> bucket marginals derived from THAT
+aggregate (corpus never re-exploded) -> the log-ratio table is at most
+``n_buckets`` rows (10k: kilobytes) and joins back BROADCAST -> per-doc
+agg. Selection is ``TakeOrderedAndProject`` (per-partition top-k, then
+a k-row merge on the driver) — no global sort, no single-partition
+window. Shuffle cardinalities shrink monotonically: grams -> doc
+buckets -> buckets -> docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPAN = float(1 << 60)  # portable hash range (15 hex chars)
+
+
+def _grams_expr(max_n: int) -> str:
+    """SQL expression: array of all 1..max_n word grams (occurrences,
+    NOT distinct — DSIR features are counts) of the lowercased
+    whitespace tokens. Docs shorter than n contribute no n-grams."""
+    parts = []
+    for n in range(1, max_n + 1):
+        if n == 1:
+            parts.append("__toks")
+        else:
+            parts.append(
+                f"CASE WHEN size(__toks) >= {n} THEN "
+                f"transform(sequence(1, size(__toks) - {n} + 1), "
+                f"i -> array_join(slice(__toks, i, {n}), ' ')) "
+                f"ELSE array() END"
+            )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+) -> DataFrame:
+    """(id, bucket, cnt): hashed bag-of-ngrams features. Bucket =
+    portable 60-bit md5-prefix of the gram, mod ``n_buckets``; ``cnt``
+    counts OCCURRENCES (bag semantics, per the paper). One scan, one
+    explode, map-side-combined count."""
+    toks = F.expr(
+        f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
+        f"x -> x != '')"
+    )
+    bucket = F.expr(
+        f"cast(conv(substring(md5(__gram), 1, 15), 16, 10) as bigint) "
+        f"% {n_buckets}"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col, F.explode(F.expr(_grams_expr(max_n))).alias("__gram")
+        )
+        .select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def dsir_log_ratios(
+    raw_feats: DataFrame,
+    target_feats: DataFrame,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket smoothed log importance ratio, 6-place-rounded and
+    DECIMAL-canonical: ``lr6 = round(ln(((t_b+α)·(R+αB)) /
+    ((r_b+α)·(T+αB))), 6)`` where T/R are total target/raw gram counts
+    and B = n_buckets. At most B rows — broadcastable by construction."""
+    t = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("__t"))
+    r = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("__r"))
+    both = t.join(r, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("__t", F.lit(0)).alias("__t"),
+        F.coalesce("__r", F.lit(0)).alias("__r"),
+    )
+    totals = both.agg(
+        F.sum("__t").alias("__tot_t"), F.sum("__r").alias("__tot_r")
+    )
+    a = float(alpha)
+    ab = a * n_buckets
+    return both.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (
+                    (F.col("__t").cast("double") + F.lit(a))
+                    * (F.col("__tot_r").cast("double") + F.lit(ab))
+                )
+                / (
+                    (F.col("__r").cast("double") + F.lit(a))
+                    * (F.col("__tot_t").cast("double") + F.lit(ab))
+                )
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr6"),
+    )
+
+
+def dsir_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+    alpha: float = 1.0,
+    ratios: "DataFrame | None" = None,
+) -> DataFrame:
+    """Per raw document: ``(id, n_grams, log_weight)``. ``log_weight``
+    is the exact DECIMAL sum of cnt·lr6 (order-independent integer
+    micros under the hood); docs with no grams (empty text) carry
+    weight 0 with n_grams 0 — they match the target exactly as well as
+    they match the raw corpus.
+
+    TWO PASSES over the raw corpus, by design: pass 1 fits the bucket
+    marginal q̂, pass 2 scores. At 100 TB the alternative — persisting
+    the (doc, bucket, cnt) feature frame between passes — is a
+    corpus-scale cache (trillions of rows), strictly worse than a
+    second columnar scan of one text column. Production pipelines
+    should collapse to ONE pass by fitting the ratio table once
+    (``dsir_log_ratios`` — on a raw SAMPLE, as the paper does) and
+    passing it via ``ratios=``: scoring then reuses the frozen B-row
+    table across every shard/day of the corpus (the ``lm_score``
+    ``vocab=`` discipline)."""
+    raw_feats = hashed_ngram_features(
+        raw_df, text_col, id_col, n_buckets, max_n
+    )
+    if ratios is not None:
+        lr = ratios.select("bucket", "lr6")
+    else:
+        target_feats = hashed_ngram_features(
+            target_df, text_col, id_col, n_buckets, max_n
+        )
+        lr = dsir_log_ratios(raw_feats, target_feats, n_buckets, alpha)
+    per_doc = (
+        raw_feats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(
+                F.col("cnt").cast("decimal(18,0)") * F.col("lr6")
+            ).alias("__lw"),
+        )
+    )
+    return raw_df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce(
+            F.col("__lw"), F.lit(0).cast("decimal(38,6)")
+        ).alias("log_weight"),
+    )
+
+
+def gumbel_key_col(id_col: str, seed: int) -> "F.Column":
+    """Deterministic 6-place Gumbel draw per id: u from the portable
+    md5-prefix of ``"<seed>:<id>"`` mapped into (0,1), then
+    ``g = -ln(-ln(u))`` — the Gumbel-max trick's noise, reproducible by
+    any engine that can md5 (same family as ``sampling.hash_split``)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(HASH_SPAN)
+    return F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+    alpha: float = 1.0,
+    mode: str = "gumbel",
+    seed: int = 42,
+    ratios: "DataFrame | None" = None,
+) -> DataFrame:
+    """Resample ``k`` raw documents toward the target distribution:
+    ``mode="gumbel"`` draws without replacement from the importance
+    distribution (key = log_weight + Gumbel(seed, id) — the paper's
+    estimator); ``mode="topk"`` takes the k highest weights outright.
+    Returns ``(id, n_grams, log_weight, sample_key)`` — the k winners.
+
+    The k-selection is sort+limit, which Spark executes as
+    TakeOrderedAndProject: each partition keeps its local top-k and
+    the driver merges k-row heaps — no global sort at any scale."""
+    if mode not in ("gumbel", "topk"):
+        raise ValueError(f"mode must be gumbel|topk, got {mode!r}")
+    w = dsir_weights(
+        raw_df, target_df, text_col, id_col, n_buckets, max_n, alpha,
+        ratios=ratios,
+    )
+    key = (
+        (F.col("log_weight") + gumbel_key_col(id_col, seed))
+        if mode == "gumbel"
+        else F.col("log_weight").cast("decimal(38,6)")
+    )
+    return (
+        w.select("*", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

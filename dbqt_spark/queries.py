@@ -6898,6 +6898,130 @@ FROM documents ORDER BY url_canon
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir, Xie et al. 2023): raw
+    corpus = all documents, target = the doc_id % 7 == 0 subset
+    standing in for the curated exemplar corpus. Hashed uni+bigram
+    features (10k buckets, portable md5-prefix hash), Laplace-smoothed
+    bucket log-ratios rounded to DECIMAL(18,6), exact per-doc sums —
+    the oracle replays every weight bit-for-bit."""
+    from .operators.dsir import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return dsir_weights(docs, target).orderBy("doc_id")
+
+
+# Shared CTE text for the DSIR twins: features / marginals / smoothed
+# log-ratios / per-doc exact DECIMAL sums, ending in CTE ``dsirw``
+# (doc_id, n_grams, log_weight).
+_SQL_DSIR_CTES = r"""
+rawd AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+),
+tgtd AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  WHERE doc_id % 7 = 0
+),
+rtoks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+  FROM rawd
+),
+ttoks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+  FROM tgtd
+),
+rgrams AS (
+  SELECT doc_id, unnest(list_concat(toks,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE [] END)) AS gram
+  FROM rtoks
+),
+tgrams AS (
+  SELECT doc_id, unnest(list_concat(toks,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE [] END)) AS gram
+  FROM ttoks
+),
+rfeat AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::UBIGINT % 10000
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM rgrams GROUP BY 1, 2
+),
+tfeat AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::UBIGINT % 10000
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tgrams GROUP BY 1, 2
+),
+tm AS (SELECT bucket, sum(cnt) AS tcnt FROM tfeat GROUP BY bucket),
+rm AS (SELECT bucket, sum(cnt) AS rcnt FROM rfeat GROUP BY bucket),
+marg AS (
+  SELECT coalesce(tm.bucket, rm.bucket) AS bucket,
+         coalesce(tcnt, 0) AS tcnt, coalesce(rcnt, 0) AS rcnt
+  FROM tm FULL OUTER JOIN rm ON tm.bucket = rm.bucket
+),
+tot AS (SELECT sum(tcnt) AS tott, sum(rcnt) AS totr FROM marg),
+lr AS (
+  SELECT bucket,
+    CAST(round(ln(
+        ((CAST(tcnt AS DOUBLE) + 1.0) * (CAST(totr AS DOUBLE) + 10000.0))
+      / ((CAST(rcnt AS DOUBLE) + 1.0) * (CAST(tott AS DOUBLE) + 10000.0))
+      ), 6) AS DECIMAL(18,6)) AS lr6
+  FROM marg, tot
+),
+per_doc AS (
+  SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_grams,
+         sum(CAST(f.cnt AS DECIMAL(18,0)) * lr.lr6) AS lw
+  FROM rfeat f JOIN lr ON f.bucket = lr.bucket
+  GROUP BY f.doc_id
+),
+dsirw AS (
+  SELECT d.doc_id,
+    coalesce(p.n_grams, 0) AS n_grams,
+    CAST(coalesce(p.lw, 0) AS DECIMAL(38,6)) AS log_weight
+  FROM rawd d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+)"""
+
+SQL_DSIR_WEIGHTS = f"""
+WITH {_SQL_DSIR_CTES}
+SELECT doc_id, n_grams, log_weight FROM dsirw ORDER BY doc_id
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resampling (operators/dsir.dsir_select): the
+    200 raw documents sampled without replacement toward the target
+    distribution; sample key = exact weight + deterministic 6-place
+    Gumbel draw from md5(seed:doc_id) — the oracle replays draw,
+    ordering, and the k-boundary exactly."""
+    from .operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return dsir_select(docs, target, k=200, mode="gumbel", seed=7).orderBy(
+        F.col("sample_key").desc(), F.col("doc_id").asc()
+    )
+
+
+SQL_DSIR_SELECT = f"""
+WITH {_SQL_DSIR_CTES}
+SELECT doc_id, n_grams, log_weight,
+  log_weight + CAST(round(-ln(-ln(
+      (CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::UBIGINT AS DOUBLE) + 0.5)
+      / 1152921504606846976.0)), 6) AS DECIMAL(18,6)) AS sample_key
+FROM dsirw
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 200
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -7053,6 +7177,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_ingest": q_warc_ingest,
     "warc_hosts": q_warc_hosts,
     "streaming_warc_gate": q_streaming_warc_gate,
+    "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLES: dict[str, str] = {
@@ -7208,6 +7334,8 @@ ORACLES: dict[str, str] = {
     "warc_ingest": SQL_WARC_INGEST,
     "warc_hosts": SQL_WARC_HOSTS,
     "streaming_warc_gate": SQL_STREAMING_WARC_GATE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "dsir_select": SQL_DSIR_SELECT,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).
