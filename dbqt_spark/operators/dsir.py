@@ -75,6 +75,10 @@ def hashed_ngram_features(
     portable 60-bit md5-prefix of the gram, mod ``n_buckets``; ``cnt``
     counts OCCURRENCES (bag semantics, per the paper). One scan, one
     explode, map-side-combined count."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
     toks = F.expr(
         f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
         f"x -> x != '')"
@@ -104,6 +108,10 @@ def dsir_log_ratios(
     DECIMAL-canonical: ``lr6 = round(ln(((t_b+α)·(R+αB)) /
     ((r_b+α)·(T+αB))), 6)`` where T/R are total target/raw gram counts
     and B = n_buckets. At most B rows — broadcastable by construction."""
+    if alpha <= 0:
+        # alpha=0 makes never-seen buckets divide by zero (q̂=0) — the
+        # smoothing is what keeps the estimator finite
+        raise ValueError(f"alpha must be > 0, got {alpha}")
     t = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("__t"))
     r = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("__r"))
     both = t.join(r, "bucket", "full_outer").select(

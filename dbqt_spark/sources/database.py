@@ -155,6 +155,13 @@ class Database:
                 path = (
                     plain if os.path.exists(plain) else plain + ".gz"
                 )
+                if not os.path.exists(path):
+                    # fail on the DRIVER with the table named — the
+                    # executor-side open() error loses the table->file
+                    # mapping
+                    raise FileNotFoundError(
+                        f"no {table}.warc[.gz] under {root}"
+                    )
             # connection-level knobs: record_types (default: responses
             # only — the rows a curation pipeline wants), via (stream /
             # binary / auto, see read_warc)

@@ -454,7 +454,10 @@ def corpus_view(
         ).alias("fetch_ts"),
         "mime",
         "http_status",
-        F.decode("payload", "UTF-8").alias("text"),
+        # cast, not decode(): under ANSI mode decode() ABORTS the job on
+        # the first malformed byte sequence, and real crawls are full of
+        # mislabeled encodings — cast substitutes U+FFFD and keeps going
+        F.col("payload").cast("string").alias("text"),
     )
 
 

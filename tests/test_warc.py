@@ -361,3 +361,26 @@ def test_warc_stream_equals_batch_read(spark, tmp_path):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     )
     assert streamed == batch
+
+
+def test_corpus_survives_malformed_utf8(spark, tmp_path):
+    """Real crawls carry mislabeled encodings: a latin-1 body declared
+    utf-8 must become replacement chars, not a job abort (ANSI decode()
+    would kill the whole segment)."""
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "bad.warc.gz").write_bytes(
+        build_warc(
+            [
+                warc_response_record(
+                    "https://enc.example/p",
+                    "2024-01-01T00:00:00Z",
+                    b"caf\xe9 in latin-1 \xff\xfe",
+                    content_type="text/html; charset=utf-8",
+                )
+            ]
+        )
+    )
+    rows = warc_text_corpus(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert "caf" in rows[0].text and "�" in rows[0].text
