@@ -1,0 +1,197 @@
+"""Link graph over a crawled corpus — outlinks, host graph, PageRank.
+
+Beyond the reference surface (north-star crawl-pipeline operators):
+once WARC ingestion lands pages (``sources/warc``), the next thing a
+crawl/curation pipeline needs is the LINK STRUCTURE — which hosts point
+at which, and a centrality score to prioritize the fetch frontier and
+to weight domains in curation mixes (the Common Crawl host-level
+ranking is exactly this shape: host graph + centrality).
+
+Three composable stages, all JVM-side expressions:
+
+- ``outlinks``: per-page ``<a href>`` targets from raw HTML — one
+  ``regexp_extract_all`` + explode, no UDF, no parser: absolute
+  http(s) links kept, root-relative links resolved against the page's
+  own scheme+host, everything else (mailto:, javascript:, fragments,
+  ./relative) dropped.
+- ``host_graph``: (src_host, dst_host, n_links) — the host-level
+  contraction; self-loops dropped by default (they dominate raw HTML
+  and carry no ranking signal).
+- ``pagerank_hosts``: fixed-iteration weighted PageRank without
+  dangling-mass redistribution (the common simplification; dangling
+  hosts keep the (1-d)/N floor).
+
+PageRank determinism (the oracle contract): ranks live in INTEGER
+PICO-UNITS (1e12 = rank 1.0) as BIGINTs — every aggregation is exact
+integer arithmetic, immune to float summation order across shuffles.
+The per-edge double math (rank·w/out, the damping blend) is a fixed
+expression shape both engines evaluate identically on identical
+operands, rounded to integer picos before each re-aggregation (the
+``lm_score`` / ``_ratio6`` house discipline).
+
+Scale shape: each iteration is one edge-sized shuffle join on src plus
+one groupBy(dst) with map-side combine — O(iters · |edges|) total, no
+driver-side state, no collect. The node frame (hosts) is tiny next to
+the edge frame and next to the corpus; the edge frame itself is the
+host-level contraction, orders of magnitude smaller than page-level
+links. For big graphs persist/checkpoint the rank frame between
+iterations to cut lineage depth; at the default 3 iterations the
+unrolled lazy plan is fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PICO = 1_000_000_000_000  # rank 1.0 in integer pico-units
+
+_HREF_RE = r'(?i)<a\s[^>]*href\s*=\s*["\']([^"\'<>]+)["\']'
+
+
+def outlinks(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, src_url, dst_url) for every resolvable ``<a href>`` in the
+    page HTML. Absolute http(s) targets pass through (fragment
+    stripped); root-relative (``/path``) targets resolve against the
+    page's scheme+host; protocol-relative (``//host/p``) targets take
+    the page's scheme; anything else is dropped. Pure codegen — one
+    regexp scan per page, explode, filters."""
+    src_scheme = F.lower(
+        F.regexp_extract(
+            F.col("src_url"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1
+        )
+    )
+    src_root = F.concat(
+        src_scheme,
+        F.lit("://"),
+        F.regexp_extract(
+            F.col("src_url"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+        ),
+    )
+    raw = F.regexp_replace(F.col("__href"), r"#.*$", "")  # fragment off
+    resolved = (
+        F.when(F.lower(raw).rlike(r"^https?://"), raw)
+        .when(raw.startswith("//"), F.concat(src_scheme, F.lit(":"), raw))
+        .when(raw.startswith("/"), F.concat(src_root, raw))
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(url_col).alias("src_url"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(_HREF_RE), F.lit(1)
+                )
+            ).alias("__href"),
+        )
+        .select(
+            id_col, "src_url", resolved.alias("dst_url")
+        )
+        .filter(F.col("dst_url").isNotNull() & (F.col("dst_url") != ""))
+    )
+
+
+def host_graph(
+    links: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    strip_www: bool = False,
+    keep_self_loops: bool = False,
+) -> DataFrame:
+    """Host-level contraction: (src_host, dst_host, n_links BIGINT).
+    Hosts lowercase via ``urltools.host_col``; rows whose either side
+    has no extractable host are dropped; self-loops dropped unless
+    ``keep_self_loops``."""
+    from .urltools import host_col
+
+    e = links.select(
+        host_col(F.col(src_col), strip_www=strip_www).alias("src_host"),
+        host_col(F.col(dst_col), strip_www=strip_www).alias("dst_host"),
+    ).filter(
+        (F.col("src_host") != "") & (F.col("dst_host") != "")
+    )
+    if not keep_self_loops:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links")
+    )
+
+
+def pagerank_hosts(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+) -> DataFrame:
+    """Weighted PageRank over the host graph: ``(host, rank_p, rank)``
+    where ``rank_p`` is the exact integer pico-unit rank (the oracle
+    unit) and ``rank = rank_p / 1e12`` (one IEEE division).
+
+    ``r_{i+1}(v) = (1-d)/N + d · Σ_{u→v} r_i(u) · w(u,v) / out(u)``,
+    fixed ``iters`` unrolled into one lazy plan; no dangling-mass
+    redistribution (documented simplification). Every per-edge term is
+    rounded to integer picos before the exact BIGINT re-aggregation,
+    so results are bit-identical across partitionings and engines."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    d = float(damping)
+    nodes = (
+        edges.select(F.col(src_col).alias("host"))
+        .union(edges.select(F.col(dst_col).alias("host")))
+        .distinct()
+    )
+    n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    out = edges.groupBy(src_col).agg(
+        F.sum(weight_col).cast("double").alias("__out")
+    )
+    e = edges.join(out, src_col).select(
+        F.col(src_col).alias("__src"),
+        F.col(dst_col).alias("__dst"),
+        F.col(weight_col).cast("double").alias("__w"),
+        "__out",
+    )
+    # r0 = round(1e12 / N) picos
+    r = nodes.crossJoin(F.broadcast(n_frame)).select(
+        "host",
+        F.round(F.lit(float(PICO)) / F.col("__n"))
+        .cast("long")
+        .alias("rank_p"),
+    )
+    base = F.round(
+        F.lit((1.0 - d) * float(PICO)) / F.col("__n")
+        + F.lit(d) * F.col("__s").cast("double")
+    ).cast("long")
+    for _ in range(iters):
+        contrib = e.join(r, e["__src"] == r["host"]).select(
+            F.col("__dst").alias("host"),
+            F.round(
+                F.col("rank_p").cast("double") * F.col("__w") / F.col("__out")
+            )
+            .cast("long")
+            .alias("__c"),
+        )
+        s = contrib.groupBy("host").agg(F.sum("__c").alias("__s"))
+        r = (
+            nodes.join(s, "host", "left")
+            .crossJoin(F.broadcast(n_frame))
+            .select(
+                "host",
+                F.coalesce("__s", F.lit(0).cast("long")).alias("__s"),
+                "__n",
+            )
+            .select("host", base.alias("rank_p"))
+        )
+    return r.select(
+        "host",
+        "rank_p",
+        (F.col("rank_p").cast("double") / F.lit(float(PICO))).alias("rank"),
+    )

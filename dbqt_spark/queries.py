@@ -7009,6 +7009,144 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _linkgraph_synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic page frame for the link-graph queries: 7 hosts, every
+    doc links its host site-(d%7) to site-((3d+1)%7) via an absolute
+    href plus a root-relative self link (a host_graph self-loop, which
+    must drop). The HTML is spec-only (no corpus text) so the oracle
+    replays the edge list arithmetically; the messy-HTML extraction
+    paths are covered by tests/test_linkgraph.py."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site-"), d % 7, F.lit(".example/p/"), d
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://site-'),
+        (d * 3 + 1) % 7,
+        F.lit('.example/r/'),
+        d,
+        F.lit('">x</a> <a href="/self/'),
+        d,
+        F.lit('">y</a></body></html>'),
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"), html.alias("text")
+    )
+
+
+def q_outlink_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + host-graph contraction
+    (operators/linkgraph.outlinks / host_graph): hrefs pulled from the
+    synthetic HTML by the real regex/resolution chain — absolute kept,
+    root-relative resolved to the page host (becoming a self-loop that
+    host_graph drops) — then contracted to weighted host edges."""
+    from .operators.linkgraph import host_graph, outlinks
+
+    pages = _linkgraph_synth_pages(spark, sf_dir)
+    return host_graph(outlinks(pages)).orderBy("src_host", "dst_host")
+
+
+SQL_OUTLINK_HOSTS = """
+WITH e AS (
+  SELECT 'site-' || (doc_id % 7) || '.example' AS src_host,
+         'site-' || ((3 * doc_id + 1) % 7) || '.example' AS dst_host
+  FROM documents
+  WHERE (doc_id % 7) <> ((3 * doc_id + 1) % 7)
+)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM e GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
+"""
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration weighted PageRank over the synthetic host
+    graph (operators/linkgraph.pagerank_hosts): ranks carried in exact
+    integer pico-units, so the oracle unrolls the same three
+    join+aggregate rounds bit-for-bit."""
+    from .operators.linkgraph import host_graph, outlinks, pagerank_hosts
+
+    pages = _linkgraph_synth_pages(spark, sf_dir)
+    edges = host_graph(outlinks(pages))
+    return pagerank_hosts(edges, iters=3).orderBy("host")
+
+
+SQL_HOST_PAGERANK = """
+WITH e AS (
+  SELECT 'site-' || (doc_id % 7) || '.example' AS src_host,
+         'site-' || ((3 * doc_id + 1) % 7) || '.example' AS dst_host
+  FROM documents
+  WHERE (doc_id % 7) <> ((3 * doc_id + 1) % 7)
+),
+edges AS (
+  SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+  FROM e GROUP BY src_host, dst_host
+),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM edges
+    UNION ALL SELECT dst_host FROM edges
+  )
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (
+  SELECT src_host, CAST(sum(n_links) AS DOUBLE) AS outw
+  FROM edges GROUP BY src_host
+),
+ew AS (
+  SELECT edges.src_host, edges.dst_host,
+         CAST(edges.n_links AS DOUBLE) AS w, outw.outw
+  FROM edges JOIN outw ON edges.src_host = outw.src_host
+),
+r0 AS (
+  SELECT host, CAST(round(1000000000000.0 / nn.n) AS BIGINT) AS rank_p
+  FROM nodes, nn
+),
+c1 AS (
+  SELECT ew.dst_host AS host,
+         CAST(sum(CAST(round(CAST(r.rank_p AS DOUBLE) * ew.w / ew.outw)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM ew JOIN r0 r ON ew.src_host = r.host GROUP BY ew.dst_host
+),
+r1 AS (
+  SELECT nodes.host,
+    CAST(round(((1.0 - 0.85) * 1000000000000.0) / nn.n
+               + 0.85 * CAST(coalesce(c1.s, 0) AS DOUBLE)) AS BIGINT)
+      AS rank_p
+  FROM nodes LEFT JOIN c1 ON nodes.host = c1.host, nn
+),
+c2 AS (
+  SELECT ew.dst_host AS host,
+         CAST(sum(CAST(round(CAST(r.rank_p AS DOUBLE) * ew.w / ew.outw)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM ew JOIN r1 r ON ew.src_host = r.host GROUP BY ew.dst_host
+),
+r2 AS (
+  SELECT nodes.host,
+    CAST(round(((1.0 - 0.85) * 1000000000000.0) / nn.n
+               + 0.85 * CAST(coalesce(c2.s, 0) AS DOUBLE)) AS BIGINT)
+      AS rank_p
+  FROM nodes LEFT JOIN c2 ON nodes.host = c2.host, nn
+),
+c3 AS (
+  SELECT ew.dst_host AS host,
+         CAST(sum(CAST(round(CAST(r.rank_p AS DOUBLE) * ew.w / ew.outw)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM ew JOIN r2 r ON ew.src_host = r.host GROUP BY ew.dst_host
+),
+r3 AS (
+  SELECT nodes.host,
+    CAST(round(((1.0 - 0.85) * 1000000000000.0) / nn.n
+               + 0.85 * CAST(coalesce(c3.s, 0) AS DOUBLE)) AS BIGINT)
+      AS rank_p
+  FROM nodes LEFT JOIN c3 ON nodes.host = c3.host, nn
+)
+SELECT host, rank_p,
+       CAST(rank_p AS DOUBLE) / 1000000000000.0 AS rank
+FROM r3 ORDER BY host
+"""
+
+
 SQL_DSIR_SELECT = f"""
 WITH {_SQL_DSIR_CTES}
 SELECT doc_id, n_grams, log_weight,
@@ -7179,6 +7317,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_warc_gate": q_streaming_warc_gate,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
+    "outlink_hosts": q_outlink_hosts,
+    "host_pagerank": q_host_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -7336,6 +7476,8 @@ ORACLES: dict[str, str] = {
     "streaming_warc_gate": SQL_STREAMING_WARC_GATE,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_select": SQL_DSIR_SELECT,
+    "outlink_hosts": SQL_OUTLINK_HOSTS,
+    "host_pagerank": SQL_HOST_PAGERANK,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

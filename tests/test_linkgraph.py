@@ -1,0 +1,119 @@
+"""Link graph: href extraction/resolution, host contraction, PageRank
+semantics and determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbqt_spark.operators.linkgraph import (
+    PICO,
+    host_graph,
+    outlinks,
+    pagerank_hosts,
+)
+
+
+def _pages(spark):
+    rows = [
+        (
+            1,
+            "https://a.example/p/1",
+            '<p><a href="https://b.example/x#top">abs+frag</a>'
+            "<A HREF='/local/1'>root-rel</A>"
+            '<a href="//c.example/proto">proto-rel</a>'
+            '<a href="mailto:x@y.example">mail</a>'
+            '<a href="./sibling">dot-rel</a>'
+            '<a href="javascript:void(0)">js</a>'
+            '<a class="btn" href="HTTPS://B.EXAMPLE/upper">case</a></p>',
+        ),
+        (2, "http://b.example/p/2", '<a href="https://a.example/">back</a>'),
+        (3, "https://c.example/p/3", "no links at all"),
+        (4, "https://a.example/p/4", '<a href="/self">self</a>'),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_outlinks_extraction_and_resolution(spark):
+    links = {
+        (r.doc_id, r.dst_url) for r in outlinks(_pages(spark)).collect()
+    }
+    assert links == {
+        (1, "https://b.example/x"),  # fragment stripped
+        (1, "https://a.example/local/1"),  # root-relative resolved
+        (1, "https://c.example/proto"),  # protocol-relative
+        (1, "HTTPS://B.EXAMPLE/upper"),  # scheme-case absolute kept
+        (2, "https://a.example/"),
+        (4, "https://a.example/self"),
+    }
+
+
+def test_host_graph_contraction(spark):
+    g = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_graph(outlinks(_pages(spark))).collect()
+    }
+    # doc 1 links a->b twice (two spellings), a->c once; doc 4's
+    # self-resolved link is a self-loop and drops; doc 2 b->a
+    assert g == {
+        ("a.example", "b.example"): 2,
+        ("a.example", "c.example"): 1,
+        ("b.example", "a.example"): 1,
+    }
+    with_loops = host_graph(outlinks(_pages(spark)), keep_self_loops=True)
+    assert with_loops.count() == 4
+
+
+def test_pagerank_properties(spark):
+    edges = spark.createDataFrame(
+        # star: everyone links to hub; hub links one spoke
+        [("s1", "hub", 1), ("s2", "hub", 1), ("s3", "hub", 1),
+         ("hub", "s1", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    r = {row.host: row for row in pagerank_hosts(edges, iters=3).collect()}
+    assert set(r) == {"hub", "s1", "s2", "s3"}
+    # the hub out-ranks every spoke; the linked spoke out-ranks the others
+    assert r["hub"].rank_p > r["s1"].rank_p > r["s2"].rank_p
+    assert r["s2"].rank_p == r["s3"].rank_p
+    # floor: unlinked-to nodes sit at (1-d)/N
+    assert r["s2"].rank_p == round((1 - 0.85) * PICO / 4)
+    # rank column is picos / 1e12
+    assert r["hub"].rank == r["hub"].rank_p / PICO
+    # deterministic across re-runs and partitionings
+    again = {
+        row.host: row.rank_p
+        for row in pagerank_hosts(
+            edges.repartition(7), iters=3
+        ).collect()
+    }
+    assert again == {h: row.rank_p for h, row in r.items()}
+
+
+def test_pagerank_weighted_edges(spark):
+    edges = spark.createDataFrame(
+        [("u", "heavy", 9), ("u", "light", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    r = {row.host: row.rank_p for row in pagerank_hosts(edges, iters=1).collect()}
+    # u splits its rank 9:1
+    assert r["heavy"] > r["light"]
+    contrib_heavy = r["heavy"] - round(0.15 * PICO / 3)
+    contrib_light = r["light"] - round(0.15 * PICO / 3)
+    assert abs(contrib_heavy - 9 * contrib_light) <= 9  # rounding slack
+
+
+def test_pagerank_param_validation(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src_host string, dst_host string, n_links long"
+    )
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_hosts(edges, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_hosts(edges, damping=1.0)
+
+
+def test_outlinks_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.example/", None), (2, "https://a.example/", "")],
+        "doc_id long, url string, text string",
+    )
+    assert outlinks(df).count() == 0
