@@ -323,7 +323,12 @@ def main() -> None:
         # calibration_report 3.67; lm_score_bigram 3.35; the url gate
         # is an availableNow drain chain)
         "source_matrix,calibration_report,lm_score_bigram,"
-        "streaming_url_gate",
+        "streaming_url_gate,"
+        # r13 new heavies above the 4 s pooled bar: the two-run WARC
+        # streaming lifecycle, the two-pass DSIR fits (weights/select
+        # share the fit; select adds the Gumbel top-k), and the
+        # 3-iteration unrolled PageRank chain
+        "streaming_warc_gate,dsir_weights,dsir_select,host_pagerank",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

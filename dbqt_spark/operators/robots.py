@@ -1,0 +1,227 @@
+"""robots.txt compliance for crawl corpora (RFC 9309 shape).
+
+Beyond the reference surface (north-star crawl-pipeline operator): a
+training-data pipeline that ingests crawl archives must be able to
+answer, corpus-wide, "which of these pages does the site's robots.txt
+disallow for my user agent?" — both to filter fetch frontiers and to
+retro-audit an already-collected corpus against current policies.
+
+Two stages, all JVM-side expressions (no UDFs):
+
+- ``parse_robots``: a frame of robots.txt DOCUMENTS (host, text) into
+  a RULE frame (host, rule_path, pattern, allow, rule_len). Handles
+  the RFC 9309 group model: consecutive ``User-agent`` lines form one
+  group; a group's rules apply to every agent named above them;
+  comments stripped; empty ``Disallow:`` (allow-all) dropped. Agent
+  resolution follows the spec: if any group names the product token
+  exactly, ONLY those groups apply, else the ``*`` groups.
+- ``robots_filter``: URL frame × rule frame -> per-URL verdict via
+  LONGEST-MATCH precedence (rule path octet length; allow wins ties —
+  the Google/RFC tiebreak), ``*`` wildcards and ``$`` end anchors
+  translated to anchored Java regexes in-plan. No matching rule, or
+  no robots.txt for the host, means allowed (the spec default).
+
+Scale shape: the rule frame is per-HOST (a few rules each — millions
+of rows for the whole web, kilobytes per host) and joins the URL
+frame BROADCAST; the URL side is one scan + one regex match per
+candidate rule per URL, aggregated map-side by max(struct). The URL
+corpus is never shuffled; only (url, host) rows meet the rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _rule_to_regex(path_col) -> "F.Column":
+    """Translate a robots rule path into an anchored Java regex:
+    literal chars escaped, ``*`` -> ``.*``, trailing ``$`` -> end
+    anchor. Pure expressions, so rules stay data, not driver state."""
+    # escape regex metacharacters EXCEPT * and $ (handled below)
+    escaped = F.regexp_replace(
+        path_col, r"([\\.\[\]\{\}\(\)\+\?\^\|])", r"\\$1"
+    )
+    ends_anchored = escaped.endswith("$")
+    body = F.when(
+        ends_anchored,
+        escaped.substr(F.lit(1), F.length(escaped) - 1),
+    ).otherwise(escaped)
+    wild = F.regexp_replace(body, r"\*", ".*")
+    return F.concat(
+        F.lit("^"),
+        wild,
+        F.when(ends_anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
+def parse_robots(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Rule frame for one user agent: ``(host, rule_path, pattern,
+    allow, rule_len)``.
+
+    Group semantics per RFC 9309 §2.2.1: a run of consecutive
+    ``User-agent`` lines opens a group; ``Allow``/``Disallow`` lines
+    belong to the open group and apply to every agent it names. If any
+    group names ``user_agent`` exactly (case-insensitive product
+    token), only those groups' rules survive; otherwise the ``*``
+    groups. Unknown directives (Sitemap, Crawl-delay, ...) are
+    ignored; a robots.txt smaller than one group yields no rules
+    (allow-all)."""
+    ua = user_agent.lower()
+    lines = robots_df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("pos", "__line"),
+    ).select(
+        "host",
+        "pos",
+        # strip comments + whitespace
+        F.trim(F.regexp_replace("__line", r"#.*$", "")).alias("__line"),
+    )
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(
+            F.trim(F.regexp_extract("__line", r"^([A-Za-z-]+)\s*:", 1))
+        ).alias("__key"),
+        F.trim(F.regexp_extract("__line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "__val"
+        ),
+    ).filter(F.col("__key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = parsed.select(
+        "host",
+        "pos",
+        "__key",
+        "__val",
+        F.sum(
+            F.when(
+                (F.col("__key") == "user-agent")
+                & (
+                    F.coalesce(F.lag("__key").over(w), F.lit(""))
+                    != "user-agent"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("__gid"),
+    )
+    agents = (
+        grouped.filter(F.col("__key") == "user-agent")
+        .groupBy("host", "__gid")
+        .agg(
+            F.max(
+                F.when(F.lower("__val") == ua, 1).otherwise(0)
+            ).alias("__exact"),
+            F.max(F.when(F.col("__val") == "*", 1).otherwise(0)).alias(
+                "__star"
+            ),
+        )
+    )
+    # spec: exact-match groups beat the * groups host-wide
+    host_has_exact = agents.groupBy("host").agg(
+        F.max("__exact").alias("__host_exact")
+    )
+    applicable = (
+        agents.join(host_has_exact, "host")
+        .filter(
+            F.when(F.col("__host_exact") == 1, F.col("__exact") == 1)
+            .otherwise(F.col("__star") == 1)
+        )
+        .select("host", "__gid")
+    )
+    rules = (
+        grouped.filter(F.col("__key").isin("allow", "disallow"))
+        .filter(F.col("__val") != "")  # empty Disallow: = no rule
+        .join(applicable, ["host", "__gid"])
+        .select(
+            "host",
+            F.col("__val").alias("rule_path"),
+            (F.col("__key") == "allow").alias("allow"),
+        )
+        .distinct()
+    )
+    return rules.select(
+        "host",
+        "rule_path",
+        _rule_to_regex(F.col("rule_path")).alias("pattern"),
+        "allow",
+        F.length("rule_path").cast("long").alias("rule_len"),
+    )
+
+
+def robots_filter(
+    urls_df: DataFrame,
+    rules_df: DataFrame,
+    url_col: str = "url",
+    keep_disallowed: bool = False,
+) -> DataFrame:
+    """Per-URL robots verdict: input columns plus ``allowed`` and
+    ``matched_rule`` (the winning rule path, NULL when no rule
+    matched). Longest-match precedence, allow wins length ties, no
+    match / unknown host => allowed. ``keep_disallowed=True`` returns
+    every row annotated; default drops disallowed rows (the gate
+    shape).
+
+    The rule frame broadcasts; each URL meets only its host's rules
+    (host equi-join), matches run as JVM regexes, and the winner is a
+    map-side ``max(struct(rule_len, allow, rule_path))`` — no window,
+    no shuffle of the URL corpus beyond the per-URL aggregate."""
+    from .urltools import host_col as host_of
+
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+            ),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    keyed = urls_df.withColumn("__host", host_of(F.col(url_col))).withColumn(
+        "__path", path
+    )
+    # rename the rule columns so an input frame that already carries
+    # host / allow / pattern columns (e.g. warc_text_corpus) never
+    # collides
+    r = rules_df.select(
+        F.col("host").alias("__rhost"),
+        F.col("rule_path").alias("__rpath"),
+        F.col("pattern").alias("__rpat"),
+        F.col("allow").alias("__rallow"),
+        F.col("rule_len").alias("__rlen"),
+    )
+    hits = (
+        keyed.join(
+            F.broadcast(r), keyed["__host"] == r["__rhost"], "left"
+        )
+        .withColumn(
+            "__m",
+            F.when(
+                F.col("__rpat").isNotNull()
+                & F.regexp_like(F.col("__path"), F.col("__rpat")),
+                F.struct(
+                    F.col("__rlen").alias("rule_len"),
+                    F.col("__rallow").alias("allow"),
+                    F.col("__rpath").alias("rule_path"),
+                ),
+            ),
+        )
+        .groupBy(*urls_df.columns, "__host", "__path")
+        .agg(F.max("__m").alias("__win"))
+    )
+    verdict = hits.select(
+        *urls_df.columns,
+        F.coalesce(F.col("__win.allow"), F.lit(True)).alias("allowed"),
+        F.col("__win.rule_path").alias("matched_rule"),
+    )
+    if keep_disallowed:
+        return verdict
+    return verdict.filter(F.col("allowed"))

@@ -7147,6 +7147,79 @@ FROM r3 ORDER BY host
 """
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance audit (operators/robots): even-numbered
+    hosts publish a 4-rule robots.txt (prefix disallow, longer-allow
+    override, * wildcard, $ end anchor); odd hosts publish none. Every
+    document URL lands in one of six path shapes. The REAL parse
+    (group model, comment strip, empty-Disallow drop) and the REAL
+    longest-match regex filter produce the verdicts; the oracle
+    replays the outcome arithmetic from the spec."""
+    from .operators.robots import parse_robots, robots_filter
+
+    robots_text = (
+        "# synthetic policy\n"
+        "User-agent: ignored-bot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/open/\n"
+        "Disallow: /data/*.tmp\n"
+        "Disallow: /exact$\n"
+        "Disallow:\n"
+    )
+    robots = spark.createDataFrame(
+        [(f"site-{k}.example", robots_text) for k in (0, 2, 4)],
+        "host string, text string",
+    )
+    rules = parse_robots(robots, user_agent="*")
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/public/"), d))
+        .when(d % 6 == 1, F.concat(F.lit("/private/"), d))
+        .when(d % 6 == 2, F.concat(F.lit("/private/open/"), d))
+        .when(d % 6 == 3, F.concat(F.lit("/data/"), d, F.lit(".tmp")))
+        .when(d % 6 == 4, F.concat(F.lit("/data/"), d, F.lit(".txt")))
+        .otherwise(F.lit("/exact"))
+    )
+    urls = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"), d % 5, F.lit(".example"), path
+        ).alias("url"),
+    )
+    return robots_filter(urls, rules, keep_disallowed=True).orderBy(
+        "doc_id"
+    )
+
+
+SQL_ROBOTS_GATE = """
+SELECT doc_id,
+  'https://site-' || (doc_id % 5) || '.example' ||
+  CASE doc_id % 6
+    WHEN 0 THEN '/public/' || doc_id
+    WHEN 1 THEN '/private/' || doc_id
+    WHEN 2 THEN '/private/open/' || doc_id
+    WHEN 3 THEN '/data/' || doc_id || '.tmp'
+    WHEN 4 THEN '/data/' || doc_id || '.txt'
+    ELSE '/exact'
+  END AS url,
+  CASE WHEN (doc_id % 5) % 2 = 1 THEN TRUE           -- no robots.txt
+       WHEN doc_id % 6 IN (0, 2, 4) THEN TRUE
+       ELSE FALSE
+  END AS allowed,
+  CASE WHEN (doc_id % 5) % 2 = 1 THEN NULL
+       WHEN doc_id % 6 = 1 THEN '/private/'
+       WHEN doc_id % 6 = 2 THEN '/private/open/'
+       WHEN doc_id % 6 = 3 THEN '/data/*.tmp'
+       WHEN doc_id % 6 = 5 THEN '/exact$'
+       ELSE NULL
+  END AS matched_rule
+FROM documents ORDER BY doc_id
+"""
+
+
 SQL_DSIR_SELECT = f"""
 WITH {_SQL_DSIR_CTES}
 SELECT doc_id, n_grams, log_weight,
@@ -7319,6 +7392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "outlink_hosts": q_outlink_hosts,
     "host_pagerank": q_host_pagerank,
+    "robots_gate": q_robots_gate,
 }
 
 ORACLES: dict[str, str] = {
@@ -7478,6 +7552,7 @@ ORACLES: dict[str, str] = {
     "dsir_select": SQL_DSIR_SELECT,
     "outlink_hosts": SQL_OUTLINK_HOSTS,
     "host_pagerank": SQL_HOST_PAGERANK,
+    "robots_gate": SQL_ROBOTS_GATE,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -1,0 +1,118 @@
+"""robots.txt parsing and longest-match filtering (RFC 9309 shape)."""
+
+from dbqt_spark.operators.robots import parse_robots, robots_filter
+
+_ROBOTS = [
+    (
+        "a.example",
+        "# policy\n"
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/open\n"
+        "Disallow: /tmp/*.bak\n"
+        "Disallow: /exact$\n"
+        "Crawl-delay: 10\n"
+        "Disallow:\n",
+    ),
+    (
+        "b.example",
+        "User-agent: mybot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /mb/\n"
+        "User-agent: *\n"
+        "Disallow: /everyone/\n",
+    ),
+]
+
+
+def _rules(spark, ua="*"):
+    robots = spark.createDataFrame(_ROBOTS, "host string, text string")
+    return parse_robots(robots, user_agent=ua)
+
+
+def test_parse_groups_comments_and_empty_disallow(spark):
+    rules = {
+        (r.host, r.rule_path): (r.allow, r.pattern)
+        for r in _rules(spark).collect()
+    }
+    # the googlebot group is invisible to '*'; the empty Disallow and
+    # Crawl-delay lines yield no rules
+    assert set(rules) == {
+        ("a.example", "/private/"),
+        ("a.example", "/private/open"),
+        ("a.example", "/tmp/*.bak"),
+        ("a.example", "/exact$"),
+        ("b.example", "/everyone/"),
+    }
+    assert rules[("a.example", "/private/open")][0] is True
+    assert rules[("a.example", "/tmp/*.bak")][1] == r"^/tmp/.*\.bak"
+    assert rules[("a.example", "/exact$")][1] == "^/exact$"
+
+
+def test_exact_agent_group_beats_star(spark):
+    # RFC 9309: a host with a group naming the agent exposes ONLY that
+    # group to it; consecutive User-agent lines share one group
+    for ua in ("mybot", "OtherBot"):
+        b = {
+            r.rule_path
+            for r in _rules(spark, ua).filter("host = 'b.example'").collect()
+        }
+        assert b == {"/mb/"}
+    # a.example has no mybot group -> '*' rules apply
+    a = {
+        r.rule_path
+        for r in _rules(spark, "mybot").filter("host = 'a.example'").collect()
+    }
+    assert "/private/" in a
+
+
+def test_filter_longest_match_and_defaults(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.example/public/x"),
+            (2, "https://a.example/private/secret"),
+            (3, "https://a.example/private/open/fine"),
+            (4, "https://a.example/tmp/f.bak"),
+            (5, "https://a.example/exact"),
+            (6, "https://a.example/exacter"),
+            (7, "https://b.example/mb/star-sees-nothing"),
+            (8, "https://nowhere.example/x"),
+            (9, "https://a.example"),  # no path at all -> '/'
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: (r.allowed, r.matched_rule)
+        for r in robots_filter(
+            urls, _rules(spark), keep_disallowed=True
+        ).collect()
+    }
+    assert got == {
+        1: (True, None),
+        2: (False, "/private/"),
+        3: (True, "/private/open"),  # longer allow beats shorter disallow
+        4: (False, "/tmp/*.bak"),
+        5: (False, "/exact$"),
+        6: (True, None),  # $ anchor does not prefix-match
+        7: (True, None),  # mybot group invisible to '*'
+        8: (True, None),  # host without robots.txt
+        9: (True, None),
+    }
+    # gate mode drops the disallowed rows
+    kept = robots_filter(urls, _rules(spark))
+    assert kept.count() == 6
+    assert set(kept.columns) == {"doc_id", "url", "allowed", "matched_rule"}
+
+
+def test_filter_survives_colliding_column_names(spark):
+    # a corpus frame that already has host/allow columns must not
+    # collide with the rule frame's
+    urls = spark.createDataFrame(
+        [(1, "https://a.example/private/x", "a.example", True)],
+        "doc_id long, url string, host string, allow boolean",
+    )
+    out = robots_filter(urls, _rules(spark), keep_disallowed=True).collect()
+    assert len(out) == 1 and out[0].allowed is False
