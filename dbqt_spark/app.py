@@ -55,6 +55,7 @@ TOOLS = [
     "search",
     "urls",
     "pack",
+    "links",
 ]
 
 
@@ -1069,6 +1070,13 @@ def tool_curate(argv: list[str]) -> int:
     p.add_argument("--blocklist-file",
                    help="newline-delimited blocklist words (merged "
                    "with --blocklist)")
+    p.add_argument("--robots-gate", action="store_true",
+                   help="with --from-warc: drop pages the corpus's own "
+                   "robots.txt files disallow (operators/robots; the "
+                   "crawl fetches /robots.txt per host), plus the "
+                   "robots.txt rows themselves")
+    p.add_argument("--robots-agent", default="*",
+                   help="product token for --robots-gate")
     p.add_argument("--extract-main", action="store_true",
                    help="boilerplate removal pre-stage: raw HTML -> "
                    "main content before any gate (normalize."
@@ -1109,6 +1117,24 @@ def tool_curate(argv: list[str]) -> int:
                 p.error("--eval-table needs --config for its source")
             _, db = _load_db(args.config)
         df = warc_text_corpus(_spark(), args.from_warc)
+        if args.robots_gate:
+            from pyspark.sql import functions as F
+
+            from .operators.robots import (
+                parse_robots,
+                robots_filter,
+                robots_from_corpus,
+            )
+
+            rules = parse_robots(
+                robots_from_corpus(df), user_agent=args.robots_agent
+            )
+            pathish = F.regexp_replace(
+                F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+            )
+            df = robots_filter(
+                df.filter(pathish != "/robots.txt"), rules
+            ).drop("allowed", "matched_rule")
         group_col = args.group_column or "host"
     else:
         cfg, db = _load_db(args.config)
@@ -2015,6 +2041,93 @@ def tool_urls(argv: list[str]) -> int:
     return 0
 
 
+def tool_links(argv: list[str]) -> int:
+    """Link-graph analytics from the CLI (operators/linkgraph.py):
+    ``edges`` writes per-page outlinks, ``hosts`` writes the host-level
+    weighted graph, ``pagerank`` writes (or prints the top of) the
+    fixed-iteration host centrality; ``robots`` audits the corpus
+    against robots.txt policies carried IN the corpus itself
+    (operators/robots.py — a crawl fetches /robots.txt per host)."""
+    p = argparse.ArgumentParser(prog="links")
+    p.add_argument(
+        "action", choices=["edges", "hosts", "pagerank", "robots"]
+    )
+    p.add_argument("--config", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--url-column", default="url")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--strip-www", action="store_true")
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--user-agent", default="*",
+                   help="robots: product token to audit for")
+    p.add_argument("--keep-disallowed", action="store_true",
+                   help="robots: annotate instead of dropping")
+    p.add_argument("--top", type=int, default=20,
+                   help="pagerank: rows to print without "
+                   "--output-parquet")
+    p.add_argument("--output-parquet")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .operators.linkgraph import host_graph, outlinks, pagerank_hosts
+
+    cfg, db = _load_db(args.config)
+    df = db.load(args.table)
+    if args.action == "robots":
+        from .operators.robots import (
+            parse_robots,
+            robots_filter,
+            robots_from_corpus,
+        )
+
+        if not args.output_parquet:
+            p.error("--output-parquet is required for robots")
+        rules = parse_robots(
+            robots_from_corpus(
+                df, url_col=args.url_column, text_col=args.text_column
+            ),
+            user_agent=args.user_agent,
+        )
+        out = robots_filter(
+            df, rules, url_col=args.url_column,
+            keep_disallowed=args.keep_disallowed,
+        )
+        out.write.mode("overwrite").parquet(args.output_parquet)
+        n_in = df.count()
+        n_out = db.spark.read.parquet(args.output_parquet).count()
+        print(
+            f"robots[{args.user_agent}]: {n_in} rows in, {n_out} out "
+            f"-> {args.output_parquet}"
+        )
+        return 0
+    links = outlinks(
+        df, text_col=args.text_column, url_col=args.url_column,
+        id_col=args.id_column,
+    )
+    if args.action == "edges":
+        out = links
+    else:
+        out = host_graph(links, strip_www=args.strip_www)
+        if args.action == "pagerank":
+            out = pagerank_hosts(
+                out, iters=args.iters, damping=args.damping
+            )
+    if args.output_parquet:
+        out.write.mode("overwrite").parquet(args.output_parquet)
+        print(f"{args.action} written to {args.output_parquet}")
+    elif args.action == "pagerank":
+        for r in out.orderBy(F.col("rank_p").desc()).limit(
+            args.top
+        ).collect():
+            print(f"{r['host']}: {r['rank']:.6f}")
+    else:
+        p.error("--output-parquet is required for edges/hosts")
+    return 0
+
+
 def tool_pack(argv: list[str]) -> int:
     """Sequence packing from the CLI (operators/packing.py):
     ``place`` writes per-doc placements (sequence_pack), ``write``
@@ -2109,6 +2222,7 @@ def main(argv: list[str] | None = None) -> int:
         "search": tool_search,
         "urls": tool_urls,
         "pack": tool_pack,
+        "links": tool_links,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

@@ -157,6 +157,39 @@ def parse_robots(
     )
 
 
+def robots_from_corpus(
+    corpus_df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    host_col_name: str = "host",
+) -> DataFrame:
+    """(host, text) robots.txt documents pulled out of a crawled
+    corpus itself — a WARC crawl fetches ``/robots.txt`` per host, so
+    the policy frame ships inside the same archive
+    (``warc_text_corpus`` output feeds straight in). When a host was
+    fetched more than once the lexically-greatest body wins (a
+    deterministic, engine-portable tiebreak)."""
+    from .urltools import host_col as host_of
+
+    pathish = F.regexp_replace(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+    )
+    return (
+        corpus_df.filter(pathish == "/robots.txt")
+        .select(
+            F.coalesce(
+                F.col(host_col_name)
+                if host_col_name in corpus_df.columns
+                else host_of(F.col(url_col)),
+                host_of(F.col(url_col)),
+            ).alias("host"),
+            F.col(text_col).alias("text"),
+        )
+        .groupBy("host")
+        .agg(F.max("text").alias("text"))
+    )
+
+
 def robots_filter(
     urls_df: DataFrame,
     rules_df: DataFrame,

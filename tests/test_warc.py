@@ -384,3 +384,102 @@ def test_corpus_survives_malformed_utf8(spark, tmp_path):
     rows = warc_text_corpus(spark, str(d)).collect()
     assert len(rows) == 1
     assert "caf" in rows[0].text and "�" in rows[0].text
+
+
+def test_curate_from_warc_robots_gate(spark, tmp_path):
+    """--robots-gate: the crawl's own /robots.txt governs which pages
+    survive into the curated corpus."""
+    from dbqt_spark.app import main
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    filler = "enough words here to pass the quality gate " * 3
+    recs = [
+        warc_response_record(
+            "https://s.example/robots.txt",
+            "2024-01-01T00:00:00Z",
+            b"User-agent: *\nDisallow: /private/\n",
+            content_type="text/plain",
+        )
+    ]
+    for i in range(10):
+        area = "private" if i % 2 else "public"
+        recs.append(
+            warc_response_record(
+                f"https://s.example/{area}/{i}",
+                f"2024-01-01T00:01:{i:02d}Z",
+                f"<html><body>doc {i} {filler}</body></html>".encode(),
+            )
+        )
+    (d / "c.warc.gz").write_bytes(build_warc(recs))
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "curate",
+            "--from-warc",
+            str(d),
+            "--robots-gate",
+            "--output-parquet",
+            out,
+            "--quality-quantile",
+            "0.0",
+            "--no-redact",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    urls = [r.url for r in got.collect()]
+    assert len(urls) == 5
+    assert all("/public/" in u for u in urls)
+
+
+def test_links_cli_pagerank_and_robots(spark, tmp_path, capsys):
+    """links CLI: pagerank over a parquet corpus; robots audit using
+    in-corpus policies."""
+    import yaml
+
+    from dbqt_spark.app import main
+
+    data = tmp_path / "tables"
+    data.mkdir()
+    rows = [
+        (
+            1,
+            "https://a.example/p/1",
+            '<a href="https://b.example/x">b</a>'
+            '<a href="https://c.example/y">c</a>',
+        ),
+        (2, "http://b.example/p/2", '<a href="https://a.example/">back</a>'),
+        (
+            3,
+            "https://a.example/robots.txt",
+            "User-agent: *\nDisallow: /p/\n",
+        ),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(data / "pages.parquet"))
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        yaml.safe_dump(
+            {"connection": {"type": "parquet", "path": str(data)}}
+        )
+    )
+    rc = main(["links", "pagerank", "--config", str(cfg), "--table", "pages"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "a.example:" in out and "b.example:" in out
+
+    audited = str(tmp_path / "audited")
+    rc = main(
+        [
+            "links", "robots", "--config", str(cfg), "--table", "pages",
+            "--keep-disallowed", "--output-parquet", audited,
+        ]
+    )
+    assert rc == 0
+    got = {
+        r.url: r.allowed for r in spark.read.parquet(audited).collect()
+    }
+    assert got["https://a.example/p/1"] is False  # own robots disallows /p/
+    assert got["http://b.example/p/2"] is True  # no robots for b.example
