@@ -73,7 +73,8 @@ def outlinks(
             F.col("src_url"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
         ),
     )
-    raw = F.regexp_replace(F.col("__href"), r"#.*$", "")  # fragment off
+    # browsers trim surrounding whitespace inside the quotes
+    raw = F.trim(F.regexp_replace(F.col("__href"), r"#.*$", ""))
     resolved = (
         F.when(F.lower(raw).rlike(r"^https?://"), raw)
         .when(raw.startswith("//"), F.concat(src_scheme, F.lit(":"), raw))
@@ -144,6 +145,9 @@ def pagerank_hosts(
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     d = float(damping)
+    # a zero/negative weight would make out(u) zero -> inf contribution
+    # -> ANSI long-cast abort mid-job; gate it here, fail-fast shape
+    edges = edges.filter(F.col(weight_col) > 0)
     nodes = (
         edges.select(F.col(src_col).alias("host"))
         .union(edges.select(F.col(dst_col).alias("host")))

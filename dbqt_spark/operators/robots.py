@@ -48,6 +48,9 @@ def _rule_to_regex(path_col) -> "F.Column":
         ends_anchored,
         escaped.substr(F.lit(1), F.length(escaped) - 1),
     ).otherwise(escaped)
+    # RFC 9309 gives '$' meaning only at the END of a rule; a literal
+    # mid-path '$' must not become a regex anchor
+    body = F.regexp_replace(body, r"\$", r"\\\$")
     wild = F.regexp_replace(body, r"\*", ".*")
     return F.concat(
         F.lit("^"),

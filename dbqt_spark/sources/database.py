@@ -148,7 +148,12 @@ class Database:
             from .warc import read_warc
 
             root = self._root()
-            if os.path.isfile(root):
+            if "://" in root:
+                # remote root (s3a://, hdfs://): glob through the
+                # binaryFile arm — Hadoop resolves the pattern, no
+                # driver-side listing
+                path = f"{root.rstrip('/')}/{table}.warc*"
+            elif os.path.isfile(root):
                 path = root
             else:
                 plain = os.path.join(root, f"{table}.warc")

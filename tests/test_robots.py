@@ -116,3 +116,21 @@ def test_filter_survives_colliding_column_names(spark):
     )
     out = robots_filter(urls, _rules(spark), keep_disallowed=True).collect()
     assert len(out) == 1 and out[0].allowed is False
+
+
+def test_mid_path_dollar_is_literal(spark):
+    robots = spark.createDataFrame(
+        [("d.example", "User-agent: *\nDisallow: /a$b/\nDisallow: /end$\n")],
+        "host string, text string",
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [(1, "https://d.example/a$b/x"), (2, "https://d.example/end"),
+         (3, "https://d.example/endx")],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.allowed
+        for r in robots_filter(urls, rules, keep_disallowed=True).collect()
+    }
+    assert got == {1: False, 2: False, 3: True}

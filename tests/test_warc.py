@@ -483,3 +483,31 @@ def test_links_cli_pagerank_and_robots(spark, tmp_path, capsys):
     }
     assert got["https://a.example/p/1"] is False  # own robots disallows /p/
     assert got["http://b.example/p/2"] is True  # no robots for b.example
+
+
+def test_wet_style_conversion_records(spark, tmp_path):
+    """Common Crawl WET files are WARC 'conversion' records carrying
+    extracted plain text directly (no HTTP block): the mime fallback
+    and record_types knob make them first-class."""
+    rec_body = "extracted plain text é".encode()
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <urn:uuid:conv-1>\r\n"
+        b"WARC-Target-URI: http://w.example/page\r\n"
+        b"WARC-Date: 2024-06-01T00:00:00Z\r\n"
+        b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(rec_body)}\r\n\r\n".encode()
+        + rec_body
+        + b"\r\n\r\n"
+    )
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(gzip.compress(rec))
+    rows = read_warc(
+        spark, str(d), record_types=("conversion",)
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].mime == "text/plain"
+    assert rows[0].http_status is None
+    assert bytes(rows[0].payload).decode() == "extracted plain text é"
