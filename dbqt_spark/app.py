@@ -1296,7 +1296,7 @@ def tool_sample(argv: list[str]) -> int:
     p.add_argument(
         "--method",
         choices=["stratified", "budget", "mixture", "temperature",
-                 "topk", "weighted"],
+                 "topk", "weighted", "dsir"],
         required=True,
     )
     p.add_argument("--alpha", type=float, default=0.5,
@@ -1318,6 +1318,13 @@ def tool_sample(argv: list[str]) -> int:
                    help="budget: tokens counted on this column")
     p.add_argument("--budget-tokens", type=int,
                    help="budget: whitespace-token budget")
+    p.add_argument("--target-table",
+                   help="dsir: table exemplifying the target "
+                   "distribution (same connection)")
+    p.add_argument("--k", type=int,
+                   help="dsir: documents to keep (Gumbel top-k)")
+    p.add_argument("--n-buckets", type=int, default=10000,
+                   help="dsir: hashed n-gram feature buckets")
     p.add_argument("--rate", action="append", default=[],
                    metavar="GROUP=RATE",
                    help="mixture: per-group sampling rate, repeatable "
@@ -1344,6 +1351,9 @@ def tool_sample(argv: list[str]) -> int:
         p.error("--score-column is required with --method topk")
     if args.method == "weighted" and not args.weight_column:
         p.error("--weight-column is required with --method weighted")
+    if args.method == "dsir" and not (args.target_table and args.k):
+        p.error("--target-table and --k are required with "
+                "--method dsir")
 
     cfg, db = _load_db(args.config)
     df = db.load(args.table)
@@ -1375,6 +1385,16 @@ def tool_sample(argv: list[str]) -> int:
             df, args.group_column, args.score_column, args.per_group,
             id_col=args.id_column, seed=args.seed,
         )
+    elif args.method == "dsir":
+        from .operators.dsir import dsir_select
+
+        keep = dsir_select(
+            df, db.load(args.target_table), k=args.k,
+            text_col=args.text_column, id_col=args.id_column,
+            n_buckets=args.n_buckets, seed=args.seed,
+        ).select(args.id_column)
+        # k can be most of the corpus — let AQE pick the join strategy
+        out = df.join(keep, args.id_column, "left_semi")
     elif args.method == "stratified":
         from .operators.sampling import stratified_sample
 

@@ -1253,3 +1253,27 @@ def test_curate_extract_main_cli(spark, tmp_path, capsys):
     texts = [r["text"] for r in cdf.collect()]
     assert texts and all("Home" not in t for t in texts)
     assert all("Genuine prose document" in t for t in texts)
+
+
+def test_cli_sample_dsir(spark, tmp_path, capsys):
+    cfg = _write(
+        tmp_path / "c.yaml",
+        "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n",
+    )
+    out = str(tmp_path / "dsir")
+    assert main([
+        "sample", "--config", cfg, "--table", "documents",
+        "--method", "dsir", "--target-table", "documents",
+        "--k", "50", "--output-parquet", out,
+    ]) == 0
+    assert "50 rows sampled" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert "text" in got.columns  # full rows survive the semi-join
+    # missing flags fail as usage errors, not tracebacks
+    import pytest
+    with pytest.raises(SystemExit):
+        main([
+            "sample", "--config", cfg, "--table", "documents",
+            "--method", "dsir", "--output-parquet", out,
+        ])
