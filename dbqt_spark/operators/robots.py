@@ -206,10 +206,14 @@ def robots_filter(
     every row annotated; default drops disallowed rows (the gate
     shape).
 
-    The rule frame broadcasts; each URL meets only its host's rules
-    (host equi-join), matches run as JVM regexes, and the winner is a
-    map-side ``max(struct(rule_len, allow, rule_path))`` — no window,
-    no shuffle of the URL corpus beyond the per-URL aggregate."""
+    Scale shape: the rule frame contracts to ONE ROW PER HOST carrying
+    its rules as an array (hosts x a few rules — kilobytes/host), that
+    frame broadcasts, and the winner is computed per URL with array
+    lambdas (filter matching rules, array_max the (len, allow, path)
+    structs). The URL corpus is NEVER shuffled or re-aggregated — one
+    narrow broadcast-join projection, no explode, no groupBy over
+    document rows (grouping full corpus rows would shuffle the text
+    column)."""
     from .urltools import host_col as host_of
 
     path = F.coalesce(
@@ -224,39 +228,47 @@ def robots_filter(
     keyed = urls_df.withColumn("__host", host_of(F.col(url_col))).withColumn(
         "__path", path
     )
-    # rename the rule columns so an input frame that already carries
-    # host / allow / pattern columns (e.g. warc_text_corpus) never
-    # collides
-    r = rules_df.select(
-        F.col("host").alias("__rhost"),
-        F.col("rule_path").alias("__rpath"),
-        F.col("pattern").alias("__rpat"),
-        F.col("allow").alias("__rallow"),
-        F.col("rule_len").alias("__rlen"),
+    # one row per host, rules as an array; renamed so an input frame
+    # that already carries host/allow/pattern columns never collides
+    per_host = rules_df.groupBy(F.col("host").alias("__rhost")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("rule_len"),
+                F.col("allow"),
+                F.col("rule_path"),
+                F.col("pattern"),
+            )
+        ).alias("__rules")
     )
-    hits = (
-        keyed.join(
-            F.broadcast(r), keyed["__host"] == r["__rhost"], "left"
-        )
-        .withColumn(
-            "__m",
-            F.when(
-                F.col("__rpat").isNotNull()
-                & F.regexp_like(F.col("__path"), F.col("__rpat")),
-                F.struct(
-                    F.col("__rlen").alias("rule_len"),
-                    F.col("__rallow").alias("allow"),
-                    F.col("__rpath").alias("rule_path"),
-                ),
+    joined = keyed.join(
+        F.broadcast(per_host),
+        keyed["__host"] == per_host["__rhost"],
+        "left",
+    )
+    matched = F.filter(
+        F.coalesce(
+            F.col("__rules"),
+            F.array().cast(
+                "array<struct<rule_len:bigint,allow:boolean,"
+                "rule_path:string,pattern:string>>"
+            ),
+        ),
+        lambda r: F.regexp_like(F.col("__path"), r["pattern"]),
+    )
+    win = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                r["rule_len"].alias("rule_len"),
+                r["allow"].alias("allow"),
+                r["rule_path"].alias("rule_path"),
             ),
         )
-        .groupBy(*urls_df.columns, "__host", "__path")
-        .agg(F.max("__m").alias("__win"))
     )
-    verdict = hits.select(
+    verdict = joined.select(
         *urls_df.columns,
-        F.coalesce(F.col("__win.allow"), F.lit(True)).alias("allowed"),
-        F.col("__win.rule_path").alias("matched_rule"),
+        F.coalesce(win["allow"], F.lit(True)).alias("allowed"),
+        win["rule_path"].alias("matched_rule"),
     )
     if keep_disallowed:
         return verdict

@@ -134,3 +134,31 @@ def test_mid_path_dollar_is_literal(spark):
         for r in robots_filter(urls, rules, keep_disallowed=True).collect()
     }
     assert got == {1: False, 2: False, 3: True}
+
+
+def test_filter_never_shuffles_the_corpus(spark):
+    """The verdict must come from a broadcast + array lambdas: every
+    Exchange in the plan belongs to the (tiny) rule-parse side, never
+    to the URL corpus (grouping corpus rows would shuffle full text)."""
+    from pyspark.sql import functions as F
+
+    urls = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id",
+        "text",
+        F.concat(F.lit("https://a.example/p/"), F.col("doc_id")).alias(
+            "url"
+        ),
+    )
+    plan = (
+        robots_filter(urls, _rules(spark), keep_disallowed=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "host" in line  # rule-side keys only
+            assert "doc_id" not in line and "url" not in line
+    assert "BroadcastExchange" in plan
