@@ -59,24 +59,8 @@ def _rule_to_regex(path_col) -> "F.Column":
     )
 
 
-def parse_robots(
-    robots_df: DataFrame,
-    host_col: str = "host",
-    text_col: str = "text",
-    user_agent: str = "*",
-) -> DataFrame:
-    """Rule frame for one user agent: ``(host, rule_path, pattern,
-    allow, rule_len)``.
-
-    Group semantics per RFC 9309 §2.2.1: a run of consecutive
-    ``User-agent`` lines opens a group; ``Allow``/``Disallow`` lines
-    belong to the open group and apply to every agent it names. If any
-    group names ``user_agent`` exactly (case-insensitive product
-    token), only those groups' rules survive; otherwise the ``*``
-    groups. Unknown directives (Sitemap, Crawl-delay, ...) are
-    ignored; a robots.txt smaller than one group yields no rules
-    (allow-all)."""
-    ua = user_agent.lower()
+def _parsed_lines(robots_df: DataFrame, host_col: str, text_col: str):
+    """(host, pos, __key, __val): comment-stripped key:value lines."""
     lines = robots_df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
@@ -87,7 +71,7 @@ def parse_robots(
         # strip comments + whitespace
         F.trim(F.regexp_replace("__line", r"#.*$", "")).alias("__line"),
     )
-    parsed = lines.select(
+    return lines.select(
         "host",
         "pos",
         F.lower(
@@ -96,9 +80,24 @@ def parse_robots(
         F.trim(F.regexp_extract("__line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
             "__val"
         ),
-    ).filter(F.col("__key").isin("user-agent", "allow", "disallow"))
+    )
+
+
+def _grouped_lines(
+    robots_df: DataFrame, host_col: str, text_col: str
+) -> DataFrame:
+    """Group-attributed directive lines: ``(host, pos, __key, __val,
+    __gid)`` for the group-scoped keys (user-agent / allow / disallow /
+    crawl-delay). A run of consecutive User-agent lines opens a group
+    (RFC 9309 §2.2.1); every other directive line ends the run, so a
+    later User-agent starts a NEW group."""
+    parsed = _parsed_lines(robots_df, host_col, text_col).filter(
+        F.col("__key").isin(
+            "user-agent", "allow", "disallow", "crawl-delay"
+        )
+    )
     w = Window.partitionBy("host").orderBy("pos")
-    grouped = parsed.select(
+    return parsed.select(
         "host",
         "pos",
         "__key",
@@ -116,6 +115,13 @@ def parse_robots(
         .over(w)
         .alias("__gid"),
     )
+
+
+def _applicable_groups(grouped: DataFrame, user_agent: str) -> DataFrame:
+    """(host, __gid) of the groups that govern ``user_agent``: the
+    exact-token groups when any exist for the host, else the ``*``
+    groups (RFC 9309 agent resolution)."""
+    ua = user_agent.lower()
     agents = (
         grouped.filter(F.col("__key") == "user-agent")
         .groupBy("host", "__gid")
@@ -128,11 +134,10 @@ def parse_robots(
             ),
         )
     )
-    # spec: exact-match groups beat the * groups host-wide
     host_has_exact = agents.groupBy("host").agg(
         F.max("__exact").alias("__host_exact")
     )
-    applicable = (
+    return (
         agents.join(host_has_exact, "host")
         .filter(
             F.when(F.col("__host_exact") == 1, F.col("__exact") == 1)
@@ -140,6 +145,77 @@ def parse_robots(
         )
         .select("host", "__gid")
     )
+
+
+def robots_directives(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Per-host non-rule directives: ``(host, crawl_delay, sitemaps)``.
+
+    ``crawl_delay`` (seconds, nullable double) comes from the groups
+    governing ``user_agent`` — the MINIMUM across them when several
+    apply, NULL when absent or non-numeric (``try_cast``: junk values
+    degrade to "no delay stated", never a job abort). ``sitemaps`` is
+    the sorted array of ``Sitemap:`` URLs — host-wide per
+    sitemaps.org, independent of any user-agent group. Hosts with
+    neither directive still appear (both columns NULL/empty) so the
+    frame is a complete per-host policy summary."""
+    grouped = _grouped_lines(robots_df, host_col, text_col)
+    applicable = _applicable_groups(grouped, user_agent)
+    delays = (
+        grouped.filter(F.col("__key") == "crawl-delay")
+        .join(applicable, ["host", "__gid"])
+        .groupBy("host")
+        .agg(
+            F.min(F.expr("try_cast(__val AS DOUBLE)")).alias(
+                "crawl_delay"
+            )
+        )
+    )
+    sitemaps = (
+        _parsed_lines(robots_df, host_col, text_col)
+        .filter((F.col("__key") == "sitemap") & (F.col("__val") != ""))
+        .groupBy("host")
+        .agg(F.sort_array(F.collect_set("__val")).alias("sitemaps"))
+    )
+    hosts = robots_df.select(
+        F.col(host_col).alias("host")
+    ).distinct()
+    return (
+        hosts.join(delays, "host", "left")
+        .join(sitemaps, "host", "left")
+        .select(
+            "host",
+            "crawl_delay",
+            F.coalesce(
+                "sitemaps", F.array().cast("array<string>")
+            ).alias("sitemaps"),
+        )
+    )
+
+
+def parse_robots(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Rule frame for one user agent: ``(host, rule_path, pattern,
+    allow, rule_len)``.
+
+    Group semantics per RFC 9309 §2.2.1: a run of consecutive
+    ``User-agent`` lines opens a group; ``Allow``/``Disallow`` lines
+    belong to the open group and apply to every agent it names. If any
+    group names ``user_agent`` exactly (case-insensitive product
+    token), only those groups' rules survive; otherwise the ``*``
+    groups. Unknown directives (Sitemap, Crawl-delay, ...) are
+    ignored; a robots.txt smaller than one group yields no rules
+    (allow-all)."""
+    grouped = _grouped_lines(robots_df, host_col, text_col)
+    applicable = _applicable_groups(grouped, user_agent)
     rules = (
         grouped.filter(F.col("__key").isin("allow", "disallow"))
         .filter(F.col("__val") != "")  # empty Disallow: = no rule

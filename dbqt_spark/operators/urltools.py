@@ -260,3 +260,60 @@ def domain_stats(
         .drop("__total")
         .orderBy(F.desc("n_docs"), "host")
     )
+
+
+def frontier_schedule(
+    df: DataFrame,
+    url_col: str = "url",
+    priority_col: "str | None" = None,
+    delays_df: "DataFrame | None" = None,
+    default_delay: float = 1.0,
+    strip_www: bool = False,
+) -> DataFrame:
+    """Politeness-aware fetch schedule: every URL gets its host's
+    fetch ``wave`` (1, 2, 3, ... — one fetch per host per wave) and a
+    ``fetch_after_sec`` offset = (wave - 1) x the host's crawl delay.
+    Higher ``priority_col`` fetches earlier within its host (PageRank
+    from ``linkgraph.pagerank_hosts`` is the natural input); ties and
+    the no-priority case break on the URL string, so the schedule is
+    a pure function of the frontier.
+
+    ``delays_df`` is a (host, crawl_delay) frame — the
+    ``robots.robots_directives`` output — joined BROADCAST (per-host
+    policy is tiny); hosts it doesn't name use ``default_delay``.
+
+    Scale shape: ONE window per host. Per-host ordering is not
+    overhead to engineer away — politeness makes fetches within a
+    host inherently sequential, so a per-host total order is the
+    OUTPUT, not an implementation detail. A mega-host's partition
+    sorts in one task; cap per-host frontier size first
+    (``sampling.stratified_sample`` / group caps) when a single host
+    dominates the frontier."""
+    from pyspark.sql.window import Window
+
+    host = host_col(F.col(url_col), strip_www=strip_www)
+    keyed = df.withColumn("host", host)
+    order = (
+        [F.col(priority_col).desc_nulls_last(), F.col(url_col).asc()]
+        if priority_col
+        else [F.col(url_col).asc()]
+    )
+    wave = F.row_number().over(
+        Window.partitionBy("host").orderBy(*order)
+    )
+    out = keyed.withColumn("wave", wave)
+    if delays_df is not None:
+        d = delays_df.select(
+            F.col("host").alias("__dhost"),
+            F.col("crawl_delay").alias("__delay"),
+        )
+        out = out.join(
+            F.broadcast(d), out["host"] == d["__dhost"], "left"
+        ).drop("__dhost")
+    else:
+        out = out.withColumn("__delay", F.lit(None).cast("double"))
+    return out.withColumn(
+        "fetch_after_sec",
+        (F.col("wave") - 1).cast("double")
+        * F.coalesce(F.col("__delay"), F.lit(float(default_delay))),
+    ).drop("__delay")

@@ -7220,6 +7220,79 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch schedule (urltools.frontier_schedule +
+    robots.robots_directives): even-numbered hosts publish a
+    robots.txt carrying Crawl-delay 2.5 and two Sitemap lines (parsed
+    by the REAL directive chain — group attribution, try_cast,
+    host-wide sitemaps); odd hosts publish none and fall back to the
+    1 s default. Every document URL gets its host fetch wave (by a
+    deterministic priority) and seconds offset; the oracle replays
+    the window + delay arithmetic."""
+    from .operators.robots import robots_directives
+    from .operators.urltools import frontier_schedule
+
+    robots_text = (
+        "User-agent: ignored-bot\nCrawl-delay: 99\n\n"
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /never\n"
+        "Sitemap: https://{h}/sm-a.xml\nSitemap: https://{h}/sm-b.xml\n"
+    )
+    robots = spark.createDataFrame(
+        [
+            (f"site-{k}.example", robots_text.format(h=f"site-{k}.example"))
+            for k in (0, 2, 4)
+        ],
+        "host string, text string",
+    )
+    dirs = robots_directives(robots)
+    d = F.col("doc_id")
+    urls = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"), d % 5, F.lit(".example/p/"), d
+        ).alias("url"),
+        ((d * 37) % 101).cast("double").alias("pr"),
+    )
+    sched = frontier_schedule(
+        urls, priority_col="pr", delays_df=dirs, default_delay=1.0
+    )
+    sm = dirs.select(
+        F.col("host").alias("__smhost"),
+        F.size("sitemaps").alias("n_sitemaps"),
+    )
+    return (
+        sched.join(F.broadcast(sm), sched["host"] == sm["__smhost"], "left")
+        .select(
+            "doc_id", "url", "host", "wave", "fetch_after_sec",
+            "n_sitemaps",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CRAWL_FRONTIER = """
+WITH u AS (
+  SELECT doc_id,
+    'https://site-' || (doc_id % 5) || '.example/p/' || doc_id AS url,
+    'site-' || (doc_id % 5) || '.example' AS host,
+    CAST((doc_id * 37) % 101 AS DOUBLE) AS pr
+  FROM documents
+),
+w AS (
+  SELECT doc_id, url, host,
+    CAST(row_number() OVER (
+      PARTITION BY host ORDER BY pr DESC, url ASC) AS INTEGER) AS wave
+  FROM u
+)
+SELECT doc_id, url, host, wave,
+  CAST(wave - 1 AS DOUBLE)
+    * (CASE WHEN (doc_id % 5) % 2 = 0 THEN 2.5 ELSE 1.0 END)
+    AS fetch_after_sec,
+  CASE WHEN (doc_id % 5) % 2 = 0 THEN 2 ELSE NULL END AS n_sitemaps
+FROM w ORDER BY doc_id
+"""
+
+
 SQL_DSIR_SELECT = f"""
 WITH {_SQL_DSIR_CTES}
 SELECT doc_id, n_grams, log_weight,
@@ -7393,6 +7466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outlink_hosts": q_outlink_hosts,
     "host_pagerank": q_host_pagerank,
     "robots_gate": q_robots_gate,
+    "crawl_frontier": q_crawl_frontier,
 }
 
 ORACLES: dict[str, str] = {
@@ -7553,6 +7627,7 @@ ORACLES: dict[str, str] = {
     "outlink_hosts": SQL_OUTLINK_HOSTS,
     "host_pagerank": SQL_HOST_PAGERANK,
     "robots_gate": SQL_ROBOTS_GATE,
+    "crawl_frontier": SQL_CRAWL_FRONTIER,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -162,3 +162,85 @@ def test_filter_never_shuffles_the_corpus(spark):
             assert "host" in line  # rule-side keys only
             assert "doc_id" not in line and "url" not in line
     assert "BroadcastExchange" in plan
+
+
+def test_robots_directives(spark):
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"
+                "Sitemap: https://a.example/sm1.xml\n"
+                "Sitemap: https://a.example/sm0.xml\n"
+                "Sitemap: https://a.example/sm0.xml\n",  # dup collapses
+            ),
+            # mybot's 9 must NOT leak to '*'; junk value -> NULL
+            (
+                "b.example",
+                "User-agent: mybot\nCrawl-delay: 9\n"
+                "User-agent: *\nCrawl-delay: junk\n",
+            ),
+            ("c.example", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, text string",
+    )
+    from dbqt_spark.operators.robots import robots_directives
+
+    star = {r.host: r for r in robots_directives(robots).collect()}
+    assert star["a.example"].crawl_delay == 2.5
+    assert star["a.example"].sitemaps == [
+        "https://a.example/sm0.xml",
+        "https://a.example/sm1.xml",
+    ]
+    assert star["b.example"].crawl_delay is None
+    assert star["c.example"].crawl_delay is None
+    assert star["c.example"].sitemaps == []
+    mybot = {
+        r.host: r.crawl_delay
+        for r in robots_directives(robots, user_agent="mybot").collect()
+    }
+    assert mybot["b.example"] == 9.0
+    # crawl-delay lines END a user-agent run: '*' after mybot's delay
+    # opens a NEW group, so mybot never sees the junk value
+    assert mybot["a.example"] == 2.5  # falls back to the * group
+
+
+def test_frontier_schedule(spark):
+    from dbqt_spark.operators.robots import robots_directives
+    from dbqt_spark.operators.urltools import frontier_schedule
+
+    robots = spark.createDataFrame(
+        [("h0.example", "User-agent: *\nCrawl-delay: 3\n")],
+        "host string, text string",
+    )
+    urls = spark.createDataFrame(
+        [(i, f"https://h{i % 2}.example/p/{i}", float(10 - i))
+         for i in range(6)],
+        "doc_id long, url string, pr double",
+    )
+    sched = {
+        r.doc_id: r
+        for r in frontier_schedule(
+            urls,
+            priority_col="pr",
+            delays_df=robots_directives(robots),
+            default_delay=1.0,
+        ).collect()
+    }
+    # h0: docs 0,2,4 by pr desc -> waves 1,2,3 at 3s apart
+    assert [sched[i].wave for i in (0, 2, 4)] == [1, 2, 3]
+    assert [sched[i].fetch_after_sec for i in (0, 2, 4)] == [0.0, 3.0, 6.0]
+    # h1 has no robots row -> default 1s delay
+    assert [sched[i].fetch_after_sec for i in (1, 3, 5)] == [0.0, 1.0, 2.0]
+    # pure function of the frontier: repartitioning changes nothing
+    again = {
+        r.doc_id: (r.wave, r.fetch_after_sec)
+        for r in frontier_schedule(
+            urls.repartition(7),
+            priority_col="pr",
+            delays_df=robots_directives(robots),
+        ).collect()
+    }
+    assert again == {
+        i: (sched[i].wave, sched[i].fetch_after_sec) for i in range(6)
+    }
