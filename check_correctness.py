@@ -84,7 +84,13 @@ def main(only=None):
     def flush():
         # incremental: a killed sweep still leaves a complete record
         # of everything it finished
-        if out_file and not only:
+        # CORRECTNESS_WRITE_ONLY=1 lets a named-subset run still emit
+        # its records (for merging late-registered queries into a
+        # committed sweep artifact); default keeps the old guard so a
+        # quick subset check never clobbers a full-registry record.
+        if out_file and (
+            not only or os.environ.get("CORRECTNESS_WRITE_ONLY") == "1"
+        ):
             with open(out_file, "w") as fh:
                 json.dump(records, fh, indent=1, default=str)
                 fh.write("\n")
