@@ -317,3 +317,42 @@ def frontier_schedule(
         (F.col("wave") - 1).cast("double")
         * F.coalesce(F.col("__delay"), F.lit(float(default_delay))),
     ).drop("__delay")
+
+
+def sitemap_urls(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """URL discovery from sitemap XML documents (sitemaps.org): one
+    row per ``<loc>`` entry — ``(src_url, loc, is_index)`` where
+    ``is_index`` marks sitemap INDEX files (their locs are more
+    sitemaps to fetch, not pages). The natural chain is
+    ``robots.robots_directives`` (which sitemaps exist) -> fetch ->
+    this (what they list) -> ``frontier_schedule``.
+
+    One case-insensitive regexp scan per document + explode — no XML
+    parser dependency, which also makes it robust to the truncated /
+    malformed XML real crawls return; entity-encoded ampersands
+    (``&amp;`` — required by the spec inside XML) are decoded."""
+    locs = F.regexp_extract_all(
+        F.col(text_col),
+        F.lit(r"(?is)<loc>\s*([^<]+?)\s*</loc>"),
+        F.lit(1),
+    )
+    is_index = F.coalesce(
+        F.col(text_col).rlike(r"(?is)<\s*sitemapindex"), F.lit(False)
+    )
+    return (
+        df.select(
+            F.col(url_col).alias("src_url"),
+            is_index.alias("is_index"),
+            F.explode(locs).alias("__loc"),
+        )
+        .select(
+            "src_url",
+            F.regexp_replace("__loc", r"&amp;", "&").alias("loc"),
+            "is_index",
+        )
+        .filter(F.col("loc") != "")
+    )

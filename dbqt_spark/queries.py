@@ -7293,6 +7293,69 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap URL discovery (urltools.sitemap_urls): every tenth
+    document is a sitemap INDEX pointing at another sitemap; the rest
+    are urlsets listing two pages, one with an entity-encoded query
+    string (&amp; must decode). The real regex/explode chain extracts
+    the locs; the oracle replays the synthesis arithmetic."""
+    from .operators.urltools import sitemap_urls
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("https://site-"), d % 5, F.lit(".example"))
+    xml = F.when(
+        d % 10 == 0,
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"),
+            host,
+            F.lit("/sm/"),
+            d + 1,
+            F.lit(".xml</loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<urlset><url><loc> '),
+            host,
+            F.lit("/p/"),
+            d,
+            F.lit("?a=1&amp;b=2 </loc></url><url><loc>"),
+            host,
+            F.lit("/q/"),
+            d,
+            F.lit("</loc></url></urlset>"),
+        ),
+    )
+    pages = load_table(spark, sf_dir, "documents").select(
+        F.concat(host, F.lit("/sm/"), d, F.lit(".xml")).alias("url"),
+        xml.alias("text"),
+    )
+    return sitemap_urls(pages).orderBy("src_url", "loc")
+
+
+SQL_SITEMAP_DISCOVERY = """
+WITH base AS (
+  SELECT doc_id,
+    'https://site-' || (doc_id % 5) || '.example' AS h,
+    'https://site-' || (doc_id % 5) || '.example/sm/' || doc_id
+      || '.xml' AS src_url
+  FROM documents
+)
+SELECT src_url, loc, is_index FROM (
+  SELECT src_url, h || '/sm/' || (doc_id + 1) || '.xml' AS loc,
+         TRUE AS is_index
+  FROM base WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT src_url, h || '/p/' || doc_id || '?a=1&b=2' AS loc,
+         FALSE AS is_index
+  FROM base WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT src_url, h || '/q/' || doc_id AS loc, FALSE AS is_index
+  FROM base WHERE doc_id % 10 <> 0
+)
+ORDER BY src_url, loc
+"""
+
+
 SQL_DSIR_SELECT = f"""
 WITH {_SQL_DSIR_CTES}
 SELECT doc_id, n_grams, log_weight,
@@ -7467,6 +7530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "robots_gate": q_robots_gate,
     "crawl_frontier": q_crawl_frontier,
+    "sitemap_discovery": q_sitemap_discovery,
 }
 
 ORACLES: dict[str, str] = {
@@ -7628,6 +7692,7 @@ ORACLES: dict[str, str] = {
     "host_pagerank": SQL_HOST_PAGERANK,
     "robots_gate": SQL_ROBOTS_GATE,
     "crawl_frontier": SQL_CRAWL_FRONTIER,
+    "sitemap_discovery": SQL_SITEMAP_DISCOVERY,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

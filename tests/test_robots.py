@@ -244,3 +244,40 @@ def test_frontier_schedule(spark):
     assert again == {
         i: (sched[i].wave, sched[i].fetch_after_sec) for i in range(6)
     }
+
+
+def test_sitemap_urls_extraction(spark):
+    from dbqt_spark.operators.urltools import sitemap_urls
+
+    df = spark.createDataFrame(
+        [
+            (
+                "https://a.example/sitemap.xml",
+                '<?xml version="1.0"?><urlset><url>'
+                "<loc> https://a.example/p?x=1&amp;y=2 </loc>"
+                "<lastmod>2024</lastmod></url>"
+                "<url><LOC>https://a.example/q</LOC></url></urlset>",
+            ),
+            (
+                "https://a.example/index.xml",
+                "<sitemapIndex><sitemap>"
+                "<loc>https://a.example/sm-1.xml</loc>"
+                "</sitemap></sitemapIndex>",
+            ),
+            # truncated XML from a real crawl: no closing tag, no rows
+            ("https://b.example/broken.xml",
+             "<urlset><url><loc>https://b.example/only"),
+            ("https://c.example/null.xml", None),
+        ],
+        "url string, text string",
+    )
+    rows = sitemap_urls(df).collect()
+    got = {(r.src_url, r.loc, r.is_index) for r in rows}
+    assert got == {
+        # whitespace trimmed, &amp; decoded, case-insensitive tag
+        ("https://a.example/sitemap.xml",
+         "https://a.example/p?x=1&y=2", False),
+        ("https://a.example/sitemap.xml", "https://a.example/q", False),
+        ("https://a.example/index.xml",
+         "https://a.example/sm-1.xml", True),
+    }
