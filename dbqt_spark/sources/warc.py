@@ -443,12 +443,15 @@ def corpus_view(
         )
         & F.col("url").isNotNull()
     )
+    from ..operators.urltools import host_col
+
     return textish.select(
         F.xxhash64("url", "warc_date").alias("doc_id"),
         "url",
-        F.lower(
-            F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)
-        ).alias("host"),
+        # urltools' extraction chain (lowercase, userinfo/port
+        # stripped) so the corpus host can never disagree with the
+        # canonicalizer / robots / frontier hosts downstream
+        host_col(F.col("url")).alias("host"),
         F.to_timestamp(
             F.regexp_replace("warc_date", r"[TZ]", " ")
         ).alias("fetch_ts"),

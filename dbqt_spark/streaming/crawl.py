@@ -119,7 +119,13 @@ def warc_ingest_gate(
     A page re-fetched at a DIFFERENT time is still a duplicate (the
     gate keys on the canonical URL alone); content-level re-ingest
     policies (accept changed pages) belong to the fingerprint tiers
-    (``streaming/dedup.first_seen`` on text) downstream."""
+    (``streaming/dedup.first_seen`` on text) downstream.
+
+    Survivor determinism: STREAMING keeps the first ARRIVAL (state
+    order); on a batch frame ``dropDuplicates`` keeps an arbitrary
+    row per canonical URL — fine for the gate's keep-one contract,
+    but pick explicitly first (``clusters.first_wins_dropped`` /
+    ``best_quality_kept``) when WHICH spelling survives matters."""
     from pyspark.sql import functions as F
 
     from ..operators.urltools import canonical_url_col
