@@ -177,15 +177,19 @@ def test_example_configs_round_trip():
     paths = sorted(glob.glob(os.path.join(here, "examples", "*.yaml.example")))
     # the checks-suite example is not a connection config
     paths = [p for p in paths if "checks_suite" not in p]
-    assert len(paths) == 5  # athena, duckdb, mssql, oracle, snowflake
+    # athena, duckdb, mssql, oracle, snowflake, warc
+    assert len(paths) == 6
     supported = set(_JDBC_URLS) | {
         "parquet", "csv", "json", "orc", "duckdb", "s3parquet", "jdbc",
+        "warc",
     }
     for p in paths:
         cfg = EngineConfig.load(p)
         kind = (cfg.connection.get("type") or "").lower()
         assert kind in supported, f"{p}: unsupported type {kind!r}"
-        assert cfg.tables_file  # every example names a tables CSV
+        # every example names a tables CSV, except warc (tables are
+        # discovered from the segment directory)
+        assert cfg.tables_file or kind == "warc"
 
 
 def test_colcompare_generate_config_roundtrip(tmp_path, capsys):
