@@ -328,7 +328,12 @@ def main() -> None:
         # streaming lifecycle, the two-pass DSIR fits (weights/select
         # share the fit; select adds the Gumbel top-k), and the
         # 3-iteration unrolled PageRank chain
-        "streaming_warc_gate,dsir_weights,dsir_select,host_pagerank",
+        "streaming_warc_gate,dsir_weights,dsir_select,host_pagerank,"
+        # late-r13 movers: robots_gate is Janino first-compile of the
+        # regex-translation + array-lambda chain (13.9 s cold, 2.6 s
+        # warm); crawl_frontier is the per-host window + broadcast
+        # delay join (2.4 s warm)
+        "robots_gate,crawl_frontier",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):
