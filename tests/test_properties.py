@@ -85,3 +85,83 @@ def test_prioritize_stable_partition(cols):
     assert sorted(out) == sorted(cols)
     ids = [c for c in cols if is_id_column(c)]
     assert out[: len(ids)] == ids  # ID columns first, original order kept
+
+
+# --------------------------------------------------------------------------
+# WARC serializer/parser round trip (sources/warc.py — pure Python, no
+# Spark session needed, so the fuzz runs at full hypothesis speed)
+# --------------------------------------------------------------------------
+
+_urlish = st.text(
+    alphabet="abcdefghij0123456789:/?=&.-_%", min_size=1, max_size=60
+).map(lambda s: "https://h.example/" + s)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            _urlish,
+            st.integers(0, 86399),
+            st.binary(min_size=0, max_size=512),
+            st.integers(100, 599),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_round_trip_any_payload(recs, per_record_gzip):
+    """serialize -> (maybe per-record gzip) -> parse recovers every
+    record's url/date/status and the exact body bytes, for arbitrary
+    binary payloads (including CRLFs, gzip magic, 'WARC/1.0' text)."""
+    import io
+
+    from dbqt_spark.sources.warc import (
+        build_warc,
+        iter_warc_records,
+        split_http_payload,
+        warc_response_record,
+    )
+
+    blobs = []
+    for url, sec, body, status in recs:
+        date = "2024-01-01T%02d:%02d:%02dZ" % (
+            sec // 3600, (sec // 60) % 60, sec % 60
+        )
+        blobs.append(
+            warc_response_record(url, date, body, status=status)
+        )
+    stream = build_warc(blobs, gzip_per_record=per_record_gzip)
+    out = list(iter_warc_records(io.BytesIO(stream)))
+    assert len(out) == len(recs)
+    for rec, (url, sec, body, status) in zip(out, recs):
+        assert rec.header("WARC-Target-URI") == url
+        got_status, _, got_body = split_http_payload(rec.payload)
+        assert got_status == status
+        assert got_body == body
+
+
+@given(
+    st.text(
+        alphabet="abcdefghij/0123456789.-_~%?=&()[]{}+^|\\",
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_robots_rule_regex_literal_prefix_property(rule):
+    """For rules without * or $, the translated pattern must behave as
+    a PLAIN PREFIX match: it matches exactly the strings that start
+    with the rule, no matter which regex metacharacters the rule
+    contains (escaping property of robots._rule_to_regex, checked via
+    Python re on the same Java-compatible pattern)."""
+    import re
+
+    # build the pattern exactly as the operator does, driver-side
+    escaped = re.sub(r"([\\.\[\]\{\}\(\)\+\?\^\|])", r"\\\1", rule)
+    pattern = "^" + re.sub(r"\$", r"\\$", escaped).replace("*", ".*")
+    assert re.search(pattern, rule), (rule, pattern)
+    assert re.search(pattern, rule + "/suffix")
+    if not rule.startswith("x"):
+        assert not re.search(pattern, "x" + rule)

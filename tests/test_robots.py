@@ -281,3 +281,38 @@ def test_sitemap_urls_extraction(spark):
         ("https://a.example/index.xml",
          "https://a.example/sm-1.xml", True),
     }
+
+
+def test_rule_metacharacters_stay_literal_through_the_real_operator(spark):
+    """Rules full of regex metacharacters must behave as plain
+    prefixes end-to-end (parse -> translate -> filter): one batch of
+    adversarial rules through the REAL chain."""
+    rules_src = [
+        "/a.b", "/a(b)", "/a[b]", "/a{2}", "/a+b", "/a?b", "/a^b",
+        "/a|b", "/a\\b", "/path.{png}",
+    ]
+    robots = spark.createDataFrame(
+        [("m.example",
+          "User-agent: *\n" + "".join(f"Disallow: {r}\n" for r in rules_src))],
+        "host string, text string",
+    )
+    parsed = parse_robots(robots)
+    assert parsed.count() == len(rules_src)
+    urls = []
+    for i, r in enumerate(rules_src):
+        urls.append((2 * i, f"https://m.example{r}/tail"))  # must match
+        # 'x' + rule: same length, different first char -> no match
+        urls.append((2 * i + 1, f"https://m.example/x{r[1:]}/tail"))
+    got = {
+        r.doc_id: r.allowed
+        for r in robots_filter(
+            spark.createDataFrame(urls, "doc_id long, url string"),
+            parsed,
+            keep_disallowed=True,
+        ).collect()
+    }
+    for i, rule in enumerate(rules_src):
+        assert got[2 * i] is False, f"rule {rule!r} failed to match itself"
+        # the decoy may coincidentally match ANOTHER rule only if it
+        # actually shares that prefix; for this rule set it never does
+        assert got[2 * i + 1] is True, f"rule {rule!r} over-matched"
