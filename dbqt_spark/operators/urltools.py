@@ -356,3 +356,82 @@ def sitemap_urls(
         )
         .filter(F.col("loc") != "")
     )
+
+
+def resolve_redirects(
+    df: DataFrame,
+    url_col: str = "url",
+    target_col: str = "redirect_to",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Redirect-chain resolution over a crawl: ``(url, final_url,
+    n_hops, terminal)`` for every row — ``final_url`` follows the
+    Location edges up to ``max_hops``; ``terminal`` is false when the
+    walk stopped at the cap with an edge still outgoing (a longer
+    chain or a loop). Rows whose target is NULL resolve to themselves
+    in 0 hops. Relative Location values (``/path`` — RFC 9110 allows
+    them) resolve against the source URL's scheme+host first.
+
+    The redirect map is the canonical-URL companion: two spellings
+    that 301 to the same place are the same page even when the
+    canonicalizer cannot know it.
+
+    Scale shape: the EDGE frame (3xx rows only — a few percent of a
+    crawl) is the only thing that shuffles; each hop is one
+    edges-sized equi-join unrolled ``max_hops`` times (the
+    ``pagerank_hosts`` fixed-iteration discipline — no driver loop
+    over data, no recursion state)."""
+    u = F.col(url_col)
+    raw_t = F.trim(F.col(target_col))
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    root = F.concat(
+        scheme,
+        F.lit("://"),
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1),
+    )
+    resolved_t = (
+        F.when(F.lower(raw_t).rlike(r"^https?://"), raw_t)
+        .when(raw_t.startswith("//"), F.concat(scheme, F.lit(":"), raw_t))
+        .when(raw_t.startswith("/"), F.concat(root, raw_t))
+    )
+    edges = (
+        df.select(u.alias("__src"), resolved_t.alias("__dst"))
+        .filter(F.col("__dst").isNotNull() & (F.col("__dst") != F.col("__src")))
+        .dropDuplicates(["__src"])  # one outgoing edge per URL
+    )
+    state = df.select(
+        u.alias(url_col),
+        u.alias("final_url"),
+        F.lit(0).cast("int").alias("n_hops"),
+    )
+    for _ in range(max_hops):
+        e = edges.select(
+            F.col("__src").alias("__e_src"), F.col("__dst").alias("__e_dst")
+        )
+        state = (
+            state.join(
+                e, state["final_url"] == e["__e_src"], "left"
+            )
+            .select(
+                url_col,
+                F.coalesce("__e_dst", "final_url").alias("final_url"),
+                (
+                    F.col("n_hops")
+                    + F.when(F.col("__e_dst").isNotNull(), 1).otherwise(0)
+                ).cast("int").alias("n_hops"),
+            )
+        )
+    e = edges.select(
+        F.col("__src").alias("__e_src"), F.lit(True).alias("__more")
+    )
+    return (
+        state.join(e, state["final_url"] == e["__e_src"], "left")
+        .select(
+            url_col,
+            "final_url",
+            "n_hops",
+            F.coalesce(~F.col("__more"), F.lit(True)).alias("terminal"),
+        )
+    )

@@ -7356,6 +7356,103 @@ ORDER BY src_url, loc
 """
 
 
+def q_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (sources/warc Location capture +
+    urltools.resolve_redirects): every third document is a landing
+    page; the two before it are a 301 chain — one RELATIVE Location
+    (resolved against the source host) into one absolute. The synth
+    records round-trip the REAL writer/gzip/parser (Location captured
+    from the HTTP headers), then the fixed-hop join walk resolves
+    every url to its terminal; the oracle replays the chain
+    arithmetic (doc_ids are contiguous, so presence = id <= max)."""
+    from .sources.warc import (
+        WARC_ROW_SCHEMA,
+        build_warc,
+        rows_from_stream,
+        warc_response_record,
+    )
+    from .operators.urltools import resolve_redirects
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cols = [c.split()[0] for c in WARC_ROW_SCHEMA.split(", ")]
+
+    def round_trip(batches):
+        import io as _io
+
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                url = "https://crawl.example/p/%d" % i
+                date = "2024-03-01T00:00:00Z"
+                c = i % 3
+                if c == 0:
+                    recs.append(
+                        warc_response_record(
+                            url, date, b"<html><body>ok</body></html>"
+                        )
+                    )
+                else:
+                    loc = (
+                        "/p/%d" % (i + 1)
+                        if c == 1
+                        else "https://crawl.example/p/%d" % (i + 1)
+                    )
+                    recs.append(
+                        warc_response_record(
+                            url,
+                            date,
+                            b"",
+                            status=301,
+                            http_headers={"Location": loc},
+                        )
+                    )
+            blob = build_warc(recs, gzip_per_record=True)
+            rows = list(
+                rows_from_stream(
+                    _io.BytesIO(blob), "synth.warc.gz", ("response",)
+                )
+            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    parsed = docs.mapInPandas(round_trip, schema=WARC_ROW_SCHEMA)
+    resolved = resolve_redirects(
+        parsed.select("url", "redirect_to"), max_hops=4
+    )
+    return resolved.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "url",
+        "final_url",
+        "n_hops",
+        "terminal",
+    ).orderBy("doc_id")
+
+
+SQL_REDIRECT_MAP = """
+WITH m AS (SELECT max(doc_id) AS mx FROM documents)
+SELECT doc_id,
+  'https://crawl.example/p/' || doc_id AS url,
+  CASE
+    WHEN doc_id % 3 = 0 THEN 'https://crawl.example/p/' || doc_id
+    WHEN doc_id % 3 = 2 THEN 'https://crawl.example/p/' || (doc_id + 1)
+    WHEN doc_id + 1 <= mx THEN 'https://crawl.example/p/' || (doc_id + 2)
+    ELSE 'https://crawl.example/p/' || (doc_id + 1)
+  END AS final_url,
+  CAST(CASE
+    WHEN doc_id % 3 = 0 THEN 0
+    WHEN doc_id % 3 = 2 THEN 1
+    WHEN doc_id + 1 <= mx THEN 2
+    ELSE 1
+  END AS INTEGER) AS n_hops,
+  TRUE AS terminal
+FROM documents, m ORDER BY doc_id
+"""
+
+
 SQL_DSIR_SELECT = f"""
 WITH {_SQL_DSIR_CTES}
 SELECT doc_id, n_grams, log_weight,
@@ -7531,6 +7628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_gate": q_robots_gate,
     "crawl_frontier": q_crawl_frontier,
     "sitemap_discovery": q_sitemap_discovery,
+    "redirect_map": q_redirect_map,
 }
 
 ORACLES: dict[str, str] = {
@@ -7693,6 +7791,7 @@ ORACLES: dict[str, str] = {
     "robots_gate": SQL_ROBOTS_GATE,
     "crawl_frontier": SQL_CRAWL_FRONTIER,
     "sitemap_discovery": SQL_SITEMAP_DISCOVERY,
+    "redirect_map": SQL_REDIRECT_MAP,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

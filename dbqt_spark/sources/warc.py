@@ -66,7 +66,7 @@ _CRLF = b"\r\n"
 WARC_ROW_SCHEMA = (
     "warc_file string, record_id string, record_type string, "
     "url string, warc_date string, mime string, http_status int, "
-    "payload binary"
+    "redirect_to string, payload binary"
 )
 
 
@@ -196,14 +196,16 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out) if out else body
 
 
-def split_http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]":
-    """(status, media type, body) from an ``application/http`` block.
-
-    Non-HTTP payloads come back as (None, None, payload). The body is
-    de-chunked and de-gzipped per the HTTP headers so downstream text
-    extraction sees document bytes, not wire framing."""
+def split_http_message(
+    payload: bytes,
+) -> "tuple[int | None, dict, bytes]":
+    """(status, lowercased header dict, body) from an
+    ``application/http`` block; non-HTTP payloads come back as
+    (None, {}, payload). The body is de-chunked and de-gzipped per the
+    HTTP headers so downstream text extraction sees document bytes,
+    not wire framing."""
     if not payload.startswith(b"HTTP/"):
-        return None, None, payload
+        return None, {}, payload
     head, sep, body = payload.partition(_CRLF + _CRLF)
     if not sep:
         head, sep, body = payload.partition(b"\n\n")
@@ -213,26 +215,18 @@ def split_http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]"
         status = int(parts[1])
     except (IndexError, ValueError):
         status = None
-    mime = None
-    chunked = False
-    gzipped = False
+    headers: dict = {}
     for raw in lines[1:]:
         text = raw.decode("latin-1").strip()
         name, _, value = text.partition(":")
-        key = name.strip().lower()
-        if key == "content-type":
-            mime = value.split(";", 1)[0].strip().lower() or None
-        elif key == "transfer-encoding" and "chunked" in value.lower():
-            chunked = True
-        elif key == "content-encoding" and value.strip().lower() in (
-            "gzip",
-            "x-gzip",
-            "deflate",
-        ):
-            gzipped = True
-    if chunked:
+        headers[name.strip().lower()] = value.strip()
+    if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
-    if gzipped and body:
+    if headers.get("content-encoding", "").lower() in (
+        "gzip",
+        "x-gzip",
+        "deflate",
+    ) and body:
         try:
             body = (
                 gzip.decompress(body)
@@ -241,6 +235,17 @@ def split_http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]"
             )
         except (OSError, zlib.error):
             pass  # keep wire bytes; better than dropping the record
+    return status, headers, body
+
+
+def split_http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]":
+    """(status, media type, body) — the narrow view of
+    ``split_http_message`` most callers want."""
+    status, headers, body = split_http_message(payload)
+    mime = None
+    ct = headers.get("content-type")
+    if ct:
+        mime = ct.split(";", 1)[0].strip().lower() or None
     return status, mime, body
 
 
@@ -256,21 +261,28 @@ def warc_response_record(
     status: int = 200,
     content_type: str = "text/html; charset=utf-8",
     record_id: "str | None" = None,
+    http_headers: "dict | None" = None,
 ) -> bytes:
     """Serialize one ``response`` record wrapping an HTTP/1.1 block.
 
     ``record_id`` defaults to a DETERMINISTIC urn:uuid derived from
     (url, date) — same input, same bytes — so round-trip tests and the
-    SQL-replayable synth queries stay reproducible."""
+    SQL-replayable synth queries stay reproducible. ``http_headers``
+    appends extra response headers (e.g. ``{"Location": ...}`` for a
+    3xx redirect record)."""
     if record_id is None:
         digest = hashlib.md5(f"{url}\x00{date}".encode()).hexdigest()
         record_id = (
             f"<urn:uuid:{digest[:8]}-{digest[8:12]}-{digest[12:16]}"
             f"-{digest[16:20]}-{digest[20:32]}>"
         )
+    extra = "".join(
+        f"{k}: {v}\r\n" for k, v in (http_headers or {}).items()
+    )
     http = (
         f"HTTP/1.1 {status} OK\r\n"
         f"Content-Type: {content_type}\r\n"
+        f"{extra}"
         f"Content-Length: {len(body)}\r\n\r\n"
     ).encode("latin-1") + body
     head = (
@@ -322,13 +334,15 @@ def rows_from_stream(
         rtype = (rec.header("WARC-Type") or "").lower()
         if wanted is not None and rtype not in wanted:
             continue
-        status, mime, body = split_http_payload(rec.payload)
+        status, headers, body = split_http_message(rec.payload)
+        ct = headers.get("content-type")
+        mime = ct.split(";", 1)[0].strip().lower() or None if ct else None
         if mime is None:
             # fall back to the WARC-level content type for non-HTTP
             # records (resource/conversion store bodies directly)
-            ct = rec.header("Content-Type")
-            if ct and not ct.lower().startswith("application/http"):
-                mime = ct.split(";", 1)[0].strip().lower()
+            wct = rec.header("Content-Type")
+            if wct and not wct.lower().startswith("application/http"):
+                mime = wct.split(";", 1)[0].strip().lower()
         yield (
             warc_file,
             rec.header("WARC-Record-ID"),
@@ -337,6 +351,9 @@ def rows_from_stream(
             rec.header("WARC-Date"),
             mime,
             status,
+            # raw Location header (3xx hops; resolution against the
+            # source URL happens JVM-side — urltools.resolve_redirects)
+            headers.get("location") or None,
             body,
         )
 

@@ -511,3 +511,51 @@ def test_wet_style_conversion_records(spark, tmp_path):
     assert rows[0].mime == "text/plain"
     assert rows[0].http_status is None
     assert bytes(rows[0].payload).decode() == "extracted plain text é"
+
+
+def test_redirect_capture_and_resolution(spark, tmp_path):
+    """3xx Location headers surface as redirect_to; resolve_redirects
+    walks chains (relative hop included) and flags capped cycles."""
+    from dbqt_spark.operators.urltools import resolve_redirects
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = [
+        warc_response_record(
+            "https://r.example/old", "2024-01-01T00:00:00Z", b"",
+            status=301, http_headers={"Location": "/mid"},
+        ),
+        warc_response_record(
+            "https://r.example/mid", "2024-01-01T00:00:01Z", b"",
+            status=302, http_headers={"Location": "https://r.example/new"},
+        ),
+        warc_response_record(
+            "https://r.example/new", "2024-01-01T00:00:02Z",
+            b"<html><body>landed</body></html>",
+        ),
+        warc_response_record(
+            "https://r.example/a", "2024-01-01T00:00:03Z", b"",
+            status=301, http_headers={"Location": "https://r.example/b"},
+        ),
+        warc_response_record(
+            "https://r.example/b", "2024-01-01T00:00:04Z", b"",
+            status=301, http_headers={"Location": "https://r.example/a"},
+        ),
+    ]
+    (d / "r.warc.gz").write_bytes(build_warc(recs))
+    parsed = read_warc(spark, str(d))
+    by_url = {r.url: r for r in parsed.collect()}
+    assert by_url["https://r.example/old"].redirect_to == "/mid"
+    assert by_url["https://r.example/new"].redirect_to is None
+    resolved = {
+        r.url: r
+        for r in resolve_redirects(
+            parsed.select("url", "redirect_to"), max_hops=4
+        ).collect()
+    }
+    old = resolved["https://r.example/old"]
+    assert (old.final_url, old.n_hops, old.terminal) == (
+        "https://r.example/new", 2, True,
+    )
+    loop = resolved["https://r.example/a"]
+    assert loop.n_hops == 4 and loop.terminal is False
