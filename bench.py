@@ -333,7 +333,13 @@ def main() -> None:
         # regex-translation + array-lambda chain (13.9 s cold, 2.6 s
         # warm); crawl_frontier is the per-host window + broadcast
         # delay join (2.4 s warm)
-        "robots_gate,crawl_frontier",
+        "robots_gate,crawl_frontier,"
+        # redirect_map: 16.7 s solo-cold (Janino) / 4.35 s warm — the
+        # warm cost is the unrolled 4-hop walk re-deriving the synth
+        # WARC parse per hop (job latency on 25 stages, not volume;
+        # the operator docstring's materialize-first note is the
+        # production answer)
+        "redirect_map",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

@@ -380,7 +380,11 @@ def resolve_redirects(
     crawl) is the only thing that shuffles; each hop is one
     edges-sized equi-join unrolled ``max_hops`` times (the
     ``pagerank_hosts`` fixed-iteration discipline — no driver loop
-    over data, no recursion state)."""
+    over data, no recursion state). The unrolled plan references the
+    edge subtree ``max_hops + 1`` times, so at scale feed this a
+    MATERIALIZED frame (the parquet crawl, or ``.persist()`` the
+    parse output) — resolving straight off a raw WARC parse would
+    re-run the Python parse once per hop."""
     u = F.col(url_col)
     raw_t = F.trim(F.col(target_col))
     scheme = F.lower(
