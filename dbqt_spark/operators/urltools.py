@@ -403,7 +403,12 @@ def resolve_redirects(
     edges = (
         df.select(u.alias("__src"), resolved_t.alias("__dst"))
         .filter(F.col("__dst").isNotNull() & (F.col("__dst") != F.col("__src")))
-        .dropDuplicates(["__src"])  # one outgoing edge per URL
+        # one outgoing edge per URL; a refetch with a DIFFERENT
+        # Location picks the lexically-greatest target — an arbitrary
+        # but DETERMINISTIC tiebreak (dropDuplicates would depend on
+        # partition order)
+        .groupBy("__src")
+        .agg(F.max("__dst").alias("__dst"))
     )
     state = df.select(
         u.alias(url_col),
