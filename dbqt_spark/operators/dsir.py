@@ -28,14 +28,16 @@ bit-for-bit (the ``textstats.lm_score`` discipline). Gumbel noise is a
 pure function of (seed, doc id) via the same md5 construction — no RNG
 state, append-stable, reproducible across engines.
 
-Scale shape: ONE text scan per corpus -> explode -> (doc, bucket)
-counts with map-side combine -> bucket marginals derived from THAT
-aggregate (corpus never re-exploded) -> the log-ratio table is at most
-``n_buckets`` rows (10k: kilobytes) and joins back BROADCAST -> per-doc
-agg. Selection is ``TakeOrderedAndProject`` (per-partition top-k, then
-a k-row merge on the driver) — no global sort, no single-partition
-window. Shuffle cardinalities shrink monotonically: grams -> doc
-buckets -> buckets -> docs.
+Scale shape: text scan -> explode -> (doc, bucket) counts with
+map-side combine; the log-ratio table is at most ``n_buckets`` rows
+(10k: kilobytes) and joins back BROADCAST -> per-doc agg. The self-fit
+path makes TWO passes over the raw corpus (fit q̂, then score — see
+``dsir_weights`` for why that beats caching a corpus-scale feature
+frame); ``ratios=`` collapses scoring to one pass. Selection is
+``TakeOrderedAndProject`` (per-partition top-k, then a k-row merge on
+the driver) — no global sort, no single-partition window. Shuffle
+cardinalities shrink monotonically: grams -> doc buckets -> buckets ->
+docs.
 """
 
 from __future__ import annotations
