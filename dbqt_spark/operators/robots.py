@@ -22,17 +22,29 @@ Two stages, all JVM-side expressions (no UDFs):
   no robots.txt for the host, means allowed (the spec default).
 
 Scale shape: the rule frame is per-HOST (a few rules each — millions
-of rows for the whole web, kilobytes per host) and joins the URL
-frame BROADCAST; the URL side is one scan + one regex match per
-candidate rule per URL, aggregated map-side by max(struct). The URL
-corpus is never shuffled; only (url, host) rows meet the rules.
+of rows for the whole web, kilobytes per host). ``robots_filter`` is
+SIZE-GATED (``rules_mode="auto"``, the ``nearest_centroid_assign``
+discipline): small rule frames broadcast and the URL corpus is never
+shuffled; a web-scale rule table first semi-joins down to the hosts
+the corpus actually contains (usually re-broadcastable), and only
+when even that survivor set exceeds the broadcast budget does the
+match run as a shuffle join over a NARROW (row-id, host, path)
+projection — the document text column never enters the skewed
+host-keyed exchange in any arm.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# rules_mode="auto" broadcasts the per-host rule frame while it has at
+# most this many hosts (~a few rules x ~100 B each => low tens of MB —
+# comfortably inside executor broadcast budgets); above it, auto
+# contracts to the corpus's own hosts and re-checks before falling
+# back to the narrow shuffle arm.
+ROBOTS_BROADCAST_HOSTS = 100_000
 
 
 def _rule_to_regex(path_col) -> "F.Column":
@@ -269,11 +281,42 @@ def robots_from_corpus(
     )
 
 
+def _winning_rule(rules_col: Column, path_col: Column) -> Column:
+    """The winning (rule_len, allow, rule_path) struct for one URL
+    path against its host's rule array (NULL rules / no match =>
+    NULL): filter the matching rules with a regex lambda, array_max
+    the struct — longest match wins, allow wins length ties (struct
+    ordering: rule_len, then allow with true > false). Shared by
+    every ``robots_filter`` arm so the arms can never disagree."""
+    matched = F.filter(
+        F.coalesce(
+            rules_col,
+            F.array().cast(
+                "array<struct<rule_len:bigint,allow:boolean,"
+                "rule_path:string,pattern:string>>"
+            ),
+        ),
+        lambda r: F.regexp_like(path_col, r["pattern"]),
+    )
+    return F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                r["rule_len"].alias("rule_len"),
+                r["allow"].alias("allow"),
+                r["rule_path"].alias("rule_path"),
+            ),
+        )
+    )
+
+
 def robots_filter(
     urls_df: DataFrame,
     rules_df: DataFrame,
     url_col: str = "url",
     keep_disallowed: bool = False,
+    rules_mode: str = "auto",
+    broadcast_host_limit: int = ROBOTS_BROADCAST_HOSTS,
 ) -> DataFrame:
     """Per-URL robots verdict: input columns plus ``allowed`` and
     ``matched_rule`` (the winning rule path, NULL when no rule
@@ -282,16 +325,49 @@ def robots_filter(
     every row annotated; default drops disallowed rows (the gate
     shape).
 
-    Scale shape: the rule frame contracts to ONE ROW PER HOST carrying
-    its rules as an array (hosts x a few rules — kilobytes/host), that
-    frame broadcasts, and the winner is computed per URL with array
-    lambdas (filter matching rules, array_max the (len, allow, path)
-    structs). The URL corpus is NEVER shuffled or re-aggregated — one
-    narrow broadcast-join projection, no explode, no groupBy over
-    document rows (grouping full corpus rows would shuffle the text
-    column)."""
+    The rule frame contracts to ONE ROW PER HOST carrying its rules
+    as an array (hosts x a few rules — kilobytes/host); the winner is
+    computed per URL with array lambdas (``_winning_rule``). HOW that
+    per-host frame meets the corpus is SIZE-GATED (``rules_mode``,
+    VERDICT r13 #1 — an unconditional broadcast of a web-wide rule
+    table is a driver OOM):
+
+    - "broadcast": the per-host frame broadcasts as a lazy plan; the
+      URL corpus is never shuffled (one narrow broadcast-join
+      projection, no explode, no groupBy over document rows).
+    - "auto" (default): probe the per-host frame with a bounded
+      ``limit(n+1).collect()`` — at most ``broadcast_host_limit``
+      hosts ride back and become a LOCAL relation, so the chosen
+      broadcast never recomputes the parse (the
+      ``nearest_centroid_assign`` collect-once discipline). Over the
+      limit, the frame first SEMI-JOINS to the corpus's distinct
+      hosts (the corpus host set is what actually matters and is
+      usually far smaller than a web-wide rule table; the extra cost
+      is one column-pruned scan of the url column) and re-probes —
+      broadcasting the survivor set when it now fits, else the
+      shuffle arm.
+    - "shuffle": the scale floor. The match join shuffles a NARROW
+      ``(row_id, host, path)`` projection against the (corpus-host
+      semi-joined) rule frame — only rows whose host HAS rules ever
+      enter the skewed host-keyed exchange, and the text column never
+      does; AQE's skew-join split handles mega-hosts because the
+      shuffled rows are ~100 B each. Verdicts ``(row_id, allowed,
+      matched_rule)`` then join back on the synthetic unique row id —
+      a skew-FREE key AQE can satisfy by broadcasting the verdicts
+      when they fit; when they don't, the one full-width corpus pass
+      through an exchange happens here, on the uniform key, which is
+      the floor for any non-broadcastable policy join (the
+      alternative — joining the corpus directly on host — moves the
+      same bytes through the SKEWED key). Row ids come from
+      ``monotonically_increasing_id``, so the input plan must be
+      deterministic (a parquet scan is); materialize nondeterministic
+      upstreams first (the ``resolve_redirects`` contract).
+    """
     from .urltools import host_col as host_of
 
+    modes = ("auto", "broadcast", "shuffle")
+    if rules_mode not in modes:
+        raise ValueError(f"rules_mode must be one of {modes}")
     path = F.coalesce(
         F.nullif(
             F.regexp_extract(
@@ -301,9 +377,7 @@ def robots_filter(
         ),
         F.lit("/"),
     )
-    keyed = urls_df.withColumn("__host", host_of(F.col(url_col))).withColumn(
-        "__path", path
-    )
+    host = host_of(F.col(url_col))
     # one row per host, rules as an array; renamed so an input frame
     # that already carries host/allow/pattern columns never collides
     per_host = rules_df.groupBy(F.col("host").alias("__rhost")).agg(
@@ -316,36 +390,74 @@ def robots_filter(
             )
         ).alias("__rules")
     )
-    joined = keyed.join(
-        F.broadcast(per_host),
-        keyed["__host"] == per_host["__rhost"],
-        "left",
-    )
-    matched = F.filter(
-        F.coalesce(
-            F.col("__rules"),
-            F.array().cast(
-                "array<struct<rule_len:bigint,allow:boolean,"
-                "rule_path:string,pattern:string>>"
-            ),
-        ),
-        lambda r: F.regexp_like(F.col("__path"), r["pattern"]),
-    )
-    win = F.array_max(
-        F.transform(
-            matched,
-            lambda r: F.struct(
-                r["rule_len"].alias("rule_len"),
-                r["allow"].alias("allow"),
-                r["rule_path"].alias("rule_path"),
-            ),
+
+    use_shuffle = rules_mode == "shuffle"
+    if rules_mode == "auto":
+        spark = urls_df.sparkSession
+        probe = per_host.limit(broadcast_host_limit + 1).collect()
+        if len(probe) <= broadcast_host_limit:
+            per_host = spark.createDataFrame(probe, per_host.schema)
+        else:
+            corpus_hosts = (
+                urls_df.select(host.alias("__uhost")).distinct()
+            )
+            surv = per_host.join(
+                corpus_hosts,
+                per_host["__rhost"] == corpus_hosts["__uhost"],
+                "left_semi",
+            )
+            probe = surv.limit(broadcast_host_limit + 1).collect()
+            if len(probe) <= broadcast_host_limit:
+                per_host = spark.createDataFrame(probe, per_host.schema)
+            else:
+                use_shuffle = True
+
+    if not use_shuffle:
+        keyed = urls_df.withColumn("__host", host).withColumn(
+            "__path", path
         )
-    )
-    verdict = joined.select(
-        *urls_df.columns,
-        F.coalesce(win["allow"], F.lit(True)).alias("allowed"),
-        win["rule_path"].alias("matched_rule"),
-    )
+        joined = keyed.join(
+            F.broadcast(per_host),
+            keyed["__host"] == per_host["__rhost"],
+            "left",
+        )
+        win = _winning_rule(F.col("__rules"), F.col("__path"))
+        verdict = joined.select(
+            *urls_df.columns,
+            F.coalesce(win["allow"], F.lit(True)).alias("allowed"),
+            win["rule_path"].alias("matched_rule"),
+        )
+    else:
+        keyed = urls_df.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        )
+        narrow = keyed.select(
+            "__rid", host.alias("__host"), path.alias("__path")
+        )
+        # the shuffle arm always contracts the rule frame to the
+        # corpus's hosts first — rules for hosts the corpus never
+        # mentions must not ride the exchange
+        surv = per_host.join(
+            narrow.select(F.col("__host").alias("__uhost")).distinct(),
+            per_host["__rhost"] == F.col("__uhost"),
+            "left_semi",
+        )
+        win = _winning_rule(F.col("__rules"), F.col("__path"))
+        verdicts = (
+            narrow.join(
+                surv, narrow["__host"] == surv["__rhost"], "inner"
+            )
+            .select(
+                "__rid",
+                F.coalesce(win["allow"], F.lit(True)).alias("__allowed"),
+                win["rule_path"].alias("__matched_rule"),
+            )
+        )
+        verdict = keyed.join(verdicts, "__rid", "left").select(
+            *urls_df.columns,
+            F.coalesce("__allowed", F.lit(True)).alias("allowed"),
+            F.col("__matched_rule").alias("matched_rule"),
+        )
     if keep_disallowed:
         return verdict
     return verdict.filter(F.col("allowed"))
