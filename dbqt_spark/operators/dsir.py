@@ -109,17 +109,30 @@ def dsir_log_ratios(
     """Per-bucket smoothed log importance ratio, 6-place-rounded and
     DECIMAL-canonical: ``lr6 = round(ln(((t_b+α)·(R+αB)) /
     ((r_b+α)·(T+αB))), 6)`` where T/R are total target/raw gram counts
-    and B = n_buckets. At most B rows — broadcastable by construction."""
+    and B = n_buckets. Exactly B rows — DENSE over 0..B-1 (r13
+    ADVICE): a table fit on a SAMPLE won't have seen every bucket, and
+    when it is frozen and reused via ``dsir_weights(ratios=...)`` a
+    sparse table would silently drop unseen buckets from the scoring
+    join; the Laplace-smoothed estimator gives them the nonzero
+    default ``ln((R+αB)/(T+αB))``, which the dense frame carries.
+    Still broadcastable by construction (B is 10k in the paper)."""
     if alpha <= 0:
         # alpha=0 makes never-seen buckets divide by zero (q̂=0) — the
         # smoothing is what keeps the estimator finite
         raise ValueError(f"alpha must be > 0, got {alpha}")
     t = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("__t"))
     r = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("__r"))
-    both = t.join(r, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("__t", F.lit(0)).alias("__t"),
-        F.coalesce("__r", F.lit(0)).alias("__r"),
+    dense = raw_feats.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    both = (
+        dense.join(t, "bucket", "left")
+        .join(r, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("__t", F.lit(0)).alias("__t"),
+            F.coalesce("__r", F.lit(0)).alias("__r"),
+        )
     )
     totals = both.agg(
         F.sum("__t").alias("__tot_t"), F.sum("__r").alias("__tot_r")
@@ -171,7 +184,13 @@ def dsir_weights(
     (``dsir_log_ratios`` — on a raw SAMPLE, as the paper does) and
     passing it via ``ratios=``: scoring then reuses the frozen B-row
     table across every shard/day of the corpus (the ``lm_score``
-    ``vocab=`` discipline)."""
+    ``vocab=`` discipline). ``dsir_log_ratios`` emits a DENSE B-row
+    table, so every bucket a scored document can hash into has a row
+    (sample-fit tables included — r13 ADVICE); the scoring join is
+    LEFT and counts ``n_grams`` from the raw features directly, so
+    even a hand-built SPARSE ratio table never silently drops grams —
+    buckets it omits contribute log-ratio 0 (density ratio 1) and
+    still count toward ``n_grams``."""
     raw_feats = hashed_ngram_features(
         raw_df, text_col, id_col, n_buckets, max_n
     )
@@ -183,12 +202,15 @@ def dsir_weights(
         )
         lr = dsir_log_ratios(raw_feats, target_feats, n_buckets, alpha)
     per_doc = (
-        raw_feats.join(F.broadcast(lr), "bucket")
+        raw_feats.join(F.broadcast(lr), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.sum("cnt").cast("long").alias("n_grams"),
             F.sum(
-                F.col("cnt").cast("decimal(18,0)") * F.col("lr6")
+                F.col("cnt").cast("decimal(18,0)")
+                * F.coalesce(
+                    F.col("lr6"), F.lit(0).cast("decimal(18,6)")
+                )
             ).alias("__lw"),
         )
     )

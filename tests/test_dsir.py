@@ -145,3 +145,71 @@ def test_frozen_ratio_table_injection(spark):
         for r in dsir_weights(raw, target, ratios=frozen).collect()
     )
     assert a == b
+
+
+def test_ratio_table_is_dense_over_all_buckets(spark):
+    """r13 ADVICE: a sample-fit ratio table must cover every bucket —
+    unseen buckets carry the Laplace default ln((R+aB)/(T+aB)), not a
+    missing row that the one-pass scoring join would silently drop."""
+    import math
+
+    from dbqt_spark.operators.dsir import dsir_log_ratios
+
+    raw, target = _corpora(spark)
+    B = 512
+    rf = hashed_ngram_features(raw, n_buckets=B)
+    tf = hashed_ngram_features(target, n_buckets=B)
+    lr = dsir_log_ratios(rf, tf, n_buckets=B)
+    rows = {r.bucket: float(r.lr6) for r in lr.collect()}
+    assert set(rows) == set(range(B))
+    seen = {
+        r.bucket
+        for r in rf.select("bucket").union(tf.select("bucket")).collect()
+    }
+    unseen = set(range(B)) - seen
+    assert unseen, "fixture too dense to exercise the default"
+    tot_t = sum(r.cnt for r in tf.collect())
+    tot_r = sum(r.cnt for r in rf.collect())
+    want = round(math.log((tot_r + B) / (tot_t + B)), 6)
+    for b in unseen:
+        assert rows[b] == want
+
+
+def test_sample_fit_ratios_score_unseen_buckets(spark):
+    """One-pass path with a table fit on a SAMPLE: grams hashing into
+    buckets the fit never saw must (a) still count toward n_grams and
+    (b) contribute the smoothed default, not vanish (r13 ADVICE). A
+    hand-built SPARSE table degrades to ratio 1 for missing buckets
+    but still counts the grams."""
+    from dbqt_spark.operators.dsir import dsir_log_ratios
+
+    raw, target = _corpora(spark)
+    B = 256
+    # fit on HALF the raw corpus: the held-out docs' novel grams land
+    # in buckets the fit saw only via the dense default
+    sample = raw.filter(F.col("doc_id") < 10)
+    frozen = dsir_log_ratios(
+        hashed_ngram_features(sample, n_buckets=B),
+        hashed_ngram_features(target, n_buckets=B),
+        n_buckets=B,
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_weights(raw, target, n_buckets=B, ratios=frozen)
+        .collect()
+    }
+    full = {
+        r.doc_id: r.n_grams
+        for r in dsir_weights(raw, target, n_buckets=B).collect()
+    }
+    # every doc keeps its full gram count — nothing dropped by the join
+    assert {k: v[0] for k, v in got.items()} == full
+    # sparse table: drop a third of the buckets, n_grams stays intact
+    sparse = frozen.filter(F.col("bucket") % 3 != 0)
+    assert sparse.count() < B
+    got_sparse = {
+        r.doc_id: r.n_grams
+        for r in dsir_weights(raw, target, n_buckets=B, ratios=sparse)
+        .collect()
+    }
+    assert got_sparse == full
