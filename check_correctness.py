@@ -81,18 +81,30 @@ def main(only=None):
     )
     out_file = os.environ.get("CORRECTNESS_OUT", default_out)
 
+    # CORRECTNESS_WRITE_ONLY=1 lets a named-subset run still emit its
+    # records, MERGED into whatever out_file already holds (r13 ADVICE:
+    # pointing it at a committed full-sweep artifact must update that
+    # record in place, not replace 162 queries with the subset). The
+    # preexisting records load once, up front — this run's results win
+    # on key collisions.
+    write_only = os.environ.get("CORRECTNESS_WRITE_ONLY") == "1"
+    preexisting = {}
+    if write_only and only and out_file and os.path.exists(out_file):
+        try:
+            with open(out_file) as fh:
+                preexisting = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            preexisting = {}
+
     def flush():
         # incremental: a killed sweep still leaves a complete record
-        # of everything it finished
-        # CORRECTNESS_WRITE_ONLY=1 lets a named-subset run still emit
-        # its records (for merging late-registered queries into a
-        # committed sweep artifact); default keeps the old guard so a
+        # of everything it finished; default keeps the old guard so a
         # quick subset check never clobbers a full-registry record.
-        if out_file and (
-            not only or os.environ.get("CORRECTNESS_WRITE_ONLY") == "1"
-        ):
+        if out_file and (not only or write_only):
             with open(out_file, "w") as fh:
-                json.dump(records, fh, indent=1, default=str)
+                json.dump(
+                    {**preexisting, **records}, fh, indent=1, default=str
+                )
                 fh.write("\n")
 
     for idx, (name, fn) in enumerate(qs.items()):

@@ -368,9 +368,17 @@ def resolve_redirects(
     n_hops, terminal)`` for every row — ``final_url`` follows the
     Location edges up to ``max_hops``; ``terminal`` is false when the
     walk stopped at the cap with an edge still outgoing (a longer
-    chain or a loop). Rows whose target is NULL resolve to themselves
-    in 0 hops. Relative Location values (``/path`` — RFC 9110 allows
-    them) resolve against the source URL's scheme+host first.
+    chain or a loop), OR when the row's own Location was non-empty but
+    UNRESOLVABLE (a ``mailto:`` target, a relative target on a non-URL
+    source — r13 ADVICE: a real redirect must not masquerade as a
+    terminal page; callers can distinguish "page" from "redirect we
+    could not follow"). Rows whose target is NULL/empty resolve to
+    themselves in 0 hops. Relative Location values — all RFC 9110
+    allows: root-relative ``/path``, protocol-relative ``//host/p``,
+    path-relative ``next.html`` and query-only ``?q=1`` — resolve
+    against the source URL (path-relative merges into the source's
+    directory per RFC 3986 §5.3; dot segments are NOT normalized —
+    ``../`` survives literally, a documented simplification).
 
     The redirect map is the canonical-URL companion: two spellings
     that 301 to the same place are the same page even when the
@@ -395,10 +403,30 @@ def resolve_redirects(
         F.lit("://"),
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1),
     )
+    # source minus query/fragment, and its directory (everything up to
+    # and including the last path slash) — the RFC 3986 §5.3 merge base
+    src_nofq = F.regexp_replace(u, r"[?#].*$", "")
+    has_path = src_nofq.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/")
+    src_dir = F.when(
+        has_path,
+        F.concat(F.regexp_replace(src_nofq, r"/[^/]*$", ""), F.lit("/")),
+    ).otherwise(F.concat(root, F.lit("/")))
+    is_url = scheme != ""
     resolved_t = (
         F.when(F.lower(raw_t).rlike(r"^https?://"), raw_t)
-        .when(raw_t.startswith("//"), F.concat(scheme, F.lit(":"), raw_t))
-        .when(raw_t.startswith("/"), F.concat(root, raw_t))
+        .when(
+            raw_t.startswith("//") & is_url,
+            F.concat(scheme, F.lit(":"), raw_t),
+        )
+        .when(raw_t.startswith("/") & is_url, F.concat(root, raw_t))
+        .when(raw_t.startswith("?") & is_url, F.concat(src_nofq, raw_t))
+        .when(
+            is_url
+            & (raw_t != "")
+            & ~raw_t.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+            & ~raw_t.startswith("#"),
+            F.concat(src_dir, raw_t),
+        )
     )
     edges = (
         df.select(u.alias("__src"), resolved_t.alias("__dst"))
@@ -410,10 +438,16 @@ def resolve_redirects(
         .groupBy("__src")
         .agg(F.max("__dst").alias("__dst"))
     )
+    unres = (
+        F.col(target_col).isNotNull()
+        & (raw_t != "")
+        & resolved_t.isNull()
+    )
     state = df.select(
         u.alias(url_col),
         u.alias("final_url"),
         F.lit(0).cast("int").alias("n_hops"),
+        unres.alias("__unres"),
     )
     for _ in range(max_hops):
         e = edges.select(
@@ -430,6 +464,7 @@ def resolve_redirects(
                     F.col("n_hops")
                     + F.when(F.col("__e_dst").isNotNull(), 1).otherwise(0)
                 ).cast("int").alias("n_hops"),
+                "__unres",
             )
         )
     e = edges.select(
@@ -441,6 +476,12 @@ def resolve_redirects(
             url_col,
             "final_url",
             "n_hops",
-            F.coalesce(~F.col("__more"), F.lit(True)).alias("terminal"),
+            # an unfollowable-but-real redirect (n_hops stayed 0) is
+            # NOT a terminal page, same as stopping at the hop cap
+            F.when(
+                F.col("__unres") & (F.col("n_hops") == 0), F.lit(False)
+            )
+            .otherwise(F.coalesce(~F.col("__more"), F.lit(True)))
+            .alias("terminal"),
         )
     )

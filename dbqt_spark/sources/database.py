@@ -82,12 +82,22 @@ class Database:
         """S8: table discovery."""
         if self.kind == "warc":
             root = self._root()
+            if "://" in root:
+                # load() supports remote roots via a binaryFile glob,
+                # but enumerating them needs a Hadoop FS listing we
+                # deliberately don't take on — fail with the remedy
+                # instead of os.listdir's FileNotFoundError (r13 ADVICE)
+                raise ValueError(
+                    "table discovery is unsupported for remote warc "
+                    f"roots ({root}); load tables by name instead"
+                )
             if os.path.isfile(root):
                 return [self._warc_stem(os.path.basename(root))]
+            # same suffix set load()/_list_warc_files accept
             return sorted(
                 self._warc_stem(f)
                 for f in os.listdir(root)
-                if f.endswith((".warc", ".warc.gz"))
+                if f.endswith((".warc", ".warc.gz", ".arc.gz"))
             )
         if self.kind in ("parquet", "csv", "duckdb", "json", "orc"):
             root = self._root()
@@ -156,16 +166,19 @@ class Database:
             elif os.path.isfile(root):
                 path = root
             else:
-                plain = os.path.join(root, f"{table}.warc")
-                path = (
-                    plain if os.path.exists(plain) else plain + ".gz"
+                candidates = [
+                    os.path.join(root, table + sfx)
+                    for sfx in (".warc", ".warc.gz", ".arc.gz")
+                ]
+                path = next(
+                    (p for p in candidates if os.path.exists(p)), None
                 )
-                if not os.path.exists(path):
+                if path is None:
                     # fail on the DRIVER with the table named — the
                     # executor-side open() error loses the table->file
                     # mapping
                     raise FileNotFoundError(
-                        f"no {table}.warc[.gz] under {root}"
+                        f"no {table}.warc[.gz]/.arc.gz under {root}"
                     )
             # connection-level knobs: record_types (default: responses
             # only — the rows a curation pipeline wants), via (stream /
@@ -183,7 +196,7 @@ class Database:
 
     @staticmethod
     def _warc_stem(fname: str) -> str:
-        for suffix in (".warc.gz", ".warc"):
+        for suffix in (".warc.gz", ".warc", ".arc.gz"):
             if fname.endswith(suffix):
                 return fname[: -len(suffix)]
         return os.path.splitext(fname)[0]

@@ -176,24 +176,49 @@ def iter_warc_records(fileobj) -> Iterator[WarcRecord]:
 
 def _dechunk(body: bytes) -> bytes:
     """Decode HTTP/1.1 chunked transfer encoding (crawlers store the
-    wire bytes verbatim, so real WARC bodies are frequently chunked)."""
+    wire bytes verbatim, so real WARC bodies are frequently chunked).
+
+    Lenient where real crawls are messy (r13 ADVICE): size lines and
+    chunk terminators may be bare-LF framed (some origin servers
+    violate the CRLF spec), and ANY mid-stream framing failure — a
+    corrupt size token, a chunk not followed by a line terminator —
+    returns the ORIGINAL body rather than a silently-truncated decoded
+    prefix (the body evidently is not well-formed chunked framing, so
+    the wire bytes are the most faithful answer). A body truncated at
+    the record boundary (final chunk short, or missing 0-terminator
+    after clean chunks) keeps the decoded prefix — that is real
+    document data, just cut off."""
     out = []
     view = memoryview(body)
     pos = 0
-    while pos < len(view):
-        eol = body.find(_CRLF, pos)
+    n = len(view)
+    while pos < n:
+        eol = body.find(b"\n", pos)
         if eol < 0:
-            break
-        size_token = bytes(view[pos:eol]).split(b";", 1)[0].strip()
+            # no size-line terminator at all: unframed/corrupt
+            return body
+        size_token = (
+            bytes(view[pos:eol]).rstrip(b"\r").split(b";", 1)[0].strip()
+        )
         try:
             size = int(size_token, 16)
         except ValueError:
-            break  # not actually chunked — return what we decoded
+            return body  # not chunked, or corrupt mid-stream framing
         if size == 0:
             break
-        out.append(bytes(view[eol + 2 : eol + 2 + size]))
-        pos = eol + 2 + size + 2  # skip chunk + trailing CRLF
-    return b"".join(out) if out else body
+        data_start = eol + 1
+        data_end = data_start + size
+        out.append(bytes(view[data_start:data_end]))
+        pos = data_end
+        if view[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif view[pos : pos + 1] == b"\n":
+            pos += 1
+        elif pos >= n:
+            break  # truncated at the record boundary — keep the prefix
+        else:
+            return body  # chunk data not followed by a terminator
+    return b"".join(out)
 
 
 def split_http_message(

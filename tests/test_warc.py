@@ -195,6 +195,19 @@ def test_database_kind_warc(spark, tmp_path):
         spark, {"type": "warc", "path": d, "record_types": None}
     )
     assert db_all.load("seg-00001").count() == 3
+    # r13 ADVICE: remote roots fail discovery with the remedy named,
+    # never an os.listdir FileNotFoundError
+    remote = connect(spark, {"type": "warc", "path": "s3a://bkt/crawl"})
+    with pytest.raises(ValueError, match="remote warc roots"):
+        remote.list_tables()
+    # .arc.gz files are both discoverable and loadable (suffix sets
+    # aligned between list_tables and load)
+    import shutil as _sh
+
+    _sh.copyfile(f"{d}/seg-00000.warc.gz", f"{d}/old.arc.gz")
+    db2 = connect(spark, {"type": "warc", "path": d})
+    assert db2.list_tables() == ["old", "seg-00000", "seg-00001"]
+    assert db2.load("old").count() >= 1
 
 
 def test_rows_from_stream_mime_fallback():
@@ -559,3 +572,71 @@ def test_redirect_capture_and_resolution(spark, tmp_path):
     )
     loop = resolved["https://r.example/a"]
     assert loop.n_hops == 4 and loop.terminal is False
+
+
+def test_redirect_path_relative_and_unresolvable(spark):
+    """r13 ADVICE: RFC 9110 also allows path-relative Location values
+    ('next.html') — they merge into the source's directory; a non-null
+    Location that cannot be followed (mailto:, fragment-only, non-URL
+    source) must surface as terminal=false, never as a terminal page."""
+    from dbqt_spark.operators.urltools import resolve_redirects
+
+    rows = [
+        ("https://h.example/a/b.html", "next.html"),     # dir merge
+        ("https://h.example/a/next.html", None),         # landing page
+        # RFC 3986 merge strips the last segment: /top -> /
+        ("https://h.example/top", "sub/page"),
+        ("https://h.example/sub/page", None),
+        ("https://h.example/q/page?x=1", "?y=2"),        # query-only
+        ("https://h.example/q/page?y=2", None),
+        ("https://h.example/dead", "mailto:x@example"),  # unfollowable
+        ("https://h.example/frag", "#section"),          # not a redirect
+        ("not a url", "next.html"),                      # non-URL source
+        ("https://h.example/plain", None),               # plain page
+    ]
+    df = spark.createDataFrame(rows, "url string, redirect_to string")
+    got = {r.url: r for r in resolve_redirects(df, max_hops=4).collect()}
+    a = got["https://h.example/a/b.html"]
+    assert (a.final_url, a.n_hops, a.terminal) == (
+        "https://h.example/a/next.html", 1, True,
+    )
+    t = got["https://h.example/top"]
+    assert (t.final_url, t.n_hops, t.terminal) == (
+        "https://h.example/sub/page", 1, True,
+    )
+    q = got["https://h.example/q/page?x=1"]
+    assert (q.final_url, q.n_hops, q.terminal) == (
+        "https://h.example/q/page?y=2", 1, True,
+    )
+    for bad in ("https://h.example/dead", "https://h.example/frag",
+                "not a url"):
+        r = got[bad]
+        assert (r.final_url, r.n_hops, r.terminal) == (bad, 0, False), bad
+    p = got["https://h.example/plain"]
+    assert (p.final_url, p.n_hops, p.terminal) == (p.url, 0, True)
+
+
+def test_dechunk_lenient_framing(spark=None):
+    """r13 ADVICE: bare-LF chunk framing decodes fully; a corrupt size
+    token mid-stream returns the ORIGINAL body (never a silently
+    truncated prefix); record-boundary truncation keeps the decoded
+    prefix."""
+    from dbqt_spark.sources.warc import _dechunk
+
+    # bare-LF framing throughout (spec violation some servers commit)
+    assert _dechunk(b"5\nhello\n6\n world\n0\n\n") == b"hello world"
+    # mixed framing: CRLF first chunk, LF second
+    assert _dechunk(b"5\r\nhello\r\n6\n world\n0\r\n\r\n") == b"hello world"
+    # corrupt size token AFTER a valid chunk -> raw body back, whole
+    corrupt = b"5\r\nhello\r\nZZ\r\nrest of the document bytes"
+    assert _dechunk(corrupt) == corrupt
+    # chunk data not followed by a line terminator -> raw body back
+    bad_term = b"5\r\nhelloXinvalid"
+    assert _dechunk(bad_term) == bad_term
+    # not chunked at all -> unchanged
+    assert _dechunk(b"plain text\nwith lines") == b"plain text\nwith lines"
+    # truncated mid final chunk: keep what decoded
+    assert _dechunk(b"5\r\nhello\r\nA\r\nwor") == b"hellowor"
+    # truncated exactly after a chunk terminator (missing 0-chunk)
+    assert _dechunk(b"5\r\nhello\r\n") == b"hello"
+    assert _dechunk(b"") == b""
