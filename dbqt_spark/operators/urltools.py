@@ -358,6 +358,79 @@ def sitemap_urls(
     )
 
 
+def expand_sitemaps(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    max_depth: int = 2,
+) -> DataFrame:
+    """Close the sitemap-INDEX indirection (VERDICT r13 #3): one row
+    per DISCOVERED URL per root sitemap — ``(root_url, loc, depth,
+    is_sitemap)``. ``sitemap_urls`` flags index files; this resolves
+    their locs against sitemap documents PRESENT IN THE CORPUS (the
+    crawl fetched them too), so ``<sitemapindex>`` -> child urlset ->
+    page locs flattens without a driver loop. ``depth`` counts sitemap
+    hops (1 = listed directly by the root); ``is_sitemap`` marks locs
+    that still point at a sitemap — the child was not in the corpus,
+    or the walk hit ``max_depth`` — i.e. the residue a crawler still
+    has to fetch. The spec's reality is one level of index
+    (sitemapindex files may not nest), so the default depth 2 closes
+    compliant sites; raise it for the non-compliant tail.
+
+    Scale shape: only SITEMAP documents participate — ``sitemap_urls``
+    contracts the corpus to its sitemap sliver in one scan, and each
+    unrolled level is one small equi-join of that sliver against
+    itself on the canonical URL (the ``resolve_redirects`` fixed-hop
+    discipline: no driver loop over data, no recursion state). The
+    unrolled plan references the extraction subtree once per level, so
+    at scale feed this a MATERIALIZED frame (the parquet crawl, or
+    ``.persist()`` the parse output)."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    sm = sitemap_urls(df, text_col=text_col, url_col=url_col)
+    child = sm.select(
+        canonical_url_col(F.col("src_url")).alias("__csrc"),
+        F.col("loc").alias("__cloc"),
+        F.col("is_index").alias("__cidx"),
+    )
+    state = sm.select(
+        F.col("src_url").alias("root_url"),
+        "loc",
+        F.col("is_index").alias("__pending"),
+        F.lit(1).cast("int").alias("depth"),
+    )
+    for _ in range(max_depth - 1):
+        settled = state.filter(~F.col("__pending"))
+        open_ = state.filter(F.col("__pending"))
+        expanded = open_.join(
+            child,
+            canonical_url_col(F.col("loc")) == child["__csrc"],
+            "left",
+        ).select(
+            "root_url",
+            F.coalesce("__cloc", "loc").alias("loc"),
+            # child missing from the corpus: the loc stays an
+            # unresolved sitemap pointer; found: pending iff the child
+            # is itself an index
+            F.when(F.col("__cloc").isNull(), F.lit(True))
+            .otherwise(F.col("__cidx"))
+            .alias("__pending"),
+            (
+                F.col("depth")
+                + F.when(F.col("__cloc").isNotNull(), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("depth"),
+        )
+        state = settled.unionByName(expanded)
+    return state.select(
+        "root_url",
+        "loc",
+        "depth",
+        F.col("__pending").alias("is_sitemap"),
+    )
+
+
 def resolve_redirects(
     df: DataFrame,
     url_col: str = "url",

@@ -7356,6 +7356,84 @@ ORDER BY src_url, loc
 """
 
 
+def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-index expansion (urltools.expand_sitemaps, VERDICT r13
+    #3): every tenth document is a sitemap INDEX pointing at the NEXT
+    document's sitemap (which is a urlset — (d+1) % 10 != 0); the rest
+    are urlsets listing two pages. The real extract -> canonical-URL
+    self-join chase flattens index -> child -> page locs in one
+    unrolled plan; the only residue is the last index when its child
+    falls off the corpus edge. The oracle replays the synthesis
+    arithmetic (contiguous doc_ids: presence = id <= max)."""
+    from .operators.urltools import expand_sitemaps
+
+    d = F.col("doc_id")
+
+    def host(x):
+        return F.concat(F.lit("https://site-"), x % 5, F.lit(".example"))
+
+    xml = F.when(
+        d % 10 == 0,
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"),
+            host(d + 1),
+            F.lit("/sm/"),
+            d + 1,
+            F.lit(".xml</loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<urlset><url><loc>"),
+            host(d),
+            F.lit("/p/"),
+            d,
+            F.lit("?a=1&amp;b=2</loc></url><url><loc>"),
+            host(d),
+            F.lit("/q/"),
+            d,
+            F.lit("</loc></url></urlset>"),
+        ),
+    )
+    pages = load_table(spark, sf_dir, "documents").select(
+        F.concat(host(d), F.lit("/sm/"), d, F.lit(".xml")).alias("url"),
+        xml.alias("text"),
+    )
+    return expand_sitemaps(pages, max_depth=2).orderBy(
+        "root_url", "loc", "depth"
+    )
+
+
+SQL_SITEMAP_EXPAND = """
+WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+base AS (
+  SELECT doc_id,
+    'https://site-' || (doc_id % 5) || '.example' AS h,
+    'https://site-' || ((doc_id + 1) % 5) || '.example' AS h1,
+    'https://site-' || (doc_id % 5) || '.example/sm/' || doc_id
+      || '.xml' AS root_url
+  FROM documents
+)
+SELECT root_url, loc, CAST(depth AS INTEGER) AS depth, is_sitemap FROM (
+  SELECT root_url, h || '/p/' || doc_id || '?a=1&b=2' AS loc,
+         1 AS depth, FALSE AS is_sitemap
+  FROM base WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT root_url, h || '/q/' || doc_id, 1, FALSE
+  FROM base WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT root_url, h1 || '/p/' || (doc_id + 1) || '?a=1&b=2', 2, FALSE
+  FROM base, m WHERE doc_id % 10 = 0 AND doc_id + 1 <= mx
+  UNION ALL
+  SELECT root_url, h1 || '/q/' || (doc_id + 1), 2, FALSE
+  FROM base, m WHERE doc_id % 10 = 0 AND doc_id + 1 <= mx
+  UNION ALL
+  SELECT root_url, h1 || '/sm/' || (doc_id + 1) || '.xml', 1, TRUE
+  FROM base, m WHERE doc_id % 10 = 0 AND doc_id + 1 > mx
+)
+ORDER BY root_url, loc, depth
+"""
+
+
 def q_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (sources/warc Location capture +
     urltools.resolve_redirects): every third document is a landing
@@ -7629,6 +7707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_frontier": q_crawl_frontier,
     "sitemap_discovery": q_sitemap_discovery,
     "redirect_map": q_redirect_map,
+    "sitemap_expand": q_sitemap_expand,
 }
 
 ORACLES: dict[str, str] = {
@@ -7792,6 +7871,7 @@ ORACLES: dict[str, str] = {
     "crawl_frontier": SQL_CRAWL_FRONTIER,
     "sitemap_discovery": SQL_SITEMAP_DISCOVERY,
     "redirect_map": SQL_REDIRECT_MAP,
+    "sitemap_expand": SQL_SITEMAP_EXPAND,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -474,3 +474,57 @@ def test_robots_filter_shuffle_arm_host_exchange_is_narrow(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert all((r.doc_id % 3 != 1) == r.allowed for r in rows)
     assert len(rows) == urls.count()
+
+
+def test_expand_sitemaps_index_chase(spark):
+    """VERDICT r13 #3: index locs resolve against sitemap documents in
+    the corpus; missing children and depth-capped locs surface as
+    is_sitemap=true residue."""
+    from dbqt_spark.operators.urltools import expand_sitemaps
+
+    h = "https://s.example"
+    docs = [
+        # root index -> child urlset (present) + child index (present)
+        # + missing child
+        (f"{h}/root.xml",
+         f"<sitemapindex><sitemap><loc>{h}/child-a.xml</loc></sitemap>"
+         f"<sitemap><loc>{h}/child-idx.xml</loc></sitemap>"
+         f"<sitemap><loc>{h}/missing.xml</loc></sitemap></sitemapindex>"),
+        (f"{h}/child-a.xml",
+         f"<urlset><url><loc>{h}/p/1</loc></url>"
+         f"<url><loc>{h}/p/2</loc></url></urlset>"),
+        # nested index (non-compliant): at depth 2 its locs are residue
+        (f"{h}/child-idx.xml",
+         f"<sitemapindex><sitemap><loc>{h}/grand.xml</loc></sitemap>"
+         f"</sitemapindex>"),
+        (f"{h}/grand.xml",
+         f"<urlset><url><loc>{h}/deep/1</loc></url></urlset>"),
+        # plain urlset root, untouched by expansion
+        (f"{h}/flat.xml",
+         f"<urlset><url><loc>{h}/f/1</loc></url></urlset>"),
+    ]
+    df = spark.createDataFrame(docs, "url string, text string")
+    got = {
+        (r.root_url, r.loc): (r.depth, r.is_sitemap)
+        for r in expand_sitemaps(df, max_depth=2).collect()
+    }
+    assert got == {
+        (f"{h}/root.xml", f"{h}/p/1"): (2, False),
+        (f"{h}/root.xml", f"{h}/p/2"): (2, False),
+        # child index found but is itself an index -> still pending
+        (f"{h}/root.xml", f"{h}/grand.xml"): (2, True),
+        (f"{h}/root.xml", f"{h}/missing.xml"): (1, True),
+        (f"{h}/child-a.xml", f"{h}/p/1"): (1, False),
+        (f"{h}/child-a.xml", f"{h}/p/2"): (1, False),
+        # child-idx is itself a root: one expansion resolves grand
+        (f"{h}/child-idx.xml", f"{h}/deep/1"): (2, False),
+        (f"{h}/grand.xml", f"{h}/deep/1"): (1, False),
+        (f"{h}/flat.xml", f"{h}/f/1"): (1, False),
+    }
+    # depth 3 closes the non-compliant nesting
+    deep = {
+        (r.root_url, r.loc): (r.depth, r.is_sitemap)
+        for r in expand_sitemaps(df, max_depth=3).collect()
+    }
+    assert deep[(f"{h}/root.xml", f"{h}/deep/1")] == (3, False)
+    assert (f"{h}/root.xml", f"{h}/grand.xml") not in deep
