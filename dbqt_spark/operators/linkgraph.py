@@ -130,21 +130,47 @@ def pagerank_hosts(
     src_col: str = "src_host",
     dst_col: str = "dst_host",
     weight_col: str = "n_links",
+    checkpoint_every: int = 0,
+    dangling: bool = False,
+    tol_p: "int | None" = None,
+    history: "list | None" = None,
 ) -> DataFrame:
     """Weighted PageRank over the host graph: ``(host, rank_p, rank)``
     where ``rank_p`` is the exact integer pico-unit rank (the oracle
     unit) and ``rank = rank_p / 1e12`` (one IEEE division).
 
     ``r_{i+1}(v) = (1-d)/N + d · Σ_{u→v} r_i(u) · w(u,v) / out(u)``,
-    fixed ``iters`` unrolled into one lazy plan; no dangling-mass
-    redistribution (documented simplification). Every per-edge term is
-    rounded to integer picos before the exact BIGINT re-aggregation,
-    so results are bit-identical across partitionings and engines."""
+    ``iters`` iterations unrolled into one lazy plan by default. Every
+    per-edge term is rounded to integer picos before the exact BIGINT
+    re-aggregation, so results are bit-identical across partitionings
+    and engines.
+
+    The defaults keep the documented simplifications (fixed 3
+    iterations, no dangling redistribution, pure lazy unroll) and the
+    exact plan the oracle certifies. The CONVERGENCE ARM (VERDICT r13
+    #4) makes real 20+-iteration host rankings practical:
+
+    - ``checkpoint_every=N``: ``localCheckpoint`` (persist + lineage
+      truncation) every N iterations, so the unrolled plan never grows
+      past N edge-joins — without it, 20 iterations compile a
+      20-deep join tree per stage.
+    - ``dangling=True``: hosts with no outgoing edge redistribute
+      their rank mass uniformly (the textbook correction), computed as
+      one tiny left-anti aggregate per iteration, its per-node share
+      rounded to integer picos so the arithmetic stays exact; total
+      mass is then conserved at ~1e12 picos instead of leaking.
+    - ``tol_p=K`` + ``history=[]``: per-iteration delta stat
+      ``Σ_v |r_{i+1}(v) − r_i(v)|`` in picos, appended to ``history``
+      (observability) and compared against ``tol_p`` for early stop.
+      Delta tracking materializes each iteration (localCheckpoint), so
+      the delta join reads two cached host frames, never recomputes
+      the chain."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     d = float(damping)
+    track = tol_p is not None or history is not None
     # a zero/negative weight would make out(u) zero -> inf contribution
     # -> ANSI long-cast abort mid-job; gate it here, fail-fast shape
     edges = edges.filter(F.col(weight_col) > 0)
@@ -170,11 +196,20 @@ def pagerank_hosts(
         .cast("long")
         .alias("rank_p"),
     )
+    # the damped share: plain Σ contribs by default; with dangling
+    # redistribution the per-node dangling share (integer picos) adds
+    # into the exact sum BEFORE the one double blend
+    inflow = (
+        (F.col("__s") + F.col("__dang_share"))
+        if dangling
+        else F.col("__s")
+    )
     base = F.round(
         F.lit((1.0 - d) * float(PICO)) / F.col("__n")
-        + F.lit(d) * F.col("__s").cast("double")
+        + F.lit(d) * inflow.cast("double")
     ).cast("long")
-    for _ in range(iters):
+    out_hosts = out.select(F.col(src_col).alias("host"))
+    for i in range(iters):
         contrib = e.join(r, e["__src"] == r["host"]).select(
             F.col("__dst").alias("host"),
             F.round(
@@ -184,7 +219,7 @@ def pagerank_hosts(
             .alias("__c"),
         )
         s = contrib.groupBy("host").agg(F.sum("__c").alias("__s"))
-        r = (
+        r_new = (
             nodes.join(s, "host", "left")
             .crossJoin(F.broadcast(n_frame))
             .select(
@@ -192,8 +227,44 @@ def pagerank_hosts(
                 F.coalesce("__s", F.lit(0).cast("long")).alias("__s"),
                 "__n",
             )
-            .select("host", base.alias("rank_p"))
         )
+        if dangling:
+            dang = r.join(out_hosts, "host", "left_anti").agg(
+                F.coalesce(F.sum("rank_p"), F.lit(0))
+                .cast("long")
+                .alias("__dang")
+            )
+            r_new = r_new.crossJoin(F.broadcast(dang)).withColumn(
+                "__dang_share",
+                F.round(F.col("__dang").cast("double") / F.col("__n"))
+                .cast("long"),
+            )
+        r_new = r_new.select("host", base.alias("rank_p"))
+        if track or (
+            checkpoint_every and (i + 1) % checkpoint_every == 0
+        ):
+            r_new = r_new.localCheckpoint(eager=True)
+        if track:
+            delta = (
+                r_new.join(
+                    r.select("host", F.col("rank_p").alias("__prev")),
+                    "host",
+                )
+                .agg(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("rank_p") - F.col("__prev"))),
+                        F.lit(0),
+                    ).cast("long")
+                )
+                .collect()[0][0]
+            )
+            if history is not None:
+                history.append(int(delta))
+            r = r_new
+            if tol_p is not None and delta <= int(tol_p):
+                break
+        else:
+            r = r_new
     return r.select(
         "host",
         "rank_p",
