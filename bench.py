@@ -340,6 +340,11 @@ def main() -> None:
         # the operator docstring's materialize-first note is the
         # production answer)
         "redirect_map",
+        # r14: VERDICT #7 movers (profile_approx / curated_corpus
+        # crossed the 4 s pooled bar in r13 — warm anchors show pool
+        # queueing, BENCH_NOTES #38) and the new 2-level sitemap
+        # expansion chain
+        "profile_approx,curated_corpus,sitemap_expand",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

@@ -6564,14 +6564,20 @@ def q_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("embedding"),
     )
     cleaned = clean_embeddings(corrupted)
+    # one array-level decimal cast, then a string cast per element:
+    # value-identical to casting each element through decimal inside
+    # the lambda, but ~1 s cheaper in Janino first-compile — the r13
+    # solo-anchor regression was compile time, not row work (see
+    # BENCH_NOTES #38)
     return cleaned.select(
         "vec_id",
         "dim",
         "norm",
         F.concat_ws(
             ",",
-            F.transform(
-                "unit", lambda x: x.cast("decimal(18,6)").cast("string")
+            F.expr(
+                "transform(cast(unit as array<decimal(18,6)>), "
+                "x -> cast(x as string))"
             ),
         ).alias("unit"),
     ).orderBy("vec_id")
