@@ -339,7 +339,7 @@ def main() -> None:
         # WARC parse per hop (job latency on 25 stages, not volume;
         # the operator docstring's materialize-first note is the
         # production answer)
-        "redirect_map",
+        "redirect_map,"
         # r14: VERDICT #7 movers (profile_approx / curated_corpus
         # crossed the 4 s pooled bar in r13 — warm anchors show pool
         # queueing, BENCH_NOTES #38) and the new 2-level sitemap
