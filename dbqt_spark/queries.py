@@ -7362,6 +7362,112 @@ ORDER BY src_url, loc
 """
 
 
+def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling-mass PageRank (linkgraph.pagerank_hosts dangling=True,
+    VERDICT r13 #4): a synthetic host graph where sources are site-0..6
+    but destinations span site-0..10 — hosts 7..10 have no outgoing
+    edge, so their rank mass redistributes uniformly each iteration
+    instead of leaking. Two iterations, integer pico-units; the oracle
+    unrolls the same rounds including the left-anti dangling aggregate
+    bit-for-bit."""
+    from .operators.linkgraph import pagerank_hosts
+
+    d = F.col("doc_id")
+    edges = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("site-"), d % 7, F.lit(".example")).alias(
+                "src_host"
+            ),
+            F.concat(
+                F.lit("site-"), (3 * d + 1) % 11, F.lit(".example")
+            ).alias("dst_host"),
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+    return pagerank_hosts(edges, iters=2, dangling=True).orderBy("host")
+
+
+SQL_PAGERANK_DANGLING = """
+WITH e AS (
+  SELECT 'site-' || (doc_id % 7) || '.example' AS src_host,
+         'site-' || ((3 * doc_id + 1) % 11) || '.example' AS dst_host
+  FROM documents
+  WHERE 'site-' || (doc_id % 7) || '.example'
+        <> 'site-' || ((3 * doc_id + 1) % 11) || '.example'
+),
+edges AS (
+  SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+  FROM e GROUP BY src_host, dst_host
+),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM edges
+    UNION ALL SELECT dst_host FROM edges
+  )
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (
+  SELECT src_host, CAST(sum(n_links) AS DOUBLE) AS outw
+  FROM edges GROUP BY src_host
+),
+ew AS (
+  SELECT edges.src_host, edges.dst_host,
+         CAST(edges.n_links AS DOUBLE) AS w, outw.outw
+  FROM edges JOIN outw ON edges.src_host = outw.src_host
+),
+r0 AS (
+  SELECT host, CAST(round(1000000000000.0 / nn.n) AS BIGINT) AS rank_p
+  FROM nodes, nn
+),
+d1 AS (
+  SELECT CAST(round(CAST(coalesce(sum(r.rank_p), 0) AS DOUBLE) / nn.n)
+              AS BIGINT) AS share
+  FROM r0 r, nn
+  WHERE r.host NOT IN (SELECT src_host FROM outw)
+  GROUP BY nn.n
+),
+c1 AS (
+  SELECT ew.dst_host AS host,
+         CAST(sum(CAST(round(CAST(r.rank_p AS DOUBLE) * ew.w / ew.outw)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM ew JOIN r0 r ON ew.src_host = r.host GROUP BY ew.dst_host
+),
+r1 AS (
+  SELECT nodes.host,
+    CAST(round(((1.0 - 0.85) * 1000000000000.0) / nn.n
+               + 0.85 * CAST(coalesce(c1.s, 0) + d1.share AS DOUBLE))
+         AS BIGINT) AS rank_p
+  FROM nodes LEFT JOIN c1 ON nodes.host = c1.host, nn, d1
+),
+d2 AS (
+  SELECT CAST(round(CAST(coalesce(sum(r.rank_p), 0) AS DOUBLE) / nn.n)
+              AS BIGINT) AS share
+  FROM r1 r, nn
+  WHERE r.host NOT IN (SELECT src_host FROM outw)
+  GROUP BY nn.n
+),
+c2 AS (
+  SELECT ew.dst_host AS host,
+         CAST(sum(CAST(round(CAST(r.rank_p AS DOUBLE) * ew.w / ew.outw)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM ew JOIN r1 r ON ew.src_host = r.host GROUP BY ew.dst_host
+),
+r2 AS (
+  SELECT nodes.host,
+    CAST(round(((1.0 - 0.85) * 1000000000000.0) / nn.n
+               + 0.85 * CAST(coalesce(c2.s, 0) + d2.share AS DOUBLE))
+         AS BIGINT) AS rank_p
+  FROM nodes LEFT JOIN c2 ON nodes.host = c2.host, nn, d2
+)
+SELECT host, rank_p,
+       CAST(rank_p AS DOUBLE) / 1000000000000.0 AS rank
+FROM r2 ORDER BY host
+"""
+
+
 def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-index expansion (urltools.expand_sitemaps, VERDICT r13
     #3): every tenth document is a sitemap INDEX pointing at the NEXT
@@ -7714,6 +7820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_discovery": q_sitemap_discovery,
     "redirect_map": q_redirect_map,
     "sitemap_expand": q_sitemap_expand,
+    "pagerank_dangling": q_pagerank_dangling,
 }
 
 ORACLES: dict[str, str] = {
@@ -7878,6 +7985,7 @@ ORACLES: dict[str, str] = {
     "sitemap_discovery": SQL_SITEMAP_DISCOVERY,
     "redirect_map": SQL_REDIRECT_MAP,
     "sitemap_expand": SQL_SITEMAP_EXPAND,
+    "pagerank_dangling": SQL_PAGERANK_DANGLING,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).
