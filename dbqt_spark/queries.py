@@ -7226,6 +7226,51 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_robots_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots_gate fixture pushed through robots_filter's SHUFFLE
+    arm (rules_mode="shuffle", VERDICT r13 #1): the narrow
+    (row-id, host, path) match join + skew-free verdict join-back must
+    produce byte-identical verdicts to the broadcast arm — same
+    spec-derived oracle as robots_gate."""
+    from .operators.robots import parse_robots, robots_filter
+
+    robots_text = (
+        "# synthetic policy\n"
+        "User-agent: ignored-bot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/open/\n"
+        "Disallow: /data/*.tmp\n"
+        "Disallow: /exact$\n"
+        "Disallow:\n"
+    )
+    robots = spark.createDataFrame(
+        [(f"site-{k}.example", robots_text) for k in (0, 2, 4)],
+        "host string, text string",
+    )
+    rules = parse_robots(robots, user_agent="*")
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/public/"), d))
+        .when(d % 6 == 1, F.concat(F.lit("/private/"), d))
+        .when(d % 6 == 2, F.concat(F.lit("/private/open/"), d))
+        .when(d % 6 == 3, F.concat(F.lit("/data/"), d, F.lit(".tmp")))
+        .when(d % 6 == 4, F.concat(F.lit("/data/"), d, F.lit(".txt")))
+        .otherwise(F.lit("/exact"))
+    )
+    urls = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"), d % 5, F.lit(".example"), path
+        ).alias("url"),
+    )
+    return robots_filter(
+        urls, rules, keep_disallowed=True, rules_mode="shuffle"
+    ).orderBy("doc_id")
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware fetch schedule (urltools.frontier_schedule +
     robots.robots_directives): even-numbered hosts publish a
@@ -7816,6 +7861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outlink_hosts": q_outlink_hosts,
     "host_pagerank": q_host_pagerank,
     "robots_gate": q_robots_gate,
+    "robots_shuffle": q_robots_shuffle,
     "crawl_frontier": q_crawl_frontier,
     "sitemap_discovery": q_sitemap_discovery,
     "redirect_map": q_redirect_map,
@@ -7981,6 +8027,7 @@ ORACLES: dict[str, str] = {
     "outlink_hosts": SQL_OUTLINK_HOSTS,
     "host_pagerank": SQL_HOST_PAGERANK,
     "robots_gate": SQL_ROBOTS_GATE,
+    "robots_shuffle": SQL_ROBOTS_GATE,
     "crawl_frontier": SQL_CRAWL_FRONTIER,
     "sitemap_discovery": SQL_SITEMAP_DISCOVERY,
     "redirect_map": SQL_REDIRECT_MAP,
