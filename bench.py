@@ -344,7 +344,10 @@ def main() -> None:
         # crossed the 4 s pooled bar in r13 — warm anchors show pool
         # queueing, BENCH_NOTES #38) and the new 2-level sitemap
         # expansion chain
-        "profile_approx,curated_corpus,sitemap_expand",
+        "profile_approx,curated_corpus,sitemap_expand,"
+        # r14 new arms: the forced narrow-shuffle robots join and the
+        # dangling-mass 2-iteration PageRank
+        "robots_shuffle,pagerank_dangling",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):
