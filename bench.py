@@ -347,7 +347,7 @@ def main() -> None:
         "profile_approx,curated_corpus,sitemap_expand,"
         # r14 new arms: the forced narrow-shuffle robots join and the
         # dangling-mass 2-iteration PageRank
-        "robots_shuffle,pagerank_dangling",
+        "robots_shuffle,pagerank_dangling,cdx_roundtrip",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

@@ -358,6 +358,56 @@ def sitemap_urls(
     )
 
 
+def surt_col(url) -> Column:
+    """SURT form of a URL column/name (Sort-friendly URI Reordering
+    Transform — the public key ordering behind web-archive CDX
+    indexes, e.g. ``http://www.Example.com:80/A/b?y=2&x=1`` ->
+    ``com,example,www)/a/b?x=1&y=2``): scheme and userinfo drop,
+    host lowercases and its labels REVERSE comma-joined (so one
+    registrable domain and all its subdomains are one contiguous key
+    RANGE — the property that turns "every page under example.com"
+    into a range predicate a sorted/bucketed layout can prune),
+    default ports drop (others kept ``:port``), path lowercases with
+    trailing slashes stripped, query parameters lowercase and sort
+    (no tracking-strip — an INDEX must stay faithful to what was
+    fetched; that aggressive policy belongs to
+    ``canonical_url_col``), fragment drops. Non-URLs yield NULL (no
+    index key). Pure JVM split/reverse/sort expressions — fused into
+    the scan like the canonicalizer."""
+    u = F.trim(url if isinstance(url, Column) else F.col(url))
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host_port = _host_port_col(u)
+    host = F.regexp_replace(host_port, r":[0-9]*$", "")
+    port = F.regexp_extract(host_port, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(u, _SCHEME_RE + r"[^/?#]*([^?#]*)", 2),
+            r"/+$",
+            "",
+        )
+    )
+    qs = F.lower(F.regexp_extract(u, r"\?([^#]*)", 1))
+    query = F.array_join(
+        F.array_sort(F.filter(F.split(qs, "&"), lambda p: p != "")), "&"
+    )
+    surt = F.concat(
+        rev_host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
+        F.lit(")"),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(""),
+    )
+    return F.when(
+        (scheme != "") & (host != ""), surt
+    ).otherwise(F.lit(None).cast("string"))
+
+
 def expand_sitemaps(
     df: DataFrame,
     text_col: str = "text",

@@ -7407,6 +7407,68 @@ ORDER BY src_url, loc
 """
 
 
+def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ archive index, both directions (sources/cdx +
+    urltools.surt_col): synthetic capture rows exercising every SURT
+    arm (www label, non-default port, uppercase path, unsorted mixed-
+    case query, trailing slash) build index lines — then the lines
+    parse BACK to typed columns, so one oracle certifies the SURT
+    transform, the JSON blob bytes, and the round trip."""
+    from .sources.cdx import cdx_index, parse_cdxj
+
+    d = F.col("doc_id")
+    www = F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    port = F.when(d % 7 == 0, F.lit(":8443")).otherwise(F.lit(""))
+    tail = F.when(d % 2 == 0, F.lit("/?B=2&a=1")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), www, F.lit("site-"), d % 5,
+        F.lit(".example"), port, F.lit("/P/"), d, tail,
+    )
+    date = F.concat(
+        F.lit("2024-03-01T00:00:"),
+        F.lpad((d % 60).cast("string"), 2, "0"),
+        F.lit("Z"),
+    )
+    parsed = load_table(spark, sf_dir, "documents").select(
+        F.lit("seg-00000.warc.gz").alias("warc_file"),
+        F.concat(F.lit("<urn:uuid:"), d, F.lit(">")).alias("record_id"),
+        F.lit("response").alias("record_type"),
+        url.alias("url"),
+        date.alias("warc_date"),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).cast("int").alias("http_status"),
+        F.lit(None).cast("string").alias("redirect_to"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    lines = cdx_index(parsed).select(
+        F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
+    )
+    return parse_cdxj(lines).orderBy("surt_key", "ts14")
+
+
+SQL_CDX_ROUNDTRIP = """
+SELECT
+  'example,site-' || (doc_id % 5)
+    || CASE WHEN doc_id % 3 = 0 THEN ',www' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END
+    || ')/p/' || doc_id
+    || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS surt_key,
+  '202403010000' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ts14,
+  'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+    || 'site-' || (doc_id % 5) || '.example'
+    || CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END
+    || '/P/' || doc_id
+    || CASE WHEN doc_id % 2 = 0 THEN '/?B=2&a=1' ELSE '' END AS url,
+  'text/html' AS mime,
+  CAST(200 AS INTEGER) AS status,
+  md5(text) AS digest,
+  CAST(strlen(text) AS BIGINT) AS length,
+  'seg-00000.warc.gz' AS filename
+FROM documents
+ORDER BY surt_key, ts14
+"""
+
+
 def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dangling-mass PageRank (linkgraph.pagerank_hosts dangling=True,
     VERDICT r13 #4): a synthetic host graph where sources are site-0..6
@@ -7867,6 +7929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_map": q_redirect_map,
     "sitemap_expand": q_sitemap_expand,
     "pagerank_dangling": q_pagerank_dangling,
+    "cdx_roundtrip": q_cdx_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -8033,6 +8096,7 @@ ORACLES: dict[str, str] = {
     "redirect_map": SQL_REDIRECT_MAP,
     "sitemap_expand": SQL_SITEMAP_EXPAND,
     "pagerank_dangling": SQL_PAGERANK_DANGLING,
+    "cdx_roundtrip": SQL_CDX_ROUNDTRIP,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -1,0 +1,122 @@
+"""CDX(J) web-archive index — build from a parsed crawl, read back.
+
+Beyond the reference surface (north-star crawl-pipeline format): every
+WARC archive ships with a CDX index — one line per capture, keyed by
+the SURT-transformed URL plus a 14-digit timestamp, with a compact
+JSON blob of capture metadata (the Common Crawl / OpenWayback CDXJ
+convention, a public format). The index answers "which captures exist
+for this URL / this domain?" WITHOUT touching the archives, and the
+SURT key ordering turns per-domain lookups into contiguous RANGE
+scans.
+
+Two directions, both pure JVM expressions (no UDF, no shuffle beyond
+the final sort):
+
+- ``cdx_index``: parsed WARC rows (``WARC_ROW_SCHEMA`` — the
+  ``read_warc`` output) -> ``(surt_key, ts14, cdxj)`` CDXJ lines. The
+  JSON blob is built with ``concat`` (not ``to_json``) so the bytes
+  are engine-reproducible; url/filename strings get minimal JSON
+  escaping (backslash, quote). Digest = md5 of the payload bytes —
+  the exact-dup fingerprint the dedup tiers already use, so an index
+  row can pre-answer "have I stored these bytes?".
+- ``parse_cdxj``: CDXJ text lines -> typed columns (``from_json``
+  with the fixed schema — Jackson JVM-side, no Python).
+
+Scale shape: building the index is one narrow projection per capture
+row; the ``orderBy(surt_key, ts14)`` is THE product (a CDX file IS
+its sort order — range-scannable, mergeable). At 100 TB write it
+sorted/partitioned by surt prefix and domain lookups become partition
+pruning + a range predicate; the corpus payload column never moves —
+only the ~200 B index rows shuffle in the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: the capture-metadata fields a CDXJ blob carries (fixed public set)
+CDXJ_SCHEMA = (
+    "url string, mime string, status int, digest string, "
+    "length bigint, filename string"
+)
+
+
+def _json_escape(col):
+    """Minimal JSON string escaping (backslash first, then quote) —
+    enough for URL/filename fields, engine-portable."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r"\\", r"\\\\"), '"', r'\\"'
+    )
+
+
+def cdx_index(
+    parsed: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+) -> DataFrame:
+    """CDXJ index lines from a parsed WARC frame: ``(surt_key, ts14,
+    cdxj)`` sorted by (surt_key, ts14) — the archive-lookup index.
+    Rows whose URL yields no SURT key (non-URL targets) are dropped:
+    they cannot be looked up. ``ts14`` is the WARC date's digits
+    (``YYYYMMDDHHMMSS``)."""
+    from ..operators.urltools import surt_col
+
+    key = surt_col(F.col(url_col))
+    ts14 = F.regexp_replace(F.col(date_col), r"[^0-9]", "")
+    blob = F.concat(
+        F.lit('{"url":"'),
+        _json_escape(F.col(url_col)),
+        F.lit('","mime":"'),
+        F.coalesce(_json_escape(F.col("mime")), F.lit("")),
+        F.lit('","status":'),
+        F.coalesce(F.col("http_status").cast("string"), F.lit("-1")),
+        F.lit(',"digest":"'),
+        F.md5(F.coalesce(F.col("payload"), F.lit(b""))),
+        F.lit('","length":'),
+        F.coalesce(
+            F.length(F.col("payload")).cast("string"), F.lit("0")
+        ),
+        F.lit(',"filename":"'),
+        F.coalesce(_json_escape(F.col("warc_file")), F.lit("")),
+        F.lit('"}'),
+    )
+    return (
+        parsed.select(
+            key.alias("surt_key"),
+            ts14.alias("ts14"),
+            blob.alias("cdxj"),
+        )
+        .filter(F.col("surt_key").isNotNull())
+        .orderBy("surt_key", "ts14")
+    )
+
+
+def parse_cdxj(
+    df: DataFrame, line_col: str = "line"
+) -> DataFrame:
+    """Typed capture rows from CDXJ text lines: ``(surt_key, ts14,
+    url, mime, status, digest, length, filename)``. Lines that do not
+    split into key/timestamp/JSON (comments, blanks) are dropped; JSON
+    fields that fail to parse surface as NULL columns (``from_json``
+    permissive mode), never a job abort — real CDX files are
+    machine-written but real pipelines still meet truncated ones."""
+    line = F.trim(F.col(line_col))
+    surt = F.regexp_extract(line, r"^(\S+) (\d{14}) (\{.*\})$", 1)
+    ts14 = F.regexp_extract(line, r"^(\S+) (\d{14}) (\{.*\})$", 2)
+    blob = F.regexp_extract(line, r"^(\S+) (\d{14}) (\{.*\})$", 3)
+    parsed = df.select(
+        surt.alias("surt_key"),
+        ts14.alias("ts14"),
+        F.from_json(blob, CDXJ_SCHEMA).alias("__j"),
+    ).filter(F.col("surt_key") != "")
+    return parsed.select(
+        "surt_key",
+        "ts14",
+        F.col("__j.url").alias("url"),
+        F.col("__j.mime").alias("mime"),
+        F.col("__j.status").alias("status"),
+        F.col("__j.digest").alias("digest"),
+        F.col("__j.length").alias("length"),
+        F.col("__j.filename").alias("filename"),
+    )

@@ -1,0 +1,99 @@
+"""SURT keys + CDXJ index build/parse (sources/cdx.py)."""
+
+from pyspark.sql import functions as F
+
+from dbqt_spark.operators.urltools import surt_col
+from dbqt_spark.sources.cdx import cdx_index, parse_cdxj
+
+
+def test_surt_transform_table(spark):
+    cases = [
+        ("http://www.Example.com:80/A/b?y=2&x=1",
+         "com,example,www)/a/b?x=1&y=2"),
+        ("https://example.com/", "com,example)"),
+        ("https://sub.a.example.com/Deep/Path/",
+         "com,example,a,sub)/deep/path"),
+        ("http://example.com:8080/p", "com,example:8080)/p"),
+        ("https://user:pw@example.com/p#frag", "com,example)/p"),
+        ("ftp://files.example.com/x", "com,example,files)/x"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "i long, url string",
+    )
+    got = {
+        r.i: r.s
+        for r in df.select("i", surt_col("url").alias("s")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+    # the range property: a domain and its subdomains share a prefix
+    assert got[2].startswith("com,example,")
+
+
+def _parsed_fixture(spark):
+    rows = [
+        ("seg-00000.warc.gz", "<id1>", "response",
+         "https://B.example/Page/One", "2024-03-01T00:00:01Z",
+         "text/html", 200, None, b"<html>one</html>"),
+        ("seg-00000.warc.gz", "<id2>", "response",
+         "https://a.example/x?b=2&a=1", "2024-03-01T00:00:02Z",
+         "text/plain", 404, None, b"gone"),
+        # non-URL target: no SURT key, dropped from the index
+        ("seg-00000.warc.gz", "<id3>", "response",
+         "urn:uuid:opaque", "2024-03-01T00:00:03Z",
+         "text/plain", 200, None, b"x"),
+        # a quote in the URL must stay valid JSON
+        ("seg-00001.warc", "<id4>", "response",
+         'https://a.example/q?t="v"', "2024-03-01T00:00:04Z",
+         "text/html", 200, None, b"q"),
+    ]
+    from dbqt_spark.sources.warc import WARC_ROW_SCHEMA
+
+    return spark.createDataFrame(rows, WARC_ROW_SCHEMA)
+
+
+def test_cdx_index_lines_and_order(spark):
+    idx = cdx_index(_parsed_fixture(spark)).collect()
+    assert [r.surt_key for r in idx] == [
+        'example,a)/q?t="v"',
+        "example,a)/x?a=1&b=2",
+        "example,b)/page/one",
+    ]
+    one = idx[2]
+    assert one.ts14 == "20240301000001"
+    import hashlib
+    import json
+
+    blob = json.loads(one.cdxj)
+    assert blob["url"] == "https://B.example/Page/One"
+    assert blob["status"] == 200
+    assert blob["length"] == len(b"<html>one</html>")
+    assert blob["digest"] == hashlib.md5(b"<html>one</html>").hexdigest()
+    assert blob["filename"] == "seg-00000.warc.gz"
+    # the quoted-URL line is still parseable JSON
+    assert json.loads(idx[0].cdxj)["url"] == 'https://a.example/q?t="v"'
+
+
+def test_cdxj_round_trip_and_junk_lines(spark):
+    idx = cdx_index(_parsed_fixture(spark))
+    lines = idx.select(
+        F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
+    )
+    junk = spark.createDataFrame(
+        [(" ",), ("# comment",), ("broken line without json",)],
+        "line string",
+    )
+    back = parse_cdxj(lines.unionByName(junk)).collect()
+    assert len(back) == 3  # junk dropped
+    by_key = {r.surt_key: r for r in back}
+    r = by_key["example,b)/page/one"]
+    assert (r.url, r.mime, r.status, r.length, r.filename) == (
+        "https://B.example/Page/One", "text/html", 200, 16,
+        "seg-00000.warc.gz",
+    )
+    import hashlib
+
+    assert r.digest == hashlib.md5(b"<html>one</html>").hexdigest()
