@@ -80,24 +80,30 @@ class Database:
 
     def list_tables(self) -> list[str]:
         """S8: table discovery."""
-        if self.kind == "warc":
+        if self.kind in ("warc", "cdx"):
             root = self._root()
             if "://" in root:
-                # load() supports remote roots via a binaryFile glob,
-                # but enumerating them needs a Hadoop FS listing we
+                # load() supports remote roots via a glob, but
+                # enumerating them needs a Hadoop FS listing we
                 # deliberately don't take on — fail with the remedy
                 # instead of os.listdir's FileNotFoundError (r13 ADVICE)
                 raise ValueError(
-                    "table discovery is unsupported for remote warc "
-                    f"roots ({root}); load tables by name instead"
+                    f"table discovery is unsupported for remote "
+                    f"{self.kind} roots ({root}); load tables by name "
+                    "instead"
                 )
+            sfx = (
+                (".warc", ".warc.gz", ".arc.gz")
+                if self.kind == "warc"
+                else (".cdx", ".cdxj", ".cdx.gz", ".cdxj.gz")
+            )
             if os.path.isfile(root):
                 return [self._warc_stem(os.path.basename(root))]
             # same suffix set load()/_list_warc_files accept
             return sorted(
                 self._warc_stem(f)
                 for f in os.listdir(root)
-                if f.endswith((".warc", ".warc.gz", ".arc.gz"))
+                if f.endswith(sfx)
             )
         if self.kind in ("parquet", "csv", "duckdb", "json", "orc"):
             root = self._root()
@@ -190,13 +196,40 @@ class Database:
                 record_types=tuple(types) if types is not None else None,
                 via=self.connection.get("via", "auto"),
             )
+        if self.kind == "cdx":
+            # CDXJ archive-index files as typed capture tables: Spark's
+            # text source handles .gz transparently and splits plain
+            # files by line — the index parses fully distributed
+            from .cdx import parse_cdxj
+
+            root = self._root()
+            if "://" in root:
+                path = f"{root.rstrip('/')}/{table}.cdx*"
+            elif os.path.isfile(root):
+                path = root
+            else:
+                candidates = [
+                    os.path.join(root, table + sfx)
+                    for sfx in (".cdx", ".cdxj", ".cdx.gz", ".cdxj.gz")
+                ]
+                path = next(
+                    (p for p in candidates if os.path.exists(p)), None
+                )
+                if path is None:
+                    raise FileNotFoundError(
+                        f"no {table}.cdx[j][.gz] under {root}"
+                    )
+            return parse_cdxj(self.spark.read.text(path), "value")
         if self.kind in _JDBC_URLS:
             return self._jdbc_table(table)
         raise ValueError(f"unsupported connection type: {self.kind}")
 
     @staticmethod
     def _warc_stem(fname: str) -> str:
-        for suffix in (".warc.gz", ".warc", ".arc.gz"):
+        for suffix in (
+            ".warc.gz", ".warc", ".arc.gz",
+            ".cdxj.gz", ".cdxj", ".cdx.gz", ".cdx",
+        ):
             if fname.endswith(suffix):
                 return fname[: -len(suffix)]
         return os.path.splitext(fname)[0]

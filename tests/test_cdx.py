@@ -97,3 +97,38 @@ def test_cdxj_round_trip_and_junk_lines(spark):
     import hashlib
 
     assert r.digest == hashlib.md5(b"<html>one</html>").hexdigest()
+
+
+def test_database_kind_cdx(spark, tmp_path):
+    """kind: cdx — CDXJ files are discoverable tables that load as
+    typed capture frames (gz transparently); remote roots fail
+    discovery with the remedy named (the warc contract)."""
+    import gzip
+
+    import pytest
+
+    from dbqt_spark.sources.database import connect
+
+    idx = cdx_index(_parsed_fixture(spark))
+    lines = "\n".join(
+        f"{r.surt_key} {r.ts14} {r.cdxj}" for r in idx.collect()
+    )
+    d = tmp_path / "cdx"
+    d.mkdir()
+    (d / "idx-00000.cdxj").write_text(lines + "\n")
+    (d / "idx-00001.cdx.gz").write_bytes(
+        gzip.compress((lines + "\n").encode())
+    )
+    db = connect(spark, {"type": "cdx", "path": str(d)})
+    assert db.list_tables() == ["idx-00000", "idx-00001"]
+    plain = db.load("idx-00000")
+    assert plain.count() == 3
+    row = plain.filter("surt_key = 'example,b)/page/one'").collect()[0]
+    assert (row.url, row.status, row.filename) == (
+        "https://B.example/Page/One", 200, "seg-00000.warc.gz",
+    )
+    # gz arm parses identically
+    assert sorted(r.surt_key for r in db.load("idx-00001").collect()) == \
+        sorted(r.surt_key for r in plain.collect())
+    with pytest.raises(ValueError, match="remote cdx roots"):
+        connect(spark, {"type": "cdx", "path": "s3a://b/idx"}).list_tables()

@@ -177,11 +177,11 @@ def test_example_configs_round_trip():
     paths = sorted(glob.glob(os.path.join(here, "examples", "*.yaml.example")))
     # the checks-suite example is not a connection config
     paths = [p for p in paths if "checks_suite" not in p]
-    # athena, duckdb, mssql, oracle, snowflake, warc
-    assert len(paths) == 6
+    # athena, cdx, duckdb, mssql, oracle, snowflake, warc
+    assert len(paths) == 7
     supported = set(_JDBC_URLS) | {
         "parquet", "csv", "json", "orc", "duckdb", "s3parquet", "jdbc",
-        "warc",
+        "warc", "cdx",
     }
     for p in paths:
         cfg = EngineConfig.load(p)
