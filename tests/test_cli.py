@@ -187,9 +187,9 @@ def test_example_configs_round_trip():
         cfg = EngineConfig.load(p)
         kind = (cfg.connection.get("type") or "").lower()
         assert kind in supported, f"{p}: unsupported type {kind!r}"
-        # every example names a tables CSV, except warc (tables are
-        # discovered from the segment directory)
-        assert cfg.tables_file or kind == "warc"
+        # every example names a tables CSV, except warc/cdx (tables
+        # are discovered from the file directory)
+        assert cfg.tables_file or kind in ("warc", "cdx")
 
 
 def test_colcompare_generate_config_roundtrip(tmp_path, capsys):
