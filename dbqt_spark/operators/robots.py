@@ -398,6 +398,18 @@ def robots_filter(
         if len(probe) <= broadcast_host_limit:
             per_host = spark.createDataFrame(probe, per_host.schema)
         else:
+            if urls_df.isStreaming:
+                # the corpus-host semi-join probe needs a batch
+                # aggregate; a streaming corpus can't provide one at
+                # plan time — make the caller choose instead of
+                # failing deep inside an AnalysisException
+                raise ValueError(
+                    "robots_filter: the rule frame exceeds "
+                    f"broadcast_host_limit={broadcast_host_limit} and "
+                    "the URL frame is streaming — pre-filter the "
+                    "rules to the crawl's hosts, or pass "
+                    "rules_mode='broadcast'/'shuffle' explicitly"
+                )
             corpus_hosts = (
                 urls_df.select(host.alias("__uhost")).distinct()
             )
