@@ -101,15 +101,29 @@ def parse_cdxj(
     fields that fail to parse surface as NULL columns (``from_json``
     permissive mode), never a job abort — real CDX files are
     machine-written but real pipelines still meet truncated ones."""
+    # ONE 3-way split per line (limit=3 keeps spaces inside the JSON
+    # blob intact), then cheap shape checks — not three regex passes:
+    # at archive-index scale the per-line parse cost is the operator
     line = F.trim(F.col(line_col))
-    surt = F.regexp_extract(line, r"^(\S+) (\d{14}) (\{.*\})$", 1)
-    ts14 = F.regexp_extract(line, r"^(\S+) (\d{14}) (\{.*\})$", 2)
-    blob = F.regexp_extract(line, r"^(\S+) (\d{14}) (\{.*\})$", 3)
+    parts = F.split(line, " ", 3)
+    # try_element_at: a short line (blank, comment) yields NULLs that
+    # the validity mask drops — plain element_at ABORTS under ANSI
+    surt = F.try_element_at(parts, F.lit(1))
+    ts14 = F.try_element_at(parts, F.lit(2))
+    blob = F.try_element_at(parts, F.lit(3))
+    valid = (
+        (F.size(parts) == 3)
+        & surt.rlike(r"^\S+$")
+        & ts14.rlike(r"^\d{14}$")
+        & blob.startswith("{")
+        & blob.endswith("}")
+    )
     parsed = df.select(
         surt.alias("surt_key"),
         ts14.alias("ts14"),
         F.from_json(blob, CDXJ_SCHEMA).alias("__j"),
-    ).filter(F.col("surt_key") != "")
+        valid.alias("__ok"),
+    ).filter(F.col("__ok"))
     return parsed.select(
         "surt_key",
         "ts14",

@@ -132,3 +132,18 @@ def test_database_kind_cdx(spark, tmp_path):
         sorted(r.surt_key for r in plain.collect())
     with pytest.raises(ValueError, match="remote cdx roots"):
         connect(spark, {"type": "cdx", "path": "s3a://b/idx"}).list_tables()
+
+
+def test_cdx_index_sort_is_narrow(spark):
+    """The index sort must move only the ~200 B (surt_key, ts14, cdxj)
+    rows — the payload bytes fold into digest/length inside the
+    pre-sort projection and never ride the range exchange."""
+    import re
+
+    from dbqt_spark.plans import formatted_plan
+
+    plan = formatted_plan(cdx_index(_parsed_fixture(spark)))
+    for block in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) Exchange", block.strip()):
+            assert "payload#" not in block, block
+    assert "rangepartitioning" in plan
