@@ -158,7 +158,10 @@ def pagerank_hosts(
       their rank mass uniformly (the textbook correction), computed as
       one tiny left-anti aggregate per iteration, its per-node share
       rounded to integer picos so the arithmetic stays exact; total
-      mass is then conserved at ~1e12 picos instead of leaking.
+      mass is then conserved at ~1e12 picos instead of leaking. This
+      arm materializes the rank frame every iteration
+      (``localCheckpoint``) because each step references it twice —
+      left lazy that doubles the unrolled plan per iteration.
     - ``tol_p=K`` + ``history=[]``: per-iteration delta stat
       ``Σ_v |r_{i+1}(v) − r_i(v)|`` in picos, appended to ``history``
       (observability) and compared against ``tol_p`` for early stop.
@@ -240,8 +243,15 @@ def pagerank_hosts(
                 .cast("long"),
             )
         r_new = r_new.select("host", base.alias("rank_p"))
-        if track or (
-            checkpoint_every and (i + 1) % checkpoint_every == 0
+        # dangling references r TWICE per step (contrib join + the
+        # left-anti mass aggregate): left lazy, the unrolled plan
+        # would double per iteration (2^iters subtree copies — a
+        # driver-side analysis blow-up long before any job runs), so
+        # the dangling arm materializes every iteration
+        if (
+            track
+            or dangling
+            or (checkpoint_every and (i + 1) % checkpoint_every == 0)
         ):
             r_new = r_new.localCheckpoint(eager=True)
         if track:

@@ -368,6 +368,16 @@ def robots_filter(
     modes = ("auto", "broadcast", "shuffle")
     if rules_mode not in modes:
         raise ValueError(f"rules_mode must be one of {modes}")
+    if rules_df.isStreaming:
+        # every arm aggregates the rule frame (collect_list per host)
+        # and auto probes it with collect() — neither exists for a
+        # streaming frame; fail with the remedy, not an
+        # AnalysisException from deep inside the plan
+        raise ValueError(
+            "robots_filter needs a BATCH rule frame — materialize the "
+            "streaming robots corpus first (foreachBatch / parquet "
+            "sink), then parse_robots over the batch table"
+        )
     path = F.coalesce(
         F.nullif(
             F.regexp_extract(

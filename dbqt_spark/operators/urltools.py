@@ -392,7 +392,14 @@ def surt_col(url) -> Column:
             "",
         )
     )
-    qs = F.lower(F.regexp_extract(u, r"\?([^#]*)", 1))
+    # strip the fragment BEFORE extracting the query: a '?' inside the
+    # fragment ('/#/x?tab=1', the SPA pattern) is not a query, and two
+    # captures differing only in fragment must share one index key
+    qs = F.lower(
+        F.regexp_extract(
+            F.regexp_replace(u, r"#.*$", ""), r"\?(.*)$", 1
+        )
+    )
     query = F.array_join(
         F.array_sort(F.filter(F.split(qs, "&"), lambda p: p != "")), "&"
     )
@@ -437,7 +444,10 @@ def expand_sitemaps(
     ``.persist()`` the parse output)."""
     if max_depth < 1:
         raise ValueError(f"max_depth must be >= 1, got {max_depth}")
-    sm = sitemap_urls(df, text_col=text_col, url_col=url_col)
+    # distinct: a refetched sitemap (two captures across segments — the
+    # normal WARC case) must not double every loc it lists, at every
+    # expansion level (the resolve_redirects edge-dedup discipline)
+    sm = sitemap_urls(df, text_col=text_col, url_col=url_col).distinct()
     child = sm.select(
         canonical_url_col(F.col("src_url")).alias("__csrc"),
         F.col("loc").alias("__cloc"),
@@ -491,11 +501,12 @@ def resolve_redirects(
     n_hops, terminal)`` for every row — ``final_url`` follows the
     Location edges up to ``max_hops``; ``terminal`` is false when the
     walk stopped at the cap with an edge still outgoing (a longer
-    chain or a loop), OR when the row's own Location was non-empty but
-    UNRESOLVABLE (a ``mailto:`` target, a relative target on a non-URL
-    source — r13 ADVICE: a real redirect must not masquerade as a
-    terminal page; callers can distinguish "page" from "redirect we
-    could not follow"). Rows whose target is NULL/empty resolve to
+    chain or a loop), OR when the walk ENDS at a page whose Location
+    was non-empty but UNRESOLVABLE (a ``mailto:`` target, a relative
+    target on a non-URL source — r13 ADVICE: a real redirect must not
+    masquerade as a terminal page, whether it is the row's own
+    Location or one the chain lands on; callers can distinguish
+    "page" from "redirect we could not follow"). Rows whose target is NULL/empty resolve to
     themselves in 0 hops. Relative Location values — all RFC 9110
     allows: root-relative ``/path``, protocol-relative ``//host/p``,
     path-relative ``next.html`` and query-only ``?q=1`` — resolve
@@ -561,16 +572,26 @@ def resolve_redirects(
         .groupBy("__src")
         .agg(F.max("__dst").alias("__dst"))
     )
-    unres = (
-        F.col(target_col).isNotNull()
-        & (raw_t != "")
-        & resolved_t.isNull()
+    # URLs whose (non-empty) Location could not be resolved: real
+    # redirects the walk cannot follow. A row ENDING anywhere in this
+    # set — its own row, or a chain that lands on such a page — must
+    # not report terminal=true (a real redirect masquerading as a
+    # landing page). Tiny frame (broken-redirect rows only); one extra
+    # small left join at the end.
+    unres_urls = (
+        df.filter(
+            F.col(target_col).isNotNull()
+            & (raw_t != "")
+            & resolved_t.isNull()
+        )
+        .select(u.alias("__u_url"))
+        .distinct()
+        .withColumn("__u_hit", F.lit(True))
     )
     state = df.select(
         u.alias(url_col),
         u.alias("final_url"),
         F.lit(0).cast("int").alias("n_hops"),
-        unres.alias("__unres"),
     )
     for _ in range(max_hops):
         e = edges.select(
@@ -587,7 +608,6 @@ def resolve_redirects(
                     F.col("n_hops")
                     + F.when(F.col("__e_dst").isNotNull(), 1).otherwise(0)
                 ).cast("int").alias("n_hops"),
-                "__unres",
             )
         )
     e = edges.select(
@@ -595,16 +615,18 @@ def resolve_redirects(
     )
     return (
         state.join(e, state["final_url"] == e["__e_src"], "left")
+        .join(
+            unres_urls,
+            state["final_url"] == unres_urls["__u_url"],
+            "left",
+        )
         .select(
             url_col,
             "final_url",
             "n_hops",
-            # an unfollowable-but-real redirect (n_hops stayed 0) is
-            # NOT a terminal page, same as stopping at the hop cap
-            F.when(
-                F.col("__unres") & (F.col("n_hops") == 0), F.lit(False)
-            )
-            .otherwise(F.coalesce(~F.col("__more"), F.lit(True)))
-            .alias("terminal"),
+            (
+                F.coalesce(~F.col("__more"), F.lit(True))
+                & ~F.coalesce(F.col("__u_hit"), F.lit(False))
+            ).alias("terminal"),
         )
     )

@@ -63,7 +63,12 @@ def cdx_index(
     from ..operators.urltools import surt_col
 
     key = surt_col(F.col(url_col))
-    ts14 = F.regexp_replace(F.col(date_col), r"[^0-9]", "")
+    # digits of the WARC date, truncated to 14 (fractional-second
+    # dates carry 15+ digits); a NULL/short date yields no usable key
+    # and the row is dropped below — a NULL ts14 would serialize to a
+    # malformed line that parse-back silently discards
+    ts_digits = F.regexp_replace(F.col(date_col), r"[^0-9]", "")
+    ts14 = F.substring(ts_digits, 1, 14)
     blob = F.concat(
         F.lit('{"url":"'),
         _json_escape(F.col(url_col)),
@@ -82,12 +87,12 @@ def cdx_index(
         F.lit('"}'),
     )
     return (
-        parsed.select(
+        parsed.filter(key.isNotNull() & (F.length(ts_digits) >= 14))
+        .select(
             key.alias("surt_key"),
             ts14.alias("ts14"),
             blob.alias("cdxj"),
         )
-        .filter(F.col("surt_key").isNotNull())
         .orderBy("surt_key", "ts14")
     )
 

@@ -17,6 +17,7 @@ engine.
 | athena | read the underlying S3 data directly, or JDBC (S5) |
 | jdbc (generic) | verbatim ``url`` + ``driver`` from the config — any engine with a JDBC jar; live-tested against embedded Derby |
 | warc | web-crawl archives (ISO 28500): one "table" per ``*.warc[.gz]`` file, parsed by the pure-stdlib streaming reader in ``sources/warc.py`` — a source the reference lacks entirely |
+| cdx | web-archive CDX(J) indexes: one "table" per ``*.cdx[j][.gz]`` file, parsed distributed via ``sources/cdx.parse_cdxj`` |
 
 JDBC/S3 paths require the corresponding driver jars/filesystem on the
 cluster; in this container they raise a clear error when exercised, and
@@ -99,11 +100,15 @@ class Database:
             )
             if os.path.isfile(root):
                 return [self._warc_stem(os.path.basename(root))]
-            # same suffix set load()/_list_warc_files accept
+            # same suffix set load()/_list_warc_files accept; set():
+            # sibling flavors of one index (idx.cdx + idx.cdxj) are
+            # ONE table, not two
             return sorted(
-                self._warc_stem(f)
-                for f in os.listdir(root)
-                if f.endswith(sfx)
+                {
+                    self._warc_stem(f)
+                    for f in os.listdir(root)
+                    if f.endswith(sfx)
+                }
             )
         if self.kind in ("parquet", "csv", "duckdb", "json", "orc"):
             root = self._root()
@@ -168,7 +173,12 @@ class Database:
                 # remote root (s3a://, hdfs://): glob through the
                 # binaryFile arm — Hadoop resolves the pattern, no
                 # driver-side listing
-                path = f"{root.rstrip('/')}/{table}.warc*"
+                # Hadoop brace alternation covers the same suffix
+                # family local discovery accepts (.warc[.gz], .arc.gz)
+                path = (
+                    f"{root.rstrip('/')}/{table}"
+                    ".{warc,warc.gz,arc.gz}"
+                )
             elif os.path.isfile(root):
                 path = root
             else:

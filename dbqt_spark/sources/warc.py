@@ -204,6 +204,10 @@ def _dechunk(body: bytes) -> bytes:
             size = int(size_token, 16)
         except ValueError:
             return body  # not chunked, or corrupt mid-stream framing
+        if size < 0:
+            # int(,16) accepts '-1': a negative size is corrupt framing
+            # (and would wrap Python slice indices) — raw body back
+            return body
         if size == 0:
             break
         data_start = eol + 1

@@ -147,3 +147,43 @@ def test_cdx_index_sort_is_narrow(spark):
         if re.match(r"\(\d+\) Exchange", block.strip()):
             assert "payload#" not in block, block
     assert "rangepartitioning" in plan
+
+
+def test_cdx_index_drops_dateless_rows_and_truncates_fractional(spark):
+    """A NULL/short WARC date cannot key a capture (the row drops —
+    it would serialize to a malformed line the parser silently
+    discards); fractional-second dates truncate to 14 digits."""
+    from dbqt_spark.sources.warc import WARC_ROW_SCHEMA
+
+    rows = [
+        ("f", "<a>", "response", "https://a.example/x", None,
+         "text/html", 200, None, b"x"),
+        ("f", "<b>", "response", "https://a.example/y",
+         "2024-03-01T00:00:01.123456Z", "text/html", 200, None, b"y"),
+        ("f", "<c>", "response", "https://a.example/z", "2024",
+         "text/html", 200, None, b"z"),
+    ]
+    idx = cdx_index(
+        spark.createDataFrame(rows, WARC_ROW_SCHEMA)
+    ).collect()
+    assert [(r.surt_key, r.ts14) for r in idx] == [
+        ("example,a)/y", "20240301000001"),
+    ]
+
+
+def test_surt_fragment_never_leaks_into_the_key(spark):
+    """A '?' inside the fragment (the SPA pattern) is not a query —
+    two captures differing only in fragment share one index key."""
+    df = spark.createDataFrame(
+        [(1, "https://app.example/#/x?tab=1"),
+         (2, "https://app.example/"),
+         (3, "https://app.example/p?a=1#frag?b=2")],
+        "i long, url string",
+    )
+    got = {
+        r.i: r.s
+        for r in df.select("i", surt_col("url").alias("s")).collect()
+    }
+    assert got[1] == "example,app)"
+    assert got[1] == got[2]
+    assert got[3] == "example,app)/p?a=1"

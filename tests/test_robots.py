@@ -528,3 +528,25 @@ def test_expand_sitemaps_index_chase(spark):
     }
     assert deep[(f"{h}/root.xml", f"{h}/deep/1")] == (3, False)
     assert (f"{h}/root.xml", f"{h}/grand.xml") not in deep
+
+
+def test_expand_sitemaps_refetched_capture_does_not_double(spark):
+    """Two captures of the same sitemap (refetch across segments) must
+    not double every loc at every level."""
+    from dbqt_spark.operators.urltools import expand_sitemaps
+
+    h = "https://s.example"
+    idx = (f"{h}/root.xml",
+           f"<sitemapindex><sitemap><loc>{h}/child.xml</loc></sitemap>"
+           f"</sitemapindex>")
+    child = (f"{h}/child.xml",
+             f"<urlset><url><loc>{h}/p/1</loc></url></urlset>")
+    df = spark.createDataFrame(
+        [idx, child, idx, child], "url string, text string"
+    )
+    rows = expand_sitemaps(df, max_depth=2).collect()
+    got = sorted((r.root_url, r.loc, r.depth, r.is_sitemap) for r in rows)
+    assert got == [
+        (f"{h}/child.xml", f"{h}/p/1", 1, False),
+        (f"{h}/root.xml", f"{h}/p/1", 2, False),
+    ]

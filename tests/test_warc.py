@@ -640,3 +640,37 @@ def test_dechunk_lenient_framing(spark=None):
     # truncated exactly after a chunk terminator (missing 0-chunk)
     assert _dechunk(b"5\r\nhello\r\n") == b"hello"
     assert _dechunk(b"") == b""
+
+
+def test_dechunk_negative_size_returns_raw():
+    """int(,16) accepts '-1' — a negative chunk size is corrupt
+    framing and must return the original body, never a stitched
+    decode."""
+    from dbqt_spark.sources.warc import _dechunk
+
+    corrupt = b"3\r\nabc\r\n-1\r\n3\r\nxyz\r\n0\r\n\r\n"
+    assert _dechunk(corrupt) == corrupt
+    deep = b"3\r\nabc\r\n-ff\r\nrest"
+    assert _dechunk(deep) == deep
+
+
+def test_redirect_chain_ending_at_unfollowable_is_not_terminal(spark):
+    """A chain that LANDS on a page whose Location is unfollowable is
+    still a redirect, not a landing page — terminal=false propagates
+    to every row ending there."""
+    from dbqt_spark.operators.urltools import resolve_redirects
+
+    rows = [
+        ("https://a.example/r", "https://b.example/mid"),
+        ("https://b.example/mid", "mailto:x@b.example"),
+        ("https://b.example/ok", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, redirect_to string")
+    got = {r.url: r for r in resolve_redirects(df).collect()}
+    r = got["https://a.example/r"]
+    assert (r.final_url, r.n_hops, r.terminal) == (
+        "https://b.example/mid", 1, False,
+    )
+    m = got["https://b.example/mid"]
+    assert (m.final_url, m.n_hops, m.terminal) == (m.url, 0, False)
+    assert got["https://b.example/ok"].terminal is True
