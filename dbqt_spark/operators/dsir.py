@@ -28,6 +28,18 @@ bit-for-bit (the ``textstats.lm_score`` discipline). Gumbel noise is a
 pure function of (seed, doc id) via the same md5 construction — no RNG
 state, append-stable, reproducible across engines.
 
+Since r15 the log itself is PORTABLE (r14 driver red): ``ln`` went
+through libm, whose JVM and DuckDB implementations may differ by 1 ulp
+— enough to flip the 6th decimal of a boundary-adjacent bucket ratio
+on a different driver host. ``functions.portable_math`` now computes
+every ``ln`` in this module (ratio table AND Gumbel draw) from
+exactly-rounded IEEE primitives only (integer-bitlength range
+reduction + atanh series), so both engines produce bit-identical
+doubles BEFORE the 6-place rounding, which itself uses the portable
+``floor``-based form. The default integer-``alpha`` path is fully
+portable; non-integer ``alpha`` falls back to native ``F.log``
+(documented best-effort parity).
+
 Scale shape: text scan -> explode -> (doc, bucket) counts with
 map-side combine; the log-ratio table is at most ``n_buckets`` rows
 (10k: kilobytes) and joins back BROADCAST -> per-doc agg. The self-fit
@@ -44,9 +56,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-HASH_SPAN = float(1 << 60)  # portable hash range (15 hex chars)
-
 
 def _grams_expr(max_n: int) -> str:
     """SQL expression: array of all 1..max_n word grams (occurrences,
@@ -137,9 +146,44 @@ def dsir_log_ratios(
     totals = both.agg(
         F.sum("__t").alias("__tot_t"), F.sum("__r").alias("__tot_r")
     )
+    base = both.crossJoin(F.broadcast(totals))
+    if float(alpha).is_integer() and 1 <= int(alpha) <= 10**6:
+        # Portable path (the oracled contract): lr = (ln(t+a) − ln(r+a))
+        # + (ln(R+aB) − ln(T+aB)) — four single-integer portable lns
+        # instead of one ln of a product, so every bitlength argument
+        # stays inside int64 even at 100 TB gram totals. Each ln and
+        # the final 6-place rounding use exactly-rounded IEEE ops only
+        # (functions.portable_math) — bit-identical on any engine.
+        from ..functions.portable_math import (
+            apply_steps,
+            ln_int_steps,
+            round_dec_expr,
+        )
+
+        ai = int(alpha)
+        aib = ai * n_buckets
+        ints = base.select(
+            "bucket",
+            (F.col("__t") + F.lit(ai)).cast("bigint").alias("__ta"),
+            (F.col("__r") + F.lit(ai)).cast("bigint").alias("__rb"),
+            (F.col("__tot_r") + F.lit(aib)).cast("bigint").alias("__tr"),
+            (F.col("__tot_t") + F.lit(aib)).cast("bigint").alias("__tt"),
+        )
+        steps = (
+            ln_int_steps("__ta", "__l1", "spark", "__q1")
+            + ln_int_steps("__rb", "__l2", "spark", "__q2")
+            + ln_int_steps("__tr", "__l3", "spark", "__q3")
+            + ln_int_steps("__tt", "__l4", "spark", "__q4")
+        )
+        lr_raw = "((__l1 - __l2) + (__l3 - __l4))"
+        return apply_steps(ints, steps).selectExpr(
+            "bucket", f"{round_dec_expr(lr_raw, 6, 'spark')} AS lr6"
+        )
+    # Non-integer alpha: native log (best-effort cross-engine parity —
+    # a 1-ulp libm divergence can flip a boundary-adjacent 6th decimal)
     a = float(alpha)
     ab = a * n_buckets
-    return both.crossJoin(F.broadcast(totals)).select(
+    return base.select(
         "bucket",
         F.round(
             F.log(
@@ -223,24 +267,22 @@ def dsir_weights(
     )
 
 
-def gumbel_key_col(id_col: str, seed: int) -> "F.Column":
-    """Deterministic 6-place Gumbel draw per id: u from the portable
-    md5-prefix of ``"<seed>:<id>"`` mapped into (0,1), then
+def with_gumbel_key(
+    df: DataFrame, id_col: str, seed: int, out: str = "gumbel_key"
+) -> DataFrame:
+    """Append a deterministic 6-place Gumbel draw per id: u from the
+    portable md5-prefix of ``"<seed>:<id>"`` mapped into (0,1), then
     ``g = -ln(-ln(u))`` — the Gumbel-max trick's noise, reproducible by
-    any engine that can md5 (same family as ``sampling.hash_split``)."""
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(HASH_SPAN)
-    return F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
+    any engine that can md5 (same family as ``sampling.hash_split``).
+    Both ``ln``s are portable-exact (``u = (2h+1)/2^61`` is an integer
+    ratio; the outer ln runs on the positive double), so the rounded
+    DECIMAL(18,6) draw is bit-identical across engines. Intermediate
+    ``__pg*`` columns are projected away."""
+    from ..functions.portable_math import apply_steps, gumbel_steps
+
+    keep = df.columns
+    steps = gumbel_steps(id_col, seed, out, "spark")
+    return apply_steps(df, steps).select(*keep, out)
 
 
 def dsir_select(
@@ -271,13 +313,15 @@ def dsir_select(
         raw_df, target_df, text_col, id_col, n_buckets, max_n, alpha,
         ratios=ratios,
     )
-    key = (
-        (F.col("log_weight") + gumbel_key_col(id_col, seed))
-        if mode == "gumbel"
-        else F.col("log_weight").cast("decimal(38,6)")
-    )
+    if mode == "gumbel":
+        w = with_gumbel_key(w, id_col, seed, out="__g")
+        key = F.col("log_weight") + F.col("__g")
+    else:
+        key = F.col("log_weight").cast("decimal(38,6)")
     return (
-        w.select("*", key.alias("sample_key"))
+        w.select(
+            id_col, "n_grams", "log_weight", key.alias("sample_key")
+        )
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(k)
     )

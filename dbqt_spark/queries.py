@@ -6920,8 +6920,33 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared CTE text for the DSIR twins: features / marginals / smoothed
 # log-ratios / per-doc exact DECIMAL sums, ending in CTE ``dsirw``
-# (doc_id, n_grams, log_weight).
-_SQL_DSIR_CTES = r"""
+# (doc_id, n_grams, log_weight). The log-ratio table is computed with
+# the PORTABLE ln (functions.portable_math): four single-integer lns
+# chained as one-step CTE projections, then the floor-based 6-place
+# rounding — the identical exactly-rounded IEEE op sequence the Spark
+# side runs (operators/dsir.dsir_log_ratios), so both engines produce
+# the same DECIMAL bit-for-bit on ANY driver host (r14 red fixed).
+from .functions.portable_math import (  # noqa: E402
+    chain_ctes as _pm_chain_ctes,
+    gumbel_steps as _pm_gumbel_steps,
+    ln_int_steps as _pm_ln_int_steps,
+    round_dec_expr as _pm_round_dec_expr,
+)
+
+_DSIR_LR_STEPS = (
+    _pm_ln_int_steps("__ta", "__l1", "duckdb", "__q1")
+    + _pm_ln_int_steps("__rb", "__l2", "duckdb", "__q2")
+    + _pm_ln_int_steps("__tr", "__l3", "duckdb", "__q3")
+    + _pm_ln_int_steps("__tt", "__l4", "duckdb", "__q4")
+)
+_DSIR_LR_CTES, _DSIR_LR_LAST = _pm_chain_ctes(
+    _DSIR_LR_STEPS, "lrints", "lrc"
+)
+_DSIR_LR6_EXPR = _pm_round_dec_expr(
+    "((__l1 - __l2) + (__l3 - __l4))", 6, "duckdb"
+)
+
+_SQL_DSIR_CTES = rf"""
 rawd AS (
   SELECT doc_id, coalesce(text, '') AS text FROM documents
 ),
@@ -6972,14 +6997,18 @@ marg AS (
          coalesce(tcnt, 0) AS tcnt, coalesce(rcnt, 0) AS rcnt
   FROM tm FULL OUTER JOIN rm ON tm.bucket = rm.bucket
 ),
-tot AS (SELECT sum(tcnt) AS tott, sum(rcnt) AS totr FROM marg),
-lr AS (
+tot AS (SELECT CAST(sum(tcnt) AS BIGINT) AS tott,
+               CAST(sum(rcnt) AS BIGINT) AS totr FROM marg),
+lrints AS (
   SELECT bucket,
-    CAST(round(ln(
-        ((CAST(tcnt AS DOUBLE) + 1.0) * (CAST(totr AS DOUBLE) + 10000.0))
-      / ((CAST(rcnt AS DOUBLE) + 1.0) * (CAST(tott AS DOUBLE) + 10000.0))
-      ), 6) AS DECIMAL(18,6)) AS lr6
+    CAST(tcnt + 1 AS BIGINT) AS __ta, CAST(rcnt + 1 AS BIGINT) AS __rb,
+    CAST(totr + 10000 AS BIGINT) AS __tr,
+    CAST(tott + 10000 AS BIGINT) AS __tt
   FROM marg, tot
+),
+{_DSIR_LR_CTES},
+lr AS (
+  SELECT bucket, {_DSIR_LR6_EXPR} AS lr6 FROM {_DSIR_LR_LAST}
 ),
 per_doc AS (
   SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_grams,
@@ -7750,14 +7779,19 @@ FROM documents, m ORDER BY doc_id
 """
 
 
+# Portable Gumbel draw (oracle twin of operators/dsir.with_gumbel_key):
+# u = (2h+1)/2^61 for the 60-bit md5-prefix h, g = -ln(-ln(u)) with both
+# lns exactly-rounded-portable, chained as one-step CTE projections.
+_DSIR_GUMBEL_CTES, _DSIR_GUMBEL_LAST = _pm_chain_ctes(
+    _pm_gumbel_steps("doc_id", 7, "__g", "duckdb"), "dsirw", "gc"
+)
+
 SQL_DSIR_SELECT = f"""
-WITH {_SQL_DSIR_CTES}
+WITH {_SQL_DSIR_CTES},
+{_DSIR_GUMBEL_CTES}
 SELECT doc_id, n_grams, log_weight,
-  log_weight + CAST(round(-ln(-ln(
-      (CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
-            ::UBIGINT AS DOUBLE) + 0.5)
-      / 1152921504606846976.0)), 6) AS DECIMAL(18,6)) AS sample_key
-FROM dsirw
+  log_weight + __g AS sample_key
+FROM {_DSIR_GUMBEL_LAST}
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT 200
 """

@@ -7,8 +7,8 @@ from pyspark.sql import functions as F
 from dbqt_spark.operators.dsir import (
     dsir_select,
     dsir_weights,
-    gumbel_key_col,
     hashed_ngram_features,
+    with_gumbel_key,
 )
 
 
@@ -111,7 +111,7 @@ def test_gumbel_key_distribution_sanity(spark):
     ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
     vals = [
         float(r.g)
-        for r in ids.select(gumbel_key_col("doc_id", 42).alias("g")).collect()
+        for r in with_gumbel_key(ids, "doc_id", 42, out="g").collect()
     ]
     mean = sum(vals) / len(vals)
     assert 0.45 < mean < 0.72
