@@ -1171,7 +1171,12 @@ def bm25_search(
         )
         .groupBy(id_col)
         .agg(
-            F.round(F.sum("__c").cast("double"), 4).alias("score")
+            # round the EXACT decimal sum, then cast: a contrib sum can
+            # land exactly on a .5e-4 boundary (margin audit r15 found
+            # one live at sf0.01), where round-after-double-cast is
+            # engine-implementation-defined; decimal rounding is
+            # half-away-from-zero and exact in both engines
+            F.round(F.sum("__c"), 4).cast("double").alias("score")
         )
     )
     return scored.orderBy(

@@ -5428,7 +5428,7 @@ sc AS (
       7) AS DECIMAL(25,8)) AS contrib
   FROM tf JOIN dfreq USING (t) JOIN dl d ON d.doc_id = tf.doc_id, corpus c
 )
-SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 4) AS score
+SELECT doc_id, CAST(round(sum(contrib), 4) AS DOUBLE) AS score
 FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 20
 """
