@@ -310,6 +310,36 @@ def _winning_rule(rules_col: Column, path_col: Column) -> Column:
     )
 
 
+def _collect_if_small(per_host, host_limit: int, byte_limit: int):
+    """Bounded two-phase probe of the per-host rule frame: first pull
+    at most ``host_limit + 1`` CHEAP (host, est_bytes) rows — the rule
+    arrays stay executor-side — and gate on BOTH host count and the
+    estimated serialized size (ADVICE r14: a tail of hosts with
+    pathological robots.txt breaks the ~100 B/host sizing assumption;
+    100k rows each dragging a multi-thousand-rule array to the driver
+    is memory pressure before the gate helps). Only when both gates
+    pass do the actual rows ride back for the LOCAL relation. Returns
+    the collected rows or None (caller falls through to the next
+    arm). The estimate pass re-runs the rule parse once (bounded by
+    the limit); the local relation itself still parses exactly once."""
+    est = (
+        per_host.select(
+            F.expr(
+                "aggregate(__rules, cast(32 as bigint), (a, x) -> "
+                "a + coalesce(length(x.rule_path), 0) + "
+                "coalesce(length(x.pattern), 0) + 24)"
+            ).alias("__b")
+        )
+        .limit(host_limit + 1)
+        .collect()
+    )
+    if len(est) > host_limit:
+        return None
+    if sum(r["__b"] or 0 for r in est) > byte_limit:
+        return None
+    return per_host.limit(host_limit + 1).collect()
+
+
 def robots_filter(
     urls_df: DataFrame,
     rules_df: DataFrame,
@@ -317,6 +347,7 @@ def robots_filter(
     keep_disallowed: bool = False,
     rules_mode: str = "auto",
     broadcast_host_limit: int = ROBOTS_BROADCAST_HOSTS,
+    broadcast_byte_limit: int = 64 * 2**20,
 ) -> DataFrame:
     """Per-URL robots verdict: input columns plus ``allowed`` and
     ``matched_rule`` (the winning rule path, NULL when no rule
@@ -359,9 +390,17 @@ def robots_filter(
       the floor for any non-broadcastable policy join (the
       alternative — joining the corpus directly on host — moves the
       same bytes through the SKEWED key). Row ids come from
-      ``monotonically_increasing_id``, so the input plan must be
-      deterministic (a parquet scan is); materialize nondeterministic
-      upstreams first (the ``resolve_redirects`` contract).
+      ``monotonically_increasing_id`` pinned by a lazy
+      ``localCheckpoint`` so both join-back sides read the SAME
+      materialized ids even under a nondeterministic upstream, and a
+      join-back miss (impossible unless ids diverge) fails CLOSED
+      (``allowed=False``) rather than waving disallowed URLs through
+      (ADVICE r14).
+
+    Both auto probes gate on host count AND estimated rule bytes
+    (``broadcast_byte_limit``, default 64 MiB): the byte estimate
+    rides a cheap bounded aggregate so pathological robots.txt tails
+    never drag full rule arrays to the driver just to be rejected.
     """
     from .urltools import host_col as host_of
 
@@ -404,8 +443,10 @@ def robots_filter(
     use_shuffle = rules_mode == "shuffle"
     if rules_mode == "auto":
         spark = urls_df.sparkSession
-        probe = per_host.limit(broadcast_host_limit + 1).collect()
-        if len(probe) <= broadcast_host_limit:
+        probe = _collect_if_small(
+            per_host, broadcast_host_limit, broadcast_byte_limit
+        )
+        if probe is not None:
             per_host = spark.createDataFrame(probe, per_host.schema)
         else:
             if urls_df.isStreaming:
@@ -428,8 +469,10 @@ def robots_filter(
                 per_host["__rhost"] == corpus_hosts["__uhost"],
                 "left_semi",
             )
-            probe = surv.limit(broadcast_host_limit + 1).collect()
-            if len(probe) <= broadcast_host_limit:
+            probe = _collect_if_small(
+                surv, broadcast_host_limit, broadcast_byte_limit
+            )
+            if probe is not None:
                 per_host = spark.createDataFrame(probe, per_host.schema)
             else:
                 use_shuffle = True
@@ -450,9 +493,26 @@ def robots_filter(
             win["rule_path"].alias("matched_rule"),
         )
     else:
+        if urls_df.isStreaming:
+            raise ValueError(
+                "robots_filter: the shuffle arm keys rows with "
+                "monotonically_increasing_id, which a streaming frame "
+                "cannot carry across the join-back — pre-filter the "
+                "rules to the crawl's hosts so the broadcast arm fits, "
+                "or gate inside foreachBatch"
+            )
+        # __rid appears on BOTH sides of the verdict join-back, and
+        # monotonically_increasing_id is only stable across the two
+        # evaluations if the upstream plan is deterministic; a
+        # nondeterministic upstream (rand-sample, unseeded shuffle)
+        # could assign different ids per side and silently mis-join
+        # (ADVICE r14: fail-open). localCheckpoint (lazy) pins ONE
+        # materialization both sides read — the extra corpus write is
+        # the price of a correct join-back, on an arm that already
+        # pays a full-width exchange by construction.
         keyed = urls_df.withColumn(
             "__rid", F.monotonically_increasing_id()
-        )
+        ).localCheckpoint(eager=False)
         narrow = keyed.select(
             "__rid", host.alias("__host"), path.alias("__path")
         )
@@ -465,9 +525,14 @@ def robots_filter(
             "left_semi",
         )
         win = _winning_rule(F.col("__rules"), F.col("__path"))
+        # LEFT join: every rid carries exactly one verdict row (hosts
+        # without rules verdict True via the null-rules lambda), so a
+        # miss on the join-back below can only mean an id mismatch —
+        # which now FAILS CLOSED (allowed=False) instead of silently
+        # passing disallowed URLs
         verdicts = (
             narrow.join(
-                surv, narrow["__host"] == surv["__rhost"], "inner"
+                surv, narrow["__host"] == surv["__rhost"], "left"
             )
             .select(
                 "__rid",
@@ -477,7 +542,7 @@ def robots_filter(
         )
         verdict = keyed.join(verdicts, "__rid", "left").select(
             *urls_df.columns,
-            F.coalesce("__allowed", F.lit(True)).alias("allowed"),
+            F.coalesce("__allowed", F.lit(False)).alias("allowed"),
             F.col("__matched_rule").alias("matched_rule"),
         )
     if keep_disallowed:

@@ -367,13 +367,17 @@ def surt_col(url) -> Column:
     registrable domain and all its subdomains are one contiguous key
     RANGE — the property that turns "every page under example.com"
     into a range predicate a sorted/bucketed layout can prune),
-    default ports drop (others kept ``:port``), path lowercases with
-    trailing slashes stripped, query parameters lowercase and sort
-    (no tracking-strip — an INDEX must stay faithful to what was
-    fetched; that aggressive policy belongs to
-    ``canonical_url_col``), fragment drops. Non-URLs yield NULL (no
-    index key). Pure JVM split/reverse/sort expressions — fused into
-    the scan like the canonicalizer."""
+    default ports drop (others kept ``:port``), path lowercases but
+    otherwise keeps its form — a root URL keys as ``com,example)/``
+    and ``/a/b/`` stays ``/a/b/``, matching the public SURT/CDXJ
+    convention (Common Crawl / OpenWayback) so keys range-match
+    external CDX indexes (ADVICE r14; trailing slashes were
+    previously stripped) — query parameters lowercase and sort (no
+    tracking-strip — an INDEX must stay faithful to what was fetched;
+    that aggressive policy belongs to ``canonical_url_col``),
+    fragment drops. Non-URLs yield NULL (no index key). Pure JVM
+    split/reverse/sort expressions — fused into the scan like the
+    canonicalizer."""
     u = F.trim(url if isinstance(url, Column) else F.col(url))
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     host_port = _host_port_col(u)
@@ -385,13 +389,12 @@ def surt_col(url) -> Column:
         & ~((scheme == "https") & (port == "443"))
     )
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    path = F.lower(
-        F.regexp_replace(
-            F.regexp_extract(u, _SCHEME_RE + r"[^/?#]*([^?#]*)", 2),
-            r"/+$",
-            "",
-        )
+    raw_path = F.lower(
+        F.regexp_extract(u, _SCHEME_RE + r"[^/?#]*([^?#]*)", 2)
     )
+    # conventional root form: pathless URL -> ")/"; otherwise the
+    # (lowercased) path keeps its trailing-slash form verbatim
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     # strip the fragment BEFORE extracting the query: a '?' inside the
     # fragment ('/#/x?tab=1', the SPA pattern) is not a query, and two
     # captures differing only in fragment must share one index key
@@ -582,6 +585,11 @@ def resolve_redirects(
         df.filter(
             F.col(target_col).isNotNull()
             & (raw_t != "")
+            # a fragment-only Location ('#section') is a same-document
+            # pointer, not a redirect the walk failed to follow — it
+            # resolves to self as a terminal page (ADVICE r14), so
+            # mirror the '#' exclusion used by the resolution arms
+            & ~raw_t.startswith("#")
             & resolved_t.isNull()
         )
         .select(u.alias("__u_url"))

@@ -7481,7 +7481,7 @@ SELECT
     || CASE WHEN doc_id % 3 = 0 THEN ',www' ELSE '' END
     || CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END
     || ')/p/' || doc_id
-    || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS surt_key,
+    || CASE WHEN doc_id % 2 = 0 THEN '/?a=1&b=2' ELSE '' END AS surt_key,
   '202403010000' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ts14,
   'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
     || 'site-' || (doc_id % 5) || '.example'

@@ -10,9 +10,12 @@ def test_surt_transform_table(spark):
     cases = [
         ("http://www.Example.com:80/A/b?y=2&x=1",
          "com,example,www)/a/b?x=1&y=2"),
-        ("https://example.com/", "com,example)"),
+        # conventional root form + preserved trailing slash (ADVICE
+        # r14: keys must range-match external CDX indexes)
+        ("https://example.com/", "com,example)/"),
+        ("https://example.com", "com,example)/"),
         ("https://sub.a.example.com/Deep/Path/",
-         "com,example,a,sub)/deep/path"),
+         "com,example,a,sub)/deep/path/"),
         ("http://example.com:8080/p", "com,example:8080)/p"),
         ("https://user:pw@example.com/p#frag", "com,example)/p"),
         ("ftp://files.example.com/x", "com,example,files)/x"),
@@ -30,7 +33,7 @@ def test_surt_transform_table(spark):
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
     # the range property: a domain and its subdomains share a prefix
-    assert got[2].startswith("com,example,")
+    assert got[3].startswith("com,example,")
 
 
 def _parsed_fixture(spark):
@@ -184,6 +187,6 @@ def test_surt_fragment_never_leaks_into_the_key(spark):
         r.i: r.s
         for r in df.select("i", surt_col("url").alias("s")).collect()
     }
-    assert got[1] == "example,app)"
+    assert got[1] == "example,app)/"
     assert got[1] == got[2]
     assert got[3] == "example,app)/p?a=1"

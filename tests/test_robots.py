@@ -550,3 +550,59 @@ def test_expand_sitemaps_refetched_capture_does_not_double(spark):
         (f"{h}/child.xml", f"{h}/p/1", 1, False),
         (f"{h}/root.xml", f"{h}/p/1", 2, False),
     ]
+
+
+def test_robots_filter_auto_byte_gate_escalates(spark):
+    """ADVICE r14: the auto probe gates on estimated rule BYTES, not
+    just host count — a rule frame under the host limit but over the
+    byte budget must escalate to the shuffle arm (visible as the
+    __rid join-back in the plan) instead of dragging oversized rule
+    arrays to the driver. Verdicts stay identical either way."""
+    from dbqt_spark.plans import formatted_plan
+
+    urls, rules = _gate_fixture(spark)
+    want = _verdict_rows(
+        robots_filter(urls, rules, keep_disallowed=True,
+                      rules_mode="broadcast")
+    )
+    tiny = robots_filter(
+        urls, rules, keep_disallowed=True, rules_mode="auto",
+        broadcast_byte_limit=8,
+    )
+    assert "__rid" in formatted_plan(tiny), "expected shuffle-arm escalation"
+    assert _verdict_rows(tiny) == want
+    roomy = robots_filter(
+        urls, rules, keep_disallowed=True, rules_mode="auto",
+    )
+    assert "__rid" not in formatted_plan(roomy)
+    assert _verdict_rows(roomy) == want
+
+
+def test_robots_filter_shuffle_arm_nondeterministic_upstream(spark):
+    """ADVICE r14 (the fail-open finding): the shuffle arm pins row
+    ids with a lazy localCheckpoint, so even an upstream the planner
+    may re-evaluate differently per join side (rand-derived rows)
+    yields exactly one verdict per input row, and disallowed rows
+    stay disallowed."""
+    from pyspark.sql import functions as F
+
+    _, rules = _gate_fixture(spark)
+    urls = (
+        spark.range(0, 200)
+        .repartition(7)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("https://h"), F.col("id") % 3,
+                F.lit(".example/no"), F.col("id") % 3, F.lit("/x"),
+            ).alias("url"),
+        )
+        .where(F.rand(seed=None) >= -1)  # nondeterministic-tainted plan
+    )
+    out = robots_filter(
+        urls, rules, keep_disallowed=True, rules_mode="shuffle"
+    ).collect()
+    assert len(out) == 200
+    # /no{h}/x is disallowed for every host in the fixture: the gate
+    # must fail CLOSED for all rows, never wave one through
+    assert all(not r.allowed for r in out)

@@ -577,8 +577,11 @@ def test_redirect_capture_and_resolution(spark, tmp_path):
 def test_redirect_path_relative_and_unresolvable(spark):
     """r13 ADVICE: RFC 9110 also allows path-relative Location values
     ('next.html') — they merge into the source's directory; a non-null
-    Location that cannot be followed (mailto:, fragment-only, non-URL
-    source) must surface as terminal=false, never as a terminal page."""
+    Location that cannot be followed (mailto:, non-URL source) must
+    surface as terminal=false, never as a terminal page. A
+    fragment-ONLY Location ('#section') is the r14 ADVICE refinement:
+    it points at the same document, so the row resolves to itself as
+    a TERMINAL page, not as a redirect the walk failed to follow."""
     from dbqt_spark.operators.urltools import resolve_redirects
 
     rows = [
@@ -608,10 +611,11 @@ def test_redirect_path_relative_and_unresolvable(spark):
     assert (q.final_url, q.n_hops, q.terminal) == (
         "https://h.example/q/page?y=2", 1, True,
     )
-    for bad in ("https://h.example/dead", "https://h.example/frag",
-                "not a url"):
+    for bad in ("https://h.example/dead", "not a url"):
         r = got[bad]
         assert (r.final_url, r.n_hops, r.terminal) == (bad, 0, False), bad
+    fr = got["https://h.example/frag"]
+    assert (fr.final_url, fr.n_hops, fr.terminal) == (fr.url, 0, True)
     p = got["https://h.example/plain"]
     assert (p.final_url, p.n_hops, p.terminal) == (p.url, 0, True)
 
