@@ -190,3 +190,145 @@ def test_surt_fragment_never_leaks_into_the_key(spark):
     assert got[1] == "example,app)/"
     assert got[1] == got[2]
     assert got[3] == "example,app)/p?a=1"
+
+
+def _write_archives(tmp_path, spark=None):
+    """Two .warc.gz archives with deterministic captures + the parsed
+    offset-carrying frame rows for each."""
+    from dbqt_spark.sources.warc import (
+        build_warc_indexed,
+        warc_response_record,
+    )
+
+    files = {}
+    for seg, urls in (
+        ("seg-a.warc.gz",
+         [("https://a.example/p/1", b"<html>alpha one</html>"),
+          ("https://a.example/p/2", b"<html>alpha two</html>")]),
+        ("seg-b.warc.gz",
+         [("https://b.example/q/1", b"<html>beta one</html>")]),
+    ):
+        recs = [
+            warc_response_record(u, "2024-03-01T00:00:01Z", body)
+            for u, body in urls
+        ]
+        blob, index = build_warc_indexed(recs)
+        (tmp_path / seg).write_bytes(blob)
+        files[seg] = (urls, recs, blob, index)
+    return files
+
+
+def test_build_warc_indexed_offsets_are_seekable(tmp_path):
+    """Each (offset, length) must select exactly one gzip member whose
+    decompressed bytes are the original record — the property cdx_fetch
+    relies on."""
+    import gzip
+
+    files = _write_archives(tmp_path)
+    for seg, (urls, recs, blob, index) in files.items():
+        assert len(index) == len(recs)
+        assert sum(ln for _, ln in index) == len(blob)
+        for rec, (off, ln) in zip(recs, index):
+            member = blob[off:off + ln]
+            assert gzip.decompress(member) == rec
+
+
+def test_read_warc_with_offsets_matches_writer_index(spark, tmp_path):
+    """The read-side member accounting must reproduce the writer's
+    byte index — for the gzip layout AND the plain layout."""
+    from dbqt_spark.sources.warc import (
+        build_warc_indexed,
+        read_warc,
+        warc_response_record,
+    )
+
+    files = _write_archives(tmp_path)
+    parsed = read_warc(spark, str(tmp_path), with_offsets=True)
+    got = {
+        (r.warc_file.split("/")[-1], r.url): (r.warc_offset, r.warc_length)
+        for r in parsed.collect()
+    }
+    for seg, (urls, recs, blob, index) in files.items():
+        for (u, _), coord in zip(urls, index):
+            assert got[(seg, u)] == coord, (seg, u)
+    # plain (uncompressed) layout via the counting reader
+    recs = [
+        warc_response_record(f"https://p.example/{i}",
+                             "2024-03-01T00:00:02Z", b"x" * (10 + i))
+        for i in range(3)
+    ]
+    blob, index = build_warc_indexed(recs, gzip_per_record=False)
+    (tmp_path / "plain.warc").write_bytes(blob)
+    rows = read_warc(
+        spark, str(tmp_path / "plain.warc"), with_offsets=True
+    ).orderBy("warc_offset").collect()
+    assert [(r.warc_offset, r.warc_length) for r in rows] == index
+
+
+def test_cdx_fetch_reads_only_the_target_byte_range(spark, tmp_path):
+    """VERDICT r14 #3 'done' condition: fetching ONE capture touches
+    only its archive file and only its byte range. Proven by
+    corrupting every OTHER byte of the corpus — the other archive
+    entirely, and the target archive outside [offset, offset+len) —
+    and fetching successfully anyway."""
+    from dbqt_spark.sources.cdx import cdx_fetch, cdx_index, parse_cdxj
+    from dbqt_spark.sources.warc import read_warc
+
+    files = _write_archives(tmp_path)
+    parsed = read_warc(spark, str(tmp_path), with_offsets=True)
+    # normalize warc_file to the bare segment name (fetch joins it to
+    # archive_dir), then build + parse back the seekable index
+    from pyspark.sql import functions as F
+
+    parsed = parsed.withColumn(
+        "warc_file", F.element_at(F.split("warc_file", "/"), -1)
+    )
+    text = "\n".join(
+        f"{r.surt_key} {r.ts14} {r.cdxj}"
+        for r in cdx_index(parsed).collect()
+    )
+    # the index is a FILE (as in real archives) — the fetch below must
+    # not lazily recompute it from the archives we are about to corrupt
+    (tmp_path / "index.cdxj").write_text(text + "\n")
+    index = parse_cdxj(
+        spark.read.text(str(tmp_path / "index.cdxj")).withColumnRenamed(
+            "value", "line"
+        )
+    )
+    assert index.filter(F.col("offset").isNull()).count() == 0
+
+    # target: the second capture of seg-a (nonzero offset)
+    urls, recs, blob, idx = files["seg-a.warc.gz"]
+    off, ln = idx[1]
+    assert off > 0
+    # corrupt seg-b wholesale and seg-a outside the target range
+    (tmp_path / "seg-b.warc.gz").write_bytes(b"\x00" * 10)
+    garbled = b"\xff" * off + blob[off:off + ln] + b"\xff" * 7
+    (tmp_path / "seg-a.warc.gz").write_bytes(garbled)
+
+    got = cdx_fetch(
+        index, str(tmp_path), surt_prefix="example,a)/p/2"
+    ).collect()
+    assert len(got) == 1
+    assert got[0].url == "https://a.example/p/2"
+    assert bytes(got[0].payload) == b"<html>alpha two</html>"
+    assert got[0].surt_key == "example,a)/p/2"
+
+
+def test_cdx_fetch_rejects_legacy_offsetless_lines(spark, tmp_path):
+    """An index without byte coordinates cannot seek — cdx_fetch must
+    fail with the re-index remedy, never silently scan the archive."""
+    import pytest
+
+    from dbqt_spark.sources.cdx import cdx_fetch, cdx_index, parse_cdxj
+    from dbqt_spark.sources.warc import read_warc
+    from pyspark.sql import functions as F
+
+    _write_archives(tmp_path)
+    parsed = read_warc(spark, str(tmp_path))  # no offsets -> legacy blob
+    lines = cdx_index(parsed).select(
+        F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
+    )
+    index = parse_cdxj(lines)
+    with pytest.raises(Exception, match="with_offsets"):
+        cdx_fetch(index, str(tmp_path), surt_prefix="example,a)").collect()
