@@ -64,6 +64,48 @@ def main() -> None:
     ).agg(F.count(F.lit(1)).alias("c"), F.min("y").alias("m")).collect()
     j.unpersist()
 
+    # Crawl-chain shape warmup (VERDICT r14 #5: the lifecycle queries'
+    # first-compile shapes were outside the generic set above):
+    # regex extraction + array lambdas (urltools/robots/dsir), a
+    # mapInPandas synth (warc round-trips), and a short unrolled
+    # self-join tower (resolve_redirects / pagerank hops).
+    def _identity(batches):
+        for pdf in batches:
+            yield pdf
+
+    urls = spark.range(512).select(
+        F.concat(
+            F.lit("https://h"), F.col("id") % 5, F.lit(".example/p/"),
+            F.col("id"),
+        ).alias("u")
+    )
+    urls.select(
+        F.regexp_extract("u", r"^[a-z]+://([^/]+)", 1).alias("h"),
+        F.regexp_replace("u", r"/p/\d+$", "").alias("r"),
+        F.aggregate(
+            F.transform(
+                F.filter(F.split("u", "/"), lambda p: p != ""),
+                lambda p: F.length(p).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("s"),
+    ).groupBy("h").agg(F.sum("s")).collect()
+    spark.range(256).mapInPandas(_identity, schema="id long").count()
+    hop = spark.range(256).select(
+        F.col("id").alias("src"), ((F.col("id") * 3 + 1) % 256).alias("dst")
+    )
+    w = hop
+    for _ in range(3):
+        nxt = hop.select(
+            F.col("src").alias("__s"), F.col("dst").alias("__d")
+        )
+        w = (
+            w.join(nxt, w["dst"] == F.col("__s"), "left")
+            .select("src", F.coalesce("__d", "dst").alias("dst"))
+        )
+    w.groupBy("dst").count().collect()
+
     # Oracle-backed queries are the comparable benchmark surface; the
     # approximate ops (minhash/simhash/lsh) are benched separately below.
     bench_names = [n for n in QUERIES if n in ORACLES]
@@ -170,6 +212,11 @@ def main() -> None:
         # r12: the canonical-URL gate is an availableNow drain chain
         # (per-micro-batch latency, not volume)
         "streaming_url_gate",
+        # r15: the tol-arm PageRank collects a delta per iteration and
+        # the CDX fetch lifecycle is sequential small jobs — both
+        # queueing-bound, not volume
+        "pagerank_tol",
+        "cdx_fetch",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
@@ -347,7 +394,11 @@ def main() -> None:
         "profile_approx,curated_corpus,sitemap_expand,"
         # r14 new arms: the forced narrow-shuffle robots join and the
         # dangling-mass 2-iteration PageRank
-        "robots_shuffle,pagerank_dangling,cdx_roundtrip",
+        "robots_shuffle,pagerank_dangling,cdx_roundtrip,"
+        # r15 new arms: the seekable-index fetch lifecycle (sliver
+        # collect -> archive write -> offset read -> fetch) and the
+        # tol-converged PageRank (per-iteration delta collect chain)
+        "cdx_fetch,pagerank_tol",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

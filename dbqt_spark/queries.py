@@ -7967,9 +7967,15 @@ def q_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     parsed = docs.mapInPandas(round_trip, schema=WARC_ROW_SCHEMA)
-    resolved = resolve_redirects(
-        parsed.select("url", "redirect_to"), max_hops=4
+    # materialize the synth edge frame ONCE (VERDICT r14 #5): the
+    # unrolled hop walk references its input max_hops+2 times, and
+    # left lazy each reference re-runs the writer/gzip/parser synth —
+    # ~25 sequential stages for a 4-hop walk; the lazy localCheckpoint
+    # collapses that to one synth pass + shallow joins
+    edges_in = parsed.select("url", "redirect_to").localCheckpoint(
+        eager=False
     )
+    resolved = resolve_redirects(edges_in, max_hops=4)
     return resolved.select(
         F.regexp_extract("url", r"/p/(\d+)$", 1)
         .cast("long")
