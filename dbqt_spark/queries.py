@@ -7685,7 +7685,18 @@ def q_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(seg_dir, exist_ok=True)
     seg = os.path.join(seg_dir, "seg-00000.warc.gz")
-    if not (os.path.exists(seg) and os.path.getsize(seg) == len(blob)):
+
+    def _current() -> bool:
+        # content-exact reuse check: a stale archive from a previous
+        # testdata generation with a coincidentally equal size would
+        # poison the fetch — the file is small, compare bytes
+        try:
+            with open(seg, "rb") as fh:
+                return fh.read() == blob
+        except OSError:
+            return False
+
+    if not _current():
         # atomic publish — pooled bench runs this concurrently
         tmp = f"{seg}.{os.getpid()}.tmp"
         with open(tmp, "wb") as fh:

@@ -640,6 +640,135 @@ def read_warc(
     return paths_df.mapInPandas(parse_stream, schema=schema)
 
 
+def write_warc_archive(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    payload_col: str = "payload",
+    status_col: "str | None" = None,
+    mime_col: "str | None" = None,
+    segment_prefix: str = "seg",
+) -> DataFrame:
+    """Distributed WARC SINK with a seekable index, one pass: every
+    partition streams its rows into one ``.warc.gz`` segment
+    (record-per-member, byte-deterministic) under ``out_dir`` and
+    emits the written records back as a ``WARC_ROW_OFFSET_SCHEMA``
+    frame — ``warc_offset``/``warc_length`` are the exact member
+    coordinates just written, so ``cdx_index`` over the RETURNED frame
+    yields a seekable CDXJ index without re-reading the archives:
+    corpus -> archives + index in one job (the write-side twin of
+    ``read_warc(with_offsets=True)`` + VERDICT r14 #3).
+
+    Input columns: ``url_col``, ``date_col`` (ISO-8601 string),
+    ``payload_col`` (binary body); optional ``status_col`` (default
+    200) and ``mime_col`` (default text/html). Record ids are the
+    deterministic (url, date) urn:uuid of ``warc_response_record``.
+
+    Scale shape: no shuffle — each task writes its own segment
+    (``{segment_prefix}-<partition>.warc.gz``, published by atomic
+    rename so task retries never leave a torn file) and the index
+    rows ride the normal channel. Segment sizing = upstream
+    partitioning: ``df.repartition(n)`` (or a range partition by SURT
+    key for a lookup-optimized layout) before the sink."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [url_col, date_col, payload_col]
+    if status_col:
+        cols.append(status_col)
+    if mime_col:
+        cols.append(mime_col)
+    narrow = df.select(*cols)
+    out_cols = [c.split()[0] for c in WARC_ROW_OFFSET_SCHEMA.split(", ")]
+
+    def write_partition(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        fname = f"{segment_prefix}-{pid:05d}.warc.gz"
+        final = os.path.join(out_dir, fname)
+        tmp = f"{final}.{attempt}.tmp"
+        pos = 0
+        fh = None
+        rows = []
+        try:
+            for pdf in batches:
+                for t in pdf.itertuples(index=False):
+                    url = getattr(t, url_col)
+                    date = getattr(t, date_col)
+                    payload = getattr(t, payload_col)
+                    body = bytes(payload) if payload is not None else b""
+                    status = (
+                        int(getattr(t, status_col))
+                        if status_col and getattr(t, status_col) is not None
+                        else 200
+                    )
+                    mime = (
+                        str(getattr(t, mime_col))
+                        if mime_col and getattr(t, mime_col) is not None
+                        else "text/html"
+                    )
+                    ct = (
+                        mime
+                        if mime_col
+                        else "text/html; charset=utf-8"
+                    )
+                    rec = warc_response_record(
+                        str(url), str(date), body, status=status,
+                        content_type=ct,
+                    )
+                    buf = io.BytesIO()
+                    with gzip.GzipFile(
+                        fileobj=buf, mode="wb", mtime=0
+                    ) as gz:
+                        gz.write(rec)
+                    member = buf.getvalue()
+                    if fh is None:
+                        fh = open(tmp, "wb")
+                    fh.write(member)
+                    # re-derive id/mime the same way a reader would,
+                    # so the returned frame == read_warc output
+                    parsed = next(
+                        iter_warc_records(io.BytesIO(rec))
+                    )
+                    _, hdrs, pbody = split_http_message(parsed.payload)
+                    hct = hdrs.get("content-type", "")
+                    rmime = (
+                        hct.split(";", 1)[0].strip().lower() or None
+                        if hct
+                        else None
+                    )
+                    rows.append(
+                        (
+                            fname,
+                            parsed.header("WARC-Record-ID"),
+                            "response",
+                            str(url),
+                            str(date),
+                            rmime,
+                            status,
+                            hdrs.get("location") or None,
+                            pbody,
+                            pos,
+                            len(member),
+                        )
+                    )
+                    pos += len(member)
+        finally:
+            if fh is not None:
+                fh.close()
+        if fh is not None:
+            os.replace(tmp, final)
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return narrow.mapInPandas(
+        write_partition, schema=WARC_ROW_OFFSET_SCHEMA
+    )
+
+
 def corpus_view(
     parsed: DataFrame, min_status: int = 200, max_status: int = 299
 ) -> DataFrame:

@@ -332,3 +332,56 @@ def test_cdx_fetch_rejects_legacy_offsetless_lines(spark, tmp_path):
     index = parse_cdxj(lines)
     with pytest.raises(Exception, match="with_offsets"):
         cdx_fetch(index, str(tmp_path), surt_prefix="example,a)").collect()
+
+
+def test_write_warc_archive_sink_round_trip_and_fetch(spark, tmp_path):
+    """The write-side loop: corpus -> write_warc_archive (per-partition
+    segments + offset-carrying frame, no archive re-read) -> cdx_index
+    -> cdx_fetch seeks one capture. The returned frame must equal what
+    read_warc(with_offsets=True) re-parses from the written files."""
+    from dbqt_spark.sources.cdx import cdx_fetch, cdx_index, parse_cdxj
+    from dbqt_spark.sources.warc import read_warc, write_warc_archive
+
+    out = tmp_path / "archives"
+    corpus = spark.createDataFrame(
+        [
+            (f"https://w{i % 3}.example/d/{i}",
+             f"2024-04-01T00:00:{i:02d}Z",
+             f"<html>doc {i}</html>".encode())
+            for i in range(12)
+        ],
+        "url string, warc_date string, payload binary",
+    ).repartition(3)
+    written = write_warc_archive(corpus, str(out)).localCheckpoint()
+    assert written.count() == 12
+    segs = sorted(p.name for p in out.iterdir())
+    assert len(segs) == 3 and all(s.endswith(".warc.gz") for s in segs)
+    assert not any(s.endswith(".tmp") for s in segs)
+
+    reread = read_warc(spark, str(out), with_offsets=True)
+    from pyspark.sql import functions as F
+
+    norm = reread.withColumn(
+        "warc_file", F.element_at(F.split("warc_file", "/"), -1)
+    )
+    a = {
+        (r.warc_file, r.url): (r.warc_offset, r.warc_length,
+                               bytes(r.payload), r.record_id)
+        for r in norm.collect()
+    }
+    b = {
+        (r.warc_file, r.url): (r.warc_offset, r.warc_length,
+                               bytes(r.payload), r.record_id)
+        for r in written.collect()
+    }
+    assert a == b
+
+    # index from the RETURNED frame (no re-read), then seek-fetch
+    lines = cdx_index(written).select(
+        F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
+    )
+    index = parse_cdxj(lines)
+    assert index.filter(F.col("offset").isNull()).count() == 0
+    got = cdx_fetch(index, str(out), surt_prefix="example,w1)/d/7").collect()
+    assert len(got) == 1
+    assert bytes(got[0].payload) == b"<html>doc 7</html>"
