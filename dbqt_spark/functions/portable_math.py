@@ -274,23 +274,6 @@ def ln_int_steps(
     return ln_ratio_steps(v_sql, "1", out, dialect, prefix)
 
 
-def inline_steps(steps: Steps) -> str:
-    """Collapse a step list into ONE self-contained SQL expression by
-    substituting each binding into later references (whole-token
-    replace). Intended for short chains whose reference multiplicities
-    keep the expansion in the low thousands of nodes (e.g. one
-    ln_ratio, one gumbel key); prefer lateral-alias embedding for
-    anything bigger."""
-    import re
-
-    bound: dict = {}
-    for name, sql in steps:
-        for ref, repl in bound.items():
-            sql = re.sub(rf"\b{re.escape(ref)}\b", f"({repl})", sql)
-        bound[name] = sql
-    return bound[steps[-1][0]]
-
-
 def select_items(steps: Steps) -> str:
     """Render steps as a comma-joined SELECT-item block (lateral column
     aliases). ONLY for short chains (~10 steps): both engines resolve
