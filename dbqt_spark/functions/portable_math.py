@@ -257,7 +257,18 @@ def gumbel_steps(
     steps += ln_ratio_steps(
         f"{p}_u", "2305843009213693952", f"{p}_lnu", dialect, f"{p}_a"
     )
-    steps += [(f"{p}_w", f"(0.0e0 - {p}_lnu)")]
+    # clamp w away from 0: for h = 2^60-1, (2h+1)/2^61 rounds to
+    # exactly 1.0 as a double, so the series returns lnu = 0.0 and an
+    # unclamped w would fall below ln_pos's [2^-62, 2^62) domain
+    # (bin(0) garbage). greatest() keeps that one-in-16^15 draw finite
+    # and ~correct (true g ≈ ln 2^61) with identical bits on both
+    # engines; every other id is unaffected (w > 2^-62 already).
+    steps += [
+        (
+            f"{p}_w",
+            f"greatest((0.0e0 - {p}_lnu), 2.168404344971009e-19)",
+        )
+    ]
     steps += ln_pos_steps(f"{p}_w", f"{p}_lnw", dialect, f"{p}_b")
     steps += [(out, round_dec_expr(f"(0.0e0 - {p}_lnw)", 6, dialect))]
     return steps

@@ -469,9 +469,17 @@ def robots_filter(
                 per_host["__rhost"] == corpus_hosts["__uhost"],
                 "left_semi",
             )
-            probe = _collect_if_small(
-                surv, broadcast_host_limit, broadcast_byte_limit
-            )
+            # the two-phase probe (byte estimate, then rows) would
+            # otherwise run the corpus-wide distinct-host scan +
+            # semi-join twice on the accepted path — persist the
+            # survivor frame across the probe, release it after
+            surv = surv.persist()
+            try:
+                probe = _collect_if_small(
+                    surv, broadcast_host_limit, broadcast_byte_limit
+                )
+            finally:
+                surv.unpersist()
             if probe is not None:
                 per_host = spark.createDataFrame(probe, per_host.schema)
             else:
@@ -506,13 +514,16 @@ def robots_filter(
         # evaluations if the upstream plan is deterministic; a
         # nondeterministic upstream (rand-sample, unseeded shuffle)
         # could assign different ids per side and silently mis-join
-        # (ADVICE r14: fail-open). localCheckpoint (lazy) pins ONE
-        # materialization both sides read — the extra corpus write is
-        # the price of a correct join-back, on an arm that already
+        # (ADVICE r14: fail-open). localCheckpoint pins ONE
+        # materialization both sides read — EAGER, because the two
+        # consumers are independent concurrent map stages and a lazy
+        # checkpoint's cache-populate can race them (both compute the
+        # partition before either caches it). The extra corpus write
+        # is the price of a correct join-back, on an arm that already
         # pays a full-width exchange by construction.
         keyed = urls_df.withColumn(
             "__rid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         narrow = keyed.select(
             "__rid", host.alias("__host"), path.alias("__path")
         )

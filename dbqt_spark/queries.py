@@ -7725,7 +7725,7 @@ SELECT
   '202403010000' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ts14,
   'https://site-3.example/p/' || doc_id AS url,
   CAST(200 AS INTEGER) AS status,
-  text
+  coalesce(text, '') AS text
 FROM documents
 WHERE doc_id % 10 = 0 AND doc_id % 7 = 3
 ORDER BY surt_key

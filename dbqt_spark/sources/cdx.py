@@ -222,27 +222,51 @@ def cdx_fetch(
         cols = [c.split()[0] for c in out_schema.split(", ")]
         for pdf in batches:
             rows = []
-            for surt, ts14, fname, off, ln in zip(
-                pdf["surt_key"],
-                pdf["ts14"],
-                pdf["filename"],
-                pdf["offset"],
-                pdf["warc_length"],
-            ):
-                if off is None or ln is None or pd.isna(off) or pd.isna(ln):
-                    raise ValueError(
-                        "cdx_fetch: index line for %r has no "
-                        "offset/warc_length — re-index the archive with "
-                        "read_warc(..., with_offsets=True)" % (surt,)
-                    )
-                path = os.path.join(archive_dir, str(fname))
-                with open(path, "rb") as fh:
+            # one handle per distinct file per batch (a prefix-range
+            # fetch hits many captures of ONE segment — opening per
+            # capture would be O(captures) syscalls)
+            handles: dict = {}
+            try:
+                for surt, ts14, fname, off, ln in zip(
+                    pdf["surt_key"],
+                    pdf["ts14"],
+                    pdf["filename"],
+                    pdf["offset"],
+                    pdf["warc_length"],
+                ):
+                    # NULL coordinates parse back as NaN; a legacy
+                    # frame that carried the columns serializes them
+                    # as -1 — both mean "cannot seek", and a negative
+                    # length would silently read to EOF (every
+                    # remaining record under one capture's key)
+                    if (
+                        off is None
+                        or ln is None
+                        or pd.isna(off)
+                        or pd.isna(ln)
+                        or int(off) < 0
+                        or int(ln) <= 0
+                    ):
+                        raise ValueError(
+                            "cdx_fetch: index line for %r has no usable "
+                            "offset/warc_length — re-index the archive "
+                            "with read_warc(..., with_offsets=True)"
+                            % (surt,)
+                        )
+                    fname = str(fname)
+                    fh = handles.get(fname)
+                    if fh is None:
+                        fh = open(os.path.join(archive_dir, fname), "rb")
+                        handles[fname] = fh
                     fh.seek(int(off))
                     member = fh.read(int(ln))
-                for row in rows_from_stream(
-                    _io.BytesIO(member), str(fname), types
-                ):
-                    rows.append(row + (surt, ts14))
+                    for row in rows_from_stream(
+                        _io.BytesIO(member), fname, types
+                    ):
+                        rows.append(row + (surt, ts14))
+            finally:
+                for fh in handles.values():
+                    fh.close()
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
 

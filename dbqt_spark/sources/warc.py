@@ -756,6 +756,14 @@ def write_warc_archive(
                         )
                     )
                     pos += len(member)
+                    # bound worker memory: emit in batches while the
+                    # segment streams — never the whole partition's
+                    # payload bytes at once (Spark discards emitted
+                    # rows of a failed task, so mid-partition output
+                    # before the atomic rename is still exactly-once)
+                    if len(rows) >= _BATCH_ROWS:
+                        yield pd.DataFrame(rows, columns=out_cols)
+                        rows = []
         finally:
             if fh is not None:
                 fh.close()
