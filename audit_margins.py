@@ -31,7 +31,6 @@ oracle CTE shapes in dbqt_spark/queries.py (line refs inline).
 from __future__ import annotations
 
 import json
-import math
 import sys
 from decimal import Decimal, getcontext
 
