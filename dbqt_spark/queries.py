@@ -7500,6 +7500,76 @@ ORDER BY surt_key, ts14
 """
 
 
+def q_cdx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-level exact-dup triage (sources/cdx.cdx_dedup): captures
+    whose payload is the document's SOURCE tag (20 values -> rich
+    duplicate groups) go through the real cdx_index -> parse_cdxj
+    chain, then the digest rollup keeps the earliest capture per
+    byte-identical group — answering "which captures store the same
+    bytes, and which one do we keep" from ~200 B index rows without
+    touching any archive. Timestamps are a strictly monotone function
+    of doc_id (max id 86399 fits hh:mm:ss), so 'earliest' is
+    SQL-replayable as min(doc_id)."""
+    from .sources.cdx import cdx_dedup, cdx_index, parse_cdxj
+
+    d = F.col("doc_id")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    date = F.concat(
+        F.lit("2024-03-01T"),
+        two(F.expr("doc_id div 3600 % 24")),
+        F.lit(":"),
+        two(F.expr("doc_id div 60 % 60")),
+        F.lit(":"),
+        two(d % 60),
+        F.lit("Z"),
+    )
+    parsed = load_table(spark, sf_dir, "documents").select(
+        F.lit("seg-00000.warc.gz").alias("warc_file"),
+        F.concat(F.lit("<urn:uuid:"), d, F.lit(">")).alias("record_id"),
+        F.lit("response").alias("record_type"),
+        F.concat(
+            F.lit("https://site-"), d % 5, F.lit(".example/p/"), d
+        ).alias("url"),
+        date.alias("warc_date"),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).cast("int").alias("http_status"),
+        F.lit(None).cast("string").alias("redirect_to"),
+        F.encode("source", "utf-8").alias("payload"),
+    )
+    lines = cdx_index(parsed).select(
+        F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
+    )
+    return cdx_dedup(parse_cdxj(lines)).orderBy("digest")
+
+
+SQL_CDX_DEDUP = """
+WITH caps AS (
+  SELECT doc_id, source,
+    'example,site-' || (doc_id % 5) || ')/p/' || doc_id AS surt_key,
+    'https://site-' || (doc_id % 5) || '.example/p/' || doc_id AS url,
+    '20240301'
+      || lpad(CAST((doc_id // 3600) % 24 AS VARCHAR), 2, '0')
+      || lpad(CAST((doc_id // 60) % 60 AS VARCHAR), 2, '0')
+      || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ts14
+  FROM documents
+),
+g AS (
+  SELECT md5(source) AS digest,
+         CAST(count(*) AS BIGINT) AS n_dups,
+         CAST(sum(strlen(source)) AS BIGINT) AS total_bytes,
+         min(doc_id) AS keep
+  FROM caps GROUP BY 1
+)
+SELECT g.digest, g.n_dups, g.total_bytes,
+  c.ts14, c.surt_key, c.url,
+  'seg-00000.warc.gz' AS filename,
+  CAST(NULL AS BIGINT) AS "offset",
+  CAST(NULL AS BIGINT) AS warc_length
+FROM g JOIN caps c ON c.doc_id = g.keep
+ORDER BY digest
+"""
+
+
 def q_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tolerance-converged PageRank (VERDICT r14 #6 — the arm that
     matters at 20+ iterations finally carries an oracle): an
@@ -8205,6 +8275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_dangling": q_pagerank_dangling,
     "cdx_roundtrip": q_cdx_roundtrip,
     "cdx_fetch": q_cdx_fetch,
+    "cdx_dedup": q_cdx_dedup,
     "pagerank_tol": q_pagerank_tol,
 }
 
@@ -8374,6 +8445,7 @@ ORACLES: dict[str, str] = {
     "pagerank_dangling": SQL_PAGERANK_DANGLING,
     "cdx_roundtrip": SQL_CDX_ROUNDTRIP,
     "cdx_fetch": SQL_CDX_FETCH,
+    "cdx_dedup": SQL_CDX_DEDUP,
     "pagerank_tol": SQL_PAGERANK_TOL,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /

@@ -171,6 +171,85 @@ def parse_cdxj(
     )
 
 
+def cdx_store(
+    index: DataFrame,
+    path: str,
+    buckets: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a typed CDX index (``parse_cdxj`` columns) as parquet
+    laid out for LOOKUP: range-partitioned and sorted by
+    ``(surt_key, ts14)``, so every file covers one contiguous SURT
+    range and its footer min/max stats answer a prefix predicate —
+    ``cdx_lookup`` then reads only the files whose range can match
+    (row-group pruning + pushed filters, no index scan). ``buckets``
+    sets the file count (0 = let the current partitioning stand,
+    sorted within partitions)."""
+    df = index
+    if buckets > 0:
+        df = df.repartitionByRange(buckets, F.col("surt_key"), F.col("ts14"))
+    df.sortWithinPartitions("surt_key", "ts14").write.mode(mode).parquet(
+        path
+    )
+
+
+def cdx_lookup(
+    spark,
+    path: str,
+    surt_prefix: "str | None" = None,
+    ts_from: "str | None" = None,
+    ts_to: "str | None" = None,
+) -> DataFrame:
+    """Capture lookup over a ``cdx_store`` parquet index: the SURT
+    prefix becomes a ``startswith`` predicate the parquet scan pushes
+    down (``PushedFilters: [StringStartsWith(surt_key, ...)]`` — the
+    range-sorted layout makes file/row-group min-max stats decisive),
+    so a domain query touches only its key range's files regardless
+    of index size. Compose with ``cdx_fetch`` for the byte reads."""
+    df = spark.read.parquet(path)
+    if surt_prefix is not None:
+        df = df.filter(F.col("surt_key").startswith(surt_prefix))
+    if ts_from is not None:
+        df = df.filter(F.col("ts14") >= ts_from)
+    if ts_to is not None:
+        df = df.filter(F.col("ts14") <= ts_to)
+    return df
+
+
+def cdx_dedup(index: DataFrame) -> DataFrame:
+    """Exact-duplicate triage WITHOUT touching the archives: the CDXJ
+    digest is md5 of the payload bytes (the dedup tiers' exact-dup
+    fingerprint), so grouping the INDEX by digest answers "which
+    captures store identical bytes" from ~200 B rows. Keeps the
+    earliest capture per digest (ts14, then surt_key, then filename —
+    a total order), with ``n_dups`` and the kept capture's
+    coordinates; one map-side-combined aggregate, payload never
+    moves. The 100 TB shape of "have I already stored these bytes?"."""
+    first = F.min(
+        F.struct("ts14", "surt_key", "filename", "offset", "warc_length",
+                 "url")
+    ).alias("__first")
+    return (
+        index.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.sum("length").cast("long").alias("total_bytes"),
+            first,
+        )
+        .select(
+            "digest",
+            "n_dups",
+            "total_bytes",
+            F.col("__first.ts14").alias("ts14"),
+            F.col("__first.surt_key").alias("surt_key"),
+            F.col("__first.url").alias("url"),
+            F.col("__first.filename").alias("filename"),
+            F.col("__first.offset").alias("offset"),
+            F.col("__first.warc_length").alias("warc_length"),
+        )
+    )
+
+
 def cdx_fetch(
     index: DataFrame,
     archive_dir: str,

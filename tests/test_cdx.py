@@ -385,3 +385,64 @@ def test_write_warc_archive_sink_round_trip_and_fetch(spark, tmp_path):
     got = cdx_fetch(index, str(out), surt_prefix="example,w1)/d/7").collect()
     assert len(got) == 1
     assert bytes(got[0].payload) == b"<html>doc 7</html>"
+
+
+def test_cdx_store_lookup_pushes_prefix_to_parquet(spark, tmp_path):
+    """The parquet-persisted index must answer a SURT-prefix lookup
+    with a PUSHED filter (StringStartsWith reaches the scan, ReadSchema
+    stays narrow) — the partition-pruning claim behind 'domain lookups
+    touch only their key range'."""
+    from dbqt_spark.plans import formatted_plan
+    from dbqt_spark.sources.cdx import cdx_index, cdx_lookup, cdx_store, \
+        parse_cdxj
+
+    rows = _parsed_fixture(spark)
+    lines = cdx_index(rows).select(
+        F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
+    )
+    idx = parse_cdxj(lines)
+    out = str(tmp_path / "cdxpq")
+    cdx_store(idx, out, buckets=2)
+    got = cdx_lookup(spark, out, surt_prefix="example,a)")
+    plan = formatted_plan(got.select("surt_key", "ts14", "url"))
+    assert "StartsWith" in plan, plan
+    assert "PushedFilters" in plan
+    keys = sorted(r.surt_key for r in got.collect())
+    assert keys == ['example,a)/q?t="v"', "example,a)/x?a=1&b=2"]
+    # ts window narrows further
+    one = cdx_lookup(spark, out, surt_prefix="example,a)",
+                     ts_from="20240301000003").collect()
+    assert [r.surt_key for r in one] == ['example,a)/q?t="v"']
+
+
+def test_cdx_dedup_picks_earliest_capture_per_digest(spark):
+    from dbqt_spark.sources.cdx import cdx_dedup, cdx_index, parse_cdxj
+    from dbqt_spark.sources.warc import WARC_ROW_SCHEMA
+
+    rows = [
+        # same bytes captured three times across two archives
+        ("seg-a.warc.gz", "<1>", "response", "https://a.example/x",
+         "2024-03-02T00:00:00Z", "text/html", 200, None, b"same"),
+        ("seg-b.warc.gz", "<2>", "response", "https://b.example/y",
+         "2024-03-01T00:00:00Z", "text/html", 200, None, b"same"),
+        ("seg-a.warc.gz", "<3>", "response", "https://c.example/z",
+         "2024-03-03T00:00:00Z", "text/html", 200, None, b"same"),
+        # unique bytes
+        ("seg-b.warc.gz", "<4>", "response", "https://d.example/w",
+         "2024-03-01T00:00:05Z", "text/html", 200, None, b"other"),
+    ]
+    parsed = spark.createDataFrame(rows, WARC_ROW_SCHEMA)
+    lines = cdx_index(parsed).select(
+        F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
+    )
+    got = {r.digest: r for r in cdx_dedup(parse_cdxj(lines)).collect()}
+    import hashlib
+
+    same = got[hashlib.md5(b"same").hexdigest()]
+    assert same.n_dups == 3
+    assert same.total_bytes == 12  # 3 captures x 4 payload bytes
+    # earliest ts14 wins
+    assert (same.ts14, same.url) == ("20240301000000",
+                                     "https://b.example/y")
+    other = got[hashlib.md5(b"other").hexdigest()]
+    assert (other.n_dups, other.filename) == (1, "seg-b.warc.gz")
