@@ -49,6 +49,38 @@ PICO = 1_000_000_000_000  # rank 1.0 in integer pico-units
 _HREF_RE = r'(?i)<a\s[^>]*href\s*=\s*["\']([^"\'<>]+)["\']'
 
 
+def resolve_href_col(href, src_scheme, src_root):
+    """The ONE href-resolution rule (shared by ``outlinks``'s exploded
+    column path and ``warc.wat_metadata``'s array-lambda path, so the
+    two can never drift): absolute http(s) targets pass through
+    (fragment stripped), protocol-relative take the page scheme,
+    root-relative resolve against scheme+host, anything else is NULL.
+    Works on plain Columns AND lambda variables."""
+    # browsers trim surrounding whitespace inside the quotes
+    raw = F.trim(F.regexp_replace(href, r"#.*$", ""))
+    return (
+        F.when(F.lower(raw).rlike(r"^https?://"), raw)
+        .when(raw.startswith("//"), F.concat(src_scheme, F.lit(":"), raw))
+        .when(raw.startswith("/"), F.concat(src_root, raw))
+    )
+
+
+def src_scheme_root_cols(src_url):
+    """(scheme, scheme://host) of a page URL — the resolution context
+    ``resolve_href_col`` needs."""
+    scheme = F.lower(
+        F.regexp_extract(src_url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    root = F.concat(
+        scheme,
+        F.lit("://"),
+        F.regexp_extract(
+            src_url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+        ),
+    )
+    return scheme, root
+
+
 def outlinks(
     df: DataFrame,
     text_col: str = "text",
@@ -61,25 +93,8 @@ def outlinks(
     page's scheme+host; protocol-relative (``//host/p``) targets take
     the page's scheme; anything else is dropped. Pure codegen — one
     regexp scan per page, explode, filters."""
-    src_scheme = F.lower(
-        F.regexp_extract(
-            F.col("src_url"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1
-        )
-    )
-    src_root = F.concat(
-        src_scheme,
-        F.lit("://"),
-        F.regexp_extract(
-            F.col("src_url"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
-        ),
-    )
-    # browsers trim surrounding whitespace inside the quotes
-    raw = F.trim(F.regexp_replace(F.col("__href"), r"#.*$", ""))
-    resolved = (
-        F.when(F.lower(raw).rlike(r"^https?://"), raw)
-        .when(raw.startswith("//"), F.concat(src_scheme, F.lit(":"), raw))
-        .when(raw.startswith("/"), F.concat(src_root, raw))
-    )
+    src_scheme, src_root = src_scheme_root_cols(F.col("src_url"))
+    resolved = resolve_href_col(F.col("__href"), src_scheme, src_root)
     return (
         df.select(
             F.col(id_col),

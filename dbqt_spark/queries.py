@@ -7500,6 +7500,61 @@ ORDER BY surt_key, ts14
 """
 
 
+def q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-shaped capture metadata (sources/warc.wat_metadata — the
+    Common Crawl derivative trio's third leg): synthetic pages with a
+    title, one absolute link and one root-relative link run through
+    the real payload-cast + regex + array-lambda resolution chain; the
+    oracle replays title and BOTH resolved links (shared rule with
+    linkgraph.outlinks) arithmetically."""
+    from .sources.warc import wat_metadata
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site-"), d % 7, F.lit(".example/p/"), d
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d,
+        F.lit('</title></head><body><a href="https://site-'),
+        (d * 3 + 1) % 7,
+        F.lit(".example/r/"),
+        d,
+        F.lit('">x</a> <a href="/self/'),
+        d,
+        F.lit('">y</a></body></html>'),
+    )
+    parsed = load_table(spark, sf_dir, "documents").select(
+        F.lit("seg-00000.warc.gz").alias("warc_file"),
+        F.concat(F.lit("<urn:uuid:"), d, F.lit(">")).alias("record_id"),
+        url.alias("url"),
+        F.lit("2024-03-01T00:00:00Z").alias("warc_date"),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).cast("int").alias("http_status"),
+        F.encode(html, "utf-8").alias("payload"),
+    )
+    return wat_metadata(parsed).orderBy("record_id")
+
+
+SQL_WAT_METADATA = """
+SELECT
+  'seg-00000.warc.gz' AS warc_file,
+  '<urn:uuid:' || doc_id || '>' AS record_id,
+  'https://site-' || (doc_id % 7) || '.example/p/' || doc_id AS url,
+  '2024-03-01T00:00:00Z' AS warc_date,
+  'text/html' AS mime,
+  CAST(200 AS INTEGER) AS http_status,
+  'Doc ' || doc_id AS title,
+  CAST(2 AS INTEGER) AS n_links,
+  list_sort([
+    'https://site-' || ((3 * doc_id + 1) % 7) || '.example/r/' || doc_id,
+    'https://site-' || (doc_id % 7) || '.example/self/' || doc_id
+  ]) AS links
+FROM documents
+ORDER BY record_id
+"""
+
+
 def q_cdx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-level exact-dup triage (sources/cdx.cdx_dedup): captures
     whose payload is the document's SOURCE tag (20 values -> rich
@@ -8276,6 +8331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_roundtrip": q_cdx_roundtrip,
     "cdx_fetch": q_cdx_fetch,
     "cdx_dedup": q_cdx_dedup,
+    "wat_metadata": q_wat_metadata,
     "pagerank_tol": q_pagerank_tol,
 }
 
@@ -8446,6 +8502,7 @@ ORACLES: dict[str, str] = {
     "cdx_roundtrip": SQL_CDX_ROUNDTRIP,
     "cdx_fetch": SQL_CDX_FETCH,
     "cdx_dedup": SQL_CDX_DEDUP,
+    "wat_metadata": SQL_WAT_METADATA,
     "pagerank_tol": SQL_PAGERANK_TOL,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /

@@ -640,6 +640,68 @@ def read_warc(
     return paths_df.mapInPandas(parse_stream, schema=schema)
 
 
+def wat_metadata(
+    parsed: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """WAT-shaped per-capture metadata — the third Common Crawl
+    derivative next to WET text extraction (``warc_text_corpus``) and
+    the CDX index (``sources/cdx``): one row per capture with the
+    page's structural metadata and its RESOLVED outlink targets, so
+    link-graph construction, anchor analysis, and frontier seeding run
+    from THIS narrow frame and the payload bytes never ship past the
+    projection.
+
+    Columns: ``warc_file, record_id, url, warc_date, mime,
+    http_status, title, n_links, links`` — ``links`` are the page's
+    ``<a href>`` targets through the SAME resolution rule as
+    ``linkgraph.outlinks`` (shared ``resolve_href_col``), deduplicated
+    and sorted; ``title`` is the first ``<title>`` text (NULL when
+    absent). All pure JVM: payload casts to string with U+FFFD
+    substitution (the ANSI-safe route — ``decode()`` aborts on
+    malformed bytes), one ``regexp_extract_all`` per page, and the
+    href resolution runs as an ARRAY LAMBDA — no explode, no groupBy,
+    no shuffle: strictly narrower than deriving the same view through
+    ``outlinks`` + re-aggregation."""
+    from ..operators.linkgraph import (
+        _HREF_RE,
+        resolve_href_col,
+        src_scheme_root_cols,
+    )
+
+    text = F.col(payload_col).cast("string")
+    scheme, root = src_scheme_root_cols(F.col(url_col))
+    hrefs = F.regexp_extract_all(text, F.lit(_HREF_RE), F.lit(1))
+    links = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    hrefs, lambda h: resolve_href_col(h, scheme, root)
+                ),
+                lambda x: x.isNotNull() & (x != ""),
+            )
+        )
+    )
+    title = F.nullif(
+        F.trim(
+            F.regexp_extract(text, r"(?is)<title[^>]*>(.*?)</title>", 1)
+        ),
+        F.lit(""),
+    )
+    return parsed.select(
+        "warc_file",
+        "record_id",
+        F.col(url_col).alias("url"),
+        "warc_date",
+        "mime",
+        "http_status",
+        title.alias("title"),
+        F.size(links).cast("int").alias("n_links"),
+        links.alias("links"),
+    )
+
+
 def write_warc_archive(
     df: DataFrame,
     out_dir: str,

@@ -678,3 +678,46 @@ def test_redirect_chain_ending_at_unfollowable_is_not_terminal(spark):
     m = got["https://b.example/mid"]
     assert (m.final_url, m.n_hops, m.terminal) == (m.url, 0, False)
     assert got["https://b.example/ok"].terminal is True
+
+
+def test_wat_metadata_links_title_and_edge_arms(spark):
+    """WAT-shaped metadata: resolved/deduped/sorted links via the
+    SHARED resolution rule, title extraction incl. attributes and
+    case, NULL title when absent, malformed payload bytes survive the
+    cast (U+FFFD, never an ANSI abort), unresolvable hrefs drop."""
+    from dbqt_spark.sources.warc import wat_metadata
+
+    rows = [
+        ("f", "<1>", "https://h.example/a", "2024-01-01T00:00:00Z",
+         "text/html", 200,
+         '<HTML><head><TITLE lang="en"> Hello </TITLE></head>'
+         '<a href="/x">1</a> <a href="/x#frag">dup</a> '
+         '<a href="//cdn.example/y">2</a> '
+         '<a href="https://abs.example/z">3</a> '
+         '<a href="mailto:a@b">drop</a> <a href="rel/path">drop</a>'
+         .encode()),
+        ("f", "<2>", "https://h.example/b", "2024-01-01T00:00:00Z",
+         "text/html", 200, b"<p>no title no links</p>"),
+        ("f", "<3>", "https://h.example/c", "2024-01-01T00:00:00Z",
+         "text/html", 200,
+         b'<title>ok</title><a href="/p">x</a>\xff\xfe broken bytes'),
+    ]
+    parsed = spark.createDataFrame(
+        rows,
+        "warc_file string, record_id string, url string, "
+        "warc_date string, mime string, http_status int, payload binary",
+    )
+    got = {r.record_id: r for r in wat_metadata(parsed).collect()}
+    one = got["<1>"]
+    assert one.title == "Hello"
+    assert one.links == sorted([
+        "https://h.example/x",
+        "https://cdn.example/y",
+        "https://abs.example/z",
+    ])
+    assert one.n_links == 3
+    two = got["<2>"]
+    assert two.title is None and two.n_links == 0 and two.links == []
+    three = got["<3>"]
+    assert three.title == "ok"
+    assert three.links == ["https://h.example/p"]
