@@ -41,7 +41,7 @@ unrolled lazy plan is fine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PICO = 1_000_000_000_000  # rank 1.0 in integer pico-units
@@ -109,6 +109,110 @@ def outlinks(
             id_col, "src_url", resolved.alias("dst_url")
         )
         .filter(F.col("dst_url").isNotNull() & (F.col("dst_url") != ""))
+    )
+
+
+_ANCHOR_RE = (
+    r'(?is)<a\s[^>]*href\s*=\s*["\']([^"\'<>]+)["\'][^>]*>(.*?)</a>'
+)
+
+
+def anchor_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    top_k: int = 5,
+    max_len: int = 100,
+) -> DataFrame:
+    """Incoming anchor texts per link TARGET — the classic off-page
+    relevance signal (what other pages call this URL): ``(dst_url,
+    n_inlinks, n_anchor_texts, top_anchors)`` where ``top_anchors``
+    is the ``top_k`` distinct anchor strings by frequency
+    (count desc, text asc — a total order).
+
+    Extraction is two ``regexp_extract_all`` passes over the SAME
+    anchor pattern — group 1 (href) and group 2 (inner text) — so the
+    arrays are position-aligned by construction and ``arrays_zip``
+    pairs them without a parse; hrefs resolve through the shared
+    ``resolve_href_col`` rule, inner HTML strips to text, whitespace
+    collapses, and anchors truncate to ``max_len`` (a 100 TB corpus
+    carries pathological anchor bodies). Self-links (target == source
+    page) are dropped — a page's own navigation is not testimony
+    about it. Shuffle = one (dst, anchor) count + one dst rollup,
+    both map-side combined; payloads never move."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    # resolution context derives from the RENAMED source column — the
+    # pair frame has already projected url_col away
+    src_scheme, src_root = src_scheme_root_cols(F.col("__src"))
+    hrefs = F.regexp_extract_all(
+        F.col(text_col), F.lit(_ANCHOR_RE), F.lit(1)
+    )
+    texts = F.regexp_extract_all(
+        F.col(text_col), F.lit(_ANCHOR_RE), F.lit(2)
+    )
+    pairs = (
+        df.select(
+            F.col(url_col).alias("__src"),
+            F.explode(F.arrays_zip(hrefs.alias("h"), texts.alias("t")))
+            .alias("__p"),
+        )
+        .select(
+            "__src",
+            resolve_href_col(
+                F.col("__p.h"), src_scheme, src_root
+            ).alias("dst_url"),
+            F.substring(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(F.col("__p.t"), r"<[^>]*>", " "),
+                        r"\s+",
+                        " ",
+                    )
+                ),
+                1,
+                max_len,
+            ).alias("__anchor"),
+        )
+        .filter(
+            F.col("dst_url").isNotNull()
+            & (F.col("dst_url") != "")
+            & (F.col("dst_url") != F.col("__src"))
+        )
+    )
+    counted = pairs.groupBy("dst_url", "__anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    ranked = counted.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("dst_url").orderBy(
+                F.col("__n").desc(), F.col("__anchor").asc()
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("dst_url")
+        .agg(
+            F.sum("__n").cast("long").alias("n_inlinks"),
+            F.count(F.lit(1)).cast("long").alias("n_anchor_texts"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__rk") <= top_k,
+                        F.struct("__rk", F.col("__anchor")),
+                    )
+                )
+            ).alias("__top"),
+        )
+        .select(
+            "dst_url",
+            "n_inlinks",
+            "n_anchor_texts",
+            F.transform(F.col("__top"), lambda s: s["__anchor"]).alias(
+                "top_anchors"
+            ),
+        )
     )
 
 

@@ -7500,6 +7500,71 @@ ORDER BY surt_key, ts14
 """
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming-anchor aggregation (linkgraph.anchor_texts — the
+    off-page relevance signal): every page cites its hub (doc_id%3)
+    twice, once as 'hub number <d%5>' and once as '<b>Hub</b> <h>'
+    (markup the extractor must strip); the oracle replays the
+    (count desc, text asc) top-3 per hub arithmetically from the
+    modular counts."""
+    from .operators.linkgraph import anchor_texts
+
+    d = F.col("doc_id")
+    hub = F.concat(F.lit("https://hub-"), d % 3, F.lit(".example/"))
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        hub,
+        F.lit('">hub number '),
+        d % 5,
+        F.lit('</a> <a href="'),
+        hub,
+        F.lit('"><b>Hub</b> '),
+        d % 3,
+        F.lit("</a></body></html>"),
+    )
+    pages = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://site-"), d % 7, F.lit(".example/p/"), d
+        ).alias("url"),
+        html.alias("text"),
+    )
+    return anchor_texts(pages, top_k=3).orderBy("dst_url")
+
+
+SQL_ANCHOR_TEXTS = """
+WITH base AS (
+  SELECT doc_id % 3 AS h, doc_id % 5 AS a FROM documents
+),
+hub AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY h),
+num AS (
+  SELECT h, 'hub number ' || a AS anchor, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY h, a
+),
+allx AS (
+  SELECT h, 'Hub ' || h AS anchor, n FROM hub
+  UNION ALL SELECT h, anchor, n FROM num
+),
+rk AS (
+  SELECT h, anchor, n,
+    row_number() OVER (PARTITION BY h ORDER BY n DESC, anchor ASC) AS r
+  FROM allx
+),
+tot AS (
+  SELECT h, CAST(sum(n) AS BIGINT) AS n_inlinks,
+         CAST(count(*) AS BIGINT) AS n_anchor_texts
+  FROM allx GROUP BY h
+),
+topa AS (
+  SELECT h, list(anchor ORDER BY r) AS top_anchors
+  FROM rk WHERE r <= 3 GROUP BY h
+)
+SELECT 'https://hub-' || h || '.example/' AS dst_url,
+  n_inlinks, n_anchor_texts, top_anchors
+FROM tot JOIN topa USING (h)
+ORDER BY dst_url
+"""
+
+
 def q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT-shaped capture metadata (sources/warc.wat_metadata — the
     Common Crawl derivative trio's third leg): synthetic pages with a
@@ -8332,6 +8397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_fetch": q_cdx_fetch,
     "cdx_dedup": q_cdx_dedup,
     "wat_metadata": q_wat_metadata,
+    "anchor_texts": q_anchor_texts,
     "pagerank_tol": q_pagerank_tol,
 }
 
@@ -8503,6 +8569,7 @@ ORACLES: dict[str, str] = {
     "cdx_fetch": SQL_CDX_FETCH,
     "cdx_dedup": SQL_CDX_DEDUP,
     "wat_metadata": SQL_WAT_METADATA,
+    "anchor_texts": SQL_ANCHOR_TEXTS,
     "pagerank_tol": SQL_PAGERANK_TOL,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /

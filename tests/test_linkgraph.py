@@ -190,3 +190,39 @@ def test_pagerank_dangling_mass(spark):
         ).collect()
     )
     assert again == total_kept
+
+
+def test_anchor_texts_aggregation_and_edges(spark):
+    """Incoming anchor texts per target: tag-strip, whitespace
+    collapse, truncation, fragment-dedup through the shared resolver,
+    self-link drop, (count desc, text asc) top-k order."""
+    from dbqt_spark.operators.linkgraph import anchor_texts
+
+    rows = [
+        # three pages all call the same target different things
+        ("https://a.example/1",
+         '<a href="https://t.example/page">Great <b>Doc</b></a>'
+         '<a href="https://t.example/page">Great   Doc</a>'),
+        ("https://a.example/2",
+         '<a href="https://t.example/page#s">click here</a>'),
+        ("https://a.example/3",
+         '<a href="https://t.example/page">Great Doc</a>'
+         # self-link: target == the page itself -> dropped
+         '<a href="https://a.example/3">me</a>'
+         # unresolvable -> dropped
+         '<a href="mailto:x@y">mail</a>'),
+        # long anchor truncates to max_len
+        ("https://a.example/4",
+         '<a href="https://t.example/long">' + "x" * 300 + "</a>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r.dst_url: r for r in anchor_texts(df, top_k=2).collect()}
+    page = got["https://t.example/page"]
+    # 'Great Doc' x3 (tag-stripped + whitespace-collapsed + fragment
+    # dedup folds #s into the same target), 'click here' x1
+    assert page.n_inlinks == 4
+    assert page.n_anchor_texts == 2
+    assert page.top_anchors == ["Great Doc", "click here"]
+    long = got["https://t.example/long"]
+    assert long.top_anchors == ["x" * 100]
+    assert "https://a.example/3" not in got
