@@ -124,8 +124,34 @@ def test_crawl_to_curated_corpus_walkthrough(spark, tmp_path):
     assert spark.read.parquet(out).count() == n1 + 4
     assert corpus.filter(F.col("url").contains("utm_source")).count() == 0
 
+    # -- stage 1c: seekable CDX index + targeted fetch (r15) ----------
+    from dbqt_spark.sources.cdx import cdx_fetch, cdx_index, parse_cdxj
+    from dbqt_spark.sources.warc import wat_metadata
+
+    parsed_off = read_warc(
+        spark, str(drop), with_offsets=True
+    ).withColumn(
+        "warc_file", F.element_at(F.split("warc_file", "/"), -1)
+    )
+    lines = cdx_index(parsed_off).select(
+        F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
+    )
+    index = parse_cdxj(lines)
+    assert index.filter(F.col("offset").isNull()).count() == 0
+    hit = cdx_fetch(
+        index, str(drop), surt_prefix="example,site-a)/p/3"
+    ).collect()
+    assert [r.url for r in hit] == [f"{A}/p/3"]
+    assert b"page 3" in bytes(hit[0].payload)
+
     # -- stage 2: redirect collapse over the raw parsed frame ---------
     parsed = read_warc(spark, str(drop))
+
+    # WAT-shaped metadata rides the same parsed frame: the sitemap/
+    # robots captures carry no title and no anchors; HTML pages parse
+    wat = {r.url: r for r in wat_metadata(parsed).collect()}
+    assert wat[f"{A}/robots.txt"].title is None
+    assert wat[f"{A}/p/2"].n_links == 0
     resolved = {
         r.url: r
         for r in resolve_redirects(
