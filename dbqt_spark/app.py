@@ -56,6 +56,7 @@ TOOLS = [
     "urls",
     "pack",
     "links",
+    "cdx",
 ]
 
 
@@ -2201,6 +2202,127 @@ def tool_pack(argv: list[str]) -> int:
     return 0
 
 
+def tool_cdx(argv: list[str]) -> int:
+    """Web-archive index lifecycle from the CLI (sources/cdx.py):
+    ``index`` builds a seekable CDXJ index from a WARC directory
+    (byte offsets included — read_warc(with_offsets=True)), as text
+    lines or a range-partitioned parquet store; ``lookup`` answers a
+    SURT-prefix / time-window query over a stored index; ``fetch``
+    seeks the matching captures out of the archives (one bounded read
+    per hit); ``dedup`` reports byte-identical capture groups from
+    the index alone."""
+    p = argparse.ArgumentParser(prog="cdx")
+    p.add_argument("action", choices=["index", "lookup", "fetch", "dedup"])
+    p.add_argument("--warc-dir",
+                   help="index/fetch: the archive directory")
+    p.add_argument("--index",
+                   help="lookup/fetch/dedup: index path — a cdx_store "
+                   "parquet directory, or a directory of .cdxj lines")
+    p.add_argument("--surt-prefix",
+                   help="SURT key prefix, e.g. 'com,example)'")
+    p.add_argument("--ts-from", help="ts14 lower bound (YYYYMMDDHHMMSS)")
+    p.add_argument("--ts-to", help="ts14 upper bound")
+    p.add_argument("--buckets", type=int, default=0,
+                   help="index --output-parquet: range-partition count")
+    p.add_argument("--top", type=int, default=20,
+                   help="rows to print without --output-parquet")
+    p.add_argument("--output-parquet")
+    p.add_argument("--output-text",
+                   help="index: write raw CDXJ lines here instead")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .sources.cdx import (
+        cdx_dedup,
+        cdx_fetch,
+        cdx_index,
+        cdx_lookup,
+        cdx_store,
+        parse_cdxj,
+    )
+
+    spark = _spark()
+
+    def load_index():
+        if not args.index:
+            p.error("--index is required for this action")
+        has_cdxj = os.path.isdir(args.index) and any(
+            f.endswith((".cdxj", ".cdx", ".cdx.gz"))
+            for f in os.listdir(args.index)
+        )
+        if has_cdxj:
+            lines = spark.read.text(args.index).withColumnRenamed(
+                "value", "line"
+            )
+            df = parse_cdxj(lines)
+            if args.surt_prefix:
+                df = df.filter(
+                    F.col("surt_key").startswith(args.surt_prefix)
+                )
+            if args.ts_from:
+                df = df.filter(F.col("ts14") >= args.ts_from)
+            if args.ts_to:
+                df = df.filter(F.col("ts14") <= args.ts_to)
+            return df
+        return cdx_lookup(
+            spark, args.index, surt_prefix=args.surt_prefix,
+            ts_from=args.ts_from, ts_to=args.ts_to,
+        )
+
+    if args.action == "index":
+        if not args.warc_dir:
+            p.error("--warc-dir is required for index")
+        from .sources.warc import read_warc
+
+        parsed = read_warc(
+            spark, args.warc_dir, with_offsets=True
+        ).withColumn(
+            "warc_file", F.element_at(F.split("warc_file", "/"), -1)
+        )
+        idx = cdx_index(parsed)
+        if args.output_text:
+            idx.select(
+                F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
+            ).write.mode("overwrite").text(args.output_text)
+            print(f"cdxj lines written to {args.output_text}")
+        elif args.output_parquet:
+            lines = idx.select(
+                F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
+            )
+            cdx_store(
+                parse_cdxj(lines), args.output_parquet,
+                buckets=args.buckets,
+            )
+            print(f"index stored to {args.output_parquet}")
+        else:
+            p.error("index needs --output-text or --output-parquet")
+        return 0
+
+    if args.action == "lookup":
+        out = load_index()
+    elif args.action == "dedup":
+        out = cdx_dedup(load_index()).orderBy(
+            F.col("n_dups").desc(), F.col("digest").asc()
+        )
+    else:  # fetch
+        if not args.warc_dir:
+            p.error("--warc-dir is required for fetch")
+        if not args.output_parquet:
+            p.error("--output-parquet is required for fetch")
+        out = cdx_fetch(
+            load_index(), args.warc_dir,
+        )
+    if args.output_parquet:
+        out.write.mode("overwrite").parquet(args.output_parquet)
+        n = spark.read.parquet(args.output_parquet).count()
+        print(f"{args.action}: {n} rows -> {args.output_parquet}")
+    else:
+        for r in out.limit(args.top).collect():
+            print(r.asDict())
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -2243,6 +2365,7 @@ def main(argv: list[str] | None = None) -> int:
         "urls": tool_urls,
         "pack": tool_pack,
         "links": tool_links,
+        "cdx": tool_cdx,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

@@ -60,9 +60,14 @@ def cdx_index(
     parsed: DataFrame,
     url_col: str = "url",
     date_col: str = "warc_date",
+    sort: bool = True,
 ) -> DataFrame:
     """CDXJ index lines from a parsed WARC frame: ``(surt_key, ts14,
     cdxj)`` sorted by (surt_key, ts14) — the archive-lookup index.
+    ``sort=False`` skips the global sort for STREAMING frames (a
+    stream cannot sort; per-batch unsorted lines merge-sort at read
+    or ``cdx_store`` time — the standard per-segment-then-merge CDX
+    workflow).
     Rows whose URL yields no SURT key (non-URL targets) are dropped:
     they cannot be looked up. ``ts14`` is the WARC date's digits
     (``YYYYMMDDHHMMSS``).
@@ -114,15 +119,15 @@ def cdx_index(
         F.coalesce(_json_escape(F.col("warc_file")), F.lit("")),
         F.lit('"}'),
     )
-    return (
+    out = (
         parsed.filter(key.isNotNull() & (F.length(ts_digits) >= 14))
         .select(
             key.alias("surt_key"),
             ts14.alias("ts14"),
             blob.alias("cdxj"),
         )
-        .orderBy("surt_key", "ts14")
     )
+    return out.orderBy("surt_key", "ts14") if sort else out
 
 
 def parse_cdxj(

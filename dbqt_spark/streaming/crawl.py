@@ -53,21 +53,29 @@ def warc_stream(
     drop_dir: str,
     record_types: "tuple[str, ...] | None" = ("response",),
     max_files_per_trigger: "int | None" = None,
+    with_offsets: bool = False,
 ) -> DataFrame:
     """Streaming frame of parsed WARC rows (WARC_ROW_SCHEMA) from a
     drop directory: every ``*.warc`` / ``*.warc.gz`` file that appears
-    is parsed exactly once (file-source checkpoint log)."""
+    is parsed exactly once (file-source checkpoint log).
+    ``with_offsets=True`` appends the per-record byte coordinates
+    (``WARC_ROW_OFFSET_SCHEMA``) — the streaming feed for a seekable
+    CDX index (``run_cdx_index_stream``)."""
     import pandas as pd
 
+    from ..sources.warc import WARC_ROW_OFFSET_SCHEMA
+
     types = tuple(record_types) if record_types is not None else None
-    cols = [c.split()[0] for c in WARC_ROW_SCHEMA.split(", ")]
+    schema = WARC_ROW_OFFSET_SCHEMA if with_offsets else WARC_ROW_SCHEMA
+    cols = [c.split()[0] for c in schema.split(", ")]
 
     def parse(batches) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for fname, content in zip(pdf["path"], pdf["content"]):
                 batch: list[tuple] = []
                 for row in rows_from_stream(
-                    io.BytesIO(content), fname, types
+                    io.BytesIO(content), fname, types,
+                    with_offsets=with_offsets,
                 ):
                     batch.append(row)
                     if len(batch) >= _BATCH_ROWS:
@@ -84,7 +92,7 @@ def warc_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(drop_dir).select("path", "content")
-    return raw.mapInPandas(parse, schema=WARC_ROW_SCHEMA)
+    return raw.mapInPandas(parse, schema=schema)
 
 
 def warc_corpus_stream(
@@ -157,6 +165,54 @@ def run_warc_ingest(
         warc_ingest_gate(stream, strip_www=strip_www)
         .writeStream.format("parquet")
         .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+
+
+def run_cdx_index_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    record_types: "tuple[str, ...] | None" = ("response",),
+    max_files_per_trigger: "int | None" = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Index segments AS THEY LAND: drain every unseen archive in
+    ``drop_dir`` into seekable CDXJ lines (byte offsets included)
+    under ``index_dir`` — the streaming twin of ``cdx_index`` over
+    ``read_warc(with_offsets=True)``, exactly-once via the file-source
+    checkpoint. Lines are per-batch UNSORTED (a stream cannot sort;
+    ``cdx_index(sort=False)``): read them back with ``parse_cdxj`` and
+    ``cdx_store`` for the range-sorted lookup layout — the standard
+    per-segment-then-merge CDX workflow. Filenames are segment
+    basenames, so ``cdx_fetch(archive_dir=drop_dir)`` seeks directly."""
+    from pyspark.sql import functions as F
+
+    from ..sources.cdx import cdx_index
+
+    parsed = warc_stream(
+        spark,
+        drop_dir,
+        record_types=record_types,
+        max_files_per_trigger=max_files_per_trigger,
+        with_offsets=True,
+    ).withColumn(
+        "warc_file", F.element_at(F.split("warc_file", "/"), -1)
+    )
+    lines = cdx_index(parsed, sort=False).select(
+        F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("value")
+    )
+    q = (
+        lines.writeStream.format("text")
+        .option("path", index_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)

@@ -446,3 +446,73 @@ def test_cdx_dedup_picks_earliest_capture_per_digest(spark):
                                      "https://b.example/y")
     other = got[hashlib.md5(b"other").hexdigest()]
     assert (other.n_dups, other.filename) == (1, "seg-b.warc.gz")
+
+
+def test_cdx_cli_index_lookup_fetch_dedup(spark, tmp_path, capsys):
+    """cdx CLI: index a WARC dir to a parquet store, look up a SURT
+    prefix, seek-fetch the matching captures, and report duplicate
+    groups — the full lifecycle through the tool surface."""
+    from dbqt_spark.app import main
+
+    _write_archives(tmp_path)
+    store = str(tmp_path / "index.parquet")
+    assert main([
+        "cdx", "index", "--warc-dir", str(tmp_path),
+        "--output-parquet", store, "--buckets", "2",
+    ]) == 0
+    out = str(tmp_path / "hits.parquet")
+    assert main([
+        "cdx", "fetch", "--warc-dir", str(tmp_path),
+        "--index", store, "--surt-prefix", "example,a)/p/2",
+        "--output-parquet", out,
+    ]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert [r.url for r in rows] == ["https://a.example/p/2"]
+    assert bytes(rows[0].payload) == b"<html>alpha two</html>"
+    # lookup prints rows; dedup reports groups (all payloads unique)
+    assert main([
+        "cdx", "lookup", "--index", store, "--surt-prefix", "example,b)",
+    ]) == 0
+    assert "example,b)/q/1" in capsys.readouterr().out
+    assert main(["cdx", "dedup", "--index", store]) == 0
+    assert "n_dups" in capsys.readouterr().out
+
+
+def test_streaming_cdx_index_exactly_once_and_seekable(spark, tmp_path):
+    """run_cdx_index_stream: segments index as they land (exactly-once
+    across runs via the file-source checkpoint), lines carry byte
+    offsets, and a capture fetched THROUGH the streamed index seeks
+    straight into its archive."""
+    from dbqt_spark.sources.cdx import cdx_fetch, parse_cdxj
+    from dbqt_spark.streaming.crawl import run_cdx_index_stream
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    idx_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    files = _write_archives(drop)
+
+    run_cdx_index_stream(spark, str(drop), idx_dir, ckpt)
+    lines = spark.read.text(idx_dir).withColumnRenamed("value", "line")
+    n1 = lines.count()
+    assert n1 == 3  # 2 + 1 captures
+    # re-run: nothing new, no duplicate lines
+    run_cdx_index_stream(spark, str(drop), idx_dir, ckpt)
+    assert spark.read.text(idx_dir).count() == n1
+    # a third segment lands -> exactly its captures append
+    from dbqt_spark.sources.warc import build_warc, warc_response_record
+
+    (drop / "seg-c.warc.gz").write_bytes(
+        build_warc([warc_response_record(
+            "https://c.example/n/1", "2024-03-02T00:00:00Z", b"<html>c</html>"
+        )])
+    )
+    run_cdx_index_stream(spark, str(drop), idx_dir, ckpt)
+    idx = parse_cdxj(
+        spark.read.text(idx_dir).withColumnRenamed("value", "line")
+    )
+    assert idx.count() == n1 + 1
+    assert idx.filter("offset IS NULL").count() == 0
+    got = cdx_fetch(idx, str(drop), surt_prefix="example,b)/q/1").collect()
+    assert len(got) == 1
+    assert bytes(got[0].payload) == b"<html>beta one</html>"
