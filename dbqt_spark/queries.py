@@ -8227,6 +8227,129 @@ LIMIT 200
 """
 
 
+_BLOOM_N_BITS = 2048
+_BLOOM_N_HASHES = 3
+
+
+def _bloom_gate_frames(spark: SparkSession, sf_dir: str):
+    """Shared synth for the bloom queries: the 'seen' corpus is every
+    third document's canonical URL; arrivals are all documents."""
+    d = F.col("doc_id")
+    arrivals = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"), d % 7, F.lit(".example/p/"), d
+        ).alias("key"),
+        (d % 3 == 0).alias("seen_exact"),
+    )
+    return arrivals, arrivals.where(F.col("seen_exact"))
+
+
+def _bloom_summary(gated: DataFrame) -> DataFrame:
+    return (
+        gated.groupBy("maybe_seen", "seen_exact")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("maybe_seen", "seen_exact")
+    )
+
+
+def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom membership gate (operators/bloom.py — the no-
+    shuffle 'definitely new' pre-filter in front of any exact dedup /
+    decontamination tier): a filter built over every third document's
+    canonical URL gates ALL documents through the broadcast arm. The
+    filter is deliberately small (2048 bits) so growing corpora
+    saturate it — the summary's (maybe_seen, seen_exact) cells expose
+    the false-positive tail at every scale while false negatives must
+    stay impossible. The oracle replays every md5-prefix bit, the
+    bit_or word packing, and the 3-probe AND bit-for-bit."""
+    from .operators.bloom import bloom_build, bloom_gate
+
+    arrivals, seen = _bloom_gate_frames(spark, sf_dir)
+    bloom = bloom_build(seen, "key", _BLOOM_N_BITS, _BLOOM_N_HASHES)
+    gated = bloom_gate(
+        arrivals, bloom, "key", _BLOOM_N_BITS, _BLOOM_N_HASHES
+    )
+    return _bloom_summary(gated)
+
+
+def q_bloom_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle arm of the same gate (filters past broadcast size):
+    narrow (id, word_idx, mask) probe rows join the word frame, AND-
+    fold per id, join back on the caller's unique key, misses fail
+    CLOSED. Same oracle as bloom_gate — the arms must agree bit-for-
+    bit (the robots_gate/robots_shuffle precedent)."""
+    from .operators.bloom import bloom_build, bloom_gate
+
+    arrivals, seen = _bloom_gate_frames(spark, sf_dir)
+    bloom = bloom_build(seen, "key", _BLOOM_N_BITS, _BLOOM_N_HASHES)
+    gated = bloom_gate(
+        arrivals,
+        bloom,
+        "key",
+        _BLOOM_N_BITS,
+        _BLOOM_N_HASHES,
+        mode="shuffle",
+        id_col="doc_id",
+    )
+    return _bloom_summary(gated)
+
+
+def _sql_bloom_gate(n_bits: int, k: int) -> str:
+    """DuckDB twin of the whole bloom chain: same salted md5-prefix
+    hashes, same 32-bit bit_or word packing, same k-probe AND."""
+    key = "'https://site-' || (doc_id % 7) || '.example/p/' || doc_id"
+    bit_selects = " UNION ALL ".join(
+        f"SELECT (('0x'||substr(md5('{i}:'||key),1,15))::UBIGINT"
+        f" % {n_bits}) AS bit FROM seen"
+        for i in range(k)
+    )
+    probe_bits = ", ".join(
+        f"(('0x'||substr(md5('{i}:'||key),1,15))::UBIGINT % {n_bits})"
+        f" AS b{i}"
+        for i in range(k)
+    )
+    checks = " AND ".join(
+        f"(coalesce(w{i}.word, 0) & (1::BIGINT << CAST(h.b{i} % 32 AS"
+        " INTEGER))) != 0"
+        for i in range(k)
+    )
+    joins = " ".join(
+        f"LEFT JOIN words w{i} ON w{i}.word_idx = CAST(h.b{i} // 32 AS"
+        " BIGINT)"
+        for i in range(k)
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id, {key} AS key, (doc_id % 3 = 0) AS seen_exact
+  FROM documents
+),
+seen AS (SELECT DISTINCT key FROM arr WHERE seen_exact),
+bits AS ({bit_selects}),
+words AS (
+  SELECT CAST(bit // 32 AS BIGINT) AS word_idx,
+         bit_or(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS word
+  FROM bits GROUP BY 1
+),
+h AS (SELECT doc_id, seen_exact, {probe_bits} FROM arr),
+gated AS (
+  SELECT h.doc_id, h.seen_exact, {checks} AS maybe_seen
+  FROM h {joins}
+)
+SELECT maybe_seen, seen_exact, CAST(count(*) AS BIGINT) AS n_docs,
+  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM gated GROUP BY maybe_seen, seen_exact
+ORDER BY maybe_seen, seen_exact
+"""
+
+
+SQL_BLOOM_GATE = _sql_bloom_gate(_BLOOM_N_BITS, _BLOOM_N_HASHES)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -8399,6 +8522,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wat_metadata": q_wat_metadata,
     "anchor_texts": q_anchor_texts,
     "pagerank_tol": q_pagerank_tol,
+    "bloom_gate": q_bloom_gate,
+    "bloom_shuffle": q_bloom_shuffle,
 }
 
 ORACLES: dict[str, str] = {
@@ -8571,6 +8696,8 @@ ORACLES: dict[str, str] = {
     "wat_metadata": SQL_WAT_METADATA,
     "anchor_texts": SQL_ANCHOR_TEXTS,
     "pagerank_tol": SQL_PAGERANK_TOL,
+    "bloom_gate": SQL_BLOOM_GATE,
+    "bloom_shuffle": SQL_BLOOM_GATE,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).
