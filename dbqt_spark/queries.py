@@ -8350,6 +8350,114 @@ ORDER BY maybe_seen, seen_exact
 SQL_BLOOM_GATE = _sql_bloom_gate(_BLOOM_N_BITS, _BLOOM_N_HASHES)
 
 
+def q_cdx_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot crawl diff (sources/cdx.cdx_delta — the
+    incremental-recrawl scheduler's input, answered from index rows
+    alone): snapshot A captures every document on day 1; snapshot B on
+    day 2 drops every 10th page (gone), rewrites payloads for
+    doc%10==1 (changed), adds an /alt page for doc%10==2 (new), and
+    for doc%10==3 holds TWO captures — an intermediate edit plus a
+    later revert — so the latest-per-key window must pick the revert
+    and report 'unchanged'. Both snapshots run the real cdx_index →
+    parse_cdxj chain; the oracle replays every status, timestamp and
+    digest arithmetically."""
+    from .sources.cdx import cdx_delta, cdx_index, parse_cdxj
+
+    d = F.col("doc_id")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    hms = F.concat(
+        two(F.expr("doc_id div 3600 % 24")),
+        F.lit(":"),
+        two(F.expr("doc_id div 60 % 60")),
+        F.lit(":"),
+        two(d % 60),
+    )
+    url = F.concat(F.lit("https://site-"), d % 5, F.lit(".example/p/"), d)
+
+    def parsed(docs: DataFrame, day: str, url_col, payload) -> DataFrame:
+        rows = docs.select(
+            F.lit("seg-00000.warc.gz").alias("warc_file"),
+            F.concat(F.lit("<urn:uuid:"), d, F.lit(">")).alias(
+                "record_id"
+            ),
+            F.lit("response").alias("record_type"),
+            url_col.alias("url"),
+            F.concat(
+                F.lit(f"2024-03-{day}T"), hms, F.lit("Z")
+            ).alias("warc_date"),
+            F.lit("text/html").alias("mime"),
+            F.lit(200).cast("int").alias("http_status"),
+            F.lit(None).cast("string").alias("redirect_to"),
+            F.encode(payload, "utf-8").alias("payload"),
+        )
+        lines = cdx_index(rows).select(
+            F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
+        )
+        return parse_cdxj(lines)
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = F.col("source")
+    old = parsed(docs, "01", url, src)
+    b_base = parsed(
+        docs.where(d % 10 != 0),
+        "02",
+        url,
+        F.when(d % 10 == 1, F.concat(src, F.lit("v2")))
+        .when(d % 10 == 3, F.concat(src, F.lit("tmp")))
+        .otherwise(src),
+    )
+    b_revert = parsed(docs.where(d % 10 == 3), "03", url, src)
+    b_alt = parsed(
+        docs.where(d % 10 == 2),
+        "02",
+        F.concat(url, F.lit("/alt")),
+        F.concat(F.lit("alt:"), src),
+    )
+    new = b_base.unionByName(b_revert).unionByName(b_alt)
+    return cdx_delta(old, new).orderBy("surt_key")
+
+
+SQL_CDX_DELTA = """
+WITH base AS (
+  SELECT doc_id, source,
+    'example,site-' || (doc_id % 5) || ')/p/' || doc_id AS surt_key,
+    'https://site-' || (doc_id % 5) || '.example/p/' || doc_id AS url,
+    lpad(CAST((doc_id // 3600) % 24 AS VARCHAR), 2, '0')
+      || lpad(CAST((doc_id // 60) % 60 AS VARCHAR), 2, '0')
+      || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS hms
+  FROM documents
+),
+main AS (
+  SELECT surt_key,
+    CASE WHEN doc_id % 10 = 0 THEN 'gone'
+         WHEN doc_id % 10 = 1 THEN 'changed'
+         ELSE 'unchanged' END AS status,
+    url,
+    '20240301' || hms AS old_ts14,
+    CASE WHEN doc_id % 10 = 0 THEN NULL
+         WHEN doc_id % 10 = 3 THEN '20240303' || hms
+         ELSE '20240302' || hms END AS new_ts14,
+    md5(source) AS old_digest,
+    CASE WHEN doc_id % 10 = 0 THEN NULL
+         WHEN doc_id % 10 = 1 THEN md5(source || 'v2')
+         ELSE md5(source) END AS new_digest
+  FROM base
+),
+alts AS (
+  SELECT surt_key || '/alt' AS surt_key, 'new' AS status,
+    url || '/alt' AS url,
+    CAST(NULL AS VARCHAR) AS old_ts14,
+    '20240302' || hms AS new_ts14,
+    CAST(NULL AS VARCHAR) AS old_digest,
+    md5('alt:' || source) AS new_digest
+  FROM base WHERE doc_id % 10 = 2
+)
+SELECT * FROM main
+UNION ALL SELECT * FROM alts
+ORDER BY surt_key
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -8524,6 +8632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_tol": q_pagerank_tol,
     "bloom_gate": q_bloom_gate,
     "bloom_shuffle": q_bloom_shuffle,
+    "cdx_delta": q_cdx_delta,
 }
 
 ORACLES: dict[str, str] = {
@@ -8698,6 +8807,7 @@ ORACLES: dict[str, str] = {
     "pagerank_tol": SQL_PAGERANK_TOL,
     "bloom_gate": SQL_BLOOM_GATE,
     "bloom_shuffle": SQL_BLOOM_GATE,
+    "cdx_delta": SQL_CDX_DELTA,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -355,3 +355,66 @@ def cdx_fetch(
                 yield pd.DataFrame(rows, columns=cols)
 
     return coords.mapInPandas(fetch, schema=out_schema)
+
+
+def cdx_delta(
+    old: DataFrame,
+    new: DataFrame,
+) -> DataFrame:
+    """Cross-snapshot crawl diff from the indexes alone: what changed
+    between two crawls of the same web, answered from ~200 B CDX rows
+    without touching either snapshot's archives — the scheduling input
+    for incremental recrawls ("fetch only 'changed'+'new'") and the
+    freshness report between corpus versions.
+
+    Per side, the LATEST capture per ``surt_key`` wins (``ts14`` desc,
+    then digest/url desc — a total order, so re-runs are bit-stable
+    even when a snapshot holds same-second refetches). The two latest
+    frames full-outer join on the key:
+
+    - ``new``       — key only in the new snapshot
+    - ``gone``      — key only in the old snapshot
+    - ``changed``   — both, latest payload digests differ
+    - ``unchanged`` — both, latest digests equal (refetch, same bytes)
+
+    Scale shape: one window per side partitioned by ``surt_key`` and
+    one join on the SAME key — frames read from ``cdx_store`` arrive
+    range-partitioned and sorted by exactly that key, so the exchanges
+    align and only index rows ever move. Output is one row per live-
+    or-formerly-live key with both sides' coordinates."""
+    from pyspark.sql.window import Window
+
+    def latest(df: DataFrame, side: str) -> DataFrame:
+        w = Window.partitionBy("surt_key").orderBy(
+            F.col("ts14").desc(), F.col("digest").desc(),
+            F.col("url").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "surt_key",
+                F.col("url").alias(f"{side}_url"),
+                F.col("ts14").alias(f"{side}_ts14"),
+                F.col("digest").alias(f"{side}_digest"),
+            )
+        )
+
+    o, n = latest(old, "old"), latest(new, "new")
+    j = o.join(n, "surt_key", "full_outer")
+    status = (
+        F.when(F.col("old_ts14").isNull(), F.lit("new"))
+        .when(F.col("new_ts14").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") == F.col("new_digest"),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "surt_key",
+        status.alias("status"),
+        F.coalesce("new_url", "old_url").alias("url"),
+        "old_ts14",
+        "new_ts14",
+        "old_digest",
+        "new_digest",
+    )

@@ -516,3 +516,65 @@ def test_streaming_cdx_index_exactly_once_and_seekable(spark, tmp_path):
     got = cdx_fetch(idx, str(drop), surt_prefix="example,b)/q/1").collect()
     assert len(got) == 1
     assert bytes(got[0].payload) == b"<html>beta one</html>"
+
+
+def test_cdx_delta_statuses_and_latest_per_key_window(spark):
+    """All four statuses from typed index frames, with the latest-per-
+    key window picking the newest capture (an intermediate edit plus a
+    later revert must report 'unchanged')."""
+    from dbqt_spark.sources.cdx import cdx_delta
+
+    cols = "surt_key string, ts14 string, url string, digest string"
+
+    def idx(rows):
+        return spark.createDataFrame(rows, cols)
+
+    old = idx([
+        ("com,a)/p1", "20240301000000", "https://a.com/p1", "d1"),
+        ("com,a)/p2", "20240301000000", "https://a.com/p2", "d2"),
+        ("com,a)/p3", "20240301000000", "https://a.com/p3", "d3"),
+        # p3 also has an older capture — latest (d3) must win
+        ("com,a)/p3", "20240229000000", "https://a.com/p3", "stale"),
+        ("com,a)/gone", "20240301000000", "https://a.com/gone", "dg"),
+    ])
+    new = idx([
+        ("com,a)/p1", "20240302000000", "https://a.com/p1", "d1"),
+        ("com,a)/p2", "20240302000000", "https://a.com/p2", "d2x"),
+        # p3: intermediate edit then revert -> unchanged
+        ("com,a)/p3", "20240302000000", "https://a.com/p3", "tmp"),
+        ("com,a)/p3", "20240303000000", "https://a.com/p3", "d3"),
+        ("com,a)/new", "20240302000000", "https://a.com/new", "dn"),
+    ])
+    got = {
+        r.surt_key: (r.status, r.old_digest, r.new_digest, r.url)
+        for r in cdx_delta(old, new).collect()
+    }
+    assert got["com,a)/p1"] == ("unchanged", "d1", "d1", "https://a.com/p1")
+    assert got["com,a)/p2"] == ("changed", "d2", "d2x", "https://a.com/p2")
+    assert got["com,a)/p3"] == ("unchanged", "d3", "d3", "https://a.com/p3")
+    assert got["com,a)/gone"] == ("gone", "dg", None, "https://a.com/gone")
+    assert got["com,a)/new"] == ("new", None, "dn", "https://a.com/new")
+    assert len(got) == 5
+
+
+def test_cdx_delta_same_second_refetch_tiebreak_is_deterministic(spark):
+    """Two same-ts14 captures of one key: the (ts14, digest, url) desc
+    total order picks the max digest on BOTH sides — re-runs and
+    repartitionings cannot flip the verdict."""
+    from dbqt_spark.sources.cdx import cdx_delta
+
+    cols = "surt_key string, ts14 string, url string, digest string"
+    old = spark.createDataFrame(
+        [("com,a)/p", "20240301000000", "u", "aaa"),
+         ("com,a)/p", "20240301000000", "u", "zzz")], cols
+    )
+    new = spark.createDataFrame(
+        [("com,a)/p", "20240302000000", "u", "zzz"),
+         ("com,a)/p", "20240302000000", "u", "aaa")], cols
+    )
+    rows = cdx_delta(old, new).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.status, r.old_digest, r.new_digest) == (
+        "unchanged", "zzz", "zzz"
+    )
