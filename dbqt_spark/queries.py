@@ -8458,6 +8458,81 @@ ORDER BY surt_key
 """
 
 
+_BPE_ROUNDS = 6
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-engine BPE merge learning (operators/bpe.py — tokenizer
+    induction, Sennrich et al. 2016): 6 merge rounds over the
+    documents corpus. The loop is eager by contract (round r+1's pair
+    counts depend on round r's winner — the pagerank_tol precedent);
+    the oracle unrolls all 6 rounds, replaying the pair counting, the
+    (count desc, pair asc) winner pick, and the exact greedy fold
+    (DuckDB list_reduce == Spark aggregate) bit-for-bit."""
+    from .operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=_BPE_ROUNDS).orderBy("merge_rank")
+
+
+def _sql_bpe_train(rounds: int) -> str:
+    """DuckDB twin of the whole bpe_train loop, unrolled: per round a
+    pair-count CTE, a winner CTE, and a fold-application CTE (the same
+    left-to-right greedy merge as Spark's aggregate lambda)."""
+    ctes = [
+        """w0 AS (
+  SELECT regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS seq, freq
+  FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ) GROUP BY w
+  )
+)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT pr, CAST(sum(freq) AS BIGINT) AS n FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS pr,
+           freq
+    FROM (SELECT string_split(seq, ' ') AS t, freq FROM w{r})
+  ) GROUP BY pr
+)"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+  SELECT pr, n, split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r
+  FROM p{r} ORDER BY n DESC, pr ASC LIMIT 1
+)"""
+        )
+        if r + 1 < rounds:
+            ctes.append(
+                f"""w{r + 1} AS (
+  SELECT list_reduce(string_split(seq, ' '),
+    (acc, x) -> CASE
+      WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
+      THEN acc || x ELSE acc || ' ' || x END) AS seq, freq
+  FROM w{r}, b{r} b
+)"""
+            )
+    winners = "\n  UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, l AS lhs, r AS rhs, l || r AS merged,"
+        f" n AS pair_count FROM b{r}"
+        for r in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs,"
+        f" merged, pair_count FROM (\n  {winners}\n) ORDER BY merge_rank"
+    )
+
+
+SQL_BPE_TRAIN = _sql_bpe_train(_BPE_ROUNDS)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -8633,6 +8708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_gate": q_bloom_gate,
     "bloom_shuffle": q_bloom_shuffle,
     "cdx_delta": q_cdx_delta,
+    "bpe_train": q_bpe_train,
 }
 
 ORACLES: dict[str, str] = {
@@ -8808,6 +8884,7 @@ ORACLES: dict[str, str] = {
     "bloom_gate": SQL_BLOOM_GATE,
     "bloom_shuffle": SQL_BLOOM_GATE,
     "cdx_delta": SQL_CDX_DELTA,
+    "bpe_train": SQL_BPE_TRAIN,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).
