@@ -217,6 +217,9 @@ def main() -> None:
         # queueing-bound, not volume
         "pagerank_tol",
         "cdx_fetch",
+        # late-r15: BPE induction is an eager per-round driver loop
+        # over the vocab frame (6 rounds of small jobs, same shape)
+        "bpe_train",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
@@ -398,7 +401,11 @@ def main() -> None:
         # r15 new arms: the seekable-index fetch lifecycle (sliver
         # collect -> archive write -> offset read -> fetch) and the
         # tol-converged PageRank (per-iteration delta collect chain)
-        "cdx_fetch,pagerank_tol",
+        "cdx_fetch,pagerank_tol,"
+        # late-r15 additions: the 6-round eager BPE induction loop and
+        # the double-snapshot CDX diff (two index synth chains + the
+        # latest-per-key windows)
+        "bpe_train,cdx_delta",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

@@ -57,6 +57,8 @@ TOOLS = [
     "pack",
     "links",
     "cdx",
+    "bpe",
+    "bloom",
 ]
 
 
@@ -2323,6 +2325,111 @@ def tool_cdx(argv: list[str]) -> int:
     return 0
 
 
+def tool_bpe(argv: list[str]) -> int:
+    """Tokenizer induction from the CLI (operators/bpe.py): learn BPE
+    merges from a parquet corpus and write/print the ranked merge
+    table. Feed the parquet back into ``pack``/``textstats`` token
+    accounting via functions/tokenize.simple_bpe."""
+    p = argparse.ArgumentParser(prog="bpe")
+    p.add_argument("action", choices=["train"])
+    p.add_argument("--input", required=True, help="parquet corpus path")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--merges", type=int, default=100)
+    p.add_argument("--min-count", type=int, default=2)
+    p.add_argument("--top", type=int, default=20,
+                   help="merges to print without --output-parquet")
+    p.add_argument("--output-parquet")
+    args = p.parse_args(argv)
+
+    from .operators.bpe import bpe_train
+
+    spark = _spark()
+    out = bpe_train(
+        spark.read.parquet(args.input),
+        text_col=args.text_column,
+        n_merges=args.merges,
+        min_count=args.min_count,
+    ).orderBy("merge_rank")
+    if args.output_parquet:
+        out.write.mode("overwrite").parquet(args.output_parquet)
+        print(f"{args.merges} merges written to {args.output_parquet}")
+    else:
+        for r in out.limit(args.top).collect():
+            print(f"{r.merge_rank}\t{r.lhs} + {r.rhs} -> {r.merged}"
+                  f"\t(count {r.pair_count})")
+    return 0
+
+
+def tool_bloom(argv: list[str]) -> int:
+    """Bloom-filter gate from the CLI (operators/bloom.py): ``build``
+    packs a filter over a key column into a sparse word parquet;
+    ``gate`` tags an arrivals table with ``maybe_seen`` so only the
+    maybe-slice pays the exact dedup tier."""
+    p = argparse.ArgumentParser(prog="bloom")
+    p.add_argument("action", choices=["build", "gate"])
+    p.add_argument("--input", required=True,
+                   help="parquet path: build = seen keys, gate = arrivals")
+    p.add_argument("--key-column", required=True)
+    p.add_argument("--filter", required=True,
+                   help="filter parquet path (build writes, gate reads)")
+    p.add_argument("--bits", type=int, default=0,
+                   help="filter size in bits (build; default: sized "
+                   "from the key count at --fpp)")
+    p.add_argument("--hashes", type=int, default=0)
+    p.add_argument("--fpp", type=float, default=0.01)
+    p.add_argument("--mode", choices=["broadcast", "shuffle"],
+                   default="broadcast")
+    p.add_argument("--id-column", help="gate --mode shuffle: unique id")
+    p.add_argument("--output-parquet", help="gate: flagged table path")
+    args = p.parse_args(argv)
+
+    import json as _json
+
+    from .operators.bloom import bloom_build, bloom_gate, bloom_params
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    if args.action == "build":
+        n_bits, n_hashes = args.bits, args.hashes
+        if not n_bits or not n_hashes:
+            n_keys = max(
+                1,
+                df.select(args.key_column).na.drop().distinct().count(),
+            )
+            auto_bits, auto_hashes = bloom_params(n_keys, args.fpp)
+            n_bits = n_bits or auto_bits
+            n_hashes = n_hashes or auto_hashes
+        words = bloom_build(df, args.key_column, n_bits, n_hashes)
+        words.write.mode("overwrite").parquet(args.filter)
+        # sizing sidecar so `gate` replays the same hash family
+        meta = {"n_bits": n_bits, "n_hashes": n_hashes,
+                "key_column": args.key_column}
+        with open(os.path.join(args.filter, "_bloom_meta.json"), "w") as fh:
+            _json.dump(meta, fh)
+        print(f"bloom filter written to {args.filter}: "
+              f"{n_bits} bits, {n_hashes} hashes")
+        return 0
+    with open(os.path.join(args.filter, "_bloom_meta.json")) as fh:
+        meta = _json.load(fh)
+    words = spark.read.parquet(args.filter)
+    gated = bloom_gate(
+        df, words, args.key_column, meta["n_bits"], meta["n_hashes"],
+        mode=args.mode, id_col=args.id_column,
+    )
+    if args.output_parquet:
+        gated.write.mode("overwrite").parquet(args.output_parquet)
+    counts = {
+        ("maybe_seen" if r.maybe_seen else "definitely_new"): r.n
+        for r in gated.groupBy("maybe_seen").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    print(f"definitely_new: {counts.get('definitely_new', 0)}  "
+          f"maybe_seen: {counts.get('maybe_seen', 0)}"
+          + (f"  written to {args.output_parquet}"
+             if args.output_parquet else ""))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -2366,6 +2473,8 @@ def main(argv: list[str] | None = None) -> int:
         "pack": tool_pack,
         "links": tool_links,
         "cdx": tool_cdx,
+        "bpe": tool_bpe,
+        "bloom": tool_bloom,
     }.get(tool)
     if fn is None:
         print(f"unknown tool: {tool}", file=sys.stderr)

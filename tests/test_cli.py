@@ -1281,3 +1281,52 @@ def test_cli_sample_dsir(spark, tmp_path, capsys):
             "sample", "--config", cfg, "--table", "documents",
             "--method", "dsir", "--output-parquet", out,
         ])
+
+
+def test_cli_bpe_train(spark, tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [("low low low newest newest newest newest",),
+         ("newest newest widest widest lower",)],
+        "text string",
+    ).write.parquet(corpus)
+    out = str(tmp_path / "merges")
+    assert main([
+        "bpe", "train", "--input", corpus, "--merges", "4",
+        "--output-parquet", out,
+    ]) == 0
+    assert "4 merges written" in capsys.readouterr().out
+    got = spark.read.parquet(out).orderBy("merge_rank").collect()
+    assert [r.merge_rank for r in got] == [0, 1, 2, 3]
+    assert got[0].lhs == "e" and got[0].rhs == "s"  # es in 6x newest
+    # print mode
+    assert main(["bpe", "train", "--input", corpus, "--merges", "2"]) == 0
+    assert "e + s -> es" in capsys.readouterr().out
+
+
+def test_cli_bloom_build_and_gate(spark, tmp_path, capsys):
+    seen = str(tmp_path / "seen")
+    arrivals = str(tmp_path / "arrivals")
+    spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 100, 2)], "key string"
+    ).write.parquet(seen)
+    spark.createDataFrame(
+        [(i, f"k{i}") for i in range(100)], "id int, key string"
+    ).write.parquet(arrivals)
+    filt = str(tmp_path / "filter")
+    assert main([
+        "bloom", "build", "--input", seen, "--key-column", "key",
+        "--filter", filt, "--fpp", "0.001",
+    ]) == 0
+    assert "bloom filter written" in capsys.readouterr().out
+    out = str(tmp_path / "gated")
+    assert main([
+        "bloom", "gate", "--input", arrivals, "--key-column", "key",
+        "--filter", filt, "--output-parquet", out,
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "maybe_seen:" in msg and "definitely_new:" in msg
+    got = {r.id: r.maybe_seen for r in spark.read.parquet(out).collect()}
+    # no false negatives ever; at fpp=0.001 and 50 keys, no FPs expected
+    assert all(got[i] for i in range(0, 100, 2))
+    assert sum(1 for i in range(1, 100, 2) if got[i]) <= 2
