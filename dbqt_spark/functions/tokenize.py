@@ -38,31 +38,34 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def simple_bpe(merges: list[tuple[str, str]]) -> Callable[[str], int]:
+#: Sennrich end-of-word marker — the symbol ``operators/bpe.bpe_train``
+#: appends to every word before learning merges.
+EOW = "</w>"
+
+
+def simple_bpe(
+    merges: list[tuple[str, str]], end_of_word: bool = False
+) -> Callable[[str], int]:
     """A minimal, dependency-free BPE token counter: whitespace
     pretokenize, split each word into characters, then greedily apply
     the LOWEST-RANK merge from ``merges`` until none applies (the core
     of Sennrich et al. 2016 / GPT-2's encoder, minus byte-mapping and
     regex pretokenization). Deterministic for a fixed merge list —
     suitable as a test vocabulary and as the documented shape a real
-    tokenizer hook must have (``text -> int``)."""
+    tokenizer hook must have (``text -> int``).
+
+    ``end_of_word=True`` appends the ``</w>`` marker before merging
+    (and strips it from the count) — REQUIRED for merge lists learned
+    by ``operators/bpe.bpe_train``, whose ranks are marker-aware; the
+    default stays marker-less so existing vocabularies and every
+    oracle are unchanged."""
     ranks = {pair: i for i, pair in enumerate(merges)}
 
-    def _encode_word(word: str) -> int:
-        parts = list(word)
-        while len(parts) > 1:
-            best, best_rank = None, None
-            for i in range(len(parts) - 1):
-                r = ranks.get((parts[i], parts[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best, best_rank = i, r
-            if best is None:
-                break
-            parts[best: best + 2] = [parts[best] + parts[best + 1]]
-        return len(parts)
-
     def _count(text: str) -> int:
-        return sum(_encode_word(w) for w in (text or "").split())
+        return sum(
+            len(_bpe_parts(w, ranks, end_of_word))
+            for w in (text or "").split()
+        )
 
     return _count
 
@@ -119,11 +122,18 @@ def resolve_token_counter(
     )
 
 
-def _bpe_parts(word: str, ranks: "dict[tuple[str, str], int]") -> list[str]:
+def _bpe_parts(
+    word: str,
+    ranks: "dict[tuple[str, str], int]",
+    end_of_word: bool = False,
+) -> list[str]:
     """Greedy lowest-rank merges of a word's characters — the shared
     kernel of ``simple_bpe`` (counts) and ``simple_bpe_segmenter``
-    (pieces)."""
-    parts = list(word)
+    (pieces). With ``end_of_word`` the ``</w>`` marker participates in
+    merging (Sennrich semantics, what ``bpe_train`` ranks assume) and
+    is stripped from the returned pieces afterwards so the lossless-
+    concatenation contract holds either way."""
+    parts = list(word) + ([EOW] if end_of_word else [])
     while len(parts) > 1:
         best, best_rank = None, None
         for i in range(len(parts) - 1):
@@ -133,18 +143,25 @@ def _bpe_parts(word: str, ranks: "dict[tuple[str, str], int]") -> list[str]:
         if best is None:
             break
         parts[best: best + 2] = [parts[best] + parts[best + 1]]
+    if end_of_word:
+        if parts[-1] == EOW:
+            parts.pop()
+        elif parts[-1].endswith(EOW):
+            parts[-1] = parts[-1][: -len(EOW)]
     return parts
 
 
 def simple_bpe_segmenter(
-    merges: list[tuple[str, str]],
+    merges: list[tuple[str, str]], end_of_word: bool = False
 ) -> Callable[[str], list[str]]:
     """The SEGMENTER twin of ``simple_bpe``: ``text -> list of string
     pieces`` under the lossless-concatenation contract
     (``resolve_token_segmenter``) — each word's leading whitespace is
     attached to its first piece (the GPT-2 convention), so
     ``"".join(pieces) == text`` up to trailing whitespace, and
-    ``len(pieces)`` equals ``simple_bpe(merges)(text)``."""
+    ``len(pieces)`` equals ``simple_bpe(merges)(text)``.
+    ``end_of_word`` as in ``simple_bpe`` — set it when the merges come
+    from ``operators/bpe.bpe_train``."""
     import re
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -153,7 +170,7 @@ def simple_bpe_segmenter(
         out: list[str] = []
         for m in re.finditer(r"(\s*)(\S+)", text or ""):
             ws, word = m.group(1), m.group(2)
-            parts = _bpe_parts(word, ranks)
+            parts = _bpe_parts(word, ranks, end_of_word)
             parts[0] = ws + parts[0]
             out += parts
         return out

@@ -68,23 +68,10 @@ def _fold_expr(left: str, right: str) -> str:
     )"""
 
 
-def bpe_train(
-    df: DataFrame,
-    text_col: str = "text",
-    n_merges: int = 10,
-    min_count: int = 2,
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges from the corpus. Returns the
-    merge table ``(merge_rank int, lhs, rhs, merged, pair_count)`` —
-    feed ``[(r.lhs, r.rhs) for r in out.collect()]`` straight into
-    ``functions/tokenize.simple_bpe``.
-
-    Fails fast (ValueError) if a round's best pair falls under
-    ``min_count`` — a silent short vocabulary would corrupt every
-    downstream token accounting; reduce ``n_merges`` instead."""
-    if n_merges < 1:
-        raise ValueError("bpe_train needs n_merges >= 1")
-    spark = df.sparkSession
+def _word_seqs(df: DataFrame, text_col: str) -> DataFrame:
+    """One corpus scan -> the vocabulary working set ``(seq, freq)``:
+    per distinct word, its frequency and the initial symbol sequence
+    (space-joined characters + the ``</w>`` end-of-word marker)."""
     words = (
         df.select(
             F.explode(
@@ -96,12 +83,83 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    work = words.select(
+    return words.select(
         F.concat(
             F.regexp_replace("w", "(.)", "$1 "), F.lit("</w>")
         ).alias("seq"),
         "freq",
-    ).localCheckpoint()  # corpus scanned exactly once
+    )
+
+
+def bpe_apply(
+    words: DataFrame, merges: "list[tuple[str, str]]"
+) -> DataFrame:
+    """Apply a ranked merge list to a ``(seq, freq)`` symbol frame as
+    chained JVM folds — one ``aggregate`` expression per merge, in
+    rank order. For BPE merge lists this equals the priority-queue
+    application (merge k's operands are built only from merges < k,
+    so applying 0..k-1 exhaustively first exposes every occurrence k
+    can consume); the segmenter round-trip test pins the equivalence
+    against ``functions/tokenize.simple_bpe_segmenter``. No UDF, no
+    shuffle — a narrow projection per merge."""
+    out = words
+    for left, right in merges:
+        if not (_SAFE_SYMBOL.match(left) and _SAFE_SYMBOL.match(right)):
+            raise ValueError(f"unsafe merge symbols: {(left, right)}")
+        out = out.select(
+            F.expr(_fold_expr(left, right)).alias("seq"),
+            *[c for c in words.columns if c != "seq"],
+        )
+    return out
+
+
+def bpe_piece_stats(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus piece-frequency table under an induced vocabulary: the
+    apply side of ``bpe_train`` rolled up — segment every vocabulary
+    word with the ranked merges, weight each piece by the word's
+    corpus frequency, return the top ``top_k`` pieces
+    ``(piece, n desc, piece asc)``. The induce->apply->account loop
+    (token budgeting under the vocabulary you just learned) in two
+    vocab-bounded jobs after the single corpus scan."""
+    if top_k < 1:
+        raise ValueError("bpe_piece_stats needs top_k >= 1")
+    segmented = bpe_apply(_word_seqs(df, text_col), merges)
+    return (
+        segmented.select(
+            F.explode(F.split("seq", " ")).alias("piece"), "freq"
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("piece").asc())
+        .limit(top_k)
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    merge table ``(merge_rank int, lhs, rhs, merged, pair_count)`` —
+    feed ``[(r.lhs, r.rhs) for r in out.collect()]`` straight into
+    ``functions/tokenize.simple_bpe``/``simple_bpe_segmenter`` with
+    ``end_of_word=True`` (the learned ranks are ``</w>``-aware).
+
+    Fails fast (ValueError) if a round's best pair falls under
+    ``min_count`` — a silent short vocabulary would corrupt every
+    downstream token accounting; reduce ``n_merges`` instead."""
+    if n_merges < 1:
+        raise ValueError("bpe_train needs n_merges >= 1")
+    spark = df.sparkSession
+    # corpus scanned exactly once
+    work = _word_seqs(df, text_col).localCheckpoint()
 
     rows: list[tuple] = []
     for r in range(n_merges):

@@ -8475,10 +8475,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, n_merges=_BPE_ROUNDS).orderBy("merge_rank")
 
 
-def _sql_bpe_train(rounds: int) -> str:
-    """DuckDB twin of the whole bpe_train loop, unrolled: per round a
-    pair-count CTE, a winner CTE, and a fold-application CTE (the same
-    left-to-right greedy merge as Spark's aggregate lambda)."""
+def _sql_bpe_ctes(rounds: int, final_words: bool) -> list[str]:
+    """Shared CTE chain for the BPE oracles: per round a pair-count
+    CTE, a winner CTE, and a fold-application CTE (the same left-to-
+    right greedy merge as Spark's aggregate lambda). With
+    ``final_words`` the chain also applies the LAST winner, yielding
+    ``w{rounds}`` — the fully segmented vocabulary."""
     ctes = [
         """w0 AS (
   SELECT regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS seq, freq
@@ -8507,7 +8509,7 @@ def _sql_bpe_train(rounds: int) -> str:
   FROM p{r} ORDER BY n DESC, pr ASC LIMIT 1
 )"""
         )
-        if r + 1 < rounds:
+        if r + 1 < rounds or final_words:
             ctes.append(
                 f"""w{r + 1} AS (
   SELECT list_reduce(string_split(seq, ' '),
@@ -8517,6 +8519,11 @@ def _sql_bpe_train(rounds: int) -> str:
   FROM w{r}, b{r} b
 )"""
             )
+    return ctes
+
+
+def _sql_bpe_train(rounds: int) -> str:
+    """DuckDB twin of the whole bpe_train loop, unrolled."""
     winners = "\n  UNION ALL ".join(
         f"SELECT {r} AS merge_rank, l AS lhs, r AS rhs, l || r AS merged,"
         f" n AS pair_count FROM b{r}"
@@ -8524,13 +8531,51 @@ def _sql_bpe_train(rounds: int) -> str:
     )
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_sql_bpe_ctes(rounds, final_words=False))
         + f"\nSELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs,"
         f" merged, pair_count FROM (\n  {winners}\n) ORDER BY merge_rank"
     )
 
 
+def _sql_bpe_pieces(rounds: int, top_k: int) -> str:
+    """DuckDB twin of bpe_piece_stats over merges induced by the same
+    unrolled loop: the segmented vocabulary ``w{rounds}`` explodes to
+    pieces weighted by word frequency, top_k by (n desc, piece asc)."""
+    return (
+        "WITH "
+        + ",\n".join(_sql_bpe_ctes(rounds, final_words=True))
+        + f""",
+pieces AS (
+  SELECT unnest(string_split(seq, ' ')) AS piece, freq FROM w{rounds}
+)
+SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+FROM pieces GROUP BY piece
+ORDER BY n DESC, piece ASC LIMIT {top_k}"""
+    )
+
+
 SQL_BPE_TRAIN = _sql_bpe_train(_BPE_ROUNDS)
+SQL_BPE_PIECES = _sql_bpe_pieces(_BPE_ROUNDS, 50)
+
+
+def q_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The induce->apply->account loop closed on-engine (operators/
+    bpe.bpe_piece_stats): learn 6 merges from the documents corpus
+    (same eager loop as bpe_train), segment the vocabulary with them
+    as chained JVM folds — one aggregate expression per merge, no UDF
+    — and report the top-50 piece frequencies under the induced
+    vocabulary. The oracle unrolls the training rounds AND the final
+    application, then replays the weighted piece rollup bit-for-bit."""
+    from .operators.bpe import bpe_piece_stats, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_train(docs, n_merges=_BPE_ROUNDS)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return bpe_piece_stats(docs, merges, top_k=50)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8709,6 +8754,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_shuffle": q_bloom_shuffle,
     "cdx_delta": q_cdx_delta,
     "bpe_train": q_bpe_train,
+    "bpe_pieces": q_bpe_pieces,
 }
 
 ORACLES: dict[str, str] = {
@@ -8885,6 +8931,7 @@ ORACLES: dict[str, str] = {
     "bloom_shuffle": SQL_BLOOM_GATE,
     "cdx_delta": SQL_CDX_DELTA,
     "bpe_train": SQL_BPE_TRAIN,
+    "bpe_pieces": SQL_BPE_PIECES,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -78,10 +78,10 @@ def test_bpe_train_merges_feed_simple_bpe_segmenter(spark):
         (r.lhs, r.rhs)
         for r in bpe_train(docs, n_merges=4).orderBy("merge_rank").collect()
     ]
-    seg = simple_bpe_segmenter(merges)
+    seg = simple_bpe_segmenter(merges, end_of_word=True)
     pieces = seg("newest")
-    assert "".join(pieces).replace("</w>", "") == "newest"
-    assert len(pieces) < len("newest") + 1  # merges actually applied
+    assert "".join(pieces) == "newest"  # marker stripped, lossless
+    assert len(pieces) < len("newest")  # merges actually applied
 
 
 def test_bpe_train_fails_fast_when_corpus_exhausted(spark):
@@ -101,3 +101,68 @@ def test_bpe_train_tiebreak_is_lexicographic(spark):
         bpe_train(docs, n_merges=1).orderBy("merge_rank").collect()[0]
     )
     assert (first.lhs, first.rhs) == ("a", "b")
+
+
+def test_bpe_apply_equals_segmenter_on_unseen_words(spark):
+    """Chained rank-order folds == the priority-based greedy segmenter
+    (functions/tokenize.simple_bpe_segmenter), including on words NOT
+    in the training corpus."""
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.functions.tokenize import simple_bpe_segmenter
+    from dbqt_spark.operators.bpe import _word_seqs, bpe_apply, bpe_train
+
+    train = spark.createDataFrame(
+        [(" ".join(["low"] * 5 + ["newest"] * 6 + ["widest"] * 3),)],
+        "text string",
+    )
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_train(train, n_merges=5).orderBy("merge_rank").collect()
+    ]
+    # apply to a DIFFERENT corpus (slowest/lowest unseen at train time)
+    apply_corpus = spark.createDataFrame(
+        [("slowest lowest newest widest low",)], "text string"
+    )
+    segmented = {
+        r.seq: None
+        for r in bpe_apply(_word_seqs(apply_corpus, "text"), merges)
+        .select("seq").collect()
+    }
+    # the learned ranks are marker-aware -> end_of_word=True; the fold
+    # output keeps the marker, the segmenter strips it
+    seg = simple_bpe_segmenter(merges, end_of_word=True)
+    stripped = set()
+    for s in segmented:
+        pieces = s.split(" ")
+        if pieces[-1] == "</w>":
+            pieces = pieces[:-1]
+        elif pieces[-1].endswith("</w>"):
+            pieces[-1] = pieces[-1][:-4]
+        stripped.add(" ".join(pieces))
+    for word in ["slowest", "lowest", "newest", "widest", "low"]:
+        assert " ".join(seg(word)) in stripped, word
+
+
+def test_bpe_piece_stats_weighted_rollup(spark):
+    from dbqt_spark.operators.bpe import bpe_piece_stats
+
+    docs = spark.createDataFrame(
+        [("ab ab ab ba",)], "text string"
+    )
+    out = {
+        r.piece: r.n
+        for r in bpe_piece_stats(docs, [("a", "b")], top_k=10).collect()
+    }
+    # 'ab' x3 segments to [ab, </w>]; 'ba' to [b, a, </w>]
+    assert out == {"ab": 3, "</w>": 4, "a": 1, "b": 1}
+
+
+def test_bpe_apply_rejects_unsafe_symbols(spark):
+    from dbqt_spark.operators.bpe import _word_seqs, bpe_apply
+
+    docs = spark.createDataFrame([("ab",)], "text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="unsafe"):
+        bpe_apply(_word_seqs(docs, "text"), [("a'", "b")])
