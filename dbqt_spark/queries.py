@@ -8350,18 +8350,15 @@ ORDER BY maybe_seen, seen_exact
 SQL_BLOOM_GATE = _sql_bloom_gate(_BLOOM_N_BITS, _BLOOM_N_HASHES)
 
 
-def q_cdx_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-snapshot crawl diff (sources/cdx.cdx_delta — the
-    incremental-recrawl scheduler's input, answered from index rows
-    alone): snapshot A captures every document on day 1; snapshot B on
-    day 2 drops every 10th page (gone), rewrites payloads for
+def _cdx_snapshot_frames(spark: SparkSession, sf_dir: str):
+    """Shared two-snapshot synth for the cdx_delta / recrawl_plan
+    queries: snapshot A captures every document on day 1; snapshot B
+    on day 2 drops every 10th page (gone), rewrites payloads for
     doc%10==1 (changed), adds an /alt page for doc%10==2 (new), and
     for doc%10==3 holds TWO captures — an intermediate edit plus a
-    later revert — so the latest-per-key window must pick the revert
-    and report 'unchanged'. Both snapshots run the real cdx_index →
-    parse_cdxj chain; the oracle replays every status, timestamp and
-    digest arithmetically."""
-    from .sources.cdx import cdx_delta, cdx_index, parse_cdxj
+    later revert — so the latest-per-key window must pick the revert.
+    Both snapshots run the real cdx_index → parse_cdxj chain."""
+    from .sources.cdx import cdx_index, parse_cdxj
 
     d = F.col("doc_id")
     two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
@@ -8414,7 +8411,46 @@ def q_cdx_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("alt:"), src),
     )
     new = b_base.unionByName(b_revert).unionByName(b_alt)
+    return old, new
+
+
+def q_cdx_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot crawl diff (sources/cdx.cdx_delta — the
+    incremental-recrawl scheduler's input, answered from index rows
+    alone) over the shared two-snapshot synth
+    (``_cdx_snapshot_frames``); the oracle replays every status,
+    timestamp and digest arithmetically."""
+    from .sources.cdx import cdx_delta
+
+    old, new = _cdx_snapshot_frames(spark, sf_dir)
     return cdx_delta(old, new).orderBy("surt_key")
+
+
+def q_recrawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop closed: cdx_delta's verdicts become the next
+    crawl's politeness-scheduled frontier (urltools.frontier_schedule).
+    'gone' keys drop; 'changed' outranks 'new' outranks 'unchanged'
+    within each host's fetch waves, so freshness-critical pages fetch
+    first without ever violating per-host crawl delays. The oracle
+    replays the status arithmetic, the priority ladder, and the
+    per-host window."""
+    from .operators.urltools import frontier_schedule
+    from .sources.cdx import cdx_delta
+
+    old, new = _cdx_snapshot_frames(spark, sf_dir)
+    delta = cdx_delta(old, new)
+    frontier = delta.where(F.col("status") != "gone").select(
+        "url",
+        "status",
+        F.when(F.col("status") == "changed", 3)
+        .when(F.col("status") == "new", 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("priority"),
+    )
+    return frontier_schedule(
+        frontier, priority_col="priority"
+    ).orderBy("url")
 
 
 SQL_CDX_DELTA = """
@@ -8455,6 +8491,37 @@ alts AS (
 SELECT * FROM main
 UNION ALL SELECT * FROM alts
 ORDER BY surt_key
+"""
+
+
+SQL_RECRAWL_PLAN = """
+WITH base AS (
+  SELECT doc_id, source,
+    'https://site-' || (doc_id % 5) || '.example/p/' || doc_id AS url,
+    'site-' || (doc_id % 5) || '.example' AS host
+  FROM documents
+),
+frontier AS (
+  SELECT url,
+    CASE WHEN doc_id % 10 = 1 THEN 'changed' ELSE 'unchanged' END
+      AS status,
+    CASE WHEN doc_id % 10 = 1 THEN 3 ELSE 1 END AS priority,
+    host
+  FROM base WHERE doc_id % 10 != 0
+  UNION ALL
+  SELECT url || '/alt' AS url, 'new' AS status, 2 AS priority, host
+  FROM base WHERE doc_id % 10 = 2
+),
+w AS (
+  SELECT url, status, CAST(priority AS INTEGER) AS priority, host,
+    CAST(row_number() OVER (
+      PARTITION BY host ORDER BY priority DESC, url ASC) AS INTEGER)
+      AS wave
+  FROM frontier
+)
+SELECT url, status, priority, host, wave,
+  CAST(wave - 1 AS DOUBLE) * 1.0 AS fetch_after_sec
+FROM w ORDER BY url
 """
 
 
@@ -8753,6 +8820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_gate": q_bloom_gate,
     "bloom_shuffle": q_bloom_shuffle,
     "cdx_delta": q_cdx_delta,
+    "recrawl_plan": q_recrawl_plan,
     "bpe_train": q_bpe_train,
     "bpe_pieces": q_bpe_pieces,
 }
@@ -8930,6 +8998,7 @@ ORACLES: dict[str, str] = {
     "bloom_gate": SQL_BLOOM_GATE,
     "bloom_shuffle": SQL_BLOOM_GATE,
     "cdx_delta": SQL_CDX_DELTA,
+    "recrawl_plan": SQL_RECRAWL_PLAN,
     "bpe_train": SQL_BPE_TRAIN,
     "bpe_pieces": SQL_BPE_PIECES,
     # Remaining rows-only checks, each for a structural reason:
