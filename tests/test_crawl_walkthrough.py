@@ -213,3 +213,41 @@ def test_crawl_to_curated_corpus_walkthrough(spark, tmp_path):
     assert len(rows) >= 1
     assert {"doc_id", "text", "split"} <= set(curated.columns)
     assert all(r.text for r in rows)
+
+    # -- stage 7: plan the NEXT crawl from the index diff (r15) --------
+    from dbqt_spark.operators.urltools import frontier_schedule
+    from dbqt_spark.sources.cdx import cdx_delta
+
+    old_idx = index.filter(F.col("filename").contains("seg-a"))
+    delta = cdx_delta(old_idx, index)
+    by_status = {
+        r.status: r.n
+        for r in delta.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # seg-b only ADDED captures: nothing gone, nothing changed
+    assert set(by_status) == {"new", "unchanged"}
+    assert by_status["new"] >= 1
+
+    frontier = delta.where(F.col("status") != "gone").select(
+        "url", "status",
+        F.when(F.col("status") == "changed", 3)
+        .when(F.col("status") == "new", 2)
+        .otherwise(1).alias("priority"),
+    )
+    plan = frontier_schedule(frontier, priority_col="priority")
+    # politeness: waves are 1..n per host with no gaps, and within a
+    # host every 'new' page fetches before every 'unchanged' one
+    for host_rows in (
+        plan.groupBy("host")
+        .agg(F.collect_list(F.struct("wave", "status")).alias("rs"))
+        .collect()
+    ):
+        waves = sorted(r.wave for r in host_rows.rs)
+        assert waves == list(range(1, len(waves) + 1))
+        new_waves = [r.wave for r in host_rows.rs if r.status == "new"]
+        old_waves = [
+            r.wave for r in host_rows.rs if r.status == "unchanged"
+        ]
+        if new_waves and old_waves:
+            assert max(new_waves) < min(old_waves)
