@@ -139,6 +139,38 @@ def _ratio6_wide_sql(num_sql: str, den_sql: str) -> str:
     )
 
 
+def _sql_bloom_fragments(
+    key_col: str, n_bits: int, k: int
+) -> tuple[str, str, str, str]:
+    """Shared DuckDB fragments of the bloom chain (same salted
+    md5-prefix hashes, 32-bit bit_or word packing, k-probe AND):
+    (bit_selects over CTE ``seen``, probe-bit projections, the AND-ed
+    membership checks, the per-hash word joins). ``key_col`` is the
+    key column name exposed by both the ``seen`` CTE and the probing
+    CTE ``h``'s source."""
+    bit_selects = " UNION ALL ".join(
+        f"SELECT (('0x'||substr(md5('{i}:'||{key_col}),1,15))::UBIGINT"
+        f" % {n_bits}) AS bit FROM seen"
+        for i in range(k)
+    )
+    probe_bits = ", ".join(
+        f"(('0x'||substr(md5('{i}:'||{key_col}),1,15))::UBIGINT"
+        f" % {n_bits}) AS b{i}"
+        for i in range(k)
+    )
+    checks = " AND ".join(
+        f"(coalesce(w{i}.word, 0) & (1::BIGINT << CAST(h.b{i} % 32 AS"
+        " INTEGER))) != 0"
+        for i in range(k)
+    )
+    joins = " ".join(
+        f"LEFT JOIN words w{i} ON w{i}.word_idx = CAST(h.b{i} // 32 AS"
+        " BIGINT)"
+        for i in range(k)
+    )
+    return bit_selects, probe_bits, checks, joins
+
+
 def _sql_url_canon_ctes(src_cte: str, carry: str = "") -> str:
     """parts/staged/canon CTE text canonicalizing column ``url`` of
     CTE ``src_cte`` — the ONE DuckDB twin of
@@ -1541,6 +1573,36 @@ SELECT DISTINCT user_id, event_type, props FROM events
 """
 
 
+def _gate_url_col() -> "F.Column":
+    """Messy re-spelling synth shared by the streaming URL-gate
+    queries: even user_ids announce the page behind case / default
+    port / utm / fragment noise, odd ones behind the plain spelling —
+    both canonicalize to one URL per (site, event_type, user_id//7)."""
+    d7 = F.expr("user_id div 7")
+    return F.when(
+        F.col("user_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTP://WWW.Site-"),
+            F.col("user_id") % 5,
+            F.lit(".COM:80/"),
+            F.col("event_type"),
+            F.lit("/"),
+            d7,
+            F.lit("/?utm_source=feed&x=1#top"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://www.site-"),
+            F.col("user_id") % 5,
+            F.lit(".com/"),
+            F.col("event_type"),
+            F.lit("/"),
+            d7,
+            F.lit("?x=1"),
+        ),
+    )
+
+
 def q_streaming_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming URL-dedup gate (streaming/dedup.url_first_seen):
     events re-announce pages behind messy spellings (case, default
@@ -1557,30 +1619,7 @@ def q_streaming_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events_from_parquet(spark, path, schema=raw_schema)
 
     def with_urls(df: DataFrame) -> DataFrame:
-        d7 = F.expr("user_id div 7")
-        url = F.when(
-            F.col("user_id") % 2 == 0,
-            F.concat(
-                F.lit("HTTP://WWW.Site-"),
-                F.col("user_id") % 5,
-                F.lit(".COM:80/"),
-                F.col("event_type"),
-                F.lit("/"),
-                d7,
-                F.lit("/?utm_source=feed&x=1#top"),
-            ),
-        ).otherwise(
-            F.concat(
-                F.lit("http://www.site-"),
-                F.col("user_id") % 5,
-                F.lit(".com/"),
-                F.col("event_type"),
-                F.lit("/"),
-                d7,
-                F.lit("?x=1"),
-            ),
-        )
-        return url_first_seen(df.withColumn("url", url))
+        return url_first_seen(df.withColumn("url", _gate_url_col()))
 
     rows = run_stream_once(stream, with_urls, output_mode="append")
     return spark.createDataFrame(rows, "url_canon string").orderBy(
@@ -1603,6 +1642,93 @@ WITH u AS (
 {_sql_url_canon_ctes("u")}
 SELECT DISTINCT cu AS url_canon FROM canon ORDER BY url_canon
 """
+
+
+_SBG_BITS, _SBG_HASHES = 8192, 3
+
+
+def q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot Bloom sidecar on the streaming URL gate
+    (streaming/dedup.url_first_seen ``prior_bloom=`` + operators/
+    bloom): a filter built over the canonical URLs a PRIOR crawl
+    already fetched (the user_id%3==0 slice) rides broadcast joins
+    against the live stream — each first-seen arrival emits with
+    ``maybe_prior``; false is a no-false-negative guarantee the next
+    stage can trust ('never fetched, schedule directly'). The oracle
+    replays canonicalization + DISTINCT + every filter bit."""
+    from .catalog import table_path
+    from .operators.bloom import bloom_build
+    from .streaming.checks import run_stream_once, stream_events_from_parquet
+    from .streaming.dedup import url_first_seen
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    batch = spark.read.parquet(path)
+    prior = batch.where(F.col("user_id") % 3 == 0).select(
+        _gate_url_col().alias("url")
+    )
+    from .operators.urltools import canonical_url_col
+
+    bloom = bloom_build(
+        prior.select(canonical_url_col(F.col("url")).alias("url_canon")),
+        "url_canon",
+        _SBG_BITS,
+        _SBG_HASHES,
+    ).localCheckpoint()  # materialize: a static side re-evaluates per
+    # micro-batch otherwise (word frame is tiny — set-bit rows only)
+
+    stream = stream_events_from_parquet(
+        spark, path, schema=batch.schema
+    )
+
+    def gate(df: DataFrame) -> DataFrame:
+        return url_first_seen(
+            df.withColumn("url", _gate_url_col()),
+            prior_bloom=bloom,
+            prior_bits=_SBG_BITS,
+            prior_hashes=_SBG_HASHES,
+        )
+
+    rows = run_stream_once(stream, gate, output_mode="append")
+    return spark.createDataFrame(
+        rows, "url_canon string, maybe_prior boolean"
+    ).orderBy("url_canon")
+
+
+def _sql_streaming_bloom_gate(n_bits: int, k: int) -> str:
+    bit_selects, probe_bits, checks, joins = _sql_bloom_fragments(
+        "cu", n_bits, k
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id, CASE
+    WHEN user_id % 2 = 0 THEN
+      'HTTP://WWW.Site-' || (user_id % 5) || '.COM:80/' || event_type
+      || '/' || (user_id // 7) || '/?utm_source=feed&x=1#top'
+    ELSE
+      'http://www.site-' || (user_id % 5) || '.com/' || event_type
+      || '/' || (user_id // 7) || '?x=1'
+  END AS url
+  FROM events
+),
+{_sql_url_canon_ctes("u", carry="user_id")},
+seen AS (SELECT DISTINCT cu FROM canon WHERE user_id % 3 = 0),
+bits AS ({bit_selects}),
+words AS (
+  SELECT CAST(bit // 32 AS BIGINT) AS word_idx,
+         bit_or(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS word
+  FROM bits GROUP BY 1
+),
+h AS (SELECT cu, {probe_bits} FROM (SELECT DISTINCT cu FROM canon))
+SELECT h.cu AS url_canon, {checks} AS maybe_prior
+FROM h {joins}
+ORDER BY url_canon
+"""
+
+
+SQL_STREAMING_BLOOM_GATE = _sql_streaming_bloom_gate(
+    _SBG_BITS, _SBG_HASHES
+)
 
 # ---------------------------------------------------------------------------
 # TPC-H-style analytics (bench headliners)
@@ -8300,28 +8426,10 @@ def q_bloom_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_bloom_gate(n_bits: int, k: int) -> str:
-    """DuckDB twin of the whole bloom chain: same salted md5-prefix
-    hashes, same 32-bit bit_or word packing, same k-probe AND."""
+    """DuckDB twin of the whole bloom chain over the documents synth."""
     key = "'https://site-' || (doc_id % 7) || '.example/p/' || doc_id"
-    bit_selects = " UNION ALL ".join(
-        f"SELECT (('0x'||substr(md5('{i}:'||key),1,15))::UBIGINT"
-        f" % {n_bits}) AS bit FROM seen"
-        for i in range(k)
-    )
-    probe_bits = ", ".join(
-        f"(('0x'||substr(md5('{i}:'||key),1,15))::UBIGINT % {n_bits})"
-        f" AS b{i}"
-        for i in range(k)
-    )
-    checks = " AND ".join(
-        f"(coalesce(w{i}.word, 0) & (1::BIGINT << CAST(h.b{i} % 32 AS"
-        " INTEGER))) != 0"
-        for i in range(k)
-    )
-    joins = " ".join(
-        f"LEFT JOIN words w{i} ON w{i}.word_idx = CAST(h.b{i} // 32 AS"
-        " BIGINT)"
-        for i in range(k)
+    bit_selects, probe_bits, checks, joins = _sql_bloom_fragments(
+        "key", n_bits, k
     )
     return f"""
 WITH arr AS (
@@ -8819,6 +8927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_tol": q_pagerank_tol,
     "bloom_gate": q_bloom_gate,
     "bloom_shuffle": q_bloom_shuffle,
+    "streaming_bloom_gate": q_streaming_bloom_gate,
     "cdx_delta": q_cdx_delta,
     "recrawl_plan": q_recrawl_plan,
     "bpe_train": q_bpe_train,
@@ -8997,6 +9106,7 @@ ORACLES: dict[str, str] = {
     "pagerank_tol": SQL_PAGERANK_TOL,
     "bloom_gate": SQL_BLOOM_GATE,
     "bloom_shuffle": SQL_BLOOM_GATE,
+    "streaming_bloom_gate": SQL_STREAMING_BLOOM_GATE,
     "cdx_delta": SQL_CDX_DELTA,
     "recrawl_plan": SQL_RECRAWL_PLAN,
     "bpe_train": SQL_BPE_TRAIN,

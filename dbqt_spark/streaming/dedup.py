@@ -89,6 +89,9 @@ def url_first_seen(
     ts_col: str = "ts",
     watermark: str | None = None,
     strip_www: bool = False,
+    prior_bloom: "DataFrame | None" = None,
+    prior_bits: int = 0,
+    prior_hashes: int = 0,
 ) -> DataFrame:
     """Streaming URL-dedup gate — the frontier front door a live crawl
     runs BEFORE fetching/processing content: arrivals dedup on their
@@ -100,8 +103,28 @@ def url_first_seen(
     URL of each first occurrence; with ``watermark`` state is
     time-bounded (``dropDuplicatesWithinWatermark``), without it
     global. On a batch frame this degenerates to DISTINCT canonical
-    URLs (the oracle twin)."""
+    URLs (the oracle twin).
+
+    ``prior_bloom`` (with its ``prior_bits``/``prior_hashes`` sizing)
+    is the CROSS-SNAPSHOT sidecar: a Bloom word frame
+    (``operators/bloom.bloom_build``) over a previous crawl's
+    canonical URLs. Each emitted first-seen URL gains a
+    ``maybe_prior`` flag — false means DEFINITELY never fetched before
+    (schedule it directly), true sends the row to the exact index
+    check. The static word frame rides ``prior_hashes`` broadcast
+    joins against the stream — per-row stream state stays the 32-byte
+    fingerprint; the prior corpus never enters the state store."""
     from ..operators.urltools import canonical_url_col
+
+    def with_prior(emitted: DataFrame) -> DataFrame:
+        if prior_bloom is None:
+            return emitted
+        from ..operators.bloom import bloom_gate
+
+        return bloom_gate(
+            emitted, prior_bloom, "url_canon", prior_bits, prior_hashes,
+            flag_col="maybe_prior",
+        )
 
     keyed = df.withColumn(
         "url_canon",
@@ -123,7 +146,9 @@ def url_first_seen(
                 "the frame through streaming.checks.normalize_event_ts"
             )
         keyed = keyed.withWatermark(ts_col, watermark)
-        return keyed.dropDuplicatesWithinWatermark(["__fp"]).select(
-            "url_canon"
+        return with_prior(
+            keyed.dropDuplicatesWithinWatermark(["__fp"]).select(
+                "url_canon"
+            )
         )
-    return keyed.dropDuplicates(["__fp"]).select("url_canon")
+    return with_prior(keyed.dropDuplicates(["__fp"]).select("url_canon"))

@@ -1140,3 +1140,70 @@ def test_url_first_seen_watermark_arm(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="normalize_event_ts"):
         url_first_seen(raw, ts_col="ts", watermark="10 minutes")
+
+
+def test_url_first_seen_prior_bloom_sidecar(spark, tmp_path):
+    """Cross-snapshot Bloom sidecar (prior_bloom=): every URL the prior
+    crawl fetched must flag maybe_prior=true on the stream (no false
+    negatives), the stream arm equals the batch degenerate form, and a
+    definitely-new URL passes flagged false."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.operators.bloom import bloom_build
+    from dbqt_spark.operators.urltools import canonical_url_col
+    from dbqt_spark.streaming.dedup import url_first_seen
+    from pyspark.sql import functions as F
+
+    prior_urls = [f"http://site-{i}.com/p/{i}" for i in range(40)]
+    prior = spark.createDataFrame(
+        [(u,) for u in prior_urls], "url string"
+    ).select(canonical_url_col(F.col("url")).alias("url_canon"))
+    bloom = bloom_build(prior, "url_canon", 2048, 3).localCheckpoint()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000
+    arrivals = [
+        "HTTP://Site-3.com:80/p/3?utm_source=x",  # prior, respelled
+        "http://site-7.com/p/7",                   # prior, plain
+        "http://never.example/new",                # definitely new
+    ]
+    pq.write_table(
+        pa.table({"ts": [t0, t0 + 1, t0 + 2], "url": arrivals}),
+        str(src / "b1.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("ts long, url string")
+        .parquet(str(src))
+    )
+    q = (
+        url_first_seen(
+            stream, ts_col="ts",
+            prior_bloom=bloom, prior_bits=2048, prior_hashes=3,
+        )
+        .writeStream.format("memory")
+        .queryName("bloomgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["url_canon"]: r["maybe_prior"]
+        for r in spark.sql("SELECT * FROM bloomgate").collect()
+    }
+    assert got["http://site-3.com/p/3"] is True
+    assert got["http://site-7.com/p/7"] is True
+    assert got["http://never.example/new"] is False
+    # batch degenerate form agrees
+    batch = spark.createDataFrame(
+        [(t0 + i, u) for i, u in enumerate(arrivals)], "ts long, url string"
+    )
+    got_b = {
+        r["url_canon"]: r["maybe_prior"]
+        for r in url_first_seen(
+            batch, prior_bloom=bloom, prior_bits=2048, prior_hashes=3
+        ).collect()
+    }
+    assert got_b == got
