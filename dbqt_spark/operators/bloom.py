@@ -96,13 +96,16 @@ def bloom_build(
     n_hashes: int,
 ) -> DataFrame:
     """Build the sparse packed word frame ``(word_idx bigint, word
-    bigint)`` over the DISTINCT non-NULL keys of ``df[key_col]``.
+    bigint)`` over the non-NULL keys of ``df[key_col]`` (duplicate
+    keys set the same bits — no pre-distinct needed).
 
     One narrow projection (k bit positions per key, exploded via a
     stacked union-free array) then one map-side-combined
     ``groupBy(word_idx).agg(bit_or(mask))`` — only set-bit rows ever
     shuffle. NULL keys are skipped (a Bloom filter answers membership
-    of values; NULL has none)."""
+    of values; NULL has none). Filters MERGE by unioning word frames
+    (``bloom_gate`` re-ORs per word_idx) — build per partition/day,
+    union for the whole corpus."""
     if n_bits < WORD_BITS or n_bits % WORD_BITS != 0:
         raise ValueError(f"n_bits must be a positive multiple of {WORD_BITS}")
     if n_hashes < 1:
@@ -152,9 +155,16 @@ def bloom_gate(
     word frame on word_idx, AND-folds per id, and joins back on id. A
     join-back miss FAILS CLOSED to maybe_seen=true.
 
-    NULL keys gate as ``false`` (they were never inserted)."""
+    NULL keys gate as ``false`` (they were never inserted). ``bloom``
+    may be a union of several builds (merged filters) — words re-OR
+    per word_idx here, so each probe joins exactly one row."""
     if mode not in ("broadcast", "shuffle"):
         raise ValueError("mode must be 'broadcast' or 'shuffle'")
+    if n_bits < WORD_BITS or n_bits % WORD_BITS != 0:
+        raise ValueError(f"n_bits must be a positive multiple of {WORD_BITS}")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    bloom = bloom.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
     key = F.col(key_col).cast("string")
 
     if mode == "broadcast":

@@ -134,3 +134,27 @@ def test_bloom_gate_broadcast_arm_arrivals_never_shuffle(spark):
     for block in re.split(r"\n\n", plan):
         if re.match(r"\(\d+\) Exchange", block.strip()):
             assert "text#" not in block, block
+
+
+def test_bloom_filters_merge_by_union(spark):
+    """Two per-slice builds unioned == one build over all keys — the
+    build-per-partition, union-for-the-corpus merge path (bloom_gate
+    re-ORs words per word_idx)."""
+    df = _keys(spark, 120)
+    half_a = df.where(F.col("id") < 60)
+    half_b = df.where(F.col("id") >= 60)
+    n_bits, k = 512, 3
+    merged = bloom_build(half_a, "key", n_bits, k).unionByName(
+        bloom_build(half_b, "key", n_bits, k)
+    )
+    whole = bloom_build(df, "key", n_bits, k)
+    got_m = {
+        r.id: r.maybe_seen
+        for r in bloom_gate(df, merged, "key", n_bits, k).collect()
+    }
+    got_w = {
+        r.id: r.maybe_seen
+        for r in bloom_gate(df, whole, "key", n_bits, k).collect()
+    }
+    assert got_m == got_w
+    assert all(got_m.values())  # every inserted key still flags
