@@ -218,8 +218,12 @@ def main() -> None:
         "pagerank_tol",
         "cdx_fetch",
         # late-r15: BPE induction is an eager per-round driver loop
-        # over the vocab frame (6 rounds of small jobs, same shape)
+        # over the vocab frame (6 rounds of small jobs, same shape);
+        # bpe_pieces reruns the loop plus the apply fold; the bloom
+        # sidecar gate is an availableNow drain like streaming_url_gate
         "bpe_train",
+        "bpe_pieces",
+        "streaming_bloom_gate",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
@@ -402,10 +406,11 @@ def main() -> None:
         # collect -> archive write -> offset read -> fetch) and the
         # tol-converged PageRank (per-iteration delta collect chain)
         "cdx_fetch,pagerank_tol,"
-        # late-r15 additions: the 6-round eager BPE induction loop and
-        # the double-snapshot CDX diff (two index synth chains + the
-        # latest-per-key windows)
-        "bpe_train,cdx_delta",
+        # late-r15 additions: the 6-round eager BPE induction loop (+
+        # its apply-side rerun), the double-snapshot CDX diff (two
+        # index synth chains + latest-per-key windows), and the bloom
+        # sidecar stream drain
+        "bpe_train,bpe_pieces,cdx_delta,streaming_bloom_gate",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

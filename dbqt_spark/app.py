@@ -2336,6 +2336,9 @@ def tool_bpe(argv: list[str]) -> int:
     p.add_argument("--text-column", default="text")
     p.add_argument("--merges", type=int, default=100)
     p.add_argument("--min-count", type=int, default=2)
+    p.add_argument("--min-word-freq", type=int, default=1,
+                   help="drop vocabulary words rarer than this before "
+                   "training (bounds the per-round working set)")
     p.add_argument("--top", type=int, default=20,
                    help="merges to print without --output-parquet")
     p.add_argument("--output-parquet")
@@ -2349,6 +2352,7 @@ def tool_bpe(argv: list[str]) -> int:
         text_col=args.text_column,
         n_merges=args.merges,
         min_count=args.min_count,
+        min_word_freq=args.min_word_freq,
     ).orderBy("merge_rank")
     if args.output_parquet:
         out.write.mode("overwrite").parquet(args.output_parquet)

@@ -145,6 +145,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 10,
     min_count: int = 2,
+    min_word_freq: int = 1,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     merge table ``(merge_rank int, lhs, rhs, merged, pair_count)`` —
@@ -152,14 +153,26 @@ def bpe_train(
     ``functions/tokenize.simple_bpe``/``simple_bpe_segmenter`` with
     ``end_of_word=True`` (the learned ranks are ``</w>``-aware).
 
+    ``min_word_freq`` floors the vocabulary working set: at corpus
+    scale the word-frequency table is dominated by a hapax tail
+    (typos, ids, noise) that contributes ~nothing to any pair count
+    but multiplies every round's cost — ``min_word_freq=2`` routinely
+    shrinks the working set several-fold with near-identical merges.
+    Default 1 keeps exact full-corpus semantics.
+
     Fails fast (ValueError) if a round's best pair falls under
     ``min_count`` — a silent short vocabulary would corrupt every
     downstream token accounting; reduce ``n_merges`` instead."""
     if n_merges < 1:
         raise ValueError("bpe_train needs n_merges >= 1")
+    if min_word_freq < 1:
+        raise ValueError("bpe_train needs min_word_freq >= 1")
     spark = df.sparkSession
     # corpus scanned exactly once
-    work = _word_seqs(df, text_col).localCheckpoint()
+    work = _word_seqs(df, text_col)
+    if min_word_freq > 1:
+        work = work.where(F.col("freq") >= min_word_freq)
+    work = work.localCheckpoint()
 
     rows: list[tuple] = []
     for r in range(n_merges):

@@ -166,3 +166,27 @@ def test_bpe_apply_rejects_unsafe_symbols(spark):
 
     with pytest.raises(ValueError, match="unsafe"):
         bpe_apply(_word_seqs(docs, "text"), [("a'", "b")])
+
+
+def test_bpe_train_min_word_freq_floors_the_vocab(spark):
+    """A hapax word ('zzq') is the only source of the (z,z) pair; with
+    min_word_freq=2 it leaves the working set and the learned merges
+    come from the frequent words alone."""
+    docs = spark.createDataFrame(
+        [("low low low low zzq",)], "text string"
+    )
+    with_hapax = [
+        (r.lhs, r.rhs)
+        for r in bpe_train(docs, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    floored = [
+        (r.lhs, r.rhs)
+        for r in bpe_train(docs, n_merges=2, min_word_freq=2)
+        .orderBy("merge_rank").collect()
+    ]
+    assert floored == [("l", "o"), ("lo", "w")]
+    assert with_hapax == floored  # zzq never outweighs low anyway
+    import pytest
+
+    with pytest.raises(ValueError, match="min_word_freq"):
+        bpe_train(docs, n_merges=1, min_word_freq=0)
