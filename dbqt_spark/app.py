@@ -2413,7 +2413,17 @@ def tool_bloom(argv: list[str]) -> int:
         print(f"bloom filter written to {args.filter}: "
               f"{n_bits} bits, {n_hashes} hashes")
         return 0
-    with open(os.path.join(args.filter, "_bloom_meta.json")) as fh:
+    if args.mode == "shuffle" and not args.id_column:
+        p.error("gate --mode shuffle requires --id-column (a unique key)")
+    meta_path = os.path.join(args.filter, "_bloom_meta.json")
+    if not os.path.exists(meta_path):
+        print(
+            f"bloom gate: no _bloom_meta.json in {args.filter} — build "
+            "the filter with 'bloom build' first",
+            file=sys.stderr,
+        )
+        return 2
+    with open(meta_path) as fh:
         meta = _json.load(fh)
     words = spark.read.parquet(args.filter)
     gated = bloom_gate(

@@ -107,8 +107,6 @@ def test_bpe_apply_equals_segmenter_on_unseen_words(spark):
     """Chained rank-order folds == the priority-based greedy segmenter
     (functions/tokenize.simple_bpe_segmenter), including on words NOT
     in the training corpus."""
-    from pyspark.sql import functions as F
-
     from dbqt_spark.functions.tokenize import simple_bpe_segmenter
     from dbqt_spark.operators.bpe import _word_seqs, bpe_apply, bpe_train
 

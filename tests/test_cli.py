@@ -1330,3 +1330,15 @@ def test_cli_bloom_build_and_gate(spark, tmp_path, capsys):
     # no false negatives ever; at fpp=0.001 and 50 keys, no FPs expected
     assert all(got[i] for i in range(0, 100, 2))
     assert sum(1 for i in range(1, 100, 2) if got[i]) <= 2
+    # usage errors fail clearly, not with tracebacks
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main([
+            "bloom", "gate", "--input", arrivals, "--key-column", "key",
+            "--filter", filt, "--mode", "shuffle",
+        ])
+    assert main([
+        "bloom", "gate", "--input", arrivals, "--key-column", "key",
+        "--filter", str(tmp_path / "nosuch"),
+    ]) == 2
