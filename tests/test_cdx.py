@@ -578,3 +578,34 @@ def test_cdx_delta_same_second_refetch_tiebreak_is_deterministic(spark):
     assert (r.status, r.old_digest, r.new_digest) == (
         "unchanged", "zzz", "zzz"
     )
+
+
+def test_cdx_delta_shuffles_only_on_the_index_sort_key(spark):
+    """Scale shape: the per-side latest-per-key windows are the ONLY
+    shuffles — the full-outer join runs on the same surt_key
+    partitioning (or broadcasts under AQE), never re-exchanging the
+    frames on another key."""
+    import re
+
+    from dbqt_spark.plans import formatted_plan
+    from dbqt_spark.sources.cdx import cdx_delta
+
+    cols = "surt_key string, ts14 string, url string, digest string"
+    idx = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr(
+        "'com,x)/' || doc_id AS surt_key",
+        "'20240301000000' AS ts14",
+        "'https://x.com/' || doc_id AS url",
+        "md5(text) AS digest",
+    )
+    plan = formatted_plan(cdx_delta(idx, idx))
+    tree = plan.split("\n\n")[0]
+    shuffles = [
+        ln for ln in tree.splitlines() if re.search(r"\bExchange\b", ln)
+    ]
+    assert len(shuffles) <= 2, tree
+    # and every exchange block keys on surt_key
+    for block in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) Exchange", block.strip()):
+            assert "surt_key#" in block, block
