@@ -105,6 +105,31 @@ def main() -> None:
             .select("src", F.coalesce("__d", "dst").alias("dst"))
         )
     w.groupBy("dst").count().collect()
+    # r15: the BPE string-accumulator fold (aggregate with a VARCHAR
+    # acc over split tokens) + explode(zip_with(slice,slice)) pair
+    # shape — a codegen pattern none of the above compiles
+    spark.range(128).select(
+        F.concat(
+            F.regexp_replace(F.concat(F.lit("w"), "id"), "(.)", "$1 "),
+            F.lit("</w>"),
+        ).alias("seq")
+    ).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.split("seq", " "), 1,
+                        F.size(F.split("seq", " ")) - 1),
+                F.slice(F.split("seq", " "), 2,
+                        F.size(F.split("seq", " ")) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pr"),
+        F.expr(
+            "aggregate(slice(split(seq, ' '), 2, size(split(seq, ' ')) "
+            "- 1), element_at(split(seq, ' '), 1), (acc, x) -> CASE "
+            "WHEN (acc = 'w' OR endswith(acc, ' w')) AND x = '1' "
+            "THEN acc || x ELSE acc || ' ' || x END)"
+        ).alias("f"),
+    ).groupBy("pr").agg(F.count(F.lit(1))).collect()
 
     # Oracle-backed queries are the comparable benchmark surface; the
     # approximate ops (minhash/simhash/lsh) are benched separately below.

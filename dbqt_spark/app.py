@@ -2214,7 +2214,11 @@ def tool_cdx(argv: list[str]) -> int:
     per hit); ``dedup`` reports byte-identical capture groups from
     the index alone."""
     p = argparse.ArgumentParser(prog="cdx")
-    p.add_argument("action", choices=["index", "lookup", "fetch", "dedup"])
+    p.add_argument(
+        "action", choices=["index", "lookup", "fetch", "dedup", "delta"]
+    )
+    p.add_argument("--old-index",
+                   help="delta: the previous snapshot's index path")
     p.add_argument("--warc-dir",
                    help="index/fetch: the archive directory")
     p.add_argument("--index",
@@ -2303,6 +2307,15 @@ def tool_cdx(argv: list[str]) -> int:
 
     if args.action == "lookup":
         out = load_index()
+    elif args.action == "delta":
+        from .sources.cdx import cdx_delta
+
+        if not args.old_index:
+            p.error("--old-index is required for delta")
+        new_path, args.index = args.index, args.old_index
+        old = load_index()          # --old-index (previous snapshot)
+        args.index = new_path       # --index (current snapshot)
+        out = cdx_delta(old, load_index()).orderBy("surt_key")
     elif args.action == "dedup":
         out = cdx_dedup(load_index()).orderBy(
             F.col("n_dups").desc(), F.col("digest").asc()

@@ -609,3 +609,44 @@ def test_cdx_delta_shuffles_only_on_the_index_sort_key(spark):
     for block in re.split(r"\n\n", plan):
         if re.match(r"\(\d+\) Exchange", block.strip()):
             assert "surt_key#" in block, block
+
+
+def test_cdx_cli_delta(spark, tmp_path, capsys):
+    """cdx delta CLI: diff two stored snapshots — seg-a alone vs the
+    full crawl — prints new/unchanged verdicts."""
+    from dbqt_spark.app import main
+
+    old_dir = tmp_path / "old"
+    new_dir = tmp_path / "new"
+    old_dir.mkdir()
+    new_dir.mkdir()
+    _write_archives(new_dir)
+    # old snapshot = only seg-a's captures
+    import shutil
+
+    shutil.copy(new_dir / "seg-a.warc.gz", old_dir / "seg-a.warc.gz")
+    old_store = str(tmp_path / "old.parquet")
+    new_store = str(tmp_path / "new.parquet")
+    for src, store in ((old_dir, old_store), (new_dir, new_store)):
+        assert main([
+            "cdx", "index", "--warc-dir", str(src),
+            "--output-parquet", store,
+        ]) == 0
+    out = str(tmp_path / "delta.parquet")
+    assert main([
+        "cdx", "delta", "--old-index", old_store, "--index", new_store,
+        "--output-parquet", out,
+    ]) == 0
+    got = {
+        r.surt_key: r.status for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        "example,a)/p/1": "unchanged",
+        "example,a)/p/2": "unchanged",
+        "example,b)/q/1": "new",
+    }
+    # missing --old-index is a usage error
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["cdx", "delta", "--index", new_store])
