@@ -249,6 +249,9 @@ def main() -> None:
         "bpe_train",
         "bpe_pieces",
         "streaming_bloom_gate",
+        # the DSIR gate is a fit (two feature scans) + foreachBatch
+        # drain — the same availableNow chain shape
+        "streaming_dsir_gate",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
@@ -435,7 +438,8 @@ def main() -> None:
         # its apply-side rerun), the double-snapshot CDX diff (two
         # index synth chains + latest-per-key windows), and the bloom
         # sidecar stream drain
-        "bpe_train,bpe_pieces,cdx_delta,streaming_bloom_gate",
+        "bpe_train,bpe_pieces,cdx_delta,streaming_bloom_gate,"
+        "streaming_dsir_gate",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

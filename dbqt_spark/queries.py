@@ -7155,6 +7155,52 @@ SELECT doc_id, n_grams, log_weight FROM dsirw ORDER BY doc_id
 """
 
 
+def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR selection gate (streaming/dsirgate.run_dsir_gate
+    — select toward the target AS SEGMENTS LAND): the ratio table fits
+    once in batch (same raw/target split as dsir_weights), then the
+    documents table streams through the state-free foreachBatch gate
+    with threshold log_weight >= 0 — keep pages at least as
+    target-like as raw-like. The oracle is the dsir_weights contract
+    plus one WHERE clause, so every kept weight stays bit-for-bit."""
+    import os
+    import tempfile
+
+    from .catalog import table_path
+    from .operators.dsir import dsir_log_ratios, hashed_ngram_features
+    from .streaming.dsirgate import run_dsir_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw_feats = hashed_ngram_features(docs, "text", "doc_id", 10_000, 2)
+    target_feats = hashed_ngram_features(
+        docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id", 10_000, 2
+    )
+    ratios = dsir_log_ratios(raw_feats, target_feats, 10_000).localCheckpoint()
+
+    root = tempfile.mkdtemp(prefix="dsir_gate_q_")
+    out = os.path.join(root, "kept")
+    ckpt = os.path.join(root, "ckpt")
+    from .streaming.checks import stream_events_from_parquet
+
+    stream = stream_events_from_parquet(
+        spark, table_path(sf_dir, "documents")
+    )
+    run_dsir_gate(spark, stream, ratios, "0", out, ckpt)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "n_grams", "log_weight")
+        .orderBy("doc_id")
+    )
+
+
+SQL_STREAMING_DSIR_GATE = f"""
+WITH {_SQL_DSIR_CTES}
+SELECT doc_id, n_grams, log_weight FROM dsirw
+WHERE log_weight >= 0
+ORDER BY doc_id
+"""
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR Gumbel-top-k resampling (operators/dsir.dsir_select): the
     200 raw documents sampled without replacement toward the target
@@ -8928,6 +8974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_gate": q_bloom_gate,
     "bloom_shuffle": q_bloom_shuffle,
     "streaming_bloom_gate": q_streaming_bloom_gate,
+    "streaming_dsir_gate": q_streaming_dsir_gate,
     "cdx_delta": q_cdx_delta,
     "recrawl_plan": q_recrawl_plan,
     "bpe_train": q_bpe_train,
@@ -9107,6 +9154,7 @@ ORACLES: dict[str, str] = {
     "bloom_gate": SQL_BLOOM_GATE,
     "bloom_shuffle": SQL_BLOOM_GATE,
     "streaming_bloom_gate": SQL_STREAMING_BLOOM_GATE,
+    "streaming_dsir_gate": SQL_STREAMING_DSIR_GATE,
     "cdx_delta": SQL_CDX_DELTA,
     "recrawl_plan": SQL_RECRAWL_PLAN,
     "bpe_train": SQL_BPE_TRAIN,

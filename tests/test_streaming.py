@@ -1207,3 +1207,69 @@ def test_url_first_seen_prior_bloom_sidecar(spark, tmp_path):
         ).collect()
     }
     assert got_b == got
+
+
+def test_dsir_gate_stream_equals_batch_filter(spark, tmp_path):
+    """Two micro-batches through the frozen-ratio DSIR gate keep
+    exactly the docs the batch scorer keeps at the same threshold, with
+    identical weights (the gate is state-free: per-batch scoring
+    against a static broadcast table)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_weights,
+        hashed_ngram_features,
+    )
+    from dbqt_spark.streaming.dsirgate import run_dsir_gate
+    from pyspark.sql import functions as F
+
+    prose = "a quick brown fox jumps over the lazy dog near the river"
+    code = "int x = 0 ; while ( x < n ) { x += f ( x ) ; }"
+    rows = [
+        (i, (prose if i % 2 == 0 else code) + f" tail {i}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") % 2 == 0)  # prose-only target
+    n_b = 512
+    ratios = dsir_log_ratios(
+        hashed_ngram_features(docs, "text", "doc_id", n_b, 2),
+        hashed_ngram_features(target, "text", "doc_id", n_b, 2),
+        n_b,
+    ).localCheckpoint()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for part, chunk in (("b1", rows[:20]), ("b2", rows[20:])):
+        pq.write_table(
+            pa.table({
+                "doc_id": [r[0] for r in chunk],
+                "text": [r[1] for r in chunk],
+            }),
+            str(src / f"{part}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "kept")
+    run_dsir_gate(
+        spark, stream, ratios, "0", out, str(tmp_path / "ckpt"),
+        n_buckets=n_b,
+    )
+    got = {
+        r.doc_id: r.log_weight
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: r.log_weight
+        for r in dsir_weights(
+            docs, None, n_buckets=n_b, ratios=ratios
+        ).where(F.col("log_weight") >= 0).collect()
+    }
+    assert got == want
+    # the prose target actually separates: kept set is the prose side
+    assert got and all(d % 2 == 0 for d in got)
