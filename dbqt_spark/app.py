@@ -2394,8 +2394,8 @@ def tool_bloom(argv: list[str]) -> int:
                    "from the key count at --fpp)")
     p.add_argument("--hashes", type=int, default=0)
     p.add_argument("--fpp", type=float, default=0.01)
-    p.add_argument("--mode", choices=["broadcast", "shuffle"],
-                   default="broadcast")
+    p.add_argument("--mode", choices=["broadcast", "shuffle", "auto"],
+                   default="auto")
     p.add_argument("--id-column", help="gate --mode shuffle: unique id")
     p.add_argument("--output-parquet", help="gate: flagged table path")
     args = p.parse_args(argv)

@@ -131,6 +131,12 @@ def bloom_build(
     )
 
 
+#: ``bloom_gate`` auto-mode threshold: word-frame rows above which the
+#: broadcast arm gives way to the shuffle arm. 16 bytes/row -> ~64 MB
+#: broadcast at the default, comfortably inside executor budgets.
+BROADCAST_WORD_LIMIT = 4_000_000
+
+
 def bloom_gate(
     df: DataFrame,
     bloom: DataFrame,
@@ -140,6 +146,7 @@ def bloom_gate(
     mode: str = "broadcast",
     id_col: str | None = None,
     flag_col: str = "maybe_seen",
+    broadcast_word_limit: int = BROADCAST_WORD_LIMIT,
 ) -> DataFrame:
     """Tag every row of ``df`` with ``flag_col``: false = DEFINITELY
     not in the filter (safe to skip the exact tier), true = maybe.
@@ -155,16 +162,42 @@ def bloom_gate(
     word frame on word_idx, AND-folds per id, and joins back on id. A
     join-back miss FAILS CLOSED to maybe_seen=true.
 
+    ``mode='auto'``: size-gate on the word frame (the robots_filter
+    discipline) — one bounded count over the tiny aggregated frame
+    picks broadcast under ``broadcast_word_limit`` rows, else the
+    shuffle arm; escalation without ``id_col`` raises with the remedy
+    named rather than silently broadcasting an over-budget relation.
+    The probe is an aggregate count (never a collect of words), and
+    filters are bounded by ``n_bits/32`` rows regardless of key count.
+
     NULL keys gate as ``false`` (they were never inserted). ``bloom``
     may be a union of several builds (merged filters) — words re-OR
     per word_idx here, so each probe joins exactly one row."""
-    if mode not in ("broadcast", "shuffle"):
-        raise ValueError("mode must be 'broadcast' or 'shuffle'")
+    if mode not in ("broadcast", "shuffle", "auto"):
+        raise ValueError("mode must be 'broadcast', 'shuffle' or 'auto'")
     if n_bits < WORD_BITS or n_bits % WORD_BITS != 0:
         raise ValueError(f"n_bits must be a positive multiple of {WORD_BITS}")
     if n_hashes < 1:
         raise ValueError("n_hashes must be >= 1")
     bloom = bloom.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+    if mode == "auto":
+        if bloom.isStreaming:
+            raise ValueError(
+                "bloom_gate mode='auto' cannot size-probe a streaming "
+                "word frame — pass mode='broadcast' or 'shuffle'"
+            )
+        n_words = bloom.count()
+        if n_words <= broadcast_word_limit:
+            mode = "broadcast"
+        elif id_col is not None:
+            mode = "shuffle"
+        else:
+            raise ValueError(
+                f"bloom_gate auto: the word frame has {n_words} rows "
+                f"(> broadcast_word_limit={broadcast_word_limit}) and "
+                "no id_col was given for the shuffle arm — pass id_col "
+                "(a unique key) or raise broadcast_word_limit"
+            )
     key = F.col(key_col).cast("string")
 
     if mode == "broadcast":

@@ -158,3 +158,32 @@ def test_bloom_filters_merge_by_union(spark):
     }
     assert got_m == got_w
     assert all(got_m.values())  # every inserted key still flags
+
+
+def test_bloom_gate_auto_mode_size_gates(spark):
+    """auto picks broadcast under the word limit, escalates to the
+    shuffle arm above it when id_col is supplied, and FAILS with the
+    remedy named (never an over-budget broadcast) without one."""
+    df = _keys(spark, 100)
+    bl = bloom_build(df, "key", 1024, 3)
+    want = {
+        r.id: r.maybe_seen
+        for r in bloom_gate(df, bl, "key", 1024, 3).collect()
+    }
+    got_b = {
+        r.id: r.maybe_seen
+        for r in bloom_gate(df, bl, "key", 1024, 3, mode="auto").collect()
+    }
+    assert got_b == want
+    got_s = {
+        r.id: r.maybe_seen
+        for r in bloom_gate(
+            df, bl, "key", 1024, 3, mode="auto", id_col="id",
+            broadcast_word_limit=1,
+        ).collect()
+    }
+    assert got_s == want
+    with pytest.raises(ValueError, match="id_col"):
+        bloom_gate(
+            df, bl, "key", 1024, 3, mode="auto", broadcast_word_limit=1
+        )
