@@ -8799,6 +8799,92 @@ def q_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_piece_stats(docs, merges, top_k=50)
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning-rule bundle (operators/textstats.c4_rules) over a
+    CONSTRUCTED multi-line wrapper: the corpus prose (terminated),
+    a too-short line, a sub-5-word line, a javascript boilerplate
+    line, and three doc_id-keyed conditional injections (lorem-ipsum
+    placeholder, a curly-brace code line, a badword mention) so every
+    line rule and every page rule fires across the corpus and the
+    oracle replays each verdict byte-for-byte."""
+    from .operators.textstats import c4_rules
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text, '.', chr(10), 'Buy now', chr(10), "
+            "'Short one.', chr(10), "
+            "'Please enable javascript to view this page.', chr(10), "
+            "case when doc_id % 7 = 0 then concat("
+            "'This layout uses lorem ipsum filler text.', chr(10)) "
+            "else '' end, "
+            "case when doc_id % 11 = 0 then concat("
+            "'var config = { a: 1 };', chr(10)) else '' end, "
+            "case when doc_id % 13 = 0 then concat("
+            "'This page mentions badword1 in passing prose.', "
+            "chr(10)) else '' end, "
+            "'The closing line has five words here.')"
+        ).alias("text"),
+    )
+    return c4_rules(docs, badwords=["badword1"]).orderBy("doc_id")
+
+
+SQL_C4_RULES = r"""
+WITH wrapped AS (
+  SELECT doc_id,
+    text || '.' || chr(10) || 'Buy now' || chr(10) || 'Short one.'
+      || chr(10)
+      || 'Please enable javascript to view this page.' || chr(10)
+      || CASE WHEN doc_id % 7 = 0 THEN
+           'This layout uses lorem ipsum filler text.' || chr(10)
+         ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN
+           'var config = { a: 1 };' || chr(10) ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN
+           'This page mentions badword1 in passing prose.' || chr(10)
+         ELSE '' END
+      || 'The closing line has five words here.' AS t
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, t,
+    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lines
+  FROM wrapped
+),
+keptc AS (
+  SELECT doc_id, t, lines,
+    list_filter(lines, l ->
+      regexp_matches(l, '[.!?]["”'']?$')
+      AND len(list_filter(string_split_regex(l, '\s+'),
+                          w -> w <> '')) >= 5
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM sig
+),
+calc AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+    array_to_string(kept, chr(10)) AS kept_text,
+    contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+    contains(t, '{') AS has_brace,
+    regexp_matches(t,
+      '(?i)(^|[^a-z0-9])(badword1)($|[^a-z0-9])') AS has_badword
+  FROM keptc
+)
+SELECT doc_id, n_lines, n_kept_lines, kept_text,
+  CAST(strlen(kept_text)
+       - strlen(regexp_replace(kept_text, '[.!?]', '', 'g'))
+       AS BIGINT) AS n_sentences,
+  has_lorem_ipsum, has_brace, has_badword,
+  (strlen(kept_text)
+     - strlen(regexp_replace(kept_text, '[.!?]', '', 'g')) >= 3
+   AND NOT has_lorem_ipsum AND NOT has_brace AND NOT has_badword)
+    AS passes
+FROM calc ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowcounts": q_rowcounts,
     "file_stats": q_file_stats,
@@ -8979,6 +9065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_plan": q_recrawl_plan,
     "bpe_train": q_bpe_train,
     "bpe_pieces": q_bpe_pieces,
+    "c4_rules": q_c4_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -9159,6 +9246,7 @@ ORACLES: dict[str, str] = {
     "recrawl_plan": SQL_RECRAWL_PLAN,
     "bpe_train": SQL_BPE_TRAIN,
     "bpe_pieces": SQL_BPE_PIECES,
+    "c4_rules": SQL_C4_RULES,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -4048,3 +4048,67 @@ def test_pair_source_matrix_no_corpus_shuffle(spark, sf_dir):
     got = rows(fast)
     slow = rows(pair_source_matrix(pairs, docs, broadcast_pairs=False))
     assert got == slow and len(got) >= 1
+
+
+def test_c4_rules_known_values(spark):
+    """Every C4 line rule and page rule fires on a purpose-built doc;
+    counts match hand computation; empty/NULL fail closed."""
+    from dbqt_spark.operators.textstats import c4_rules
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog today.\n"
+        "A second full sentence keeps the page alive here.\n"
+        "And a third sentence closes out the page nicely now."
+    )
+    docs = [
+        (1, prose),                                   # clean: passes
+        (2, prose + "\nBuy now"),                     # short line drops
+        (3, prose + "\nNo terminal punctuation on this line at all"),
+        (4, prose + "\nPlease enable javascript to continue reading."),
+        (5, prose + "\nSome lorem ipsum filler appears in this text."),
+        (6, prose + "\nif (x) { return; }"),          # brace page-kill
+        (7, prose + "\nThis line mentions badword1 in running prose."),
+        (8, "Only one sentence lives on this page."),  # < 3 sentences
+        (9, ""),
+        (10, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r
+        for r in c4_rules(df, badwords=["badword1"]).collect()
+    }
+
+    r1 = rows[1]
+    assert r1["n_lines"] == 3 and r1["n_kept_lines"] == 3
+    assert r1["n_sentences"] == 3 and r1["passes"] is True
+    assert r1["kept_text"] == prose
+    # line rules drop the offending line but the page still passes
+    for i in (2, 3, 4):
+        assert rows[i]["n_lines"] == 4
+        assert rows[i]["n_kept_lines"] == 3, i
+        assert rows[i]["passes"] is True, i
+    # page rules kill the whole doc even though lines were kept
+    assert rows[5]["has_lorem_ipsum"] and rows[5]["passes"] is False
+    assert rows[6]["has_brace"] and rows[6]["passes"] is False
+    assert rows[7]["has_badword"] and rows[7]["passes"] is False
+    assert rows[7]["n_kept_lines"] == 4  # the badword line IS kept
+    assert rows[8]["n_sentences"] == 1 and rows[8]["passes"] is False
+    for i in (9, 10):
+        assert rows[i]["n_lines"] == 0
+        assert rows[i]["kept_text"] == ""
+        assert rows[i]["passes"] is False
+
+    # badword matching is whole-word: 'badword1x' must not trip it
+    df2 = spark.createDataFrame(
+        [(1, prose + "\nNothing matches badword1x in this line here.")],
+        "doc_id long, text string",
+    )
+    (r,) = c4_rules(df2, badwords=["badword1"]).collect()
+    assert r["has_badword"] is False and r["passes"] is True
+
+    # threshold parameters are live
+    strict = {
+        r["doc_id"]: r["passes"]
+        for r in c4_rules(df, min_sentences=4).collect()
+    }
+    assert strict[1] is False
