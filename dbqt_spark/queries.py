@@ -8799,6 +8799,82 @@ def q_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_piece_stats(docs, merges, top_k=50)
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET derivation (sources/warc.wet_records): the REAL WARC
+    round-trip frame (serialize -> gzip -> parse, shared with
+    warc_ingest) projects into conversion records — deterministic
+    conversion urn:uuids, WARC-Refers-To lineage back to the source
+    response ids, markup-stripped text/plain payloads. The oracle
+    replays the response-id md5, the conversion-id salt, and the
+    full strip_markup chain; payload md5 certifies the extracted
+    bytes bit-for-bit."""
+    from .sources.warc import wet_records
+
+    parsed = _warc_synth_parsed(spark, sf_dir)
+    return (
+        wet_records(parsed)
+        .select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "url",
+            "record_type",
+            "mime",
+            "record_id",
+            "refers_to",
+            F.length("payload").cast("long").alias("text_len"),
+            F.md5("payload").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_WET_EXPORT = r"""
+WITH src AS (
+  SELECT doc_id,
+    'https://crawl-' || (doc_id % 5) || '.example/' || lang
+      || '/doc/' || doc_id AS url,
+    '2024-01-01T'
+      || lpad(CAST((doc_id % 86400) // 3600 AS VARCHAR), 2, '0') || ':'
+      || lpad(CAST(((doc_id % 86400) // 60) % 60 AS VARCHAR), 2, '0')
+      || ':'
+      || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS date,
+    '<html><body>' || text || '</body></html>' AS body
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+ids AS (
+  SELECT doc_id, url, date, body,
+    md5(url || chr(0) || date) AS sd,
+    md5(url || chr(0) || date || chr(0) || 'conversion') AS cd
+  FROM src
+),
+clean AS (
+  SELECT doc_id, url, sd, cd,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(replace(replace(
+        regexp_replace(replace(body, chr(65535), ''), '<[^>]*>', ' ',
+                       'g'),
+        '&#39;', chr(39)), '&#38;', chr(65535)), '&nbsp;', ' '),
+        '&quot;', '"'), '&lt;', '<'), '&gt;', '>'),
+        '&amp;', chr(65535)), chr(65535), '&'),
+      '\s+', ' ', 'g')) AS txt
+  FROM ids
+)
+SELECT doc_id, url,
+  'conversion' AS record_type,
+  'text/plain' AS mime,
+  '<urn:uuid:' || substr(cd, 1, 8) || '-' || substr(cd, 9, 4) || '-'
+    || substr(cd, 13, 4) || '-' || substr(cd, 17, 4) || '-'
+    || substr(cd, 21, 12) || '>' AS record_id,
+  '<urn:uuid:' || substr(sd, 1, 8) || '-' || substr(sd, 9, 4) || '-'
+    || substr(sd, 13, 4) || '-' || substr(sd, 17, 4) || '-'
+    || substr(sd, 21, 12) || '>' AS refers_to,
+  CAST(strlen(txt) AS BIGINT) AS text_len,
+  md5(txt) AS text_md5
+FROM clean ORDER BY doc_id
+"""
+
+
 def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning-rule bundle (operators/textstats.c4_rules) over a
     CONSTRUCTED multi-line wrapper: the corpus prose (terminated),
@@ -9066,6 +9142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bpe_pieces": q_bpe_pieces,
     "c4_rules": q_c4_rules,
+    "wet_export": q_wet_export,
 }
 
 ORACLES: dict[str, str] = {
@@ -9247,6 +9324,7 @@ ORACLES: dict[str, str] = {
     "bpe_train": SQL_BPE_TRAIN,
     "bpe_pieces": SQL_BPE_PIECES,
     "c4_rules": SQL_C4_RULES,
+    "wet_export": SQL_WET_EXPORT,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

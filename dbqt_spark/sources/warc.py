@@ -56,6 +56,8 @@ __all__ = [
     "read_warc",
     "corpus_view",
     "warc_text_corpus",
+    "warc_conversion_record",
+    "wet_records",
 ]
 
 _CRLF = b"\r\n"
@@ -454,6 +456,48 @@ def warc_response_record(
     return head + http + _CRLF + _CRLF
 
 
+def warc_conversion_record(
+    url: str,
+    date: str,
+    body: bytes,
+    refers_to: "str | None" = None,
+    record_id: "str | None" = None,
+) -> bytes:
+    """Serialize one ``conversion`` record — the WET derivative's
+    record type (ISO 28500 §6.8: a re-encoded/extracted view of
+    another record, linked back via ``WARC-Refers-To``). The body is
+    the extracted plain text; Content-Type is ``text/plain`` at the
+    WARC level (no HTTP block — conversion stores content directly,
+    which is why the reader's WARC-level content-type fallback
+    exists).
+
+    ``record_id`` defaults to a DETERMINISTIC urn:uuid derived from
+    (url, date, "conversion") — distinct from the response record's id
+    for the same capture, same bytes for the same input."""
+    if record_id is None:
+        digest = hashlib.md5(
+            f"{url}\x00{date}\x00conversion".encode()
+        ).hexdigest()
+        record_id = (
+            f"<urn:uuid:{digest[:8]}-{digest[8:12]}-{digest[12:16]}"
+            f"-{digest[16:20]}-{digest[20:32]}>"
+        )
+    refers = (
+        f"WARC-Refers-To: {refers_to}\r\n" if refers_to else ""
+    )
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: {record_id}\r\n"
+        f"{refers}"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("latin-1")
+    return head + body + _CRLF + _CRLF
+
+
 def build_warc_indexed(
     records: Iterable[bytes], gzip_per_record: bool = True
 ) -> "tuple[bytes, list[tuple[int, int]]]":
@@ -711,6 +755,8 @@ def write_warc_archive(
     status_col: "str | None" = None,
     mime_col: "str | None" = None,
     segment_prefix: str = "seg",
+    record_kind: str = "response",
+    refers_to_col: "str | None" = None,
 ) -> DataFrame:
     """Distributed WARC SINK with a seekable index, one pass: every
     partition streams its rows into one ``.warc.gz`` segment
@@ -732,16 +778,31 @@ def write_warc_archive(
     rename so task retries never leave a torn file) and the index
     rows ride the normal channel. Segment sizing = upstream
     partitioning: ``df.repartition(n)`` (or a range partition by SURT
-    key for a lookup-optimized layout) before the sink."""
+    key for a lookup-optimized layout) before the sink.
+
+    ``record_kind='conversion'`` writes a WET archive instead: each
+    row serializes as a ``conversion`` record
+    (``warc_conversion_record`` — plain-text body, no HTTP block,
+    optional ``refers_to_col`` emitted as ``WARC-Refers-To``); pair it
+    with ``wet_records`` for the standard WARC -> WET derivation.
+    ``status_col``/``mime_col`` are ignored in this mode (a conversion
+    record is ``text/plain`` by construction)."""
     import pandas as pd
     from pyspark import TaskContext
 
+    if record_kind not in ("response", "conversion"):
+        raise ValueError(
+            f"record_kind must be 'response' or 'conversion', "
+            f"got {record_kind!r}"
+        )
     os.makedirs(out_dir, exist_ok=True)
     cols = [url_col, date_col, payload_col]
     if status_col:
         cols.append(status_col)
     if mime_col:
         cols.append(mime_col)
+    if refers_to_col:
+        cols.append(refers_to_col)
     narrow = df.select(*cols)
     out_cols = [c.split()[0] for c in WARC_ROW_OFFSET_SCHEMA.split(", ")]
 
@@ -777,10 +838,25 @@ def write_warc_archive(
                         if mime_col
                         else "text/html; charset=utf-8"
                     )
-                    rec = warc_response_record(
-                        str(url), str(date), body, status=status,
-                        content_type=ct,
-                    )
+                    if record_kind == "conversion":
+                        refers = (
+                            getattr(t, refers_to_col)
+                            if refers_to_col
+                            else None
+                        )
+                        rec = warc_conversion_record(
+                            str(url), str(date), body,
+                            refers_to=(
+                                str(refers)
+                                if refers is not None
+                                else None
+                            ),
+                        )
+                    else:
+                        rec = warc_response_record(
+                            str(url), str(date), body, status=status,
+                            content_type=ct,
+                        )
                     buf = io.BytesIO()
                     with gzip.GzipFile(
                         fileobj=buf, mode="wb", mtime=0
@@ -802,15 +878,18 @@ def write_warc_archive(
                         if hct
                         else None
                     )
+                    conv = record_kind == "conversion"
                     rows.append(
                         (
                             fname,
                             parsed.header("WARC-Record-ID"),
-                            "response",
+                            record_kind,
                             str(url),
                             str(date),
-                            rmime,
-                            status,
+                            # conversion: no HTTP block — the reader
+                            # reports the WARC-level text/plain
+                            "text/plain" if conv else rmime,
+                            None if conv else status,
                             hdrs.get("location") or None,
                             pbody,
                             pos,
@@ -892,3 +971,80 @@ def warc_text_corpus(
     parse pass, then the shared JVM-side ``corpus_view`` projection."""
     raw = read_warc(spark, path, record_types=("response",), via=via)
     return corpus_view(raw, min_status=min_status, max_status=max_status)
+
+
+def wet_records(
+    parsed: DataFrame, min_status: int = 200, max_status: int = 299
+) -> DataFrame:
+    """WET extraction as RECORDS — the Common Crawl ``*.warc.wet.gz``
+    derivative: each 2xx text-like response in a parsed WARC frame
+    becomes a ``conversion`` record carrying the markup-stripped plain
+    text and a ``WARC-Refers-To`` link back to its source record.
+    ``warc_text_corpus`` is the analysis-side view of the same
+    extraction; THIS is the archive-side one — the frame a WET sink
+    serializes (``warc_conversion_record`` / ``write_warc_archive``
+    with ``record_kind='conversion'``), completing the WARC (raw) /
+    WAT (metadata) / WET (text) / CDX (index) derivative family.
+
+    Output is WARC_ROW_SCHEMA-shaped plus ``refers_to``:
+    ``record_type='conversion'``, ``mime='text/plain'``,
+    ``http_status`` NULL (conversion records carry no HTTP block),
+    ``payload`` = extracted text as UTF-8 bytes, ``record_id`` = the
+    SAME deterministic conversion urn:uuid ``warc_conversion_record``
+    defaults to for (url, date) — serializing a row of this frame
+    without an explicit id reproduces the id bit-for-bit, and a SQL
+    oracle replays it (md5 over exact bytes, no RNG).
+
+    Scale shape: one narrow projection — the markup strip is the
+    ``normalize.strip_markup`` JVM regexp chain, the id is one md5;
+    no UDF, no shuffle, payload bytes never leave the executor."""
+    from pyspark.sql import functions as F
+
+    from ..operators.normalize import strip_markup
+
+    textish = parsed.filter(
+        F.col("http_status").between(min_status, max_status)
+        & (
+            F.col("mime").startswith("text/")
+            | F.col("mime").isin(
+                "application/xhtml+xml", "application/json"
+            )
+        )
+        & F.col("url").isNotNull()
+    )
+    stripped = strip_markup(
+        textish.withColumn("__text", F.col("payload").cast("string")),
+        text_col="__text",
+        out_col="__clean",
+    )
+    d = F.md5(
+        F.encode(
+            F.concat(
+                F.col("url"),
+                F.lit("\x00"),
+                F.col("warc_date"),
+                F.lit("\x00conversion"),
+            ),
+            "utf-8",
+        )
+    )
+    conv_id = F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(d, 1, 8), F.lit("-"),
+        F.substring(d, 9, 4), F.lit("-"),
+        F.substring(d, 13, 4), F.lit("-"),
+        F.substring(d, 17, 4), F.lit("-"),
+        F.substring(d, 21, 12), F.lit(">"),
+    )
+    return stripped.select(
+        F.col("warc_file"),
+        conv_id.alias("record_id"),
+        F.lit("conversion").alias("record_type"),
+        F.col("url"),
+        F.col("warc_date"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("http_status"),
+        F.lit(None).cast("string").alias("redirect_to"),
+        F.encode("__clean", "utf-8").alias("payload"),
+        F.col("record_id").alias("refers_to"),
+    )

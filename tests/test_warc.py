@@ -721,3 +721,144 @@ def test_wat_metadata_links_title_and_edge_arms(spark):
     three = got["<3>"]
     assert three.title == "ok"
     assert three.links == ["https://h.example/p"]
+
+
+def test_wet_conversion_record_round_trip(spark, tmp_path):
+    """conversion records serialize -> build_warc -> read back: type,
+    url, date, text/plain mime via the WARC-level fallback, payload
+    bytes, deterministic id, and the Refers-To header all survive."""
+    from dbqt_spark.sources.warc import (
+        build_warc,
+        read_warc,
+        warc_conversion_record,
+    )
+
+    recs = [
+        warc_conversion_record(
+            f"https://ex.com/p/{i}",
+            "2024-05-01T00:00:00Z",
+            f"plain text body {i}".encode(),
+            refers_to=f"<urn:uuid:src-{i}>",
+        )
+        for i in range(3)
+    ]
+    raw = b"".join(recs)
+    assert b"WARC-Type: conversion" in raw
+    assert b"WARC-Refers-To: <urn:uuid:src-1>" in raw
+    assert b"Content-Type: text/plain" in raw
+
+    p = tmp_path / "wet-00000.warc.wet.gz"
+    p.write_bytes(build_warc(recs, gzip_per_record=True))
+    rows = sorted(
+        read_warc(spark, str(p), record_types=("conversion",)).collect(),
+        key=lambda r: r.url,
+    )
+    assert len(rows) == 3
+    for i, r in enumerate(rows):
+        assert r.record_type == "conversion"
+        assert r.url == f"https://ex.com/p/{i}"
+        assert r.mime == "text/plain"
+        assert r.http_status is None
+        assert bytes(r.payload) == f"plain text body {i}".encode()
+    # deterministic id: same input, same bytes
+    again = warc_conversion_record(
+        "https://ex.com/p/0", "2024-05-01T00:00:00Z", b"x"
+    )
+    rid = [
+        ln for ln in again.split(b"\r\n") if ln.startswith(b"WARC-Record-ID")
+    ][0]
+    first = [
+        ln
+        for ln in recs[0].split(b"\r\n")
+        if ln.startswith(b"WARC-Record-ID")
+    ][0]
+    assert rid == first  # id depends on (url, date) only
+
+
+def test_wet_records_projection(spark):
+    """wet_records: 2xx text rows become conversion rows with stripped
+    text, the serializer-default conversion id, and refers_to lineage;
+    non-text and error rows drop."""
+    from dbqt_spark.sources.warc import (
+        warc_conversion_record,
+        wet_records,
+    )
+
+    rows = [
+        ("f", "<urn:uuid:a>", "response", "https://ex.com/1",
+         "2024-05-01T00:00:00Z", "text/html", 200, None,
+         b"<p>Hello <b>world</b> &amp; co</p>"),
+        ("f", "<urn:uuid:b>", "response", "https://ex.com/2",
+         "2024-05-01T00:00:01Z", "image/png", 200, None, b"\x89PNG"),
+        ("f", "<urn:uuid:c>", "response", "https://ex.com/3",
+         "2024-05-01T00:00:02Z", "text/html", 404, None, b"gone"),
+    ]
+    from dbqt_spark.sources.warc import WARC_ROW_SCHEMA
+
+    parsed = spark.createDataFrame(rows, WARC_ROW_SCHEMA)
+    out = wet_records(parsed).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.record_type == "conversion" and r.mime == "text/plain"
+    assert r.http_status is None and r.refers_to == "<urn:uuid:a>"
+    assert bytes(r.payload) == b"Hello world & co"
+    # the JVM-derived id == the serializer's default for (url, date)
+    rec = warc_conversion_record(
+        "https://ex.com/1", "2024-05-01T00:00:00Z", b""
+    )
+    rid = [
+        ln
+        for ln in rec.split(b"\r\n")
+        if ln.startswith(b"WARC-Record-ID: ")
+    ][0].split(b": ", 1)[1].decode()
+    assert r.record_id == rid
+
+
+def test_write_warc_archive_conversion_mode(spark, tmp_path):
+    """The distributed sink writes a WET segment: returned frame
+    matches a re-read, Refers-To headers land in the archive bytes,
+    response-mode columns stay ignored."""
+    from dbqt_spark.sources.warc import (
+        WARC_ROW_SCHEMA,
+        read_warc,
+        wet_records,
+        write_warc_archive,
+    )
+
+    rows = [
+        ("f", f"<urn:uuid:src-{i}>", "response", f"https://ex.com/{i}",
+         "2024-05-01T00:00:00Z", "text/html", 200, None,
+         f"<p>doc {i} text</p>".encode())
+        for i in range(5)
+    ]
+    parsed = spark.createDataFrame(rows, WARC_ROW_SCHEMA)
+    wet = wet_records(parsed).repartition(1)
+    out_dir = str(tmp_path / "wet")
+    returned = write_warc_archive(
+        wet,
+        out_dir,
+        record_kind="conversion",
+        refers_to_col="refers_to",
+        segment_prefix="wet",
+    ).collect()
+    assert len(returned) == 5
+    assert all(r.record_type == "conversion" for r in returned)
+    assert all(r.mime == "text/plain" for r in returned)
+    assert all(r.http_status is None for r in returned)
+
+    import glob
+    import gzip as _gzip
+
+    (seg,) = glob.glob(out_dir + "/*.warc.gz")
+    raw = _gzip.open(seg, "rb").read()
+    assert raw.count(b"WARC-Refers-To: <urn:uuid:src-") == 5
+
+    reread = read_warc(
+        spark, seg, record_types=("conversion",)
+    ).collect()
+    assert {bytes(r.payload) for r in reread} == {
+        f"doc {i} text".encode() for i in range(5)
+    }
+    assert {r.record_id for r in reread} == {
+        r.record_id for r in returned
+    }
