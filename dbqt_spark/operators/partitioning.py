@@ -161,26 +161,99 @@ def zorder_column(
             for c in cols
         ]
     ).collect()[0]
-    z = F.lit(0).cast("long")
-    for ci, c in enumerate(cols):
+    buckets = []
+    for c in cols:
         splits = [s for s in (row[c] or []) if s is not None]
         arr = F.array(*[F.lit(float(s)) for s in splits])
-        bucket = F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, s: acc
-            + F.when(F.col(c).cast("double") > s, F.lit(1)).otherwise(
-                F.lit(0)
-            ),
-        ).cast("long")
+        buckets.append(
+            F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, s: acc
+                + F.when(
+                    F.col(c).cast("double") > s, F.lit(1)
+                ).otherwise(F.lit(0)),
+            ).cast("long")
+        )
+    return _interleave(buckets, bits_per_col)
+
+
+def _interleave(buckets: "list[F.Column]", bits_per_col: int) -> "F.Column":
+    """Morton interleave of per-column bucket codes: bit ``b`` of
+    column ``ci`` lands at position ``b * n_cols + ci`` — pure long
+    bit arithmetic, shared by the rank-quantized and integer-exact
+    Z-key arms."""
+    n = len(buckets)
+    z = F.lit(0).cast("long")
+    for ci, bucket in enumerate(buckets):
         for bit in range(bits_per_col):
             z = z.bitwiseOR(
                 F.shiftleft(
                     F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
-                    bit * len(cols) + ci,
+                    bit * n + ci,
                 )
             )
     return z
+
+
+def zorder_key_int(
+    df: DataFrame,
+    cols: "list[str]",
+    bits_per_col: int = 8,
+) -> "F.Column":
+    """EXACT integer-domain Z-order key — the engine-portable sibling
+    of ``zorder_column``: each column (cast to long) min-max quantizes
+    into ``2^bits_per_col`` uniform buckets with PURE INTEGER
+    arithmetic — ``bucket = ((c - min) * n_buckets) div
+    (max - min + 1)`` — so any engine replays the key bit-for-bit (no
+    percentile sketch, no float rounding anywhere). The trade:
+    uniform value bucketing, not rank bucketing — right for integer /
+    date-day / id domains without extreme value skew;
+    ``zorder_column``'s rank quantization stays the skew-proof
+    production arm. One bounded (min, max) aggregate per call; NULLs
+    sort to bucket 0; the interleave is the shared ``_interleave``."""
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if bits_per_col * len(cols) > 63:
+        raise ValueError(
+            f"bits_per_col={bits_per_col} x {len(cols)} columns needs "
+            f"{bits_per_col * len(cols)} interleaved bits, but only 63 "
+            "fit a signed long — lower bits_per_col to "
+            f"{63 // len(cols)} or fewer for {len(cols)} columns"
+        )
+    n_buckets = 1 << bits_per_col
+    row = df.agg(
+        *[
+            F.min(F.col(c).cast("long")).alias(f"__mn_{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[
+            F.max(F.col(c).cast("long")).alias(f"__mx_{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).collect()[0]
+    buckets = []
+    for i, c in enumerate(cols):
+        mn, mx = row[f"__mn_{i}"], row[f"__mx_{i}"]
+        if mn is None:  # all-NULL column: one bucket, no information
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        rng = int(mx) - int(mn) + 1
+        if rng * n_buckets >= 1 << 63:
+            raise ValueError(
+                f"column {c}: range {rng} x {n_buckets} buckets "
+                "overflows a signed long — lower bits_per_col or "
+                "pre-scale the column"
+            )
+        # integer `div`, not double `/` (the repo's exactness rule:
+        # double division loses bit-for-bit parity past 2^53)
+        buckets.append(
+            F.expr(
+                f"((coalesce(cast(`{c}` as long), {int(mn)}) "
+                f"- {int(mn)}) * {n_buckets}) div {rng}"
+            )
+        )
+    return _interleave(buckets, bits_per_col)
 
 
 def write_zordered(

@@ -8799,6 +8799,77 @@ def q_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_piece_stats(docs, merges, top_k=50)
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (partitioning.zorder_key_int) over
+    orders on (o_custkey, order-date epoch day): the per-Z-range
+    envelope report — row count plus BOTH columns' min/max inside
+    each contiguous Z prefix — i.e. exactly the parquet min/max
+    footer stats ``write_zordered`` lays on disk for multi-column
+    file skipping. The integer-exact arm (min-max uniform buckets,
+    integer ``div``, shared Morton interleave) makes every bucket
+    bit and every envelope SQL-replayable; tight per-range envelopes
+    on BOTH columns at once are the pruning property the layout
+    exists for."""
+    from .operators.partitioning import zorder_key_int
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("o_day"),
+    )
+    z = zorder_key_int(orders, ["o_custkey", "o_day"], bits_per_col=8)
+    return (
+        orders.withColumn("zkey", z)
+        .groupBy(F.expr("zkey div 1024").alias("z_range"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("o_day").alias("min_day"),
+            F.max("o_day").alias("max_day"),
+        )
+        .orderBy("z_range")
+    )
+
+
+_Z_INTERLEAVE_TERMS = " + ".join(
+    f"(((bc >> {b}) & 1) << {2 * b}) + (((bd >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
+
+SQL_ZORDER_LAYOUT = f"""
+WITH d AS (
+  SELECT o_orderkey, o_custkey,
+    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+      AS o_day
+  FROM orders
+),
+mm AS (
+  SELECT min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+         min(o_day) AS mnd, max(o_day) AS mxd
+  FROM d
+),
+b AS (
+  SELECT o_orderkey, o_custkey, o_day,
+    ((o_custkey - mnc) * 256) // (mxc - mnc + 1) AS bc,
+    ((o_day - mnd) * 256) // (mxd - mnd + 1) AS bd
+  FROM d, mm
+),
+z AS (
+  SELECT o_orderkey, o_custkey, o_day,
+    ({_Z_INTERLEAVE_TERMS}) AS zkey
+  FROM b
+)
+SELECT CAST(zkey // 1024 AS BIGINT) AS z_range,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
+  min(o_day) AS min_day, max(o_day) AS max_day
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET derivation (sources/warc.wet_records): the REAL WARC
     round-trip frame (serialize -> gzip -> parse, shared with
@@ -9143,6 +9214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pieces": q_bpe_pieces,
     "c4_rules": q_c4_rules,
     "wet_export": q_wet_export,
+    "zorder_layout": q_zorder_layout,
 }
 
 ORACLES: dict[str, str] = {
@@ -9325,6 +9397,7 @@ ORACLES: dict[str, str] = {
     "bpe_pieces": SQL_BPE_PIECES,
     "c4_rules": SQL_C4_RULES,
     "wet_export": SQL_WET_EXPORT,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

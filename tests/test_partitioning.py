@@ -1,5 +1,7 @@
 import re
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -291,3 +293,56 @@ def test_rowgroup_stats_matches_duckdb_parquet_metadata(spark, tmp_path):
             assert r["compressed_bytes"] == d[3]
             assert r["uncompressed_bytes"] == d[4]
             assert r["n_stats_cols"] == d[5]
+
+
+def test_zorder_key_int_hand_computed(spark):
+    """The integer-exact arm matches a hand-computed Morton interleave
+    on a tiny 2-bit domain, and NULLs land in bucket 0."""
+    from dbqt_spark.operators.partitioning import zorder_key_int
+
+    # x,y in 0..3 with bits_per_col=2: bucket == value (min 0, max 3,
+    # rng 4 -> (v*4) div 4 == v); z = interleave bits of (x, y)
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    z = zorder_key_int(df, ["x", "y"], bits_per_col=2)
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", z).collect()
+    }
+
+    def morton(x, y):
+        out = 0
+        for b in range(2):
+            out |= ((x >> b) & 1) << (2 * b)       # col 0 -> even bits
+            out |= ((y >> b) & 1) << (2 * b + 1)   # col 1 -> odd bits
+        return out
+
+    for (x, y), zv in got.items():
+        assert zv == morton(x, y), (x, y, zv)
+    # locality sanity: (0,0) and (1,1) are closer in z than (0,0),(3,3)
+    assert got[(1, 1)] < got[(3, 3)]
+
+    dfn = spark.createDataFrame(
+        [(None, 0), (0, 0), (3, 3)], "x long, y long"
+    )
+    zn = zorder_key_int(dfn, ["x", "y"], bits_per_col=2)
+    rows_n = {
+        (r.x, r.y): r.z for r in dfn.withColumn("z", zn).collect()
+    }
+    assert rows_n[(None, 0)] == rows_n[(0, 0)] == 0
+
+
+def test_zorder_key_int_guards(spark):
+    from dbqt_spark.operators.partitioning import zorder_key_int
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="63"):
+        zorder_key_int(df, ["a", "b"], bits_per_col=32)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key_int(df, [])
+    # range * buckets overflowing a long is refused, not wrapped
+    big = spark.createDataFrame(
+        [(0,), (1 << 60,)], "a long"
+    )
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_key_int(big, ["a"], bits_per_col=8)
