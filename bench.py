@@ -319,6 +319,9 @@ def main() -> None:
         "nb_classify",
         # cross-tier eval: two full dedup pipelines + set algebra
         "tier_eval",
+        # r15 late: the C4 line-rule bundle is the gopher_rules shape
+        # (array/regex single scan over the wrapped corpus)
+        "c4_rules",
     ]
     longest_first = chains + [n for n in heavy if n not in chains]
     ordered = [n for n in longest_first if n in QUERIES] + [
@@ -439,7 +442,10 @@ def main() -> None:
         # index synth chains + latest-per-key windows), and the bloom
         # sidecar stream drain
         "bpe_train,bpe_pieces,cdx_delta,streaming_bloom_gate,"
-        "streaming_dsir_gate",
+        "streaming_dsir_gate,"
+        # r15 late: C4 bundle (gopher shape), WET derivation (synth
+        # WARC parse + strip chain), Z-order envelope rollup
+        "c4_rules,wet_export,zorder_layout",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

@@ -789,6 +789,7 @@ def tool_textstats(argv: list[str]) -> int:
     cfg, db = _load_db(args.config)
     df = db.load(args.table)
     from .operators.textstats import (
+        c4_rules,
         char_entropy,
         fingerprint,
         gopher_rules,
@@ -809,6 +810,7 @@ def tool_textstats(argv: list[str]) -> int:
         ("Char Entropy", char_entropy),
         ("Readability", readability),
         ("Gopher Rules", gopher_rules),
+        ("C4 Rules", c4_rules),
     ]
     for title, op in tabs:
         frame = op(df, text_col=args.text_column, id_col=args.id_column)

@@ -75,6 +75,14 @@ class CurateConfig:
     # thresholds). The dict overrides individual thresholds
     # (e.g. {"min_words": 20}); {} applies the paper defaults.
     gopher: "dict | None" = None
+    # optional C4 line/page cleaning gate (operators/textstats.
+    # c4_rules): line-level rules REWRITE the text (only retained
+    # lines survive) and the page rules hard-drop — positioned right
+    # after main-content extraction, before every other gate, so
+    # later stages see the retained prose (the C4 ordering). The dict
+    # overrides thresholds (e.g. {"min_sentences": 2, "badwords":
+    # [...]}); {} applies the paper defaults.
+    c4: "dict | None" = None
     # optional main-content extraction (operators/normalize.
     # extract_main_content): boilerplate removal runs FIRST — raw
     # HTML must become prose before any text gate sees it (nav/footer
@@ -106,6 +114,27 @@ def curate(df: DataFrame, config: CurateConfig | None = None) -> DataFrame:
 
         df = extract_main_content(
             df, text_col=cfg.text_col, **cfg.extract_main
+        )
+
+    # -0.5. optional C4 line/page gate: line rules rewrite the text
+    # (kept lines only), page rules hard-drop — all in the SAME
+    # narrow map via passthrough (no id join-back, no shuffle)
+    if cfg.c4 is not None:
+        from .textstats import c4_rules
+
+        df = (
+            c4_rules(
+                df, text_col=cfg.text_col, id_col=cfg.id_col,
+                passthrough=True, **cfg.c4
+            )
+            .filter(F.col("passes"))
+            .drop(cfg.text_col)
+            .withColumnRenamed("kept_text", cfg.text_col)
+            .drop(
+                "n_lines", "n_kept_lines", "n_sentences",
+                "has_lorem_ipsum", "has_brace", "has_badword",
+                "passes",
+            )
         )
 
     # 0. optional blocklist pre-gate (C4 bad-words shape): hard drop

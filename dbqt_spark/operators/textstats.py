@@ -1534,6 +1534,7 @@ def c4_rules(
     min_line_words: int = 5,
     min_sentences: int = 3,
     badwords: "list[str] | None" = None,
+    passthrough: bool = False,
 ) -> DataFrame:
     """The C4 cleaning-rule bundle (Raffel et al. 2020, JMLR 21(140)
     §2.2) — the OTHER canonical web-corpus filter next to
@@ -1598,8 +1599,7 @@ def c4_rules(
         has_badword = text.rlike(pat)
     else:
         has_badword = F.lit(False)
-    out = df.select(
-        F.col(id_col),
+    sig = [
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept_lines"),
         kept_text.alias("kept_text"),
@@ -1607,6 +1607,14 @@ def c4_rules(
         has_lorem.alias("has_lorem_ipsum"),
         has_brace.alias("has_brace"),
         has_badword.alias("has_badword"),
+    ]
+    # passthrough keeps every original column next to the signals —
+    # the curate pre-gate uses it to rewrite text in the SAME narrow
+    # map (no id join-back, no shuffle)
+    out = (
+        df.select("*", *sig)
+        if passthrough
+        else df.select(F.col(id_col), *sig)
     )
     passes = (
         (F.col("n_sentences") >= min_sentences)

@@ -4112,3 +4112,36 @@ def test_c4_rules_known_values(spark):
         for r in c4_rules(df, min_sentences=4).collect()
     }
     assert strict[1] is False
+
+
+def test_curate_c4_pre_gate(spark):
+    """curate(c4=): line rules rewrite text, page rules drop docs, and
+    the surviving frame keeps its original columns."""
+    from dbqt_spark.operators.pipeline import CurateConfig, curate
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog today.\n"
+        "A second full sentence keeps the page alive here.\n"
+        "And a third sentence closes out the page nicely now."
+    )
+    docs = [
+        (1, prose + "\nBuy now", "en"),          # short line drops
+        (2, prose + "\nif (x) { return; }", "en"),  # brace kill
+        (3, prose, "en"),
+        (4, prose, "en"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    )
+    out = curate(
+        df,
+        CurateConfig(
+            c4={}, dedup="none", quality_quantile=0.0, redact=False
+        ),
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 2 not in rows            # page rule dropped it
+    assert rows[1]["text"] == prose  # 'Buy now' line rewritten away
+    assert rows[1]["lang"] == "en"   # original columns survive
+    assert "kept_text" not in out.columns
+    assert "passes" not in out.columns
