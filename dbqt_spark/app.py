@@ -57,6 +57,7 @@ TOOLS = [
     "pack",
     "links",
     "cdx",
+    "wet",
     "bpe",
     "bloom",
 ]
@@ -2206,6 +2207,48 @@ def tool_pack(argv: list[str]) -> int:
     return 0
 
 
+def tool_wet(argv: list[str]) -> int:
+    """WET derivation from the CLI (sources/warc.wet_records): read a
+    WARC directory, markup-strip each 2xx text response into a
+    ``conversion`` record (WARC-Refers-To lineage back to the source
+    response), and write either real ``*.warc.gz`` WET segments
+    (``write_warc_archive`` record_kind='conversion') or the
+    conversion frame as parquet."""
+    p = argparse.ArgumentParser(prog="wet")
+    p.add_argument("--warc-dir", required=True,
+                   help="input archive file or directory")
+    p.add_argument("--out-dir",
+                   help="write WET archive segments here")
+    p.add_argument("--output-parquet",
+                   help="write the conversion frame as parquet instead")
+    p.add_argument("--segments", type=int, default=0,
+                   help="repartition before the sink (segment count)")
+    args = p.parse_args(argv)
+    if bool(args.out_dir) == bool(args.output_parquet):
+        p.error("pass exactly one of --out-dir or --output-parquet")
+
+    from .sources.warc import (
+        read_warc,
+        wet_records,
+        write_warc_archive,
+    )
+
+    spark = _spark()
+    wet = wet_records(read_warc(spark, args.warc_dir))
+    if args.segments:
+        wet = wet.repartition(args.segments)
+    if args.output_parquet:
+        wet.write.mode("overwrite").parquet(args.output_parquet)
+        print(f"conversion frame written to {args.output_parquet}")
+    else:
+        n = write_warc_archive(
+            wet, args.out_dir, record_kind="conversion",
+            refers_to_col="refers_to", segment_prefix="wet",
+        ).count()
+        print(f"{n} conversion records written to {args.out_dir}")
+    return 0
+
+
 def tool_cdx(argv: list[str]) -> int:
     """Web-archive index lifecycle from the CLI (sources/cdx.py):
     ``index`` builds a seekable CDXJ index from a WARC directory
@@ -2502,6 +2545,7 @@ def main(argv: list[str] | None = None) -> int:
         "pack": tool_pack,
         "links": tool_links,
         "cdx": tool_cdx,
+        "wet": tool_wet,
         "bpe": tool_bpe,
         "bloom": tool_bloom,
     }.get(tool)

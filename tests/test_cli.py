@@ -1342,3 +1342,42 @@ def test_cli_bloom_build_and_gate(spark, tmp_path, capsys):
         "bloom", "gate", "--input", arrivals, "--key-column", "key",
         "--filter", str(tmp_path / "nosuch"),
     ]) == 2
+
+
+def test_cli_wet(spark, tmp_path):
+    """wet tool: WARC dir -> WET segments; the segment re-reads as
+    conversion records with stripped text."""
+    from dbqt_spark.sources.warc import (
+        build_warc,
+        read_warc,
+        warc_response_record,
+    )
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    recs = [
+        warc_response_record(
+            f"https://ex.com/{i}",
+            "2024-05-01T00:00:00Z",
+            f"<p>doc {i} body</p>".encode(),
+        )
+        for i in range(4)
+    ]
+    (d / "seg.warc.gz").write_bytes(build_warc(recs))
+
+    out = tmp_path / "wet"
+    assert main(["wet", "--warc-dir", str(d),
+                 "--out-dir", str(out), "--segments", "1"]) == 0
+    rows = read_warc(
+        spark, str(out), record_types=("conversion",)
+    ).collect()
+    assert {bytes(r.payload) for r in rows} == {
+        f"doc {i} body".encode() for i in range(4)
+    }
+    assert all(r.mime == "text/plain" for r in rows)
+
+    pq = tmp_path / "wetpq"
+    assert main(["wet", "--warc-dir", str(d),
+                 "--output-parquet", str(pq)]) == 0
+    frame = spark.read.parquet(str(pq))
+    assert frame.count() == 4 and "refers_to" in frame.columns
