@@ -638,3 +638,107 @@ def resolve_redirects(
             ).alias("terminal"),
         )
     )
+
+
+def host_suffixes_col(host) -> Column:
+    """All label-boundary suffixes of a host, LONGEST first:
+    ``a.b.example.com`` -> ``[a.b.example.com, b.example.com,
+    example.com, com]``. Label-boundary construction is what makes
+    suffix blocking safe — ``example.com`` can never match
+    ``notexample.com``. Pure JVM array expressions; empty host ->
+    empty array."""
+    h = host if isinstance(host, Column) else F.col(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.when(
+        (h.isNull()) | (h == ""), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+        )
+    )
+
+
+def domain_blocklist(
+    df: DataFrame,
+    domains,
+    url_col: str = "url",
+    drop: bool = False,
+    broadcast_domains: bool = True,
+) -> DataFrame:
+    """Domain-suffix blocklist gate — the URL-side sibling of the
+    text blocklist (``redact.blocklist_drop``) every crawl pipeline
+    runs: blocking ``example.com`` blocks every subdomain
+    (``a.b.example.com``) at a LABEL boundary, never substring
+    lookalikes. The standard spam/adult/PII-risk domain-list filter
+    (C4's badwords shape, applied to hosts).
+
+    ``domains``: a Python list (inlined as a broadcast literal array —
+    the right arm for the usual 10^3-10^5-entry curated lists) or a
+    DataFrame with a ``domain`` column (the JOIN arm for huge lists:
+    the corpus contracts to a narrow ``(__rid, suffix)`` projection —
+    ~tens of bytes/row, bounded by the host's label count — and only
+    THAT rides the join; ``broadcast_domains`` hints the list side).
+
+    Output: ``df`` plus ``blocked_domain`` (the LONGEST matching
+    blocked suffix, NULL when clean) and ``blocked``; ``drop=True``
+    returns only clean rows (both accounting columns removed).
+
+    Scale shape: literal arm is one narrow map (no shuffle, no UDF);
+    join arm shuffles only the suffix sliver against the (broadcast)
+    list, with verdicts joined back on a ``localCheckpoint``-pinned
+    row id (the robots_filter id-stability discipline)."""
+    host = host_col(F.col(url_col))
+    sufs = host_suffixes_col(host)
+
+    if isinstance(domains, DataFrame):
+        if "domain" not in domains.columns:
+            raise ValueError(
+                "domains frame needs a 'domain' column; got "
+                f"{domains.columns}"
+            )
+        dom = domains.select(
+            F.lower(F.trim(F.col("domain"))).alias("__dom")
+        ).distinct()
+        if broadcast_domains:
+            dom = F.broadcast(dom)
+        # pin ids so both join-back sides read the SAME assignment
+        # (nondeterministic upstreams: the robots_filter discipline)
+        keyed = df.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        narrow = keyed.select(
+            "__rid", F.explode_outer(sufs).alias("__suf")
+        )
+        hits = (
+            narrow.join(dom, narrow["__suf"] == dom["__dom"], "inner")
+            .groupBy("__rid")
+            .agg(F.max_by("__suf", F.length("__suf")).alias(
+                "blocked_domain"
+            ))
+        )
+        out = keyed.join(hits, "__rid", "left").withColumn(
+            "blocked", F.col("blocked_domain").isNotNull()
+        ).drop("__rid")
+    else:
+        cleaned = sorted(
+            {str(d).strip().lower() for d in domains if str(d).strip()}
+        )
+        if not cleaned:
+            raise ValueError("empty domain blocklist")
+        lit_set = F.array(*[F.lit(d) for d in cleaned])
+        matches = F.filter(
+            sufs, lambda s: F.array_contains(lit_set, s)
+        )
+        # try_: ANSI element_at aborts on an empty array
+        blocked_dom = F.try_element_at(matches, F.lit(1))
+        out = df.withColumn(
+            "blocked_domain", blocked_dom
+        ).withColumn("blocked", F.col("blocked_domain").isNotNull())
+
+    if drop:
+        return out.filter(~F.col("blocked")).drop(
+            "blocked_domain", "blocked"
+        )
+    return out

@@ -8799,6 +8799,76 @@ def q_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_piece_stats(docs, merges, top_k=50)
 
 
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-suffix blocklist gate (urltools.domain_blocklist,
+    literal arm) over synthesized hosts with subdomain variety: four
+    host shapes x five sites, a blocklist mixing exact hosts, parent
+    domains, and a mid-label suffix — every match arm (subdomain via
+    parent, exact, deep-subdomain via middle suffix, clean) fires and
+    the oracle replays the label-boundary suffix expansion and the
+    longest-match pick byte-for-byte."""
+    from .operators.urltools import domain_blocklist
+
+    d = F.col("doc_id")
+    n = d % 5
+    host = (
+        F.when(d % 4 == 0, F.concat(F.lit("ads.tracker-"), n, F.lit(".example")))
+        .when(d % 4 == 1, F.concat(F.lit("www.site-"), n, F.lit(".example")))
+        .when(d % 4 == 2, F.concat(F.lit("site-"), n, F.lit(".example")))
+        .otherwise(
+            F.concat(F.lit("cdn.assets.site-"), n, F.lit(".example"))
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d).alias("url"),
+    )
+    return (
+        domain_blocklist(
+            docs,
+            [
+                "tracker-0.example",
+                "tracker-1.example",
+                "assets.site-2.example",
+                "site-3.example",
+            ],
+        )
+        .select("doc_id", "url", "blocked_domain", "blocked")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOMAIN_BLOCKLIST = """
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN
+           'ads.tracker-' || (doc_id % 5) || '.example'
+         WHEN doc_id % 4 = 1 THEN
+           'www.site-' || (doc_id % 5) || '.example'
+         WHEN doc_id % 4 = 2 THEN
+           'site-' || (doc_id % 5) || '.example'
+         ELSE 'cdn.assets.site-' || (doc_id % 5) || '.example'
+    END AS host
+  FROM documents
+),
+s AS (
+  SELECT doc_id, 'https://' || host || '/p/' || doc_id AS url,
+    list_filter(
+      list_transform(
+        range(len(string_split(host, '.'))),
+        i -> array_to_string(
+          list_slice(string_split(host, '.'), i + 1,
+                     len(string_split(host, '.'))), '.')),
+      x -> list_contains(
+        ['tracker-0.example', 'tracker-1.example',
+         'assets.site-2.example', 'site-3.example'], x)) AS m
+  FROM u
+)
+SELECT doc_id, url, m[1] AS blocked_domain, len(m) > 0 AS blocked
+FROM s ORDER BY doc_id
+"""
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key (partitioning.zorder_key_int) over
     orders on (o_custkey, order-date epoch day): the per-Z-range
@@ -9215,6 +9285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_rules": q_c4_rules,
     "wet_export": q_wet_export,
     "zorder_layout": q_zorder_layout,
+    "domain_blocklist": q_domain_blocklist,
 }
 
 ORACLES: dict[str, str] = {
@@ -9398,6 +9469,7 @@ ORACLES: dict[str, str] = {
     "c4_rules": SQL_C4_RULES,
     "wet_export": SQL_WET_EXPORT,
     "zorder_layout": SQL_ZORDER_LAYOUT,
+    "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

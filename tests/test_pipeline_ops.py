@@ -4145,3 +4145,57 @@ def test_curate_c4_pre_gate(spark):
     assert rows[1]["lang"] == "en"   # original columns survive
     assert "kept_text" not in out.columns
     assert "passes" not in out.columns
+
+
+def test_domain_blocklist_known_values(spark):
+    """Label-boundary suffix matching: parents block subdomains,
+    lookalike substrings never match, longest match wins, and the two
+    arms (literal list vs domain frame) agree row-for-row."""
+    from dbqt_spark.operators.urltools import domain_blocklist
+
+    rows = [
+        (1, "https://ads.tracker.example/x"),     # via parent
+        (2, "https://tracker.example/y"),         # exact
+        (3, "https://nottracker.example/z"),      # lookalike: clean
+        (4, "https://deep.a.bad.example/w"),      # via middle suffix
+        (5, "https://clean.example/ok"),
+        (6, "not a url"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    blist = ["tracker.example", "a.bad.example", "bad.example"]
+    out = {
+        r.id: r
+        for r in domain_blocklist(df, blist).collect()
+    }
+    assert out[1].blocked and out[1].blocked_domain == "tracker.example"
+    assert out[2].blocked and out[2].blocked_domain == "tracker.example"
+    assert not out[3].blocked and out[3].blocked_domain is None
+    # deep.a.bad.example matches both a.bad.example and bad.example —
+    # the LONGEST wins
+    assert out[4].blocked_domain == "a.bad.example"
+    for i in (5, 6, 7):
+        assert not out[i].blocked
+
+    # drop mode removes rows and the accounting columns
+    kept = domain_blocklist(df, blist, drop=True)
+    assert sorted(r.id for r in kept.collect()) == [3, 5, 6, 7]
+    assert "blocked" not in kept.columns
+
+    # the frame arm agrees with the literal arm on every row
+    dom = spark.createDataFrame(
+        [(d,) for d in blist], "domain string"
+    )
+    framed = {
+        r.id: r for r in domain_blocklist(df, dom).collect()
+    }
+    for i in out:
+        assert framed[i].blocked == out[i].blocked, i
+        assert framed[i].blocked_domain == out[i].blocked_domain, i
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        domain_blocklist(df, [])
+    with _pytest.raises(ValueError, match="domain"):
+        domain_blocklist(df, dom.withColumnRenamed("domain", "d"))
