@@ -252,6 +252,12 @@ def main() -> None:
         # the DSIR gate is a fit (two feature scans) + foreachBatch
         # drain — the same availableNow chain shape
         "streaming_dsir_gate",
+        # unigram-LM induction: eager hard-EM rounds (seed scores ->
+        # per-round grid join + DP + re-score, localCheckpoint each)
+        # — the bpe_train shape; _segment reruns the loop + a final
+        # segmentation pass
+        "unigram_train",
+        "unigram_segment",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
@@ -445,7 +451,9 @@ def main() -> None:
         "streaming_dsir_gate,"
         # r15 late: C4 bundle (gopher shape), WET derivation (synth
         # WARC parse + strip chain), Z-order envelope rollup
-        "c4_rules,wet_export,zorder_layout",
+        "c4_rules,wet_export,zorder_layout,"
+        # unigram induction chains (eager EM rounds)
+        "unigram_train,unigram_segment,domain_blocklist",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

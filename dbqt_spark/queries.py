@@ -8799,6 +8799,239 @@ def q_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_piece_stats(docs, merges, top_k=50)
 
 
+_UNI_ROUNDS = 2
+_UNI_K = 4
+_UNI_SEED = 60
+_UNI_MIN = 2
+
+
+def _sql_unigram_ctes(rounds: int, with_final_seg: bool) -> "tuple[list[str], str]":
+    """DuckDB twin of the whole unigram_train loop, unrolled: seed
+    substring vocab -> portable-ln pico scores -> per round (score
+    grid join, Viterbi best fold, reconstruction fold, re-count,
+    prune + char floor, re-score). The DP folds are EMITTED FROM THE
+    SAME TEMPLATES the Spark side runs (operators/unigram.dp_*_expr)
+    — two dialects, one generator. Returns (ctes, final_piece_table);
+    ``with_final_seg`` appends a segmentation pass under the final
+    vocab (table ``seg{rounds}``)."""
+    from .functions.portable_math import chain_ctes, ln_ratio_steps
+    from .operators.unigram import (
+        SENTINEL_P,
+        dp_best_expr,
+        dp_pieces_expr,
+        karr_str_expr,
+    )
+
+    K, seed, min_count = _UNI_K, _UNI_SEED, _UNI_MIN
+    ctes: list[str] = []
+    ctes.append(
+        """wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         strlen(word)::INT AS wlen
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+          AS word FROM documents)
+  GROUP BY word)"""
+    )
+    ctes.append(
+        f"""cand AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(flatten(list_transform(range(1, {K} + 1),
+      k -> list_filter(list_transform(range(1, wlen + 1),
+             s -> CASE WHEN s + k - 1 <= wlen
+                  THEN substr(word, s::INT, k::INT) END),
+           x -> x IS NOT NULL)))) AS piece, freq
+    FROM wf)
+  GROUP BY piece)"""
+    )
+    ctes.append(
+        f"""seed AS (
+  SELECT piece, cnt FROM cand WHERE strlen(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM cand WHERE strlen(piece) > 1
+    ORDER BY cnt DESC, piece ASC LIMIT {seed}))"""
+    )
+
+    def score_chain(src: str, tag: str) -> None:
+        ctes.append(
+            f"__t{tag} AS (SELECT CAST(sum(cnt) AS BIGINT) AS __tot "
+            f"FROM {src})"
+        )
+        ctes.append(
+            f"__j{tag} AS (SELECT piece, cnt, __tot FROM {src}, "
+            f"__t{tag})"
+        )
+        block, last = chain_ctes(
+            ln_ratio_steps("cnt", "__tot", "__ll", "duckdb"),
+            f"__j{tag}",
+            f"__l{tag}_",
+        )
+        ctes.append(block)
+        ctes.append(
+            f"p{tag} AS (SELECT piece, cnt, "
+            f"CAST(floor(__ll * 1.0e12 + 0.5e0) AS BIGINT) AS score_p "
+            f"FROM {last})"
+        )
+
+    def seg_pass(r: int, ptab: str) -> None:
+        ctes.append(
+            f"""cand{r} AS (
+  SELECT word, freq, wlen, c.idx AS idx, c.piece AS piece FROM (
+    SELECT word, freq, wlen,
+      unnest(flatten(list_transform(range(1, wlen + 1),
+        i -> list_transform(range(1, {K} + 1),
+          k -> struct_pack(idx := (i - 1) * {K} + k,
+                piece := CASE WHEN k <= i
+                  THEN substr(word, (i - k + 1)::INT, k::INT) END)))))
+        AS c
+    FROM wf))"""
+        )
+        ctes.append(
+            f"""g{r} AS (
+  SELECT c.word AS word, max(c.freq) AS freq, max(c.wlen) AS wlen,
+         list(coalesce(s.score_p, {SENTINEL_P}) ORDER BY c.idx) AS g
+  FROM cand{r} c LEFT JOIN {ptab} s ON c.piece = s.piece
+  GROUP BY c.word)"""
+        )
+        ctes.append(
+            f"b{r} AS (SELECT *, {dp_best_expr('duckdb', K)} AS best "
+            f"FROM g{r})"
+        )
+        ctes.append(
+            f"k{r} AS (SELECT word, freq, wlen, "
+            f"best[wlen + 1] AS best_p, {karr_str_expr('duckdb', K)} "
+            f"AS karr_s FROM b{r})"
+        )
+        # the backward walk as a RECURSIVE CTE, not a list fold:
+        # DuckDB 1.0's vectorized list_reduce mixes rows' lanes when
+        # the step size varies within a row (see karr_str_expr's
+        # lane-mixing note); plain SQL recursion has no such hazard
+        # and replays Spark's fold exactly — each recursion step is
+        # one walk hop, pieces reassemble ordered by end position.
+        kj = "cast(substr(k.karr_s, (w.j)::INT, 1) as bigint)"
+        ctes.append(
+            f"""walk{r} AS (
+  SELECT word, cast(wlen as bigint) AS j FROM k{r}
+  UNION ALL
+  SELECT w.word, w.j - {kj} AS j
+  FROM walk{r} w JOIN k{r} k USING (word) WHERE w.j > 0)"""
+        )
+        ctes.append(
+            f"""seg{r} AS (
+  SELECT k.word AS word, k.freq AS freq, k.wlen AS wlen,
+         k.best_p AS best_p,
+         list(substr(k.word, (w.j - {kj} + 1)::INT, ({kj})::INT)
+              ORDER BY w.j) AS pieces
+  FROM k{r} k JOIN walk{r} w ON k.word = w.word AND w.j > 0
+  GROUP BY k.word, k.freq, k.wlen, k.best_p)"""
+        )
+
+    score_chain("seed", "0")
+    for r in range(rounds):
+        seg_pass(r, f"p{r}")
+        ctes.append(
+            f"""cnt{r} AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(pieces) AS piece, freq FROM seg{r})
+  GROUP BY piece)"""
+        )
+        ctes.append(
+            f"""keep{r} AS (
+  SELECT piece, cnt FROM cnt{r}
+  WHERE strlen(piece) = 1 OR cnt >= {min_count}
+  UNION ALL
+  SELECT piece, 1::BIGINT AS cnt FROM (
+    SELECT DISTINCT substr(word, i::INT, 1) AS piece FROM (
+      SELECT word, unnest(range(1, wlen + 1)) AS i FROM wf)) ch
+  ANTI JOIN (SELECT piece FROM cnt{r} WHERE strlen(piece) = 1) k
+    USING (piece))"""
+        )
+        score_chain(f"keep{r}", str(r + 1))
+    if with_final_seg:
+        seg_pass(rounds, f"p{rounds}")
+    return ctes, f"p{rounds}"
+
+
+def _sql_unigram_train(rounds: int) -> str:
+    ctes, final = _sql_unigram_ctes(rounds, with_final_seg=False)
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"\nSELECT piece, cnt, score_p FROM {final} "
+        "ORDER BY cnt DESC, piece ASC"
+    )
+
+
+def _sql_unigram_segment(rounds: int, top_n: int) -> str:
+    ctes, _ = _sql_unigram_ctes(rounds, with_final_seg=True)
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"""
+SELECT word, freq, best_p,
+       array_to_string(pieces, ' ') AS pieces
+FROM seg{rounds} ORDER BY freq DESC, word ASC LIMIT {top_n}"""
+    )
+
+
+SQL_UNIGRAM_TRAIN = _sql_unigram_train(_UNI_ROUNDS)
+SQL_UNIGRAM_SEGMENT = _sql_unigram_segment(_UNI_ROUNDS, 300)
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-engine unigram-LM tokenizer induction (operators/unigram):
+    substring seed vocab -> 2 hard-EM rounds (Viterbi fold + re-count
+    + prune + portable-ln pico re-score) over the documents corpus.
+    The oracle unrolls the ENTIRE loop — seed selection, every
+    portable-ln chain, both DP folds per round, the prune + char
+    floor — bit-for-bit (exact BIGINT pico scores end-to-end)."""
+    from .operators.unigram import unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_train(
+        docs,
+        n_rounds=_UNI_ROUNDS,
+        max_piece_len=_UNI_K,
+        seed_size=_UNI_SEED,
+        min_count=_UNI_MIN,
+    ).orderBy(F.col("cnt").desc(), F.col("piece"))
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-likelihood segmentation under the induced unigram
+    vocab (operators/unigram.viterbi_segment): the top-300 corpus
+    words by frequency with their exact pico log-likelihood and the
+    argmax piece sequence — certifying the DP forward fold AND the
+    backpointer-free reconstruction against the oracle's replay of
+    the same dialect-generated folds."""
+    from .operators.unigram import (
+        unigram_train,
+        viterbi_segment,
+        word_freqs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    final = unigram_train(
+        docs,
+        n_rounds=_UNI_ROUNDS,
+        max_piece_len=_UNI_K,
+        seed_size=_UNI_SEED,
+        min_count=_UNI_MIN,
+    )
+    words = word_freqs(docs)
+    seg = viterbi_segment(words, final, max_piece_len=_UNI_K)
+    return (
+        seg.select(
+            "word",
+            "freq",
+            "best_p",
+            F.array_join("pieces", " ").alias("pieces"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(300)
+    )
+
+
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-suffix blocklist gate (urltools.domain_blocklist,
     literal arm) over synthesized hosts with subdomain variety: four
@@ -9286,6 +9519,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wet_export": q_wet_export,
     "zorder_layout": q_zorder_layout,
     "domain_blocklist": q_domain_blocklist,
+    "unigram_train": q_unigram_train,
+    "unigram_segment": q_unigram_segment,
 }
 
 ORACLES: dict[str, str] = {
@@ -9470,6 +9705,8 @@ ORACLES: dict[str, str] = {
     "wet_export": SQL_WET_EXPORT,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
+    "unigram_train": SQL_UNIGRAM_TRAIN,
+    "unigram_segment": SQL_UNIGRAM_SEGMENT,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).
