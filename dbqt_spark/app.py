@@ -59,6 +59,7 @@ TOOLS = [
     "cdx",
     "wet",
     "bpe",
+    "unigram",
     "bloom",
 ]
 
@@ -2422,6 +2423,67 @@ def tool_bpe(argv: list[str]) -> int:
     return 0
 
 
+def tool_unigram(argv: list[str]) -> int:
+    """Unigram-LM tokenizer induction from the CLI (operators/
+    unigram.py): ``train`` learns a piece table (substring seed +
+    hard-EM rounds) and writes/prints it; ``segment`` Viterbi-splits
+    the corpus's distinct words under a trained table. Feed the piece
+    parquet into ``pack``/``textstats`` token accounting via
+    functions/tokenize.unigram_segmenter."""
+    p = argparse.ArgumentParser(prog="unigram")
+    p.add_argument("action", choices=["train", "segment"])
+    p.add_argument("--input", required=True, help="parquet corpus path")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--rounds", type=int, default=2)
+    p.add_argument("--max-piece-len", type=int, default=4)
+    p.add_argument("--seed-size", type=int, default=2000)
+    p.add_argument("--min-count", type=int, default=2)
+    p.add_argument("--pieces", help="segment: trained piece parquet")
+    p.add_argument("--top", type=int, default=20,
+                   help="rows to print without --output-parquet")
+    p.add_argument("--output-parquet")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .operators.unigram import (
+        unigram_train,
+        viterbi_segment,
+        word_freqs,
+    )
+
+    spark = _spark()
+    corpus = spark.read.parquet(args.input)
+    if args.action == "train":
+        out = unigram_train(
+            corpus,
+            text_col=args.text_column,
+            n_rounds=args.rounds,
+            max_piece_len=args.max_piece_len,
+            seed_size=args.seed_size,
+            min_count=args.min_count,
+        ).orderBy(F.col("cnt").desc(), F.col("piece"))
+    else:
+        if not args.pieces:
+            p.error("--pieces is required for segment")
+        scored = spark.read.parquet(args.pieces)
+        out = viterbi_segment(
+            word_freqs(corpus, args.text_column),
+            scored,
+            max_piece_len=args.max_piece_len,
+        ).select(
+            "word", "freq", "best_p",
+            F.array_join("pieces", " ").alias("pieces"),
+        ).orderBy(F.col("freq").desc(), F.col("word"))
+    if args.output_parquet:
+        out.write.mode("overwrite").parquet(args.output_parquet)
+        print(f"{args.action} output written to {args.output_parquet}")
+    else:
+        for r in out.limit(args.top).collect():
+            print("\t".join(str(v) for v in r))
+    return 0
+
+
 def tool_bloom(argv: list[str]) -> int:
     """Bloom-filter gate from the CLI (operators/bloom.py): ``build``
     packs a filter over a key column into a sparse word parquet;
@@ -2547,6 +2609,7 @@ def main(argv: list[str] | None = None) -> int:
         "cdx": tool_cdx,
         "wet": tool_wet,
         "bpe": tool_bpe,
+        "unigram": tool_unigram,
         "bloom": tool_bloom,
     }.get(tool)
     if fn is None:

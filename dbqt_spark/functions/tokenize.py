@@ -257,3 +257,70 @@ def resolve_token_segmenter(
         f"unrecognized tokenizer spec {tokenizer!r}: use None, "
         "'whitespace', 'hf:<name>', or a callable text -> list[str]"
     )
+
+
+def _uni_parts(
+    word: str,
+    scores: "dict[str, int]",
+    max_piece_len: int,
+    sentinel: int,
+) -> list[str]:
+    """Viterbi max-likelihood split of one word under integer pico
+    piece scores — the driver-side twin of
+    ``operators/unigram.viterbi_segment``'s JVM folds: same DP, same
+    shortest-piece tie rule, same sentinel for out-of-vocab
+    substrings, so engine and driver segmentation agree exactly."""
+    L = len(word)
+    K = max_piece_len
+    best: list[int] = [0] + [0] * L
+    for i in range(1, L + 1):
+        b = None
+        for k in range(1, min(K, i) + 1):
+            s = best[i - k] + scores.get(word[i - k:i], sentinel)
+            if b is None or s > b:  # strict >: smallest k wins ties
+                b = s
+        best[i] = b  # type: ignore[assignment]
+    pieces: list[str] = []
+    j = L
+    while j > 0:
+        for k in range(1, min(K, j) + 1):
+            if (
+                best[j - k] + scores.get(word[j - k:j], sentinel)
+                == best[j]
+            ):
+                pieces.insert(0, word[j - k:j])
+                j -= k
+                break
+    return pieces
+
+
+def unigram_segmenter(
+    scores: "dict[str, int]", max_piece_len: int = 4
+) -> Callable[[str], list[str]]:
+    """Segmenter under a unigram-LM piece table (``operators/unigram.
+    unigram_train`` output collected to ``{piece: score_p}``) — the
+    unigram sibling of ``simple_bpe_segmenter``, pluggable into every
+    ``tokenizer=`` seat (token_stats, sequence_pack, packed_sequences,
+    chunk_documents). Same lossless-concatenation contract: each
+    word's leading whitespace attaches to its first piece. Substrings
+    missing from the table (uppercase, digits, punctuation if the
+    table was trained on [a-z]+ words) fall to the sentinel arm and
+    group into maximal-length unknown pieces — deterministic, never
+    dropped."""
+    import re
+
+    from ..operators.unigram import SENTINEL_P
+
+    sc = {str(k): int(v) for k, v in scores.items()}
+    K = int(max_piece_len)
+
+    def _segment(text: str) -> list[str]:
+        out: list[str] = []
+        for m in re.finditer(r"(\s*)(\S+)", text or ""):
+            ws, word = m.group(1), m.group(2)
+            parts = _uni_parts(word, sc, K, SENTINEL_P)
+            parts[0] = ws + parts[0]
+            out += parts
+        return out
+
+    return _segment

@@ -1381,3 +1381,29 @@ def test_cli_wet(spark, tmp_path):
                  "--output-parquet", str(pq)]) == 0
     frame = spark.read.parquet(str(pq))
     assert frame.count() == 4 and "refers_to" in frame.columns
+
+
+def test_cli_unigram(spark, tmp_path):
+    """unigram tool: train writes a piece parquet; segment splits the
+    corpus words under it."""
+    src = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newest new")],
+        "doc_id long, text string",
+    ).write.parquet(str(src))
+    pieces = tmp_path / "pieces"
+    assert main(["unigram", "train", "--input", str(src),
+                 "--rounds", "1", "--seed-size", "10",
+                 "--output-parquet", str(pieces)]) == 0
+    pf = spark.read.parquet(str(pieces))
+    assert {"piece", "cnt", "score_p"} <= set(pf.columns)
+    assert pf.count() > 0
+
+    seg = tmp_path / "seg"
+    assert main(["unigram", "segment", "--input", str(src),
+                 "--pieces", str(pieces),
+                 "--output-parquet", str(seg)]) == 0
+    sf = spark.read.parquet(str(seg))
+    rows = {r.word: r.pieces for r in sf.collect()}
+    assert set(rows) == {"low", "lower", "lowest", "new", "newest"}
+    assert all(p.replace(" ", "") == w for w, p in rows.items())

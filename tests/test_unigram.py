@@ -130,3 +130,39 @@ def test_dp_pieces_duckdb_arm_refused():
         dp_pieces_expr("duckdb", 4)
     with pytest.raises(ValueError, match="max_piece_len"):
         karr_str_expr("duckdb", 12)
+
+
+def test_unigram_segmenter_matches_engine(spark):
+    """The driver-side segmenter (functions/tokenize.unigram_segmenter)
+    reproduces the engine Viterbi fold piece-for-piece on the trained
+    vocab — one DP contract, two execution sites."""
+    from dbqt_spark.functions.tokenize import unigram_segmenter
+    from dbqt_spark.operators.unigram import (
+        unigram_train,
+        viterbi_segment,
+        word_freqs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "id long, text string",
+    )
+    final = unigram_train(df, n_rounds=1, seed_size=12, min_count=2)
+    scores = {r.piece: r.score_p for r in final.collect()}
+    words = word_freqs(df)
+    engine = {
+        r.word: list(r.pieces)
+        for r in viterbi_segment(words, final, 4).collect()
+    }
+    seg = unigram_segmenter(scores, max_piece_len=4)
+    for w, pieces in engine.items():
+        assert seg(w) == pieces, w
+    # whitespace attachment + lossless concatenation over full text
+    text = "low  newest\tlower"
+    pieces = seg(text)
+    assert "".join(pieces) == text
+    # plugs into a tokenizer seat
+    from dbqt_spark.operators.textstats import token_stats
+
+    out = token_stats(df, id_col="id", tokenizer=seg).collect()
+    assert all(r.n_tokens > 0 for r in out)
