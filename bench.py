@@ -258,6 +258,8 @@ def main() -> None:
         # segmentation pass
         "unigram_train",
         "unigram_segment",
+        # availableNow drain like streaming_url_gate
+        "streaming_domain_gate",
     ]
     # the five Arrow-band dedup pipelines the semaphore applies to —
     # each saturates the machine with 64-task UDF stages
@@ -453,7 +455,8 @@ def main() -> None:
         # WARC parse + strip chain), Z-order envelope rollup
         "c4_rules,wet_export,zorder_layout,"
         # unigram induction chains (eager EM rounds)
-        "unigram_train,unigram_segment,domain_blocklist",
+        "unigram_train,unigram_segment,domain_blocklist,"
+        "streaming_domain_gate",
     )
     solo_anchors: dict[str, float] = {}
     if anchor_env.strip() not in ("", "0", "none"):

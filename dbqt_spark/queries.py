@@ -1644,6 +1644,56 @@ SELECT DISTINCT cu AS url_canon FROM canon ORDER BY url_canon
 """
 
 
+def q_streaming_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-suffix blocklist on the streaming URL gate (streaming/
+    dedup.url_first_seen ``blocked_domains=`` + urltools.
+    domain_blocklist): arrivals under blocked domains drop BEFORE the
+    state store ever sees them — blocked hosts cost zero state at
+    crawl scale. The oracle replays the host-suffix verdicts +
+    canonicalization + DISTINCT."""
+    from .catalog import table_path
+    from .streaming.checks import (
+        run_stream_once,
+        stream_events_from_parquet,
+    )
+    from .streaming.dedup import url_first_seen
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    stream = stream_events_from_parquet(spark, path, schema=raw_schema)
+
+    def with_urls(df: DataFrame) -> DataFrame:
+        return url_first_seen(
+            df.withColumn("url", _gate_url_col()),
+            blocked_domains=["site-1.com", "site-3.com"],
+        )
+
+    rows = run_stream_once(stream, with_urls, output_mode="append")
+    return spark.createDataFrame(rows, "url_canon string").orderBy(
+        "url_canon"
+    )
+
+
+SQL_STREAMING_DOMAIN_GATE = f"""
+WITH u AS (
+  SELECT CASE
+    WHEN user_id % 2 = 0 THEN
+      'HTTP://WWW.Site-' || (user_id % 5) || '.COM:80/' || event_type
+      || '/' || (user_id // 7) || '/?utm_source=feed&x=1#top'
+    ELSE
+      'http://www.site-' || (user_id % 5) || '.com/' || event_type
+      || '/' || (user_id // 7) || '?x=1'
+  END AS url
+  FROM events
+  WHERE user_id % 5 NOT IN (1, 3)  -- host www.site-N.com falls under
+                                   -- blocked suffix site-N.com
+),
+{_sql_url_canon_ctes("u")}
+SELECT DISTINCT cu AS url_canon FROM canon ORDER BY url_canon
+"""
+
+
 _SBG_BITS, _SBG_HASHES = 8192, 3
 
 
@@ -9521,6 +9571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_blocklist": q_domain_blocklist,
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
+    "streaming_domain_gate": q_streaming_domain_gate,
 }
 
 ORACLES: dict[str, str] = {
@@ -9707,6 +9758,7 @@ ORACLES: dict[str, str] = {
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "unigram_train": SQL_UNIGRAM_TRAIN,
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
+    "streaming_domain_gate": SQL_STREAMING_DOMAIN_GATE,
     # Remaining rows-only checks, each for a structural reason:
     # profile_approx (HLL sketch — approximate by definition), lsh_topk /
     # ivf_topk (probe-subset ANN: the pruned candidate set has no SQL twin).

@@ -92,6 +92,7 @@ def url_first_seen(
     prior_bloom: "DataFrame | None" = None,
     prior_bits: int = 0,
     prior_hashes: int = 0,
+    blocked_domains: "list | None" = None,
 ) -> DataFrame:
     """Streaming URL-dedup gate — the frontier front door a live crawl
     runs BEFORE fetching/processing content: arrivals dedup on their
@@ -113,8 +114,22 @@ def url_first_seen(
     (schedule it directly), true sends the row to the exact index
     check. The static word frame rides ``prior_hashes`` broadcast
     joins against the stream — per-row stream state stays the 32-byte
-    fingerprint; the prior corpus never enters the state store."""
+    fingerprint; the prior corpus never enters the state store.
+
+    ``blocked_domains`` applies the domain-suffix blocklist
+    (``urltools.domain_blocklist``, literal arm — a pure narrow map,
+    streaming-safe) BEFORE keying: arrivals under a blocked domain
+    never cost a state row, which is the point at crawl scale — the
+    state store budgets for the frontier you will fetch, not for the
+    spam you won't."""
     from ..operators.urltools import canonical_url_col
+
+    if blocked_domains:
+        from ..operators.urltools import domain_blocklist
+
+        df = domain_blocklist(
+            df, blocked_domains, url_col=url_col, drop=True
+        )
 
     def with_prior(emitted: DataFrame) -> DataFrame:
         if prior_bloom is None:

@@ -1273,3 +1273,59 @@ def test_dsir_gate_stream_equals_batch_filter(spark, tmp_path):
     assert got == want
     # the prose target actually separates: kept set is the prose side
     assert got and all(d % 2 == 0 for d in got)
+
+
+def test_url_first_seen_blocked_domains(spark, tmp_path):
+    """blocked_domains drops arrivals BEFORE the state store (stream
+    == batch), at label boundaries (lookalike hosts pass)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbqt_spark.streaming.dedup import url_first_seen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000
+    b1 = ["http://ads.bad.example/x", "http://ok.org/y"]
+    b2 = ["http://bad.example/z", "http://notbad.example/w",
+          "http://ok.org/y?utm_source=f"]
+    pq.write_table(
+        pa.table({"ts": [t0, t0 + 1], "url": b1}), str(src / "b1.parquet")
+    )
+    time.sleep(1.1)
+    pq.write_table(
+        pa.table({"ts": [t0 + 2, t0 + 3, t0 + 4], "url": b2}),
+        str(src / "b2.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("ts long, url string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        url_first_seen(
+            stream, ts_col="ts", blocked_domains=["bad.example"]
+        )
+        .writeStream.format("memory")
+        .queryName("domgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["url_canon"] for r in spark.sql("SELECT * FROM domgate").collect()
+    )
+    batch = spark.createDataFrame(
+        [(t0 + i, u) for i, u in enumerate(b1 + b2)], "ts long, url string"
+    )
+    want = sorted(
+        r["url_canon"]
+        for r in url_first_seen(
+            batch, blocked_domains=["bad.example"]
+        ).collect()
+    )
+    assert got == want
+    assert got == ["http://notbad.example/w", "http://ok.org/y"]
