@@ -76,23 +76,8 @@ def substring_candidates(
     word, counted with multiplicity x word frequency — the unigram
     seed-candidate table. Pure JVM explode of a bounded per-word
     array (<= wlen * max_piece_len entries)."""
-    subs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(int(max_piece_len))),
-            lambda k: F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("wlen")),
-                    lambda s: F.when(
-                        s + k - 1 <= F.col("wlen"),
-                        F.substring(F.col("word"), 1, 0),
-                    ),
-                ),
-                lambda x: x.isNotNull(),
-            ),
-        )
-    )
-    # substring with dynamic args needs expr (F.substring takes
-    # literal pos/len); build the same array in SQL
+    # substr with dynamic pos/len needs the SQL form (F.substring
+    # takes literal args)
     subs = F.expr(
         f"""flatten(transform(sequence(1, {int(max_piece_len)}),
           k -> filter(transform(sequence(1, wlen),
