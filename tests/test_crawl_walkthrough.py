@@ -152,6 +152,24 @@ def test_crawl_to_curated_corpus_walkthrough(spark, tmp_path):
     wat = {r.url: r for r in wat_metadata(parsed).collect()}
     assert wat[f"{A}/robots.txt"].title is None
     assert wat[f"{A}/p/2"].n_links == 0
+
+    # WET derivative from the same parsed frame: conversion records
+    # carry markup-stripped text + lineage to their source records,
+    # and write back out as a real .warc.gz WET segment
+    from dbqt_spark.sources.warc import wet_records, write_warc_archive
+
+    wet = wet_records(parsed)
+    wrows = {r.url: r for r in wet.collect()}
+    src_ids = {r.url: r.record_id for r in parsed.collect()}
+    assert wrows[f"{A}/p/2"].refers_to == src_ids[f"{A}/p/2"]
+    assert b"<" not in bytes(wrows[f"{A}/p/2"].payload)
+    wet_dir = str(tmp_path / "wet")
+    written = write_warc_archive(
+        wet.repartition(1), wet_dir, record_kind="conversion",
+        refers_to_col="refers_to", segment_prefix="wet",
+    ).count()
+    reread = read_warc(spark, wet_dir, record_types=("conversion",))
+    assert reread.count() == written == len(wrows)
     resolved = {
         r.url: r
         for r in resolve_redirects(
