@@ -2467,6 +2467,12 @@ def tool_unigram(argv: list[str]) -> int:
         if not args.pieces:
             p.error("--pieces is required for segment")
         scored = spark.read.parquet(args.pieces)
+        missing = {"piece", "score_p"} - set(scored.columns)
+        if missing:
+            p.error(
+                f"--pieces parquet lacks column(s) {sorted(missing)} — "
+                "pass the output of `unigram train --output-parquet`"
+            )
         out = viterbi_segment(
             word_freqs(corpus, args.text_column),
             scored,

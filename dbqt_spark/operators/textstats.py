@@ -1593,8 +1593,15 @@ def c4_rules(
     has_lorem = lower_raw.contains("lorem ipsum")
     has_brace = text.contains("{")
     if badwords:
+        import re as _re
+
+        # escape: list entries are WORDS, not patterns ('c++' must
+        # match literally in the Java/RE2 common dialect)
         pat = "(?i)(^|[^a-z0-9])(" + "|".join(
-            sorted({w.strip().lower() for w in badwords if w.strip()})
+            _re.escape(w)
+            for w in sorted(
+                {w.strip().lower() for w in badwords if w.strip()}
+            )
         ) + ")($|[^a-z0-9])"
         has_badword = text.rlike(pat)
     else:

@@ -675,8 +675,9 @@ def domain_blocklist(
     (C4's badwords shape, applied to hosts).
 
     ``domains``: a Python list (inlined as a broadcast literal array —
-    the right arm for the usual 10^3-10^5-entry curated lists) or a
-    DataFrame with a ``domain`` column (the JOIN arm for huge lists:
+    right for curated lists up to ~10^4 entries; array_contains costs
+    O(list) per suffix, so switch arms beyond that) or a
+    DataFrame with a ``domain`` column (the JOIN arm for big lists:
     the corpus contracts to a narrow ``(__rid, suffix)`` projection —
     ~tens of bytes/row, bounded by the host's label count — and only
     THAT rides the join; ``broadcast_domains`` hints the list side).
