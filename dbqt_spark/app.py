@@ -58,6 +58,7 @@ TOOLS = [
     "links",
     "cdx",
     "wet",
+    "wat",
     "bpe",
     "unigram",
     "bloom",
@@ -2250,6 +2251,39 @@ def tool_wet(argv: list[str]) -> int:
     return 0
 
 
+def tool_wat(argv: list[str]) -> int:
+    """WAT derivation from the CLI (sources/warc.wat_metadata): one
+    row per capture with structural metadata (title, resolved
+    outlinks, mime/status) — the link-graph / anchor-analysis frame,
+    payload bytes never leave the projection."""
+    p = argparse.ArgumentParser(prog="wat")
+    p.add_argument("--warc-dir", required=True,
+                   help="input archive file or directory")
+    p.add_argument("--top", type=int, default=20,
+                   help="rows to print without --output-parquet")
+    p.add_argument("--output-parquet")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .sources.warc import read_warc, wat_metadata
+
+    spark = _spark()
+    wat = wat_metadata(read_warc(spark, args.warc_dir))
+    if args.output_parquet:
+        wat.write.mode("overwrite").parquet(args.output_parquet)
+        print(f"wat frame written to {args.output_parquet}")
+    else:
+        for r in (
+            wat.select("url", "http_status", "title", "n_links")
+            .orderBy("url")
+            .limit(args.top)
+            .collect()
+        ):
+            print(f"{r.url}\t{r.http_status}\t{r.title}\t{r.n_links}")
+    return 0
+
+
 def tool_cdx(argv: list[str]) -> int:
     """Web-archive index lifecycle from the CLI (sources/cdx.py):
     ``index`` builds a seekable CDXJ index from a WARC directory
@@ -2614,6 +2648,7 @@ def main(argv: list[str] | None = None) -> int:
         "links": tool_links,
         "cdx": tool_cdx,
         "wet": tool_wet,
+        "wat": tool_wat,
         "bpe": tool_bpe,
         "unigram": tool_unigram,
         "bloom": tool_bloom,

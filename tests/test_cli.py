@@ -1407,3 +1407,28 @@ def test_cli_unigram(spark, tmp_path):
     rows = {r.word: r.pieces for r in sf.collect()}
     assert set(rows) == {"low", "lower", "lowest", "new", "newest"}
     assert all(p.replace(" ", "") == w for w, p in rows.items())
+
+
+def test_cli_wat(spark, tmp_path):
+    from dbqt_spark.sources.warc import build_warc, warc_response_record
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    recs = [
+        warc_response_record(
+            f"https://ex.com/{i}",
+            "2024-05-01T00:00:00Z",
+            (
+                f"<html><head><title>T{i}</title></head><body>"
+                f'<a href="/next/{i}">n</a></body></html>'
+            ).encode(),
+        )
+        for i in range(3)
+    ]
+    (d / "seg.warc.gz").write_bytes(build_warc(recs))
+    pq = tmp_path / "wat"
+    assert main(["wat", "--warc-dir", str(d),
+                 "--output-parquet", str(pq)]) == 0
+    rows = {r.url: r for r in spark.read.parquet(str(pq)).collect()}
+    assert rows["https://ex.com/1"].title == "T1"
+    assert rows["https://ex.com/1"].links == ["https://ex.com/next/1"]
