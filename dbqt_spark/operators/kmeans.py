@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,6 +76,26 @@ def _assign_expr(centers: list[list[float]]):
     array_position of the array minimum over k distance expressions."""
     d = F.array(*[_dist_to(c) for c in centers])
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def _with_dist_array(df: DataFrame, centers: list[list[float]]):
+    """Attach the k-element distance array as ``__darr`` in its OWN
+    projection step. Consumers derive cluster
+    (``array_position(__darr, array_min(__darr)) - 1``) and dist
+    (``array_min(__darr)``) from the one column; CollapseProject keeps
+    the two projections apart because ``__darr`` is non-cheap and
+    referenced more than once, so the k x dim fold array is analyzed,
+    compiled and evaluated ONCE per row (r15: the previous one-select
+    shape inlined it up to 4x — at k=16 x dim=32 that alone was a
+    ~100 KB plan for the SemDeDup query)."""
+    return df.withColumn(
+        "__darr", F.array(*[_dist_to(c) for c in centers])
+    )
+
+
+_CLUSTER_OF_DARR = (
+    F.array_position("__darr", F.array_min("__darr")) - 1
+).cast("int")
 
 
 # k x dim above which the flat expression array stops being a plan and
@@ -276,6 +296,42 @@ def kmeans_assign(
     QUALITY matters more than an oracle twin (SemDeDup/IVF builds at
     large k, where lowest-id init can start k centers inside one
     blob)."""
+    base, centers, arrow = _fit(
+        df, k, iters, vec_col, id_col, assign_mode, init, seed
+    )
+    if arrow:
+        s = _arrow_assign(centers)(F.col("__e"))
+        return base.select(
+            id_col,
+            F.element_at(s, 1).cast("int").alias("cluster"),
+            F.round(F.element_at(s, 2), 6).alias("dist"),
+        )
+    # dist to the assigned (= nearest) center IS the array minimum, so
+    # both outputs derive from the one materialized distance array
+    return _with_dist_array(base, centers).select(
+        id_col,
+        _CLUSTER_OF_DARR.alias("cluster"),
+        F.round(F.array_min("__darr"), 6).alias("dist"),
+    )
+
+
+def _fit(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    assign_mode: str,
+    init: str,
+    seed: int,
+    extra_cols: tuple = (),
+):
+    """Shared Lloyd's fit behind ``kmeans_assign`` and
+    ``semantic_near_dup_pairs``: returns (base, centers, arrow) where
+    ``base`` is the localCheckpointed projection (id, __e rounded
+    [, extra_cols]) every consumer re-reads instead of re-scanning the
+    source, ``centers`` the post-``iters`` centers, and ``arrow`` the
+    resolved assignment arm."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 0:
@@ -289,7 +345,7 @@ def kmeans_assign(
     # instead of re-scanning and re-rounding the source — the "persist
     # the projected vectors" a real iterative deployment does
     base = df.select(
-        F.col(id_col), _rounded_vec(vec_col).alias("__e")
+        F.col(id_col), _rounded_vec(vec_col).alias("__e"), *extra_cols
     ).localCheckpoint()
     if init == "kmeanspar":
         centers = _kmeanspar_init(
@@ -315,7 +371,9 @@ def kmeans_assign(
                 ).cast("int"),
             )
         else:
-            assigned = base.withColumn("__c", _assign_expr(centers))
+            assigned = _with_dist_array(base, centers).select(
+                _CLUSTER_OF_DARR.alias("__c"), "__e"
+            )
         # exact decimal element means per (cluster, dim): map-side
         # partial sums; k x dim rows reach the driver
         means = (
@@ -341,24 +399,7 @@ def kmeans_assign(
         centers = [
             by_cluster.get(ci, centers[ci]) for ci in range(len(centers))
         ]
-    if arrow:
-        s = _arrow_assign(centers)(F.col("__e"))
-        return base.select(
-            id_col,
-            F.element_at(s, 1).cast("int").alias("cluster"),
-            F.round(F.element_at(s, 2), 6).alias("dist"),
-        )
-    return base.select(
-        id_col,
-        _assign_expr(centers).alias("cluster"),
-        F.round(
-            F.element_at(
-                F.array(*[_dist_to(c) for c in centers]),
-                _assign_expr(centers) + 1,
-            ),
-            6,
-        ).alias("dist"),
-    )
+    return base, centers, arrow
 
 
 def cluster_sizes(assignments: DataFrame) -> DataFrame:
@@ -417,28 +458,56 @@ def semantic_near_dup_pairs(
     The self-join shuffles on the cluster id; the kmeans assignment
     itself is a narrow map (see ``kmeans_assign``).
     """
-    assign = kmeans_assign(
-        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
-        assign_mode=assign_mode, init=init,
-    ).select(F.col(id_col).alias("__id"), "cluster")
-    vecs = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    # the RAW vector (scoring input) rides the fit's checkpoint as an
+    # extra column, so assignment output feeds the pair stage directly
+    # — r15: the previous shape joined a separate (id, vector)
+    # projection back onto the assignment on id, paying a full
+    # vector-width shuffle join for data the fit already materialized
+    base, centers, arrow = _fit(
+        df, k, iters, vec_col, id_col, assign_mode, init, seed=42,
+        extra_cols=(F.col(vec_col).alias("__v"),),
     )
-    clustered = vecs.join(assign, "__id")
-    if max_cluster_size is not None:
-        sizes = clustered.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("__n")
+    if arrow:
+        ccol = F.element_at(
+            _arrow_assign(centers)(F.col("__e")), 1
+        ).cast("int")
+        clustered = base.select(
+            F.col(id_col).alias("__id"), "__v", ccol.alias("cluster")
         )
-        big = sizes.filter(F.col("__n") > max_cluster_size)
+    else:
+        clustered = _with_dist_array(base, centers).select(
+            F.col(id_col).alias("__id"), "__v",
+            _CLUSTER_OF_DARR.alias("cluster"),
+        )
+    if max_cluster_size is not None:
         if drop_stats is not None:
-            rows = big.agg(
-                F.count(F.lit(1)).alias("c"),
-                F.coalesce(F.sum("__n"), F.lit(0)).alias("r"),
-            ).collect()[0]
+            rows = (
+                clustered.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > max_cluster_size)
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.coalesce(F.sum("__n"), F.lit(0)).alias("r"),
+                )
+                .collect()[0]
+            )
             drop_stats["n_dropped_clusters"] = int(rows["c"])
             drop_stats["n_dropped_rows"] = int(rows["r"])
-        clustered = clustered.join(
-            big.select("cluster"), "cluster", "left_anti"
+        # window count over the SAME partitioning the pair stage needs:
+        # the one cluster-keyed exchange serves both the cap filter and
+        # applyInPandas (r15: previously a size aggregate + left-anti
+        # join re-evaluated the assignment subtree and added two more
+        # exchanges). NULL clusters pass the cap unconditionally — the
+        # exact behavior of the old anti-join, whose null keys never
+        # matched the over-cap list.
+        w = Window.partitionBy("cluster")
+        clustered = (
+            clustered.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(
+                F.col("cluster").isNull()
+                | (F.col("__n") <= max_cluster_size)
+            )
+            .drop("__n")
         )
     # per-cell exact scoring as ONE Arrow matmul per cluster
     # (applyInPandas + numpy — the same kernel shape as

@@ -294,12 +294,24 @@ def pagerank_hosts(
     d = float(damping)
     track = tol_p is not None or history is not None
     # a zero/negative weight would make out(u) zero -> inf contribution
-    # -> ANSI long-cast abort mid-job; gate it here, fail-fast shape
-    edges = edges.filter(F.col(weight_col) > 0)
+    # -> ANSI long-cast abort mid-job; gate it here, fail-fast shape.
+    # The edge/node/weighted-edge frames are each referenced by EVERY
+    # unrolled iteration (plus r0), so materialize them once (lazy
+    # localCheckpoint: computed at the first action, cached partitions
+    # after) — r15: left lazy, a 3-iteration run re-derived the whole
+    # upstream edge lineage ~15x in one plan (82 Exchanges / 184 KB
+    # formatted plan for the synth-backed host_pagerank query; 8
+    # Exchanges / ~8 KB materialized), and at real scale re-running
+    # the corpus-wide outlink contraction per iteration is exactly the
+    # "persist the edge frame" cost the module docstring prices.
+    edges = edges.filter(F.col(weight_col) > 0).localCheckpoint(
+        eager=False
+    )
     nodes = (
         edges.select(F.col(src_col).alias("host"))
         .union(edges.select(F.col(dst_col).alias("host")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     out = edges.groupBy(src_col).agg(
@@ -310,7 +322,7 @@ def pagerank_hosts(
         F.col(dst_col).alias("__dst"),
         F.col(weight_col).cast("double").alias("__w"),
         "__out",
-    )
+    ).localCheckpoint(eager=False)
     # r0 = round(1e12 / N) picos
     r = nodes.crossJoin(F.broadcast(n_frame)).select(
         "host",
