@@ -44,6 +44,9 @@ def classifier_score(
     are the lowercased whitespace tokens shared with ``token_stats``,
     and a zero-token doc scores ``sigmoid(bias)``. Returns (id, score)
     with the score rounded to 6."""
+    from ..utils import spread_small_scan
+
+    df = spread_small_scan(df)  # heavy narrow map; no-op at scale
     spark = df.sparkSession
     # tokens are matched LOWERCASED — normalize the model's keys the
     # same way so a weight exported as {"The": ...} cannot silently

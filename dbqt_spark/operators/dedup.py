@@ -53,28 +53,13 @@ def normalize_text(text_col: str = "text") -> "F.Column":
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input has
-    fewer partitions — a SMALL-INPUT fix, not a scale behavior.
+    """See ``utils.spread_small_scan`` — promoted there in r15 so the
+    other heavy narrow-map operators (textstats, classifier, url
+    canonicalization, synth parse chains) share the same small-input
+    fan-out the dedup tiers have used since r7."""
+    from ..utils import spread_small_scan
 
-    The tokenize/explode stages below run inside the scan tasks; a table
-    stored as one parquet row group (this repo's testdata) means ONE task
-    regexes and explodes every document. At corpus scale inputs arrive in
-    >= cores splits (maxPartitionBytes) and this is a no-op; locally it
-    turns a single-threaded 5 s tokenize into 32-way parallelism for the
-    price of shuffling the raw (small) docs."""
-    try:
-        n = df.rdd.getNumPartitions()
-        cores = df.sparkSession.sparkContext.defaultParallelism
-    except Exception:
-        return df
-    # Trigger only BELOW cores (so corpus-scale inputs arriving in
-    # >= cores splits stay untouched — the no-op contract above), but
-    # spread TO 2x cores: halving the per-task Arrow-UDF wall doubles
-    # FAIR-preemption granularity, so latency-bound chain queries (the
-    # streaming gate) get scheduled into freed slots ~2x sooner when a
-    # band-hash stage owns the machine (BENCH_NOTES #10). Per-task
-    # overhead at this batch size is noise (measured).
-    return df.repartition(2 * cores) if n < cores else df
+    return spread_small_scan(df)
 
 
 def exact_duplicate_groups(

@@ -177,6 +177,9 @@ def extract_main_content(
 
     ``with_stats=True`` appends ``n_blocks_total`` / ``n_blocks_kept``
     for drop accounting."""
+    from ..utils import spread_small_scan
+
+    df = spread_small_scan(df)  # heavy narrow map; no-op at scale
     thr_mil = int(round(float(max_link_density) * 1000))
     raw = F.coalesce(F.col(text_col), F.lit(""))
     # 1. drop script/style/comment content (separate patterns: RE2 has

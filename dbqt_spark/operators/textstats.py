@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import spread_small_scan
+
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic (public common-word lists).
 STOPWORDS = {
@@ -108,6 +110,7 @@ def quality_scores(
 ) -> DataFrame:
     """Heuristic quality signals (length, punctuation ratio, stopword
     ratio, alpha ratio) + a composite score in [0,1]."""
+    df = spread_small_scan(df)  # heavy narrow map; no-op at scale
     q = _quality_exprs(text_col)
     return df.select(
         F.col(id_col),
@@ -245,6 +248,7 @@ def repetition_stats(
     Columns: n_lines, dup_line_frac, dup_word_frac, dup_2gram_frac,
     dup_3gram_frac — each rounded to 4 places (matching the DuckDB
     oracle's arithmetic exactly: integer size ratios in IEEE double)."""
+    df = spread_small_scan(df)  # heavy narrow map; no-op at scale
 
     def dup_frac(arr: Column) -> Column:
         n = F.size(arr)
@@ -556,6 +560,7 @@ def lm_score(
     Shuffle cardinalities shrink monotonically: corpus tokens -> doc
     terms -> vocabulary -> docs.
     """
+    df = spread_small_scan(df)  # heavy narrow map; no-op at scale
     toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     doc_terms = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
@@ -784,6 +789,7 @@ def dup_ngram_stats(
     string here so the DuckDB oracle is bit-for-bit (no cross-engine
     hash exists).
     """
+    df = spread_small_scan(df)  # heavy narrow map; no-op at scale
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
@@ -884,6 +890,7 @@ def char_entropy(
     rollup keyed by doc. The final left join back to the id list moves
     (id, 2 numbers) rows. Characters are Unicode codepoints on both
     engines (Spark split(''), DuckDB string_split(''))."""
+    df = spread_small_scan(df)  # heavy narrow map; no-op at scale
     chars = df.select(
         F.col(id_col),
         F.explode(
@@ -1027,6 +1034,7 @@ def lm_score_bigram(
     ``broadcast_model=False`` when the bigram vocabulary outgrows a
     broadcast — the join becomes a bigram-keyed shuffle of (doc,
     bigram, tf) rows, never of text)."""
+    df = spread_small_scan(df)  # heavy narrow map; no-op at scale
     toks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     grams = F.expr(
         "CASE WHEN size(__toks) < 2 THEN array() "
@@ -1221,6 +1229,7 @@ def gopher_rules(
     per-distinct rescans). All ratios round to 4 and ``passes`` is
     evaluated on the ROUNDED values, so a SQL oracle reproduces every
     verdict bit-for-bit."""
+    df = spread_small_scan(df)  # heavy narrow map; no-op at scale
     text = F.coalesce(F.col(text_col), F.lit(""))
     words = tokens_col(text)
     n_words = F.size(words)
@@ -1329,6 +1338,7 @@ def script_stats(
     ``length``), pure codegen, one narrow scan, no shuffle; fractions
     round to 4. Docs with no script-classified letters report zero
     fractions and dominant_script NULL."""
+    df = spread_small_scan(df)  # heavy narrow map; no-op at scale
     text = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(text)
 
@@ -1569,6 +1579,7 @@ def c4_rules(
     no shuffle, no UDF, O(lines + chars) per doc; every signal is
     integer/boolean so a SQL oracle replays the verdict bit-for-bit.
     """
+    df = spread_small_scan(df)  # heavy narrow map; no-op at scale
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
         F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),

@@ -160,6 +160,9 @@ def url_dedup(
     signal, not the same signal): every one survives with
     ``n_dups=1`` (r12 ADVICE — the plain equi-join silently dropped
     them, losing real content with no accounting)."""
+    from ..utils import spread_small_scan
+
+    df = spread_small_scan(df)  # ~40-regex canon map; no-op at scale
     cu = df.withColumn(
         "__cu",
         F.col(url_col)

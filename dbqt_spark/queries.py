@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import TPCH_TABLES, discover_tables, load_table, load_tables
+from .utils import spread_small_scan
 from .operators.dedup import (
     minhash_near_duplicates,
     ngram_jaccard_near_duplicates,
@@ -7286,9 +7287,12 @@ def _linkgraph_synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         d,
         F.lit('">y</a></body></html>'),
     )
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", url.alias("url"), html.alias("text")
-    )
+    # fan the one-row-group scan so the regex outlink parse (now
+    # computed once, into pagerank's materialized edge frame)
+    # parallelizes instead of running on one core (no-op at scale)
+    return spread_small_scan(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", url.alias("url"), html.alias("text"))
 
 
 def q_outlink_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8596,6 +8600,10 @@ def _cdx_snapshot_frames(spark: SparkSession, sf_dir: str):
         )
         return parse_cdxj(lines)
 
+    # note (r15 optimization round): a spread_small_scan fan-out here
+    # measured NEUTRAL-to-worse — the four chains filter the scan
+    # differently, so the filters push below the round-robin exchange
+    # and defeat exchange reuse (four separate shuffles); left as-is
     docs = load_table(spark, sf_dir, "documents")
     src = F.col("source")
     old = parsed(docs, "01", url, src)

@@ -34,3 +34,26 @@ class Timer:
     def __exit__(self, *exc) -> None:
         self.elapsed = time.perf_counter() - self._t0
         self.logger.info("%s completed in %s", self.label, format_runtime(self.elapsed))
+
+
+def spread_small_scan(df, factor: int = 2):
+    """Repartition up to ``factor`` x the cluster's parallelism when the
+    input frame has fewer partitions than cores — a SMALL-INPUT fix,
+    not a scale behavior (guide idiom: one huge unsplittable file /
+    single-row-group table -> repartition immediately after the read).
+
+    A table stored as one parquet row group (this repo's testdata)
+    reaches Spark as ONE scan partition, so a heavy narrow map
+    (tokenize, regex canonicalization, synth parse) runs on a single
+    core no matter how many the machine has. At corpus scale inputs
+    arrive in >= cores splits (maxPartitionBytes) and this is a no-op.
+    Streaming frames (no .rdd) pass through untouched. The 2x-cores
+    target halves per-task walls, doubling FAIR-preemption granularity
+    for latency-bound chain queries sharing the pool (BENCH_NOTES
+    #10)."""
+    try:
+        n = df.rdd.getNumPartitions()
+        cores = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    return df.repartition(factor * cores) if n < cores else df

@@ -167,7 +167,14 @@ def test_repetition_stats_no_shuffle(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     plan = formatted_plan(repetition_stats(docs))
-    assert "Exchange" not in plan  # pure map over the scan
+    # pure map over the scan: no KEYED shuffle anywhere — the only
+    # exchange allowed is the size-gated small-input RoundRobin
+    # spread (utils.spread_small_scan; a no-op at corpus scale)
+    import re
+
+    for blk in re.split(r"\n(?=\(\d+\) )", plan):
+        if blk.startswith("(") and ") Exchange" in blk.split("\n")[0]:
+            assert "RoundRobinPartitioning" in blk, blk
 
 
 # --- stratified sample ------------------------------------------------------
@@ -1943,13 +1950,20 @@ def test_classifier_score_plan_broadcast_no_udf(spark, sf_dir):
     plan = formatted_plan(classifier_score(docs, {"the": 0.5, "and": 0.2}))
     assert "BroadcastHashJoin" in plan
     assert "ArrowEval" not in plan and "BatchEval" not in plan
-    # the only non-broadcast exchange is the doc-keyed rollup
-    tree = plan.split("\n\n")[0]
+    # the only KEYED non-broadcast exchange is the doc-keyed rollup
+    # (the size-gated small-input RoundRobin spread — a no-op at
+    # corpus scale — is exempt)
+    import re
+
     shuffles = [
-        ln for ln in tree.splitlines()
-        if "Exchange" in ln and "Broadcast" not in ln
+        blk
+        for blk in re.split(r"\n(?=\(\d+\) )", plan)
+        if blk.startswith("(")
+        and ") Exchange" in blk.split("\n")[0]
+        and "Broadcast" not in blk.split("\n")[0]
+        and "RoundRobinPartitioning" not in blk
     ]
-    assert len(shuffles) == 1
+    assert len(shuffles) == 1, shuffles
 
 
 def test_temperature_sample_rates(spark):
