@@ -131,6 +131,26 @@ def main() -> None:
         ).alias("f"),
     ).groupBy("pr").agg(F.count(F.lit(1))).collect()
 
+    # r15 (optimization round): the URL-canonicalization / SURT chains
+    # (~40 regex/string ops) pay a ~3 s global first-compile the cold
+    # trial was absorbing into whichever gate/CDX query ran first —
+    # measured 4.3 s first canon action vs 1.5 s for every later one,
+    # including DIFFERENT canon plans, so the cost is session-global
+    # and belongs in warmup like the other codegen shapes above.
+    from dbqt_spark.operators.urltools import canonical_url_col, surt_col
+
+    wu = spark.range(64).select(
+        F.concat(
+            F.lit("HTTP://WWW.Site-"), F.col("id") % 3,
+            F.lit(".COM:80/p/"), F.col("id"),
+            F.lit("/?utm_source=x&b=2&a=1#frag"),
+        ).alias("u")
+    )
+    wu.select(
+        F.md5(canonical_url_col(F.col("u"))).alias("c"),
+        surt_col(F.col("u")).alias("s"),
+    ).distinct().collect()
+
     # Oracle-backed queries are the comparable benchmark surface; the
     # approximate ops (minhash/simhash/lsh) are benched separately below.
     bench_names = [n for n in QUERIES if n in ORACLES]

@@ -173,9 +173,17 @@ def _cell_blocked_pairs(
             }
         )
 
-    return clustered.groupBy("cell").applyInPandas(
+    pairs = clustered.groupBy("cell").applyInPandas(
         pair_cell, "id_a long, id_b long"
-    ).dropDuplicates(["id_a", "id_b"])
+    )
+    if centroids is None:
+        # single-cell arm: every pair comes from one triu pass, so the
+        # frame is unique by construction — the dedup exchange would
+        # be pure overhead (r15 optimization round)
+        return pairs
+    # multi-assignment replication can emit the same pair from two
+    # shared cells — dedupe
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def semantic_gate_batch(
