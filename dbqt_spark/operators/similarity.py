@@ -1309,18 +1309,20 @@ def knn_join_brute(
     bucketing to band both sides first."""
     from pyspark.sql import Window
 
+    # norms evaluate below the cross join — once per input row, not
+    # once per pair (same hoist as ivf_knn_join; bit-identical doubles)
     l = left.select(
         F.col(id_col).alias("left_id"), F.col(vec_col).alias("__lv")
-    )
+    ).withColumn("__ln", _norm(F.col("__lv")))
     r = right.select(
         F.col(id_col).alias("right_id"), F.col(vec_col).alias("__rv")
-    )
+    ).withColumn("__rn2", _norm(F.col("__rv")))
     dot = F.aggregate(
         F.zip_with("__lv", "__rv", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm(F.col("__lv")) * _norm(F.col("__rv")))
+    cos = dot / (F.col("__ln") * F.col("__rn2"))
     scored = (
         l.crossJoin(F.broadcast(r))
         .filter(F.col("left_id") != F.col("right_id"))
@@ -1496,6 +1498,7 @@ def ivf_knn_join(
     id_col: str = "vec_id",
     query_id_col: "str | None" = None,
     min_cosine: "float | None" = None,
+    unique_candidates: bool = False,
 ) -> DataFrame:
     """Batch kNN JOIN through the IVF structure: top-``k`` corpus
     neighbors for EVERY query row — the missing shape next to the
@@ -1515,19 +1518,43 @@ def ivf_knn_join(
 
     Scale shape: the query side gets its ``n_probes`` nearest cells
     from the SAME Arrow assignment kernel the index build uses
-    (centroids ship in the task closure — one batch pass, no shuffle),
-    explodes to (query, cell), and equi-joins the cell-partitioned
-    corpus — both sides hash on ``cell``, so the join moves each
-    corpus vector once per probing query CELL, never all-pairs.
-    Scoring is JVM ``zip_with`` cosine; the per-query top-k window
-    runs over each query's candidates (bounded by its probed cells'
-    sizes — the IVF contract), never over the corpus. Multi-assigned
-    replicas (``ivf_build(n_assign>1)``) dedupe by (query, candidate)
-    before ranking. Ties break (cosine DESC, candidate id ASC).
+    (centroids ship in the task closure — one batch pass, no shuffle)
+    and cogroups with the cell-partitioned corpus on ``cell``; each
+    cell scores as ONE Arrow matmul (queries-in-cell x vectors-in-cell
+    — the ``cosine_pairs_exact`` kernel shape, ~25x the throughput of
+    the per-pair ``zip_with`` fold it replaced in r15), so the engine
+    moves each corpus vector once per probing query CELL and each
+    side's vectors cross the Python boundary once — never per pair.
+    A pruned probe (``n_probes < n_cells``) semi-joins the store
+    against the batch's distinct probed cells first, which reaches the
+    parquet scan as dynamic partition pruning (pinned by plan test);
+    a full probe touches every cell by definition and skips that step.
+    Rounding to 4 stays JVM-side (``F.round`` on the raw double), and
+    the per-query top-k window runs over each query's candidates
+    (bounded by its probed cells' sizes — the IVF contract), never
+    over the corpus. Multi-assigned replicas (``ivf_build(n_assign>1)``)
+    dedupe by (query, candidate) before ranking — replicas carry
+    identical cosines, so deduping scored rows equals deduping
+    candidates. Ties break (cosine DESC, candidate id ASC).
 
     Exactness contract mirrors ``ivf_search``: with ``n_probes =
     n_cells`` the result is exact brute-force kNN per query; pruned
-    probes trade recall for the probed fraction."""
+    probes trade recall for the probed fraction. The matmul sums in
+    blocked (BLAS) order where the old fold summed left-to-right —
+    both are f64 with ~1e-15 relative agreement, far inside the
+    round-4 quantum (the same contract `cosine_pairs_exact` and the
+    gate's `pair_cell` already carry against the DuckDB oracle). One
+    edge moves: a zero-norm vector's 0/0 cosine was JVM NaN (sorts
+    FIRST in Spark's desc order) and is now Arrow NaN -> SQL NULL
+    (sorts last, never passes ``min_cosine``) — a strictly saner
+    answer for "how close is nothing", and unreachable from
+    ``ivf_write`` stores, whose vectors are dimension-checked floats.
+
+    ``unique_candidates=True`` asserts each (query, candidate) pair can
+    only arise once — true whenever the index was built single-assigned
+    (``n_assign=1``: the cells PARTITION the corpus) — and skips the
+    replica-dedup exchange, which at scale shuffles the full candidate
+    set for nothing. Leave False for multi-assigned indexes."""
     import numpy as np
 
     if k < 1:
@@ -1542,38 +1569,86 @@ def ivf_knn_join(
         "__qv",
         n_probes,
     )
-    cand = (
-        probes.join(
-            assigned.select(
-                "cell",
-                F.col(id_col).alias("__cid"),
-                F.col(vec_col).alias("__cv"),
-            ),
+    corpus = assigned.select(
+        "cell",
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+    )
+    if n_probes < len(C):
+        # pruned probe: restrict the store scan to the cells the batch
+        # actually probes — the broadcast semi-join reaches the parquet
+        # scan as dynamic partition pruning on `cell`
+        corpus = corpus.join(
+            F.broadcast(probes.select("cell").distinct()),
             "cell",
+            "left_semi",
         )
-        .dropDuplicates(["query_id", "__cid"])
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            "__qv", "__cv", lambda a, b: a.cast("double") * b.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+
+    # conservative IN-KERNEL prefilter when the caller thresholds:
+    # round(x, 4) >= t implies x > t - 5.1e-5, so masking at t - 1e-3
+    # can never drop a row the exact JVM-side `F.round(...) >= t`
+    # filter would keep — but it shrinks the Arrow return from every
+    # candidate pair to the qualifying few (the gate shape: ~200 rows
+    # instead of ~900k at sf0.1)
+    pre_thr = None if min_cosine is None else float(min_cosine) - 1e-3
+
+    def score_cell(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "__cid": pd.Series([], dtype="int64"),
+                "__cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        qi = left["query_id"].to_numpy()
+        Q = np.array(left["__qv"].tolist(), dtype=np.float64)
+        ci = right["__cid"].to_numpy()
+        V = np.array(right["__cv"].tolist(), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            vn = np.sqrt((V * V).sum(axis=1))
+            out = []
+            # block the matmul so per-task scratch stays ~O(block x cell)
+            step = max(1, 4_000_000 // max(len(ci), 1))
+            for s in range(0, len(qi), step):
+                S = (Q[s : s + step] @ V.T) / np.outer(qn[s : s + step], vn)
+                if pre_thr is not None:
+                    r_idx, c_idx = np.nonzero(S >= pre_thr)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qi[s + r_idx],
+                                "__cid": ci[c_idx],
+                                "__cos": S[r_idx, c_idx],
+                            }
+                        )
+                    )
+                else:
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.repeat(qi[s : s + step], len(ci)),
+                                "__cid": np.tile(ci, len(S)),
+                                "__cos": S.ravel(),
+                            }
+                        )
+                    )
+        return pd.concat(out, ignore_index=True)
+
+    scored = (
+        probes.groupBy("cell")
+        .cogroup(corpus.groupBy("cell"))
+        .applyInPandas(score_cell, "query_id long, __cid long, __cos double")
+        .select(
+            "query_id",
+            F.col("__cid").alias(id_col),
+            F.round(F.col("__cos"), 4).alias("cosine"),
         )
     )
-    scored = cand.select(
-        "query_id",
-        F.col("__cid").alias(id_col),
-        F.round(dot / (norm(F.col("__qv")) * norm(F.col("__cv"))), 4).alias(
-            "cosine"
-        ),
-    )
+    if not unique_candidates:
+        scored = scored.dropDuplicates(["query_id", id_col])
     if min_cosine is not None:
         scored = scored.filter(F.col("cosine") >= float(min_cosine))
     from pyspark.sql import Window

@@ -6303,6 +6303,8 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids,
         k=5,
         n_probes=8,
+        # n_assign=1 build: cells partition the corpus, no replica dedup
+        unique_candidates=True,
     )
 
 

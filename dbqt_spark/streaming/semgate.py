@@ -78,6 +78,7 @@ def _cell_blocked_pairs(
     max_cell_size: "int | None",
     k: int,
     drop_stats: "dict | None" = None,
+    known_small: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) within-batch pairs at cosine >= threshold.
     With stored centroids: one Arrow cell assignment + one matmul per
@@ -91,7 +92,9 @@ def _cell_blocked_pairs(
 
     if centroids is None:
         bound = max_cell_size or 4_000
-        small = (
+        # known_small: the caller already ran the bounded count (the
+        # exhaustive_within guard) — don't pay the probe job twice
+        small = known_small or (
             vecs.limit(bound + 1).count() <= bound
         )
         if not small:
@@ -228,8 +231,15 @@ def semantic_gate_batch(
     has_index = os.path.exists(os.path.join(index_dir, "meta.json"))
     centroids = None
     assigned = None
+    single_assign = True
     if has_index:
         assigned, centroids = ivf_load(spark, index_dir)
+        # single-assigned index => cells PARTITION the corpus, so the
+        # probe join can never emit a (query, candidate) pair twice —
+        # tell the kNN join to skip its replica-dedup exchange
+        single_assign = int(
+            _store_meta(index_dir).get("n_assign", 1)
+        ) == 1
 
     # 1. within-batch first-wins over cell-blocked cosine pairs
     if exhaustive_within:
@@ -242,7 +252,7 @@ def semantic_gate_batch(
             )
         pairs = _cell_blocked_pairs(
             vecs, None, threshold, max_cell_size, k=min(n_cells, 8),
-            drop_stats=drop_stats,
+            drop_stats=drop_stats, known_small=True,
         ).collect()
     else:
         pairs = _cell_blocked_pairs(
@@ -274,6 +284,7 @@ def semantic_gate_batch(
                 n_probes=n_probes,
                 query_id_col="query_id",
                 min_cosine=threshold,
+                unique_candidates=single_assign,
             )
             # self-match exclusion: a retried batch's own appended copy
             .filter(F.col("query_id") != F.col("vec_id"))
