@@ -658,7 +658,15 @@ def perplexity_buckets(
     lo, hi = cuts
     if not 0 < lo < hi < 1:
         raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
-    scored = lm_score(df, text_col=text_col, id_col=id_col)
+    # the scored frame feeds BOTH the edge aggregate and the bucketed
+    # output; without a materialization the whole lm_score pipeline
+    # (explode -> two aggregations -> joins) evaluates twice. The lazy
+    # localCheckpoint computes it once at the edge aggregate and the
+    # bucketing reads cached narrow (id, stats) partitions (r15: plan
+    # 46 Exchanges -> the single scoring chain)
+    scored = lm_score(df, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     if exact:
         edges = scored.selectExpr(
             f"percentile_disc({lo}) WITHIN GROUP (ORDER BY perplexity)"

@@ -8589,8 +8589,8 @@ def _cdx_snapshot_frames(spark: SparkSession, sf_dir: str):
     )
     url = F.concat(F.lit("https://site-"), d % 5, F.lit(".example/p/"), d)
 
-    def parsed(docs: DataFrame, day: str, url_col, payload) -> DataFrame:
-        rows = docs.select(
+    def parsed(capts: DataFrame, day_col, url_col, payload) -> DataFrame:
+        rows = capts.select(
             F.lit("seg-00000.warc.gz").alias("warc_file"),
             F.concat(F.lit("<urn:uuid:"), d, F.lit(">")).alias(
                 "record_id"
@@ -8598,41 +8598,61 @@ def _cdx_snapshot_frames(spark: SparkSession, sf_dir: str):
             F.lit("response").alias("record_type"),
             url_col.alias("url"),
             F.concat(
-                F.lit(f"2024-03-{day}T"), hms, F.lit("Z")
+                F.lit("2024-03-"), day_col, F.lit("T"), hms, F.lit("Z")
             ).alias("warc_date"),
             F.lit("text/html").alias("mime"),
             F.lit(200).cast("int").alias("http_status"),
             F.lit(None).cast("string").alias("redirect_to"),
             F.encode(payload, "utf-8").alias("payload"),
         )
-        lines = cdx_index(rows).select(
+        # sort=False: the index-build sort is wasted here — both
+        # consumers window/join by surt_key, re-hashing the rows the
+        # instant they parse back (r15: drops one full rangepartition
+        # Exchange per snapshot chain; result order set downstream)
+        lines = cdx_index(rows, sort=False).select(
             F.concat_ws(" ", "surt_key", "ts14", "cdxj").alias("line")
         )
         return parse_cdxj(lines)
 
-    # note (r15 optimization round): a spread_small_scan fan-out here
-    # measured NEUTRAL-to-worse — the four chains filter the scan
-    # differently, so the filters push below the round-robin exchange
-    # and defeat exchange reuse (four separate shuffles); left as-is
     docs = load_table(spark, sf_dir, "documents")
     src = F.col("source")
-    old = parsed(docs, "01", url, src)
-    b_base = parsed(
-        docs.where(d % 10 != 0),
-        "02",
-        url,
-        F.when(d % 10 == 1, F.concat(src, F.lit("v2")))
-        .when(d % 10 == 3, F.concat(src, F.lit("tmp")))
-        .otherwise(src),
+    old = parsed(docs, F.lit("01"), url, src)
+    # snapshot B's three capture classes come out of ONE documents scan
+    # via a conditional explode (r15: was three filtered scans + union,
+    # each carrying its own copy of the cdxj concat tower — 3 scans ->
+    # 1 and the tower appears once in the plan; same rows, and the
+    # latest-per-key window downstream is order-independent)
+    entry = lambda day, u, p: F.struct(  # noqa: E731
+        F.lit(day).alias("day"), u.alias("url"), p.alias("payload")
     )
-    b_revert = parsed(docs.where(d % 10 == 3), "03", url, src)
-    b_alt = parsed(
-        docs.where(d % 10 == 2),
-        "02",
-        F.concat(url, F.lit("/alt")),
-        F.concat(F.lit("alt:"), src),
+    b_entries = F.filter(
+        F.array(
+            F.when(
+                d % 10 != 0,
+                entry(
+                    "02",
+                    url,
+                    F.when(d % 10 == 1, F.concat(src, F.lit("v2")))
+                    .when(d % 10 == 3, F.concat(src, F.lit("tmp")))
+                    .otherwise(src),
+                ),
+            ),
+            F.when(d % 10 == 3, entry("03", url, src)),
+            F.when(
+                d % 10 == 2,
+                entry(
+                    "02",
+                    F.concat(url, F.lit("/alt")),
+                    F.concat(F.lit("alt:"), src),
+                ),
+            ),
+        ),
+        lambda e: e.isNotNull(),
     )
-    new = b_base.unionByName(b_revert).unionByName(b_alt)
+    b = docs.select(d, F.explode(b_entries).alias("e"))
+    new = parsed(
+        b, F.col("e.day"), F.col("e.url"), F.col("e.payload")
+    )
     return old, new
 
 
