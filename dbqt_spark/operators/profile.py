@@ -192,6 +192,14 @@ def profile_numeric(
         return df.sparkSession.createDataFrame([], empty_schema)
 
     scalable = route_percentiles_scalable(df, percentile_mode)
+    # Fan a single-row-group scan across the cluster AFTER the routing
+    # decision (the repartition node would hide the scan's sizeInBytes):
+    # the decimal sums and the percentile buffers partial-aggregate
+    # per-partition, and every one of them is merge-order independent,
+    # so the spread changes wall time only. No-op at corpus scale.
+    from ..utils import spread_small_scan
+
+    df = spread_small_scan(df)
     pct_lits: dict = {}
     if scalable:
         # ONE joint refinement for every column (exact, never
@@ -343,7 +351,15 @@ def numeric_histogram(
         *[F.min(vi(c)).alias(f"__lo_{c}") for c in cols],
         *[F.max(vi(c)).alias(f"__hi_{c}") for c in cols],
     )
-    data = df.select(*[vi(c).alias(f"__v_{c}") for c in cols])
+    # pass 2 only: spreading the bounds pass would defeat the parquet
+    # min/max aggregate pushdown noted above; the scaled-int bucket
+    # arithmetic is partition-independent, so fanning out the counting
+    # pass is pure parallelism. No-op at corpus scale.
+    from ..utils import spread_small_scan
+
+    data = spread_small_scan(df).select(
+        *[vi(c).alias(f"__v_{c}") for c in cols]
+    )
     joined = data.crossJoin(F.broadcast(bounds))
 
     structs = []
@@ -441,6 +457,14 @@ def correlation_matrix(
 
     if not exact:
         return _correlation_matrix_approx(df, table_name, pairs)
+
+    # the exact-decimal sums are order-independent by contract, so a
+    # round-robin fan-out of a single-row-group scan cannot change a
+    # bit of the output — it only parallelizes the int128 products
+    # that otherwise run on one core. No-op at corpus scale.
+    from ..utils import spread_small_scan
+
+    df = spread_small_scan(df)
 
     def d(c: str):
         return F.col(c).try_cast("decimal(18,6)")
@@ -787,6 +811,11 @@ def quantile_histogram(
             )
         edge_exprs.append(f"min(CAST(`{c}` AS DOUBLE)) AS `__mn_{c}`")
         edge_exprs.append(f"max(CAST(`{c}` AS DOUBLE)) AS `__mx_{c}`")
+    # NOTE (r15): spread_small_scan measured NEUTRAL-to-worse on BOTH
+    # passes here (pass 1: the percentile_disc value-map merge across
+    # 64 partials beats one single-core build only on much wider
+    # inputs; pass 2: the bucket map is a handful of comparisons —
+    # cheaper than the round-robin shuffle it would ride). Left alone.
     edge_row = df.selectExpr(*edge_exprs).collect()[0]
     data = df.select(
         *[F.col(c).cast("double").alias(f"__v_{c}") for c in cols]
@@ -1187,6 +1216,12 @@ def scalable_group_percentiles(
     spark = df.sparkSession
     gfield = df.schema[group_col]
     v = F.col(value_col).try_cast("double")
+    # NOTE (r15): spreading the persisted base across cores was
+    # measured WORSE here (warm solo 3.16 -> 4.01 s at sf0.1): each
+    # refinement round launches one tiny aggregate per cached
+    # partition, so task scheduling dominates the sub-second rounds.
+    # At corpus scale the scan arrives already split and the rounds
+    # are data-bound — nothing to fix.
     base = (
         df.select(F.col(group_col).alias("__g"), v.alias("__v"))
         .filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
