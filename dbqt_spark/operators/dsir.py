@@ -98,8 +98,16 @@ def hashed_ngram_features(
         f"cast(conv(substring(md5(__gram), 1, 15), 16, 10) as bigint) "
         f"% {n_buckets}"
     )
+    # tokenize + explode + per-gram md5 is the heaviest narrow map in
+    # the DSIR chain; fan a single-row-group scan out first (no-op at
+    # corpus scale, and on streaming frames — micro-batch scoring
+    # passes through untouched). The (id, bucket) count is map-side
+    # combined and partition-independent.
+    from ..utils import spread_small_scan
+
     return (
-        df.select(F.col(id_col), toks.alias("__toks"))
+        spread_small_scan(df)
+        .select(F.col(id_col), toks.alias("__toks"))
         .select(
             id_col, F.explode(F.expr(_grams_expr(max_n))).alias("__gram")
         )

@@ -1617,7 +1617,11 @@ def q_streaming_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
     raw_schema = spark.read.parquet(path).schema
-    stream = stream_events_from_parquet(spark, path, schema=raw_schema)
+    # spread: the ~40-op canon chain otherwise runs on the one-file
+    # micro-batch's single scan partition (r15, measured ~0.5-1.2 s)
+    stream = stream_events_from_parquet(
+        spark, path, schema=raw_schema, spread=True
+    )
 
     def with_urls(df: DataFrame) -> DataFrame:
         return url_first_seen(df.withColumn("url", _gate_url_col()))
@@ -1662,7 +1666,11 @@ def q_streaming_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
     raw_schema = spark.read.parquet(path).schema
-    stream = stream_events_from_parquet(spark, path, schema=raw_schema)
+    # spread: the ~40-op canon chain otherwise runs on the one-file
+    # micro-batch's single scan partition (r15, measured ~0.5-1.2 s)
+    stream = stream_events_from_parquet(
+        spark, path, schema=raw_schema, spread=True
+    )
 
     def with_urls(df: DataFrame) -> DataFrame:
         return url_first_seen(
@@ -1729,7 +1737,7 @@ def q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-batch otherwise (word frame is tiny — set-bit rows only)
 
     stream = stream_events_from_parquet(
-        spark, path, schema=batch.schema
+        spark, path, schema=batch.schema, spread=True
     )
 
     def gate(df: DataFrame) -> DataFrame:

@@ -82,13 +82,21 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 
 def stream_events_from_parquet(
-    spark: SparkSession, path: str, schema=None
+    spark: SparkSession, path: str, schema=None, spread: bool = False
 ) -> DataFrame:
     """File-source stream over a parquet directory (one file per
     micro-batch by default). Schema must be provided for streaming reads;
     derive it from a batch read when absent. A single-file path streams
     via its parent directory + pathGlobFilter (file sources require a
-    directory basePath)."""
+    directory basePath).
+
+    ``spread=True`` round-robins each micro-batch across the cluster
+    before downstream transforms — for gates whose pre-state map is
+    heavy (the ~40-op URL canonicalization chain), a one-file trigger
+    otherwise runs it on a single core. This is a per-micro-batch
+    redistribution bounded by the trigger size, valid at any scale;
+    leave it off for cheap pass-through streams where the extra
+    exchange costs more than it buys."""
     import os
 
     if schema is None:
@@ -97,7 +105,12 @@ def stream_events_from_parquet(
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    return reader.parquet(path)
+    out = reader.parquet(path)
+    if spread:
+        out = out.repartition(
+            2 * spark.sparkContext.defaultParallelism
+        )
+    return out
 
 
 def run_stream_once(
