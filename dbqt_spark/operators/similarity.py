@@ -860,6 +860,7 @@ def ivf_write(
     path: str,
     vec_col: str = "embedding",
     n_assign: int = 1,
+    compact_cells: bool = False,
 ) -> None:
     """Persist an IVF index: the cell-assigned vectors as parquet
     ``partitionBy("cell")`` plus the centroid list as JSON alongside.
@@ -884,6 +885,15 @@ def ivf_write(
     # until the new meta.json commits
     generation = _next_generation(path)
     target = _vectors_dir(path, {"generation": generation})
+    if compact_cells:
+        # one file per cell instead of one per (task, cell): a
+        # trigger-bounded store (streaming gate births the index from
+        # ONE micro-batch) otherwise fragments into tasks x cells tiny
+        # files, paying commit overhead now and open overhead at every
+        # later probe/load. Callers with corpus-sized builds keep the
+        # default (a cell of a 100 TB store must not collapse to one
+        # task).
+        assigned = assigned.repartition("cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(target)
     with open(_centroids_path(path, {"generation": generation}), "w") as f:
         json.dump(centroids, f)
@@ -928,6 +938,7 @@ def ivf_append(
     path: str,
     vec_col: str = "embedding",
     max_drift: float = 4.0,
+    compact_cells: bool = False,
 ) -> None:
     """Append vectors to an existing ``ivf_write`` index, guarded against
     centroid drift.
@@ -973,9 +984,13 @@ def ivf_append(
             "instead of appending"
         )
 
-    _assign_cells(
-        df, C, vec_col, int(meta.get("n_assign", 1))
-    ).write.mode("append").partitionBy("cell").parquet(
+    appended = _assign_cells(df, C, vec_col, int(meta.get("n_assign", 1)))
+    if compact_cells:
+        # trigger-bounded appends write one file per touched cell per
+        # batch instead of one per (task, cell) — see ivf_write; the
+        # periodic ivf_compact story is for corpus-sized appends
+        appended = appended.repartition("cell")
+    appended.write.mode("append").partitionBy("cell").parquet(
         _vectors_dir(path, meta)
     )
 

@@ -306,9 +306,13 @@ def semantic_gate_batch(
     if not has_index:
         if kept_vecs.first() is not None:
             built, cents = ivf_build(kept_vecs, n_cells=n_cells)
-            ivf_write(built, cents, index_dir)
+            # compact_cells: the batch is trigger-bounded, so one file
+            # per cell is the right layout at any scale (r15)
+            ivf_write(built, cents, index_dir, compact_cells=True)
     else:
-        ivf_append(kept_vecs, index_dir, max_drift=max_drift)
+        ivf_append(
+            kept_vecs, index_dir, max_drift=max_drift, compact_cells=True
+        )
     return kept
 
 
