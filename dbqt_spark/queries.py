@@ -7095,18 +7095,40 @@ FROM documents ORDER BY url_canon
 """
 
 
+def _micro_col(c: str) -> F.Column:
+    """Exact BIGINT micro-units from a scale-6 DECIMAL column: x10^6 as
+    a DECIMAL-by-DECIMAL product (scale stays 6, values far inside the
+    38-digit precision — no rounding anywhere) then an exact integral
+    cast. The driver-canonical integer surface for the DSIR contract
+    (VERDICT r15 #2: a top-level DECIMAL column is the one output type
+    whose cross-engine pandas repr the driver's canon hashes
+    differently — every BIGINT contract passed the driver first try,
+    both remaining DECIMAL surfaces stayed red; audited: dsir_weights /
+    dsir_select were the registry's only DECIMAL-surfaced outputs)."""
+    return F.expr(f"CAST({c} * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)")
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/dsir, Xie et al. 2023): raw
     corpus = all documents, target = the doc_id % 7 == 0 subset
     standing in for the curated exemplar corpus. Hashed uni+bigram
     features (10k buckets, portable md5-prefix hash), Laplace-smoothed
     bucket log-ratios rounded to DECIMAL(18,6), exact per-doc sums —
-    the oracle replays every weight bit-for-bit."""
+    the oracle replays every weight bit-for-bit. Declared surface is
+    integer micro-units (see ``_micro_col``)."""
     from .operators.dsir import dsir_weights
 
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("doc_id") % 7 == 0)
-    return dsir_weights(docs, target).orderBy("doc_id")
+    return (
+        dsir_weights(docs, target)
+        .select(
+            "doc_id",
+            "n_grams",
+            _micro_col("log_weight").alias("log_weight_micro"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # Shared CTE text for the DSIR twins: features / marginals / smoothed
@@ -7202,21 +7224,26 @@ lr AS (
   SELECT bucket, {_DSIR_LR6_EXPR} AS lr6 FROM {_DSIR_LR_LAST}
 ),
 per_doc AS (
+  -- integer micro-units end-to-end (VERDICT r15 #2): lr6 has scale 6,
+  -- so lr6*10^6 is exactly integral (DECIMAL(25,6) product, exact
+  -- BIGINT cast); cnt * lr6_micro and the sum are pure int64/int128
+  -- arithmetic — no DECIMAL ever reaches the declared surface
   SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_grams,
-         sum(CAST(f.cnt AS DECIMAL(18,0)) * lr.lr6) AS lw
+         CAST(sum(f.cnt * CAST(lr.lr6 * 1000000 AS BIGINT)) AS BIGINT)
+           AS lw_micro
   FROM rfeat f JOIN lr ON f.bucket = lr.bucket
   GROUP BY f.doc_id
 ),
 dsirw AS (
   SELECT d.doc_id,
     coalesce(p.n_grams, 0) AS n_grams,
-    CAST(coalesce(p.lw, 0) AS DECIMAL(38,6)) AS log_weight
+    CAST(coalesce(p.lw_micro, 0) AS BIGINT) AS log_weight_micro
   FROM rawd d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 )"""
 
 SQL_DSIR_WEIGHTS = f"""
 WITH {_SQL_DSIR_CTES}
-SELECT doc_id, n_grams, log_weight FROM dsirw ORDER BY doc_id
+SELECT doc_id, n_grams, log_weight_micro FROM dsirw ORDER BY doc_id
 """
 
 
@@ -7253,15 +7280,19 @@ def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_dsir_gate(spark, stream, ratios, "0", out, ckpt)
     return (
         spark.read.parquet(out)
-        .select("doc_id", "n_grams", "log_weight")
+        .select(
+            "doc_id",
+            "n_grams",
+            _micro_col("log_weight").alias("log_weight_micro"),
+        )
         .orderBy("doc_id")
     )
 
 
 SQL_STREAMING_DSIR_GATE = f"""
 WITH {_SQL_DSIR_CTES}
-SELECT doc_id, n_grams, log_weight FROM dsirw
-WHERE log_weight >= 0
+SELECT doc_id, n_grams, log_weight_micro FROM dsirw
+WHERE log_weight_micro >= 0
 ORDER BY doc_id
 """
 
@@ -7276,8 +7307,18 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("doc_id") % 7 == 0)
-    return dsir_select(docs, target, k=200, mode="gumbel", seed=7).orderBy(
-        F.col("sample_key").desc(), F.col("doc_id").asc()
+    # micro-unit surface: ordering by sample_key_micro is the SAME
+    # total order as the operator's DECIMAL sample_key (x10^6 is
+    # monotone and exact), so the k-boundary is unchanged
+    return (
+        dsir_select(docs, target, k=200, mode="gumbel", seed=7)
+        .select(
+            "doc_id",
+            "n_grams",
+            _micro_col("log_weight").alias("log_weight_micro"),
+            _micro_col("sample_key").alias("sample_key_micro"),
+        )
+        .orderBy(F.col("sample_key_micro").desc(), F.col("doc_id").asc())
     )
 
 
@@ -7768,7 +7809,16 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
         html.alias("text"),
     )
-    return anchor_texts(pages, top_k=3).orderBy("dst_url")
+    # driver-canonical scalar surface (VERDICT r15 #1): the driver's
+    # canon sorts a pandas frame by every column, and a top-level
+    # array<string> crashes it (unhashable list) — join the ordered
+    # top-k into one '|'-delimited string; the oracle replays the same
+    # join, so the contract is unchanged modulo representation
+    return (
+        anchor_texts(pages, top_k=3)
+        .withColumn("top_anchors", F.array_join("top_anchors", "|"))
+        .orderBy("dst_url")
+    )
 
 
 SQL_ANCHOR_TEXTS = """
@@ -7795,7 +7845,7 @@ tot AS (
   FROM allx GROUP BY h
 ),
 topa AS (
-  SELECT h, list(anchor ORDER BY r) AS top_anchors
+  SELECT h, string_agg(anchor, '|' ORDER BY r) AS top_anchors
   FROM rk WHERE r <= 3 GROUP BY h
 )
 SELECT 'https://hub-' || h || '.example/' AS dst_url,
@@ -7838,7 +7888,14 @@ def q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(200).cast("int").alias("http_status"),
         F.encode(html, "utf-8").alias("payload"),
     )
-    return wat_metadata(parsed).orderBy("record_id")
+    # driver-canonical scalar surface (VERDICT r15 #1, same rule as
+    # q_anchor_texts): the sorted, deduplicated link array joins into
+    # one '|'-delimited string so the driver's pandas canon can key it
+    return (
+        wat_metadata(parsed)
+        .withColumn("links", F.array_join("links", "|"))
+        .orderBy("record_id")
+    )
 
 
 SQL_WAT_METADATA = """
@@ -7851,10 +7908,10 @@ SELECT
   CAST(200 AS INTEGER) AS http_status,
   'Doc ' || doc_id AS title,
   CAST(2 AS INTEGER) AS n_links,
-  list_sort([
+  array_to_string(list_sort([
     'https://site-' || ((3 * doc_id + 1) % 7) || '.example/r/' || doc_id,
     'https://site-' || (doc_id % 7) || '.example/self/' || doc_id
-  ]) AS links
+  ]), '|') AS links
 FROM documents
 ORDER BY record_id
 """
@@ -8463,10 +8520,10 @@ _DSIR_GUMBEL_CTES, _DSIR_GUMBEL_LAST = _pm_chain_ctes(
 SQL_DSIR_SELECT = f"""
 WITH {_SQL_DSIR_CTES},
 {_DSIR_GUMBEL_CTES}
-SELECT doc_id, n_grams, log_weight,
-  log_weight + __g AS sample_key
+SELECT doc_id, n_grams, log_weight_micro,
+  log_weight_micro + CAST(__g * 1000000 AS BIGINT) AS sample_key_micro
 FROM {_DSIR_GUMBEL_LAST}
-ORDER BY sample_key DESC, doc_id ASC
+ORDER BY sample_key_micro DESC, doc_id ASC
 LIMIT 200
 """
 
