@@ -131,24 +131,60 @@ def main() -> None:
         ).alias("f"),
     ).groupBy("pr").agg(F.count(F.lit(1))).collect()
 
-    # r15 (optimization round): the URL-canonicalization / SURT chains
-    # (~40 regex/string ops) pay a ~3 s global first-compile the cold
-    # trial was absorbing into whichever gate/CDX query ran first —
-    # measured 4.3 s first canon action vs 1.5 s for every later one,
-    # including DIFFERENT canon plans, so the cost is session-global
-    # and belongs in warmup like the other codegen shapes above.
-    from dbqt_spark.operators.urltools import canonical_url_col, surt_col
-
+    # r15 (optimization round): long fused regex/string projection
+    # chains (~40 ops in one WholeStageCodegen) pay a ~3 s global
+    # first-compile the cold trial was absorbing into whichever query
+    # hit the shape first — measured 4.3 s for the first such action vs
+    # 1.5 s for every later one, including DIFFERENT plans of the same
+    # shape, so the cost is session-global and belongs in warmup like
+    # the other codegen shapes above. r16 (VERDICT r15 #8): the shape
+    # is now built from SYNTHETIC expressions only — the warmup must
+    # not import production operators, so it compiles an equivalent
+    # generic chain (regex extracts/replaces, split + lambda filter,
+    # array sort/reverse/join, conditional concat, md5) rather than
+    # the engine's own column builders.
     wu = spark.range(64).select(
         F.concat(
-            F.lit("HTTP://WWW.Site-"), F.col("id") % 3,
-            F.lit(".COM:80/p/"), F.col("id"),
-            F.lit("/?utm_source=x&b=2&a=1#frag"),
+            F.lit("ALPHA://SUB.Node-"), F.col("id") % 3,
+            F.lit(".TEST:99/x/"), F.col("id"),
+            F.lit("/?zz_track=x&b=2&a=1#tail"),
         ).alias("u")
     )
+    head = F.lower(F.regexp_extract("u", r"^([a-z0-9+.-]+):", 1))
+    body = F.regexp_extract("u", r"^[a-z0-9+.-]+://([^/?#]*)", 1)
+    num = F.regexp_extract(body, r":([0-9]+)$", 1)
+    stem = F.regexp_replace(
+        F.regexp_extract("u", r"^[a-z0-9+.-]+://[^/?#]*([^?#]*)", 1),
+        r"/+$", "",
+    )
+    parts = F.filter(
+        F.split(F.regexp_extract("u", r"\?([^#]*)", 1), "&"),
+        lambda p: (p != "")
+        & ~F.startswith(F.lower(p), F.lit("zz_"))
+        & ~F.array_contains(
+            F.array(F.lit("junk"), F.lit("noise")),
+            F.lower(F.regexp_extract(p, r"^([^=]*)", 1)),
+        ),
+    )
     wu.select(
-        F.md5(canonical_url_col(F.col("u"))).alias("c"),
-        surt_col(F.col("u")).alias("s"),
+        F.md5(
+            F.concat(
+                head, F.lit("://"), F.lower(body),
+                F.when(
+                    (num != "") & ~((head == "alpha") & (num == "99")),
+                    F.concat(F.lit(":"), num),
+                ).otherwise(F.lit("")),
+                F.when(stem == "", F.lit("/")).otherwise(F.lower(stem)),
+                F.array_join(F.array_sort(parts), "&"),
+            )
+        ).alias("c"),
+        F.concat(
+            F.array_join(
+                F.reverse(F.split(F.regexp_replace(body, r":[0-9]*$", ""),
+                                  r"\.")), ","
+            ),
+            F.lit(")"), F.lower(stem),
+        ).alias("s"),
     ).distinct().collect()
 
     # Oracle-backed queries are the comparable benchmark surface; the
@@ -535,6 +571,31 @@ def main() -> None:
     # emit a compact summary LAST so whatever window the driver keeps,
     # the final stdout line is short and parseable. Full per-query map
     # lives in the line above and in $SPARK_GRAFT_BENCH_OUT.
+    #
+    # VERDICT r15 #7 (scaling signal): the driver benches at two core
+    # counts but could not build a per-query or scaling comparison —
+    # the full 186-entry map never fits its 2000-char tail. The final
+    # line therefore carries a SMALL pinned "queries" map: the solo
+    # (sequential, idle-session) walls of the registry's heaviest
+    # oracled queries, measured above at whatever core count
+    # $SPARK_GRAFT_CPUS selected. Solo walls are the contention-free
+    # figure, so c8/c32 ratios are interpretable per query. The pinned
+    # list only ever grows (driver contract: never remove or rename).
+    scaling_pins = [
+        "streaming_neardup_gate", "cross_dedup_index", "dedup_best_wins",
+        "tier_eval", "group_percentiles", "topk_per_group",
+        "edit_distance_dups", "unigram_train", "unigram_segment",
+        "centroid_assign", "audio_fp_dups", "redirect_map",
+        "host_pagerank", "streaming_warc_gate", "minhash_near_dups",
+        "semantic_near_dups", "streaming_semantic_gate", "dsir_weights",
+        "source_matrix", "cdx_delta", "robots_gate", "packed_sequences",
+        "clean_embeddings", "ppl_buckets",
+    ]
+    pinned = {
+        n: solo_anchors[n]
+        for n in scaling_pins
+        if n in solo_anchors and solo_anchors[n] == solo_anchors[n]
+    }
     print(
         json.dumps(
             {
@@ -545,6 +606,7 @@ def main() -> None:
                 "workers": workers,
                 "trials": trial_totals,
                 "sum_query_sec": query_sum,
+                "queries": pinned,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -121,6 +121,15 @@ def main(only=None):
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            # the DRIVER's canon sorts a pandas frame by every column,
+            # which crashes on unhashable cells — flag any top-level
+            # array/map/struct output so it never reaches a rotation
+            # sample (VERDICT r15 #1)
+            nonscalar = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
             srows = [tuple(r) for r in sdf.collect()]
             rel = con.sql(oracles[name])
             ocols = rel.columns
@@ -136,6 +145,8 @@ def main(only=None):
                 f"FAIL rows={ok_rows}({len(srows)}/{len(orows)}) "
                 f"schema={ok_schema} hash={ok_hash}"
             )
+            if nonscalar and status == "OK":
+                status = f"OK_BUT_NONSCALAR {nonscalar}"
             results[name] = status
             # same per-query shape the driver's CORRECTNESS_r{N}.json
             # records, so the two artifacts diff directly
@@ -147,6 +158,8 @@ def main(only=None):
                 "oracle_rows": len(orows),
                 "err": None,
             }
+            if nonscalar:
+                records[name]["nonscalar_cols"] = nonscalar
             print(f"{name}: {status}", flush=True)
             flush()
         except Exception as e:  # noqa: BLE001

@@ -1548,9 +1548,11 @@ def ivf_knn_join(
     the per-query top-k window runs over each query's candidates
     (bounded by its probed cells' sizes — the IVF contract), never
     over the corpus. Multi-assigned replicas (``ivf_build(n_assign>1)``)
-    dedupe by (query, candidate) before ranking — replicas carry
-    identical cosines, so deduping scored rows equals deduping
-    candidates. Ties break (cosine DESC, candidate id ASC).
+    dedupe by (query, candidate) before ranking, keeping the MINIMUM
+    raw cosine — replicas carry cosines identical to the last ulp
+    (independent per-cell matmuls), so the min makes the kept value
+    deterministic even at an exact round-4 boundary (ADVICE r15).
+    Ties break (cosine DESC, candidate id ASC).
 
     Exactness contract mirrors ``ivf_search``: with ``n_probes =
     n_cells`` the result is exact brute-force kNN per query; pruned
@@ -1608,10 +1610,13 @@ def ivf_knn_join(
     pre_thr = None if min_cosine is None else float(min_cosine) - 1e-3
 
     def score_cell(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        # empty columns are object-dtyped so Arrow casts them to
+        # whatever id type the declared schema carries (ADVICE r15:
+        # the id columns keep the caller's types — string ids included)
         empty = pd.DataFrame(
             {
-                "query_id": pd.Series([], dtype="int64"),
-                "__cid": pd.Series([], dtype="int64"),
+                "query_id": pd.Series([], dtype=object),
+                "__cid": pd.Series([], dtype=object),
                 "__cos": pd.Series([], dtype="float64"),
             }
         )
@@ -1652,18 +1657,34 @@ def ivf_knn_join(
                     )
         return pd.concat(out, ignore_index=True)
 
+    # the output id columns keep the CALLER's id types (ADVICE r15:
+    # the public API allows arbitrary id_col — string record ids
+    # included; numpy fancy-indexing and repeat/tile work on object
+    # arrays, so the kernel is type-agnostic already)
+    qid_dt = queries.schema[qid].dataType.simpleString()
+    cid_dt = assigned.schema[id_col].dataType.simpleString()
     scored = (
         probes.groupBy("cell")
         .cogroup(corpus.groupBy("cell"))
-        .applyInPandas(score_cell, "query_id long, __cid long, __cos double")
-        .select(
-            "query_id",
-            F.col("__cid").alias(id_col),
-            F.round(F.col("__cos"), 4).alias("cosine"),
+        .applyInPandas(
+            score_cell, f"query_id {qid_dt}, __cid {cid_dt}, __cos double"
         )
     )
     if not unique_candidates:
-        scored = scored.dropDuplicates(["query_id", id_col])
+        # replicas of a multi-assigned pair were scored by INDEPENDENT
+        # per-cell matmuls, which can disagree in the last ulp — dedupe
+        # on the RAW cosine with a deterministic min() tie-break before
+        # rounding (ADVICE r15: dropDuplicates kept an arbitrary
+        # replica, nondeterministic exactly at a round-4 boundary);
+        # same single hash-aggregate exchange, now partial-agg friendly
+        scored = scored.groupBy("query_id", "__cid").agg(
+            F.min("__cos").alias("__cos")
+        )
+    scored = scored.select(
+        "query_id",
+        F.col("__cid").alias(id_col),
+        F.round(F.col("__cos"), 4).alias("cosine"),
+    )
     if min_cosine is not None:
         scored = scored.filter(F.col("cosine") >= float(min_cosine))
     from pyspark.sql import Window

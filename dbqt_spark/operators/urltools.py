@@ -577,6 +577,14 @@ def resolve_redirects(
         # partition order)
         .groupBy("__src")
         .agg(F.max("__dst").alias("__dst"))
+        # the walk references this frame max_hops + 1 times (one join
+        # per hop + the __more probe); left lazy, EVERY reference
+        # re-runs the one-edge-per-URL aggregate — at scale that is
+        # max_hops + 1 full shuffles of the 3xx frame for one answer.
+        # Lazy localCheckpoint: the aggregate runs once at the first
+        # action, every later reference reads cached partitions (the
+        # PageRank shared-frame discipline, r15 item 2 / VERDICT #4).
+        .localCheckpoint(eager=False)
     )
     # URLs whose (non-empty) Location could not be resolved: real
     # redirects the walk cannot follow. A row ENDING anywhere in this

@@ -757,6 +757,70 @@ def test_ivf_knn_join_multi_assign_dedupes_replicas(spark):
         seen[key] = True
 
 
+def test_ivf_knn_join_zero_norm_cosine_is_null_and_sorts_last(spark):
+    """Pins the r15 zero-norm edge (VERDICT r15 #9, ratified): a
+    zero-norm vector's 0/0 cosine is NULL (Arrow NaN -> SQL NULL),
+    sorts LAST under the desc rank ordering, and never passes a
+    ``min_cosine`` threshold. (Pre-r15 it was JVM NaN, which sorts
+    FIRST desc and could occupy top-k slots.) Unreachable from
+    ``ivf_write`` stores — their vectors are dimension-checked floats
+    — but the public API accepts raw frames."""
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.operators.similarity import ivf_build, ivf_knn_join
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 0.0, 0.0]),  # zero-norm corpus vector
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    assigned, centroids = ivf_build(emb, n_cells=1)
+    qs = emb.filter(F.col("vec_id") == 0)
+    out = ivf_knn_join(qs, assigned, centroids, k=4, n_probes=1).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[2]["cosine"] is None  # 0/0 -> NULL, not NaN
+    # NULL sorts last: the zero-norm row takes the final rank
+    assert by_id[2]["rank"] == max(r["rank"] for r in out)
+    # and never passes a threshold filter
+    thr = ivf_knn_join(
+        qs, assigned, centroids, k=4, n_probes=1, min_cosine=-1.0
+    ).collect()
+    assert all(r["vec_id"] != 2 for r in thr)
+
+
+def test_ivf_knn_join_preserves_string_id_types(spark):
+    """ADVICE r15 (medium): the cogroup kernel's output schema derives
+    from the caller's id dtypes — string ids round-trip instead of
+    failing an int64 cast."""
+    from pyspark.sql import functions as F
+
+    from dbqt_spark.operators.similarity import ivf_build, ivf_knn_join
+
+    emb = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("b", [0.8, 0.2]),
+            ("c", [0.0, 1.0]),
+            ("d", [0.1, 0.9]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    assigned, centroids = ivf_build(emb, n_cells=2)
+    out = ivf_knn_join(
+        emb.filter(F.col("vec_id") == "a"), assigned, centroids,
+        k=2, n_probes=2,
+    )
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["vec_id"] == "string"
+    rows = out.collect()
+    assert rows[0]["query_id"] == "a"
+    assert rows[0]["vec_id"] == "a" and rows[0]["rank"] == 1
+
+
 def test_cosine_pairs_exact_matches_brute_force(spark):
     """Blocked exact all-pairs == numpy brute force, with multi-block
     splitting forced (n_blocks=4) so the off-diagonal slab path runs;
