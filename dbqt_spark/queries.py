@@ -6629,8 +6629,19 @@ def q_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 1000
     )
-    truth = ngram_jaccard_near_duplicates(docs, threshold=0.6)
-    cand = simhash_near_duplicates(docs, max_hamming=3, portable=True)
+    # the two tiers' eager candidate phases are independent job chains
+    # — overlap them (guide §2.6: submit independent jobs from a small
+    # thread pool so one tier's tail back-fills the other's stages)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_truth = pool.submit(
+            ngram_jaccard_near_duplicates, docs, threshold=0.6
+        )
+        f_cand = pool.submit(
+            simhash_near_duplicates, docs, max_hamming=3, portable=True
+        )
+        truth, cand = f_truth.result(), f_cand.result()
     return pair_tier_eval(truth, cand)
 
 

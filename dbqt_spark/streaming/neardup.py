@@ -270,7 +270,9 @@ def minhash_gate_batch(
     after a mid-batch failure) are excluded from the cross-store
     candidates, so a re-executed batch keeps the same survivors; the
     duplicate band/doc rows a partial retry leaves in the store are
-    harmless (candidate pairs are distinct-ed). Exactly-once delivery of
+    harmless (duplicate candidate pairs re-verify idempotently and the
+    greedy/store-match resolution walks SETS — r16 dropped the explicit
+    pair distinct for exactly this reason). Exactly-once delivery of
     the OUTPUT is the caller's job via the batch-id marker
     (``streaming_minhash_dedup``)."""
     from ..operators.dedup import _candidate_pair_plan, _cap_buckets
@@ -279,6 +281,13 @@ def minhash_gate_batch(
     _check_store_params(store_dir, num_hashes, bands, shingle_n)
     band_path, doc_path = _store_paths(store_dir)
     external_texts = corpus is not None
+    # NOT spread (measured, r16): fanning a single-partition micro-batch
+    # out before the band hash (the r15 item-8 treatment) made the gate
+    # 5x SLOWER warm (10.4 -> 53 s solo) — the gate runs ~10 sequential
+    # jobs per batch, and every one of them then schedules cores x
+    # tasks + Arrow workers for ~1000-row inputs; the kernel itself is
+    # not the bottleneck at trigger-bounded sizes. At corpus-scale
+    # triggers the batch already arrives in many splits.
     docs = batch_df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
@@ -299,6 +308,14 @@ def minhash_gate_batch(
             F.col("a.id").alias("qid"),
             F.col("b.id").alias("cid"),
         ],
+        # the batch side is trigger-bounded (the same bound the
+        # cross-store join broadcasts on), so the self-join can
+        # broadcast one side — two shuffle stages fewer per
+        # micro-batch; pairs never surface raw from the gate (verify
+        # verdicts are per-pair idempotent, the greedy walks SETS), so
+        # the cross-band dedup exchange goes too (r16, VERDICT #3)
+        broadcast_self=True,
+        distinct_pairs=False,
     )
 
     # 2. candidate pairs: within-batch (qid < cid, both batch-side) plus
@@ -337,7 +354,10 @@ def minhash_gate_batch(
             .join(store_bands, "band_key")
             .filter(F.col("qid") != F.col("old_id"))
             .select("qid", F.col("old_id").alias("cid"))
-            .distinct()
+            # no cross-band distinct (r16): duplicate pairs re-verify
+            # idempotently and the store-match set dedupes; the saved
+            # exchange is one stage-job per micro-batch. Duplicates
+            # only inflate the broadcast-gate count conservatively.
             .withColumn("from_store", F.lit(True))
         )
         cands = cands.unionByName(cross_cand)
