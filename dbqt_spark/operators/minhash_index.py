@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     _attach_texts_and_verify,
+    _cap_buckets,
     _cap_buckets_eager,
     _spread,
     minhash_band_hashes,
@@ -189,10 +190,19 @@ def minhash_index_write(
         df, "corpus_id", text_col, id_col, num_hashes, bands, shingle_n
     )
     if max_bucket_size is not None:
+        # drop accounting requested -> eager cap (separate probe job,
+        # stats + LocalRelation anti-join). Otherwise the cap stays
+        # LAZY: its size aggregate rides the write job as a broadcast
+        # subtree over the persisted bands — no separate probe job
+        # (r16; the eager probe cost a 4-job executeTake ramp per
+        # lifecycle step).
         banded = banded.persist()
-        capped = _cap_buckets_eager(
-            banded, ["band_key"], max_bucket_size, drop_stats
-        )
+        if drop_stats is not None:
+            capped = _cap_buckets_eager(
+                banded, ["band_key"], max_bucket_size, drop_stats
+            )
+        else:
+            capped = _cap_buckets(banded, ["band_key"], max_bucket_size)
     else:
         capped = banded
     os.makedirs(path, exist_ok=True)
@@ -253,10 +263,14 @@ def minhash_index_append(
     )
     cap = meta.get("max_bucket_size")
     if cap is not None:
+        # same lazy/eager split as minhash_index_write (r16)
         banded = banded.persist()
-        capped = _cap_buckets_eager(
-            banded, ["band_key"], int(cap), drop_stats
-        )
+        if drop_stats is not None:
+            capped = _cap_buckets_eager(
+                banded, ["band_key"], int(cap), drop_stats
+            )
+        else:
+            capped = _cap_buckets(banded, ["band_key"], int(cap))
     else:
         capped = banded
     capped.write.mode("append").parquet(band_path)
@@ -419,17 +433,22 @@ def minhash_index_query(
     )
     if max_bucket_size is not None:
         q_bands = q_bands.persist()
-        stats: dict = {}
-        q_capped = _cap_buckets_eager(
-            q_bands, ["band_key"], max_bucket_size, stats
-        )
         if drop_stats is not None:
+            stats: dict = {}
+            q_capped = _cap_buckets_eager(
+                q_bands, ["band_key"], max_bucket_size, stats
+            )
             drop_stats["query"] = stats
             # stored-side drops happened at write/append time; surface
             # the cap so callers know the symmetric guard was applied
             drop_stats["index"] = {
                 "max_bucket_size": meta.get("max_bucket_size")
             }
+        else:
+            # no drop accounting requested -> lazy cap: the size
+            # aggregate rides the candidate-count job as a broadcast
+            # subtree over the persisted query bands (r16)
+            q_capped = _cap_buckets(q_bands, ["band_key"], max_bucket_size)
     else:
         q_capped = q_bands
     # tombstoned corpus ids never become candidates (deleted docs are

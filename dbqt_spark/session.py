@@ -52,6 +52,18 @@ def get_spark(
         # short queries aren't starved behind a long pipeline when callers
         # (bench.py, multi-tool CLIs, notebook users) share the session
         .config("spark.scheduler.mode", "FAIR")
+        # The engine's hybrid operators gate on bounded limit-probes
+        # (`limit(N + 1).collect()`: connected_components, the neardup
+        # gate, bucket-cap accounting). executeTake's default ramp
+        # (initialNumPartitions=1, x4 per step) turns each probe into
+        # 3-4 SEQUENTIAL jobs whenever the result is under the limit —
+        # which for these probes is the expected case, so the ramp
+        # never saves work and always costs job round-trips (r16,
+        # measured: _cap_buckets_eager 4 jobs -> 1). Sized to the
+        # shuffle-partition count (scale-adaptive, not a local
+        # constant): probe stages are post-AQE aggregates with at most
+        # that many partitions, so the first pass covers them all.
+        .config("spark.sql.limit.initialNumPartitions", str(shuffle_partitions))
     )
     # Pool definitions (default + a higher-weight `heavy` pool for
     # long sequential-chain queries); threads opt in via
