@@ -350,6 +350,85 @@ def audit(sf_dir: str) -> dict:
     out["dsir.lr6@6 (pre-fix shape, now portable)"] = (
         "T", *_min_margin(vals, 6)
     )
+
+    # ---- r16 build-segment sweep (VERDICT r15 #10): the 21 queries the
+    # segment added are integer/string-exact by construction EXCEPT
+    # pagerank_dangling (integer-pico contract with round() on shared
+    # rational doubles at every iteration site — R kind: both engines
+    # compute the SAME IEEE double, so divergence needs the double
+    # within ~1e-17 relative of a boundary) and recrawl_plan (an
+    # integer-valued DOUBLE column — exactly representable, margin is
+    # the full 0.5, recorded as Rx). bpe/unigram/bloom/cdx/wet/c4/
+    # sitemap/redirect/blocklist oracles contain no ln/exp/round/DOUBLE
+    # arithmetic at all (scanned mechanically; strings and BIGINTs
+    # end-to-end). The dsir pair moved to BIGINT micro units in r16
+    # (1f38dcf) — integer-exact like unigram_train, no float surface
+    # left. pagerank_tol / host_pagerank share the same pico round
+    # sites as the dangling arm (same operator), covered below.
+    edges = con.execute("""
+        WITH e AS (
+          SELECT 'site-' || (doc_id % 7) || '.example' AS s,
+                 'site-' || ((3 * doc_id + 1) % 11) || '.example' AS d
+          FROM documents
+          WHERE 'site-' || (doc_id % 7) || '.example'
+                <> 'site-' || ((3 * doc_id + 1) % 11) || '.example'
+        )
+        SELECT s, d, CAST(count(*) AS BIGINT) FROM e GROUP BY 1, 2
+    """).fetchall()
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw = {}
+    for s, _, n in edges:
+        outw[s] = outw.get(s, 0) + n
+    n_nodes = float(len(nodes))
+    vals = []
+
+    def _r(label, x):
+        """Margin-tracked round-to-integer of the engines' shared
+        double ``x`` (Python float == IEEE double, same op order)."""
+        vals.append((label, Decimal(x)))
+        return int(Decimal(x).quantize(Decimal(1), rounding="ROUND_HALF_UP"))
+
+    rank = {h: _r(f"r0 n={len(nodes)}", 1000000000000.0 / n_nodes)
+            for h in nodes}
+    for it in (1, 2):
+        dang = sum(rank[h] for h in nodes if h not in outw)
+        share = _r(f"d{it}", float(dang) / n_nodes)
+        contrib = {}
+        for s, d, n in edges:
+            c = _r(f"c{it} {s}->{d}",
+                   float(rank[s]) * float(n) / float(outw[s]))
+            contrib[d] = contrib.get(d, 0) + c
+        rank = {
+            h: _r(f"r{it} {h}",
+                  ((1.0 - 0.85) * 1000000000000.0) / n_nodes
+                  + 0.85 * float(contrib.get(h, 0) + share))
+            for h in nodes
+        }
+    out["pagerank_dangling.pico@0 (shared-double rounds)"] = (
+        "R", *_min_margin(vals, 0)
+    )
+    waves = con.execute("""
+        WITH base AS (
+          SELECT doc_id,
+            'https://site-' || (doc_id % 5) || '.example/p/' || doc_id
+              AS url,
+            'site-' || (doc_id % 5) || '.example' AS host
+          FROM documents
+        ),
+        frontier AS (
+          SELECT url,
+            CASE WHEN doc_id % 10 = 1 THEN 3 ELSE 1 END AS priority, host
+          FROM base WHERE doc_id % 10 != 0
+          UNION ALL
+          SELECT url || '/alt', 2, host FROM base WHERE doc_id % 10 = 2
+        )
+        SELECT DISTINCT CAST(row_number() OVER (
+          PARTITION BY host ORDER BY priority DESC, url ASC) AS BIGINT)
+        FROM frontier
+    """).fetchall()
+    out["recrawl_plan.fetch_after_sec (integer-valued double)"] = (
+        "Rx", *_min_margin([(f"wave={w}", Decimal(int(w) - 1)) for (w,) in waves], 0)
+    )
     con.close()
     return out
 
