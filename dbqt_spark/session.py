@@ -64,6 +64,18 @@ def get_spark(
         # constant): probe stages are post-AQE aggregates with at most
         # that many partitions, so the first pass covers them all.
         .config("spark.sql.limit.initialNumPartitions", str(shuffle_partitions))
+        # Dynamic-partition store writes (LSH/IVF bucket dirs, published
+        # streaming batches) pay FileOutputCommitter v1's second rename
+        # pass per partition directory — measured 2.3 -> 1.3 s on a
+        # 256-dir write (r16). v2 commits task output directly; a
+        # crashed job can leave partial files, which the engine's store
+        # protocol already treats as orphans (generation-unique dirs,
+        # manifest written LAST as the only commit point), so v1's
+        # atomicity buys nothing here at any scale.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
     )
     # Pool definitions (default + a higher-weight `heavy` pool for
     # long sequential-chain queries); threads opt in via

@@ -74,6 +74,13 @@ def sessionize_stream(
     State per user: [last_ts_epoch, session_no, session_start_epoch,
     n_events]. Events inside a micro-batch are sorted by time; late rows
     older than the current session's last event extend counts only.
+
+    availableNow caveat (r16): a drain of a PROCESSING-time-timeout
+    stateful query never self-terminates — after the data batches Spark
+    loops empty "cleaning up state" batches waiting for wall-clock
+    timeouts. Continuous-trigger production deployments are unaffected;
+    drain-style callers must stop the query once a zero-input batch has
+    run (every session closable by DATA has been emitted by then).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

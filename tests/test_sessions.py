@@ -55,8 +55,25 @@ def test_sessionize_stream_closes_past_sessions(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # An availableNow drain of a PROCESSING-time-timeout stateful query
+    # never self-terminates: after the data batches it loops empty
+    # "cleaning up state" batches waiting for wall-clock timeouts (r16,
+    # measured: still spinning at batch 199 / 123 s; the old
+    # awaitTermination(180) burned its full timeout every run). All
+    # data was available at start, so the first ZERO-input batch means
+    # the drain is complete — every session closable by data has been
+    # emitted; the remaining state only closes by timeout, which this
+    # test excludes from `expected` anyway. Stop there.
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        lp = q.lastProgress
+        if lp and lp["numInputRows"] == 0 and lp["batchId"] >= 1:
+            break
+        _time.sleep(0.5)
     q.stop()
+    q.awaitTermination(30)
     streamed = {
         (r["user_id"], r["session_no"]): r["n_events"]
         for r in spark.sql(f"SELECT * FROM {name}").collect()
