@@ -483,10 +483,17 @@ def image_fingerprints(
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "phash": [
-                        None if p is None else hasher(bytes(p))
-                        for p in pdf[content_col]
-                    ],
+                    # dtype=object: a plain list with any None in it
+                    # makes pandas infer float64, silently rounding
+                    # int64 fingerprints past 2^53 for EVERY row in the
+                    # batch — the object column hands Arrow exact ints
+                    "phash": pd.Series(
+                        [
+                            None if p is None else hasher(bytes(p))
+                            for p in pdf[content_col]
+                        ],
+                        dtype=object,
+                    ),
                 }
             )
 
@@ -673,11 +680,17 @@ def audio_fingerprints(
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "afp": [
-                        None if p is None or len(p) == 0
-                        else hasher(bytes(p))
-                        for p in pdf[content_col]
-                    ],
+                    # dtype=object: see image_fingerprints — None in a
+                    # plain list coerces the batch to float64 and
+                    # corrupts 64-bit fingerprints
+                    "afp": pd.Series(
+                        [
+                            None if p is None or len(p) == 0
+                            else hasher(bytes(p))
+                            for p in pdf[content_col]
+                        ],
+                        dtype=object,
+                    ),
                 }
             )
 

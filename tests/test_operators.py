@@ -482,9 +482,9 @@ def test_range_join_binned(spark):
 # -- LSH bucket cap: pathological hot buckets --------------------------------
 
 
-def _hot_bucket_docs(spark, n_hot=2000):
-    """2000 identical docs (every LSH bucket they touch goes hot) plus one
-    planted near-dup pair of distinct docs."""
+def _hot_bucket_docs(spark, n_hot=300):
+    """``n_hot`` identical docs (every LSH bucket they touch goes hot)
+    plus one planted near-dup pair of distinct docs."""
     blob = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 4
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     rows = [(i, blob) for i in range(n_hot)]
@@ -502,7 +502,10 @@ def test_minhash_bucket_cap_drops_hot_bucket(spark):
         minhash_signatures,
     )
 
-    df = _hot_bucket_docs(spark)
+    # 300 identical docs: 3x the cap — fires identically to the old
+    # 2000-doc form at a fraction of the signature cost (suite-wall
+    # item, VERDICT r15 #6)
+    df = _hot_bucket_docs(spark, n_hot=300)
     stats = {}
     pairs = {
         (r["id_a"], r["id_b"])
@@ -512,7 +515,7 @@ def test_minhash_bucket_cap_drops_hot_bucket(spark):
     }
     # identical docs form one hot bucket per band: all 16 dropped
     assert stats["n_dropped_buckets"] == 16
-    assert stats["n_dropped_rows"] == 2000 * 16
+    assert stats["n_dropped_rows"] == 300 * 16
     # the hot cluster is excluded (exact dedup's job), the sparse tail kept
     assert pairs == {(10_000, 10_001)}
 
@@ -526,7 +529,7 @@ def test_minhash_bucket_cap_drops_hot_bucket(spark):
 def test_simhash_bucket_cap_drops_hot_bucket(spark):
     from dbqt_spark.operators.dedup import simhash_near_duplicates
 
-    df = _hot_bucket_docs(spark, n_hot=1500)
+    df = _hot_bucket_docs(spark, n_hot=300)
     stats = {}
     pairs = {
         (r["id_a"], r["id_b"])
@@ -536,7 +539,7 @@ def test_simhash_bucket_cap_drops_hot_bucket(spark):
     }
     # identical fingerprints: one hot (band, chunk) bucket per band
     assert stats["n_dropped_buckets"] == 4
-    assert stats["n_dropped_rows"] == 1500 * 4
+    assert stats["n_dropped_rows"] == 300 * 4
     assert (0, 1) not in pairs  # hot cluster excluded
     # cap off -> hot cluster pairs come back and stats stay zeroed
     stats2 = {}
@@ -902,6 +905,34 @@ def test_resize_images_stub_and_contract(spark):
     except ImportError:
         with pytest.raises(NotImplementedError, match="pillow"):
             resize_images(df, 8, 8, decode_stub=False)
+
+
+def test_fingerprints_exact_when_null_shares_arrow_batch(spark):
+    """Regression: a NULL payload in the SAME Arrow batch as real
+    payloads made pandas infer float64 for the fingerprint column
+    (None -> NaN), silently rounding every int64 fingerprint past
+    2^53 in that batch. coalesce(1) forces the null to share a batch;
+    fingerprints must still equal the driver-side pure function."""
+    from dbqt_spark.operators.multimodal import (
+        _stub_audio_fp,
+        _stub_phash,
+        audio_fingerprints,
+        image_fingerprints,
+    )
+
+    # payloads chosen so fingerprints exceed 2^53 (float64-lossy range)
+    payloads = {i: bytes((i * 37 + j * 11) % 256 for j in range(400))
+                for i in range(6)}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()] + [(999, None)],
+        "media_id long, content binary",
+    ).coalesce(1)
+    got_img = {r["media_id"]: r["phash"]
+               for r in image_fingerprints(df).collect()}
+    assert got_img == {k: _stub_phash(v) for k, v in payloads.items()}
+    got_aud = {r["media_id"]: r["afp"]
+               for r in audio_fingerprints(df).collect()}
+    assert got_aud == {k: _stub_audio_fp(v) for k, v in payloads.items()}
 
 
 def test_image_near_dup_matches_brute_force(spark):
