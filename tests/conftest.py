@@ -4,6 +4,36 @@ import pytest
 
 SF_DIR = os.environ.get("DBQT_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Two-tier suite (VERDICT r15 #6: the full suite never fit the driver's
+# verify window). The DEFAULT tier is the regression gate: every
+# operator/contract keeps coverage, but the multi-run walkthroughs, the
+# full 186-query oracle-parity sweep (the driver replays that gate
+# itself against DuckDB), and a few many-minute lifecycle monsters move
+# to the opt-in SLOW tier. Run everything with:
+#
+#     DBQT_SPARK_SLOW_TESTS=1 python -m pytest tests/
+#
+RUN_SLOW = os.environ.get("DBQT_SPARK_SLOW_TESTS") == "1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy walkthrough/sweep tests — opt in via "
+        "DBQT_SPARK_SLOW_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_SLOW:
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (set DBQT_SPARK_SLOW_TESTS=1 to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -216,6 +216,7 @@ def test_lsh_compact_crash_recovery(spark, sf_dir, tmp_path):
     assert lsh_topk_from_index(spark, path, q, k=1).collect()[0]["vec_id"] == 0
 
 
+@pytest.mark.slow
 def test_lsh_multitable_index_lifecycle(spark, sf_dir, tmp_path):
     """Multi-table LSH index (n_tables>1): write replicates each vector
     once per table under table=/bucket= directories; append matches a

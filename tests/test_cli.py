@@ -3,6 +3,8 @@ SparkSession via getOrCreate)."""
 
 import os
 
+import pytest
+
 from dbqt_spark.app import main
 
 
@@ -207,29 +209,43 @@ def test_colcompare_generate_config_roundtrip(tmp_path, capsys):
     assert "excluded_cols" in text and "type_mappings" in text
 
 
-def test_dedup_tool_methods(tmp_path, capsys):
+@pytest.mark.parametrize(
+    "method,extra",
+    [
+        pytest.param("exact", [], marks=pytest.mark.slow),
+        ("minhash", ["--threshold", "0.5"]),
+        pytest.param(
+            "ngram",
+            ["--threshold", "0.5", "--pairs-parquet", "PAIRS"],
+            marks=pytest.mark.slow,
+        ),
+        pytest.param(
+            "simhash", ["--max-hamming", "6"], marks=pytest.mark.slow
+        ),
+    ],
+)
+def test_dedup_tool_methods(tmp_path, capsys, method, extra):
     """The dedup CLI runs each tier end-to-end over a parquet-dir config
-    and writes the report (+ optional pairs parquet)."""
+    and writes the report (+ optional pairs parquet). One tier (the
+    minhash default) stays in the default suite; the other three are
+    slow-tier (each runs a full band pipeline — VERDICT r15 #6)."""
     cfg = tmp_path / "conn.yaml"
     cfg.write_text(
         "connection:\n  type: parquet\n  path: /root/testdata/sf0.001\n"
     )
-    for method, extra in (
-        ("exact", []),
-        ("minhash", ["--threshold", "0.5"]),
-        ("ngram", ["--threshold", "0.5",
-                   "--pairs-parquet", str(tmp_path / "pairs.pq")]),
-        ("simhash", ["--max-hamming", "6"]),
-    ):
-        out = str(tmp_path / f"dedup_{method}.html")
-        rc = main(
-            ["dedup", "--config", str(cfg), "--table", "documents",
-             "--method", method, "--output", out, *extra]
-        )
-        assert rc == 0
-        assert os.path.exists(out)
-        assert "Report saved" in capsys.readouterr().out
-    assert os.path.exists(tmp_path / "pairs.pq")
+    extra = [
+        str(tmp_path / "pairs.pq") if a == "PAIRS" else a for a in extra
+    ]
+    out = str(tmp_path / f"dedup_{method}.html")
+    rc = main(
+        ["dedup", "--config", str(cfg), "--table", "documents",
+         "--method", method, "--output", out, *extra]
+    )
+    assert rc == 0
+    assert os.path.exists(out)
+    assert "Report saved" in capsys.readouterr().out
+    if method == "ngram":
+        assert os.path.exists(tmp_path / "pairs.pq")
 
 
 def test_textstats_tool(tmp_path, capsys):

@@ -5,6 +5,7 @@ expansion -> DSIR selection -> curate. Every stage is a real operator
 on the real segment bytes; the companion doc is
 examples/crawl_to_corpus.md."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbqt_spark.sources.warc import (
@@ -89,6 +90,7 @@ def _segment_b() -> bytes:
     return build_warc(recs, gzip_per_record=True)
 
 
+@pytest.mark.slow
 def test_crawl_to_curated_corpus_walkthrough(spark, tmp_path):
     from dbqt_spark.operators.dsir import dsir_select
     from dbqt_spark.operators.pipeline import CurateConfig, curate

@@ -18,6 +18,39 @@ from dbqt_spark.catalog import TPCH_TABLES, table_path
 ORACLE_NAMES = sorted(entry_mod.oracle_sql())
 ALL_NAMES = sorted(entry_mod.queries())
 
+# Two-tier parametrization (VERDICT r15 #6): the driver replays the FULL
+# oracle gate itself (and check_correctness.py mirrors it on demand), so
+# the default suite pins a SMOKE subset spanning every engine surface —
+# core SQL, windows, text ops, a banded dedup tier, similarity, a
+# streaming drain, a store lifecycle, WARC/CDX synthesis, the portable
+# float contracts (pagerank/dsir: the historically gate-contested ones),
+# and the two array-to-scalar conversions from the r15 driver ERRs.
+# DBQT_SPARK_SLOW_TESTS=1 restores the full 186-query sweep.
+PARITY_SMOKE = [
+    "rowcounts",
+    "agg_compare",
+    "event_funnel",
+    "repetition_stats",
+    "minhash_near_dups",
+    "ivf_topk",
+    "streaming_dedup",
+    "incremental_profile",
+    "wat_metadata",
+    "anchor_texts",
+    "dsir_weights",
+    "dsir_select",
+    "pagerank_dangling",
+    "cdx_dedup",
+]
+
+
+def _tiered(names):
+    return [
+        n if n in PARITY_SMOKE
+        else pytest.param(n, marks=pytest.mark.slow)
+        for n in names
+    ]
+
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
@@ -48,7 +81,7 @@ def _canon_rows(cols, rows):
     )
 
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+@pytest.mark.parametrize("name", _tiered(ORACLE_NAMES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = entry_mod.queries()[name](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
@@ -112,9 +145,12 @@ def _spark_twins(duck_type: str):
     return _DUCK_SCALAR_TO_SPARK.get(duck_type)
 
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+@pytest.mark.parametrize("name", _tiered(ORACLE_NAMES))
 def test_oracle_types_match_spark(name, spark, sf_dir, duck):
-    """Schema-only: no execution of the Spark plan, lazy DuckDB relation."""
+    """Schema-only comparison — but building a lifecycle query's frame
+    (store writes, stream drains, ``_localized`` collects) executes its
+    eager work, so this sweep is NOT cheap; tiered like the value
+    parity above."""
     sdf = entry_mod.queries()[name](spark, sf_dir)
     spark_types = {c.lower(): t for c, t in sdf.dtypes}
 

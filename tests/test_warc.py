@@ -228,6 +228,7 @@ def test_rows_from_stream_mime_fallback():
     assert rows[0][5] == "text/css" and rows[0][6] is None
 
 
+@pytest.mark.slow
 def test_curate_from_warc_cli(spark, tmp_path):
     from dbqt_spark.app import main
 
@@ -399,6 +400,7 @@ def test_corpus_survives_malformed_utf8(spark, tmp_path):
     assert "caf" in rows[0].text and "�" in rows[0].text
 
 
+@pytest.mark.slow
 def test_curate_from_warc_robots_gate(spark, tmp_path):
     """--robots-gate: the crawl's own /robots.txt governs which pages
     survive into the curated corpus."""
