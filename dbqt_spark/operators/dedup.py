@@ -923,6 +923,13 @@ def ngram_jaccard_near_duplicates(
     ``BROADCAST_PAIR_LIMIT`` localize (zero cached blocks survive),
     bigger ones come back persisted (release via ``.unpersist()`` /
     ``operators.cache.released``)."""
+    # r16 examined, REJECTED: pre-clustering the posting list on
+    # `shingle` before the distinct (so the cached frame would feed
+    # both self-join sides exchange-free) does NOT work — an
+    # InMemoryRelation under AQE reports unknown output partitioning,
+    # so ENSURE_REQUIREMENTS re-exchanges both join sides over the
+    # cache reads regardless and the repartition is a third, pure-cost
+    # shuffle of the posting list (plans/r16/ngram_jaccard_dups_*).
     sh = (
         shingle_rows(df, text_col, id_col, shingle_n)
         .select("id", "shingle")
